@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev utility: run one registry query (or `entry`) with timing and an
+  * optional formatted plan dump.
+  *
+  *   sbt "runMain graft.Explain <name|entry> [sfDir] [--plan] [--count]"
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val name = args.headOption.getOrElse("entry")
+    val sfDir = args.drop(1).headOption.filterNot(_.startsWith("--")).getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val df =
+      if (name == "entry") SparkEntry.entry(spark)
+      else SparkEntry.queries(name)(spark, sfDir)
+    if (args.contains("--plan")) df.explain("formatted")
+    val t0 = System.nanoTime()
+    if (args.contains("--count")) println(s"ROWS=${df.count()}")
+    else df.write.format("noop").mode("overwrite").save()
+    println(f"TIME $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    val t1 = System.nanoTime()
+    df.write.format("noop").mode("overwrite").save()
+    println(f"TIME2 $name ${(System.nanoTime() - t1) / 1e9}%.2f s (warm)")
+    spark.stop()
+  }
+}

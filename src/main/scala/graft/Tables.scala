@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated parquet tables (TESTDATA.md).
+  *
+  * All tables are plain parquet scans except `events`, whose `ts` column is
+  * physical INT64 TIMESTAMP(NANOS) — a type Spark refuses to read natively
+  * (PARQUET_TYPE_ILLEGAL). We read it as a long via
+  * `spark.sql.legacy.parquet.nanosAsLong` and truncate to microseconds with
+  * integer division (`div`), which matches DuckDB's TIMESTAMP_NS → TIMESTAMP
+  * cast (truncation, not rounding). Going through a double (`/ 1000`) would
+  * corrupt the low digits: epoch-nanos ≈ 1.7e18 exceeds double's 2^53
+  * integer range.
+  */
+object Tables {
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    if (name == "events") events(spark, sfDir)
+    else spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read
+      .parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "lineitem")
+  def orders(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "orders")
+  def customer(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "supplier")
+  def part(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "part")
+  def nation(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "nation")
+  def region(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "region")
+  def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
+
+  /** Exact decimal-core double aggregation: cast each addend to
+    * DECIMAL(18,6) so partial-aggregate order (Spark shuffles) and engine
+    * (Spark vs DuckDB) cannot perturb the sum, then surface a double.
+    * Oracle-side equivalent: CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE).
+    */
+  def dsum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(c.cast("decimal(18,6)")).cast("double")
+
+  /** Deterministic average built from the exact decimal sum; the oracle
+    * mirrors the same double-division so both engines produce identical
+    * IEEE results: CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE)/COUNT(x).
+    */
+  def davg(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(c.cast("decimal(18,6)")).cast("double") / count(c)
+}

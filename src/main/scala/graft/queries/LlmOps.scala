@@ -1,0 +1,581 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.Tables.{davg, dsum}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline operators (SURVEY.md §2.2-C): dedup (exact,
+  * n-gram Jaccard, MinHash/LSH, SimHash, embedding-cosine), similarity
+  * search (brute-force + LSH-bucketed ANN), text analysis (stats, quality,
+  * lang-id, BPE-ish token counts, fingerprints), sessionization, and
+  * multimodal binary-column plumbing.
+  *
+  * Scale notes are inline per operator; the shared principle: candidate
+  * generation is always a key-equality shuffle (shingle / band / bucket
+  * join), never an O(n²) comparison — the quadratic variants that exist
+  * here (`q_dedup_ngram`, `q_dedup_embed`) are the small-side oracles for
+  * the LSH scale paths.
+  */
+object LlmOps {
+
+  /** Whitespace tokens, empties dropped — mirrored exactly by the oracle's
+    * list_filter(string_split(...)).
+    */
+  private def toks(c: Column): Column = filter(split(c, " "), t => t =!= "")
+
+  private val DOCS_T = "(SELECT doc_id, text, lang, source, n_chars, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents)"
+  private val EV =
+    "(SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events)"
+
+  // ------------------------------------------------------------- exact dedup
+
+  /** Exact dedup: hash-groupBy on sha256(text) — a single shuffle keyed by
+    * digest; at 100 TB the digest (32 B) shuffles, never the document body.
+    */
+  def qDedupExact(spark: SparkSession, sfDir: String): DataFrame =
+    Tables
+      .documents(spark, sfDir)
+      .groupBy(sha2(col("text"), 256).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+      .orderBy("h")
+
+  // ----------------------------------------------------------- n-gram Jaccard
+
+  /** Distinct 3-word shingles per doc as (doc_id, sh) rows.
+    *
+    * Deliberately NOT a per-row higher-order-function build
+    * (`transform(sequence(...), i -> element_at(toks, i) ...)`): Catalyst's
+    * CollapseProject inlines the tokens alias into every lambda reference,
+    * so `split(text)` re-executes per shingle per element — observed as one
+    * task burning 15 min at sf0.1. posexplode + window-lead is codegen'd,
+    * evaluates split once per doc, and parallelizes across the doc_id
+    * shuffle (which a small single-file parquet scan otherwise never gets).
+    */
+  private def shingles(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    Tables
+      .documents(spark, sfDir)
+      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("t1", lead(col("tok"), 1).over(w))
+      .withColumn("t2", lead(col("tok"), 2).over(w))
+      .where(col("t2").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("tok"), col("t1"), col("t2")).as("sh"))
+      .distinct()
+  }
+
+  /** Exact 3-word-shingle Jaccard pairs (≥ 0.5). Candidate pairs come from
+    * an equality join on the shingle (only docs sharing ≥1 shingle are
+    * compared) — still worst-case quadratic on pathological corpora; the
+    * scale path is `q_dedup_near` (MinHash bands). This is its oracle-able
+    * exact twin.
+    */
+  def qDedupNgram(spark: SparkSession, sfDir: String): DataFrame = {
+    val ex = shingles(spark, sfDir)
+    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).cast("int").as("n_sh"))
+    val pairs = ex
+      .as("a")
+      .join(ex.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_sh", "n1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_sh", "n2"), "d2")
+      .withColumn(
+        "jaccard",
+        col("common").cast("double") / (col("n1") + col("n2") - col("common")).cast("double"))
+      .where(col("jaccard") >= 0.5)
+      .select("d1", "d2", "common", "jaccard")
+      .orderBy("d1", "d2")
+  }
+
+  // ------------------------------------------------------------- MinHash LSH
+
+  private val NumHashes = 16
+  private val BandSize = 4
+  private val MinhashP = 2038074743L // prime < 2^31: a*h+b stays in Long
+
+  /** MinHash + banded LSH near-dup candidates — the 100 TB dedup path:
+    * shingle→hash→k minhashes (map-side agg), band keys, candidates from a
+    * band-equality shuffle. Output = candidate pairs with estimated
+    * similarity (fraction of matching minhashes). Deterministic but not
+    * SQL-oracle-able (xxhash64 has no DuckDB twin) → rows-only check;
+    * `q_dedup_ngram` is the exact-semantics oracle.
+    */
+  def qDedupNear(spark: SparkSession, sfDir: String): DataFrame = {
+    val ex = shingles(spark, sfDir)
+      .withColumn("h", pmod(xxhash64(col("sh")), lit(MinhashP)))
+    val minhashCols = (0 until NumHashes).map { j =>
+      min(pmod(col("h") * lit(1L + 37L * j) + lit(101L + 97L * j), lit(MinhashP))).as(s"mh$j")
+    }
+    val sigs = ex.groupBy("doc_id").agg(minhashCols.head, minhashCols.tail: _*)
+    val bands = sigs.select(
+      col("doc_id"),
+      array((0 until NumHashes).map(j => col(s"mh$j")): _*).as("sig"),
+      posexplode(
+        array((0 until NumHashes / BandSize).map { b =>
+          xxhash64((b * BandSize until (b + 1) * BandSize).map(j => col(s"mh$j")): _*)
+        }: _*)).as(Seq("band", "band_hash")))
+    val cand = bands
+      .as("a")
+      .join(
+        bands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("d1"),
+        col("b.doc_id").as("d2"),
+        col("a.sig").as("sig1"),
+        col("b.sig").as("sig2"))
+      .distinct()
+    cand
+      .withColumn(
+        "est_sim",
+        aggregate(
+          zip_with(col("sig1"), col("sig2"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0),
+          (acc, x) => acc + x).cast("double") / NumHashes)
+      .select("d1", "d2", "est_sim")
+      .orderBy("d1", "d2")
+  }
+
+  // ---------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash per document. Bit i of the signature is the sign of
+    * the ±1 vote sum over token-hash bits. Shaped for scale AND speed:
+    * explode tokens → 64 flat codegen'd SUM aggregates (map-side partial
+    * aggregation, one shuffle of 64 ints per doc) → bit assembly as a
+    * flat expression. (A per-doc higher-order-function fold computes the
+    * same thing but runs interpreted with per-token array allocation —
+    * measured 25× slower.) Deterministic; no DuckDB xxhash64 → rows-only.
+    */
+  def qDedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val tokenHashes = Tables
+      .documents(spark, sfDir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val votes = (0 until 64).map { i =>
+      sum(shiftright(col("h"), i).bitwiseAND(lit(1L)) * 2 - 1).as(s"v$i")
+    }
+    val assembled = (0 until 64)
+      .map(i => when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _) // distinct powers of two: sum == bitwise OR
+    tokenHashes
+      .groupBy("doc_id")
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), assembled.as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------- embedding-cosine dedup
+
+  /** Deterministic, engine-portable dot product — see
+    * [[graft.functions.ScaledDot]] (custom codegen Expression; the
+    * zip_with/aggregate HOF formulation of the same math ran interpreted
+    * at ~190 s for 125k pairs × 64 dims).
+    */
+  private def dotDec(a: Column, b: Column): Column =
+    graft.functions.ScaledDot.dot(a, b)
+
+  /** Embedding near-dup: brute pairwise cosine ≥ 0.8 (exact twin of an
+    * LSH-bucketed variant; quadratic — oracle/verification scale only,
+    * excluded from bench).
+    */
+  def qDedupEmbed(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir).select(
+      col("vec_id"),
+      col("embedding"),
+      sqrt(dotDec(col("embedding"), col("embedding"))).as("nrm"))
+    e.as("a")
+      .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("v1"),
+        col("b.vec_id").as("v2"),
+        (dotDec(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm")))
+          .as("cos"))
+      .where(col("cos") >= 0.8)
+      .orderBy("v1", "v2")
+  }
+
+  // -------------------------------------------------------- similarity search
+
+  /** Brute-force cosine top-k vs the fixed query vector (vec_id = 0): one
+    * broadcast of 64 floats, an embarrassingly-parallel scan, and a
+    * TakeOrdered k-merge — the correct dense baseline at any scale.
+    * Decimal-cored dot products make the doubles bit-identical to the
+    * DuckDB oracle.
+    */
+  def qSimTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.where(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    e.where(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(
+        col("vec_id"),
+        col("label"),
+        (dotDec(col("embedding"), col("q_emb")) /
+          (sqrt(dotDec(col("embedding"), col("embedding"))) *
+            sqrt(dotDec(col("q_emb"), col("q_emb"))))).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  /** ANN via random-hyperplane LSH: 16 deterministic ±1 hyperplanes →
+    * 16-bit signature; candidates = hamming(sig, query_sig) ≤ 4, then
+    * exact cosine rerank. At scale the signature is a cheap map-side
+    * computation and candidates group by signature bucket instead of
+    * scanning all vectors. Rows-only (signature scheme is impl-defined).
+    * Radius 7/16 is tuned to the synthetic embeddings' low similarities
+    * (top-1 cosine ≈ 0.33 → expected neighbor hamming ≈ 6).
+    */
+  def qSimAnn(spark: SparkSession, sfDir: String): DataFrame = {
+    val planes: Seq[Seq[Int]] = (0 until 16).map { j =>
+      (0 until 64).map { i =>
+        // deterministic pseudo-random ±1 from a splitmix-style mix
+        var z = j.toLong * 64 + i + 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        if (((z ^ (z >>> 31)) & 1L) == 0L) 1 else -1
+      }
+    }
+    def sig(emb: Column): Column =
+      (0 until 16)
+        .map { j =>
+          val plane = typedlit(planes(j).map(_.toFloat))
+          when(graft.functions.ScaledDot.dot(emb, plane) > 0, lit(1 << j)).otherwise(lit(0))
+        }
+        .reduce(_ + _)
+    val e = Tables.embeddings(spark, sfDir).withColumn("sig", sig(col("embedding")))
+    val q = e
+      .where(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"), col("sig").as("q_sig"))
+    e.where(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .where(bit_count(expr("sig ^ q_sig")) <= 7)
+      .select(
+        col("vec_id"),
+        col("label"),
+        (dotDec(col("embedding"), col("q_emb")) /
+          (sqrt(dotDec(col("embedding"), col("embedding"))) *
+            sqrt(dotDec(col("q_emb"), col("q_emb"))))).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  // ------------------------------------------------------------ text analysis
+
+  def qTextStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = toks(col("text"))
+    Tables
+      .documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        col("lang"),
+        length(col("text")).as("len"),
+        size(t).as("n_tokens"),
+        (aggregate(transform(t, x => length(x)), lit(0), (a, x) => a + x).cast("double") /
+          nullif(size(t), lit(0))).as("avg_tok_len"))
+      .orderBy("doc_id")
+  }
+
+  def qTextLangdist(spark: SparkSession, sfDir: String): DataFrame =
+    Tables
+      .documents(spark, sfDir)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        davg(col("n_chars").cast("double")).as("avg_chars"))
+      .orderBy("lang")
+
+  private val StopWords = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  def qTextQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = toks(col("text"))
+    val stops =
+      size(filter(t, x => array_contains(typedlit(StopWords), x)))
+    val punct = length(col("text")) - length(regexp_replace(col("text"), "[.!?,;:]", ""))
+    Tables
+      .documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        col("lang"),
+        (punct.cast("double") / nullif(length(col("text")), lit(0))).as("punct_ratio"),
+        (stops.cast("double") / nullif(size(t), lit(0))).as("stop_ratio"),
+        (size(array_distinct(t)).cast("double") / nullif(size(t), lit(0))).as("ttr"),
+        (length(col("text")) >= 100 && size(t) >= 20).as("passes_len"))
+      .orderBy("doc_id")
+  }
+
+  /** N-gram/stopword-profile language ID. Marker-count argmax with a fixed
+    * tie-break priority; fully SQL-expressible, so oracle-checked.
+    */
+  def qTextLangid(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = toks(col("text"))
+    def score(markers: Seq[String]): Column =
+      size(filter(t, x => array_contains(typedlit(markers), x)))
+    val sEn = score(Seq("the", "and", "of", "to", "is"))
+    val sDe = score(Seq("der", "und", "die", "das", "ist"))
+    val sFr = score(Seq("le", "la", "et", "les", "est"))
+    val sEs = score(Seq("el", "los", "y", "es", "las"))
+    val sZh = size(regexp_extract_all(col("text"), lit("[\\x{4e00}-\\x{9fff}]"), lit(0)))
+    val best = greatest(sEn, sDe, sFr, sEs, sZh)
+    Tables
+      .documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        col("lang"),
+        when(sEn === best, "en")
+          .when(sDe === best, "de")
+          .when(sFr === best, "fr")
+          .when(sEs === best, "es")
+          .otherwise("zh")
+          .as("pred"))
+      .withColumn("hit", col("pred") === col("lang"))
+      .orderBy("doc_id")
+  }
+
+  /** Whitespace vs BPE-ish regex token counts. */
+  def qTextTokens(spark: SparkSession, sfDir: String): DataFrame = {
+    val bpe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+    Tables
+      .documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        size(toks(col("text"))).as("n_ws"),
+        size(regexp_extract_all(col("text"), lit(bpe), lit(0))).as("n_bpe"))
+      .orderBy("doc_id")
+  }
+
+  /** Winnowing-lite document fingerprint: polynomial rolling hash per
+    * token (mod 1e9+7), then min over 4-token windows. Pure column
+    * algebra; the oracle replays the identical fold in DuckDB lambdas.
+    */
+  def qTextFingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    spark.sql(
+      s"""SELECT doc_id,
+         |  CASE WHEN size(th) >= 4 THEN
+         |    array_min(transform(sequence(1, size(th) - 3), j ->
+         |      (element_at(th, j) * 31957 + element_at(th, j + 1) * 1031 +
+         |       element_at(th, j + 2) * 97 + element_at(th, j + 3)) % 1000000007))
+         |  ELSE NULL END AS fingerprint
+         |FROM (
+         |  SELECT doc_id,
+         |    transform(toks, t ->
+         |      aggregate(sequence(1, length(t)),
+         |        CAST(0 AS BIGINT),
+         |        (acc, i) -> (acc * 31 + ascii(substring(t, i, 1))) % 1000000007)) AS th
+         |  FROM (SELECT doc_id, filter(split(text, ' '), t -> t != '') AS toks
+         |        FROM parquet.`$sfDir/documents.parquet`))
+         |ORDER BY doc_id""".stripMargin)
+
+  // ----------------------------------------------------------- sessionization
+
+  /** Gap-based sessionization (30 min, `>=` boundary to match Spark's
+    * session_window semantics exactly): lag → new-session flag → running
+    * sum session index → per-session aggregate. One shuffle on user_id.
+    */
+  def qEventsSessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    Tables
+      .events(spark, sfDir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn(
+        "new_s",
+        when(
+          col("prev_ts").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) >= 1800000000L,
+          1).otherwise(0))
+      .withColumn(
+        "session_id",
+        sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        dsum(col("value")).as("sum_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  // ------------------------------------------------------------- multimodal
+
+  /** Multimodal binary-column plumbing: docs → opaque binary payloads +
+    * typed metadata, "decoded" in distributed batches via mapPartitions
+    * (the Scala analog of mapInPandas). The decode itself is a clearly
+    * deterministic STUB (no image libs in this container) — the real
+    * pieces are the schema, the partition-parallel batch shape, and
+    * binary-safe columns. Rows-only check + unit tests.
+    */
+  def qMultimodalMeta(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bin = Tables
+      .documents(spark, sfDir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("content"))
+      .as[(Long, Array[Byte])]
+    bin
+      .mapPartitions { it =>
+        // batch-shaped decode stub: one "decoder" per partition, iterate
+        // records — where a real impl would hold codec/ort sessions.
+        it.map { case (id, bytes) =>
+          val w = 256 + (bytes.headOption.getOrElse(0: Byte) & 0x3f)
+          val h = 256 + (bytes.lift(1).getOrElse(0: Byte) & 0x3f)
+          MediaMeta(
+        id,
+        bytes.length.toLong,
+        bytes.take(4).map(b => f"${b & 0xff}%02x").mkString,
+        w,
+        h)
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------------- registry
+
+  val all: Seq[(String, Q)] = Seq(
+    "q_dedup_exact" -> Q(
+      qDedupExact,
+      Some("""SELECT sha256(text) AS h, min(doc_id) AS keep_id, count(1) AS n_dups
+             |FROM documents GROUP BY 1 ORDER BY h""".stripMargin)),
+    "q_dedup_ngram" -> Q(
+      qDedupNgram,
+      Some("""WITH docs AS (
+             | SELECT doc_id, list_distinct(
+             |   CASE WHEN len(toks) >= 3 THEN
+             |     list_transform(generate_series(1, len(toks) - 2),
+             |       i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+             |   ELSE [] END) AS shingles
+             | FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents)),
+             |sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM docs),
+             |ex AS (SELECT doc_id, unnest(shingles) AS sh FROM docs),
+             |pairs AS (
+             | SELECT a.doc_id AS d1, b.doc_id AS d2, count(1) AS common
+             | FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+             | GROUP BY 1, 2)
+             |SELECT d1, d2, common,
+             |  CAST(common AS DOUBLE) / CAST(s1.n_sh + s2.n_sh - common AS DOUBLE) AS jaccard
+             |FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+             |WHERE CAST(common AS DOUBLE) / CAST(s1.n_sh + s2.n_sh - common AS DOUBLE) >= 0.5
+             |ORDER BY d1, d2""".stripMargin)),
+    "q_dedup_near" -> Q(qDedupNear, None),
+    "q_dedup_simhash" -> Q(qDedupSimhash, None),
+    "q_dedup_embed" -> Q(
+      qDedupEmbed,
+      Some("""WITH pr AS (
+             | SELECT a.vec_id AS v1, b.vec_id AS v2, a.embedding AS e1, b.embedding AS e2
+             | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+             |un AS (
+             | SELECT v1, v2, unnest(e1) AS x, unnest(e2) AS y FROM pr),
+             |s AS (
+             | SELECT v1, v2,
+             |  CAST(CAST(sum(CAST(round(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1e12, 0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12 AS dot,
+             |  CAST(CAST(sum(CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12, 0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12 AS n1,
+             |  CAST(CAST(sum(CAST(round(CAST(y AS DOUBLE) * CAST(y AS DOUBLE) * 1e12, 0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12 AS n2
+             | FROM un GROUP BY v1, v2)
+             |SELECT v1, v2, dot / (sqrt(n1) * sqrt(n2)) AS cos FROM s
+             |WHERE dot / (sqrt(n1) * sqrt(n2)) >= 0.8
+             |ORDER BY v1, v2""".stripMargin),
+      bench = false),
+    "q_sim_topk" -> Q(
+      qSimTopk,
+      Some("""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+             |un AS (
+             | SELECT e.vec_id, e.label, unnest(e.embedding) AS x, unnest(q.q_emb) AS y
+             | FROM embeddings e, q WHERE e.vec_id <> 0),
+             |s AS (
+             | SELECT vec_id, any_value(label) AS label,
+             |  CAST(CAST(sum(CAST(round(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1e12, 0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12 AS dot,
+             |  CAST(CAST(sum(CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12, 0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12 AS ne,
+             |  CAST(CAST(sum(CAST(round(CAST(y AS DOUBLE) * CAST(y AS DOUBLE) * 1e12, 0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12 AS nq
+             | FROM un GROUP BY vec_id)
+             |SELECT vec_id, label, dot / (sqrt(ne) * sqrt(nq)) AS sim FROM s
+             |ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin)),
+    "q_sim_ann" -> Q(qSimAnn, None),
+    "q_text_stats" -> Q(
+      qTextStats,
+      Some(s"""SELECT doc_id, lang, CAST(length(text) AS INT) AS len,
+              | CAST(len(toks) AS INT) AS n_tokens,
+              | CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+              |   / nullif(CAST(len(toks) AS INT), 0) AS avg_tok_len
+              |FROM $DOCS_T ORDER BY doc_id""".stripMargin)),
+    "q_text_langdist" -> Q(
+      qTextLangdist,
+      Some("""SELECT lang, count(1) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             | CAST(sum(CAST(CAST(n_chars AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE) / count(n_chars) AS avg_chars
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+    "q_text_quality" -> Q(
+      qTextQuality,
+      Some(s"""SELECT doc_id, lang,
+              | CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE)
+              |   / nullif(CAST(length(text) AS INT), 0) AS punct_ratio,
+              | CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS DOUBLE)
+              |   / nullif(CAST(len(toks) AS INT), 0) AS stop_ratio,
+              | CAST(len(list_distinct(toks)) AS DOUBLE) / nullif(CAST(len(toks) AS INT), 0) AS ttr,
+              | (length(text) >= 100 AND len(toks) >= 20) AS passes_len
+              |FROM $DOCS_T ORDER BY doc_id""".stripMargin)),
+    "q_text_langid" -> Q(
+      qTextLangid,
+      Some(s"""WITH sc AS (
+              | SELECT doc_id, lang,
+              |  CAST(len(list_filter(toks, x -> list_contains(['the','and','of','to','is'], x))) AS INT) AS s_en,
+              |  CAST(len(list_filter(toks, x -> list_contains(['der','und','die','das','ist'], x))) AS INT) AS s_de,
+              |  CAST(len(list_filter(toks, x -> list_contains(['le','la','et','les','est'], x))) AS INT) AS s_fr,
+              |  CAST(len(list_filter(toks, x -> list_contains(['el','los','y','es','las'], x))) AS INT) AS s_es,
+              |  CAST(len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS INT) AS s_zh
+              | FROM $DOCS_T)
+              |SELECT doc_id, lang,
+              | CASE WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
+              |      WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'de'
+              |      WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'fr'
+              |      WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'es'
+              |      ELSE 'zh' END AS pred,
+              | (CASE WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
+              |      WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'de'
+              |      WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'fr'
+              |      WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'es'
+              |      ELSE 'zh' END) = lang AS hit
+              |FROM sc ORDER BY doc_id""".stripMargin)),
+    "q_text_tokens" -> Q(
+      qTextTokens,
+      Some(s"""SELECT doc_id, CAST(len(toks) AS INT) AS n_ws,
+              | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS n_bpe
+              |FROM $DOCS_T ORDER BY doc_id""".stripMargin)),
+    "q_text_fingerprint" -> Q(
+      qTextFingerprint,
+      Some(s"""SELECT doc_id,
+              | CASE WHEN len(th) >= 4 THEN
+              |   list_min(list_transform(generate_series(1, len(th) - 3), j ->
+              |     (th[j] * 31957 + th[j + 1] * 1031 + th[j + 2] * 97 + th[j + 3]) % 1000000007))
+              | ELSE NULL END AS fingerprint
+              |FROM (
+              | SELECT doc_id,
+              |  list_transform(toks, t ->
+              |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(1, length(t)), i -> ord(substr(t, i, 1)))),
+              |      (acc, c) -> (acc * 31 + c) % 1000000007)) AS th
+              | FROM $DOCS_T)
+              |ORDER BY doc_id""".stripMargin)),
+    "q_events_sessionize" -> Q(
+      qEventsSessionize,
+      Some(s"""WITH flagged AS (
+              | SELECT user_id, event_id, ts, value,
+              |  CASE WHEN lag(ts) OVER w IS NULL
+              |        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000 THEN 1 ELSE 0 END AS new_s
+              | FROM $EV
+              | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+              |sess AS (
+              | SELECT user_id, ts, value,
+              |  CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+              | FROM flagged)
+              |SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+              | count(1) AS n_events,
+              | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+              |FROM sess GROUP BY user_id, session_id
+              |ORDER BY user_id, session_id""".stripMargin)),
+    "q_multimodal_meta" -> Q(qMultimodalMeta, None, bench = false))
+}
+
+/** Output record of the multimodal decode stub. */
+case class MediaMeta(doc_id: Long, n_bytes: Long, magic: String, width: Int, height: Int)

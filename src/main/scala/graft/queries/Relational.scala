@@ -1,0 +1,643 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.Tables.{davg, dsum}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational battery (SURVEY.md §2.2-B): scans, joins (incl. range +
+  * as-of), aggregates (incl. rollup/cube/grouping sets), windows, top-k,
+  * set ops, scalar function families, and the UDF surface.
+  *
+  * Oracle-parity rules used throughout (the "hard part" per SURVEY §7):
+  *   - double SUMs go through DECIMAL(18,6) addends (exact, order-free)
+  *     and surface as DOUBLE — see [[graft.Tables.dsum]];
+  *   - DuckDB functions returning BIGINT/DOUBLE where Spark yields
+  *     INT/LONG (year, rank, length, ceil, …) are CAST on the oracle side;
+  *   - every oracle-checked query ends in a total-order ORDER BY;
+  *   - `events.ts` is nanos in parquet: oracle SQL reads it through
+  *     CAST(ts AS TIMESTAMP) (truncation to µs, = Spark-side `div 1000`).
+  */
+object Relational {
+
+  /** DuckDB-side events relation with ts normalized to µs. */
+  private val EV =
+    "(SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events)"
+
+  // ---------------------------------------------------------------- scans
+
+  def qFilterProject(spark: SparkSession, sfDir: String): DataFrame =
+    Tables
+      .lineitem(spark, sfDir)
+      .where(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") && col("l_discount") > 0.05)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  // ---------------------------------------------------------------- joins
+
+  def qJoinInner(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .where(col("o_totalprice") > 100000)
+      .select("o_orderkey", "c_custkey", "c_name", "c_mktsegment", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  def qJoinLeft(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        coalesce(dsum(col("o_totalprice")), lit(0.0)).as("total_spend"))
+      .orderBy("c_custkey")
+  }
+
+  def qJoinSemi(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables
+      .orders(spark, sfDir)
+      .where(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+    val c = Tables.customer(spark, sfDir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  def qJoinAnti(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  /** Non-equi (range) join: customers within ±100 acctbal of a supplier.
+    * Small side broadcast → BroadcastNestedLoopJoin, the right physical
+    * plan for a bounded dim × large fact theta join.
+    */
+  def qJoinRange(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = Tables.supplier(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    c.join(
+      broadcast(s),
+      c("c_acctbal") >= s("s_acctbal") - 100 && c("c_acctbal") <= s("s_acctbal") + 100)
+      .groupBy(col("s_suppkey"))
+      .agg(count(lit(1)).as("n_matches"))
+      .orderBy("s_suppkey")
+  }
+
+  /** As-of join (events → latest order with o_orderdate <= ts per user).
+    * Spark has no native ASOF: implemented as a union + running
+    * last-non-null window — ONE shuffle on the key, no broadcast needed,
+    * which scales to unbounded fact sizes (vs. the naive join+filter that
+    * explodes to all order×event pairs). DuckDB oracle uses native
+    * ASOF LEFT JOIN (inclusive >=, matching the window's frame).
+    */
+  def qJoinAsof(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables
+      .events(spark, sfDir)
+      .select(
+        col("user_id").as("uid"),
+        col("ts").as("t"),
+        lit(0).as("kind"),
+        col("event_id"),
+        lit(null).cast("timestamp").as("order_t"))
+    val or = Tables
+      .orders(spark, sfDir)
+      .select(
+        col("o_custkey").as("uid"),
+        col("o_orderdate").as("t"),
+        lit(1).as("kind"),
+        lit(null).cast("long").as("event_id"),
+        col("o_orderdate").as("order_t"))
+    // orders sort before events at equal t (kind desc) → inclusive as-of.
+    val w = Window
+      .partitionBy("uid")
+      .orderBy(col("t").asc, col("kind").desc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.unionByName(or)
+      .withColumn("last_order_date", last(col("order_t"), ignoreNulls = true).over(w))
+      .where(col("kind") === 0)
+      .select(col("event_id"), col("uid").as("user_id"), col("t").as("ts"), col("last_order_date"))
+      .orderBy("event_id")
+  }
+
+  // ----------------------------------------------------------- aggregates
+
+  def qAggGroup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables
+      .lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        davg(col("l_quantity")).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  def qAggDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    Tables
+      .lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** HLL sketch — approximate, so no oracle (driver records rows-only). */
+  def qAggApprox(spark: SparkSession, sfDir: String): DataFrame =
+    Tables
+      .lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+      .orderBy("l_returnflag")
+
+  private def nullFilled(df: DataFrame): DataFrame =
+    df.select(
+      coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+      coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+      col("sum_qty"),
+      col("n"))
+      .orderBy("rf", "ls")
+
+  def qAggRollup(spark: SparkSession, sfDir: String): DataFrame =
+    nullFilled(
+      Tables
+        .lineitem(spark, sfDir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n")))
+
+  def qAggCube(spark: SparkSession, sfDir: String): DataFrame =
+    nullFilled(
+      Tables
+        .lineitem(spark, sfDir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n")))
+
+  /** Exercises the SQL front door (spark.sql over parquet) on purpose. */
+  def qAggGsets(spark: SparkSession, sfDir: String): DataFrame =
+    spark.sql(
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+         |       coalesce(l_linestatus, 'ALL') AS ls,
+         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+         |       count(1) AS n
+         |FROM parquet.`$sfDir/lineitem.parquet`
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         |ORDER BY rf, ls""".stripMargin)
+
+  // -------------------------------------------------------------- windows
+
+  def qWindowRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val byPrice = Window.partitionBy("o_orderpriority").orderBy(col("o_totalprice").desc)
+    val stable =
+      Window.partitionBy("o_orderpriority").orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables
+      .orders(spark, sfDir)
+      .select(
+        col("o_orderpriority"),
+        col("o_orderkey"),
+        col("o_totalprice"),
+        rank().over(byPrice).as("rnk"),
+        dense_rank().over(byPrice).as("drnk"),
+        row_number().over(stable).as("rn"))
+      .where(col("rn") <= 100)
+      .orderBy("o_orderpriority", "rn")
+  }
+
+  def qWindowFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val wRange = Window
+      .partitionBy("o_custkey")
+      .orderBy(unix_micros(col("o_orderdate").cast("timestamp")))
+      .rangeBetween(-2592000000000L, 0) // 30 days in µs
+    val dec = col("o_totalprice").cast("decimal(18,6)")
+    Tables
+      .orders(spark, sfDir)
+      .select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        col("o_orderdate"),
+        sum(dec).over(w.rowsBetween(-2, 0)).cast("double").as("mov3"),
+        sum(dec).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("double").as("running"),
+        sum(dec).over(wRange).cast("double").as("last30d"))
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
+  def qWindowAnalytic(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    Tables
+      .events(spark, sfDir)
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("ts"),
+        col("value"),
+        lag(col("value"), 1).over(w).as("prev_val"),
+        lead(col("value"), 1).over(w).as("next_val"),
+        first(col("ts")).over(w.rowsBetween(Window.unboundedPreceding, 0)).as("first_ts"),
+        last(col("ts"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+          .as("last_ts"))
+      .orderBy("user_id", "event_id")
+  }
+
+  // ---------------------------------------------------------------- top-k
+
+  /** Global top-k: sort+limit planned as TakeOrderedAndProject — per-
+    * partition heaps + a k-row driver merge, no global sort at scale.
+    */
+  def qTopk(spark: SparkSession, sfDir: String): DataFrame =
+    Tables
+      .orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+
+  def qTopkGroup(spark: SparkSession, sfDir: String): DataFrame = {
+    val w =
+      Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    Tables
+      .customer(spark, sfDir)
+      .select(
+        col("c_mktsegment"),
+        col("c_custkey"),
+        col("c_acctbal"),
+        row_number().over(w).as("rn"))
+      .where(col("rn") <= 5)
+      .orderBy("c_mktsegment", "rn")
+  }
+
+  // -------------------------------------------------------------- set ops
+
+  private def custYear(spark: SparkSession, sfDir: String, y: Int): DataFrame =
+    Tables
+      .orders(spark, sfDir)
+      .where(year(col("o_orderdate")) === y)
+      .select("o_custkey")
+
+  def qSetUnion(spark: SparkSession, sfDir: String): DataFrame =
+    custYear(spark, sfDir, 1995)
+      .union(custYear(spark, sfDir, 2001))
+      .distinct()
+      .orderBy("o_custkey")
+
+  def qSetIntersect(spark: SparkSession, sfDir: String): DataFrame =
+    custYear(spark, sfDir, 1995).intersect(custYear(spark, sfDir, 2001)).orderBy("o_custkey")
+
+  def qSetExcept(spark: SparkSession, sfDir: String): DataFrame =
+    custYear(spark, sfDir, 1995).except(custYear(spark, sfDir, 2001)).orderBy("o_custkey")
+
+  // ----------------------------------------------------- function families
+
+  def qFnString(spark: SparkSession, sfDir: String): DataFrame =
+    Tables
+      .part(spark, sfDir)
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("up"),
+        substring(col("p_name"), 1, 5).as("pre"),
+        length(col("p_name")).as("len"),
+        regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
+        levenshtein(col("p_brand"), lit("Brand#33")).as("lev"),
+        regexp_replace(col("p_type"), " ", "_").as("tpe"),
+        lpad(col("p_size").cast("string"), 4, "0").as("padded"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("joined"))
+      .orderBy("p_partkey")
+
+  def qFnDate(spark: SparkSession, sfDir: String): DataFrame =
+    Tables
+      .orders(spark, sfDir)
+      .select(
+        col("o_orderkey"),
+        col("o_orderdate"),
+        year(col("o_orderdate")).as("y"),
+        quarter(col("o_orderdate")).as("q"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        date_add(col("o_orderdate").cast("date"), 30).as("plus30"),
+        last_day(col("o_orderdate").cast("date")).as("month_end"),
+        datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date")).as("days_since"))
+      .orderBy("o_orderkey")
+
+  def qFnMath(spark: SparkSession, sfDir: String): DataFrame =
+    Tables
+      .lineitem(spark, sfDir)
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        abs(col("l_extendedprice") - 50000).as("absv"),
+        sqrt(col("l_extendedprice")).as("sq"),
+        round(col("l_extendedprice"), 1).as("rnd"),
+        ceil(col("l_extendedprice")).as("cl"),
+        floor(col("l_extendedprice")).as("fl"),
+        col("l_extendedprice").cast("int").as("trunc_i"),
+        pow(lit(2.0), -col("l_linenumber")).as("pw"),
+        (col("l_orderkey") % 97).as("m97"),
+        greatest(col("l_extendedprice"), lit(50000.0)).as("hi"),
+        least(col("l_extendedprice"), lit(50000.0)).as("lo"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  def qFnArray(spark: SparkSession, sfDir: String): DataFrame = {
+    val tokens = split(col("p_name"), " ")
+    Tables
+      .part(spark, sfDir)
+      .select(
+        col("p_partkey"),
+        size(tokens).as("n_tokens"),
+        element_at(tokens, 1).as("first_tok"),
+        array_contains(tokens, "red").as("has_red"),
+        array_join(sort_array(tokens), ",").as("sorted_joined"),
+        aggregate(sequence(lit(1), col("p_size")), lit(0), (a, x) => a + x)
+          .cast("bigint")
+          .as("seq_sum"))
+      .orderBy("p_partkey")
+  }
+
+  /** Map functions on the Spark side; the oracle computes the equivalent
+    * scalars directly (DuckDB map element access has LIST-returning quirks
+    * that would leak into the schema).
+    */
+  def qFnMap(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = map(
+      lit("evt"),
+      col("event_type"),
+      lit("uid"),
+      col("user_id").cast("string"))
+    Tables
+      .events(spark, sfDir)
+      .select(
+        col("event_id"),
+        element_at(m, "evt").as("evt"),
+        element_at(m, "uid").as("uid_s"),
+        size(map_keys(m)).as("n_keys"),
+        array_join(sort_array(map_keys(m)), ",").as("keys_joined"))
+      .orderBy("event_id")
+  }
+
+  def qFnJson(spark: SparkSession, sfDir: String): DataFrame =
+    Tables
+      .events(spark, sfDir)
+      .select(get_json_object(col("props"), "$.k").cast("int").as("k"), col("value"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_v"))
+      .orderBy("k")
+
+  // ----------------------------------------------------------- UDF surface
+
+  /** Scala UDF demo (black-box to Catalyst — kept out of hot paths). */
+  def qUdfScalar(spark: SparkSession, sfDir: String): DataFrame = {
+    val slug = udf((s: String) => if (s == null) null else s.toLowerCase.replace(' ', '-'))
+    Tables
+      .part(spark, sfDir)
+      .select(col("p_partkey"), slug(col("p_name")).as("slug"))
+      .orderBy("p_partkey")
+  }
+
+  def qUdfWavg(spark: SparkSession, sfDir: String): DataFrame = {
+    val wavg = udaf(graft.functions.WeightedAvg)
+    Tables
+      .lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(wavg(col("l_extendedprice"), col("l_quantity")).as("wavg_price"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Typed flatMap = the UDTF analog: docs → token bigrams → counts. */
+  def qUdtfBigrams(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .documents(spark, sfDir)
+      .select(col("text"))
+      .as[String]
+      .flatMap { t =>
+        val ts = t.split(" ").filter(_.nonEmpty)
+        if (ts.length < 2) Iterator.empty
+        else ts.sliding(2).map(_.mkString(" "))
+      }
+      .toDF("bigram")
+      .groupBy("bigram")
+      .count()
+      .orderBy(col("count").desc, col("bigram").asc)
+      .limit(100)
+  }
+
+  // ------------------------------------------------------------- registry
+
+  val all: Seq[(String, Q)] = Seq(
+    "q_filter_project" -> Q(
+      qFilterProject,
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_discount > 0.05
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+    "q_join_inner" -> Q(
+      qJoinInner,
+      Some("""SELECT o_orderkey, c_custkey, c_name, c_mktsegment, o_totalprice
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |WHERE o_totalprice > 100000
+             |ORDER BY o_orderkey""".stripMargin)),
+    "q_join_left" -> Q(
+      qJoinLeft,
+      Some("""SELECT c_custkey, count(o_orderkey) AS n_orders,
+             |  coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 0.0) AS total_spend
+             |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin)),
+    "q_join_semi" -> Q(
+      qJoinSemi,
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01')
+             |ORDER BY c_custkey""".stripMargin)),
+    "q_join_anti" -> Q(
+      qJoinAnti,
+      Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer c
+             |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+             |ORDER BY c_custkey""".stripMargin)),
+    "q_join_range" -> Q(
+      qJoinRange,
+      Some("""SELECT s_suppkey, count(*) AS n_matches
+             |FROM customer JOIN supplier
+             |  ON c_acctbal >= s_acctbal - 100 AND c_acctbal <= s_acctbal + 100
+             |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin)),
+    "q_join_asof" -> Q(
+      qJoinAsof,
+      Some(s"""SELECT e.event_id, e.user_id, e.ts, o.o_orderdate AS last_order_date
+              |FROM $EV e ASOF LEFT JOIN orders o
+              |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+              |ORDER BY e.event_id""".stripMargin)),
+    "q_agg_group" -> Q(
+      qAggGroup,
+      Some("""SELECT l_returnflag, l_linestatus,
+             | CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+             | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+             | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+             | CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(l_quantity) AS avg_qty,
+             | count(1) AS count_order
+             |FROM lineitem GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+    "q_agg_distinct" -> Q(
+      qAggDistinct,
+      Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+             | count(DISTINCT l_suppkey) AS n_supps, count(1) AS n
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+    "q_agg_approx" -> Q(qAggApprox, None),
+    "q_agg_rollup" -> Q(
+      qAggRollup,
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+             | CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty, count(1) AS n
+             |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+             |ORDER BY rf, ls""".stripMargin)),
+    "q_agg_cube" -> Q(
+      qAggCube,
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+             | CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty, count(1) AS n
+             |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+             |ORDER BY rf, ls""".stripMargin)),
+    "q_agg_gsets" -> Q(
+      qAggGsets,
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+             | CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty, count(1) AS n
+             |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+             |ORDER BY rf, ls""".stripMargin)),
+    "q_window_rank" -> Q(
+      qWindowRank,
+      Some("""SELECT * FROM (
+             | SELECT o_orderpriority, o_orderkey, o_totalprice,
+             |  CAST(rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS INT) AS rnk,
+             |  CAST(dense_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS INT) AS drnk,
+             |  CAST(row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rn
+             | FROM orders)
+             |WHERE rn <= 100 ORDER BY o_orderpriority, rn""".stripMargin)),
+    "q_window_frame" -> Q(
+      qWindowFrame,
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate,
+             | CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov3,
+             | CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running,
+             | CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate) RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS last30d
+             |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin)),
+    "q_window_analytic" -> Q(
+      qWindowAnalytic,
+      Some(s"""SELECT event_id, user_id, ts, value,
+              | lag(value, 1) OVER w AS prev_val,
+              | lead(value, 1) OVER w AS next_val,
+              | first_value(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_ts,
+              | last_value(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ts
+              |FROM $EV
+              |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+              |ORDER BY user_id, event_id""".stripMargin)),
+    "q_topk" -> Q(
+      qTopk,
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin)),
+    "q_topk_group" -> Q(
+      qTopkGroup,
+      Some("""SELECT * FROM (
+             | SELECT c_mktsegment, c_custkey, c_acctbal,
+             |  CAST(row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC) AS INT) AS rn
+             | FROM customer)
+             |WHERE rn <= 5 ORDER BY c_mktsegment, rn""".stripMargin)),
+    "q_set_union" -> Q(
+      qSetUnion,
+      Some("""SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+             |UNION
+             |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 2001
+             |ORDER BY o_custkey""".stripMargin)),
+    "q_set_intersect" -> Q(
+      qSetIntersect,
+      Some("""SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+             |INTERSECT
+             |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 2001
+             |ORDER BY o_custkey""".stripMargin)),
+    "q_set_except" -> Q(
+      qSetExcept,
+      Some("""SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+             |EXCEPT
+             |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 2001
+             |ORDER BY o_custkey""".stripMargin)),
+    "q_fn_string" -> Q(
+      qFnString,
+      Some("""SELECT p_partkey, upper(p_name) AS up, substr(p_name, 1, 5) AS pre,
+             | CAST(length(p_name) AS INT) AS len,
+             | regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+             | CAST(levenshtein(p_brand, 'Brand#33') AS INT) AS lev,
+             | regexp_replace(p_type, ' ', '_', 'g') AS tpe,
+             | lpad(CAST(p_size AS VARCHAR), 4, '0') AS padded,
+             | concat_ws('|', p_brand, p_type) AS joined
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+    "q_fn_date" -> Q(
+      qFnDate,
+      Some("""SELECT o_orderkey, o_orderdate,
+             | CAST(year(o_orderdate) AS INT) AS y,
+             | CAST(quarter(o_orderdate) AS INT) AS q,
+             | CAST(month(o_orderdate) AS INT) AS m,
+             | CAST(day(o_orderdate) AS INT) AS d,
+             | date_trunc('month', o_orderdate) AS month_start,
+             | CAST(o_orderdate AS DATE) + 30 AS plus30,
+             | last_day(CAST(o_orderdate AS DATE)) AS month_end,
+             | CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+    "q_fn_math" -> Q(
+      qFnMath,
+      Some("""SELECT l_orderkey, l_linenumber,
+             | abs(l_extendedprice - 50000) AS absv,
+             | sqrt(l_extendedprice) AS sq,
+             | round(l_extendedprice, 1) AS rnd,
+             | CAST(ceil(l_extendedprice) AS BIGINT) AS cl,
+             | CAST(floor(l_extendedprice) AS BIGINT) AS fl,
+             | CAST(trunc(l_extendedprice) AS INT) AS trunc_i,
+             | power(2.0, -l_linenumber) AS pw,
+             | l_orderkey % 97 AS m97,
+             | greatest(l_extendedprice, 50000.0) AS hi,
+             | least(l_extendedprice, 50000.0) AS lo
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+    "q_fn_array" -> Q(
+      qFnArray,
+      Some("""SELECT p_partkey,
+             | CAST(len(string_split(p_name, ' ')) AS INT) AS n_tokens,
+             | string_split(p_name, ' ')[1] AS first_tok,
+             | list_contains(string_split(p_name, ' '), 'red') AS has_red,
+             | array_to_string(list_sort(string_split(p_name, ' ')), ',') AS sorted_joined,
+             | CAST(p_size * (p_size + 1) / 2 AS BIGINT) AS seq_sum
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+    "q_fn_map" -> Q(
+      qFnMap,
+      Some(s"""SELECT event_id, event_type AS evt, CAST(user_id AS VARCHAR) AS uid_s,
+              | 2 AS n_keys, 'evt,uid' AS keys_joined
+              |FROM $EV ORDER BY event_id""".stripMargin)),
+    "q_fn_json" -> Q(
+      qFnJson,
+      Some(s"""SELECT CAST(json_extract_string(props, '$$.k') AS INT) AS k,
+              | count(1) AS n,
+              | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v
+              |FROM $EV GROUP BY 1 ORDER BY k""".stripMargin)),
+    "q_udf_scalar" -> Q(
+      qUdfScalar,
+      Some("""SELECT p_partkey, replace(lower(p_name), ' ', '-') AS slug
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+    "q_udf_wavg" -> Q(
+      qUdfWavg,
+      Some("""SELECT l_returnflag,
+             | CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+             |   / CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS wavg_price
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+    "q_udtf_bigrams" -> Q(
+      qUdtfBigrams,
+      Some("""WITH toks AS (
+             | SELECT list_filter(string_split(text, ' '), t -> t <> '') AS ts FROM documents),
+             |bg AS (
+             | SELECT ts[i] || ' ' || ts[i + 1] AS bigram
+             | FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts) - 1)) AS i) g)
+             |SELECT bigram, count(1) AS count FROM bg GROUP BY bigram
+             |ORDER BY count DESC, bigram ASC LIMIT 100""".stripMargin)))
+
+  // `n` in q_agg_rollup/cube/gsets and `count` in q_udtf_bigrams are
+  // BIGINT on both sides; q_fn_map's literal n_keys is INT in DuckDB and
+  // Spark (size() → INT; literal 2 → INT32 in DuckDB).
+}

@@ -1,0 +1,68 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.streaming.Streams
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Batch-equivalence entry points for the streaming operators: the same
+  * transform (graft.streaming.Streams) runs here over the batch events
+  * table so the driver's DuckDB oracle can check windowing semantics;
+  * the scalatest suite separately proves readStream + watermark produces
+  * the identical result. `window()` aligns buckets to the 1970 epoch;
+  * DuckDB `time_bucket` aligns 5/10-minute buckets identically (its
+  * 2000-01-03 origin is a whole multiple of 5 minutes from the epoch).
+  */
+object StreamingQueries {
+  private val EV =
+    "(SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events)"
+
+  def tumbling(spark: SparkSession, sfDir: String): DataFrame =
+    Streams
+      .tumbling(Tables.events(spark, sfDir), withWatermark = false)
+      .orderBy("ws", "event_type")
+
+  def sliding(spark: SparkSession, sfDir: String): DataFrame =
+    Streams
+      .sliding(Tables.events(spark, sfDir), withWatermark = false)
+      .orderBy("ws", "event_type")
+
+  def session(spark: SparkSession, sfDir: String): DataFrame =
+    Streams
+      .session(Tables.events(spark, sfDir), withWatermark = false)
+      .orderBy("user_id", "session_start")
+
+  val all: Seq[(String, Q)] = Seq(
+    "s_stream_tumbling" -> Q(
+      tumbling,
+      Some(s"""SELECT time_bucket(INTERVAL '5 minutes', ts) AS ws,
+              | time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes' AS we,
+              | event_type, count(1) AS n,
+              | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v
+              |FROM $EV GROUP BY 1, 2, 3 ORDER BY ws, event_type""".stripMargin)),
+    "s_stream_sliding" -> Q(
+      sliding,
+      Some(s"""WITH ex AS (
+              | SELECT time_bucket(INTERVAL '5 minutes', ts) - k.k * INTERVAL '5 minutes' AS ws,
+              |        event_type
+              | FROM $EV e, (SELECT unnest([0, 1]) AS k) k)
+              |SELECT ws, ws + INTERVAL '10 minutes' AS we, event_type, count(1) AS n
+              |FROM ex GROUP BY 1, 2, 3 ORDER BY ws, event_type""".stripMargin)),
+    "s_stream_session" -> Q(
+      session,
+      Some(s"""WITH flagged AS (
+              | SELECT user_id, ts,
+              |  CASE WHEN lag(ts) OVER w IS NULL
+              |        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000 THEN 1 ELSE 0 END AS new_s
+              | FROM $EV
+              | WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+              |sess AS (
+              | SELECT user_id, ts,
+              |  CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+              | FROM flagged)
+              |SELECT user_id, min(ts) AS session_start,
+              | max(ts) + INTERVAL '30 minutes' AS session_end,
+              | count(1) AS n_events
+              |FROM sess GROUP BY user_id, sid
+              |ORDER BY user_id, session_start""".stripMargin)))
+}

@@ -1,0 +1,138 @@
+package graft.queries
+
+import graft.sinks.{LocalFsStore, ObjectSink}
+import graft.tile.{Tile, TileConfig}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Tile cache scan (R7-R8) and upload sink (R10-R12) over a deterministic
+  * generated fixture cache (FIXTURES.md §B) — existence filtering becomes
+  * "scan what exists, inner-join to the candidate grid"
+  * (/root/reference/src/Program.cs:102-107 re-expressed).
+  */
+object TileCacheQueries {
+
+  /** Small config so the fixture grid stays tiny: world-extent slice at
+    * levels 2-4 with no padding gives a few hundred candidate cells.
+    */
+  val fixtureCfg: TileConfig = TileConfig(
+    startLevel = 2,
+    endLevel = 4,
+    extentMinX = -14078565,
+    extentMinY = 3604577,
+    extentMaxX = -11137983,
+    extentMaxY = 6384021,
+    padX = 1,
+    padY = 1,
+    mapName = "Lite")
+
+  private def fixtureRoot: java.io.File =
+    new java.io.File(sys.props("java.io.tmpdir"), "graft_tile_cache")
+
+  /** Deterministic fixture: every 3rd candidate cell is a gap (exercises
+    * the existence filter); out-of-range padded cells (negative indices)
+    * have no file by construction. Payload = "tile-L-R-C" bytes.
+    */
+  def ensureFixture(): String = {
+    val root = fixtureRoot
+    val done = new java.io.File(root, ".complete")
+    if (!done.exists()) {
+      for (level <- fixtureCfg.startLevel to fixtureCfg.endLevel) {
+        val ts = fixtureCfg.webMercatorDelta * math.pow(2.0, 1 - level)
+        val sr = ((fixtureCfg.webMercatorDelta - fixtureCfg.extentMaxY) / ts).toInt - fixtureCfg.padY
+        val er = ((fixtureCfg.webMercatorDelta - fixtureCfg.extentMinY) / ts).toInt + 1 + fixtureCfg.padY
+        val sc = ((fixtureCfg.extentMinX + fixtureCfg.webMercatorDelta) / ts).toInt - fixtureCfg.padX
+        val ec = ((fixtureCfg.extentMaxX + fixtureCfg.webMercatorDelta) / ts).toInt + 1 + fixtureCfg.padX
+        for (r <- sr to er; c <- sc to ec if (r + c + level) % 3 != 0 && r >= 0 && c >= 0) {
+          val f = new java.io.File(root, f"L$level%02d/R$r%08x/C$c%08x.jpg")
+          f.getParentFile.mkdirs()
+          java.nio.file.Files.write(f.toPath, s"tile-$level-$r-$c".getBytes("UTF-8"))
+        }
+      }
+      done.getParentFile.mkdirs()
+      java.nio.file.Files.write(done.toPath, Array.emptyByteArray)
+    }
+    root.getAbsolutePath
+  }
+
+  /** Parse `R{hex}` / `C{hex}` path components back to signed 32-bit ints
+    * (two's complement, matching the C# `{0:x8}` format at Program.cs:99).
+    * `conv` yields an unsigned decimal string; re-wrap values > Int.Max.
+    */
+  private def hexComponent(path: org.apache.spark.sql.Column, re: String) = {
+    val v = conv(regexp_extract(path, re, 1), 16, 10).cast("long")
+    when(v > 2147483647L, v - 4294967296L).otherwise(v).cast("int")
+  }
+
+  /** R7+R8: binaryFile scan of the cache, keys parsed from paths, inner
+    * join to the candidate grid (the join IS the existence filter — padded
+    * off-world probes simply don't match). Output manifest only; binary
+    * content is pruned before any shuffle.
+    */
+  def cacheScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = ensureFixture()
+    val files = spark.read
+      .format("binaryFile")
+      .option("pathGlobFilter", "*.jpg")
+      .option("recursiveFileLookup", "true")
+      .load(root)
+      .select(
+        regexp_extract(col("path"), "L(\\d{2})", 1).cast("int").as("level"),
+        hexComponent(col("path"), "R([0-9a-f]{8})").as("tile_row"),
+        hexComponent(col("path"), "C([0-9a-f]{8})").as("tile_col"),
+        col("length"))
+    val grid = Tile
+      .tileGrid(spark, fixtureCfg)
+      .withColumnRenamed("row", "tile_row")
+      .withColumnRenamed("col", "tile_col")
+    files
+      .join(grid, Seq("level", "tile_row", "tile_col"))
+      .select(
+        col("level"),
+        col("tile_row"),
+        col("tile_col"),
+        Tile
+          .objectKey(fixtureCfg, col("level"), col("tile_row"), col("tile_col"))
+          .as("object_key"),
+        col("length"))
+      .orderBy("level", "tile_row", "tile_col")
+  }
+
+  /** R10-R12 end-to-end: scan → key projection → ObjectSink into a local
+    * "bucket"; returns the uploaded manifest (re-listed from the bucket so
+    * the result witnesses real writes).
+    */
+  def uploadSink(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = ensureFixture()
+    val bucket = new java.io.File(sys.props("java.io.tmpdir"), "graft_tile_bucket")
+    val grid = Tile
+      .tileGrid(spark, fixtureCfg)
+      .withColumnRenamed("row", "tile_row")
+      .withColumnRenamed("col", "tile_col")
+    val tiles = spark.read
+      .format("binaryFile")
+      .option("pathGlobFilter", "*.jpg")
+      .option("recursiveFileLookup", "true")
+      .load(root)
+      .select(
+        regexp_extract(col("path"), "L(\\d{2})", 1).cast("int").as("level"),
+        hexComponent(col("path"), "R([0-9a-f]{8})").as("tile_row"),
+        hexComponent(col("path"), "C([0-9a-f]{8})").as("tile_col"),
+        col("content"))
+      .join(grid, Seq("level", "tile_row", "tile_col"))
+      .select(
+        Tile
+          .objectKey(fixtureCfg, col("level"), col("tile_row"), col("tile_col"))
+          .as("object_key"),
+        col("content"))
+    ObjectSink.write(tiles, new LocalFsStore(bucket.getAbsolutePath), "object_key", "content", "image/jpg")
+    spark.read
+      .format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .load(bucket.getAbsolutePath)
+      .select(
+        regexp_replace(col("path"), "^file:" + bucket.getAbsolutePath + "/", "").as("object_key"),
+        col("length"))
+      .orderBy("object_key")
+  }
+}

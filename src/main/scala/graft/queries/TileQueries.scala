@@ -1,0 +1,101 @@
+package graft.queries
+
+import graft.Q
+import graft.tile.{Tile, TileConfig}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Tile-domain queries (SURVEY.md §2.2-A) — the reference's dataflow
+  * (R1-R9, /root/reference/src/Program.cs:71-113) on generated ranges.
+  * Oracle side uses DuckDB generate_series; note DuckDB `CAST(x AS INT)`
+  * ROUNDS, so truncation must be spelled `trunc(x)` before the cast.
+  */
+object TileQueries {
+  private val cfg = TileConfig()
+
+  // Shared DuckDB CTE: per-level inclusive ranges (Program.cs:74-81).
+  private val rangesCte =
+    """WITH lv AS (SELECT CAST(unnest(generate_series(5, 11)) AS INT) AS level),
+      |b AS (SELECT level, 20037508.34278 * power(2.0, 1 - level) AS tile_size FROM lv),
+      |rg AS (SELECT level,
+      |  CAST(trunc((20037508.34278 - 6384021.0) / tile_size) AS INT) - 6 AS start_row,
+      |  CAST(trunc((20037508.34278 - 3604577.0) / tile_size) AS INT) + 1 + 6 AS end_row,
+      |  CAST(trunc((-14078565.0 + 20037508.34278) / tile_size) AS INT) - 6 AS start_col,
+      |  CAST(trunc((-11137983.0 + 20037508.34278) / tile_size) AS INT) + 1 + 6 AS end_col
+      | FROM b),
+      |grid AS (SELECT level, CAST(r.r AS INT) AS tile_row, CAST(c.c AS INT) AS tile_col
+      | FROM rg,
+      |  LATERAL (SELECT unnest(generate_series(start_row, end_row)) AS r) r,
+      |  LATERAL (SELECT unnest(generate_series(start_col, end_col)) AS c) c)
+      |""".stripMargin
+
+  private def grid(spark: SparkSession): DataFrame =
+    Tile
+      .tileGrid(spark, cfg)
+      .withColumnRenamed("row", "tile_row")
+      .withColumnRenamed("col", "tile_col")
+
+  def tileGridEnum(spark: SparkSession, sfDir: String): DataFrame =
+    grid(spark).orderBy("level", "tile_row", "tile_col")
+
+  def tilePathFormat(spark: SparkSession, sfDir: String): DataFrame =
+    grid(spark)
+      .select(
+        col("level"),
+        col("tile_row"),
+        col("tile_col"),
+        Tile.sourcePath(cfg, col("level"), col("tile_row"), col("tile_col")).as("path"))
+      .orderBy("level", "tile_row", "tile_col")
+
+  def tileObjectKey(spark: SparkSession, sfDir: String): DataFrame =
+    grid(spark)
+      .select(
+        col("level"),
+        col("tile_row"),
+        col("tile_col"),
+        Tile.objectKey(cfg, col("level"), col("tile_row"), col("tile_col")).as("object_key"))
+      .orderBy("level", "tile_row", "tile_col")
+
+  def tileExtentMath(spark: SparkSession, sfDir: String): DataFrame =
+    grid(spark)
+      .select(
+        Seq(col("level"), col("tile_row"), col("tile_col")) ++
+          Tile.tileBBox(cfg, col("level"), col("tile_row"), col("tile_col")): _*)
+      .orderBy("level", "tile_row", "tile_col")
+
+  val all: Seq[(String, Q)] = Seq(
+    "tile_grid_enum" -> Q(
+      tileGridEnum,
+      Some(
+        rangesCte +
+          "SELECT level, tile_row, tile_col FROM grid ORDER BY level, tile_row, tile_col")),
+    "tile_path_format" -> Q(
+      tilePathFormat,
+      Some(
+        rangesCte +
+          """SELECT level, tile_row, tile_col,
+            | printf('L%02d/R%08x/C%08x.jpg', level,
+            |        CAST(tile_row AS BIGINT) & 4294967295,
+            |        CAST(tile_col AS BIGINT) & 4294967295) AS path
+            |FROM grid ORDER BY level, tile_row, tile_col""".stripMargin)),
+    "tile_object_key" -> Q(
+      tileObjectKey,
+      Some(
+        rangesCte +
+          """SELECT level, tile_row, tile_col,
+            | concat_ws('/', 'Lite', level, tile_row, tile_col) AS object_key
+            |FROM grid ORDER BY level, tile_row, tile_col""".stripMargin)),
+    "tile_extent_math" -> Q(
+      tileExtentMath,
+      Some(
+        rangesCte +
+          """SELECT level, tile_row, tile_col,
+            | tile_col * ts - 20037508.34278 AS minx,
+            | 20037508.34278 - (tile_row + 1) * ts AS miny,
+            | (tile_col + 1) * ts - 20037508.34278 AS maxx,
+            | 20037508.34278 - tile_row * ts AS maxy
+            |FROM (SELECT g.*, 20037508.34278 * power(2.0, 1 - level) AS ts FROM grid g)
+            |ORDER BY level, tile_row, tile_col""".stripMargin)),
+    "tile_cache_scan" -> Q(TileCacheQueries.cacheScan, None, bench = false),
+    "tile_upload_sink" -> Q(TileCacheQueries.uploadSink, None, bench = false))
+}

@@ -1,0 +1,140 @@
+package graft.queries
+
+import graft.{Registry, SparkSuite, Tables}
+import org.apache.spark.sql.functions._
+
+/** Smoke + targeted semantics for the registry (full oracle equivalence is
+  * the driver's t2; tools/check.py replicates it locally).
+  */
+class QueriesSpec extends SparkSuite {
+
+  test("every registered query executes at sf0.001") {
+    val emptyOk = Set("q_join_anti", "q_dedup_embed") // legitimately empty at this sf
+    Registry.all.foreach { case (name, q) =>
+      val n = q.fn(spark, sf001).count()
+      withClue(name) { assert(n > 0 || emptyOk(name), s"$name returned $n rows") }
+    }
+  }
+
+  test("q_dedup_exact keeps one representative per distinct text") {
+    val docs = Tables.documents(spark, sf001).count()
+    val out = LlmOps.qDedupExact(spark, sf001)
+    val distinctTexts =
+      Tables.documents(spark, sf001).select("text").distinct().count()
+    assert(out.count() == distinctTexts)
+    assert(out.agg(sum("n_dups")).head().getLong(0) == docs)
+  }
+
+  test("q_sim_topk returns 10 rows ordered by similarity desc") {
+    val rows = LlmOps.qSimTopk(spark, sf001).collect()
+    assert(rows.length == 10)
+    val sims = rows.map(_.getAs[Double]("sim"))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    assert(sims.forall(s => s >= -1.0000001 && s <= 1.0000001))
+  }
+
+  test("q_sim_ann candidates are a subset-quality approximation of exact topk") {
+    val exact = LlmOps.qSimTopk(spark, sf001).select("vec_id").collect().map(_.getLong(0)).toSet
+    val ann = LlmOps.qSimAnn(spark, sf001).select("vec_id").collect().map(_.getLong(0)).toSet
+    // recall isn't guaranteed, but the hash buckets must overlap some
+    assert(ann.nonEmpty)
+    assert((exact intersect ann).nonEmpty)
+  }
+
+  test("sessionize: session boundaries respect the 30-minute gap") {
+    import spark.implicits._
+    val sessions = LlmOps.qEventsSessionize(spark, sf001)
+    // within a user, next session starts >= 30 min after previous ends
+    val bad = sessions
+      .withColumn(
+        "prev_end",
+        lag($"session_end", 1).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("user_id").orderBy("session_id")))
+      .where(
+        $"prev_end".isNotNull &&
+          unix_micros($"session_start") - unix_micros($"prev_end") < 1800000000L)
+      .count()
+    assert(bad == 0)
+  }
+
+  test("session_window batch equals hand-rolled sessionize") {
+    val a = StreamingQueries
+      .session(spark, sf001)
+      .select("user_id", "session_start", "n_events")
+    val b = LlmOps
+      .qEventsSessionize(spark, sf001)
+      .select(
+        col("user_id"),
+        col("session_start"),
+        col("n_events"))
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
+  test("topk(k) is a prefix of topk(k+n)") {
+    val t100 = Relational.qTopk(spark, sf001).collect().map(_.getLong(0))
+    val t50 = Tables
+      .orders(spark, sf001)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(50)
+      .collect()
+      .map(_.getLong(0))
+    assert(t100.take(50).sameElements(t50))
+  }
+
+  test("set algebra: union = intersect + except(sym)") {
+    val u = Relational.qSetUnion(spark, sf001).count()
+    val i = Relational.qSetIntersect(spark, sf001).count()
+    val e95 = Relational.qSetExcept(spark, sf001).count()
+    val c95 = Tables
+      .orders(spark, sf001)
+      .where(year(col("o_orderdate")) === 1995)
+      .select("o_custkey")
+      .distinct()
+      .count()
+    assert(c95 == i + e95)
+    assert(u >= c95)
+  }
+
+  test("minhash est_sim correlates with exact jaccard on flagged pairs") {
+    import spark.implicits._
+    val exact = LlmOps
+      .qDedupNgram(spark, sf001)
+      .select($"d1", $"d2", $"jaccard")
+    val est = LlmOps.qDedupNear(spark, sf001).select($"d1", $"d2", $"est_sim")
+    val joined = exact.join(est, Seq("d1", "d2")).collect()
+    // every high-jaccard pair (>= 0.8) should be an LSH candidate
+    val high = exact.where($"jaccard" >= 0.8).count()
+    val found = exact.where($"jaccard" >= 0.8).join(est, Seq("d1", "d2")).count()
+    assert(high == 0 || found >= (high * 0.8).toLong)
+    assert(joined.forall(r => r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
+  }
+
+  test("multimodal meta: stub decode is deterministic and batch-shaped") {
+    val a = LlmOps.qMultimodalMeta(spark, sf001).collect()
+    val b = LlmOps.qMultimodalMeta(spark, sf001).collect()
+    assert(a.sameElements(b))
+    assert(a.forall { r =>
+      val w = r.getAs[Int]("width"); w >= 256 && w < 320
+    })
+  }
+
+  test("weighted avg UDAF matches the closed form") {
+    val got = Relational
+      .qUdfWavg(spark, sf001)
+      .collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .toMap
+    val exp = Tables
+      .lineitem(spark, sf001)
+      .groupBy("l_returnflag")
+      .agg(
+        (sum((col("l_extendedprice") * col("l_quantity")).cast("decimal(18,6)")).cast("double") /
+          sum(col("l_quantity").cast("decimal(18,6)")).cast("double")).as("w"))
+      .collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .toMap
+    assert(got.keySet == exp.keySet)
+    got.foreach { case (k, v) => assert(math.abs(v - exp(k)) < 1e-9, k) }
+  }
+}

@@ -1,0 +1,106 @@
+package graft.streaming
+
+import graft.{SparkSuite, Tables}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming equivalence (SURVEY.md §5.6): the same Streams
+  * transform over a MemoryStream must reproduce the batch result; with a
+  * watermark, emitted (append-mode) windows must be a correct subset.
+  */
+class StreamingSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def eventTuples =
+    Tables
+      .events(spark, sf001)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[(Long, java.sql.Timestamp, Long, String, Double)]
+      .collect()
+      .sortBy(_._2.getTime)
+
+  test("streaming tumbling (complete mode) equals batch") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val df = mem
+      .toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Streams
+      .tumbling(df, withWatermark = false)
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("tumbling_complete")
+      .start()
+    try {
+      mem.addData(eventTuples.toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("tumbling_complete")
+      val batch = Streams.tumbling(
+        Tables.events(spark, sf001).select("event_id", "ts", "user_id", "event_type", "value"),
+        withWatermark = false)
+      assert(streamed.exceptAll(batch).count() == 0)
+      assert(batch.exceptAll(streamed).count() == 0)
+    } finally q.stop()
+  }
+
+  test("streaming tumbling with watermark emits finalized windows (append mode)") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val df = mem
+      .toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Streams
+      .tumbling(df, withWatermark = true)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("tumbling_append")
+      .start()
+    try {
+      val evs = eventTuples
+      mem.addData(evs.toIndexedSeq)
+      q.processAllAvailable()
+      // advance the watermark far past the data to flush remaining windows
+      val maxTs = evs.map(_._2.getTime).max
+      mem.addData((-1L, new java.sql.Timestamp(maxTs + 3600L * 1000), 0L, "sentinel", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("tumbling_append")
+      val batch = Streams.tumbling(
+        Tables.events(spark, sf001).select("event_id", "ts", "user_id", "event_type", "value"),
+        withWatermark = false)
+      // all original windows must have been emitted exactly once
+      assert(streamed.where($"event_type" =!= "sentinel").exceptAll(batch).count() == 0)
+      assert(batch.exceptAll(streamed).count() == 0)
+    } finally q.stop()
+  }
+
+  test("streaming session windows equal batch session windows") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val df = mem
+      .toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Streams
+      .session(df, withWatermark = true)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("session_append")
+      .start()
+    try {
+      val evs = eventTuples
+      mem.addData(evs.toIndexedSeq)
+      q.processAllAvailable()
+      val maxTs = evs.map(_._2.getTime).max
+      mem.addData((-1L, new java.sql.Timestamp(maxTs + 24L * 3600 * 1000), 0L, "sentinel", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("session_append").where($"n_events" > 0)
+      val batch = Streams.session(
+        Tables.events(spark, sf001).select("event_id", "ts", "user_id", "event_type", "value"),
+        withWatermark = false)
+      val missing = batch.exceptAll(streamed.select("user_id", "session_start", "session_end", "n_events"))
+      assert(missing.count() == 0)
+    } finally q.stop()
+  }
+}
