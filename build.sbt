@@ -30,4 +30,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // starves 32 concurrent tasks (observed: 20-120s GC-stall outliers on
   // trivial queries in long bench runs); the box has 128 GiB.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "64g")}",
+  // Whole-stage codegen emits thousands of classes across a 50-query run;
+  // the JVM default 240 MB code cache fills and the C2 queue backs up,
+  // leaving hot generated loops interpreted (observed: 50-200x stalls on
+  // random queries late in long runs).
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:+UseCodeCacheFlushing",
+  "-XX:CICompilerCount=8",
 )

@@ -125,6 +125,67 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Full outer join of two aggregated sides (orders-per-year vs
+    * events-per-year): exercises unmatched keys in both directions. Both
+    * inputs aggregate before the join, so the shuffled sides are tiny at
+    * any scale.
+    */
+  def qJoinFull(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables
+      .orders(spark, sfDir)
+      .groupBy(year(col("o_orderdate")).as("y"))
+      .agg(count(lit(1)).as("n_orders"))
+    val e = Tables
+      .events(spark, sfDir)
+      .groupBy(year(col("ts")).as("y"))
+      .agg(count(lit(1)).as("n_events"))
+    o.join(e, Seq("y"), "full_outer")
+      .select(
+        coalesce(o("y"), e("y")).as("y"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+      .orderBy("y")
+  }
+
+  /** Cross join of two bounded dims (region × nation = 125 rows). Catalyst
+    * plans the broadcast nested-loop this wants; the guard at scale is that
+    * neither side is a fact table.
+    */
+  def qJoinCross(spark: SparkSession, sfDir: String): DataFrame =
+    Tables
+      .region(spark, sfDir)
+      .select("r_name")
+      .crossJoin(Tables.nation(spark, sfDir).select("n_name"))
+      .orderBy("r_name", "n_name")
+
+  // ----------------------------------------------------------- subqueries
+
+  /** Uncorrelated scalar subquery through the SQL front door: orders above
+    * the global average price. The average goes through the decimal core so
+    * the threshold double is bit-identical in both engines.
+    */
+  def qSubqScalar(spark: SparkSession, sfDir: String): DataFrame =
+    spark.sql(
+      s"""SELECT o_orderkey, o_totalprice
+         |FROM parquet.`$sfDir/orders.parquet`
+         |WHERE o_totalprice > (
+         |  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / count(o_totalprice)
+         |  FROM parquet.`$sfDir/orders.parquet`)
+         |ORDER BY o_orderkey""".stripMargin)
+
+  /** Correlated scalar subquery: parts larger than their brand's average
+    * size. Catalyst de-correlates this into an aggregate + join — the
+    * scalable plan — rather than per-row re-execution.
+    */
+  def qSubqCorrelated(spark: SparkSession, sfDir: String): DataFrame =
+    spark.sql(
+      s"""SELECT p_partkey, p_brand, p_size
+         |FROM parquet.`$sfDir/part.parquet` p
+         |WHERE p_size > (
+         |  SELECT avg(p2.p_size) FROM parquet.`$sfDir/part.parquet` p2
+         |  WHERE p2.p_brand = p.p_brand)
+         |ORDER BY p_partkey""".stripMargin)
+
   // ----------------------------------------------------------- aggregates
 
   def qAggGroup(spark: SparkSession, sfDir: String): DataFrame =
@@ -158,6 +219,75 @@ object Relational {
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
         approx_count_distinct(col("l_orderkey")).as("approx_orders"))
       .orderBy("l_returnflag")
+
+  /** Statistical aggregates (variance/stddev/corr/covar) built from
+    * decimal-cored moment sums so Spark and DuckDB produce bit-identical
+    * doubles (the built-in one-pass implementations are order-dependent in
+    * the last ulp and hash-mismatch across engines). Same shuffle shape as
+    * the built-ins: one map-side partial agg on the group key.
+    */
+  def qAggStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = count(col("l_quantity")).cast("double")
+    val sx = dsum(col("l_quantity"))
+    val sxx = dsum(col("l_quantity") * col("l_quantity"))
+    val sy = dsum(col("l_extendedprice"))
+    val syy = dsum(col("l_extendedprice") * col("l_extendedprice"))
+    val sxy = dsum(col("l_quantity") * col("l_extendedprice"))
+    val varQ = (sxx - sx * sx / n) / (n - 1)
+    val varP = (syy - sy * sy / n) / (n - 1)
+    val cov = (sxy - sx * sy / n) / (n - 1)
+    Tables
+      .lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        varQ.as("var_qty"),
+        sqrt(varQ).as("std_qty"),
+        cov.as("covar_qp"),
+        (cov / (sqrt(varQ) * sqrt(varP))).as("corr_qp"))
+      .orderBy("l_returnflag")
+  }
+
+  /** collect_set / collect_list surfaced as sorted joined strings (stable
+    * across engines and partition orders).
+    */
+  def qAggCollect(spark: SparkSession, sfDir: String): DataFrame =
+    Tables
+      .lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        array_join(sort_array(collect_set(col("l_linestatus"))), ",").as("statuses"),
+        array_join(sort_array(collect_set(col("l_shipmode"))), ",").as("modes"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** Fixed-width histogram over o_totalprice: bucket = trunc(x / 50k)
+    * clamped to 11 — plain column math so any engine bins identically.
+    */
+  def qHistogram(spark: SparkSession, sfDir: String): DataFrame =
+    Tables
+      .orders(spark, sfDir)
+      .groupBy(least(floor(col("o_totalprice") / 50000), lit(11)).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("bucket")
+
+  /** Pivot: order counts by year × order priority. Fixed pivot-value list
+    * keeps the schema static (no driver-side distinct scan) — the form that
+    * works on unbounded input.
+    */
+  def qPivot(spark: SparkSession, sfDir: String): DataFrame = {
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val df = Tables
+      .orders(spark, sfDir)
+      .groupBy(year(col("o_orderdate")).as("y"))
+      .pivot("o_orderpriority", prios)
+      .agg(count(lit(1)))
+    prios
+      .foldLeft(df) { (d, p) =>
+        val alias = "p" + p.takeWhile(_ != '-')
+        d.withColumn(alias, coalesce(col(s"`$p`"), lit(0L))).drop(p)
+      }
+      .orderBy("y")
+  }
 
   private def nullFilled(df: DataFrame): DataFrame =
     df.select(
@@ -472,6 +602,69 @@ object Relational {
               |FROM $EV e ASOF LEFT JOIN orders o
               |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
               |ORDER BY e.event_id""".stripMargin)),
+    "q_join_full" -> Q(
+      qJoinFull,
+      Some(s"""WITH o AS (SELECT CAST(year(o_orderdate) AS INT) AS y, count(1) AS n_orders FROM orders GROUP BY 1),
+              |e AS (SELECT CAST(year(ts) AS INT) AS y, count(1) AS n_events FROM $EV GROUP BY 1)
+              |SELECT coalesce(o.y, e.y) AS y, coalesce(n_orders, 0) AS n_orders,
+              |       coalesce(n_events, 0) AS n_events
+              |FROM o FULL OUTER JOIN e ON o.y = e.y ORDER BY y""".stripMargin)),
+    "q_join_cross" -> Q(
+      qJoinCross,
+      Some("""SELECT r_name, n_name FROM region CROSS JOIN nation
+             |ORDER BY r_name, n_name""".stripMargin)),
+    "q_subq_scalar" -> Q(
+      qSubqScalar,
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |WHERE o_totalprice > (
+             |  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / count(o_totalprice)
+             |  FROM orders)
+             |ORDER BY o_orderkey""".stripMargin)),
+    "q_subq_correlated" -> Q(
+      qSubqCorrelated,
+      Some("""SELECT p_partkey, p_brand, p_size FROM part p
+             |WHERE p_size > (
+             |  SELECT avg(p2.p_size) FROM part p2 WHERE p2.p_brand = p.p_brand)
+             |ORDER BY p_partkey""".stripMargin)),
+    "q_agg_stats" -> Q(
+      qAggStats,
+      Some("""WITH s AS (SELECT l_returnflag,
+             |  CAST(count(l_quantity) AS DOUBLE) AS n,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             |  CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+             |  CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS syy,
+             |  CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sxy
+             | FROM lineitem GROUP BY l_returnflag)
+             |SELECT l_returnflag,
+             | (sxx - sx * sx / n) / (n - 1) AS var_qty,
+             | sqrt((sxx - sx * sx / n) / (n - 1)) AS std_qty,
+             | (sxy - sx * sy / n) / (n - 1) AS covar_qp,
+             | ((sxy - sx * sy / n) / (n - 1)) /
+             |   (sqrt((sxx - sx * sx / n) / (n - 1)) * sqrt((syy - sy * sy / n) / (n - 1))) AS corr_qp
+             |FROM s ORDER BY l_returnflag""".stripMargin)),
+    "q_agg_collect" -> Q(
+      qAggCollect,
+      Some("""SELECT l_returnflag,
+             | array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
+             | array_to_string(list_sort(list(DISTINCT l_shipmode)), ',') AS modes,
+             | count(1) AS n
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+    "q_histogram" -> Q(
+      qHistogram,
+      Some("""SELECT CAST(least(floor(o_totalprice / 50000), 11) AS INT) AS bucket,
+             | count(1) AS n,
+             | CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+             |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin)),
+    "q_pivot" -> Q(
+      qPivot,
+      Some("""SELECT CAST(year(o_orderdate) AS INT) AS y,
+             | count(1) FILTER (WHERE o_orderpriority = '1-URGENT') AS p1,
+             | count(1) FILTER (WHERE o_orderpriority = '2-HIGH') AS p2,
+             | count(1) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS p3,
+             | count(1) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS p4,
+             | count(1) FILTER (WHERE o_orderpriority = '5-LOW') AS p5
+             |FROM orders GROUP BY 1 ORDER BY y""".stripMargin)),
     "q_agg_group" -> Q(
       qAggGroup,
       Some("""SELECT l_returnflag, l_linestatus,
