@@ -1,13 +1,34 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import scala.jdk.CollectionConverters._
 
 /** Headline benchmark: runs the bench-flagged Registry queries on
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line. Results are materialized
   * through the noop sink (not .count()) so column pruning can't skip the
   * projected work being measured.
+  *
+  * Failed queries are excluded from the total and reported in a "failed"
+  * array (a broken query must not silently deflate the headline number).
+  *
+  * Per-query JVM deltas (GC time, JIT compile time, code-cache/metaspace
+  * occupancy, loaded classes) go to stderr — the instrumentation that
+  * located the round-1 long-run degradation (queries 10-400x slower late
+  * in a run than standalone).
   */
 object Bench {
+
+  private def poolUsed(substr: String): Long =
+    java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getName.toLowerCase.contains(substr))
+      .map(_.getUsage.getUsed)
+      .sum
+
+  private def gcMillis: Long =
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(_.getCollectionTime)
+      .sum
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse(
@@ -19,26 +40,43 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = Registry.all.collect { case (name, q) if q.bench =>
-      val t0 = System.nanoTime()
-      try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+    val comp = java.lang.management.ManagementFactory.getCompilationMXBean
+    val cls = java.lang.management.ManagementFactory.getClassLoadingMXBean
+    var ok = Vector.empty[(String, Double)]
+    var failed = Vector.empty[String]
+    Registry.all.foreach { case (name, q) =>
+      if (q.bench) {
+        val (gc0, jit0) = (gcMillis, comp.getTotalCompilationTime)
+        val t0 = System.nanoTime()
+        val succeeded =
+          try {
+            q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            true
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+              false
+          }
+        val dt = (System.nanoTime() - t0) / 1e9
+        System.err.println(
+          f"[bench] $name $dt%.2f s (gc +${gcMillis - gc0} ms, jit +${comp.getTotalCompilationTime - jit0} ms, " +
+            f"codecache ${poolUsed("codeheap") / 1024 / 1024} MB, metaspace ${poolUsed("metaspace") / 1024 / 1024} MB, " +
+            s"classes ${cls.getLoadedClassCount})")
+        if (succeeded) ok :+= (name -> dt) else failed :+= name
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name $dt%.2f s")
-      name -> dt
     }
-    val qs = results
+    val qs = ok
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = ok.map(_._2).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

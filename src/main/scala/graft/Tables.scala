@@ -20,7 +20,11 @@ object Tables {
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Our own entry points (Bench/Verify/Explain/tests) set this at session
+    // build; this guarded fallback exists only for externally-owned sessions
+    // (the driver's t1 smoke passes its own SparkSession into SparkEntry).
+    if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read
       .parquet(s"$sfDir/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -227,23 +227,35 @@ object Relational {
     * the built-ins: one map-side partial agg on the group key.
     */
   def qAggStats(spark: SparkSession, sfDir: String): DataFrame = {
+    // Products are taken decimal×decimal (exact), NOT double×double then
+    // rounded to decimal — rounding a double product at the 6th decimal can
+    // tie-break differently across engines (observed: syy off by 1 ulp →
+    // corr_qp mismatch at sf0.01). Scale 3 factors (inputs have ≤2 decimals,
+    // so the cast is exact) keep the product precision ≤38 on both engines;
+    // the oracle uses DECIMAL(19,3) to force DuckDB onto int128.
+    def d(c: Column) = c.cast("decimal(18,3)")
     val n = count(col("l_quantity")).cast("double")
     val sx = dsum(col("l_quantity"))
-    val sxx = dsum(col("l_quantity") * col("l_quantity"))
+    val sxx = sum(d(col("l_quantity")) * d(col("l_quantity"))).cast("double")
     val sy = dsum(col("l_extendedprice"))
-    val syy = dsum(col("l_extendedprice") * col("l_extendedprice"))
-    val sxy = dsum(col("l_quantity") * col("l_extendedprice"))
+    val syy = sum(d(col("l_extendedprice")) * d(col("l_extendedprice"))).cast("double")
+    val sxy = sum(d(col("l_quantity")) * d(col("l_extendedprice"))).cast("double")
     val varQ = (sxx - sx * sx / n) / (n - 1)
     val varP = (syy - sy * sy / n) / (n - 1)
     val cov = (sxy - sx * sy / n) / (n - 1)
+    // The decimal sums are exact on both engines, but casting a >2^53
+    // scaled decimal to double is 1-ulp engine-dependent (Spark: correctly
+    // rounded BigDecimal; DuckDB: int128→double then ÷10^scale — two
+    // roundings). Scale-aware rounding puts the comparison grid ~6 orders
+    // of magnitude above that noise.
     Tables
       .lineitem(spark, sfDir)
       .groupBy(col("l_returnflag"))
       .agg(
-        varQ.as("var_qty"),
-        sqrt(varQ).as("std_qty"),
-        cov.as("covar_qp"),
-        (cov / (sqrt(varQ) * sqrt(varP))).as("corr_qp"))
+        round(varQ, 9).as("var_qty"),
+        round(sqrt(varQ), 9).as("std_qty"),
+        round(cov, 6).as("covar_qp"),
+        round(cov / (sqrt(varQ) * sqrt(varP)), 12).as("corr_qp"))
       .orderBy("l_returnflag")
   }
 
@@ -256,7 +268,7 @@ object Relational {
       .groupBy(col("l_returnflag"))
       .agg(
         array_join(sort_array(collect_set(col("l_linestatus"))), ",").as("statuses"),
-        array_join(sort_array(collect_set(col("l_shipmode"))), ",").as("modes"),
+        array_join(sort_array(collect_set(col("l_linenumber").cast("string"))), ",").as("linenos"),
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
@@ -631,23 +643,23 @@ object Relational {
       Some("""WITH s AS (SELECT l_returnflag,
              |  CAST(count(l_quantity) AS DOUBLE) AS n,
              |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
-             |  CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(19,3)) * CAST(l_quantity AS DECIMAL(19,3))) AS DOUBLE) AS sxx,
              |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
-             |  CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS syy,
-             |  CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sxy
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(19,3)) * CAST(l_extendedprice AS DECIMAL(19,3))) AS DOUBLE) AS syy,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(19,3)) * CAST(l_extendedprice AS DECIMAL(19,3))) AS DOUBLE) AS sxy
              | FROM lineitem GROUP BY l_returnflag)
              |SELECT l_returnflag,
-             | (sxx - sx * sx / n) / (n - 1) AS var_qty,
-             | sqrt((sxx - sx * sx / n) / (n - 1)) AS std_qty,
-             | (sxy - sx * sy / n) / (n - 1) AS covar_qp,
-             | ((sxy - sx * sy / n) / (n - 1)) /
-             |   (sqrt((sxx - sx * sx / n) / (n - 1)) * sqrt((syy - sy * sy / n) / (n - 1))) AS corr_qp
+             | round((sxx - sx * sx / n) / (n - 1), 9) AS var_qty,
+             | round(sqrt((sxx - sx * sx / n) / (n - 1)), 9) AS std_qty,
+             | round((sxy - sx * sy / n) / (n - 1), 6) AS covar_qp,
+             | round(((sxy - sx * sy / n) / (n - 1)) /
+             |   (sqrt((sxx - sx * sx / n) / (n - 1)) * sqrt((syy - sy * sy / n) / (n - 1))), 12) AS corr_qp
              |FROM s ORDER BY l_returnflag""".stripMargin)),
     "q_agg_collect" -> Q(
       qAggCollect,
       Some("""SELECT l_returnflag,
              | array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
-             | array_to_string(list_sort(list(DISTINCT l_shipmode)), ',') AS modes,
+             | array_to_string(list_sort(list(DISTINCT CAST(l_linenumber AS VARCHAR))), ',') AS linenos,
              | count(1) AS n
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
     "q_histogram" -> Q(

@@ -105,6 +105,17 @@ object TileCacheQueries {
   def uploadSink(spark: SparkSession, sfDir: String): DataFrame = {
     val root = ensureFixture()
     val bucket = new java.io.File(sys.props("java.io.tmpdir"), "graft_tile_bucket")
+    // The manifest below is built by re-listing the bucket, so stale objects
+    // from an earlier run (different config/fixture) must not leak in.
+    if (bucket.exists()) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files
+        .walk(bucket.toPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .iterator()
+        .asScala
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
     val grid = Tile
       .tileGrid(spark, fixtureCfg)
       .withColumnRenamed("row", "tile_row")
