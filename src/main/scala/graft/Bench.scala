@@ -31,6 +31,8 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Dev bisection knob: comma-separated query names; keeps declared order.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val cpus = sys.env.getOrElse(
       "SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
@@ -46,11 +48,28 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val comp = java.lang.management.ManagementFactory.getCompilationMXBean
     val cls = java.lang.management.ManagementFactory.getClassLoadingMXBean
+    // Wall time vs task time: if a query's wall clock is far above
+    // (task-runtime sum / cores), the time went to the driver/scheduler,
+    // not executor compute — the round-1 mystery this locates.
+    val taskRun = new java.util.concurrent.atomic.AtomicLong
+    val taskCpu = new java.util.concurrent.atomic.AtomicLong
+    val taskCnt = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          taskRun.addAndGet(m.executorRunTime)
+          taskCpu.addAndGet(m.executorCpuTime / 1000000L)
+          taskCnt.incrementAndGet()
+        }
+      }
+    })
     var ok = Vector.empty[(String, Double)]
     var failed = Vector.empty[String]
     Registry.all.foreach { case (name, q) =>
-      if (q.bench) {
+      if (q.bench && only.forall(_.contains(name))) {
         val (gc0, jit0) = (gcMillis, comp.getTotalCompilationTime)
+        val (tr0, tc0, tn0) = (taskRun.get, taskCpu.get, taskCnt.get)
         val t0 = System.nanoTime()
         val succeeded =
           try {
@@ -62,10 +81,12 @@ object Bench {
               false
           }
         val dt = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(200) // let the async listener bus drain task-end events
         System.err.println(
           f"[bench] $name $dt%.2f s (gc +${gcMillis - gc0} ms, jit +${comp.getTotalCompilationTime - jit0} ms, " +
             f"codecache ${poolUsed("codeheap") / 1024 / 1024} MB, metaspace ${poolUsed("metaspace") / 1024 / 1024} MB, " +
-            s"classes ${cls.getLoadedClassCount})")
+            s"classes ${cls.getLoadedClassCount}, " +
+            f"tasks ${taskCnt.get - tn0}, taskrun ${(taskRun.get - tr0) / 1000.0}%.1f s, taskcpu ${(taskCpu.get - tc0) / 1000.0}%.1f s)")
         if (succeeded) ok :+= (name -> dt) else failed :+= name
       }
     }

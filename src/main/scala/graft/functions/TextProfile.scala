@@ -1,0 +1,239 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass codegen'd text profile: every per-document metric the text
+  * battery needs (`q_text_stats` / `q_text_quality` / `q_text_langid` /
+  * `q_text_tokens`), computed by a single static, monomorphic Scala
+  * method and returned as a struct.
+  *
+  * Why not the `filter`/`transform`/`aggregate` higher-order functions the
+  * round-1 versions used: HOFs always run on the interpreted expression
+  * path, whose shared eval loops (`HigherOrderFunction.eval` etc.) are hot
+  * across EVERY interpreted query in the process. Once enough distinct
+  * expression classes have flowed through them, the JIT's inline caches go
+  * megamorphic, the compiled loops deopt, and every interpreted query runs
+  * 25-100× slower for the remaining life of the JVM (measured: the same
+  * `q_text_quality` plan 1.5 s early in a bench run vs 113 s late, CPU
+  * time ≈ wall time, zero GC). A static helper called from generated code
+  * keeps the hot loop in one statically-dispatched method the JIT owns —
+  * the same cure `ScaledDot` applied to the HOF dot product.
+  *
+  * Token semantics match the battery's `toks` helper exactly: split on the
+  * single space character, drop empties. Length/char metrics count Unicode
+  * code points (Spark `length` / DuckDB `length` semantics); the "BPE-ish"
+  * count replays the regex `[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]` with Java
+  * `\s` = `[ \t\n\x0B\f\r]`.
+  */
+case class TextProfile(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = TextProfile.schema
+  override def prettyName: String = "text_profile"
+
+  override def nullSafeEval(input: Any): Any =
+    TextProfile.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${TextProfile.Mod}.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TextProfile {
+
+  private[functions] val Mod = getClass.getName.stripSuffix("$") + "$.MODULE$"
+
+  val schema: StructType = StructType(Seq(
+    StructField("len", IntegerType, nullable = false),
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("sum_tok_len", IntegerType, nullable = false),
+    StructField("n_distinct", IntegerType, nullable = false),
+    StructField("n_stop", IntegerType, nullable = false),
+    StructField("n_punct", IntegerType, nullable = false),
+    StructField("s_en", IntegerType, nullable = false),
+    StructField("s_de", IntegerType, nullable = false),
+    StructField("s_fr", IntegerType, nullable = false),
+    StructField("s_es", IntegerType, nullable = false),
+    StructField("s_zh", IntegerType, nullable = false),
+    StructField("n_bpe", IntegerType, nullable = false)))
+
+  private val Stop = mkSet("the", "a", "of", "and", "to", "in", "is")
+  private val En = mkSet("the", "and", "of", "to", "is")
+  private val De = mkSet("der", "und", "die", "das", "ist")
+  private val Fr = mkSet("le", "la", "et", "les", "est")
+  private val Es = mkSet("el", "los", "y", "es", "las")
+
+  private def mkSet(w: String*): java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    w.foreach(s.add)
+    s
+  }
+
+  def compute(u: UTF8String): InternalRow = {
+    val s = u.toString
+    val n = s.length
+    var len = 0
+    var nPunct = 0
+    var sZh = 0
+    var nTok = 0
+    var sumTokLen = 0
+    var nStop = 0
+    var sEn = 0
+    var sDe = 0
+    var sFr = 0
+    var sEs = 0
+    val distinct = new java.util.HashSet[String]()
+
+    // char-level pass: code-point length, punctuation, CJK
+    var i = 0
+    while (i < n) {
+      val ch = s.charAt(i)
+      val cp = s.codePointAt(i)
+      len += 1
+      if (cp >= 0x4e00 && cp <= 0x9fff) sZh += 1
+      if (ch == '.' || ch == '!' || ch == '?' || ch == ',' || ch == ';' || ch == ':') nPunct += 1
+      i += Character.charCount(cp)
+    }
+
+    // token pass
+    val it = tokens(s).iterator
+    while (it.hasNext) {
+      val t = it.next()
+      nTok += 1
+      sumTokLen += t.codePointCount(0, t.length)
+      distinct.add(t)
+      if (Stop.contains(t)) nStop += 1
+      if (En.contains(t)) sEn += 1
+      if (De.contains(t)) sDe += 1
+      if (Fr.contains(t)) sFr += 1
+      if (Es.contains(t)) sEs += 1
+    }
+
+    // BPE-ish scan: [A-Za-z]+|[0-9]+|[^A-Za-z0-9\s], Java \s (ASCII)
+    var nBpe = 0
+    i = 0
+    while (i < n) {
+      val ch = s.charAt(i)
+      if ((ch >= 'A' && ch <= 'Z') || (ch >= 'a' && ch <= 'z')) {
+        nBpe += 1
+        while (i < n && { val c = s.charAt(i); (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') }) i += 1
+      } else if (ch >= '0' && ch <= '9') {
+        nBpe += 1
+        while (i < n && { val c = s.charAt(i); c >= '0' && c <= '9' }) i += 1
+      } else if (ch == ' ' || ch == '\t' || ch == '\n' || ch == '\u000B' || ch == '\f' || ch == '\r') {
+        i += 1
+      } else {
+        nBpe += 1
+        i += Character.charCount(s.codePointAt(i))
+      }
+    }
+
+    new GenericInternalRow(
+      Array[Any](len, nTok, sumTokLen, distinct.size, nStop, nPunct, sEn, sDe, sFr, sEs, sZh, nBpe))
+  }
+
+  /** Space-split non-empty tokens (the battery's `toks` semantics). */
+  private def tokens(s: String): java.util.ArrayList[String] = {
+    val out = new java.util.ArrayList[String]()
+    var i = 0
+    val n = s.length
+    var start = -1
+    while (i < n) {
+      if (s.charAt(i) == ' ') {
+        if (start >= 0) { out.add(s.substring(start, i)); start = -1 }
+      } else if (start < 0) start = i
+      i += 1
+    }
+    if (start >= 0) out.add(s.substring(start, n))
+    out
+  }
+
+  /** Column API: profile(text) → struct (see [[schema]]). */
+  def profile(c: Column): Column = Bridge.column(TextProfile(Bridge.expression(c)))
+}
+
+/** Codegen'd winnowing-lite fingerprint (see `q_text_fingerprint`):
+  * per-token polynomial rolling hash over code points mod 1e9+7, then the
+  * min over 4-token windows; NULL when the document has < 4 tokens. Same
+  * static-helper design (and reason) as [[TextProfile]].
+  */
+case class TextFingerprint(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "text_fingerprint"
+
+  override def nullSafeEval(input: Any): Any =
+    TextFingerprint.fingerprint(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(
+      ctx,
+      ev, {
+        val r = ctx.freshName("fp")
+        c => s"""
+        |java.lang.Long $r = ${TextFingerprint.Mod}.fingerprint($c);
+        |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.longValue(); }
+        |""".stripMargin
+      })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TextFingerprint {
+
+  private[functions] val Mod = getClass.getName.stripSuffix("$") + "$.MODULE$"
+
+  private val P = 1000000007L
+
+  def fingerprint(u: UTF8String): java.lang.Long = {
+    val s = u.toString
+    val n = s.length
+    var th = new Array[Long](16)
+    var m = 0
+    var i = 0
+    var start = -1
+    def push(end: Int): Unit = {
+      var acc = 0L
+      var j = start
+      while (j < end) {
+        val cp = s.codePointAt(j)
+        acc = (acc * 31 + cp) % P
+        j += Character.charCount(cp)
+      }
+      if (m == th.length) th = java.util.Arrays.copyOf(th, m * 2)
+      th(m) = acc
+      m += 1
+    }
+    while (i < n) {
+      if (s.charAt(i) == ' ') {
+        if (start >= 0) { push(i); start = -1 }
+      } else if (start < 0) start = i
+      i += 1
+    }
+    if (start >= 0) push(n)
+    if (m < 4) null
+    else {
+      var best = Long.MaxValue
+      var j = 0
+      while (j + 3 < m) {
+        val v = (th(j) * 31957 + th(j + 1) * 1031 + th(j + 2) * 97 + th(j + 3)) % P
+        if (v < best) best = v
+        j += 1
+      }
+      java.lang.Long.valueOf(best)
+    }
+  }
+
+  /** Column API: fingerprint(text) → BIGINT (NULL if < 4 tokens). */
+  def of(c: Column): Column = Bridge.column(TextFingerprint(Bridge.expression(c)))
+}

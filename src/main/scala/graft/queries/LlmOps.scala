@@ -34,12 +34,14 @@ object LlmOps {
   /** Exact dedup: hash-groupBy on sha256(text) — a single shuffle keyed by
     * digest; at 100 TB the digest (32 B) shuffles, never the document body.
     */
-  def qDedupExact(spark: SparkSession, sfDir: String): DataFrame =
-    Tables
-      .documents(spark, sfDir)
+  private[graft] def dedupExactCore(docs: DataFrame): DataFrame =
+    docs
       .groupBy(sha2(col("text"), 256).as("h"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
       .orderBy("h")
+
+  def qDedupExact(spark: SparkSession, sfDir: String): DataFrame =
+    dedupExactCore(Tables.documents(spark, sfDir))
 
   // ----------------------------------------------------------- n-gram Jaccard
 
@@ -65,14 +67,8 @@ object LlmOps {
       .distinct()
   }
 
-  /** Exact 3-word-shingle Jaccard pairs (≥ 0.5). Candidate pairs come from
-    * an equality join on the shingle (only docs sharing ≥1 shingle are
-    * compared) — still worst-case quadratic on pathological corpora; the
-    * scale path is `q_dedup_near` (MinHash bands). This is its oracle-able
-    * exact twin.
-    */
-  def qDedupNgram(spark: SparkSession, sfDir: String): DataFrame = {
-    val ex = shingles(spark, sfDir)
+  /** Shared shingle→pair→Jaccard tail of the two n-gram dedup variants. */
+  private def jaccardPairs(ex: DataFrame): DataFrame = {
     val sizes = ex.groupBy("doc_id").agg(count(lit(1)).cast("int").as("n_sh"))
     val pairs = ex
       .as("a")
@@ -88,6 +84,41 @@ object LlmOps {
       .where(col("jaccard") >= 0.5)
       .select("d1", "d2", "common", "jaccard")
       .orderBy("d1", "d2")
+  }
+
+  /** Exact 3-word-shingle Jaccard pairs (≥ 0.5). Candidate pairs come from
+    * an equality join on the shingle (only docs sharing ≥1 shingle are
+    * compared) — still worst-case quadratic on pathological corpora (a
+    * shingle shared by k docs yields k² candidate rows), so this is the
+    * small-scale oracle twin only (bench=false); the benched scale paths
+    * are `q_dedup_ngram_capped` and `q_dedup_near`.
+    */
+  def qDedupNgram(spark: SparkSession, sfDir: String): DataFrame =
+    jaccardPairs(shingles(spark, sfDir))
+
+  /** How many documents may share a shingle before it is dropped as a
+    * stop-shingle in the capped variant (standard prefix-filtering).
+    */
+  private val MaxShingleDf = 50
+
+  /** Scale-safe n-gram Jaccard: identical to `q_dedup_ngram` except
+    * shingles with document frequency > [[MaxShingleDf]] are dropped before
+    * the self-join (both `common` and the set sizes use the capped sets, so
+    * the oracle replays the same semantics). This bounds the candidate
+    * blowup: a shingle contributes at most MaxShingleDf² pair rows, so no
+    * single hot shingle can dominate a shuffle partition at 100 TB. The hot
+    * list itself is tiny by construction (few shingles exceed the cap) and
+    * is removed with a broadcast anti-join — no extra full shuffle of the
+    * shingle table.
+    */
+  def qDedupNgramCapped(spark: SparkSession, sfDir: String): DataFrame = {
+    val ex = shingles(spark, sfDir)
+    val hot = ex
+      .groupBy("sh")
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") > MaxShingleDf)
+      .select("sh")
+    jaccardPairs(ex.join(broadcast(hot), Seq("sh"), "left_anti"))
   }
 
   // ------------------------------------------------------------- MinHash LSH
@@ -150,7 +181,7 @@ object LlmOps {
     * same thing but runs interpreted with per-token array allocation —
     * measured 25× slower.) Deterministic; no DuckDB xxhash64 → rows-only.
     */
-  def qDedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
+  private def simhashSigs(spark: SparkSession, sfDir: String): DataFrame = {
     val tokenHashes = Tables
       .documents(spark, sfDir)
       .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
@@ -165,7 +196,43 @@ object LlmOps {
       .groupBy("doc_id")
       .agg(votes.head, votes.tail: _*)
       .select(col("doc_id"), assembled.as("simhash"))
-      .orderBy("doc_id")
+  }
+
+  def qDedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
+    simhashSigs(spark, sfDir).orderBy("doc_id")
+
+  /** SimHash near-dup PAIRS (hamming ≤ 3) — the candidate step that turns
+    * the signatures into a dedup. Pigeonhole partitioning: split the 64-bit
+    * signature into 4 16-bit segments; any pair within hamming distance 3
+    * differs in at most 3 segments, so at least one segment matches
+    * exactly. Candidates therefore come from an equality join on
+    * (segment index, segment value) — a key shuffle, never an O(n²)
+    * comparison — with 100% recall at the radius (this is exact, not
+    * approximate). A pair sharing several segments is deduplicated with a
+    * distinct on the id pair before the (cheap, codegen'd) popcount filter.
+    */
+  def qDedupSimhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = simhashSigs(spark, sfDir)
+    val segs = s.select(
+      col("doc_id"),
+      col("simhash"),
+      posexplode(
+        array((0 until 4).map(i =>
+          shiftrightunsigned(col("simhash"), i * 16).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("seg", "seg_val")))
+    segs
+      .as("a")
+      .join(
+        segs.as("b"),
+        col("a.seg") === col("b.seg") && col("a.seg_val") === col("b.seg_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("d1"),
+        col("b.doc_id").as("d2"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .where(col("hamming") <= 3)
+      .distinct()
+      .orderBy("d1", "d2")
   }
 
   // ---------------------------------------------------- embedding-cosine dedup
@@ -178,15 +245,17 @@ object LlmOps {
   private def dotDec(a: Column, b: Column): Column =
     graft.functions.ScaledDot.dot(a, b)
 
-  /** Embedding near-dup: brute pairwise cosine ≥ 0.8 (exact twin of an
-    * LSH-bucketed variant; quadratic — oracle/verification scale only,
-    * excluded from bench).
-    */
-  def qDedupEmbed(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = Tables.embeddings(spark, sfDir).select(
+  private def withNorm(e: DataFrame): DataFrame =
+    e.select(
       col("vec_id"),
       col("embedding"),
       sqrt(dotDec(col("embedding"), col("embedding"))).as("nrm"))
+
+  /** All-pairs exact core of the embedding dedups (package-private so the
+    * spec can drive it over a synthetic clustered fixture).
+    */
+  private[queries] def embedPairsExact(emb: DataFrame): DataFrame = {
+    val e = withNorm(emb)
     e.as("a")
       .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(
@@ -194,6 +263,55 @@ object LlmOps {
         col("b.vec_id").as("v2"),
         (dotDec(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm")))
           .as("cos"))
+      .where(col("cos") >= 0.8)
+      .orderBy("v1", "v2")
+  }
+
+  /** Embedding near-dup: brute pairwise cosine ≥ 0.8 (exact twin of
+    * `q_dedup_embed_lsh`; quadratic — oracle/verification scale only,
+    * excluded from bench).
+    */
+  def qDedupEmbed(spark: SparkSession, sfDir: String): DataFrame =
+    embedPairsExact(Tables.embeddings(spark, sfDir))
+
+  /** Embedding near-dup at scale: banded random-hyperplane LSH. The 16-bit
+    * plane signature splits into 4 bands of 4 bits; candidate pairs are an
+    * equality join on (band index, band value) — only ids and 4-bit band
+    * keys flow through the candidate shuffle, never embeddings — then the
+    * (small) candidate set joins the vectors back by id for the exact
+    * cosine ≥ 0.8 rerank. Recall for a true cos ≥ 0.8 pair: per-bit
+    * agreement = 1 − acos(0.8)/π ≈ 0.795 → P(some band matches) =
+    * 1 − (1 − 0.795⁴)⁴ ≈ 0.87. `q_dedup_embed` (all-pairs) is the exact
+    * twin this approximates; output here is always a subset of it.
+    * Rows-only (signature scheme is impl-defined).
+    */
+  def qDedupEmbedLsh(spark: SparkSession, sfDir: String): DataFrame =
+    embedPairsLsh(Tables.embeddings(spark, sfDir))
+
+  private[queries] def embedPairsLsh(emb: DataFrame): DataFrame = {
+    val e = withNorm(emb)
+    val sigs = e.select(col("vec_id"), planeSig(col("embedding")).as("sig"))
+    val bands = sigs.select(
+      col("vec_id"),
+      posexplode(
+        array((0 until 4).map(b =>
+          shiftrightunsigned(col("sig"), b * 4).bitwiseAND(lit(0xf))): _*))
+        .as(Seq("band", "band_val")))
+    val cand = bands
+      .as("a")
+      .join(
+        bands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("v1"), col("embedding").as("e1"), col("nrm").as("n1")), "v1")
+      .join(e.select(col("vec_id").as("v2"), col("embedding").as("e2"), col("nrm").as("n2")), "v2")
+      .select(
+        col("v1"),
+        col("v2"),
+        (dotDec(col("e1"), col("e2")) / (col("n1") * col("n2"))).as("cos"))
       .where(col("cos") >= 0.8)
       .orderBy("v1", "v2")
   }
@@ -221,38 +339,56 @@ object LlmOps {
       .limit(10)
   }
 
-  /** ANN via random-hyperplane LSH: 16 deterministic ±1 hyperplanes →
-    * 16-bit signature; candidates = hamming(sig, query_sig) ≤ 4, then
-    * exact cosine rerank. At scale the signature is a cheap map-side
-    * computation and candidates group by signature bucket instead of
-    * scanning all vectors. Rows-only (signature scheme is impl-defined).
-    * Radius 7/16 is tuned to the synthetic embeddings' low similarities
-    * (top-1 cosine ≈ 0.33 → expected neighbor hamming ≈ 6).
+  /** 16 deterministic ±1 hyperplanes (splitmix-style mix of the index) for
+    * the random-hyperplane LSH family shared by `q_sim_ann` and
+    * `q_dedup_embed_lsh`: bit j of the signature = sign of plane_j · v.
+    */
+  private val HyperPlanes: Seq[Seq[Int]] = (0 until 16).map { j =>
+    (0 until 64).map { i =>
+      var z = j.toLong * 64 + i + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      if (((z ^ (z >>> 31)) & 1L) == 0L) 1 else -1
+    }
+  }
+
+  private[queries] def planeSig(emb: Column): Column =
+    (0 until 16)
+      .map { j =>
+        val plane = typedlit(HyperPlanes(j).map(_.toFloat))
+        when(graft.functions.ScaledDot.dot(emb, plane) > 0, lit(1 << j)).otherwise(lit(0))
+      }
+      .reduce(_ + _)
+
+  /** ANN via random-hyperplane LSH, as a bucket LOOKUP rather than a scan:
+    * vectors carry a 16-bit signature; the query's probe set — every
+    * signature within hamming radius 7 of the query signature, enumerated
+    * as `q_sig XOR mask` over the ≤7-bit masks — is broadcast, and
+    * candidates come from a semi-join on signature equality, then exact
+    * cosine rerank (TakeOrdered k-merge). At 100 TB the vector table is
+    * stored bucketed/partitioned by `sig`, so the broadcast probe set
+    * prunes to the matching buckets instead of reading every vector; no
+    * full-scan filter remains in the plan. Radius 7/16 is tuned to the
+    * synthetic embeddings' low similarities (top-1 cosine ≈ 0.33 →
+    * expected neighbor hamming ≈ 6); clustered real corpora use a smaller
+    * radius and a correspondingly tiny probe ball. Rows-only (signature
+    * scheme is impl-defined).
     */
   def qSimAnn(spark: SparkSession, sfDir: String): DataFrame = {
-    val planes: Seq[Seq[Int]] = (0 until 16).map { j =>
-      (0 until 64).map { i =>
-        // deterministic pseudo-random ±1 from a splitmix-style mix
-        var z = j.toLong * 64 + i + 0x9e3779b97f4a7c15L
-        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-        if (((z ^ (z >>> 31)) & 1L) == 0L) 1 else -1
-      }
-    }
-    def sig(emb: Column): Column =
-      (0 until 16)
-        .map { j =>
-          val plane = typedlit(planes(j).map(_.toFloat))
-          when(graft.functions.ScaledDot.dot(emb, plane) > 0, lit(1 << j)).otherwise(lit(0))
-        }
-        .reduce(_ + _)
-    val e = Tables.embeddings(spark, sfDir).withColumn("sig", sig(col("embedding")))
+    val e = Tables.embeddings(spark, sfDir).withColumn("sig", planeSig(col("embedding")))
     val q = e
       .where(col("vec_id") === 0)
       .select(col("embedding").as("q_emb"), col("sig").as("q_sig"))
+    val masks = spark
+      .range(1 << 16)
+      .select(col("id").cast("int").as("mask"))
+      .where(bit_count(col("mask")) <= 7)
+    val probes = q
+      .crossJoin(masks)
+      .select(col("q_sig").bitwiseXOR(col("mask")).as("probe_sig"))
     e.where(col("vec_id") =!= 0)
+      .join(broadcast(probes), col("sig") === col("probe_sig"), "left_semi")
       .crossJoin(broadcast(q))
-      .where(bit_count(expr("sig ^ q_sig")) <= 7)
       .select(
         col("vec_id"),
         col("label"),
@@ -265,19 +401,28 @@ object LlmOps {
 
   // ------------------------------------------------------------ text analysis
 
-  def qTextStats(spark: SparkSession, sfDir: String): DataFrame = {
-    val t = toks(col("text"))
+  /** The text battery (`q_text_stats/quality/langid/tokens`) computes all
+    * per-document metrics through [[graft.functions.TextProfile]] — one
+    * codegen'd single-pass kernel per row — instead of stacks of
+    * higher-order functions. Semantics are unchanged (the DuckDB oracles
+    * still replay the HOF formulations); see TextProfile's scaladoc for
+    * the measured 25-100× interpreted-path cliff this avoids.
+    */
+  private def profiled(spark: SparkSession, sfDir: String): DataFrame =
     Tables
       .documents(spark, sfDir)
+      .withColumn("p", graft.functions.TextProfile.profile(col("text")))
+
+  def qTextStats(spark: SparkSession, sfDir: String): DataFrame =
+    profiled(spark, sfDir)
       .select(
         col("doc_id"),
         col("lang"),
-        length(col("text")).as("len"),
-        size(t).as("n_tokens"),
-        (aggregate(transform(t, x => length(x)), lit(0), (a, x) => a + x).cast("double") /
-          nullif(size(t), lit(0))).as("avg_tok_len"))
+        col("p.len").as("len"),
+        col("p.n_tokens").as("n_tokens"),
+        (col("p.sum_tok_len").cast("double") /
+          nullif(col("p.n_tokens"), lit(0))).as("avg_tok_len"))
       .orderBy("doc_id")
-  }
 
   def qTextLangdist(spark: SparkSession, sfDir: String): DataFrame =
     Tables
@@ -289,47 +434,31 @@ object LlmOps {
         davg(col("n_chars").cast("double")).as("avg_chars"))
       .orderBy("lang")
 
-  private val StopWords = Seq("the", "a", "of", "and", "to", "in", "is")
-
-  def qTextQuality(spark: SparkSession, sfDir: String): DataFrame = {
-    val t = toks(col("text"))
-    val stops =
-      size(filter(t, x => array_contains(typedlit(StopWords), x)))
-    val punct = length(col("text")) - length(regexp_replace(col("text"), "[.!?,;:]", ""))
-    Tables
-      .documents(spark, sfDir)
+  def qTextQuality(spark: SparkSession, sfDir: String): DataFrame =
+    profiled(spark, sfDir)
       .select(
         col("doc_id"),
         col("lang"),
-        (punct.cast("double") / nullif(length(col("text")), lit(0))).as("punct_ratio"),
-        (stops.cast("double") / nullif(size(t), lit(0))).as("stop_ratio"),
-        (size(array_distinct(t)).cast("double") / nullif(size(t), lit(0))).as("ttr"),
-        (length(col("text")) >= 100 && size(t) >= 20).as("passes_len"))
+        (col("p.n_punct").cast("double") / nullif(col("p.len"), lit(0))).as("punct_ratio"),
+        (col("p.n_stop").cast("double") / nullif(col("p.n_tokens"), lit(0))).as("stop_ratio"),
+        (col("p.n_distinct").cast("double") / nullif(col("p.n_tokens"), lit(0))).as("ttr"),
+        (col("p.len") >= 100 && col("p.n_tokens") >= 20).as("passes_len"))
       .orderBy("doc_id")
-  }
 
   /** N-gram/stopword-profile language ID. Marker-count argmax with a fixed
     * tie-break priority; fully SQL-expressible, so oracle-checked.
     */
   def qTextLangid(spark: SparkSession, sfDir: String): DataFrame = {
-    val t = toks(col("text"))
-    def score(markers: Seq[String]): Column =
-      size(filter(t, x => array_contains(typedlit(markers), x)))
-    val sEn = score(Seq("the", "and", "of", "to", "is"))
-    val sDe = score(Seq("der", "und", "die", "das", "ist"))
-    val sFr = score(Seq("le", "la", "et", "les", "est"))
-    val sEs = score(Seq("el", "los", "y", "es", "las"))
-    val sZh = size(regexp_extract_all(col("text"), lit("[\\x{4e00}-\\x{9fff}]"), lit(0)))
-    val best = greatest(sEn, sDe, sFr, sEs, sZh)
-    Tables
-      .documents(spark, sfDir)
+    val best =
+      greatest(col("p.s_en"), col("p.s_de"), col("p.s_fr"), col("p.s_es"), col("p.s_zh"))
+    profiled(spark, sfDir)
       .select(
         col("doc_id"),
         col("lang"),
-        when(sEn === best, "en")
-          .when(sDe === best, "de")
-          .when(sFr === best, "fr")
-          .when(sEs === best, "es")
+        when(col("p.s_en") === best, "en")
+          .when(col("p.s_de") === best, "de")
+          .when(col("p.s_fr") === best, "fr")
+          .when(col("p.s_es") === best, "es")
           .otherwise("zh")
           .as("pred"))
       .withColumn("hit", col("pred") === col("lang"))
@@ -337,38 +466,26 @@ object LlmOps {
   }
 
   /** Whitespace vs BPE-ish regex token counts. */
-  def qTextTokens(spark: SparkSession, sfDir: String): DataFrame = {
-    val bpe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def qTextTokens(spark: SparkSession, sfDir: String): DataFrame =
+    profiled(spark, sfDir)
+      .select(
+        col("doc_id"),
+        col("p.n_tokens").as("n_ws"),
+        col("p.n_bpe").as("n_bpe"))
+      .orderBy("doc_id")
+
+  /** Winnowing-lite document fingerprint: polynomial rolling hash per
+    * token (mod 1e9+7), then min over 4-token windows — as the codegen'd
+    * [[graft.functions.TextFingerprint]] kernel; the oracle replays the
+    * identical fold in DuckDB lambdas.
+    */
+  def qTextFingerprint(spark: SparkSession, sfDir: String): DataFrame =
     Tables
       .documents(spark, sfDir)
       .select(
         col("doc_id"),
-        size(toks(col("text"))).as("n_ws"),
-        size(regexp_extract_all(col("text"), lit(bpe), lit(0))).as("n_bpe"))
+        graft.functions.TextFingerprint.of(col("text")).as("fingerprint"))
       .orderBy("doc_id")
-  }
-
-  /** Winnowing-lite document fingerprint: polynomial rolling hash per
-    * token (mod 1e9+7), then min over 4-token windows. Pure column
-    * algebra; the oracle replays the identical fold in DuckDB lambdas.
-    */
-  def qTextFingerprint(spark: SparkSession, sfDir: String): DataFrame =
-    spark.sql(
-      s"""SELECT doc_id,
-         |  CASE WHEN size(th) >= 4 THEN
-         |    array_min(transform(sequence(1, size(th) - 3), j ->
-         |      (element_at(th, j) * 31957 + element_at(th, j + 1) * 1031 +
-         |       element_at(th, j + 2) * 97 + element_at(th, j + 3)) % 1000000007))
-         |  ELSE NULL END AS fingerprint
-         |FROM (
-         |  SELECT doc_id,
-         |    transform(toks, t ->
-         |      aggregate(sequence(1, length(t)),
-         |        CAST(0 AS BIGINT),
-         |        (acc, i) -> (acc * 31 + ascii(substring(t, i, 1))) % 1000000007)) AS th
-         |  FROM (SELECT doc_id, filter(split(text, ' '), t -> t != '') AS toks
-         |        FROM parquet.`$sfDir/documents.parquet`))
-         |ORDER BY doc_id""".stripMargin)
 
   // ----------------------------------------------------------- sessionization
 
@@ -459,9 +576,33 @@ object LlmOps {
              |  CAST(common AS DOUBLE) / CAST(s1.n_sh + s2.n_sh - common AS DOUBLE) AS jaccard
              |FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
              |WHERE CAST(common AS DOUBLE) / CAST(s1.n_sh + s2.n_sh - common AS DOUBLE) >= 0.5
+             |ORDER BY d1, d2""".stripMargin),
+      bench = false),
+    "q_dedup_ngram_capped" -> Q(
+      qDedupNgramCapped,
+      Some("""WITH docs AS (
+             | SELECT doc_id, list_distinct(
+             |   CASE WHEN len(toks) >= 3 THEN
+             |     list_transform(generate_series(1, len(toks) - 2),
+             |       i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+             |   ELSE [] END) AS shingles
+             | FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents)),
+             |ex0 AS (SELECT doc_id, unnest(shingles) AS sh FROM docs),
+             |df AS (SELECT sh, count(1) AS df FROM ex0 GROUP BY sh),
+             |ex AS (SELECT ex0.doc_id, ex0.sh FROM ex0 JOIN df USING (sh) WHERE df.df <= 50),
+             |sizes AS (SELECT doc_id, count(1) AS n_sh FROM ex GROUP BY doc_id),
+             |pairs AS (
+             | SELECT a.doc_id AS d1, b.doc_id AS d2, count(1) AS common
+             | FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+             | GROUP BY 1, 2)
+             |SELECT d1, d2, common,
+             |  CAST(common AS DOUBLE) / CAST(s1.n_sh + s2.n_sh - common AS DOUBLE) AS jaccard
+             |FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+             |WHERE CAST(common AS DOUBLE) / CAST(s1.n_sh + s2.n_sh - common AS DOUBLE) >= 0.5
              |ORDER BY d1, d2""".stripMargin)),
     "q_dedup_near" -> Q(qDedupNear, None),
     "q_dedup_simhash" -> Q(qDedupSimhash, None),
+    "q_dedup_simhash_pairs" -> Q(qDedupSimhashPairs, None),
     "q_dedup_embed" -> Q(
       qDedupEmbed,
       Some("""WITH pr AS (
@@ -479,6 +620,7 @@ object LlmOps {
              |WHERE dot / (sqrt(n1) * sqrt(n2)) >= 0.8
              |ORDER BY v1, v2""".stripMargin),
       bench = false),
+    "q_dedup_embed_lsh" -> Q(qDedupEmbedLsh, None),
     "q_sim_topk" -> Q(
       qSimTopk,
       Some("""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),

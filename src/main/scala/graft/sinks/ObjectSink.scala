@@ -21,18 +21,64 @@ import org.apache.spark.util.LongAccumulator
   * content back at the end, or write straight from the scan partitions).
   */
 trait ObjectStore extends Serializable {
-  def put(key: String, bytes: Array[Byte], contentType: String): Unit
+
+  /** PUT one object. `acl` is the per-object canned ACL the reference sets
+    * on every upload — `allUsers:OWNER` on GCS (Program.cs:82-91),
+    * `PublicRead` on S3 (EtlToS3.cs:92).
+    */
+  def put(key: String, bytes: Array[Byte], contentType: String, acl: String): Unit
+}
+
+object ObjectStore {
+  /** The reference's public-read canned ACL (EtlToS3.cs:92). */
+  val PublicRead = "public-read"
 }
 
 /** Local-filesystem store: key → file under a root dir. Stands in for a
   * GCS/S3 client in tests; a cloud deployment swaps in a client-backed
-  * implementation with identical semantics.
+  * implementation with identical semantics. Content-type and ACL — which a
+  * filesystem cannot carry natively — are recorded per object under
+  * `_meta/<key>` ("_"-prefixed so Spark's file listing never mistakes the
+  * sidecars for objects), letting tests assert the full PUT contract.
   */
 final class LocalFsStore(root: String) extends ObjectStore {
-  override def put(key: String, bytes: Array[Byte], contentType: String): Unit = {
+  override def put(key: String, bytes: Array[Byte], contentType: String, acl: String): Unit = {
     val f = new java.io.File(root, key)
     f.getParentFile.mkdirs()
     java.nio.file.Files.write(f.toPath, bytes)
+    val m = new java.io.File(new java.io.File(root, "_meta"), key)
+    m.getParentFile.mkdirs()
+    java.nio.file.Files.write(m.toPath, s"content-type=$contentType\nacl=$acl\n".getBytes("UTF-8"))
+  }
+}
+
+/** Hadoop-FileSystem-backed store: the cloud swap-in. The same code path
+  * writes `file://` in tests and `gs://` / `s3a://` in a deployment purely
+  * by root-URI (plus the usual fs.* credentials config) — demonstrating
+  * that nothing in the sink is local-fs-specific. Object bytes go to
+  * `<root>/<key>`; content-type and ACL travel as the same `_meta/<key>`
+  * sidecar convention as [[LocalFsStore]] (connector-level canned ACLs —
+  * `fs.gs.bucket.*`, `fs.s3a.acl.default` — are cluster config, applied at
+  * the connector below this API).
+  *
+  * One `FileSystem` per partition-task (the handle is created lazily on
+  * the executor, never serialized from the driver), matching the
+  * one-client-per-partition design above.
+  */
+final class HadoopFsStore(rootUri: String) extends ObjectStore {
+  @transient private lazy val fs = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    org.apache.hadoop.fs.FileSystem.get(java.net.URI.create(rootUri), conf)
+  }
+  private def write(path: String, bytes: Array[Byte]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(rootUri, path)
+    val out = fs.create(p, true)
+    try out.write(bytes)
+    finally out.close()
+  }
+  override def put(key: String, bytes: Array[Byte], contentType: String, acl: String): Unit = {
+    write(key, bytes)
+    write(s"_meta/$key", s"content-type=$contentType\nacl=$acl\n".getBytes("UTF-8"))
   }
 }
 
@@ -47,7 +93,8 @@ object ObjectSink {
       store: ObjectStore,
       keyCol: String,
       contentCol: String,
-      contentType: String): (Long, Long) = {
+      contentType: String,
+      acl: String = ObjectStore.PublicRead): (Long, Long) = {
     val spark = df.sparkSession
     val ok: LongAccumulator = spark.sparkContext.longAccumulator("objects_uploaded")
     val failed: LongAccumulator = spark.sparkContext.longAccumulator("objects_failed")
@@ -56,7 +103,7 @@ object ObjectSink {
     df.foreachPartition { rows: Iterator[Row] =>
       rows.foreach { r =>
         try {
-          store.put(r.getString(ki), r.getAs[Array[Byte]](ci), contentType)
+          store.put(r.getString(ki), r.getAs[Array[Byte]](ci), contentType, acl)
           ok.add(1)
         } catch { case scala.util.control.NonFatal(_) => failed.add(1) }
       }

@@ -1,0 +1,106 @@
+package graft
+
+import graft.tile.{Tile, TileConfig}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based suites (SURVEY.md §5.4), generators from scalacheck.
+  *
+  * The scalatest↔scalacheck bridge artifact isn't available offline, so
+  * generators are driven directly with fixed seeds (fully deterministic —
+  * a CI failure is reproducible by seed). Each property evaluates the
+  * PRODUCTION column algebra over one generated DataFrame of many cases
+  * (not one tiny Spark job per case — a forAll of single-row jobs would be
+  * hundreds of times slower for the same coverage).
+  */
+class PropertySpec extends SparkSuite {
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.pureApply(Gen.Parameters.default, Seed(seed))
+
+  private val cfg = TileConfig()
+
+  private val tileCase = for {
+    level <- Gen.choose(1, 20)
+    row <- Gen.choose(-64, 1 << math.min(level, 20))
+    col <- Gen.choose(-64, 1 << math.min(level, 20))
+  } yield (level, row, col)
+
+  test("property: tile -> bbox -> containing tile round-trips (incl. negative indices)") {
+    (1L to 5L).foreach { seed =>
+      val df = sample(Gen.listOfN(200, tileCase), seed).toDF("level", "row", "col")
+      val bbox = Tile.tileBBox(cfg, $"level", $"row", $"col")
+      // the floor-based inverse of the bbox math must recover the tile
+      // from its center point at every index, negative included (the
+      // reference's trunc-toward-zero is only valid on-world — that
+      // divergence is pinned by TileSpec's trunc test)
+      val ts = Tile.tileSize(cfg, $"level")
+      val cx = (bbox(0) + bbox(2)) / 2
+      val cy = (bbox(1) + bbox(3)) / 2
+      val bad = df
+        .select(
+          $"row",
+          $"col",
+          floor((lit(cfg.webMercatorDelta) - cy) / ts).cast("int").as("row2"),
+          floor((cx + lit(cfg.webMercatorDelta)) / ts).cast("int").as("col2"))
+        .where($"row" =!= $"row2" || $"col" =!= $"col2")
+        .count()
+      assert(bad == 0, s"seed $seed")
+    }
+  }
+
+  test("property: bbox edges are exact neighbors' edges and enclose positive area") {
+    (11L to 15L).foreach { seed =>
+      val df = sample(Gen.listOfN(200, tileCase), seed).toDF("level", "row", "col")
+      val b = Tile.tileBBox(cfg, $"level", $"row", $"col")
+      val right = Tile.tileBBox(cfg, $"level", $"row", $"col" + 1)
+      val below = Tile.tileBBox(cfg, $"level", $"row" + 1, $"col")
+      val bad = df
+        .where(
+          b(0) >= b(2) || b(1) >= b(3) || // degenerate area
+            b(2) =!= right(0) || // right neighbor shares the east edge
+            b(1) =!= below(3)) // lower neighbor shares the south edge
+        .count()
+      assert(bad == 0, s"seed $seed")
+    }
+  }
+
+  test("property: topk(k) is a prefix of topk(k+n)") {
+    val base = Tables
+      .orders(spark, sf001)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val top = base.limit(120).collect().map(_.getLong(0))
+    (21L to 25L).foreach { seed =>
+      val (k, n) = sample(Gen.zip(Gen.choose(1, 100), Gen.choose(1, 20)), seed)
+      val tk = base.limit(k).collect().map(_.getLong(0))
+      val tkn = base.limit(k + n).collect().map(_.getLong(0))
+      assert(tkn.take(k).sameElements(tk), s"seed $seed k=$k n=$n")
+      assert(top.take(k).sameElements(tk), s"seed $seed k=$k")
+    }
+  }
+
+  test("property: exact dedup is idempotent") {
+    val corpus = Gen.listOfN(
+      120,
+      Gen.oneOf(
+        Gen.oneOf("alpha beta", "gamma delta", "epsilon zeta"), // heavy dups
+        Gen.alphaNumStr.map(s => s"doc $s")))
+    (31L to 33L).foreach { seed =>
+      val texts = sample(corpus, seed)
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val once = graft.queries.LlmOps.dedupExactCore(docs)
+      // re-deduping the kept representatives must be a fixpoint: every
+      // group collapses to itself (n_dups == 1, same keep set)
+      val kept = docs.join(once.select($"keep_id".as("doc_id")), "doc_id")
+      val twice = graft.queries.LlmOps.dedupExactCore(kept)
+      assert(twice.where($"n_dups" =!= 1).count() == 0, s"seed $seed")
+      assert(
+        twice.select("keep_id").collect().map(_.getLong(0)).toSet ==
+          once.select("keep_id").collect().map(_.getLong(0)).toSet,
+        s"seed $seed")
+    }
+  }
+}

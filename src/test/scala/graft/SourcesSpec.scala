@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** CSV/JSON source coverage (SURVEY.md §2.2-B: exercised in tests).
+  * Round-trips a real table through each format with an explicit schema —
+  * the production pattern for text sources at scale (schema inference
+  * costs an extra full pass over 100 TB; never rely on it).
+  */
+class SourcesSpec extends SparkSuite {
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("CSV round-trip with explicit schema, header, and pushed-down filter") {
+    val nation = Tables.nation(spark, sf001).orderBy("n_nationkey")
+    val dir = tmp("graft_csv")
+    nation.write.mode("overwrite").option("header", "true").csv(dir)
+    val schema = StructType(Seq(
+      StructField("n_nationkey", IntegerType),
+      StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType)))
+    val back = spark.read
+      .schema(schema)
+      .option("header", "true")
+      .csv(dir)
+      .orderBy("n_nationkey")
+    assert(back.schema == schema)
+    assert(back.collect().sameElements(nation.collect()))
+    // filters prune on read (no full materialization before the predicate)
+    assert(back.where(col("n_regionkey") === 0).count() == nation.where(col("n_regionkey") === 0).count())
+  }
+
+  test("JSON round-trip with explicit schema preserves values and nulls") {
+    val docs = Tables
+      .documents(spark, sf001)
+      .select("doc_id", "lang", "n_chars", "text")
+      .orderBy("doc_id")
+    val dir = tmp("graft_json")
+    docs.write.mode("overwrite").json(dir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("lang", StringType),
+      StructField("n_chars", LongType),
+      StructField("text", StringType)))
+    val back = spark.read.schema(schema).json(dir).orderBy("doc_id")
+    assert(back.schema == schema)
+    assert(back.count() == docs.count())
+    assert(back.exceptAll(docs).count() == 0 && docs.exceptAll(back).count() == 0)
+  }
+
+  test("JSON reader handles corrupt records in PERMISSIVE mode without failing the job") {
+    val dir = tmp("graft_json_corrupt")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "part-0.json"),
+      "{\"id\": 1, \"v\": \"ok\"}\nNOT JSON AT ALL\n{\"id\": 2, \"v\": \"also ok\"}\n".getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("v", StringType),
+      StructField("_corrupt_record", StringType)))
+    val back = spark.read.schema(schema).json(dir).cache()
+    try {
+      assert(back.count() == 3)
+      assert(back.where(col("_corrupt_record").isNotNull).count() == 1)
+      assert(back.where(col("id").isNotNull).count() == 2)
+    } finally back.unpersist()
+  }
+}

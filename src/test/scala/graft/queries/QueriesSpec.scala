@@ -9,11 +9,96 @@ import org.apache.spark.sql.functions._
 class QueriesSpec extends SparkSuite {
 
   test("every registered query executes at sf0.001") {
-    val emptyOk = Set("q_join_anti", "q_dedup_embed") // legitimately empty at this sf
+    // legitimately empty at this sf (no cos>=0.8 / hamming<=3 pairs exist)
+    val emptyOk =
+      Set("q_join_anti", "q_dedup_embed", "q_dedup_embed_lsh", "q_dedup_simhash_pairs")
     Registry.all.foreach { case (name, q) =>
       val n = q.fn(spark, sf001).count()
       withClue(name) { assert(n > 0 || emptyOk(name), s"$name returned $n rows") }
     }
+  }
+
+  test("ngram capped == ngram exact when no shingle exceeds the df cap") {
+    // 50 docs at sf0.001 — no shingle can reach df > 50, so the capped
+    // variant must reproduce the exact variant bit-for-bit.
+    val a = LlmOps.qDedupNgram(spark, sf001).collect()
+    val b = LlmOps.qDedupNgramCapped(spark, sf001).collect()
+    assert(a.sameElements(b))
+  }
+
+  test("simhash pairs == brute-force hamming<=3 (pigeonhole completeness)") {
+    import spark.implicits._
+    val sigs = LlmOps.qDedupSimhash(spark, sf001).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (d1, s1) <- sigs; (d2, s2) <- sigs if d1 < d2
+      if java.lang.Long.bitCount(s1 ^ s2) <= 3
+    } yield (d1, d2)).toSet
+    val got = LlmOps
+      .qDedupSimhashPairs(spark, sf001)
+      .select("d1", "d2")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    assert(got == brute) // the 4-segment join is exact at radius 3, not approximate
+  }
+
+  test("embed LSH dedup finds clustered near-dups and is a subset of exact") {
+    import spark.implicits._
+    // sf0.001 has no cos>=0.8 pair, so drive the cores over a clustered
+    // fixture: 3 exact groups of near-identical vectors + noise vectors.
+    val rnd = new scala.util.Random(7)
+    def base(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(64)((r.nextDouble() * 2 - 1).toFloat)
+    }
+    val rows = (0 until 3).flatMap { g =>
+      val b = base(g)
+      (0 until 4).map { i =>
+        val v = b.map(x => x + (rnd.nextDouble() * 0.02 - 0.01).toFloat)
+        (g * 10L + i, v)
+      }
+    } ++ (100 until 120).map(i => (i.toLong, base(i)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val exact = LlmOps
+      .embedPairsExact(emb)
+      .select("v1", "v2")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    val lsh = LlmOps
+      .embedPairsLsh(emb)
+      .select("v1", "v2")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    assert(lsh.subsetOf(exact), "LSH rerank must never emit a non-near-dup pair")
+    // each 4-vector cluster has 6 true pairs = 18 total; banded LSH with
+    // P(candidate) ~= 0.87 per pair must find a clear majority of them
+    assert(exact.size == 18, s"fixture produced ${exact.size} exact pairs")
+    assert(lsh.size >= 12, s"LSH recall too low: ${lsh.size}/18")
+  }
+
+  test("bucketed ANN == dense hamming<=7 filter (probe-ball equivalence)") {
+    import spark.implicits._
+    // The probe-ball semi-join must select EXACTLY the vectors a dense
+    // bit_count(sig ^ q_sig) <= 7 filter selects (the round-1 shape).
+    val e = graft.Tables
+      .embeddings(spark, sf001)
+      .withColumn("sig", LlmOps.planeSig(col("embedding")))
+    val q = e.where($"vec_id" === 0).select($"sig".as("q_sig"))
+    val brute = e
+      .where($"vec_id" =!= 0)
+      .crossJoin(broadcast(q))
+      .where(bit_count($"sig".bitwiseXOR($"q_sig")) <= 7)
+      .select("vec_id")
+      .as[Long]
+      .collect()
+      .toSet
+    val ballKeep = LlmOps.qSimAnn(spark, sf001) // top-10 of the candidate set
+    val annCand = ballKeep.select("vec_id").as[Long].collect().toSet
+    assert(annCand.subsetOf(brute))
+    // and the top-10 rerank picks the 10 best of the brute candidate set
+    assert(annCand.size == math.min(10, brute.size))
   }
 
   test("q_dedup_exact keeps one representative per distinct text") {

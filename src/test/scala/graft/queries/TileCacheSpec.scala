@@ -38,4 +38,37 @@ class TileCacheSpec extends SparkSuite {
       TileCacheQueries.cacheScan(spark, sf001).select("object_key").collect().map(_.getString(0)).toSet
     assert(manifest.map(_.getString(0)).toSet == scanKeys)
   }
+
+  test("upload sink records per-object content-type and ACL (reference PUT contract)") {
+    // Program.cs:82-91 sets allUsers:OWNER per object; EtlToS3.cs:92 sets
+    // PublicRead; our sink must carry both fields per object, not per job.
+    val manifest = TileCacheQueries.uploadSink(spark, sf001).collect()
+    val bucket = new java.io.File(sys.props("java.io.tmpdir"), "graft_tile_bucket")
+    manifest.foreach { r =>
+      val key = r.getString(0)
+      val m = new java.io.File(new java.io.File(bucket, "_meta"), key)
+      assert(m.exists(), s"missing metadata sidecar for $key")
+      val meta = new String(java.nio.file.Files.readAllBytes(m.toPath), "UTF-8")
+      assert(meta.contains("content-type=image/jpg"), key)
+      assert(meta.contains("acl=public-read"), key)
+    }
+  }
+
+  test("HadoopFsStore writes the same PUT contract through the hadoop-fs API (cloud swap-in)") {
+    import graft.sinks.{HadoopFsStore, ObjectSink}
+    val root = java.nio.file.Files.createTempDirectory("graft_hfs_bucket").toFile
+    val df = spark
+      .createDataFrame(Seq(("Lite/2/3/4", "tile-2-3-4".getBytes("UTF-8"))))
+      .toDF("object_key", "content")
+    val (ok, failed) =
+      ObjectSink.write(df, new HadoopFsStore(s"file://${root.getAbsolutePath}"), "object_key", "content", "image/jpg")
+    assert(ok == 1 && failed == 0)
+    val obj = new java.io.File(root, "Lite/2/3/4")
+    assert(obj.exists())
+    assert(new String(java.nio.file.Files.readAllBytes(obj.toPath), "UTF-8") == "tile-2-3-4")
+    val meta = new String(
+      java.nio.file.Files.readAllBytes(new java.io.File(root, "_meta/Lite/2/3/4").toPath),
+      "UTF-8")
+    assert(meta == "content-type=image/jpg\nacl=public-read\n")
+  }
 }

@@ -75,6 +75,37 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming sliding windows with watermark equal batch sliding windows") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val df = mem
+      .toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Streams
+      .sliding(df, withWatermark = true)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("sliding_append")
+      .start()
+    try {
+      val evs = eventTuples
+      mem.addData(evs.toIndexedSeq)
+      q.processAllAvailable()
+      val maxTs = evs.map(_._2.getTime).max
+      mem.addData((-1L, new java.sql.Timestamp(maxTs + 3600L * 1000), 0L, "sentinel", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("sliding_append")
+      val batch = Streams.sliding(
+        Tables.events(spark, sf001).select("event_id", "ts", "user_id", "event_type", "value"),
+        withWatermark = false)
+      // every batch window (incl. both overlapping windows per event) must
+      // have been emitted exactly once after the watermark passed it
+      assert(streamed.where($"event_type" =!= "sentinel").exceptAll(batch).count() == 0)
+      assert(batch.exceptAll(streamed).count() == 0)
+    } finally q.stop()
+  }
+
   test("streaming session windows equal batch session windows") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
