@@ -55,4 +55,17 @@ object Tables {
     */
   def davg(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     sum(c.cast("decimal(18,6)")).cast("double") / count(c)
+
+  /** `CAST(x AS DECIMAL(18,6))` as exact Long micros — the scalar twin of
+    * [[dsum]] for typed/stateful accumulators (WeightedAvg, stateful
+    * sessionize) that need the identical quantization without a BigDecimal
+    * buffer.
+    */
+  def decimalMicros(x: Double): Long =
+    BigDecimal
+      .decimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .bigDecimal
+      .unscaledValue()
+      .longValueExact()
 }

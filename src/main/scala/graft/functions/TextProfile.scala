@@ -160,6 +160,76 @@ object TextProfile {
   def profile(c: Column): Column = Bridge.column(TextProfile(Bridge.expression(c)))
 }
 
+/** Codegen'd distinct 3-token shingle set (the n-gram dedup family's
+  * candidate keys): tokens are the battery's space-split semantics,
+  * shingles are consecutive token triples joined by single spaces,
+  * deduplicated per document inside the kernel (insertion order).
+  *
+  * Replaces a posexplode → window(lead,lead) → distinct pipeline: the
+  * window pass ran on WindowExec's interpreted per-row path (same
+  * megamorphic cliff as the HOFs — measured 74 s task CPU late-JVM vs
+  * ~4 s healthy for the identical plan), and the per-document `distinct`
+  * cost a full extra shuffle of every (doc_id, shingle) row. One
+  * generated call per document does both for free.
+  */
+case class Shingles3(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingles3"
+
+  override def nullSafeEval(input: Any): Any =
+    Shingles3.shingles(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${Shingles3.Mod}.shingles($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Shingles3 {
+
+  private[functions] val Mod = getClass.getName.stripSuffix("$") + "$.MODULE$"
+
+  def shingles(u: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val s = u.toString
+    val n = s.length
+    // token start/end offsets (space-split, empties dropped)
+    val starts = new java.util.ArrayList[Integer]()
+    val ends = new java.util.ArrayList[Integer]()
+    var i = 0
+    var start = -1
+    while (i < n) {
+      if (s.charAt(i) == ' ') {
+        if (start >= 0) { starts.add(start); ends.add(i); start = -1 }
+      } else if (start < 0) start = i
+      i += 1
+    }
+    if (start >= 0) { starts.add(start); ends.add(n) }
+    val m = starts.size()
+    val out = new java.util.LinkedHashSet[String]()
+    var j = 0
+    while (j + 2 < m) {
+      // tokens are adjacent in the source except for the space runs they
+      // were split on; rebuild with single spaces (the shingle format)
+      val sb = new java.lang.StringBuilder(ends.get(j + 2) - starts.get(j))
+      sb.append(s, starts.get(j), ends.get(j)).append(' ')
+      sb.append(s, starts.get(j + 1), ends.get(j + 1)).append(' ')
+      sb.append(s, starts.get(j + 2), ends.get(j + 2))
+      out.add(sb.toString)
+      j += 1
+    }
+    val arr = new Array[Any](out.size())
+    val it = out.iterator()
+    var k = 0
+    while (it.hasNext) { arr(k) = UTF8String.fromString(it.next()); k += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
+  /** Column API: distinct 3-token shingles as ARRAY<STRING>. */
+  def of(c: Column): Column = Bridge.column(Shingles3(Bridge.expression(c)))
+}
+
 /** Codegen'd winnowing-lite fingerprint (see `q_text_fingerprint`):
   * per-token polynomial rolling hash over code points mod 1e9+7, then the
   * min over 4-token windows; NULL when the document has < 4 tokens. Same

@@ -45,27 +45,20 @@ object LlmOps {
 
   // ----------------------------------------------------------- n-gram Jaccard
 
-  /** Distinct 3-word shingles per doc as (doc_id, sh) rows.
-    *
-    * Deliberately NOT a per-row higher-order-function build
-    * (`transform(sequence(...), i -> element_at(toks, i) ...)`): Catalyst's
-    * CollapseProject inlines the tokens alias into every lambda reference,
-    * so `split(text)` re-executes per shingle per element — observed as one
-    * task burning 15 min at sf0.1. posexplode + window-lead is codegen'd,
-    * evaluates split once per doc, and parallelizes across the doc_id
-    * shuffle (which a small single-file parquet scan otherwise never gets).
+  /** Distinct 3-word shingles per doc as (doc_id, sh) rows, via the
+    * [[graft.functions.Shingles3]] codegen kernel + explode: the whole
+    * shingle derivation is scan → generate inside one codegen stage, with
+    * no window pass and no distinct shuffle (the kernel dedupes per doc).
+    * Two earlier shapes both failed at this: a higher-order-function build
+    * re-executed `split(text)` per element after CollapseProject inlining
+    * (one task burning 15 min at sf0.1), and a posexplode + window-lead +
+    * distinct pipeline left WindowExec's interpreted per-row path on the
+    * hot loop (74 s task CPU late-JVM vs 4 s healthy — see Shingles3).
     */
-  private def shingles(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.partitionBy("doc_id").orderBy("pos")
+  private def shingles(spark: SparkSession, sfDir: String): DataFrame =
     Tables
       .documents(spark, sfDir)
-      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "tok")))
-      .withColumn("t1", lead(col("tok"), 1).over(w))
-      .withColumn("t2", lead(col("tok"), 2).over(w))
-      .where(col("t2").isNotNull)
-      .select(col("doc_id"), concat_ws(" ", col("tok"), col("t1"), col("t2")).as("sh"))
-      .distinct()
-  }
+      .select(col("doc_id"), explode(graft.functions.Shingles3.of(col("text"))).as("sh"))
 
   /** Shared shingle→pair→Jaccard tail of the two n-gram dedup variants. */
   private def jaccardPairs(ex: DataFrame): DataFrame = {

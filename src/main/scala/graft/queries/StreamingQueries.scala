@@ -32,6 +32,15 @@ object StreamingQueries {
       .session(Tables.events(spark, sfDir), withWatermark = false)
       .orderBy("user_id", "session_start")
 
+  /** Batch run of the flatMapGroupsWithState sessionizer (custom-state
+    * API surface); bit-identical to `q_events_sessionize`'s oracle.
+    */
+  def sessionStateful(spark: SparkSession, sfDir: String): DataFrame =
+    Streams
+      .sessionizeStateful(Tables.events(spark, sfDir), streaming = false)
+      .toDF()
+      .orderBy("user_id", "session_id")
+
   val all: Seq[(String, Q)] = Seq(
     "s_stream_tumbling" -> Q(
       tumbling,
@@ -64,5 +73,22 @@ object StreamingQueries {
               | max(ts) + INTERVAL '30 minutes' AS session_end,
               | count(1) AS n_events
               |FROM sess GROUP BY user_id, sid
-              |ORDER BY user_id, session_start""".stripMargin)))
+              |ORDER BY user_id, session_start""".stripMargin)),
+    "s_stream_session_state" -> Q(
+      sessionStateful,
+      Some(s"""WITH flagged AS (
+              | SELECT user_id, event_id, ts, value,
+              |  CASE WHEN lag(ts) OVER w IS NULL
+              |        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000 THEN 1 ELSE 0 END AS new_s
+              | FROM $EV
+              | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+              |sess AS (
+              | SELECT user_id, ts, value,
+              |  CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+              | FROM flagged)
+              |SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+              | count(1) AS n_events,
+              | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+              |FROM sess GROUP BY user_id, session_id
+              |ORDER BY user_id, session_id""".stripMargin)))
 }

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming transforms (SURVEY.md §2.2-S), written against a generic
   * DataFrame so the SAME definition serves `readStream` (with watermark →
@@ -36,6 +37,86 @@ object Streams {
       .select(col("window.start").as("ws"), col("window.end").as("we"), col("event_type"), col("n"))
   }
 
+  /** Custom-state sessionization via `flatMapGroupsWithState` — the
+    * KeyValueGroupedDataset state API the built-in `session_window` can't
+    * replace when per-session state is richer than an aggregate. Same
+    * semantics as the batch window twin (`q_events_sessionize`): 30-minute
+    * `>=` gap, session_end = last event ts, exact DECIMAL(18,6)-quantized
+    * value sum (Long-micros accumulator), session_id = 1-based per-user
+    * arrival order.
+    *
+    * One shuffle on user_id; state is O(1) per live user (the open
+    * session only). In streaming mode sessions close either when a later
+    * event opens a gap or when the event-time watermark passes
+    * last+gap (EventTimeTimeout); in batch mode each key sees all its
+    * events in one call and the final open session is emitted at the end,
+    * which makes the batch run of the SAME function bit-identical to the
+    * SQL oracle. Cross-trigger event disorder beyond the watermark is the
+    * usual Structured Streaming contract (late events are dropped by the
+    * watermark before reaching the state function).
+    */
+  def sessionizeStateful(events: DataFrame, streaming: Boolean): Dataset[SessionRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gap = 1800000000L // 30 min in micros
+    def micros(t: java.sql.Timestamp): Long = {
+      val i = t.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    def ts(m: Long): java.sql.Timestamp =
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(m / 1000000L, (m % 1000000L) * 1000L))
+    def close(uid: Long, s: SessionState): SessionRow =
+      SessionRow(
+        uid,
+        s.session_id,
+        ts(s.startMicros),
+        ts(s.lastMicros),
+        s.n_events,
+        java.math.BigDecimal.valueOf(s.sumMicros, 6).doubleValue())
+
+    def fn(uid: Long, it: Iterator[(Long, java.sql.Timestamp, Double)], state: GroupState[SessionState]): Iterator[SessionRow] =
+      if (state.hasTimedOut) {
+        val out = Iterator.single(close(uid, state.get))
+        state.remove()
+        out
+      } else {
+        val evs = it.toArray.sortBy(e => micros(e._2))
+        val out = scala.collection.mutable.ArrayBuffer.empty[SessionRow]
+        var open = state.getOption
+        evs.foreach { case (_, t, v) =>
+          val m = micros(t)
+          val vq = graft.Tables.decimalMicros(v)
+          open match {
+            case Some(s) if m - s.lastMicros >= gap =>
+              out += close(uid, s)
+              open = Some(SessionState(s.session_id + 1, m, m, 1L, vq))
+            case Some(s) =>
+              open = Some(s.copy(lastMicros = m, n_events = s.n_events + 1, sumMicros = s.sumMicros + vq))
+            case None =>
+              open = Some(SessionState(1L, m, m, 1L, vq))
+          }
+        }
+        if (streaming) {
+          open.foreach { s =>
+            state.update(s)
+            state.setTimeoutTimestamp((s.lastMicros + gap) / 1000L) // millis
+          }
+        } else {
+          open.foreach(s => out += close(uid, s))
+          state.remove()
+        }
+        out.iterator
+      }
+
+    val src0 = events.select(col("user_id"), col("ts"), col("value"))
+    val src = if (streaming) src0.withWatermark("ts", "30 minutes") else src0
+    val timeout = if (streaming) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
+    src
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionRow](OutputMode.Append, timeout)(fn)
+  }
+
   /** Per-user session windows, 30-minute gap. Session end = last event +
     * gap (Spark session_window semantics).
     */
@@ -51,3 +132,20 @@ object Streams {
         col("n_events"))
   }
 }
+
+/** Open-session state carried per user by [[Streams.sessionizeStateful]]. */
+case class SessionState(
+    session_id: Long,
+    startMicros: Long,
+    lastMicros: Long,
+    n_events: Long,
+    sumMicros: Long)
+
+/** Closed-session output of [[Streams.sessionizeStateful]]. */
+case class SessionRow(
+    user_id: Long,
+    session_id: Long,
+    session_start: java.sql.Timestamp,
+    session_end: java.sql.Timestamp,
+    n_events: Long,
+    sum_value: Double)

@@ -106,6 +106,38 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState streaming sessionize equals batch sessionize") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val df = mem
+      .toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Streams
+      .sessionizeStateful(df, streaming = true)
+      .toDF()
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("session_state_append")
+      .start()
+    try {
+      val evs = eventTuples
+      mem.addData(evs.toIndexedSeq)
+      q.processAllAvailable()
+      // two watermark advances: the first lets gap-closed sessions time
+      // out, the second times out sessions that ended near max ts
+      val maxTs = evs.map(_._2.getTime).max
+      mem.addData((-1L, new java.sql.Timestamp(maxTs + 24L * 3600 * 1000), -999L, "sentinel", 0.0))
+      q.processAllAvailable()
+      mem.addData((-2L, new java.sql.Timestamp(maxTs + 48L * 3600 * 1000), -999L, "sentinel", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("session_state_append").where($"user_id" =!= -999L)
+      val batch = graft.queries.StreamingQueries.sessionStateful(spark, sf001)
+      assert(streamed.exceptAll(batch).count() == 0)
+      assert(batch.exceptAll(streamed).count() == 0)
+    } finally q.stop()
+  }
+
   test("streaming session windows equal batch session windows") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
