@@ -37,4 +37,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-XX:ReservedCodeCacheSize=1g",
   "-XX:+UseCodeCacheFlushing",
   "-XX:CICompilerCount=8",
+  // The round-1 "random query suddenly 25-100x slower late in a run"
+  // cliff (CPU-bound, zero GC, code cache healthy): HotSpot marks a
+  // method "not compilable" once it deoptimizes more than
+  // PerMethodRecompilationCutoff times, and Spark's SHARED interpreted
+  // runtime methods (HOF eval loops, window frames, typed ser/de) cross
+  // that cutoff as dozens of distinct queries pollute their type
+  // profiles — leaving them permanently interpreted for the life of the
+  // JVM. -1 = always recompile. Measured: full bench 165 s -> 92 s with
+  // no other change; worst query 42 s -> 2.2 s. A long-lived cluster
+  // executor wants the same two flags in spark.executor.extraJavaOptions.
+  "-XX:PerMethodRecompilationCutoff=-1",
+  "-XX:PerBytecodeRecompilationCutoff=-1",
 )

@@ -230,6 +230,76 @@ object Shingles3 {
   def of(c: Column): Column = Bridge.column(Shingles3(Bridge.expression(c)))
 }
 
+/** Codegen'd 64-bit SimHash (see `q_dedup_simhash`): per-token xxhash64
+  * (bit-identical to Spark's `xxhash64` builtin — same XXH64 core, seed
+  * 42, over the token's UTF-8 bytes), ±1 votes per bit, sign-assembled
+  * signature. One generated call per document replaces an explode of
+  * every token plus a 64-column SUM aggregate: the per-row work is
+  * identical, but there is no token shuffle at all and no 64-wide
+  * aggregate to plan/codegen (measured ~6 s of driver planning per run).
+  *
+  * Tokenization is done on the raw UTF-8 bytes (0x20 never occurs inside
+  * a multi-byte UTF-8 sequence, so byte-level space splitting is exact),
+  * which also lets each token hash straight from the original buffer with
+  * zero copies.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any =
+    SimHash64.simhash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${SimHash64.Mod}.simhash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+
+  private[functions] val Mod = getClass.getName.stripSuffix("$") + "$.MODULE$"
+
+  private val Seed = 42L // Spark's xxhash64 default seed
+
+  def simhash(u: UTF8String): Long = {
+    val base = u.getBaseObject
+    val off = u.getBaseOffset
+    val n = u.numBytes()
+    val votes = new Array[Int](64)
+    var i = 0
+    var start = -1
+    while (i <= n) {
+      val isSpace = i == n || org.apache.spark.unsafe.Platform.getByte(base, off + i) == 0x20
+      if (isSpace) {
+        if (start >= 0) {
+          val h = org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashUnsafeBytes(base, off + start, i - start, Seed)
+          var b = 0
+          while (b < 64) {
+            votes(b) += (((h >>> b) & 1L).toInt * 2) - 1
+            b += 1
+          }
+          start = -1
+        }
+      } else if (start < 0) start = i
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sig |= 1L << b
+      b += 1
+    }
+    sig
+  }
+
+  /** Column API: simhash64(text) → BIGINT signature. */
+  def of(c: Column): Column = Bridge.column(SimHash64(Bridge.expression(c)))
+}
+
 /** Codegen'd winnowing-lite fingerprint (see `q_text_fingerprint`):
   * per-token polynomial rolling hash over code points mod 1e9+7, then the
   * min over 4-token windows; NULL when the document has < 4 tokens. Same

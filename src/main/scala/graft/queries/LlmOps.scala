@@ -174,22 +174,15 @@ object LlmOps {
     * same thing but runs interpreted with per-token array allocation —
     * measured 25× slower.) Deterministic; no DuckDB xxhash64 → rows-only.
     */
-  private def simhashSigs(spark: SparkSession, sfDir: String): DataFrame = {
-    val tokenHashes = Tables
+  /** (doc_id, simhash) via the [[graft.functions.SimHash64]] kernel — one
+    * codegen stage, no token explode/shuffle, no 64-wide aggregate.
+    * `SimHashSpec` pins bit-identity against the explode + 64×SUM votes
+    * formulation (same per-token xxhash64).
+    */
+  private def simhashSigs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables
       .documents(spark, sfDir)
-      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-    val votes = (0 until 64).map { i =>
-      sum(shiftright(col("h"), i).bitwiseAND(lit(1L)) * 2 - 1).as(s"v$i")
-    }
-    val assembled = (0 until 64)
-      .map(i => when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-      .reduce(_ + _) // distinct powers of two: sum == bitwise OR
-    tokenHashes
-      .groupBy("doc_id")
-      .agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"), assembled.as("simhash"))
-  }
+      .select(col("doc_id"), graft.functions.SimHash64.of(col("text")).as("simhash"))
 
   def qDedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
     simhashSigs(spark, sfDir).orderBy("doc_id")

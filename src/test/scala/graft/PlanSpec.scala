@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan shape assertions: the scale properties the engine claims
+  * (pushdown, broadcast, map-side partial aggregation, top-k as
+  * TakeOrdered, ANN as a bucket semi-join) must be visible in the plan
+  * Catalyst actually produces, not just intended. A regression that turns
+  * one of these into a scan-heavy or shuffle-heavy plan fails here long
+  * before it shows up at 100 TB.
+  */
+class PlanSpec extends SparkSuite {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter and projection push down into the parquet scan") {
+    val p = plan(
+      Tables
+        .lineitem(spark, sf001)
+        .where(col("l_quantity") > 45)
+        .select("l_orderkey", "l_quantity"))
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45"), p)
+    // pruned read schema: only the two projected columns reach the scan
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:"), p)
+  }
+
+  test("flagship entry broadcasts the small dimension sides") {
+    val p = plan(SparkEntry.entry(spark))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("global top-k plans as TakeOrderedAndProject (no full sort)") {
+    val p = plan(graft.queries.Relational.qTopk(spark, sf001))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("group-by aggregation is partial (map-side combine) before the shuffle") {
+    val p = plan(graft.queries.Relational.qAggGroup(spark, sf001))
+    assert(p.contains("partial_"), p) // partial_sum/partial_count... below the Exchange
+  }
+
+  test("q_sim_ann is a signature semi-join bucket lookup, not a scan filter") {
+    val p = plan(graft.queries.LlmOps.qSimAnn(spark, sf001))
+    assert(p.contains("LeftSemi"), p)
+  }
+
+  test("text battery evaluates one text_profile struct per row, no HOFs") {
+    val p = plan(graft.queries.LlmOps.qTextQuality(spark, sf001))
+    // exactly one text_profile call (CollapseProject must NOT inline the
+    // struct into each of the 4 consuming columns)
+    assert("text_profile".r.findAllIn(p).size == 1, p)
+    // the HOF shape this replaced would plan filter/transform lambdas
+    assert(!p.contains("lambdafunction"), p)
+  }
+
+  test("shingle derivation is scan -> generate, with no window exchange") {
+    val p = plan(graft.queries.LlmOps.qDedupNgramCapped(spark, sf001))
+    assert(p.contains("shingles3"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("exact dedup shuffles digests, not document bodies") {
+    val p = plan(graft.queries.LlmOps.qDedupExact(spark, sf001))
+    // the plan tree prints root-first, so the text ABOVE the first
+    // Exchange is everything that runs after the shuffle: the document
+    // body must not be referenced there (only the 32-byte digest is)
+    val i = p.indexOf("Exchange")
+    assert(i > 0, p)
+    assert(!p.substring(0, i).contains("text#"), p)
+  }
+}

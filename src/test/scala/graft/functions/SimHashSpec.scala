@@ -1,0 +1,68 @@
+package graft.functions
+
+import graft.{SparkSuite, Tables}
+import org.apache.spark.sql.functions._
+
+/** Pins the SimHash64 kernel bit-for-bit against the reference
+  * formulation it replaced: explode tokens → Spark `xxhash64` per token →
+  * 64 ±1-vote SUM aggregates → sign assembly. Any divergence in
+  * tokenization, hashing (XXH64 core, seed 42), vote math, or bit
+  * assembly fails here.
+  */
+class SimHashSpec extends SparkSuite {
+
+  test("SimHash64 kernel equals the explode + 64-vote aggregate formulation") {
+    val docs = Tables.documents(spark, sf001)
+    val toksCol = filter(split(col("text"), " "), t => t =!= "")
+    val tokenHashes = docs
+      .select(col("doc_id"), explode(toksCol).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val votes = (0 until 64).map { i =>
+      sum(shiftright(col("h"), i).bitwiseAND(lit(1L)) * 2 - 1).as(s"v$i")
+    }
+    val assembled = (0 until 64)
+      .map(i => when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val reference = tokenHashes
+      .groupBy("doc_id")
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), assembled.as("simhash"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    val kernel = docs
+      .select(col("doc_id"), SimHash64.of(col("text")).as("simhash"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    // docs with zero tokens have no aggregate row; kernel yields sig 0
+    assert(reference.nonEmpty)
+    reference.foreach { case (id, sig) => assert(kernel(id) == sig, s"doc $id") }
+  }
+
+  test("SimHash64 token hash matches Spark xxhash64 on multi-byte UTF-8") {
+    import spark.implicits._
+    val texts = Seq("héllo wörld 中文 分词", "  spaced   out  ", "", "one")
+    val df = texts.toDF("text")
+    val toksCol = filter(split(col("text"), " "), t => t =!= "")
+    val viaBuiltin = df
+      .select(explode(toksCol).as("tok"))
+      .select(xxhash64(col("tok")))
+      .collect()
+      .map(_.getLong(0))
+      .sorted
+    // same tokens hashed through the kernel's byte-level path: equality of
+    // the full signature on single-token rows pins the per-token hash
+    val single = df
+      .select(explode(toksCol).as("tok"))
+      .select(SimHash64.of(col("tok")).as("sig"), xxhash64(col("tok")).as("h"))
+      .collect()
+    single.foreach { r =>
+      val sig = r.getLong(0)
+      val h = r.getLong(1)
+      // one token: vote(b) = ±1 directly from bit b of h ⇒ sig == h's bit pattern
+      assert(sig == h, s"kernel sig $sig != xxhash64 $h")
+    }
+    assert(viaBuiltin.nonEmpty)
+  }
+}
