@@ -300,6 +300,110 @@ object SimHash64 {
   def of(c: Column): Column = Bridge.column(SimHash64(Bridge.expression(c)))
 }
 
+/** Codegen'd 16-hash MinHash signature over distinct 3-token shingles
+  * (see `q_dedup_near`): per-shingle base hash = `pmod(xxhash64(sh), P)`
+  * (bit-identical to the Spark builtins it replaces — XXH64 core, seed
+  * 42, over the shingle's UTF-8 bytes), then 16 affine permutations
+  * `pmod(h*(1+37j) + (101+97j), P)` minimized in one pass. NULL when the
+  * document has < 3 tokens (such docs had no signature row in the
+  * explode + groupBy formulation either). Replaces shingle-explode →
+  * hash → 16-column MIN aggregate: the signature becomes a pure map-side
+  * computation with no shuffle at all.
+  */
+case class MinHash16(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash16"
+
+  override def nullSafeEval(input: Any): Any =
+    MinHash16.minhash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(
+      ctx,
+      ev, {
+        val r = ctx.freshName("mh")
+        c => s"""
+        |org.apache.spark.sql.catalyst.util.ArrayData $r = ${MinHash16.Mod}.minhash($c);
+        |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+        |""".stripMargin
+      })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHash16 {
+
+  private[functions] val Mod = getClass.getName.stripSuffix("$") + "$.MODULE$"
+
+  private val Seed = 42L // Spark's xxhash64 default seed
+  private val P = 2038074743L // prime < 2^31: a*h+b stays in Long
+
+  def minhash(u: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val base = u.getBaseObject
+    val off = u.getBaseOffset
+    val n = u.numBytes()
+    // token byte ranges (0x20 split is exact on UTF-8)
+    val starts = new java.util.ArrayList[Integer]()
+    val ends = new java.util.ArrayList[Integer]()
+    var i = 0
+    var start = -1
+    while (i <= n) {
+      if (i == n || org.apache.spark.unsafe.Platform.getByte(base, off + i) == 0x20) {
+        if (start >= 0) { starts.add(start); ends.add(i); start = -1 }
+      } else if (start < 0) start = i
+      i += 1
+    }
+    val m = starts.size()
+    if (m < 3) return null
+    val mins = new Array[Long](16)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val seen = new java.util.HashSet[UTF8String]()
+    var buf = new Array[Byte](64)
+    var j = 0
+    while (j + 2 < m) {
+      val len =
+        (ends.get(j) - starts.get(j)) + (ends.get(j + 1) - starts.get(j + 1)) +
+          (ends.get(j + 2) - starts.get(j + 2)) + 2
+      if (buf.length < len) buf = new Array[Byte](math.max(len, buf.length * 2))
+      var p = 0
+      var t = 0
+      while (t < 3) {
+        val s0 = starts.get(j + t)
+        val e0 = ends.get(j + t)
+        org.apache.spark.unsafe.Platform.copyMemory(
+          base,
+          off + s0,
+          buf,
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + p,
+          e0 - s0)
+        p += e0 - s0
+        if (t < 2) { buf(p) = 0x20; p += 1 }
+        t += 1
+      }
+      val sh = UTF8String.fromBytes(java.util.Arrays.copyOf(buf, len))
+      if (seen.add(sh)) {
+        val x = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, Seed)
+        val h = ((x % P) + P) % P // pmod
+        var k = 0
+        while (k < 16) {
+          val v = (h * (1L + 37L * k) + (101L + 97L * k)) % P // positive: no pmod needed
+          if (v < mins(k)) mins(k) = v
+          k += 1
+        }
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  /** Column API: minhash16(text) → ARRAY<BIGINT>[16] (NULL if < 3 tokens). */
+  def of(c: Column): Column = Bridge.column(MinHash16(Bridge.expression(c)))
+}
+
 /** Codegen'd winnowing-lite fingerprint (see `q_text_fingerprint`):
   * per-token polynomial rolling hash over code points mod 1e9+7, then the
   * min over 4-token windows; NULL when the document has < 4 tokens. Same

@@ -128,18 +128,21 @@ object LlmOps {
     * `q_dedup_ngram` is the exact-semantics oracle.
     */
   def qDedupNear(spark: SparkSession, sfDir: String): DataFrame = {
-    val ex = shingles(spark, sfDir)
-      .withColumn("h", pmod(xxhash64(col("sh")), lit(MinhashP)))
-    val minhashCols = (0 until NumHashes).map { j =>
-      min(pmod(col("h") * lit(1L + 37L * j) + lit(101L + 97L * j), lit(MinhashP))).as(s"mh$j")
-    }
-    val sigs = ex.groupBy("doc_id").agg(minhashCols.head, minhashCols.tail: _*)
+    // One map-side kernel call per doc (see [[graft.functions.MinHash16]];
+    // bit-identical to the shingle-explode → pmod(xxhash64) → 16×MIN
+    // aggregate it replaces, pinned in SimHashSpec) — candidate
+    // generation below is the first and only shuffle.
+    val sigs = Tables
+      .documents(spark, sfDir)
+      .select(col("doc_id"), graft.functions.MinHash16.of(col("text")).as("sig"))
+      .where(col("sig").isNotNull)
     val bands = sigs.select(
       col("doc_id"),
-      array((0 until NumHashes).map(j => col(s"mh$j")): _*).as("sig"),
+      col("sig"),
       posexplode(
         array((0 until NumHashes / BandSize).map { b =>
-          xxhash64((b * BandSize until (b + 1) * BandSize).map(j => col(s"mh$j")): _*)
+          xxhash64(
+            (b * BandSize until (b + 1) * BandSize).map(j => element_at(col("sig"), j + 1)): _*)
         }: _*)).as(Seq("band", "band_hash")))
     val cand = bands
       .as("a")
@@ -473,6 +476,37 @@ object LlmOps {
         graft.functions.TextFingerprint.of(col("text")).as("fingerprint"))
       .orderBy("doc_id")
 
+  // ---------------------------------------------------- deterministic sampling
+
+  /** Deterministic content-keyed sample (~10%): keep documents whose md5
+    * hex prefix sorts below '1a' (26/256 ≈ 10.2%). Content hashing makes
+    * the sample REPRODUCIBLE across engines, runs, partitionings and
+    * cluster sizes — the property a training-data pipeline needs that
+    * `df.sample()` (RNG per partition) cannot give. Embarrassingly
+    * parallel; the filter runs at the scan.
+    */
+  def qSampleHash(spark: SparkSession, sfDir: String): DataFrame =
+    Tables
+      .documents(spark, sfDir)
+      .where(substring(md5(col("text").cast("binary")), 1, 2) < "1a")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+
+  /** Deterministic train/val/test assignment (80/10/10) keyed on doc_id
+    * (the standard split-by-document rule: a document must never straddle
+    * splits). Multiplicative-hash mod keeps both engines in exact integer
+    * range; per-row, no shuffle, stable under any partitioning.
+    */
+  def qSplitAssign(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = pmod(col("doc_id") * lit(40503L), lit(100L))
+    Tables
+      .documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
   // ----------------------------------------------------------- sessionization
 
   /** Gap-based sessionization (30 min, `>=` boundary to match Spark's
@@ -685,6 +719,17 @@ object LlmOps {
               |      (acc, c) -> (acc * 31 + c) % 1000000007)) AS th
               | FROM $DOCS_T)
               |ORDER BY doc_id""".stripMargin)),
+    "q_sample_hash" -> Q(
+      qSampleHash,
+      Some("""SELECT doc_id, lang, n_chars FROM documents
+             |WHERE substr(md5(text), 1, 2) < '1a' ORDER BY doc_id""".stripMargin)),
+    "q_split_assign" -> Q(
+      qSplitAssign,
+      Some("""SELECT doc_id,
+             | CASE WHEN (doc_id * 40503) % 100 < 80 THEN 'train'
+             |      WHEN (doc_id * 40503) % 100 < 90 THEN 'val'
+             |      ELSE 'test' END AS split
+             |FROM documents ORDER BY doc_id""".stripMargin)),
     "q_events_sessionize" -> Q(
       qEventsSessionize,
       Some(s"""WITH flagged AS (

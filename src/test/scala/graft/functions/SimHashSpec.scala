@@ -40,6 +40,42 @@ class SimHashSpec extends SparkSuite {
     reference.foreach { case (id, sig) => assert(kernel(id) == sig, s"doc $id") }
   }
 
+  test("MinHash16 kernel equals the shingle-explode + 16-MIN aggregate formulation") {
+    val P = 2038074743L
+    val docs = Tables.documents(spark, sf001)
+    val toksCol = filter(split(col("text"), " "), t => t =!= "")
+    // reference formulation: explode tokens -> window shingles -> distinct
+    // -> pmod(xxhash64) -> 16 affine MINs (the round-1 shape)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("pos")
+    val ex = docs
+      .select(col("doc_id"), posexplode(toksCol).as(Seq("pos", "tok")))
+      .withColumn("t1", lead(col("tok"), 1).over(w))
+      .withColumn("t2", lead(col("tok"), 2).over(w))
+      .where(col("t2").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("tok"), col("t1"), col("t2")).as("sh"))
+      .distinct()
+      .withColumn("h", pmod(xxhash64(col("sh")), lit(P)))
+    val minCols = (0 until 16).map { j =>
+      min(pmod(col("h") * lit(1L + 37L * j) + lit(101L + 97L * j), lit(P))).as(s"mh$j")
+    }
+    val reference = ex
+      .groupBy("doc_id")
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"), array((0 until 16).map(j => col(s"mh$j")): _*).as("sig"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1))
+      .toMap
+    val kernel = docs
+      .select(col("doc_id"), MinHash16.of(col("text")).as("sig"))
+      .where(col("sig").isNotNull)
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1))
+      .toMap
+    assert(reference.nonEmpty)
+    assert(kernel.keySet == reference.keySet)
+    reference.foreach { case (id, sig) => assert(kernel(id) == sig, s"doc $id") }
+  }
+
   test("SimHash64 token hash matches Spark xxhash64 on multi-byte UTF-8") {
     import spark.implicits._
     val texts = Seq("héllo wörld 中文 分词", "  spaced   out  ", "", "one")
