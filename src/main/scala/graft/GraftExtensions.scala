@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: registers the engine's codegen
+  * kernels as SQL functions, so a pure-SQL user gets the same operators
+  * the DataFrame API exposes:
+  *
+  * {{{
+  *   spark.sql.extensions=graft.GraftExtensions
+  *   SELECT doc_id, simhash64(text), (text_profile(text)).n_tokens
+  *   FROM documents
+  * }}}
+  *
+  * This is the standard extension-library surface (injected functions
+  * resolve like builtins, inside whole-stage codegen) — nothing here is a
+  * UDF.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name)
+
+  private def one(args: Seq[Expression], name: String): Expression = {
+    require(args.length == 1, s"$name expects exactly 1 argument")
+    args.head
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(
+      (
+        FunctionIdentifier("text_profile"),
+        info("text_profile", "text_profile(text) - per-document text metrics struct"),
+        (args: Seq[Expression]) => functions.TextProfile(one(args, "text_profile"))))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("text_fingerprint"),
+        info("text_fingerprint", "text_fingerprint(text) - winnowing-lite fingerprint"),
+        (args: Seq[Expression]) => functions.TextFingerprint(one(args, "text_fingerprint"))))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("simhash64"),
+        info("simhash64", "simhash64(text) - 64-bit SimHash signature"),
+        (args: Seq[Expression]) => functions.SimHash64(one(args, "simhash64"))))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("minhash16"),
+        info("minhash16", "minhash16(text) - 16-hash MinHash signature over 3-token shingles"),
+        (args: Seq[Expression]) => functions.MinHash16(one(args, "minhash16"))))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("shingles3"),
+        info("shingles3", "shingles3(text) - distinct 3-token shingles"),
+        (args: Seq[Expression]) => functions.Shingles3(one(args, "shingles3"))))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("scaled_dot"),
+        info("scaled_dot", "scaled_dot(a, b) - exact scaled dot product of float arrays as BIGINT"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, "scaled_dot expects exactly 2 arguments")
+          functions.ScaledDot(args.head, args(1))
+        }))
+  }
+}

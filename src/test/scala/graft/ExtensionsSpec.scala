@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** GraftExtensions: the kernels must resolve as SQL functions in a
+  * session built with `spark.sql.extensions=graft.GraftExtensions`, and
+  * produce the same values as the Column API.
+  */
+class ExtensionsSpec extends AnyFunSuite {
+
+  // getOrCreate returns an existing default session and would silently
+  // skip the extensions config, so detach the shared suite session while
+  // building this one (they share one SparkContext), then restore it.
+  private lazy val ext: SparkSession = {
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    val s = SparkSession
+      .builder()
+      .master("local[4]")
+      .appName("graft-ext-test")
+      .config("spark.sql.extensions", classOf[GraftExtensions].getName)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    prevDefault match {
+      case Some(p) => SparkSession.setDefaultSession(p)
+      case None => SparkSession.clearDefaultSession()
+    }
+    prevActive match {
+      case Some(p) => SparkSession.setActiveSession(p)
+      case None => SparkSession.clearActiveSession()
+    }
+    s
+  }
+
+  test("kernels resolve and evaluate as injected SQL functions") {
+    val r = ext
+      .sql("""SELECT simhash64('the quick brown fox') AS sh,
+             |       (text_profile('the quick brown fox')).n_tokens AS nt,
+             |       text_fingerprint('a b c d e') AS fp,
+             |       size(minhash16('a b c d e')) AS mh,
+             |       size(shingles3('a b c d')) AS sg,
+             |       scaled_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+             |                  array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS sd
+             |""".stripMargin)
+      .head()
+    assert(r.getAs[Int]("nt") == 4)
+    assert(!r.isNullAt(r.fieldIndex("sh")))
+    assert(!r.isNullAt(r.fieldIndex("fp")))
+    assert(r.getAs[Int]("mh") == 16)
+    assert(r.getAs[Int]("sg") == 2)
+    assert(r.getAs[Long]("sd") == (3.0 + 8.0) * 1e12.toLong)
+  }
+
+  test("SQL text_profile equals the Column API on real documents") {
+    val sf = "/root/testdata/sf0.001"
+    ext.read.parquet(s"$sf/documents.parquet").createOrReplaceTempView("docs_ext")
+    val viaSql = ext
+      .sql("SELECT doc_id, (text_profile(text)).n_tokens AS n FROM docs_ext ORDER BY doc_id")
+      .collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+    val viaApi = ext.read
+      .parquet(s"$sf/documents.parquet")
+      .select(
+        org.apache.spark.sql.functions.col("doc_id"),
+        functions.TextProfile.profile(org.apache.spark.sql.functions.col("text")).getField("n_tokens").as("n"))
+      .orderBy("doc_id")
+      .collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+    assert(viaSql.sameElements(viaApi))
+  }
+}
