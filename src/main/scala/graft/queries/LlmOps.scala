@@ -20,11 +20,9 @@ import org.apache.spark.sql.functions._
   */
 object LlmOps {
 
-  /** Whitespace tokens, empties dropped — mirrored exactly by the oracle's
-    * list_filter(string_split(...)).
-    */
-  private def toks(c: Column): Column = filter(split(c, " "), t => t =!= "")
-
+  // Token semantics everywhere (kernels and oracles alike): split on the
+  // single space character, drop empties — the oracle side spells it
+  // list_filter(string_split(text, ' '), t -> t <> '').
   private val DOCS_T = "(SELECT doc_id, text, lang, source, n_chars, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents)"
   private val EV =
     "(SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events)"
@@ -118,7 +116,8 @@ object LlmOps {
 
   private val NumHashes = 16
   private val BandSize = 4
-  private val MinhashP = 2038074743L // prime < 2^31: a*h+b stays in Long
+  // The per-shingle hash constants (prime modulus, affine permutations)
+  // live in graft.functions.MinHash16 with the kernel that applies them.
 
   /** MinHash + banded LSH near-dup candidates — the 100 TB dedup path:
     * shingle→hash→k minhashes (map-side agg), band keys, candidates from a
