@@ -220,6 +220,40 @@ object Relational {
         approx_count_distinct(col("l_orderkey")).as("approx_orders"))
       .orderBy("l_returnflag")
 
+  /** Exact interpolated percentiles per group. `percentile` sorts each
+    * group's values — correct but O(n log n) per group; the scale path
+    * for wide groups is `q_agg_percentile_approx`. l_quantity is integral
+    * and the quartile fractions are dyadic, so the linear interpolation is
+    * exact in double on both engines (no ulp hazard).
+    */
+  def qAggPercentile(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = col("l_quantity").cast("double")
+    Tables
+      .lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile(q, lit(0.25)).as("p25"),
+        percentile(q, lit(0.5)).as("p50"),
+        percentile(q, lit(0.75)).as("p75"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Approximate percentiles (Greenwald-Khanna sketch): the 100 TB path —
+    * one pass, fixed memory per group, mergeable partials; accuracy set
+    * by the relative-error parameter. Sketch merge order varies with
+    * scheduling, so no oracle (rows-only check).
+    */
+  def qAggPercentileApprox(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = col("l_quantity").cast("double")
+    Tables
+      .lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_percentile(q, lit(0.5), lit(1000)).as("ap50"),
+        approx_percentile(q, lit(0.99), lit(1000)).as("ap99"))
+      .orderBy("l_returnflag")
+  }
+
   /** Statistical aggregates (variance/stddev/corr/covar) built from
     * decimal-cored moment sums so Spark and DuckDB produce bit-identical
     * doubles (the built-in one-pass implementations are order-dependent in
@@ -693,6 +727,14 @@ object Relational {
              | count(DISTINCT l_suppkey) AS n_supps, count(1) AS n
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
     "q_agg_approx" -> Q(qAggApprox, None),
+    "q_agg_percentile" -> Q(
+      qAggPercentile,
+      Some("""SELECT l_returnflag,
+             | quantile_cont(CAST(l_quantity AS DOUBLE), 0.25) AS p25,
+             | quantile_cont(CAST(l_quantity AS DOUBLE), 0.5) AS p50,
+             | quantile_cont(CAST(l_quantity AS DOUBLE), 0.75) AS p75
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+    "q_agg_percentile_approx" -> Q(qAggPercentileApprox, None),
     "q_agg_rollup" -> Q(
       qAggRollup,
       Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
