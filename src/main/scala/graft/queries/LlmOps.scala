@@ -569,6 +569,43 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** Multimodal 1:N frame sampling: each binary payload ("video") yields
+    * every 4th 1 KiB block as a "frame" row — the row-exploding batch
+    * shape of video frame extraction (one decoder per partition, an
+    * iterator flatMap per record, bounded memory: no frame list is ever
+    * materialized per document). The "decode" is a deterministic STUB
+    * like `q_multimodal_meta`'s (no codecs in this container); the real
+    * parts are the 1:N iterator plumbing, the binary-safe schema, and
+    * that frame bytes are born in the output partition — never shuffled.
+    */
+  def qMultimodalFrames(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bin = Tables
+      .documents(spark, sfDir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("content"))
+      .as[(Long, Array[Byte])]
+    bin
+      .mapPartitions { it =>
+        // one "decoder" per partition; flatMap keeps the frame stream lazy
+        it.flatMap { case (id, bytes) =>
+          val block = 1024
+          val stride = 4
+          val nBlocks = (bytes.length + block - 1) / block
+          (0 until nBlocks by stride).iterator.map { b =>
+            val start = b * block
+            val end = math.min(start + block, bytes.length)
+            MediaFrame(
+              id,
+              b / stride,
+              end - start,
+              java.util.Arrays.hashCode(java.util.Arrays.copyOfRange(bytes, start, end)))
+          }
+        }
+      }
+      .toDF()
+      .orderBy("doc_id", "frame_idx")
+  }
+
   // ------------------------------------------------------------- registry
 
   val all: Seq[(String, Q)] = Seq(
@@ -746,8 +783,12 @@ object LlmOps {
               | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
               |FROM sess GROUP BY user_id, session_id
               |ORDER BY user_id, session_id""".stripMargin)),
-    "q_multimodal_meta" -> Q(qMultimodalMeta, None, bench = false))
+    "q_multimodal_meta" -> Q(qMultimodalMeta, None, bench = false),
+    "q_multimodal_frames" -> Q(qMultimodalFrames, None, bench = false))
 }
 
 /** Output record of the multimodal decode stub. */
 case class MediaMeta(doc_id: Long, n_bytes: Long, magic: String, width: Int, height: Int)
+
+/** Output record of the multimodal frame-sampling stub. */
+case class MediaFrame(doc_id: Long, frame_idx: Int, frame_bytes: Int, frame_hash: Int)

@@ -204,6 +204,28 @@ class QueriesSpec extends SparkSuite {
     })
   }
 
+  test("multimodal frames: 1:N sampling emits every 4th block, deterministic") {
+    import spark.implicits._
+    val frames = LlmOps.qMultimodalFrames(spark, sf001)
+    val byDoc = frames.groupBy("doc_id").agg(count(lit(1)).as("n"), max("frame_idx").as("mx"))
+    val docs = Tables
+      .documents(spark, sf001)
+      .select($"doc_id", octet_length(encode($"text", "UTF-8")).as("len"))
+    val joined = byDoc.join(docs, "doc_id").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val n = r.getAs[Long]("n")
+      val len = r.getAs[Int]("len")
+      val blocks = (len + 1023) / 1024
+      val expected = (blocks + 3) / 4 // ceil(blocks / stride)
+      assert(n == expected, s"doc ${r.getAs[Long]("doc_id")}: $n frames, $len bytes")
+      assert(r.getAs[Int]("mx") == n - 1) // contiguous frame indices
+    }
+    val a = frames.collect()
+    val b = LlmOps.qMultimodalFrames(spark, sf001).collect()
+    assert(a.sameElements(b))
+  }
+
   test("weighted avg UDAF matches the closed form") {
     val got = Relational
       .qUdfWavg(spark, sf001)
