@@ -7,10 +7,12 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** LLM-training-data pipeline operators (SURVEY.md §2.2-C): dedup (exact,
-  * n-gram Jaccard, MinHash/LSH, SimHash, embedding-cosine), similarity
-  * search (brute-force + LSH-bucketed ANN), text analysis (stats, quality,
-  * lang-id, BPE-ish token counts, fingerprints), sessionization, and
-  * multimodal binary-column plumbing.
+  * n-gram Jaccard incl. df-capped, MinHash/LSH, SimHash + pigeonhole
+  * pairs, embedding-cosine + banded LSH), similarity search (brute-force
+  * + probe-ball ANN), text analysis (stats, quality, lang-id, BPE-ish
+  * token counts, fingerprints — all via codegen kernels), deterministic
+  * sampling / train-val-test splits, sessionization, and multimodal
+  * binary-column plumbing (1:1 decode-meta and 1:N frame sampling).
   *
   * Scale notes are inline per operator; the shared principle: candidate
   * generation is always a key-equality shuffle (shingle / band / bucket
