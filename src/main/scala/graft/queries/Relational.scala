@@ -89,6 +89,36 @@ object Relational {
       .orderBy("s_suppkey")
   }
 
+  /** The range join re-expressed as a binned EQUI-join — the 100 TB shape
+    * when neither side broadcasts. `q_join_range`'s plain non-equi
+    * condition plans as a (broadcast) nested-loop — O(|C|·|S|) with two
+    * large sides. Binning by the interval width (200): each supplier's
+    * ±100 window covers at most 2 bins, so the supplier side explodes
+    * ≤2×, the join becomes a key-equality shuffle on the bin, and the
+    * exact range predicate filters within bins. Identical results (same
+    * oracle SQL), shuffle-join scalable.
+    */
+  def qJoinRangeBinned(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = Tables.supplier(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val sBins = s.withColumn(
+      "bin",
+      explode(
+        sequence(
+          floor((s("s_acctbal") - 100) / 200).cast("long"),
+          floor((s("s_acctbal") + 100) / 200).cast("long"))))
+    val cBins = c.withColumn("bin", floor(c("c_acctbal") / 200).cast("long"))
+    cBins
+      .join(
+        sBins,
+        cBins("bin") === sBins("bin") &&
+          cBins("c_acctbal") >= sBins("s_acctbal") - 100 &&
+          cBins("c_acctbal") <= sBins("s_acctbal") + 100)
+      .groupBy(col("s_suppkey"))
+      .agg(count(lit(1)).as("n_matches"))
+      .orderBy("s_suppkey")
+  }
+
   /** As-of join (events → latest order with o_orderdate <= ts per user).
     * Spark has no native ASOF: implemented as a union + running
     * last-non-null window — ONE shuffle on the key, no broadcast needed,
@@ -638,6 +668,12 @@ object Relational {
              |ORDER BY c_custkey""".stripMargin)),
     "q_join_range" -> Q(
       qJoinRange,
+      Some("""SELECT s_suppkey, count(*) AS n_matches
+             |FROM customer JOIN supplier
+             |  ON c_acctbal >= s_acctbal - 100 AND c_acctbal <= s_acctbal + 100
+             |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin)),
+    "q_join_range_binned" -> Q(
+      qJoinRangeBinned,
       Some("""SELECT s_suppkey, count(*) AS n_matches
              |FROM customer JOIN supplier
              |  ON c_acctbal >= s_acctbal - 100 AND c_acctbal <= s_acctbal + 100

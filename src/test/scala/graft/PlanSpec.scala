@@ -41,6 +41,12 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("partial_"), p) // partial_sum/partial_count... below the Exchange
   }
 
+  test("binned range join plans an equi-join, not a nested loop") {
+    val p = plan(graft.queries.Relational.qJoinRangeBinned(spark, sf001))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
   test("q_sim_ann is a signature semi-join bucket lookup, not a scan filter") {
     val p = plan(graft.queries.LlmOps.qSimAnn(spark, sf001))
     assert(p.contains("LeftSemi"), p)
