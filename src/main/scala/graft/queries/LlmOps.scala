@@ -389,6 +389,86 @@ object LlmOps {
       .limit(10)
   }
 
+  /** ANN via IVF (inverted file): k-means-lite centroids (deterministic
+    * init from vec_id 1..K, two Lloyd iterations with exact decimal-mean
+    * centroid updates), every vector assigned to its nearest centroid,
+    * query probes the NProbe nearest clusters, exact cosine rerank of
+    * only those clusters' vectors. The industry-standard dense-ANN shape
+    * next to the LSH probe-ball of `q_sim_ann`: at 100 TB the assignment
+    * is one linear N×K pass, the vector table is stored partitioned by
+    * cluster id, and a query reads NProbe/K of the corpus.
+    *
+    * Model state (K centroids = K×64 floats) is bounded and driver-side
+    * by design — the standard k-means pattern; nothing unbounded is ever
+    * collected. Rows-only (cluster geometry is impl-defined).
+    */
+  def qSimAnnIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val K = 16
+    val NProbe = 4
+    val e = Tables.embeddings(spark, sfDir)
+
+    def l2sq(v: Column, c: Column): Column =
+      dotDec(v, v) - lit(2.0) * dotDec(v, c) + dotDec(c, c)
+
+    def assignTo(cents: Seq[(Int, Seq[Float])]): DataFrame = {
+      val cDf = broadcast(cents.toDF("cid", "cvec").withColumn("cvec", col("cvec").cast("array<float>")))
+      val w = Window.partitionBy("vec_id").orderBy(col("dist").asc, col("cid").asc)
+      e.crossJoin(cDf)
+        .withColumn("dist", l2sq(col("embedding"), col("cvec")))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("vec_id"), col("cid"))
+    }
+
+    // deterministic seed + 2 Lloyd iterations; exact decimal means keep
+    // the centroids identical across partitionings
+    var cents: Seq[(Int, Seq[Float])] = e
+      .where(col("vec_id").between(1, K))
+      .orderBy("vec_id")
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Float](r.fieldIndex("embedding"))) }
+    (1 to 2).foreach { _ =>
+      val assigned = assignTo(cents)
+      cents = assigned
+        .join(e, "vec_id")
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos")
+        .agg(Tables.davg(col("x").cast("double")).as("m"))
+        .groupBy("cid")
+        .agg(map_from_arrays(collect_list(col("pos")), collect_list(col("m"))).as("dims"))
+        .collect()
+        .map { r =>
+          val dims = r.getMap[Int, Double](1)
+          (r.getInt(0), (0 until dims.size).map(i => dims(i).toFloat))
+        }
+        .toSeq
+        .sortBy(_._1)
+    }
+
+    // probe the NProbe nearest centroids to the query vector (driver-side
+    // model math over K candidates)
+    val qVec = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+    def dist(c: Seq[Float]): Double =
+      c.zip(qVec).map { case (a, b) => (a - b).toDouble * (a - b) }.sum
+    val probes = cents.sortBy(c => (dist(c._2), c._1)).take(NProbe).map(_._1)
+
+    val assigned = assignTo(cents).where(col("cid").isin(probes: _*))
+    val q = e.where(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    e.where(col("vec_id") =!= 0)
+      .join(assigned, "vec_id")
+      .crossJoin(broadcast(q))
+      .select(
+        col("vec_id"),
+        col("label"),
+        (dotDec(col("embedding"), col("q_emb")) /
+          (sqrt(dotDec(col("embedding"), col("embedding"))) *
+            sqrt(dotDec(col("q_emb"), col("q_emb"))))).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
   // ------------------------------------------------------------ text analysis
 
   /** The text battery (`q_text_stats/quality/langid/tokens`) computes all
@@ -694,6 +774,7 @@ object LlmOps {
              |SELECT vec_id, label, dot / (sqrt(ne) * sqrt(nq)) AS sim FROM s
              |ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin)),
     "q_sim_ann" -> Q(qSimAnn, None),
+    "q_sim_ann_ivf" -> Q(qSimAnnIvf, None),
     "q_text_stats" -> Q(
       qTextStats,
       Some(s"""SELECT doc_id, lang, CAST(length(text) AS INT) AS len,

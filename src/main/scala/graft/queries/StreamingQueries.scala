@@ -32,6 +32,16 @@ object StreamingQueries {
       .session(Tables.events(spark, sfDir), withWatermark = false)
       .orderBy("user_id", "session_start")
 
+  /** Batch twin of the streaming dedup (kept to the key projection: which
+    * non-key columns `dropDuplicates` keeps is tie-broken arbitrarily, so
+    * only the key set is engine-comparable).
+    */
+  def dedup(spark: SparkSession, sfDir: String): DataFrame =
+    Streams
+      .dedupEvents(Tables.events(spark, sfDir), withWatermark = false)
+      .select("event_id")
+      .orderBy("event_id")
+
   /** Batch run of the flatMapGroupsWithState sessionizer (custom-state
     * API surface); bit-identical to `q_events_sessionize`'s oracle.
     */
@@ -74,6 +84,9 @@ object StreamingQueries {
               | count(1) AS n_events
               |FROM sess GROUP BY user_id, sid
               |ORDER BY user_id, session_start""".stripMargin)),
+    "s_stream_dedup" -> Q(
+      dedup,
+      Some(s"SELECT DISTINCT event_id FROM $EV ORDER BY event_id")),
     "s_stream_session_state" -> Q(
       sessionStateful,
       Some(s"""WITH flagged AS (

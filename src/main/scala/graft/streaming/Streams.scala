@@ -117,6 +117,19 @@ object Streams {
       .flatMapGroupsWithState[SessionState, SessionRow](OutputMode.Append, timeout)(fn)
   }
 
+  /** Streaming exact dedup by event_id within the watermark horizon —
+    * the ingestion-side guard an at-least-once source needs (retried
+    * sends, replayed offsets). `dropDuplicates` keeps per-key state;
+    * the watermark bounds that state: a duplicate arriving later than
+    * the horizon is dropped by the watermark itself, so state stays
+    * O(keys-per-horizon) instead of O(all-keys-ever). Same call works
+    * in batch (plain distinct-by-key).
+    */
+  def dedupEvents(events: DataFrame, withWatermark: Boolean): DataFrame = {
+    val src = if (withWatermark) events.withWatermark("ts", "10 minutes") else events
+    src.dropDuplicates("event_id")
+  }
+
   /** Per-user session windows, 30-minute gap. Session end = last event +
     * gap (Spark session_window semantics).
     */

@@ -126,6 +126,17 @@ class QueriesSpec extends SparkSuite {
     assert((exact intersect ann).nonEmpty)
   }
 
+  test("IVF ANN returns 10 valid candidates overlapping exact topk") {
+    import spark.implicits._
+    val ivf = LlmOps.qSimAnnIvf(spark, sf001).collect()
+    assert(ivf.length == 10)
+    val sims = ivf.map(_.getAs[Double]("sim"))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    val exact = LlmOps.qSimTopk(spark, sf001).select("vec_id").as[Long].collect().toSet
+    val got = ivf.map(_.getAs[Long]("vec_id")).toSet
+    assert((exact intersect got).nonEmpty)
+  }
+
   test("sessionize: session boundaries respect the 30-minute gap") {
     import spark.implicits._
     val sessions = LlmOps.qEventsSessionize(spark, sf001)

@@ -106,6 +106,34 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops duplicate event_ids across triggers") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val df = mem
+      .toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Streams
+      .dedupEvents(df, withWatermark = true)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("dedup_append")
+      .start()
+    try {
+      val evs = eventTuples.take(500)
+      mem.addData(evs.toIndexedSeq)
+      q.processAllAvailable()
+      // re-send the same 500 events (an at-least-once source retrying),
+      // plus 100 genuinely new ones
+      val more = eventTuples.slice(500, 600)
+      mem.addData((evs ++ more).toIndexedSeq)
+      q.processAllAvailable()
+      val got = spark.table("dedup_append")
+      assert(got.count() == 600)
+      assert(got.select("event_id").distinct().count() == 600)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState streaming sessionize equals batch sessionize") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
