@@ -32,36 +32,16 @@ case class ScaledDot(left: Expression, right: Expression) extends BinaryExpressi
   override def dataType: DataType = LongType
   override def prettyName: String = "scaled_dot"
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var s = 0L
-    var i = 0
-    while (i < n) {
-      s += ScaledDot.roundHalfAway(x.getFloat(i).toDouble * y.getFloat(i).toDouble * 1e12)
-      i += 1
-    }
-    s
-  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ScaledDot.scaledDot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(
       ctx,
       ev,
       (x, y) => {
-        val i = ctx.freshName("i")
-        val n = ctx.freshName("n")
-        val s = ctx.freshName("s")
         val cls = ScaledDot.getClass.getName.stripSuffix("$") + "$.MODULE$"
-        s"""
-           |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-           |long $s = 0L;
-           |for (int $i = 0; $i < $n; $i++) {
-           |  $s += $cls.roundHalfAway(((double) $x.getFloat($i)) * ((double) $y.getFloat($i)) * 1e12);
-           |}
-           |${ev.value} = $s;
-           |""".stripMargin
+        s"${ev.value} = $cls.scaledDot($x, $y);"
       })
 
   override protected def withNewChildrenInternal(
@@ -70,6 +50,29 @@ case class ScaledDot(left: Expression, right: Expression) extends BinaryExpressi
 }
 
 object ScaledDot {
+
+  /** The whole dot in one static call over primitive float[] (bulk
+    * `toFloatArray`, then a monomorphic tight loop). Per-element order
+    * and rounding are identical to the original per-element codegen, so
+    * results stay bit-identical; the static shape keeps the hot loop in
+    * ONE JIT-owned method instead of per-query generated copies doing
+    * 64 virtual `ArrayData.getFloat` calls against mixed receiver types
+    * (UnsafeArrayData from scans, GenericArrayData from kernels and
+    * literals) — the call sites a long-lived JVM deopt-cycles on.
+    */
+  def scaledDot(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val xs = a.toFloatArray()
+    val ys = b.toFloatArray()
+    val n = math.min(xs.length, ys.length)
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s += roundHalfAway(xs(i).toDouble * ys(i).toDouble * 1e12)
+      i += 1
+    }
+    s
+  }
 
   /** std::round semantics on the exact double: half away from zero.
     * `p - floor(p)` is exact for |p| < 2^52, so the .5 comparison is

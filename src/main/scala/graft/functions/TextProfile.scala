@@ -300,6 +300,68 @@ object SimHash64 {
   def of(c: Column): Column = Bridge.column(SimHash64(Bridge.expression(c)))
 }
 
+/** Codegen'd 16-bit random-hyperplane signature (the LSH family shared by
+  * `q_sim_ann` / `q_dedup_embed_lsh`): bit j = sign of plane_j · v, planes
+  * are deterministic ±1 vectors from a splitmix-style mix of the index.
+  * One call per row computes all 16 plane dots over a primitive float[]
+  * (single bulk `toFloatArray`) — replacing 16 separate ScaledDot
+  * expressions against array literals (16 expression evaluations and
+  * 16×64 virtual `ArrayData.getFloat` calls per row). Bit-identical to
+  * that formulation: same per-element product → scaled-round → sum order,
+  * and `dot > 0 ⇔ scaled sum > 0` exactly.
+  */
+case class PlaneSig16(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "plane_sig16"
+
+  override def nullSafeEval(input: Any): Any =
+    PlaneSig16.sig(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${PlaneSig16.Mod}.sig($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PlaneSig16 {
+
+  private[functions] val Mod = getClass.getName.stripSuffix("$") + "$.MODULE$"
+
+  /** 16 deterministic ±1 hyperplanes over 64 dims. */
+  private val Planes: Array[Array[Float]] = Array.tabulate(16) { j =>
+    Array.tabulate(64) { i =>
+      var z = j.toLong * 64 + i + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      if (((z ^ (z >>> 31)) & 1L) == 0L) 1.0f else -1.0f
+    }
+  }
+
+  def sig(a: org.apache.spark.sql.catalyst.util.ArrayData): Int = {
+    val xs = a.toFloatArray()
+    var out = 0
+    var j = 0
+    while (j < 16) {
+      val p = Planes(j)
+      val n = math.min(xs.length, p.length)
+      var s = 0L
+      var i = 0
+      while (i < n) {
+        s += ScaledDot.roundHalfAway(xs(i).toDouble * p(i).toDouble * 1e12)
+        i += 1
+      }
+      if (s > 0) out |= 1 << j
+      j += 1
+    }
+    out
+  }
+
+  /** Column API: plane_sig16(embedding) → INT signature. */
+  def of(c: Column): Column = Bridge.column(PlaneSig16(Bridge.expression(c)))
+}
+
 /** Codegen'd 16-hash MinHash signature over distinct 3-token shingles
   * (see `q_dedup_near`): per-shingle base hash = `pmod(xxhash64(sh), P)`
   * (bit-identical to the Spark builtins it replaces — XXH64 core, seed

@@ -329,26 +329,12 @@ object LlmOps {
       .limit(10)
   }
 
-  /** 16 deterministic ±1 hyperplanes (splitmix-style mix of the index) for
-    * the random-hyperplane LSH family shared by `q_sim_ann` and
-    * `q_dedup_embed_lsh`: bit j of the signature = sign of plane_j · v.
+  /** 16-bit random-hyperplane signature for the LSH family shared by
+    * `q_sim_ann` and `q_dedup_embed_lsh` — one
+    * [[graft.functions.PlaneSig16]] kernel call per row.
     */
-  private val HyperPlanes: Seq[Seq[Int]] = (0 until 16).map { j =>
-    (0 until 64).map { i =>
-      var z = j.toLong * 64 + i + 0x9e3779b97f4a7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      if (((z ^ (z >>> 31)) & 1L) == 0L) 1 else -1
-    }
-  }
-
   private[queries] def planeSig(emb: Column): Column =
-    (0 until 16)
-      .map { j =>
-        val plane = typedlit(HyperPlanes(j).map(_.toFloat))
-        when(graft.functions.ScaledDot.dot(emb, plane) > 0, lit(1 << j)).otherwise(lit(0))
-      }
-      .reduce(_ + _)
+    graft.functions.PlaneSig16.of(emb)
 
   /** ANN via random-hyperplane LSH, as a bucket LOOKUP rather than a scan:
     * vectors carry a 16-bit signature; the query's probe set — every
