@@ -35,7 +35,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // leaving hot generated loops interpreted (observed: 50-200x stalls on
   // random queries late in long runs).
   "-XX:ReservedCodeCacheSize=1g",
-  "-XX:+UseCodeCacheFlushing",
+  // Flushing is churn, not relief, at 1 GB reserved / <100 MB used: the
+  // sweeper can drop a hot-but-momentarily-idle method (shuffle writers
+  // idle between queries), forcing an interpreter restart + recompile on
+  // its next use.
+  "-XX:-UseCodeCacheFlushing",
   "-XX:CICompilerCount=8",
   // The round-1 "random query suddenly 25-100x slower late in a run"
   // cliff (CPU-bound, zero GC, code cache healthy): HotSpot marks a
@@ -49,4 +53,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // executor wants the same two flags in spark.executor.extraJavaOptions.
   "-XX:PerMethodRecompilationCutoff=-1",
   "-XX:PerBytecodeRecompilationCutoff=-1",
+  // Residual (documented, not fully solved): ~1 run in 3 still sees one
+  // query cluster 10-100x slow when C2 deopt-cycles a SHARED runtime
+  // path (sort/join comparators, shuffle writers, nested-parquet
+  // converters, the driver's janino path) — measured identically with
+  // and without -XX:-UseTypeSpeculation, so that flag is NOT set. The
+  // structural cure is what the graft.functions kernels already do for
+  // engine-owned hot loops: keep them in static monomorphic methods.
 )

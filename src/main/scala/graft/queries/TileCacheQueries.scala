@@ -135,8 +135,17 @@ object TileCacheQueries {
         Tile
           .objectKey(fixtureCfg, col("level"), col("tile_row"), col("tile_col"))
           .as("object_key"),
-        col("content"))
-    ObjectSink.write(tiles, new LocalFsStore(bucket.getAbsolutePath), "object_key", "content", "image/jpg")
+        col("content"),
+        format_string("L%02d", col("level")).as("level_label"))
+    ObjectSink.write(
+      tiles,
+      new LocalFsStore(bucket.getAbsolutePath),
+      "object_key",
+      "content",
+      "image/jpg",
+      progress = Some((
+        "level_label",
+        (fixtureCfg.startLevel to fixtureCfg.endLevel).map(l => f"L$l%02d"))))
     spark.read
       .format("binaryFile")
       .option("recursiveFileLookup", "true")

@@ -87,6 +87,12 @@ object ObjectSink {
   /** Writes rows (keyCol STRING, contentCol BINARY) to the store.
     * Returns (#uploaded, #failed); individual failures are swallowed and
     * counted, never fail the job (reference per-record policy).
+    *
+    * R13 progress reporting: pass `progress` (a label column, e.g. the
+    * zoom level, plus the label universe — known upfront from the job
+    * config, exactly like the reference's per-level loop) and per-label
+    * upload counts are tracked in accumulators and logged on completion,
+    * the distributed analog of Program.cs's per-level console progress.
     */
   def write(
       df: DataFrame,
@@ -94,20 +100,32 @@ object ObjectSink {
       keyCol: String,
       contentCol: String,
       contentType: String,
-      acl: String = ObjectStore.PublicRead): (Long, Long) = {
+      acl: String = ObjectStore.PublicRead,
+      progress: Option[(String, Seq[String])] = None): (Long, Long, Map[String, Long]) = {
     val spark = df.sparkSession
     val ok: LongAccumulator = spark.sparkContext.longAccumulator("objects_uploaded")
     val failed: LongAccumulator = spark.sparkContext.longAccumulator("objects_failed")
+    val perLabel: Map[String, LongAccumulator] = progress match {
+      case Some((_, labels)) =>
+        labels.map(l => l -> spark.sparkContext.longAccumulator(s"objects_uploaded_$l")).toMap
+      case None => Map.empty
+    }
     val ki = df.schema.fieldIndex(keyCol)
     val ci = df.schema.fieldIndex(contentCol)
+    val li = progress.map { case (c, _) => df.schema.fieldIndex(c) }
     df.foreachPartition { rows: Iterator[Row] =>
       rows.foreach { r =>
         try {
           store.put(r.getString(ki), r.getAs[Array[Byte]](ci), contentType, acl)
           ok.add(1)
+          li.foreach(i => perLabel.get(String.valueOf(r.get(i))).foreach(_.add(1)))
         } catch { case scala.util.control.NonFatal(_) => failed.add(1) }
       }
     }
-    (ok.value, failed.value)
+    val counts: Map[String, Long] = perLabel.map { case (l, a) => l -> a.value.longValue() }
+    counts.toSeq.sortBy(_._1).foreach { case (l, n) =>
+      System.err.println(s"[sink] $l: $n uploaded")
+    }
+    (ok.value, failed.value, counts)
   }
 }

@@ -54,13 +54,49 @@ class TileCacheSpec extends SparkSuite {
     }
   }
 
+  test("sink per-level progress counts match the manifest (R13)") {
+    import graft.sinks.{LocalFsStore, ObjectSink}
+    import org.apache.spark.sql.functions.format_string
+    val root = TileCacheQueries.ensureFixture()
+    val bucket = java.nio.file.Files.createTempDirectory("graft_r13_bucket").toFile
+    val tiles = spark.read
+      .format("binaryFile")
+      .option("pathGlobFilter", "*.jpg")
+      .option("recursiveFileLookup", "true")
+      .load(root)
+      .select(
+        regexp_replace(col("path"), "^file:" + root + "/", "").as("object_key"),
+        col("content"),
+        format_string("L%s", regexp_extract(col("path"), "L(\\d{2})", 1)).as("level_label"))
+    val labels =
+      (TileCacheQueries.fixtureCfg.startLevel to TileCacheQueries.fixtureCfg.endLevel)
+        .map(l => f"L$l%02d")
+    val (ok, failed, perLevel) = ObjectSink.write(
+      tiles,
+      new LocalFsStore(bucket.getAbsolutePath),
+      "object_key",
+      "content",
+      "image/jpg",
+      progress = Some(("level_label", labels)))
+    assert(failed == 0)
+    assert(perLevel.keySet == labels.toSet)
+    assert(perLevel.values.sum == ok)
+    val expected = tiles
+      .groupBy("level_label")
+      .count()
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    assert(perLevel.filter(_._2 > 0) == expected)
+  }
+
   test("HadoopFsStore writes the same PUT contract through the hadoop-fs API (cloud swap-in)") {
     import graft.sinks.{HadoopFsStore, ObjectSink}
     val root = java.nio.file.Files.createTempDirectory("graft_hfs_bucket").toFile
     val df = spark
       .createDataFrame(Seq(("Lite/2/3/4", "tile-2-3-4".getBytes("UTF-8"))))
       .toDF("object_key", "content")
-    val (ok, failed) =
+    val (ok, failed, _) =
       ObjectSink.write(df, new HadoopFsStore(s"file://${root.getAbsolutePath}"), "object_key", "content", "image/jpg")
     assert(ok == 1 && failed == 0)
     val obj = new java.io.File(root, "Lite/2/3/4")
