@@ -543,6 +543,49 @@ object LlmOps {
         graft.functions.TextFingerprint.of(col("text")).as("fingerprint"))
       .orderBy("doc_id")
 
+  /** Corpus term frequencies, top 100 (wordcount at scale): explode
+    * tokens → map-side partial count → shuffle on the token → TakeOrdered
+    * top-k merge. The explode is a codegen'd generate over the native
+    * `split` (not a HOF); the aggregate shuffles (token, partial count)
+    * pairs only.
+    */
+  def qTextWordcount(spark: SparkSession, sfDir: String): DataFrame =
+    Tables
+      .documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy("tok")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok").asc)
+      .limit(100)
+
+  /** Composed cleaning pipeline — the operators chained the way a real
+    * training-data job runs them: quality gate (length/token floors) →
+    * exact dedup (keep the min doc_id per sha256) → deterministic
+    * train/val/test assignment → per-split corpus stats. One digest
+    * shuffle and one split aggregation; the document body never shuffles
+    * (the digest group-by carries doc_id + stats only).
+    */
+  def qPipelineClean(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val p = graft.functions.TextProfile.profile(col("text"))
+    val passed = docs
+      .select(col("doc_id"), col("text"), col("n_chars"), p.as("p"))
+      .where(col("p.len") >= 100 && col("p.n_tokens") >= 20)
+    val kept = passed
+      .groupBy(sha2(col("text"), 256).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"), min(col("n_chars")).as("n_chars"))
+    val bucket = pmod(col("doc_id") * lit(40503L), lit(100L))
+    kept
+      .select(
+        col("doc_id"),
+        col("n_chars"),
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy("split")
+  }
+
   // ---------------------------------------------------- deterministic sampling
 
   /** Deterministic content-keyed sample (~10%): keep documents whose md5
@@ -824,6 +867,28 @@ object LlmOps {
               |      (acc, c) -> (acc * 31 + c) % 1000000007)) AS th
               | FROM $DOCS_T)
               |ORDER BY doc_id""".stripMargin)),
+    "q_text_wordcount" -> Q(
+      qTextWordcount,
+      Some("""SELECT tok, count(1) AS n
+             |FROM (SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+             |      FROM documents)
+             |GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 100""".stripMargin)),
+    "q_pipeline_clean" -> Q(
+      qPipelineClean,
+      Some("""WITH passed AS (
+             | SELECT doc_id, text, n_chars FROM documents
+             | WHERE length(text) >= 100
+             |   AND len(list_filter(string_split(text, ' '), t -> t <> '')) >= 20),
+             |kept AS (
+             | SELECT min(doc_id) AS doc_id, min(n_chars) AS n_chars
+             | FROM passed GROUP BY sha256(text)),
+             |labeled AS (
+             | SELECT CASE WHEN (doc_id * 40503) % 100 < 80 THEN 'train'
+             |             WHEN (doc_id * 40503) % 100 < 90 THEN 'val'
+             |             ELSE 'test' END AS split, n_chars
+             | FROM kept)
+             |SELECT split, count(1) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+             |FROM labeled GROUP BY split ORDER BY split""".stripMargin)),
     "q_sample_hash" -> Q(
       qSampleHash,
       Some("""SELECT doc_id, lang, n_chars FROM documents
