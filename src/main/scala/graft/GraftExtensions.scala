@@ -29,6 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Query rewrite: naive HOF token counting → the TextProfile kernel
+    // (see graft.plans.HofToKernelRule) — users get kernel speed without
+    // changing their SQL.
+    ext.injectOptimizerRule(_ => graft.plans.HofToKernelRule)
     ext.injectFunction(
       (
         FunctionIdentifier("text_profile"),

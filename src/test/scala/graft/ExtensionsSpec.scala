@@ -57,6 +57,34 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("sd") == (3.0 + 8.0) * 1e12.toLong)
   }
 
+  test("optimizer rule rewrites the HOF token count to the kernel, same values") {
+    val sf = "/root/testdata/sf0.001"
+    ext.read.parquet(s"$sf/documents.parquet").createOrReplaceTempView("docs_rule")
+    val df = ext.sql(
+      "SELECT doc_id, size(filter(split(text, ' '), t -> t != '')) AS n FROM docs_rule ORDER BY doc_id")
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("text_profile"), optimized)
+    assert(!optimized.contains("lambdafunction"), optimized)
+    // values must equal the un-rewritten HOF evaluated in the plain session
+    val plain = SparkSuite.spark
+    plain.read.parquet(s"$sf/documents.parquet").createOrReplaceTempView("docs_plain")
+    val expected = plain
+      .sql("SELECT doc_id, size(filter(split(text, ' '), t -> t != '')) AS n FROM docs_plain ORDER BY doc_id")
+      .collect()
+    assert(df.collect().sameElements(expected))
+  }
+
+  test("optimizer rule leaves non-matching HOF shapes untouched") {
+    val sf = "/root/testdata/sf0.001"
+    ext.read.parquet(s"$sf/documents.parquet").createOrReplaceTempView("docs_rule2")
+    // comma delimiter: must NOT rewrite
+    val df = ext.sql(
+      "SELECT size(filter(split(text, ','), t -> t != '')) AS n FROM docs_rule2")
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("text_profile"), optimized)
+    assert(df.count() > 0)
+  }
+
   test("SQL text_profile equals the Column API on real documents") {
     val sf = "/root/testdata/sf0.001"
     ext.read.parquet(s"$sf/documents.parquet").createOrReplaceTempView("docs_ext")
