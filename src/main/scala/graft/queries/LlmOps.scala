@@ -413,6 +413,7 @@ object LlmOps {
       .where(col("vec_id").between(1, K))
       .orderBy("vec_id")
       .collect()
+      .toIndexedSeq
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Float](r.fieldIndex("embedding"))) }
     (1 to 2).foreach { _ =>

@@ -82,6 +82,24 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("property: union/intersect/except algebra on generated key sets") {
+    // |A ∪ B| = |A| + |B| − |A ∩ B|  and  A = (A ∩ B) ⊎ (A \ B),
+    // evaluated through the PRODUCTION set operators (DISTINCT semantics)
+    val keyGen = Gen.listOfN(150, Gen.choose(0L, 60L))
+    (41L to 43L).foreach { seed =>
+      val as = sample(keyGen, seed)
+      val bs = sample(keyGen, seed + 100)
+      val a = as.toDF("k").distinct()
+      val b = bs.toDF("k").distinct()
+      val union = a.union(b).distinct().count()
+      val inter = a.intersect(b).count()
+      val diff = a.except(b).count()
+      assert(union == a.count() + b.count() - inter, s"seed $seed")
+      assert(a.count() == inter + diff, s"seed $seed")
+      assert(a.except(b).intersect(b).count() == 0, s"seed $seed")
+    }
+  }
+
   test("property: exact dedup is idempotent") {
     val corpus = Gen.listOfN(
       120,
