@@ -117,6 +117,26 @@ object Streams {
       .flatMapGroupsWithState[SessionState, SessionRow](OutputMode.Append, timeout)(fn)
   }
 
+  /** Stream → object store: each micro-batch of (key, content) rows is
+    * written through [[graft.sinks.ObjectSink]] via `foreachBatch` — the
+    * production pattern for sinks Spark has no native streaming writer
+    * for. Per-batch semantics inherit the sink's contract (at-least-once,
+    * idempotent by key, per-record fault counting); `batchId` is passed
+    * through for callers that want to record progress per epoch.
+    */
+  def objectSinkStream(
+      stream: DataFrame,
+      store: graft.sinks.ObjectStore,
+      keyCol: String,
+      contentCol: String,
+      contentType: String)(
+      onBatch: (Long, Long, Long) => Unit = (_, _, _) => ()): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val (ok, failed, _) =
+        graft.sinks.ObjectSink.write(batch, store, keyCol, contentCol, contentType)
+      onBatch(batchId, ok, failed)
+    }
+
   /** Streaming exact dedup by event_id within the watermark horizon —
     * the ingestion-side guard an at-least-once source needs (retried
     * sends, replayed offsets). `dropDuplicates` keeps per-key state;

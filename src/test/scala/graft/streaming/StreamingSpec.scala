@@ -106,6 +106,35 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("foreachBatch object-sink stream uploads every micro-batch (R10 streaming twin)") {
+    implicit val ctx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_bucket").toFile
+    val mem = MemoryStream[(String, Array[Byte])]
+    val df = mem.toDF().toDF("object_key", "content")
+    var batches = Vector.empty[(Long, Long, Long)]
+    val q = graft.streaming.Streams
+      .objectSinkStream(
+        df,
+        new graft.sinks.LocalFsStore(root.getAbsolutePath),
+        "object_key",
+        "content",
+        "image/jpg") { (id, ok, failed) => batches :+= ((id, ok, failed)) }
+      .start()
+    try {
+      mem.addData(("Lite/1/2/3", "tile-1-2-3".getBytes("UTF-8")))
+      q.processAllAvailable()
+      mem.addData(("Lite/4/5/6", "tile-4-5-6".getBytes("UTF-8")))
+      q.processAllAvailable()
+      assert(batches.map(b => (b._2, b._3)) == Vector((1L, 0L), (1L, 0L)))
+      Seq("Lite/1/2/3" -> "tile-1-2-3", "Lite/4/5/6" -> "tile-4-5-6").foreach { case (k, v) =>
+        val f = new java.io.File(root, k)
+        assert(f.exists(), k)
+        assert(new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8") == v)
+        assert(new java.io.File(root, s"_meta/$k").exists(), s"sidecar for $k")
+      }
+    } finally q.stop()
+  }
+
   test("streaming dedup drops duplicate event_ids across triggers") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
