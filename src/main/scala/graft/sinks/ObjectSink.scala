@@ -101,7 +101,8 @@ object ObjectSink {
       contentCol: String,
       contentType: String,
       acl: String = ObjectStore.PublicRead,
-      progress: Option[(String, Seq[String])] = None): (Long, Long, Map[String, Long]) = {
+      progress: Option[(String, Seq[String])] = None,
+      retries: Int = 0): (Long, Long, Map[String, Long]) = {
     val spark = df.sparkSession
     val ok: LongAccumulator = spark.sparkContext.longAccumulator("objects_uploaded")
     val failed: LongAccumulator = spark.sparkContext.longAccumulator("objects_failed")
@@ -115,11 +116,23 @@ object ObjectSink {
     val li = progress.map { case (c, _) => df.schema.fieldIndex(c) }
     df.foreachPartition { rows: Iterator[Row] =>
       rows.foreach { r =>
-        try {
-          store.put(r.getString(ki), r.getAs[Array[Byte]](ci), contentType, acl)
-          ok.add(1)
-          li.foreach(i => perLabel.get(String.valueOf(r.get(i))).foreach(_.add(1)))
-        } catch { case scala.util.control.NonFatal(_) => failed.add(1) }
+        // per-record policy (Program.cs:120-123): up to `retries` retried
+        // attempts (PUTs are idempotent by key), then swallow-and-count —
+        // one bad object must never fail the job
+        var attempt = 0
+        var done = false
+        while (!done && attempt <= retries) {
+          try {
+            store.put(r.getString(ki), r.getAs[Array[Byte]](ci), contentType, acl)
+            ok.add(1)
+            li.foreach(i => perLabel.get(String.valueOf(r.get(i))).foreach(_.add(1)))
+            done = true
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              attempt += 1
+              if (attempt > retries) failed.add(1)
+          }
+        }
       }
     }
     val counts: Map[String, Long] = perLabel.map { case (l, a) => l -> a.value.longValue() }

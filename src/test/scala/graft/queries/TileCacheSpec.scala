@@ -3,6 +3,23 @@ package graft.queries
 import graft.SparkSuite
 import org.apache.spark.sql.functions._
 
+/** Deterministic failure-injection store for the R11 fault-tolerance
+  * test: keys under dead/ always fail, keys under flaky/ fail the first
+  * attempt per JVM (static state — survives task serialization).
+  */
+class FlakyStore extends graft.sinks.ObjectStore {
+  override def put(key: String, bytes: Array[Byte], contentType: String, acl: String): Unit = {
+    if (key.startsWith("dead/")) throw new java.io.IOException(s"permanent failure: $key")
+    if (key.startsWith("flaky/") && FlakyStore.seen.add(key))
+      throw new java.io.IOException(s"transient failure: $key")
+  }
+}
+
+object FlakyStore {
+  val seen: java.util.concurrent.ConcurrentHashMap.KeySetView[String, java.lang.Boolean] =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+}
+
 /** E2E tile fixture tests (SURVEY.md §5.5): grid → binaryFile scan →
   * object sink into a local "bucket", asserting keys and byte identity.
   */
@@ -88,6 +105,26 @@ class TileCacheSpec extends SparkSuite {
       .map(r => r.getString(0) -> r.getLong(1))
       .toMap
     assert(perLevel.filter(_._2 > 0) == expected)
+  }
+
+  test("sink per-record fault tolerance: failures are counted, retries recover transients (R11)") {
+    import graft.sinks.{ObjectSink, ObjectStore}
+    val df = spark
+      .createDataFrame(Seq(
+        ("good/1", "a".getBytes("UTF-8")),
+        ("flaky/2", "b".getBytes("UTF-8")),
+        ("dead/3", "c".getBytes("UTF-8"))))
+      .toDF("object_key", "content")
+      .repartition(1)
+    // a store that fails the first attempt per flaky/* key and always for dead/*
+    FlakyStore.seen.clear()
+    val (okNoRetry, failedNoRetry, _) =
+      ObjectSink.write(df, new FlakyStore, "object_key", "content", "text/plain")
+    assert(okNoRetry == 1 && failedNoRetry == 2) // flaky dies without retries
+    FlakyStore.seen.clear()
+    val (okRetry, failedRetry, _) =
+      ObjectSink.write(df, new FlakyStore, "object_key", "content", "text/plain", retries = 2)
+    assert(okRetry == 2 && failedRetry == 1) // flaky recovers on retry, dead still counted
   }
 
   test("HadoopFsStore writes the same PUT contract through the hadoop-fs API (cloud swap-in)") {
