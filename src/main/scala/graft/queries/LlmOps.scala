@@ -587,6 +587,19 @@ object LlmOps {
       .orderBy("split")
   }
 
+  /** Near-dup candidate pairs → dedup GROUPS: connected components over
+    * the df-capped shingle-Jaccard pairs (see
+    * [[graft.operators.DedupClusters]] — iterative min-label propagation,
+    * one shuffle per round, rounds bounded by cluster diameter). Output:
+    * one row per multi-member cluster with its representative (min
+    * doc_id), size, and members — the shape a dedup job consumes.
+    * Rows-only (component labeling is iterative; the spec pins it against
+    * a union-find reference).
+    */
+  def qDedupClusters(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.DedupClusters
+      .summarize(qDedupNgramCapped(spark, sfDir), "d1", "d2")
+
   // ---------------------------------------------------- deterministic sampling
 
   /** Deterministic content-keyed sample (~10%): keep documents whose md5
@@ -769,6 +782,7 @@ object LlmOps {
              |WHERE CAST(common AS DOUBLE) / CAST(s1.n_sh + s2.n_sh - common AS DOUBLE) >= 0.5
              |ORDER BY d1, d2""".stripMargin)),
     "q_dedup_near" -> Q(qDedupNear, None),
+    "q_dedup_clusters" -> Q(qDedupClusters, None),
     "q_dedup_simhash" -> Q(qDedupSimhash, None),
     "q_dedup_simhash_pairs" -> Q(qDedupSimhashPairs, None),
     "q_dedup_embed" -> Q(

@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.DedupClusters
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** DedupClusters (connected components via min-label propagation) pinned
+  * against a plain Scala union-find on generated edge lists — chains
+  * (forcing multiple propagation rounds), stars, cliques, and random
+  * sparse graphs.
+  */
+class ClusterSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x
+      else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  private def check(edges: Seq[(Long, Long)]): Unit = {
+    val expected = unionFind(edges)
+    val got = DedupClusters
+      .clusters(edges.toDF("d1", "d2"), "d1", "d2")
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(got == expected, s"edges $edges")
+  }
+
+  test("chains, stars, cliques, and singleton edges") {
+    check(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))) // chain: several rounds
+    check(Seq((10L, 11L), (10L, 12L), (10L, 13L))) // star
+    check(Seq((20L, 21L), (20L, 22L), (21L, 22L))) // clique
+    check(Seq((30L, 31L), (40L, 41L), (50L, 50L))) // disjoint + self-loop
+    check(Seq((9L, 1L), (8L, 9L), (7L, 8L))) // min label enters last
+  }
+
+  test("random sparse graphs match union-find") {
+    val edgeGen = Gen.listOfN(60, Gen.zip(Gen.choose(0L, 40L), Gen.choose(0L, 40L)))
+    (51L to 53L).foreach { seed =>
+      check(edgeGen.pureApply(Gen.Parameters.default, Seed(seed)))
+    }
+  }
+
+  test("summarize emits representative, size, and sorted members") {
+    val rows = DedupClusters
+      .summarize(Seq((3L, 1L), (1L, 2L), (10L, 11L)).toDF("d1", "d2"), "d1", "d2")
+      .collect()
+    assert(rows.length == 2)
+    val first = rows(0)
+    assert(first.getLong(0) == 1L && first.getLong(1) == 3L)
+    assert(first.getSeq[Long](2) == Seq(1L, 2L, 3L))
+    val second = rows(1)
+    assert(second.getLong(0) == 10L && second.getLong(1) == 2L)
+  }
+}
