@@ -21,11 +21,12 @@ import org.apache.spark.sql.functions._
   * each vertex's old label rides along as a marked row, so the same
   * `min` pass that produces the new label also produces a per-vertex
   * `chg` flag (new < old). One eager checkpoint job per round
-  * materializes both; the convergence test is then a `take(1)` over the
-  * already-cached blocks — no extra join, no extra shuffle, no separate
-  * distributed count (round 2 paid one checkpoint job PLUS a
-  * shuffle-join count job per iteration; that overhead was 37% of the
-  * whole bench).
+  * materializes both; the convergence test is then one cheap `take(1)`
+  * action over the already-cached blocks — still a Spark action per
+  * round, but no extra join or shuffle, vs round 2 which paid a
+  * checkpoint job PLUS a shuffle-join count job per iteration (37% of
+  * the whole bench). The loop also pays one final no-change round to
+  * observe the fixpoint — inherent to synchronous label propagation.
   */
 object DedupClusters {
 

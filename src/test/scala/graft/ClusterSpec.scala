@@ -52,14 +52,18 @@ class ClusterSpec extends SparkSuite {
   }
 
   test("summarize emits representative, size, and sorted members") {
-    val rows = DedupClusters
+    val df = DedupClusters
       .summarize(Seq((3L, 1L), (1L, 2L), (10L, 11L)).toDF("d1", "d2"), "d1", "d2")
-      .collect()
+    // members is a scalar STRING (comma-joined, sorted), not ARRAY — the
+    // shape any downstream comparator can hash (see summarize scaladoc)
+    assert(df.schema("members").dataType == org.apache.spark.sql.types.StringType)
+    val rows = df.collect()
     assert(rows.length == 2)
     val first = rows(0)
     assert(first.getLong(0) == 1L && first.getLong(1) == 3L)
-    assert(first.getSeq[Long](2) == Seq(1L, 2L, 3L))
+    assert(first.getString(2) == "1,2,3")
     val second = rows(1)
     assert(second.getLong(0) == 10L && second.getLong(1) == 2L)
+    assert(second.getString(2) == "10,11")
   }
 }
