@@ -362,6 +362,70 @@ object PlaneSig16 {
   def of(c: Column): Column = Bridge.column(PlaneSig16(Bridge.expression(c)))
 }
 
+/** Codegen'd 64-bit random-hyperplane signature (the banded multi-probe
+  * ANN of `q_sim_ann` consumes two of these = 128 bits → 8×16-bit
+  * bands): bit j = sign of plane_(planeSet*64+j) · v, planes drawn from
+  * the same deterministic splitmix ±1 family as [[PlaneSig16]] (which
+  * uses plane indices 0-15). `planeSet` selects a disjoint 64-plane
+  * block per signature word so the two words are independent. Same
+  * scaled-round-sum core as PlaneSig16/ScaledDot — one bulk
+  * `toFloatArray` per row, all 64 plane dots in one static monomorphic
+  * loop (the §6 deopt-cliff-proof shape).
+  */
+case class PlaneSig64(child: Expression, planeSet: Int) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "plane_sig64"
+
+  override def nullSafeEval(input: Any): Any =
+    PlaneSig64.sig(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], planeSet)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${PlaneSig64.Mod}.sig($c, $planeSet)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PlaneSig64 {
+
+  private[functions] val Mod = getClass.getName.stripSuffix("$") + "$.MODULE$"
+
+  /** 128 deterministic ±1 hyperplanes over 64 dims (two 64-plane sets). */
+  private val Planes: Array[Array[Float]] = Array.tabulate(128) { j =>
+    Array.tabulate(64) { i =>
+      var z = j.toLong * 64 + i + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      if (((z ^ (z >>> 31)) & 1L) == 0L) 1.0f else -1.0f
+    }
+  }
+
+  def sig(a: org.apache.spark.sql.catalyst.util.ArrayData, planeSet: Int): Long = {
+    val xs = a.toFloatArray()
+    val base = planeSet * 64
+    var out = 0L
+    var j = 0
+    while (j < 64) {
+      val p = Planes(base + j)
+      val n = math.min(xs.length, p.length)
+      var s = 0L
+      var i = 0
+      while (i < n) {
+        s += ScaledDot.roundHalfAway(xs(i).toDouble * p(i).toDouble * 1e12)
+        i += 1
+      }
+      if (s > 0) out |= 1L << j
+      j += 1
+    }
+    out
+  }
+
+  /** Column API: plane_sig64(embedding, planeSet) → BIGINT signature. */
+  def of(c: Column, planeSet: Int): Column =
+    Bridge.column(PlaneSig64(Bridge.expression(c), planeSet))
+}
+
 /** Codegen'd 16-hash MinHash signature over distinct 3-token shingles
   * (see `q_dedup_near`): per-shingle base hash = `pmod(xxhash64(sh), P)`
   * (bit-identical to the Spark builtins it replaces — XXH64 core, seed

@@ -50,6 +50,16 @@ class PlanSpec extends SparkSuite {
   test("q_sim_ann is a signature semi-join bucket lookup, not a scan filter") {
     val p = plan(graft.queries.LlmOps.qSimAnn(spark, sf001))
     assert(p.contains("LeftSemi"), p)
+    // the banded index + probes never route through a window or a
+    // nested-loop: candidates come from an equality join on (band, key)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") || p.contains("LeftSemi"), p)
+  }
+
+  test("IVF centroid assignment is one min_by aggregation, no window sort") {
+    val p = plan(graft.queries.LlmOps.ivfAssignmentPlanProbe(spark, sf001))
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_min_by") || p.contains("min_by"), p)
   }
 
   test("text battery evaluates one text_profile struct per row, no HOFs") {

@@ -78,18 +78,29 @@ class QueriesSpec extends SparkSuite {
     assert(lsh.size >= 12, s"LSH recall too low: ${lsh.size}/18")
   }
 
-  test("bucketed ANN == dense hamming<=7 filter (probe-ball equivalence)") {
+  test("banded ANN == dense any-band-hamming<=2 filter (probe equivalence)") {
     import spark.implicits._
-    // The probe-ball semi-join must select EXACTLY the vectors a dense
-    // bit_count(sig ^ q_sig) <= 7 filter selects (the round-1 shape).
+    // The banded multi-probe semi-join must select EXACTLY the vectors a
+    // dense "∃ band b: bit_count(key_b(v) ^ key_b(q)) <= 2" filter
+    // selects — i.e. the 1096-key probe enumeration is complete (misses
+    // no bucket in the radius) and sound (adds none outside it).
     val e = graft.Tables
       .embeddings(spark, sf001)
-      .withColumn("sig", LlmOps.planeSig(col("embedding")))
-    val q = e.where($"vec_id" === 0).select($"sig".as("q_sig"))
+      .withColumn("sig0", graft.functions.PlaneSig64.of(col("embedding"), 0))
+      .withColumn("sig1", graft.functions.PlaneSig64.of(col("embedding"), 1))
+    val q = e.where($"vec_id" === 0).select($"sig0".as("q0"), $"sig1".as("q1"))
+    def key(word: org.apache.spark.sql.Column, b: Int) =
+      shiftright(word, 16 * (b % 4)).bitwiseAND(lit(0xffffL))
+    val anyBand = (0 until 8)
+      .map { b =>
+        val (w, qw) = if (b < 4) ($"sig0", $"q0") else ($"sig1", $"q1")
+        bit_count(key(w, b).bitwiseXOR(key(qw, b))) <= 2
+      }
+      .reduce(_ || _)
     val brute = e
       .where($"vec_id" =!= 0)
       .crossJoin(broadcast(q))
-      .where(bit_count($"sig".bitwiseXOR($"q_sig")) <= 7)
+      .where(anyBand)
       .select("vec_id")
       .as[Long]
       .collect()
