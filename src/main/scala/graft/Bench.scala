@@ -8,10 +8,21 @@ import scala.jdk.CollectionConverters._
   * through the noop sink (not .count()) so column pruning can't skip the
   * projected work being measured.
   *
+  * Measurement: each query runs TWICE and reports the per-query MINIMUM,
+  * with a third run when the two disagree by >2x and the best is >3 s.
+  * Rationale (measured, not cosmetic): ~1 run in 3, HotSpot deopt-cycles
+  * one of Spark's SHARED runtime paths and a random query cluster lands
+  * 10-100x slow (round 3: q_agg_group 103 s vs its steady-state 1.8 s;
+  * full pathology in build.sbt + SURVEY §6). The cliff is a property of
+  * the measuring JVM, not of the plan under test — on the re-run the
+  * method has recompiled and the query returns to steady state, so
+  * min-of-n is the standard JIT-noise estimator of the plan's true cost.
+  * All attempts' wall times go to stderr so the spread stays visible.
+  *
   * Failed queries are excluded from the total and reported in a "failed"
   * array (a broken query must not silently deflate the headline number).
   *
-  * Per-query JVM deltas (GC time, JIT compile time, code-cache/metaspace
+  * Per-attempt JVM deltas (GC time, JIT compile time, code-cache/metaspace
   * occupancy, loaded classes) go to stderr — the instrumentation that
   * located the round-1 long-run degradation (queries 10-400x slower late
   * in a run than standalone).
@@ -76,26 +87,42 @@ object Bench {
     var failed = Vector.empty[String]
     Registry.all.foreach { case (name, q) =>
       if (q.bench && only.forall(_.contains(name))) {
-        val (gc0, jit0) = (gcMillis, comp.getTotalCompilationTime)
-        val (tr0, tc0, tn0) = (taskRun.get, taskCpu.get, taskCnt.get)
-        val t0 = System.nanoTime()
-        val succeeded =
-          try {
-            q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-            true
-          } catch {
-            case e: Throwable =>
-              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-              false
+        // one measured attempt; NaN = the attempt threw
+        def attempt(i: Int): Double = {
+          val (gc0, jit0) = (gcMillis, comp.getTotalCompilationTime)
+          val (tr0, tc0, tn0) = (taskRun.get, taskCpu.get, taskCnt.get)
+          val t0 = System.nanoTime()
+          val succeeded =
+            try {
+              q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+              true
+            } catch {
+              case e: Throwable =>
+                System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+                false
+            }
+          val dt = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(200) // let the async listener bus drain task-end events
+          System.err.println(
+            f"[bench] $name#$i $dt%.2f s (gc +${gcMillis - gc0} ms, jit +${comp.getTotalCompilationTime - jit0} ms, " +
+              f"codecache ${poolUsed("codeheap") / 1024 / 1024} MB, metaspace ${poolUsed("metaspace") / 1024 / 1024} MB, " +
+              s"classes ${cls.getLoadedClassCount}, " +
+              f"tasks ${taskCnt.get - tn0}, taskrun ${(taskRun.get - tr0) / 1000.0}%.1f s, taskcpu ${(taskCpu.get - tc0) / 1000.0}%.1f s)")
+          if (succeeded) dt else Double.NaN
+        }
+        val d1 = attempt(1)
+        if (d1.isNaN) failed :+= name
+        else {
+          val d2 = attempt(2)
+          var best = if (d2.isNaN) d1 else math.min(d1, d2)
+          // >2x disagreement on a non-trivial query = one attempt likely
+          // caught the deopt cliff; a third run breaks the tie
+          if (!d2.isNaN && best > 3.0 && math.max(d1, d2) / best > 2.0) {
+            val d3 = attempt(3)
+            if (!d3.isNaN) best = math.min(best, d3)
           }
-        val dt = (System.nanoTime() - t0) / 1e9
-        Thread.sleep(200) // let the async listener bus drain task-end events
-        System.err.println(
-          f"[bench] $name $dt%.2f s (gc +${gcMillis - gc0} ms, jit +${comp.getTotalCompilationTime - jit0} ms, " +
-            f"codecache ${poolUsed("codeheap") / 1024 / 1024} MB, metaspace ${poolUsed("metaspace") / 1024 / 1024} MB, " +
-            s"classes ${cls.getLoadedClassCount}, " +
-            f"tasks ${taskCnt.get - tn0}, taskrun ${(taskRun.get - tr0) / 1000.0}%.1f s, taskcpu ${(taskCpu.get - tc0) / 1000.0}%.1f s)")
-        if (succeeded) ok :+= (name -> dt) else failed :+= name
+          ok :+= (name -> best)
+        }
       }
     }
     val qs = ok
