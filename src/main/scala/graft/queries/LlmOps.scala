@@ -614,6 +614,111 @@ object LlmOps {
       .orderBy(col("n").desc, col("tok").asc)
       .limit(100)
 
+  /** Gopher-style repetition quality signals, per document: the
+    * most-frequent-token fraction and the repeated-token fraction
+    * (1 − distinct/total) — the two cheap signals that catch boilerplate
+    * and degenerate generations. One explode over the native `split`
+    * (codegen generate, no HOF), then (doc_id, tok) partial counts with
+    * map-side combine and a per-doc max/sum/count — keys are (doc_id,
+    * token) pairs; document bodies never shuffle. Thresholds (top token
+    * > 12.5% of the doc, or > 30% repeats) flag `repetitive`.
+    */
+  def qTextRepetition(spark: SparkSession, sfDir: String): DataFrame = {
+    val topFrac = col("top_tok_n").cast("double") / col("n_tokens")
+    val dupFrac = lit(1.0) - col("n_distinct").cast("double") / col("n_tokens")
+    Tables
+      .documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("doc_id")
+      .agg(
+        max(col("n")).as("top_tok_n"),
+        sum(col("n")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("n_distinct"),
+        topFrac.as("top_tok_frac"),
+        dupFrac.as("dup_frac"),
+        (topFrac > 0.125 || dupFrac > 0.3).as("repetitive"))
+      .orderBy("doc_id")
+  }
+
+  /** Train↔test decontamination core: for each train document, how many
+    * of its distinct 3-token shingles appear anywhere in the eval set.
+    * The scalable shape: eval shingles reduce to a DISTINCT shingle
+    * relation, train docs explode to (doc_id, shingle), and overlap is a
+    * key-equality join on the shingle — at 100 TB both sides shuffle
+    * (hash-partition) on the shingle key; no document body and no O(n×m)
+    * comparison anywhere. Package-visible so the spec can drive it with
+    * crafted train/eval sets.
+    */
+  private[graft] def contamination(train: DataFrame, evalDocs: DataFrame): DataFrame = {
+    val sh = graft.functions.Shingles3.of(col("text"))
+    val evalSh = evalDocs.select(explode(sh).as("sh")).distinct()
+    val shared = train
+      .select(col("doc_id"), explode(sh).as("sh"))
+      .join(evalSh, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+    train
+      .select(col("doc_id"), size(sh).cast("long").as("n_shingles"))
+      .join(shared, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_shingles"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)).cast("double") /
+          nullif(col("n_shingles").cast("double"), lit(0.0))).as("contamination"))
+  }
+
+  /** Benchmark-contamination check over the engine's own deterministic
+    * splits: train = q_split_assign buckets 0-79, eval = the test split
+    * (buckets 90-99); a train document whose shingles overlap the test
+    * set would leak eval data into training. Shingles come from the
+    * [[graft.functions.Shingles3]] kernel (distinct per doc, same
+    * semantics as the dedup family), so `n_shared` counts distinct
+    * contaminated shingles.
+    */
+  def qDecontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = pmod(col("doc_id") * lit(40503L), lit(100L))
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"), bucket.as("b"))
+    contamination(docs.where(col("b") < 80), docs.where(col("b") >= 90))
+      .orderBy("doc_id")
+  }
+
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val PhoneRe = "\\d{3}[-.]\\d{3}[-.]\\d{4}"
+
+  /** PII scrub column: emails then phones replaced by typed placeholders
+    * (both regexes are deliberately in the RE2-compatible subset so the
+    * DuckDB twin evaluates the identical language).
+    */
+  private[graft] def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, lit(EmailRe), lit("<EMAIL>")),
+      lit(PhoneRe),
+      lit("<PHONE>"))
+
+  /** PII detection + redaction accounting, per document: email/phone
+    * match counts and the redacted length — the audit output a cleaning
+    * pipeline records before dropping or scrubbing. Pure per-row codegen
+    * (regexp_count / regexp_replace builtins), embarrassingly parallel,
+    * no shuffle; the spec proves the scrub on crafted PII strings.
+    */
+  def qTextPii(spark: SparkSession, sfDir: String): DataFrame =
+    Tables
+      .documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        regexp_count(col("text"), lit(EmailRe)).cast("int").as("n_emails"),
+        regexp_count(col("text"), lit(PhoneRe)).cast("int").as("n_phones"),
+        length(scrubPii(col("text"))).cast("int").as("clean_len"))
+      .orderBy("doc_id")
+
   /** Composed cleaning pipeline — the operators chained the way a real
     * training-data job runs them: quality gate (length/token floors) →
     * exact dedup (keep the min doc_id per sha256) → deterministic
@@ -980,6 +1085,53 @@ object LlmOps {
              |FROM (SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
              |      FROM documents)
              |GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 100""".stripMargin)),
+    "q_text_repetition" -> Q(
+      qTextRepetition,
+      Some("""WITH tf AS (
+             | SELECT doc_id, tok, count(1) AS n
+             | FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+             |       FROM documents)
+             | GROUP BY doc_id, tok),
+             |agg AS (
+             | SELECT doc_id, CAST(max(n) AS BIGINT) AS top_tok_n,
+             |  CAST(sum(n) AS BIGINT) AS n_tokens, count(1) AS n_distinct
+             | FROM tf GROUP BY doc_id)
+             |SELECT doc_id, n_tokens, n_distinct,
+             | CAST(top_tok_n AS DOUBLE) / n_tokens AS top_tok_frac,
+             | 1.0 - CAST(n_distinct AS DOUBLE) / n_tokens AS dup_frac,
+             | (CAST(top_tok_n AS DOUBLE) / n_tokens > 0.125
+             |  OR 1.0 - CAST(n_distinct AS DOUBLE) / n_tokens > 0.3) AS repetitive
+             |FROM agg ORDER BY doc_id""".stripMargin)),
+    "q_decontaminate" -> Q(
+      qDecontaminate,
+      Some("""WITH docs AS (
+             | SELECT doc_id, (doc_id * 40503) % 100 AS b, list_distinct(
+             |   CASE WHEN len(toks) >= 3 THEN
+             |     list_transform(generate_series(1, len(toks) - 2),
+             |       i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+             |   ELSE [] END) AS shingles
+             | FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents)),
+             |test_sh AS (SELECT DISTINCT unnest(shingles) AS sh FROM docs WHERE b >= 90),
+             |train AS (SELECT doc_id, shingles FROM docs WHERE b < 80),
+             |shared AS (
+             | SELECT doc_id, count(1) AS n_shared
+             | FROM (SELECT doc_id, unnest(shingles) AS sh FROM train) t
+             | JOIN test_sh USING (sh) GROUP BY doc_id)
+             |SELECT t.doc_id, CAST(len(t.shingles) AS BIGINT) AS n_shingles,
+             | CAST(coalesce(s.n_shared, 0) AS BIGINT) AS n_shared,
+             | CAST(coalesce(s.n_shared, 0) AS DOUBLE)
+             |   / nullif(CAST(len(t.shingles) AS DOUBLE), 0) AS contamination
+             |FROM train t LEFT JOIN shared s ON t.doc_id = s.doc_id
+             |ORDER BY t.doc_id""".stripMargin)),
+    "q_text_pii" -> Q(
+      qTextPii,
+      Some("""SELECT doc_id,
+             | CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+             | CAST(len(regexp_extract_all(text, '\d{3}[-.]\d{3}[-.]\d{4}')) AS INT) AS n_phones,
+             | CAST(length(regexp_replace(
+             |   regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |   '\d{3}[-.]\d{3}[-.]\d{4}', '<PHONE>', 'g')) AS INT) AS clean_len
+             |FROM documents ORDER BY doc_id""".stripMargin)),
     "q_pipeline_clean" -> Q(
       qPipelineClean,
       Some("""WITH passed AS (
