@@ -42,6 +42,16 @@ object StreamingQueries {
       .select("event_id")
       .orderBy("event_id")
 
+  /** Batch twin of the stream-stream attribution join (same transform,
+    * no watermark): click→purchase pairs per user within 30 minutes.
+    */
+  def join(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    Streams
+      .attribution(ev, ev, withWatermark = false)
+      .orderBy("click_id", "purchase_id")
+  }
+
   /** Batch run of the flatMapGroupsWithState sessionizer (custom-state
     * API surface); bit-identical to `q_events_sessionize`'s oracle.
     */
@@ -87,6 +97,14 @@ object StreamingQueries {
     "s_stream_dedup" -> Q(
       dedup,
       Some(s"SELECT DISTINCT event_id FROM $EV ORDER BY event_id")),
+    "s_stream_join" -> Q(
+      join,
+      Some(s"""SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+              | c.ts AS click_ts, p.ts AS purchase_ts
+              |FROM $EV c JOIN $EV p ON c.user_id = p.user_id
+              |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+              | AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 30 MINUTE
+              |ORDER BY click_id, purchase_id""".stripMargin)),
     "s_stream_session_state" -> Q(
       sessionStateful,
       Some(s"""WITH flagged AS (

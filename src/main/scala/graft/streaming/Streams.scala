@@ -150,6 +150,48 @@ object Streams {
     src.dropDuplicates("event_id")
   }
 
+  /** Stream-stream interval join — click→purchase attribution: each
+    * purchase is credited to every click by the same user in the
+    * preceding 30 minutes. The canonical two-stream correlation shape
+    * Structured Streaming supports natively: BOTH sides watermarked, an
+    * equality key (user_id) plus an event-time range predicate — the
+    * range is what lets the engine evict buffered rows once the other
+    * side's watermark passes `ts + 30 min`, so per-side state is bounded
+    * by the horizon, never the stream's history. At scale the equality
+    * key also makes the join a hash-partition shuffle on user_id, not a
+    * cross-stream scan. Same definition runs in batch (the driver's
+    * oracle twin `s_stream_join`); StreamingSpec proves the MemoryStream
+    * run emits exactly the batch pairs.
+    */
+  def attribution(
+      clicksSrc: DataFrame,
+      purchasesSrc: DataFrame,
+      withWatermark: Boolean): DataFrame = {
+    val clicks0 = clicksSrc
+      .where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+    val purch0 = purchasesSrc
+      .where(col("event_type") === "purchase")
+      .select(
+        col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"),
+        col("ts").as("purchase_ts"))
+    val clicks = if (withWatermark) clicks0.withWatermark("click_ts", "30 minutes") else clicks0
+    val purch = if (withWatermark) purch0.withWatermark("purchase_ts", "30 minutes") else purch0
+    clicks
+      .join(
+        purch,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") < col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(
+        col("user_id"),
+        col("click_id"),
+        col("purchase_id"),
+        col("click_ts"),
+        col("purchase_ts"))
+  }
+
   /** Per-user session windows, 30-minute gap. Session end = last event +
     * gap (Spark session_window semantics).
     */

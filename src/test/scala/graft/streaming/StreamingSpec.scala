@@ -163,6 +163,41 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-stream attribution join emits exactly the batch pairs") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val df = mem
+      .toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    // one source branched into two watermarked sides (a supported
+    // stream-stream self-join); the range predicate bounds both buffers
+    val q = Streams
+      .attribution(df, df, withWatermark = true)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("attribution_append")
+      .start()
+    try {
+      val evs = eventTuples
+      mem.addData(evs.toIndexedSeq)
+      q.processAllAvailable()
+      // advance both watermarks far past the data so every buffered
+      // click/purchase pair has been resolved and emitted
+      val maxTs = evs.map(_._2.getTime).max
+      mem.addData((-1L, new java.sql.Timestamp(maxTs + 7200L * 1000), 0L, "sentinel", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("attribution_append")
+      val batch = Streams.attribution(
+        Tables.events(spark, sf001).select("event_id", "ts", "user_id", "event_type", "value"),
+        Tables.events(spark, sf001).select("event_id", "ts", "user_id", "event_type", "value"),
+        withWatermark = false)
+      assert(batch.count() > 0, "fixture must produce at least one attribution pair")
+      assert(streamed.exceptAll(batch).count() == 0)
+      assert(batch.exceptAll(streamed).count() == 0)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState streaming sessionize equals batch sessionize") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
