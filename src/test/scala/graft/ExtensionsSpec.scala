@@ -12,6 +12,15 @@ class ExtensionsSpec extends AnyFunSuite {
   // getOrCreate returns an existing default session and would silently
   // skip the extensions config, so detach the shared suite session while
   // building this one (they share one SparkContext), then restore it.
+  // `spark.sql.extensions` is a STATIC conf read from the SparkContext's
+  // conf at session construction — when another suite created the
+  // context first (suite order is not fixed), the config line alone
+  // silently does nothing. `withExtensions` is the public builder API
+  // that applies the same injector deterministically on a shared
+  // context, so the test exercises the identical injectFunction /
+  // injectOptimizerRule surface regardless of which suite ran first;
+  // the config line stays as production documentation (it IS the
+  // mechanism when the context is born with it, i.e. spark-submit).
   private lazy val ext: SparkSession = {
     val prevDefault = SparkSession.getDefaultSession
     val prevActive = SparkSession.getActiveSession
@@ -22,6 +31,7 @@ class ExtensionsSpec extends AnyFunSuite {
       .master("local[4]")
       .appName("graft-ext-test")
       .config("spark.sql.extensions", classOf[GraftExtensions].getName)
+      .withExtensions(new GraftExtensions())
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
