@@ -1,0 +1,70 @@
+package graft.operators
+
+/** Container-format metadata probe: format identification + pixel
+  * dimensions parsed directly from binary headers — no codec library, no
+  * decompression. This is the real first stage of a multimodal ingestion
+  * pipeline (dimension/aspect-ratio filters, format routing, corrupt-file
+  * triage) and needs only the first bytes of each payload:
+  *
+  *  - PNG:  8-byte signature, then IHDR width/height at offsets 16/20
+  *          (big-endian u32)
+  *  - GIF:  `GIF87a`/`GIF89a`, logical-screen w/h at offsets 6/8
+  *          (little-endian u16)
+  *  - BMP:  `BM`, BITMAPINFOHEADER width/height at offsets 18/22
+  *          (little-endian i32; height may be negative = top-down rows)
+  *  - JPEG: `FF D8`, then a marker-segment walk to the first SOF frame
+  *          header (C0-CF minus C4/C8/CC), height/width at payload
+  *          offsets +3/+5 (big-endian u16)
+  *
+  * Anything else → `unknown` with -1 dimensions. The pixel DECODE behind
+  * these headers remains the documented stub boundary (no libjpeg/libpng
+  * in this container); header parsing needs none of it.
+  */
+object MediaProbe {
+
+  final case class Probe(format: String, width: Int, height: Int)
+
+  private val Unknown = Probe("unknown", -1, -1)
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def beU16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+  private def leU16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def beU32(b: Array[Byte], i: Int): Long =
+    (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+  private def leI32(b: Array[Byte], i: Int): Int =
+    u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) | (u8(b, i + 3) << 24)
+
+  def probe(b: Array[Byte]): Probe =
+    if (b.length >= 24 &&
+      u8(b, 0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
+      u8(b, 4) == 0x0d && u8(b, 5) == 0x0a && u8(b, 6) == 0x1a && u8(b, 7) == 0x0a)
+      Probe("png", beU32(b, 16).toInt, beU32(b, 20).toInt)
+    else if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
+      (b(4) == '7' || b(4) == '9') && b(5) == 'a')
+      Probe("gif", leU16(b, 6), leU16(b, 8))
+    else if (b.length >= 26 && b(0) == 'B' && b(1) == 'M')
+      Probe("bmp", leI32(b, 18), math.abs(leI32(b, 22)))
+    else if (b.length >= 4 && u8(b, 0) == 0xff && u8(b, 1) == 0xd8)
+      jpegSof(b)
+    else Unknown
+
+  /** Walk JPEG marker segments to the first start-of-frame header. */
+  private def jpegSof(b: Array[Byte]): Probe = {
+    var i = 2
+    while (i + 3 < b.length) {
+      if (u8(b, i) != 0xff) return Unknown // desynchronized stream
+      val m = u8(b, i + 1)
+      if (m == 0xff) i += 1 // fill byte
+      else if (m == 0x01 || (m >= 0xd0 && m <= 0xd9)) i += 2 // standalone
+      else if ((m >= 0xc0 && m <= 0xcf) && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+        // SOFn payload: len(2) precision(1) height(2) width(2)
+        if (i + 8 < b.length) return Probe("jpeg", beU16(b, i + 7), beU16(b, i + 5))
+        else return Unknown
+      } else {
+        if (i + 3 >= b.length) return Unknown
+        i += 2 + beU16(b, i + 2) // length includes its own 2 bytes
+      }
+    }
+    Unknown
+  }
+}

@@ -823,12 +823,16 @@ object LlmOps {
 
   // ------------------------------------------------------------- multimodal
 
-  /** Multimodal binary-column plumbing: docs → opaque binary payloads +
-    * typed metadata, "decoded" in distributed batches via mapPartitions
-    * (the Scala analog of mapInPandas). The decode itself is a clearly
-    * deterministic STUB (no image libs in this container) — the real
-    * pieces are the schema, the partition-parallel batch shape, and
-    * binary-safe columns. Rows-only check + unit tests.
+  /** Multimodal binary-column metadata extraction: docs → opaque binary
+    * payloads, probed in distributed batches via mapPartitions (the Scala
+    * analog of mapInPandas). The metadata stage is REAL:
+    * [[graft.operators.MediaProbe]] identifies PNG/GIF/BMP/JPEG
+    * containers and parses pixel dimensions straight from the binary
+    * headers — no codec library needed, proven on crafted headers in
+    * MediaProbeSpec. Only the pixel decode behind the header remains the
+    * documented stub boundary (no libjpeg/libpng in this container).
+    * This corpus's payloads are UTF-8 text, so they classify as
+    * `unknown`/-1×-1 deterministically. Rows-only check + unit tests.
     */
   def qMultimodalMeta(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -838,17 +842,17 @@ object LlmOps {
       .as[(Long, Array[Byte])]
     bin
       .mapPartitions { it =>
-        // batch-shaped decode stub: one "decoder" per partition, iterate
-        // records — where a real impl would hold codec/ort sessions.
+        // one probe per record, batch-shaped: the partition iterator is
+        // where a real impl would also hold codec/ort sessions.
         it.map { case (id, bytes) =>
-          val w = 256 + (bytes.headOption.getOrElse(0: Byte) & 0x3f)
-          val h = 256 + (bytes.lift(1).getOrElse(0: Byte) & 0x3f)
+          val p = graft.operators.MediaProbe.probe(bytes)
           MediaMeta(
-        id,
-        bytes.length.toLong,
-        bytes.take(4).map(b => f"${b & 0xff}%02x").mkString,
-        w,
-        h)
+            id,
+            bytes.length.toLong,
+            bytes.take(4).map(b => f"${b & 0xff}%02x").mkString,
+            p.format,
+            p.width,
+            p.height)
         }
       }
       .toDF()
@@ -1181,7 +1185,13 @@ object LlmOps {
 }
 
 /** Output record of the multimodal decode stub. */
-case class MediaMeta(doc_id: Long, n_bytes: Long, magic: String, width: Int, height: Int)
+case class MediaMeta(
+    doc_id: Long,
+    n_bytes: Long,
+    magic: String,
+    format: String,
+    width: Int,
+    height: Int)
 
 /** Output record of the multimodal frame-sampling stub. */
 case class MediaFrame(doc_id: Long, frame_idx: Int, frame_bytes: Int, frame_hash: Int)

@@ -1,0 +1,72 @@
+package graft
+
+import graft.operators.MediaProbe
+import org.scalatest.funsuite.AnyFunSuite
+
+/** MediaProbe header parsing pinned on crafted container headers — the
+  * byte layouts come from the published format specs (PNG IHDR, GIF
+  * logical screen descriptor, BITMAPINFOHEADER, JPEG SOF marker walk).
+  */
+class MediaProbeSpec extends AnyFunSuite {
+
+  private def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+
+  test("png: IHDR big-endian dimensions") {
+    val png = bytes(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      bytes(0, 0, 0, 13) ++ "IHDR".getBytes ++
+      bytes(0, 0, 2, 0x80) ++ // width 640
+      bytes(0, 0, 1, 0xe0) ++ // height 480
+      bytes(8, 6, 0, 0, 0)
+    assert(MediaProbe.probe(png) == MediaProbe.Probe("png", 640, 480))
+  }
+
+  test("gif: little-endian logical screen size, both versions") {
+    val screen = bytes(0x40, 0x01, 0xf0, 0x00) // 320 x 240
+    assert(MediaProbe.probe("GIF89a".getBytes ++ screen ++ new Array[Byte](4)) ==
+      MediaProbe.Probe("gif", 320, 240))
+    assert(MediaProbe.probe("GIF87a".getBytes ++ screen ++ new Array[Byte](4)) ==
+      MediaProbe.Probe("gif", 320, 240))
+  }
+
+  test("bmp: little-endian i32 dims, top-down height normalized") {
+    def bmp(h: Int): Array[Byte] = {
+      val b = new Array[Byte](26)
+      b(0) = 'B'; b(1) = 'M'
+      // width 1024 at offset 18, height at 22 (LE i32)
+      b(18) = 0x00; b(19) = 0x04
+      val hb = java.nio.ByteBuffer
+        .allocate(4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putInt(h)
+        .array()
+      Array.copy(hb, 0, b, 22, 4)
+      b
+    }
+    assert(MediaProbe.probe(bmp(768)) == MediaProbe.Probe("bmp", 1024, 768))
+    assert(MediaProbe.probe(bmp(-768)) == MediaProbe.Probe("bmp", 1024, 768))
+  }
+
+  test("jpeg: marker walk past APP0/APPn to the SOF dimensions") {
+    val jpeg = bytes(0xff, 0xd8) ++ // SOI
+      bytes(0xff, 0xe0, 0x00, 0x10) ++ new Array[Byte](14) ++ // APP0 len 16
+      bytes(0xff, 0xdb, 0x00, 0x05) ++ new Array[Byte](3) ++ // DQT len 5
+      bytes(0xff, 0xc0, 0x00, 0x11, 0x08, 0x04, 0x00, 0x03, 0x00) // SOF0: 1024x768
+    assert(MediaProbe.probe(jpeg) == MediaProbe.Probe("jpeg", 768, 1024))
+  }
+
+  test("jpeg: progressive SOF2 also matches; DHT (C4) is not a frame header") {
+    val jpeg = bytes(0xff, 0xd8) ++
+      bytes(0xff, 0xc4, 0x00, 0x05) ++ new Array[Byte](3) ++ // DHT, must be skipped
+      bytes(0xff, 0xc2, 0x00, 0x11, 0x08, 0x00, 0x64, 0x00, 0xc8) // SOF2: 200x100
+    assert(MediaProbe.probe(jpeg) == MediaProbe.Probe("jpeg", 200, 100))
+  }
+
+  test("garbage, truncated, and text payloads are unknown") {
+    assert(MediaProbe.probe("hello world".getBytes) == MediaProbe.Probe("unknown", -1, -1))
+    assert(MediaProbe.probe(Array.empty[Byte]) == MediaProbe.Probe("unknown", -1, -1))
+    assert(MediaProbe.probe(bytes(0x89, 'P', 'N', 'G')) == MediaProbe.Probe("unknown", -1, -1))
+    // JPEG SOI with a desynchronized stream after it
+    assert(MediaProbe.probe(bytes(0xff, 0xd8, 0x00, 0x00, 0x00)) ==
+      MediaProbe.Probe("unknown", -1, -1))
+  }
+}

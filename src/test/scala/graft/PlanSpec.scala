@@ -77,6 +77,21 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("repetition metrics aggregate partially before the shuffle") {
+    val p = plan(graft.queries.LlmOps.qTextRepetition(spark, sf001))
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("decontamination shuffles shingles, not document bodies") {
+    val p = plan(graft.queries.LlmOps.qDecontaminate(spark, sf001))
+    // root-first plan text: everything above the first Exchange runs
+    // post-shuffle and must reference shingle keys, never the text body
+    val i = p.indexOf("Exchange")
+    assert(i > 0, p)
+    assert(!p.substring(0, i).contains("text#"), p)
+  }
+
   test("exact dedup shuffles digests, not document bodies") {
     val p = plan(graft.queries.LlmOps.qDedupExact(spark, sf001))
     // the plan tree prints root-first, so the text ABOVE the first

@@ -217,13 +217,15 @@ class QueriesSpec extends SparkSuite {
     assert(joined.forall(r => r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
   }
 
-  test("multimodal meta: stub decode is deterministic and batch-shaped") {
+  test("multimodal meta: header probe is deterministic and batch-shaped") {
     val a = LlmOps.qMultimodalMeta(spark, sf001).collect()
     val b = LlmOps.qMultimodalMeta(spark, sf001).collect()
     assert(a.sameElements(b))
+    // this corpus's payloads are UTF-8 text, not image containers
     assert(a.forall { r =>
-      val w = r.getAs[Int]("width"); w >= 256 && w < 320
+      r.getAs[String]("format") == "unknown" && r.getAs[Int]("width") == -1
     })
+    assert(a.forall(r => r.getAs[Long]("n_bytes") > 0))
   }
 
   test("multimodal frames: 1:N sampling emits every 4th block, deterministic") {
