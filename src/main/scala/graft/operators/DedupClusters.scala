@@ -40,9 +40,15 @@ object DedupClusters {
     val edges = pairs
       .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
       .where(col("a").isNotNull && col("b").isNotNull)
-    // undirected: propagate both ways
+    // undirected: propagate both ways. One explode per input row — NOT
+    // a union of two branches, which would execute the (possibly
+    // expensive, uncached) upstream pairs plan twice; the checkpoint
+    // then materializes the symmetric list once for the whole loop.
     val sym = edges
-      .union(edges.select(col("b").as("a"), col("a").as("b")))
+      .select(explode(array(
+        struct(col("a"), col("b")),
+        struct(col("b").as("a"), col("a").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
       .distinct()
       .localCheckpoint()
     var labels = sym
