@@ -761,6 +761,20 @@ object LlmOps {
     graft.operators.DedupClusters
       .summarize(qDedupNgramCapped(spark, sfDir), "d1", "d2")
 
+  /** The dedup pipeline's actionable end product: the DROP list — every
+    * clustered document except its cluster's representative (min
+    * doc_id). A cleaning job anti-joins the corpus against this (or
+    * equivalently keeps `cluster` from the summary). Same propagation
+    * output as `q_dedup_clusters`, projected to (drop_id,
+    * keep_id) pairs; hash-matched against the recursive-CTE twin.
+    */
+  def qDedupDroplist(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.DedupClusters
+      .clusters(qDedupNgramCapped(spark, sfDir), "d1", "d2")
+      .where(col("id") =!= col("label"))
+      .select(col("id").as("drop_id"), col("label").as("keep_id"))
+      .orderBy("drop_id")
+
   // ---------------------------------------------------- deterministic sampling
 
   /** Deterministic content-keyed sample (~10%): keep documents whose md5
@@ -980,6 +994,35 @@ object LlmOps {
              |SELECT label AS cluster, count(1) AS n_members,
              | string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
              |FROM lab GROUP BY label ORDER BY cluster""".stripMargin)),
+    "q_dedup_droplist" -> Q(
+      qDedupDroplist,
+      Some("""WITH RECURSIVE docs AS (
+             | SELECT doc_id, list_distinct(
+             |   CASE WHEN len(toks) >= 3 THEN
+             |     list_transform(generate_series(1, len(toks) - 2),
+             |       i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+             |   ELSE [] END) AS shingles
+             | FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents)),
+             |ex0 AS (SELECT doc_id, unnest(shingles) AS sh FROM docs),
+             |df AS (SELECT sh, count(1) AS df FROM ex0 GROUP BY sh),
+             |ex AS (SELECT ex0.doc_id, ex0.sh FROM ex0 JOIN df USING (sh) WHERE df.df <= 50),
+             |sizes AS (SELECT doc_id, count(1) AS n_sh FROM ex GROUP BY doc_id),
+             |pairs AS (
+             | SELECT a.doc_id AS d1, b.doc_id AS d2, count(1) AS common
+             | FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+             | GROUP BY 1, 2),
+             |sel AS (
+             | SELECT d1, d2 FROM pairs
+             | JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+             | WHERE CAST(common AS DOUBLE) / CAST(s1.n_sh + s2.n_sh - common AS DOUBLE) >= 0.5),
+             |edges AS (SELECT d1 AS a, d2 AS b FROM sel UNION SELECT d2, d1 FROM sel),
+             |reach(id, r) AS (
+             | SELECT a, a FROM edges
+             | UNION
+             | SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b),
+             |lab AS (SELECT id, min(r) AS label FROM reach GROUP BY id)
+             |SELECT id AS drop_id, label AS keep_id FROM lab
+             |WHERE id <> label ORDER BY drop_id""".stripMargin)),
     "q_dedup_simhash" -> Q(qDedupSimhash, None),
     "q_dedup_simhash_pairs" -> Q(qDedupSimhashPairs, None),
     "q_dedup_embed" -> Q(

@@ -98,6 +98,106 @@ object TileCacheQueries {
       .orderBy("level", "tile_row", "tile_col")
   }
 
+  /** Source tiles with content + object key (scan ⋈ grid), the input
+    * relation of both the full upload and the delta sync.
+    */
+  private def sourceTiles(spark: SparkSession, root: String): DataFrame = {
+    val grid = Tile
+      .tileGrid(spark, fixtureCfg)
+      .withColumnRenamed("row", "tile_row")
+      .withColumnRenamed("col", "tile_col")
+    spark.read
+      .format("binaryFile")
+      .option("pathGlobFilter", "*.jpg")
+      .option("recursiveFileLookup", "true")
+      .load(root)
+      .select(
+        regexp_extract(col("path"), "L(\\d{2})", 1).cast("int").as("level"),
+        hexComponent(col("path"), "R([0-9a-f]{8})").as("tile_row"),
+        hexComponent(col("path"), "C([0-9a-f]{8})").as("tile_col"),
+        col("length"),
+        col("content"))
+      .join(grid, Seq("level", "tile_row", "tile_col"))
+      .select(
+        Tile
+          .objectKey(fixtureCfg, col("level"), col("tile_row"), col("tile_col"))
+          .as("object_key"),
+        col("length"),
+        col("content"))
+  }
+
+  /** Destination manifest (object_key, dest_length) re-listed from a
+    * local bucket; empty relation when the bucket does not exist yet.
+    */
+  private def destManifest(spark: SparkSession, bucket: java.io.File): DataFrame = {
+    import spark.implicits._
+    if (!bucket.exists()) Seq.empty[(String, Long)].toDF("object_key", "dest_length")
+    else
+      spark.read
+        .format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .load(bucket.getAbsolutePath)
+        .where(!col("path").contains("/_meta/"))
+        .select(
+          regexp_replace(col("path"), "^file:" + bucket.getAbsolutePath + "/", "")
+            .as("object_key"),
+          col("length").as("dest_length"))
+  }
+
+  /** Incremental sync — the capability the reference lacks (Program.cs
+    * re-reads and re-uploads the FULL cache every run; nothing checks
+    * what the bucket already holds). Upload set = source tiles with no
+    * destination object of the same (key, length) — one left-anti
+    * key-equality join of two manifest projections (rsync's quick
+    * check; binary content is pruned from both sides and loaded only
+    * for the rows actually uploaded). Returns (#uploaded, #skipped).
+    *
+    * At 100 TB: both manifests are (key, length) columns — the source
+    * side never shuffles tile bytes, the destination side is a bucket
+    * LIST (or inventory table), and the anti-join shuffles keys only.
+    */
+  def deltaUpload(spark: SparkSession, root: String, bucket: java.io.File): (Long, Long) = {
+    val src = sourceTiles(spark, root)
+    val dest = destManifest(spark, bucket)
+    val todo = src.join(
+      dest,
+      src("object_key") === dest("object_key") && src("length") === dest("dest_length"),
+      "left_anti")
+    val (ok, failed, _) = ObjectSink.write(
+      todo,
+      new LocalFsStore(bucket.getAbsolutePath),
+      "object_key",
+      "content",
+      "image/jpg")
+    val total = src.count()
+    (ok + failed, total - ok - failed)
+  }
+
+  /** Registry entry: clean-bucket delta sync run twice — first pass
+    * uploads the full cache, second pass is a no-op because every
+    * (key, length) already matches. Deterministic 2-row summary; the
+    * modify/add incremental cases are exercised in TileCacheSpec (they
+    * need filesystem mutation, which a registry query must not leave
+    * behind).
+    */
+  def deltaSync(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val root = ensureFixture()
+    val bucket = new java.io.File(sys.props("java.io.tmpdir"), "graft_tile_delta_bucket")
+    if (bucket.exists()) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files
+        .walk(bucket.toPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .iterator()
+        .asScala
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+    val (u1, s1) = deltaUpload(spark, root, bucket)
+    val (u2, s2) = deltaUpload(spark, root, bucket)
+    Seq(("initial", u1, s1), ("resync", u2, s2)).toDF("phase", "uploaded", "skipped")
+  }
+
   /** R10-R12 end-to-end: scan → key projection → ObjectSink into a local
     * "bucket"; returns the uploaded manifest (re-listed from the bucket so
     * the result witnesses real writes).
