@@ -994,9 +994,13 @@ object LlmOps {
              |SELECT label AS cluster, count(1) AS n_members,
              | string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
              |FROM lab GROUP BY label ORDER BY cluster""".stripMargin)),
+    // bench=false: same pairs pipeline + propagation loop as the benched
+    // q_dedup_clusters, differing only in the final projection — benching
+    // both would double-count the loop's cost in the headline total.
     "q_dedup_droplist" -> Q(
       qDedupDroplist,
-      Some("""WITH RECURSIVE docs AS (
+      bench = false,
+      oracle = Some("""WITH RECURSIVE docs AS (
              | SELECT doc_id, list_distinct(
              |   CASE WHEN len(toks) >= 3 THEN
              |     list_transform(generate_series(1, len(toks) - 2),
