@@ -359,20 +359,36 @@ object LlmOps {
     * LSH-stratified sample reranked exactly. Rows-only (signature scheme
     * is impl-defined).
     */
+  /** The 8 per-row (band, key) structs of the 128-bit banded signature
+    * (expects `sig0`/`sig1` [[graft.functions.PlaneSig64]] columns).
+    */
+  private def bandStructs: Seq[Column] = (0 until 8).map { b =>
+    val word = if (b < 4) col("sig0") else col("sig1")
+    struct(
+      lit(b).as("band"),
+      shiftright(word, 16 * (b % 4)).bitwiseAND(lit(0xffffL)).cast("int").as("key"))
+  }
+
+  private def withSigs(e: DataFrame): DataFrame =
+    e.withColumn("sig0", graft.functions.PlaneSig64.of(col("embedding"), 0))
+      .withColumn("sig1", graft.functions.PlaneSig64.of(col("embedding"), 1))
+
+  /** The banded ANN index relation: (vec_id, band, key) — 8 rows per
+    * vector. This is what a 100 TB deployment persists, bucketed/sorted
+    * by (band, key), so candidate lookups co-locate with the index
+    * partitions (BucketingSpec proves the no-index-side-exchange plan).
+    */
+  private[graft] def bandedIndex(e: DataFrame): DataFrame =
+    withSigs(e)
+      .select(col("vec_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+
   def qSimAnn(spark: SparkSession, sfDir: String): DataFrame = {
     val Radius = 2
-    val e = Tables
-      .embeddings(spark, sfDir)
-      .withColumn("sig0", graft.functions.PlaneSig64.of(col("embedding"), 0))
-      .withColumn("sig1", graft.functions.PlaneSig64.of(col("embedding"), 1))
-    def bandKey(b: Int): Column = {
-      val word = if (b < 4) col("sig0") else col("sig1")
-      shiftright(word, 16 * (b % 4)).bitwiseAND(lit(0xffffL)).cast("int")
-    }
-    val bandCols = (0 until 8).map(b => struct(lit(b).as("band"), bandKey(b).as("key")))
-    val q = e
+    val e = Tables.embeddings(spark, sfDir)
+    val q = withSigs(e)
       .where(col("vec_id") === 0)
-      .select(col("embedding").as("q_emb") +: bandCols.zipWithIndex.map {
+      .select(col("embedding").as("q_emb") +: bandStructs.zipWithIndex.map {
         case (c, b) => c.as(s"bk$b")
       }: _*)
     val masks = spark
@@ -389,10 +405,7 @@ object LlmOps {
       .select(col("bk.band").as("band"), col("bk.key").as("key"))
     // banded index rows are (vec_id, band, key) — ids only through the
     // candidate semi-join + distinct; embeddings join back for rerank
-    val banded = e
-      .where(col("vec_id") =!= 0)
-      .select(col("vec_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val banded = bandedIndex(e.where(col("vec_id") =!= 0))
     val candidates = banded
       .join(broadcast(probes), Seq("band", "key"), "left_semi")
       .select("vec_id")
