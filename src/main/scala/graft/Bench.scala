@@ -25,13 +25,25 @@ import scala.jdk.CollectionConverters._
   * overhead (observed: wall 18.7 s vs 4.5 s summed task time on
   * q_dedup_exact, steady state 0.4 s) and same-JVM retries stay slow.
   * So after the main loop, queries whose best is still > 5 s are
-  * re-measured once in a single fresh child JVM (same classpath / flags /
-  * env, `SPARK_GRAFT_BENCH_ONLY` = the stragglers) and the per-query min
+  * re-measured once in fresh child JVMs (same classpath / flags / env,
+  * `SPARK_GRAFT_BENCH_ONLY` = the stragglers) and the per-query min
   * of parent/child wins. A clean parent has no stragglers and pays
   * nothing; a degraded parent gets honest plan costs instead of
   * reporting its own sickness; a legitimately-expensive query is simply
   * confirmed by the child. `SPARK_GRAFT_NO_RESPAWN=1` (set for the
   * child) bounds the recursion at depth 1.
+  *
+  * Two hardenings from round 3's pathological run (a degraded parent
+  * produced TWELVE stragglers; a single capped child was killed mid-way
+  * and every rescue measurement was lost, so 449.7 s of parent sickness
+  * was reported for a plan set that measures ~52 s healthy):
+  * (a) every per-query result is ALSO streamed as its own
+  *     `{"partial":"<name>","sec":N}` stdout line the moment it is
+  *     decided, and the parent parses a killed/failed child's partial
+  *     lines — a timeout now loses at most the in-flight query;
+  * (b) stragglers are re-measured in batches of ≤6 per child JVM, each
+  *     with its own 240 s cap, so one degraded/hung child cannot take
+  *     the other batches' rescues down with it.
   *
   * Failed queries are excluded from the total and reported in a "failed"
   * array (a broken query must not silently deflate the headline number).
@@ -135,6 +147,10 @@ object Bench {
             val d3 = attempt(3)
             if (!d3.isNaN) best = math.min(best, d3)
           }
+          // stream the decided result immediately: if THIS JVM is later
+          // killed (round-driver timeout, straggler cap), the line is the
+          // durable record a parent/driver can still parse
+          println(f"""{"partial":"$name","sec":$best%.3f}""")
           ok :+= (name -> best)
         }
       }
@@ -149,19 +165,15 @@ object Bench {
     val stragglers = ok.collect { case (n, v) if v > stragglerSec => n }
     if (stragglers.nonEmpty && !sys.env.contains("SPARK_GRAFT_NO_RESPAWN")) {
       System.err.println(
-        s"[bench] re-measuring ${stragglers.size} straggler(s) in a fresh JVM: ${stragglers.mkString(",")}")
-      childRun(stragglers) match {
-        case Some(childTimes) =>
-          ok = ok.map { case (n, v) =>
-            childTimes.get(n) match {
-              case Some(c) if c < v =>
-                System.err.println(f"[bench] $n: fresh-JVM $c%.2f s < in-run $v%.2f s (degraded-JVM tax excluded)")
-                n -> c
-              case _ => n -> v
-            }
-          }
-        case None =>
-          System.err.println("[bench] straggler child JVM failed; keeping in-run numbers")
+        s"[bench] re-measuring ${stragglers.size} straggler(s) in fresh JVM(s): ${stragglers.mkString(",")}")
+      val childTimes = stragglers.grouped(6).flatMap(childRun).toMap
+      ok = ok.map { case (n, v) =>
+        childTimes.get(n) match {
+          case Some(c) if c < v =>
+            System.err.println(f"[bench] $n: fresh-JVM $c%.2f s < in-run $v%.2f s (degraded-JVM tax excluded)")
+            n -> c
+          case _ => n -> v
+        }
       }
     }
     val qs = ok
@@ -176,10 +188,14 @@ object Bench {
   }
 
   /** Runs this same main in a fresh JVM (same classpath, JVM flags, and
-    * environment) restricted to `names`; returns its per-query times
-    * parsed from the child's one-line JSON, or None on any failure.
+    * environment) restricted to `names`; returns the per-query times it
+    * managed to decide. Child stdout goes to a temp file, and results are
+    * parsed from the per-query `{"partial":...}` lines — so a child that
+    * is killed at the cap or dies mid-run still contributes every query
+    * it finished (round 3 lost all 12 rescues to an all-or-nothing read).
     */
-  private def childRun(names: Seq[String]): Option[Map[String, Double]] =
+  private def childRun(names: Seq[String]): Map[String, Double] = {
+    val outFile = java.io.File.createTempFile("graft_bench_child", ".out")
     try {
       val javaBin = new java.io.File(
         new java.io.File(sys.props("java.home"), "bin"),
@@ -192,35 +208,34 @@ object Bench {
       pb.environment().put("SPARK_GRAFT_BENCH_ONLY", names.mkString(","))
       pb.environment().put("SPARK_GRAFT_NO_RESPAWN", "1")
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      pb.redirectOutput(ProcessBuilder.Redirect.to(outFile))
       val proc = pb.start()
       // hard cap: a cold child can itself catch an interpreted spike on
       // its first attempt of a heavy query (observed: 162 s wall / 633 s
       // task-CPU on a query whose steady state is 1 s); its min-of-2
       // still lands right, but the wall cost must stay bounded — past
-      // the cap we keep the parent's numbers rather than hang the bench
-      val done = proc.waitFor(240, java.util.concurrent.TimeUnit.SECONDS)
+      // the cap we keep whatever it already decided
+      val capSec = sys.env.getOrElse("SPARK_GRAFT_CHILD_CAP_SEC", "240").toLong
+      val done = proc.waitFor(capSec, java.util.concurrent.TimeUnit.SECONDS)
       if (!done) {
-        System.err.println("[bench] straggler child JVM exceeded 240 s; killed")
+        System.err.println(s"[bench] straggler child JVM exceeded $capSec s; killed (partial results kept)")
         proc.destroyForcibly()
         proc.waitFor()
-        None
-      } else if (proc.exitValue() != 0) None
-      else {
-        val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
-        out.linesIterator
-          .find(_.startsWith("""{"metric""""))
-          .map { json =>
-            // the "queries" object is flat {"name":secs,...} — a full JSON
-            // parser is overkill for output this main itself formats
-            """"([A-Za-z0-9_]+)":([0-9.]+)""".r
-              .findAllMatchIn(json)
-              .collect { case m if names.contains(m.group(1)) => m.group(1) -> m.group(2).toDouble }
-              .toMap
-          }
       }
+      val out = new String(
+        java.nio.file.Files.readAllBytes(outFile.toPath), "UTF-8")
+      val times = """\{"partial":"([A-Za-z0-9_]+)","sec":([0-9.]+)\}""".r
+        .findAllMatchIn(out)
+        .collect { case m if names.contains(m.group(1)) => m.group(1) -> m.group(2).toDouble }
+        .toMap
+      if (times.size < names.size)
+        System.err.println(
+          s"[bench] straggler child decided ${times.size}/${names.size}: missing ${(names.toSet -- times.keySet).mkString(",")}")
+      times
     } catch {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] straggler child JVM error: ${e.getMessage}")
-        None
-    }
+        Map.empty
+    } finally outFile.delete()
+  }
 }
