@@ -18,5 +18,6 @@ object Registry {
     graft.queries.TileQueries.all ++
       graft.queries.Relational.all ++
       graft.queries.LlmOps.all ++
+      graft.queries.CorpusOps.all ++
       graft.queries.StreamingQueries.all
 }

@@ -1,0 +1,198 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-4 corpus/training-pipeline operators (SURVEY.md §2.2-C): embedding
+  * centroids, context-window sequence packing, temporal (SCD2-style)
+  * interval construction, and bloom-filter semi-join reduction.
+  *
+  * All four are oracle-checked (hash-match vs DuckDB on the same parquet).
+  */
+object CorpusOps {
+
+  private val DOCS_T =
+    "(SELECT doc_id, text, lang, source, n_chars, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents)"
+  private val EV =
+    "(SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events)"
+
+  // ---------------------------------------------------------- embed centroid
+
+  /** Per-label embedding centroid via the typed [[graft.functions.VecMean]]
+    * Aggregator: vectors fold into one (sums, count) buffer per partition
+    * per label BEFORE the shuffle — the shuffle carries K × (dim longs),
+    * independent of row count (posexplode+avg would inflate the scan ×dim
+    * pre-aggregation; see VecMean scaladoc). The centroid array explodes to
+    * (label, pos, mean_val) scalar rows only AFTER aggregation — K×dim
+    * rows total — so the output stays driver-comparator-hashable.
+    */
+  def qEmbedCentroid(spark: SparkSession, sfDir: String): DataFrame = {
+    val vm = udaf(graft.functions.VecMean)
+    Tables
+      .embeddings(spark, sfDir)
+      .groupBy(col("label"))
+      .agg(vm(col("embedding")).as("centroid"))
+      .select(col("label"), posexplode(col("centroid")).as(Seq("pos", "mean_val")))
+      .orderBy("label", "pos")
+  }
+
+  // ------------------------------------------------------- sequence packing
+
+  /** Context-window packing (GPT-style pretraining batching): concatenate
+    * each stream's documents in doc_id order and chop into 2048-token
+    * windows; a document belongs to the pack its first token lands in.
+    * Output: per-pack manifest (n_docs, n_tokens, first/last doc).
+    *
+    * Scale shape: the running sum is a window over (split, bucket) — the
+    * bucket (doc_id mod 8 here) is the parallelism knob. At 100 TB you
+    * size buckets so each stream is one task's worth of sequential scan;
+    * packing is then embarrassingly parallel across buckets and the only
+    * shuffle is the hash-partition on (split, bucket). No global sort, no
+    * driver-side loop — and training-data packing does not need a single
+    * global stream, only deterministic ones.
+    *
+    * Token counts come from the single-pass
+    * [[graft.functions.TextProfile]] codegen kernel (same count the
+    * oracle's `len(toks)` computes — parity proven by `q_text_tokens`).
+    */
+  def qPackSequences(spark: SparkSession, sfDir: String): DataFrame = {
+    val prof = graft.functions.TextProfile.profile(col("text"))
+    val splitBucket = pmod(col("doc_id") * lit(40503L), lit(100L))
+    val w = Window
+      .partitionBy("split", "bucket")
+      .orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables
+      .documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        when(splitBucket < 80, "train")
+          .when(splitBucket < 90, "val")
+          .otherwise("test")
+          .as("split"),
+        pmod(col("doc_id"), lit(8)).as("bucket"),
+        prof.getField("n_tokens").cast("long").as("toks"))
+      .withColumn("start_off", sum(col("toks")).over(w) - col("toks"))
+      .select(col("split"), col("bucket"), expr("start_off div 2048").as("pack_id"),
+        col("doc_id"), col("toks"))
+      .groupBy("split", "bucket", "pack_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("split", "bucket", "pack_id")
+  }
+
+  // ------------------------------------------------------------ SCD2 intervals
+
+  /** Temporal interval (SCD2-style) construction: each user's event value
+    * is current from its own timestamp until the next event's —
+    * `lead(ts)` over (user_id, ts, event_id); the last interval is open
+    * (NULL valid_to, is_current = 1). One hash-partition shuffle on
+    * user_id; intervals are born sorted within the partition — the
+    * standard change-capture → dimension-table shape.
+    */
+  def qEventsScd2(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    Tables
+      .events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(
+        col("user_id"),
+        col("event_id"),
+        col("ts").as("valid_from"),
+        col("valid_to"),
+        col("value"),
+        col("valid_to").isNull.cast("int").as("is_current"))
+      .orderBy("user_id", "valid_from", "event_id")
+  }
+
+  // ------------------------------------------------------- bloom-filter join
+
+  /** Semi-join reduction via a bloom filter: build a compact filter of the
+    * dim side's join keys (`df.stat.bloomFilter` — a distributed agg whose
+    * result is a bounded ~230 KB bitset, the same "small model state on
+    * the driver" pattern as IVF centroids), broadcast it, and pre-filter
+    * the fact scan BEFORE the join shuffle. False positives are removed
+    * by the exact join that follows, so the result is exact and
+    * oracle-checkable against the plain join.
+    *
+    * Why it matters at 100 TB: the fact side shuffles only rows that can
+    * match (~5% here), instead of all of them — the manual form of
+    * Spark's runtime row-level filtering, made explicit so the reduction
+    * is visible in the plan (Filter above the scan, then the join). The
+    * probe is one xxhash-based bitset test per row; `mightContain` has no
+    * public Column form (BloomFilterMightContain is internal), hence the
+    * narrowly-scoped UDF.
+    */
+  def qJoinBloom(spark: SparkSession, sfDir: String): DataFrame = {
+    val dim = Tables
+      .orders(spark, sfDir)
+      .where(col("o_totalprice") > 150000.0)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    // ~5% of orders pass at any SF; expected-items scales with the input
+    // (cheap count on the filtered dim — one column scan), capped fpp 1%.
+    val bf = dim.stat.bloomFilter("o_orderkey", math.max(dim.count(), 1000L), 0.01)
+    val bfB = spark.sparkContext.broadcast(bf)
+    val mightContain = udf((k: Long) => bfB.value.mightContain(k))
+    Tables
+      .lineitem(spark, sfDir)
+      .where(mightContain(col("l_orderkey")))
+      .join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        Tables.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  // ------------------------------------------------------------- registry
+
+  val all: Seq[(String, Q)] = Seq(
+    "q_embed_centroid" -> Q(
+      qEmbedCentroid,
+      Some("""WITH un AS (
+             | SELECT label, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos, unnest(embedding) AS v
+             | FROM embeddings)
+             |SELECT label, pos,
+             | CAST(sum(CAST(round(CAST(v AS DOUBLE) * 1e6, 0) AS BIGINT)) AS DOUBLE) / 1e6 / count(1) AS mean_val
+             |FROM un GROUP BY label, pos ORDER BY label, pos""".stripMargin)),
+    "q_pack_sequences" -> Q(
+      qPackSequences,
+      Some(s"""WITH d AS (
+              | SELECT doc_id,
+              |  CASE WHEN (doc_id * 40503) % 100 < 80 THEN 'train'
+              |       WHEN (doc_id * 40503) % 100 < 90 THEN 'val' ELSE 'test' END AS split,
+              |  doc_id % 8 AS bucket,
+              |  len(toks) AS toks
+              | FROM $DOCS_T),
+              |c AS (
+              | SELECT doc_id, split, bucket, toks,
+              |  CAST(sum(toks) OVER (PARTITION BY split, bucket ORDER BY doc_id
+              |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - toks AS BIGINT) AS start_off
+              | FROM d)
+              |SELECT split, bucket, start_off // 2048 AS pack_id,
+              | count(1) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_tokens,
+              | min(doc_id) AS first_doc, max(doc_id) AS last_doc
+              |FROM c GROUP BY 1, 2, 3 ORDER BY split, bucket, pack_id""".stripMargin)),
+    "q_events_scd2" -> Q(
+      qEventsScd2,
+      Some(s"""SELECT user_id, event_id, ts AS valid_from,
+              | lead(ts) OVER w AS valid_to, value,
+              | CAST(lead(ts) OVER w IS NULL AS INT) AS is_current
+              |FROM $EV
+              |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+              |ORDER BY user_id, valid_from, event_id""".stripMargin)),
+    "q_join_bloom" -> Q(
+      qJoinBloom,
+      Some("""SELECT o.o_orderpriority,
+             | count(1) AS n_items,
+             | CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+             |FROM lineitem l JOIN (SELECT * FROM orders WHERE o_totalprice > 150000) o
+             | ON l.l_orderkey = o.o_orderkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)))
+}

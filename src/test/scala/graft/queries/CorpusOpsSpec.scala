@@ -1,0 +1,119 @@
+package graft.queries
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Round-4 corpus ops: VecMean centroid exactness + merge invariance,
+  * packing invariants, SCD2 interval laws, bloom-join result identity.
+  */
+class CorpusOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  // ------------------------------------------------------------ VecMean
+
+  test("VecMean centroid is the exact fixed-point mean, any partitioning") {
+    val rows = Seq(
+      (0, Array(1.0f, -2.0f, 0.5f)),
+      (0, Array(2.0f, 4.0f, 0.25f)),
+      (1, Array(0.1f, 0.2f, 0.3f)))
+    val vm = udaf(graft.functions.VecMean)
+    // expected via the same quantization contract: round(x*1e6) sums
+    def mean(vs: Seq[Array[Float]]): Seq[Double] =
+      vs.map(_.map(x => graft.functions.ScaledDot.roundHalfAway(x.toDouble * 1e6)))
+        .transpose
+        .map(col => col.sum.toDouble / 1e6 / vs.length)
+    for (parts <- Seq(1, 3)) {
+      val got = rows
+        .toDF("label", "embedding")
+        .repartition(parts)
+        .groupBy("label")
+        .agg(vm(col("embedding")).as("c"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1))
+        .toMap
+      assert(got(0) == mean(Seq(rows(0)._2, rows(1)._2)))
+      assert(got(1) == mean(Seq(rows(2)._2)))
+    }
+  }
+
+  test("q_embed_centroid emits label x pos scalar rows, sorted") {
+    val df = CorpusOps.qEmbedCentroid(spark, sf001)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // one row per (label, pos); pos spans the full embedding dim per label
+    val byLabel = rows.groupBy(_.getInt(0))
+    byLabel.foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(1)).toSeq == (0 until rs.length))
+    }
+  }
+
+  // ------------------------------------------------------------- packing
+
+  test("q_pack_sequences: pack ids contiguous, token accounting closes") {
+    val df = CorpusOps.qPackSequences(spark, sf001).cache()
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // per (split, bucket): pack ids are 0..max contiguous, and each
+    // non-final pack holds >= 2048 of the running stream (a pack only
+    // closes once the stream passes its boundary)
+    rows.groupBy(r => (r.getString(0), r.getLong(1))).foreach { case (_, rs) =>
+      val ids = rs.map(_.getLong(2)).sorted
+      assert(ids.toSeq == (0L until ids.length))
+    }
+    // global token accounting: sum over packs == sum of per-doc tokens
+    val total = rows.map(_.getLong(4)).sum
+    val expected = graft.Tables
+      .documents(spark, sf001)
+      .select(
+        graft.functions.TextProfile
+          .profile(col("text"))
+          .getField("n_tokens")
+          .cast("long"))
+      .as[Long]
+      .collect()
+      .sum
+    assert(total == expected)
+    df.unpersist()
+  }
+
+  // --------------------------------------------------------------- SCD2
+
+  test("q_events_scd2: intervals chain per user, exactly one open") {
+    val rows = CorpusOps.qEventsScd2(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      // one open interval per user, and it is the last one
+      assert(rs.count(_.isNullAt(3)) == 1)
+      assert(rs.last.isNullAt(3) && rs.last.getInt(5) == 1)
+      // closed intervals chain: valid_to == next valid_from, from <= to
+      rs.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getTimestamp(3) == b.getTimestamp(2))
+          assert(!a.getTimestamp(2).after(a.getTimestamp(3)))
+        case _ =>
+      }
+    }
+  }
+
+  // --------------------------------------------------------- bloom join
+
+  test("q_join_bloom equals the plain exact join (FPs removed by join)") {
+    val viaBloom = CorpusOps.qJoinBloom(spark, sf001).collect()
+    val li = graft.Tables.lineitem(spark, sf001)
+    val dim = graft.Tables
+      .orders(spark, sf001)
+      .where(col("o_totalprice") > 150000.0)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val plain = li
+      .join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        graft.Tables
+          .dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+      .orderBy("o_orderpriority")
+      .collect()
+    assert(viaBloom.toSeq == plain.toSeq)
+  }
+}
