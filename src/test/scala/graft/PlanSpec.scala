@@ -101,4 +101,33 @@ class PlanSpec extends SparkSuite {
     assert(i > 0, p)
     assert(!p.substring(0, i).contains("text#"), p)
   }
+
+  test("centroid aggregates vectors partially before the shuffle; explode after") {
+    val p = plan(graft.queries.CorpusOps.qEmbedCentroid(spark, sf001))
+    // typed Aggregator → ObjectHashAggregate with a partial stage below
+    // the exchange (K buffers shuffle, not N vectors), and the posexplode
+    // Generate must sit ABOVE the aggregation (root-first: before it)
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.indexOf("Generate") < p.indexOf("ObjectHashAggregate"), p)
+  }
+
+  test("sequence packing reuses the window partitioning for the group-by") {
+    val p = plan(graft.queries.CorpusOps.qPackSequences(spark, sf001))
+    // exactly one hash-partition exchange on (split, bucket): the window
+    // shuffle; the (split, bucket, pack_id) aggregation is satisfied by
+    // the same partitioning. The only other exchange is the final
+    // order-by's range partitioning.
+    val hashEx = "hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1, s"expected 1 hash exchange, plan:\n$p")
+  }
+
+  test("bloom-join probes the fact scan before the join, dim broadcast") {
+    val p = plan(graft.queries.CorpusOps.qJoinBloom(spark, sf001))
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the UDF bitset probe must be a Filter in the fact branch, i.e.
+    // appear below the join (root-first: after it) and reference the
+    // fact key
+    val join = p.indexOf("BroadcastHashJoin")
+    assert(p.indexOf("UDF", join) > join, p)
+  }
 }

@@ -50,6 +50,22 @@ class SourcesSpec extends SparkSuite {
     assert(back.exceptAll(docs).count() == 0 && docs.exceptAll(back).count() == 0)
   }
 
+  test("ORC round-trip preserves schema and values, filter pushes to the scan") {
+    val orders = Tables
+      .orders(spark, sf001)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      .orderBy("o_orderkey")
+    val dir = tmp("graft_orc")
+    orders.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir).orderBy("o_orderkey")
+    assert(back.schema == orders.schema)
+    assert(back.collect().sameElements(orders.collect()))
+    // ORC scans support predicate pushdown like parquet — the filter must
+    // reach the scan node, not evaluate post-materialization
+    val p = back.where(col("o_totalprice") > 150000.0).queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice,150000.0)]"), p)
+  }
+
   test("JSON reader handles corrupt records in PERMISSIVE mode without failing the job") {
     val dir = tmp("graft_json_corrupt")
     java.nio.file.Files.write(
