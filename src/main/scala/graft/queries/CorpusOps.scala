@@ -111,6 +111,47 @@ object CorpusOps {
       .orderBy("user_id", "valid_from", "event_id")
   }
 
+  // ---------------------------------------------------- stratified sampling
+
+  /** Stratified deterministic sample: the "first" 20 documents per
+    * language in content-hash order (md5 then doc_id tiebreak) — balanced
+    * per-stratum corpus sampling that is reproducible across engines,
+    * runs, and partitionings (the property `df.sample` can't give; see
+    * `q_sample_hash`). One hash-partition shuffle on the stratum key; the
+    * per-stratum top-k is a window row_number — at 100 TB, strata are
+    * languages (dozens), so if a single stratum outgrows a partition the
+    * same query runs over (lang, shard) subkeys first, exactly like the
+    * packing bucket knob.
+    */
+  def qSampleStratified(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+    Tables
+      .documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), md5(col("text").cast("binary")).as("h"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 20)
+      .select(col("lang"), col("rk"), col("doc_id"), col("h"))
+      .orderBy("lang", "rk")
+  }
+
+  /** Source-weighted corpus mixing: each source keeps a deterministic
+    * content-hash fraction (even-numbered sources 100%, odd 25% here —
+    * the "upsample curated, downsample crawl" shape of pretraining-mix
+    * construction). The keep decision is a pure per-row predicate on
+    * md5(text) — evaluated at the scan, no shuffle, reproducible across
+    * engines and runs; the output is the per-source audit (kept counts).
+    */
+  def qMixSources(spark: SparkSession, sfDir: String): DataFrame = {
+    val srcNum = regexp_extract(col("source"), "([0-9]+)$", 1).cast("int")
+    val keepFrac = when(pmod(srcNum, lit(2)) === 0, lit(256)).otherwise(lit(64))
+    Tables
+      .documents(spark, sfDir)
+      .where(conv(substring(md5(col("text").cast("binary")), 1, 2), 16, 10).cast("int") < keepFrac)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"))
+      .orderBy("source")
+  }
+
   // ------------------------------------------------------- bloom-filter join
 
   /** Semi-join reduction via a bloom filter: build a compact filter of the
@@ -187,6 +228,21 @@ object CorpusOps {
               |FROM $EV
               |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
               |ORDER BY user_id, valid_from, event_id""".stripMargin)),
+    "q_sample_stratified" -> Q(
+      qSampleStratified,
+      Some("""WITH h AS (
+             | SELECT doc_id, lang, md5(text) AS h,
+             |  CAST(row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS INT) AS rk
+             | FROM documents)
+             |SELECT lang, rk, doc_id, h FROM h WHERE rk <= 20
+             |ORDER BY lang, rk""".stripMargin)),
+    "q_mix_sources" -> Q(
+      qMixSources,
+      Some("""SELECT source, count(1) AS n_kept FROM documents
+             |WHERE CAST(('0x' || substr(md5(text), 1, 2))::INT AS INT) <
+             |  CASE WHEN CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) % 2 = 0
+             |       THEN 256 ELSE 64 END
+             |GROUP BY 1 ORDER BY source""".stripMargin)),
     "q_join_bloom" -> Q(
       qJoinBloom,
       Some("""SELECT o.o_orderpriority,

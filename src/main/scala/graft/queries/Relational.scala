@@ -454,6 +454,28 @@ object Relational {
       .orderBy("user_id", "event_id")
   }
 
+  /** Distribution window functions: quartile bucket (`ntile`), relative
+    * rank (`percent_rank`), and CDF position (`cume_dist`) of each
+    * customer's balance within its market segment — the analytic trio the
+    * rank battery doesn't cover. Same scale shape as the other window
+    * queries: one hash-partition shuffle on the segment, per-partition
+    * sort. Order is made total with the key tiebreak so both engines
+    * agree on every tie.
+    */
+  def qWindowDist(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    Tables
+      .customer(spark, sfDir)
+      .select(
+        col("c_mktsegment"),
+        col("c_custkey"),
+        col("c_acctbal"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cdf"))
+      .orderBy("c_mktsegment", "c_custkey")
+  }
+
   // ---------------------------------------------------------------- top-k
 
   /** Global top-k: sort+limit planned as TakeOrderedAndProject — per-
@@ -815,6 +837,15 @@ object Relational {
               |FROM $EV
               |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
               |ORDER BY user_id, event_id""".stripMargin)),
+    "q_window_dist" -> Q(
+      qWindowDist,
+      Some("""SELECT c_mktsegment, c_custkey, c_acctbal,
+             | CAST(ntile(4) OVER w AS INT) AS quartile,
+             | percent_rank() OVER w AS pct_rank,
+             | cume_dist() OVER w AS cdf
+             |FROM customer
+             |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+             |ORDER BY c_mktsegment, c_custkey""".stripMargin)),
     "q_topk" -> Q(
       qTopk,
       Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders

@@ -52,6 +52,12 @@ object StreamingQueries {
       .orderBy("click_id", "purchase_id")
   }
 
+  /** Batch twin of the stream-static enrichment join. */
+  def enrich(spark: SparkSession, sfDir: String): DataFrame =
+    Streams
+      .enrich(Tables.events(spark, sfDir), Tables.customer(spark, sfDir))
+      .orderBy("event_id")
+
   /** Batch run of the flatMapGroupsWithState sessionizer (custom-state
     * API surface); bit-identical to `q_events_sessionize`'s oracle.
     */
@@ -105,6 +111,12 @@ object StreamingQueries {
               |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
               | AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 30 MINUTE
               |ORDER BY click_id, purchase_id""".stripMargin)),
+    "s_stream_enrich" -> Q(
+      enrich,
+      Some(s"""SELECT e.event_id, e.user_id, e.event_type, e.ts, e.value,
+              | c.c_mktsegment, c.c_acctbal
+              |FROM $EV e JOIN customer c ON e.user_id = c.c_custkey
+              |ORDER BY e.event_id""".stripMargin)),
     "s_stream_session_state" -> Q(
       sessionStateful,
       Some(s"""WITH flagged AS (

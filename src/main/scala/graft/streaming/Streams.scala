@@ -117,6 +117,35 @@ object Streams {
       .flatMapGroupsWithState[SessionState, SessionRow](OutputMode.Append, timeout)(fn)
   }
 
+  /** Stream-static enrichment: each event picks up its user's dimension
+    * attributes (market segment, account balance) via a broadcast hash
+    * join against the static customer table — the canonical "enrich the
+    * click stream with the user profile" shape. Stateless: no watermark
+    * or state store needed (the static side is re-read per micro-batch,
+    * which is also how dimension updates become visible mid-stream). At
+    * scale the dim broadcasts (bounded) or, if it outgrows broadcast,
+    * Spark falls back to a per-batch shuffle join — either way no
+    * streaming state accumulates. Same definition serves batch (the
+    * driver's oracle twin) and readStream; StreamingSpec proves
+    * equivalence.
+    */
+  def enrich(events: DataFrame, customers: DataFrame): DataFrame =
+    events
+      .join(
+        broadcast(customers.select(
+          col("c_custkey"),
+          col("c_mktsegment"),
+          col("c_acctbal"))),
+        col("user_id") === col("c_custkey"))
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("event_type"),
+        col("ts"),
+        col("value"),
+        col("c_mktsegment"),
+        col("c_acctbal"))
+
   /** Stream → object store: each micro-batch of (key, content) rows is
     * written through [[graft.sinks.ObjectSink]] via `foreachBatch` — the
     * production pattern for sinks Spark has no native streaming writer

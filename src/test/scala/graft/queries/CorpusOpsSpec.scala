@@ -95,6 +95,43 @@ class CorpusOpsSpec extends SparkSuite {
     }
   }
 
+  // --------------------------------------------------- stratified sample
+
+  test("q_sample_stratified: <= 20 per stratum, deterministic, ranked 1..k") {
+    val rows = CorpusOps.qSampleStratified(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      assert(rs.length <= 20)
+      assert(rs.map(_.getInt(1)).toSeq == (1 to rs.length))
+      // hash order within the stratum: rk follows (h, doc_id) ascending
+      val sorted = rs.sortBy(r => (r.getString(3), r.getLong(2)))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to rs.length))
+    }
+    // reruns are identical (content-keyed, not RNG)
+    val again = CorpusOps.qSampleStratified(spark, sf001).collect()
+    assert(rows.toSeq == again.toSeq)
+  }
+
+  test("q_mix_sources: even sources keep everything, odd sources a fraction") {
+    val kept = CorpusOps
+      .qMixSources(spark, sf001)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    val totals = graft.Tables
+      .documents(spark, sf001)
+      .groupBy("source")
+      .count()
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    totals.foreach { case (src, n) =>
+      val evenSrc = src.replaceAll("[^0-9]", "").toInt % 2 == 0
+      if (evenSrc) assert(kept(src) == n, src) // threshold 256 keeps all
+      else assert(kept.getOrElse(src, 0L) <= n, src)
+    }
+  }
+
   // --------------------------------------------------------- bloom join
 
   test("q_join_bloom equals the plain exact join (FPs removed by join)") {

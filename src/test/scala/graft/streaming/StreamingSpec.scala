@@ -198,6 +198,32 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join equals the batch join") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val df = mem
+      .toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Streams
+      .enrich(df, Tables.customer(spark, sf001))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("enrich_append")
+      .start()
+    try {
+      mem.addData(eventTuples.toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("enrich_append")
+      val batch = Streams.enrich(
+        Tables.events(spark, sf001).select("event_id", "ts", "user_id", "event_type", "value"),
+        Tables.customer(spark, sf001))
+      assert(batch.count() > 0)
+      assert(streamed.exceptAll(batch).count() == 0)
+      assert(batch.exceptAll(streamed).count() == 0)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState streaming sessionize equals batch sessionize") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
