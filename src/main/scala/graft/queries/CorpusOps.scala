@@ -191,6 +191,115 @@ object CorpusOps {
       .orderBy("o_orderpriority")
   }
 
+  // ----------------------------------------------------- exact distributed corr
+
+  /** Per-group Pearson correlation from exact decimal power sums: each
+    * addend (x, y, xy, x², y²) is quantized to DECIMAL(18,6) so the five
+    * sums are partial-merge-order-independent (the engine-parity property
+    * Spark's built-in `corr`'s streaming co-moment merge can't give), then
+    * the closed form runs on doubles in the same IEEE operation order as
+    * the oracle. One map-side-combined shuffle of 5 longs + a count per
+    * group — the textbook "algebraic aggregate" scale shape.
+    */
+  def qAggCorr(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.Tables.dsum
+    val x = col("l_quantity")
+    val y = col("l_extendedprice")
+    Tables
+      .lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(x).as("sx"),
+        dsum(y).as("sy"),
+        dsum(x * y).as("sxy"),
+        dsum(x * x).as("sxx"),
+        dsum(y * y).as("syy"))
+      .select(
+        col("l_returnflag"),
+        col("n"),
+        // round to 1e-9: DuckDB's C++ build may contract a*b - c*d into an
+        // FMA (one rounding instead of two), so the raw doubles can differ
+        // in the last ulps; 9 decimals is far below any analytical use of
+        // a correlation and far above the ulp noise.
+        round(
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("n") * col("syy") - col("sy") * col("sy"))),
+          9).as("corr_qty_price"))
+      .orderBy("l_returnflag")
+  }
+
+  // ------------------------------------------------------ time-series resample
+
+  /** Time-series resample: hourly snapshot grid per user with
+    * last-observation-carried-forward gap fill — the events stream becomes
+    * an evenly-spaced series (the feature-store / monitoring-table shape).
+    * Three stages, all key-partitioned: (1) per-(user, hour) last event via
+    * `max_by(value, struct(ts, event_id))` — a partial-aggregating shuffle,
+    * no window sort; (2) the hour grid generated DISTRIBUTED via
+    * `sequence()`+`explode` from each user's min/max (never a driver loop);
+    * (3) left join grid←observations + one `last(ignoreNulls)` window per
+    * user for the carry-forward. Grid size is users × hours — independent
+    * of event count, the right asymptotic for a dense event stream.
+    */
+  def qEventsResample(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourUs = 3600000000L
+    val ev = Tables.events(spark, sfDir)
+    val bucketed = ev.select(
+      col("user_id"),
+      timestamp_micros(expr(s"unix_micros(ts) div $hourUs") * hourUs).as("gt"),
+      col("value"),
+      col("ts"),
+      col("event_id"))
+    val lastPerBucket = bucketed
+      .groupBy(col("user_id"), col("gt"))
+      .agg(max_by(col("value"), struct(col("ts"), col("event_id"))).as("v_last"))
+    val grid = ev
+      .groupBy(col("user_id"))
+      .agg(
+        min(expr(s"unix_micros(ts) div $hourUs")).as("h0"),
+        max(expr(s"unix_micros(ts) div $hourUs")).as("h1"))
+      .select(
+        col("user_id"),
+        explode(sequence(col("h0"), col("h1"))).as("h"))
+      .select(col("user_id"), timestamp_micros(col("h") * hourUs).as("gt"))
+    val w = Window
+      .partitionBy(grid("user_id"))
+      .orderBy(grid("gt").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .join(
+        lastPerBucket,
+        grid("user_id") === lastPerBucket("user_id") && grid("gt") === lastPerBucket("gt"),
+        "left")
+      .select(
+        grid("user_id"),
+        grid("gt"),
+        lastPerBucket("v_last").isNotNull.cast("int").as("observed"),
+        last(lastPerBucket("v_last"), ignoreNulls = true).over(w).as("value_locf"))
+      .orderBy("user_id", "gt")
+  }
+
+  // ------------------------------------------------------------ bitwise fns
+
+  /** Bitwise function battery (and/or/xor, shifts, popcount) — the bit
+    * manipulation surface the hash/signature operators lean on, exercised
+    * as first-class columns. Pure per-row projection at the scan.
+    */
+  def qFnBitwise(spark: SparkSession, sfDir: String): DataFrame =
+    Tables
+      .orders(spark, sfDir)
+      .select(
+        col("o_orderkey"),
+        col("o_orderkey").bitwiseAND(255).as("b_and"),
+        col("o_orderkey").bitwiseOR(4096).as("b_or"),
+        col("o_orderkey").bitwiseXOR(1535).as("b_xor"),
+        shiftleft(col("o_orderkey"), 2).as("b_shl"),
+        shiftright(col("o_orderkey"), 3).as("b_shr"),
+        bit_count(col("o_orderkey")).as("b_cnt"))
+      .orderBy("o_orderkey")
+
   // ------------------------------------------------------------- registry
 
   val all: Seq[(String, Q)] = Seq(
@@ -228,6 +337,49 @@ object CorpusOps {
               |FROM $EV
               |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
               |ORDER BY user_id, valid_from, event_id""".stripMargin)),
+    "q_agg_corr" -> Q(
+      qAggCorr,
+      Some("""WITH s AS (
+             | SELECT l_returnflag,
+             |  count(1) AS n,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+             |  CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+             |  CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+             |  CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS syy
+             | FROM lineitem GROUP BY 1)
+             |SELECT l_returnflag, n,
+             | round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9) AS corr_qty_price
+             |FROM s ORDER BY l_returnflag""".stripMargin)),
+    "q_events_resample" -> Q(
+      qEventsResample,
+      Some(s"""WITH b0 AS (
+              | SELECT user_id, make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS gt, value,
+              |  row_number() OVER (PARTITION BY user_id, epoch_us(ts) // 3600000000
+              |                     ORDER BY ts DESC, event_id DESC) AS rn
+              | FROM $EV),
+              |b AS (SELECT user_id, gt, value AS v_last FROM b0 WHERE rn = 1),
+              |bounds AS (
+              | SELECT user_id, make_timestamp((epoch_us(min(ts)) // 3600000000) * 3600000000) AS t0,
+              |        make_timestamp((epoch_us(max(ts)) // 3600000000) * 3600000000) AS t1
+              | FROM $EV GROUP BY 1),
+              |grid AS (
+              | SELECT user_id, CAST(unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS TIMESTAMP) AS gt
+              | FROM bounds)
+              |SELECT g.user_id, g.gt,
+              | CAST(b.v_last IS NOT NULL AS INT) AS observed,
+              | last_value(b.v_last IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.gt
+              |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf
+              |FROM grid g LEFT JOIN b ON g.user_id = b.user_id AND g.gt = b.gt
+              |ORDER BY g.user_id, g.gt""".stripMargin)),
+    "q_fn_bitwise" -> Q(
+      qFnBitwise,
+      Some("""SELECT o_orderkey,
+             | o_orderkey & 255 AS b_and, o_orderkey | 4096 AS b_or,
+             | xor(o_orderkey, 1535) AS b_xor,
+             | o_orderkey << 2 AS b_shl, o_orderkey >> 3 AS b_shr,
+             | CAST(bit_count(o_orderkey) AS INT) AS b_cnt
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
     "q_sample_stratified" -> Q(
       qSampleStratified,
       Some("""WITH h AS (

@@ -132,6 +132,51 @@ class CorpusOpsSpec extends SparkSuite {
     }
   }
 
+  // ------------------------------------------------------------ exact corr
+
+  test("q_agg_corr matches Spark's built-in corr to quantization tolerance") {
+    val ours = CorpusOps
+      .qAggCorr(spark, sf001)
+      .collect()
+      .map(r => r.getString(0) -> r.getDouble(2))
+      .toMap
+    val builtin = graft.Tables
+      .lineitem(spark, sf001)
+      .groupBy("l_returnflag")
+      .agg(corr(col("l_quantity"), col("l_extendedprice")).as("c"))
+      .collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .toMap
+    ours.foreach { case (k, v) =>
+      assert(math.abs(v - builtin(k)) < 1e-6, s"$k: $v vs ${builtin(k)}")
+    }
+  }
+
+  // -------------------------------------------------------------- resample
+
+  test("q_events_resample: contiguous hourly grid, LOCF fills every gap") {
+    val rows = CorpusOps.qEventsResample(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val hourMs = 3600 * 1000L
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      // grid is contiguous hourly steps
+      val ts = rs.map(_.getTimestamp(1).getTime)
+      assert(ts.zip(ts.tail).forall { case (a, b) => b - a == hourMs })
+      // first grid point is observed (grid starts at the first event's
+      // hour), so LOCF leaves no nulls anywhere
+      assert(rs.head.getInt(2) == 1)
+      assert(rs.forall(!_.isNullAt(3)))
+    }
+    // observed bucket count == distinct (user, hour) pairs in the source
+    val observed = rows.count(_.getInt(2) == 1)
+    val expected = graft.Tables
+      .events(spark, sf001)
+      .select(col("user_id"), expr("unix_micros(ts) div 3600000000"))
+      .distinct()
+      .count()
+    assert(observed.toLong == expected)
+  }
+
   // --------------------------------------------------------- bloom join
 
   test("q_join_bloom equals the plain exact join (FPs removed by join)") {
