@@ -252,9 +252,12 @@ object CorpusOps {
       col("value"),
       col("ts"),
       col("event_id"))
+    // renamed keys: grid and observations both descend from `ev`, so
+    // same-name columns would hit Spark's self-join ambiguity heuristic
     val lastPerBucket = bucketed
       .groupBy(col("user_id"), col("gt"))
       .agg(max_by(col("value"), struct(col("ts"), col("event_id"))).as("v_last"))
+      .select(col("user_id").as("b_user"), col("gt").as("b_gt"), col("v_last"))
     val grid = ev
       .groupBy(col("user_id"))
       .agg(
@@ -265,19 +268,19 @@ object CorpusOps {
         explode(sequence(col("h0"), col("h1"))).as("h"))
       .select(col("user_id"), timestamp_micros(col("h") * hourUs).as("gt"))
     val w = Window
-      .partitionBy(grid("user_id"))
-      .orderBy(grid("gt").asc)
+      .partitionBy("user_id")
+      .orderBy(col("gt").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     grid
       .join(
         lastPerBucket,
-        grid("user_id") === lastPerBucket("user_id") && grid("gt") === lastPerBucket("gt"),
+        col("user_id") === col("b_user") && col("gt") === col("b_gt"),
         "left")
       .select(
-        grid("user_id"),
-        grid("gt"),
-        lastPerBucket("v_last").isNotNull.cast("int").as("observed"),
-        last(lastPerBucket("v_last"), ignoreNulls = true).over(w).as("value_locf"))
+        col("user_id"),
+        col("gt"),
+        col("v_last").isNotNull.cast("int").as("observed"),
+        last(col("v_last"), ignoreNulls = true).over(w).as("value_locf"))
       .orderBy("user_id", "gt")
   }
 
