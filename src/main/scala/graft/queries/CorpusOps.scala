@@ -284,6 +284,127 @@ object CorpusOps {
       .orderBy("user_id", "gt")
   }
 
+  // ------------------------------------------------------------- fuzzy dedup
+
+  /** Edit-distance near-dup pairs via blocking: candidates share a
+    * 12-char prefix AND are within 20% length of each other, then the
+    * exact `levenshtein` filter (distance ≤ 20% of the longer doc) keeps
+    * true near-dups. The blocking keys turn an O(n²) all-pairs scan into
+    * a prefix-equality hash join — the classic record-linkage shape; at
+    * 100 TB the prefix key hash-partitions both sides and only same-block
+    * pairs ever meet. Complements the token-level (`q_dedup_ngram`) and
+    * signature-level (`q_dedup_near`/`simhash`) dedups with a
+    * character-level edit metric.
+    */
+  def qDedupFuzzy(spark: SparkSession, sfDir: String): DataFrame =
+    fuzzyCore(Tables.documents(spark, sfDir))
+
+  private[queries] def fuzzyCore(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id"), col("text"), length(col("text")).as("n"))
+    val a = d.select(
+      col("doc_id").as("d1"),
+      col("text").as("t1"),
+      col("n").as("n1"),
+      substring(col("text"), 1, 12).as("pfx"))
+    val b = d.select(
+      col("doc_id").as("d2"),
+      col("text").as("t2"),
+      col("n").as("n2"),
+      substring(col("text"), 1, 12).as("pfx2"))
+    a.join(
+        b,
+        col("pfx") === col("pfx2") && col("d1") < col("d2") &&
+          abs(col("n1") - col("n2")) * 5 <= greatest(col("n1"), col("n2")))
+      .where(levenshtein(col("t1"), col("t2")) * 5 <= greatest(col("n1"), col("n2")))
+      .select(col("d1"), col("d2"), levenshtein(col("t1"), col("t2")).as("dist"))
+      .orderBy("d1", "d2")
+  }
+
+  // ----------------------------------------------------------------- tf-idf
+
+  /** Per-document top-3 TF-IDF terms — the classic keyword/topic signal.
+    * Shape: (doc, tok) partial counts (map-side combined, tokens shuffle,
+    * bodies don't) ⋈ document frequencies on the token key, × a 1-row
+    * broadcast corpus count; scores rounded to 1e-9 BEFORE ranking so the
+    * window order is identical across engines (ln() last-ulp noise).
+    */
+  def qTextTfidf(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables
+      .documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .where(col("tok") =!= "")
+    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = toks.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+    val n = Tables.documents(spark, sfDir).agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("tok").asc)
+    tf.join(df, "tok")
+      .crossJoin(broadcast(n))
+      .select(
+        col("doc_id"),
+        col("tok"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 9).as("score"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("tok"), col("score"))
+      .orderBy("doc_id", "rk")
+  }
+
+  // ----------------------------------------------------------------- funnel
+
+  /** Ordered-funnel analysis (view → click → purchase): per user, the
+    * first time of each stage, then strict event-time ordering gates each
+    * deeper stage. One partial-aggregating shuffle on user_id (the three
+    * firsts are conditional `min`s), one global 1-row reduce. The
+    * conversion-funnel shape every product-analytics engine ships.
+    */
+  def qEventsFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    def firstOf(t: String) =
+      min(when(col("event_type") === t, col("ts"))).as(s"t_$t")
+    val f = Tables
+      .events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(firstOf("view"), firstOf("click"), firstOf("purchase"))
+    f.select(
+        col("t_view").isNotNull.cast("int").as("s1"),
+        (col("t_view").isNotNull && col("t_click") > col("t_view")).cast("int").as("s2"),
+        (col("t_view").isNotNull && col("t_click") > col("t_view") &&
+          col("t_purchase") > col("t_click")).cast("int").as("s3"))
+      .agg(
+        sum(col("s1")).as("n_view"),
+        sum(col("s2")).as("n_view_click"),
+        sum(col("s3")).as("n_full_funnel"),
+        count(lit(1)).as("n_users"))
+  }
+
+  // ------------------------------------------------------------ table checksum
+
+  /** Bucketed table checksum — the reconciliation primitive behind
+    * `tile_delta_sync` and any cross-store "did the copy land?" audit:
+    * per key-bucket, a row count and an order-independent digest sum.
+    * Row digest = first 60 bits of md5 over a '|'-joined projection
+    * (key/string/int columns only — float formatting is not
+    * engine-portable), reduced mod 1e9+7 so bucket sums can't overflow
+    * at any row count. Embarrassingly parallel partial aggregation;
+    * comparing two tables = comparing 32 (bucket, n, checksum) rows.
+    */
+  def qTableChecksum(spark: SparkSession, sfDir: String): DataFrame =
+    checksumCore(
+      Tables.orders(spark, sfDir),
+      col("o_orderkey"),
+      Seq(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_orderpriority")))
+
+  private[queries] def checksumCore(
+      t: DataFrame,
+      key: org.apache.spark.sql.Column,
+      cols: Seq[org.apache.spark.sql.Column]): DataFrame =
+    t.select(
+        pmod(key, lit(32)).as("bucket"),
+        (conv(substring(md5(concat_ws("|", cols: _*).cast("binary")), 1, 15), 16, 10)
+          .cast("long") % 1000000007L).as("dig"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("dig")).as("checksum"))
+      .orderBy("bucket")
+
   // ------------------------------------------------------------ bitwise fns
 
   /** Bitwise function battery (and/or/xor, shifts, popcount) — the bit
@@ -375,6 +496,57 @@ object CorpusOps {
               |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf
               |FROM grid g LEFT JOIN b ON g.user_id = b.user_id AND g.gt = b.gt
               |ORDER BY g.user_id, g.gt""".stripMargin)),
+    "q_dedup_fuzzy" -> Q(
+      qDedupFuzzy,
+      Some("""WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+             |cand AS (
+             | SELECT a.doc_id AS d1, b.doc_id AS d2, a.text AS t1, b.text AS t2,
+             |        greatest(a.n, b.n) AS mx
+             | FROM d a JOIN d b
+             |  ON substr(a.text, 1, 12) = substr(b.text, 1, 12)
+             | AND a.doc_id < b.doc_id
+             | AND abs(a.n - b.n) * 5 <= greatest(a.n, b.n))
+             |SELECT d1, d2, CAST(levenshtein(t1, t2) AS INT) AS dist
+             |FROM cand WHERE levenshtein(t1, t2) * 5 <= mx
+             |ORDER BY d1, d2""".stripMargin)),
+    "q_text_tfidf" -> Q(
+      qTextTfidf,
+      Some("""WITH toks AS (
+             | SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+             | FROM documents),
+             |tf AS (SELECT doc_id, tok, count(1) AS tf FROM toks GROUP BY 1, 2),
+             |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+             |n AS (SELECT count(1) AS n FROM documents),
+             |scored AS (
+             | SELECT tf.doc_id, tf.tok, round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 9) AS score
+             | FROM tf JOIN df USING (tok) CROSS JOIN n),
+             |rk AS (
+             | SELECT doc_id, tok, score,
+             |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS INT) AS rk
+             | FROM scored)
+             |SELECT doc_id, rk, tok, score FROM rk WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin)),
+    "q_events_funnel" -> Q(
+      qEventsFunnel,
+      Some(s"""WITH f AS (
+              | SELECT user_id,
+              |  min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+              |  min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+              |  min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+              | FROM $EV GROUP BY 1),
+              |s AS (
+              | SELECT user_id,
+              |  CAST(t_view IS NOT NULL AS INT) AS s1,
+              |  CAST(t_view IS NOT NULL AND t_click > t_view AS INT) AS s2,
+              |  CAST(t_view IS NOT NULL AND t_click > t_view AND t_purchase > t_click AS INT) AS s3
+              | FROM f)
+              |SELECT CAST(sum(s1) AS BIGINT) AS n_view, CAST(sum(s2) AS BIGINT) AS n_view_click,
+              | CAST(sum(s3) AS BIGINT) AS n_full_funnel, count(1) AS n_users
+              |FROM s""".stripMargin)),
+    "q_table_checksum" -> Q(
+      qTableChecksum,
+      Some("""SELECT o_orderkey % 32 AS bucket, count(1) AS n_rows,
+             | CAST(sum(CAST(('0x' || substr(md5(concat_ws('|', o_orderkey, o_custkey, o_orderstatus, o_orderpriority)), 1, 15))::BIGINT % 1000000007 AS BIGINT)) AS BIGINT) AS checksum
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
     "q_fn_bitwise" -> Q(
       qFnBitwise,
       Some("""SELECT o_orderkey,

@@ -177,6 +177,62 @@ class CorpusOpsSpec extends SparkSuite {
     assert(observed.toLong == expected)
   }
 
+  // ----------------------------------------------------------- fuzzy dedup
+
+  test("fuzzyCore finds prefix-blocked near-dups, skips far pairs") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"), // dist 3
+      (3L, "the quick brown elephant stampedes through everything here"), // same prefix, too far
+      (4L, "completely different text with no shared prefix at all"))
+      .toDF("doc_id", "text")
+    val pairs = CorpusOps
+      .fuzzyCore(docs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 3)))
+  }
+
+  // ---------------------------------------------------------------- tf-idf
+
+  test("q_text_tfidf: <= 3 terms per doc, ranked by non-increasing score") {
+    val rows = CorpusOps.qTextTfidf(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.length <= 3)
+      assert(rs.map(_.getInt(1)).toSeq == (1 to rs.length))
+      val scores = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  // ---------------------------------------------------------------- funnel
+
+  test("q_events_funnel: stage counts are monotone, users complete") {
+    val r = CorpusOps.qEventsFunnel(spark, sf001).collect().head
+    val (v, vc, full, users) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(v >= vc && vc >= full && full >= 0)
+    assert(users == graft.Tables.events(spark, sf001).select("user_id").distinct().count())
+  }
+
+  // -------------------------------------------------------------- checksum
+
+  test("checksumCore: identical tables match; a one-row change flips one bucket") {
+    val t = Seq((1L, "a"), (2L, "b"), (33L, "c")).toDF("k", "v")
+    val cols = Seq(col("k"), col("v"))
+    val base = CorpusOps.checksumCore(t, col("k"), cols).collect()
+    val same = CorpusOps.checksumCore(t.repartition(3), col("k"), cols).collect()
+    assert(base.toSeq == same.toSeq)
+    val mutated = Seq((1L, "a"), (2L, "CHANGED"), (33L, "c")).toDF("k", "v")
+    val diff = CorpusOps.checksumCore(mutated, col("k"), cols).collect()
+    // bucket 1 holds keys 1 and 33... no: 1 % 32 = 1, 33 % 32 = 1, 2 % 32 = 2.
+    // Key 2's bucket (2) must differ; key-1/33's bucket (1) must not.
+    val baseBy = base.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val diffBy = diff.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(baseBy(1L) == diffBy(1L))
+    assert(baseBy(2L) != diffBy(2L))
+  }
+
   // --------------------------------------------------------- bloom join
 
   test("q_join_bloom equals the plain exact join (FPs removed by join)") {
