@@ -405,6 +405,26 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_rows"), sum(col("dig")).as("checksum"))
       .orderBy("bucket")
 
+  // ------------------------------------------------------------------ mode
+
+  /** Deterministic per-group mode: most frequent `l_quantity` per return
+    * flag, ties broken toward the smallest value (built-in `mode()` is
+    * tie-arbitrary — useless for engine comparison). Two partial-agg
+    * shuffles: (group, value) counts, then one `max_by` over the count
+    * with the value tiebreak folded into the ordering struct — no window
+    * sort anywhere.
+    */
+  def qAggMode(spark: SparkSession, sfDir: String): DataFrame =
+    Tables
+      .lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        max_by(col("l_quantity"), struct(col("cnt"), -col("l_quantity"))).as("mode_qty"),
+        max(struct(col("cnt"), -col("l_quantity"))).getField("cnt").as("n_mode"))
+      .orderBy("l_returnflag")
+
   // ------------------------------------------------------------ bitwise fns
 
   /** Bitwise function battery (and/or/xor, shifts, popcount) — the bit
@@ -547,6 +567,17 @@ object CorpusOps {
       Some("""SELECT o_orderkey % 32 AS bucket, count(1) AS n_rows,
              | CAST(sum(CAST(('0x' || substr(md5(concat_ws('|', o_orderkey, o_custkey, o_orderstatus, o_orderpriority)), 1, 15))::BIGINT % 1000000007 AS BIGINT)) AS BIGINT) AS checksum
              |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+    "q_agg_mode" -> Q(
+      qAggMode,
+      Some("""WITH c AS (
+             | SELECT l_returnflag, l_quantity, count(1) AS cnt
+             | FROM lineitem GROUP BY 1, 2),
+             |r AS (
+             | SELECT l_returnflag, l_quantity, cnt,
+             |  row_number() OVER (PARTITION BY l_returnflag ORDER BY cnt DESC, l_quantity ASC) AS rn
+             | FROM c)
+             |SELECT l_returnflag, l_quantity AS mode_qty, cnt AS n_mode
+             |FROM r WHERE rn = 1 ORDER BY l_returnflag""".stripMargin)),
     "q_fn_bitwise" -> Q(
       qFnBitwise,
       Some("""SELECT o_orderkey,
