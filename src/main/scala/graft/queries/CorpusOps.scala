@@ -311,12 +311,16 @@ object CorpusOps {
       col("text").as("t2"),
       col("n").as("n2"),
       substring(col("text"), 1, 12).as("pfx2"))
+    // EditWithin = banded levenshtein with the 20% threshold folded in
+    // (-1 beyond): built-in levenshtein ran the full O(n·m) codepoint
+    // matrix twice per candidate (join-condition fold + projection) —
+    // 23.8 s at sf0.1; the kernel's band+abort makes both evals cheap.
     a.join(
         b,
         col("pfx") === col("pfx2") && col("d1") < col("d2") &&
           abs(col("n1") - col("n2")) * 5 <= greatest(col("n1"), col("n2")))
-      .where(levenshtein(col("t1"), col("t2")) * 5 <= greatest(col("n1"), col("n2")))
-      .select(col("d1"), col("d2"), levenshtein(col("t1"), col("t2")).as("dist"))
+      .select(col("d1"), col("d2"), graft.functions.EditWithin.of(col("t1"), col("t2")).as("dist"))
+      .where(col("dist") >= 0)
       .orderBy("d1", "d2")
   }
 

@@ -63,6 +63,27 @@ object TileQueries {
           Tile.tileBBox(cfg, col("level"), col("tile_row"), col("tile_col")): _*)
       .orderBy("level", "tile_row", "tile_col")
 
+  /** Pyramid rollup: each tile at levels 6..11 aggregates to its parent
+    * at level-1 via arithmetic right-shift of row/col (shift = floor-by-2
+    * in both engines, correct even for negative coordinates — `div`
+    * truncates toward zero and would disagree below the axis). The
+    * standard overview-building aggregation a tile pipeline runs after
+    * the leaf level lands; counts per parent prove coverage (interior
+    * parents see 4 children, grid-edge parents fewer). Scale shape: pure
+    * partial-agg shuffle on the parent key, children never co-located
+    * beforehand.
+    */
+  def tilePyramidRollup(spark: SparkSession, sfDir: String): DataFrame =
+    grid(spark)
+      .where(col("level") > 5)
+      .select(
+        (col("level") - 1).as("parent_level"),
+        shiftright(col("tile_row"), 1).as("parent_row"),
+        shiftright(col("tile_col"), 1).as("parent_col"))
+      .groupBy("parent_level", "parent_row", "parent_col")
+      .agg(count(lit(1)).as("n_children"))
+      .orderBy("parent_level", "parent_row", "parent_col")
+
   val all: Seq[(String, Q)] = Seq(
     "tile_grid_enum" -> Q(
       tileGridEnum,
@@ -98,5 +119,15 @@ object TileQueries {
             |ORDER BY level, tile_row, tile_col""".stripMargin)),
     "tile_cache_scan" -> Q(TileCacheQueries.cacheScan, None, bench = false),
     "tile_upload_sink" -> Q(TileCacheQueries.uploadSink, None, bench = false),
-    "tile_delta_sync" -> Q(TileCacheQueries.deltaSync, None, bench = false))
+    "tile_delta_sync" -> Q(TileCacheQueries.deltaSync, None, bench = false),
+    "tile_pyramid_rollup" -> Q(
+      tilePyramidRollup,
+      Some(
+        rangesCte +
+          """SELECT level - 1 AS parent_level,
+            | tile_row >> 1 AS parent_row, tile_col >> 1 AS parent_col,
+            | count(1) AS n_children
+            |FROM grid WHERE level > 5
+            |GROUP BY 1, 2, 3
+            |ORDER BY parent_level, parent_row, parent_col""".stripMargin)))
 }
