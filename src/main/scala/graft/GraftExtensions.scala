@@ -60,6 +60,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (args: Seq[Expression]) => functions.Shingles3(one(args, "shingles3"))))
     ext.injectFunction(
       (
+        FunctionIdentifier("edit_within"),
+        info(
+          "edit_within",
+          "edit_within(a, b) - levenshtein distance if within 20% of the longer input, else -1"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, "edit_within expects exactly 2 arguments")
+          functions.EditWithin(args.head, args(1))
+        }))
+    ext.injectFunction(
+      (
         FunctionIdentifier("scaled_dot"),
         info("scaled_dot", "scaled_dot(a, b) - exact scaled dot product of float arrays as BIGINT"),
         (args: Seq[Expression]) => {

@@ -56,7 +56,9 @@ class ExtensionsSpec extends AnyFunSuite {
              |       size(minhash16('a b c d e')) AS mh,
              |       size(shingles3('a b c d')) AS sg,
              |       scaled_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
-             |                  array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS sd
+             |                  array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS sd,
+             |       edit_within('abcdefghij', 'abcdefghiX') AS ed,
+             |       edit_within('abcdefghij', 'XYZdefXYZX') AS ed_far
              |""".stripMargin)
       .head()
     assert(r.getAs[Int]("nt") == 4)
@@ -65,6 +67,8 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getAs[Int]("mh") == 16)
     assert(r.getAs[Int]("sg") == 2)
     assert(r.getAs[Long]("sd") == (3.0 + 8.0) * 1e12.toLong)
+    assert(r.getAs[Int]("ed") == 1)
+    assert(r.getAs[Int]("ed_far") == -1)
   }
 
   test("optimizer rule rewrites the HOF token count to the kernel, same values") {

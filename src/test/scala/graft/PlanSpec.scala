@@ -121,6 +121,12 @@ class PlanSpec extends SparkSuite {
     assert(hashEx == 1, s"expected 1 hash exchange, plan:\n$p")
   }
 
+  test("fuzzy dedup evaluates the EditWithin kernel, not built-in levenshtein") {
+    val p = plan(graft.queries.CorpusOps.qDedupFuzzy(spark, sf001))
+    assert(p.contains("edit_within"), p)
+    assert(!p.contains("levenshtein"), p)
+  }
+
   test("bloom-join probes the fact scan before the join, dim broadcast") {
     val p = plan(graft.queries.CorpusOps.qJoinBloom(spark, sf001))
     assert(p.contains("BroadcastHashJoin"), p)
