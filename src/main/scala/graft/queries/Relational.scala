@@ -155,6 +155,25 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** The same as-of semantics through the native custom operator
+    * ([[graft.plans.AsOfJoinPlan]] → AsOfJoinExec): a custom LogicalPlan
+    * + SparkStrategy + SparkPlan whose per-partition merge carries O(1)
+    * state, with distribution/ordering requirements declared so
+    * Catalyst/AQE own the exchanges and sorts. Same oracle as
+    * `q_join_asof` — the two formulations must agree row-for-row.
+    */
+  def qJoinAsofNative(spark: SparkSession, sfDir: String): DataFrame =
+    graft.plans.AsOfJoin
+      .asof(
+        Tables.events(spark, sfDir).select("event_id", "user_id", "ts"),
+        "user_id",
+        "ts",
+        Tables.orders(spark, sfDir).select("o_custkey", "o_orderdate"),
+        "o_custkey",
+        "o_orderdate",
+        "last_order_date")
+      .orderBy("event_id")
+
   /** Full outer join of two aggregated sides (orders-per-year vs
     * events-per-year): exercises unmatched keys in both directions. Both
     * inputs aggregate before the join, so the shuffled sides are tiny at
@@ -702,6 +721,12 @@ object Relational {
              |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin)),
     "q_join_asof" -> Q(
       qJoinAsof,
+      Some(s"""SELECT e.event_id, e.user_id, e.ts, o.o_orderdate AS last_order_date
+              |FROM $EV e ASOF LEFT JOIN orders o
+              |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+              |ORDER BY e.event_id""".stripMargin)),
+    "q_join_asof_native" -> Q(
+      qJoinAsofNative,
       Some(s"""SELECT e.event_id, e.user_id, e.ts, o.o_orderdate AS last_order_date
               |FROM $EV e ASOF LEFT JOIN orders o
               |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate

@@ -1,0 +1,65 @@
+package graft.plans
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Native as-of join (AsOfJoinPlan/Exec) pinned against the union-window
+  * formulation and crafted edges: no-match-yet rows, inclusive ties,
+  * keys with no right side, and partitioning invariance.
+  */
+class AsOfJoinSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("crafted edges: before-first, inclusive tie, missing key, updates") {
+    val lefts = Seq(
+      (1L, 10L, ts("2024-01-01 00:00:00")), // before any right row -> null
+      (2L, 10L, ts("2024-01-01 10:00:00")), // after r1 -> r1
+      (3L, 10L, ts("2024-01-02 09:00:00")), // inclusive tie with r2 -> r2
+      (4L, 10L, ts("2024-03-01 00:00:00")), // long after -> latest r2
+      (5L, 20L, ts("2024-01-05 00:00:00"))) // key with no right rows -> null
+      .toDF("event_id", "k", "t")
+    val rights = Seq(
+      (10L, ts("2024-01-01 06:00:00")),
+      (10L, ts("2024-01-02 09:00:00")),
+      (30L, ts("2024-01-01 00:00:00"))) // key never asked for
+      .toDF("rk", "rt")
+    for (parts <- Seq(1, 4)) {
+      val got = AsOfJoin
+        .asof(lefts.repartition(parts), "k", "t", rights.repartition(parts), "rk", "rt", "m")
+        .orderBy("event_id")
+        .collect()
+        .map(r => r.getLong(0) -> Option(r.getTimestamp(3)))
+      assert(got.toSeq == Seq(
+        1L -> None,
+        2L -> Some(ts("2024-01-01 06:00:00")),
+        3L -> Some(ts("2024-01-02 09:00:00")),
+        4L -> Some(ts("2024-01-02 09:00:00")),
+        5L -> None))
+    }
+  }
+
+  test("native as-of equals the union-window formulation on real tables") {
+    // the window form coerces the matched column to TIMESTAMP (union type
+    // widening); the native operator preserves the source's NTZ type —
+    // align before the row-for-row compare
+    val native = graft.queries.Relational
+      .qJoinAsofNative(spark, sf001)
+      .withColumn("last_order_date", col("last_order_date").cast("timestamp"))
+      .collect()
+    val window = graft.queries.Relational.qJoinAsof(spark, sf001).collect()
+    assert(native.length == window.length && native.length > 0)
+    assert(native.toSeq == window.toSeq)
+  }
+
+  test("planner places AsOfJoin with EnsureRequirements-owned exchanges and sorts") {
+    val df = graft.queries.Relational.qJoinAsofNative(spark, sf001)
+    df.collect() // materialize so AQE finalizes the plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin"), p) // nodeName = class name minus Exec
+    assert(!p.contains("!AsOfJoin"), s"missing-input marker in plan:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length >= 2, p)
+    assert(p.contains("Sort "), p)
+  }
+}
