@@ -33,6 +33,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (see graft.plans.HofToKernelRule) — users get kernel speed without
     // changing their SQL.
     ext.injectOptimizerRule(_ => graft.plans.HofToKernelRule)
+    // Custom physical operator: native sort-merge as-of join (the
+    // DataFrame builder also self-registers via experimental
+    // .extraStrategies for sessions not configured with extensions).
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectFunction(
       (
         FunctionIdentifier("text_profile"),
