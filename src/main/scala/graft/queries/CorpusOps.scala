@@ -409,6 +409,30 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_rows"), sum(col("dig")).as("checksum"))
       .orderBy("bucket")
 
+  // -------------------------------------------------------- approximate top-k
+
+  /** Heavy hitters via the Space-Saving sketch: top-20 corpus tokens from
+    * a bounded-memory aggregator — the scale path beside the exact
+    * `q_text_wordcount` shuffle-agg. Each partition folds its tokens into
+    * one ≤256-counter sketch; only sketches cross the shuffle (one final
+    * merge), never raw token counts. On this corpus capacity (256) ≥
+    * vocabulary (31), so the sketch is provably exact and the DuckDB
+    * exact-count oracle applies; the approximate regime's overestimate
+    * guarantee is pinned in SpaceSavingSpec with capacity 4.
+    */
+  def qTopkApprox(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = udaf(new graft.functions.SpaceSaving(256))
+    Tables
+      .documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .where(col("tok") =!= "")
+      .agg(ss(col("tok")).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.tok").as("tok"), col("e.est").as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc)
+      .limit(20)
+  }
+
   // ------------------------------------------------------------------ mode
 
   /** Deterministic per-group mode: most frequent `l_quantity` per return
@@ -571,6 +595,12 @@ object CorpusOps {
       Some("""SELECT o_orderkey % 32 AS bucket, count(1) AS n_rows,
              | CAST(sum(CAST(('0x' || substr(md5(concat_ws('|', o_orderkey, o_custkey, o_orderstatus, o_orderpriority)), 1, 15))::BIGINT % 1000000007 AS BIGINT)) AS BIGINT) AS checksum
              |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+    "q_topk_approx" -> Q(
+      qTopkApprox,
+      Some(s"""WITH toks AS (
+              | SELECT unnest(toks) AS tok FROM $DOCS_T),
+              |c AS (SELECT tok, count(1) AS cnt FROM toks GROUP BY 1)
+              |SELECT tok, cnt FROM c ORDER BY cnt DESC, tok LIMIT 20""".stripMargin)),
     "q_agg_mode" -> Q(
       qAggMode,
       Some("""WITH c AS (
