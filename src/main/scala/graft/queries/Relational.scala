@@ -155,6 +155,36 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Time-interval range frame: per user, the rolling 1-hour event-value
+    * sum and count (frame = RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND
+    * CURRENT ROW, keyed on event time, not row position — the
+    * rate-limiting / rolling-metrics window a row-count frame can't
+    * express). Spark's rangeBetween needs a numeric ordering column ⇒
+    * order by epoch micros; the exact decimal addends keep the rolling
+    * sum engine-identical. One hash-partition shuffle on user_id.
+    */
+  def qWindowRangeInterval(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window
+      .partitionBy("user_id")
+      .orderBy(col("ts_us"))
+      .rangeBetween(-3600000000L, 0L)
+    Tables
+      .events(spark, sfDir)
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("ts"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("value"))
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("ts"),
+        sum(col("value").cast("decimal(18,6)")).over(w).cast("double").as("sum_1h"),
+        count(lit(1)).over(w).as("n_1h"))
+      .orderBy("event_id")
+  }
+
   /** The same as-of semantics through the native custom operator
     * ([[graft.plans.AsOfJoinPlan]] → AsOfJoinExec): a custom LogicalPlan
     * + SparkStrategy + SparkPlan whose per-partition merge carries O(1)
@@ -725,6 +755,15 @@ object Relational {
               |FROM $EV e ASOF LEFT JOIN orders o
               |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
               |ORDER BY e.event_id""".stripMargin)),
+    "q_window_range_interval" -> Q(
+      qWindowRangeInterval,
+      Some(s"""SELECT event_id, user_id, ts,
+              | CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_1h,
+              | count(1) OVER w AS n_1h
+              |FROM $EV
+              |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+              |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+              |ORDER BY event_id""".stripMargin)),
     "q_join_asof_native" -> Q(
       qJoinAsofNative,
       Some(s"""SELECT e.event_id, e.user_id, e.ts, o.o_orderdate AS last_order_date
