@@ -338,7 +338,10 @@ object CorpusOps {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .where(col("tok") =!= "")
     val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-    val df = toks.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+    // df from the aggregated pairs, not a countDistinct over raw tokens:
+    // tf already holds one row per (doc, tok), so a plain count per tok
+    // is the document frequency — no distinct-expansion shuffle
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val n = Tables.documents(spark, sfDir).agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("tok").asc)
     tf.join(df, "tok")
