@@ -412,6 +412,54 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_rows"), sum(col("dig")).as("checksum"))
       .orderBy("bucket")
 
+  // -------------------------------------------------- unigram LM quality score
+
+  /** Model-based quality scoring: Laplace-smoothed unigram
+    * negative-log-likelihood per document, with the model trained on the
+    * train split — the simplest form of the "score every document under
+    * a reference LM" filter that pipelines run at corpus scale. Shape:
+    * train counts are one token-keyed partial agg; (N, V) is a 1-row
+    * broadcast; scoring is a token-keyed join + per-doc partial agg —
+    * document bodies never shuffle. Each log-prob is quantized to
+    * 1e-6 fixed point BEFORE the per-doc sum, so token order and
+    * partitioning cannot perturb the score (FP log sums are
+    * order-sensitive; quantized longs are not).
+    */
+  def qTextUnigramNll(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val bucket = pmod(col("doc_id") * lit(40503L), lit(100L))
+    val sp = docs.select(
+      col("doc_id"),
+      when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"))
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .where(col("tok") =!= "")
+    val counts = toks
+      .join(sp, "doc_id")
+      .where(col("split") === "train")
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val nv = counts.agg(sum(col("cnt")).as("n"), count(lit(1)).as("v"))
+    val scored = toks
+      .join(counts, Seq("tok"), "left")
+      .crossJoin(broadcast(nv))
+      .select(
+        col("doc_id"),
+        round(log((coalesce(col("cnt"), lit(0L)) + 1.0) / (col("n") + col("v"))) * 1e6, 0)
+          .cast("long")
+          .as("lp_micro"))
+    scored
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("lp_micro")).as("lp_sum"))
+      .join(sp, "doc_id")
+      .select(
+        col("doc_id"),
+        col("split"),
+        col("n_toks"),
+        round(-(col("lp_sum").cast("double") / 1e6) / col("n_toks"), 9).as("nll"))
+      .orderBy("doc_id")
+  }
+
   // -------------------------------------------------------- approximate top-k
 
   /** Heavy hitters via the Space-Saving sketch: top-20 corpus tokens from
@@ -598,6 +646,22 @@ object CorpusOps {
       Some("""SELECT o_orderkey % 32 AS bucket, count(1) AS n_rows,
              | CAST(sum(CAST(('0x' || substr(md5(concat_ws('|', o_orderkey, o_custkey, o_orderstatus, o_orderpriority)), 1, 15))::BIGINT % 1000000007 AS BIGINT)) AS BIGINT) AS checksum
              |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+    "q_text_unigram_nll" -> Q(
+      qTextUnigramNll,
+      Some(s"""WITH toks AS (
+              | SELECT doc_id, unnest(toks) AS tok FROM $DOCS_T),
+              |sp AS (SELECT doc_id, CASE WHEN (doc_id * 40503) % 100 < 80 THEN 'train'
+              |        WHEN (doc_id * 40503) % 100 < 90 THEN 'val' ELSE 'test' END AS split FROM documents),
+              |tr AS (SELECT tok, count(1) AS cnt FROM toks JOIN sp USING (doc_id) WHERE split = 'train' GROUP BY 1),
+              |nv AS (SELECT CAST(sum(cnt) AS BIGINT) AS n, count(1) AS v FROM tr),
+              |scored AS (
+              | SELECT t.doc_id AS doc_id,
+              |  CAST(round(ln((coalesce(tr.cnt, 0) + 1.0) / (nv.n + nv.v)) * 1e6, 0) AS BIGINT) AS lp_micro
+              | FROM toks t LEFT JOIN tr ON t.tok = tr.tok CROSS JOIN nv)
+              |SELECT s.doc_id AS doc_id, sp.split, count(1) AS n_toks,
+              | round(-(CAST(sum(s.lp_micro) AS DOUBLE) / 1e6) / count(1), 9) AS nll
+              |FROM scored s JOIN sp ON s.doc_id = sp.doc_id
+              |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin)),
     "q_topk_approx" -> Q(
       qTopkApprox,
       Some(s"""WITH toks AS (

@@ -233,6 +233,25 @@ class CorpusOpsSpec extends SparkSuite {
     assert(baseBy(2L) != diffBy(2L))
   }
 
+  // ----------------------------------------------------------- unigram NLL
+
+  test("q_text_unigram_nll: positive scores, one row per non-empty doc") {
+    val rows = CorpusOps.qTextUnigramNll(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    // Laplace probabilities are < 1, so -log p > 0 always
+    assert(rows.forall(_.getDouble(3) > 0))
+    val nonEmptyDocs = graft.Tables
+      .documents(spark, sf001)
+      .where(size(filter(split(col("text"), " "), t => t =!= "")) > 0)
+      .count()
+    assert(rows.length.toLong == nonEmptyDocs)
+    // a doc made of the corpus's most common tokens must score lower
+    // (more likely) than the per-doc maximum: sanity that the model
+    // orders documents and is not constant
+    val scores = rows.map(_.getDouble(3))
+    assert(scores.min < scores.max)
+  }
+
   // --------------------------------------------------------- bloom join
 
   test("q_join_bloom equals the plain exact join (FPs removed by join)") {
