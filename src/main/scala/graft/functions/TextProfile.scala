@@ -607,3 +607,72 @@ object TextFingerprint {
   /** Column API: fingerprint(text) → BIGINT (NULL if < 4 tokens). */
   def of(c: Column): Column = Bridge.column(TextFingerprint(Bridge.expression(c)))
 }
+
+/** Codegen'd k-token sliding windows (the exact-substring-dedup candidate
+  * generator, see `q_dedup_substring`): every run of `k` consecutive
+  * tokens, in positional order, NOT deduplicated — position matters (a
+  * window repeated inside one document is still a duplicated span).
+  * Tokens are the battery's space-split semantics; windows are rebuilt
+  * with single spaces like [[Shingles3]]. Returns NULL-free
+  * ARRAY<STRING>, empty when the document has fewer than `k` tokens.
+  *
+  * `k` is a plan-time constant (constructor parameter, like
+  * [[PlaneSig64]]'s planeSet), so the generated call keeps one static
+  * monomorphic helper on the hot loop — same design rationale as
+  * [[TextProfile]].
+  */
+case class TokenWindows(child: Expression, k: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "token_windows"
+
+  override def nullSafeEval(input: Any): Any =
+    TokenWindows.windows(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${TokenWindows.Mod}.windows($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TokenWindows {
+
+  private[functions] val Mod = getClass.getName.stripSuffix("$") + "$.MODULE$"
+
+  def windows(u: UTF8String, k: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val s = u.toString
+    val n = s.length
+    val starts = new java.util.ArrayList[Integer]()
+    val ends = new java.util.ArrayList[Integer]()
+    var i = 0
+    var start = -1
+    while (i < n) {
+      if (s.charAt(i) == ' ') {
+        if (start >= 0) { starts.add(start); ends.add(i); start = -1 }
+      } else if (start < 0) start = i
+      i += 1
+    }
+    if (start >= 0) { starts.add(start); ends.add(n) }
+    val m = starts.size()
+    val cnt = math.max(0, m - k + 1)
+    val arr = new Array[Any](cnt)
+    var j = 0
+    while (j < cnt) {
+      val sb = new java.lang.StringBuilder(ends.get(j + k - 1) - starts.get(j))
+      var t = 0
+      while (t < k) {
+        if (t > 0) sb.append(' ')
+        sb.append(s, starts.get(j + t), ends.get(j + t))
+        t += 1
+      }
+      arr(j) = UTF8String.fromString(sb.toString)
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
+  /** Column API: all k-token windows in order as ARRAY<STRING>. */
+  def of(c: Column, k: Int): Column =
+    Bridge.column(TokenWindows(Bridge.expression(c), k))
+}

@@ -114,6 +114,89 @@ object LlmOps {
     jaccardPairs(ex.join(broadcast(hot), Seq("sh"), "left_anti"))
   }
 
+  // ------------------------------------------------------- substring dedup
+
+  /** Window width for exact-substring dedup: a span must repeat for at
+    * least this many consecutive tokens to count as duplicated text.
+    * (Suffix-array substring dedup à la Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better", uses 50 BPE tokens; the
+    * sliding-window formulation below finds exactly the spans whose every
+    * k-window repeats, at a k chosen for the short synthetic docs.)
+    */
+  private val SubstrK = 10
+
+  /** Exact duplicated-SPAN detection — the within/cross-document substring
+    * dedup mode that document-level dedup (exact, MinHash) cannot express:
+    * boilerplate, licenses, and templated text repeat as spans inside
+    * otherwise-unique documents, and the cure is cutting the span, not
+    * dropping the document.
+    *
+    * Formulation: a token position is duplicated iff some k-token window
+    * covering it occurs at ≥ 2 positions corpus-wide (within-doc repeats
+    * count — a self-repeating document is duplicated text too). Output per
+    * affected doc: number of maximal duplicated spans (interval union of
+    * the flagged windows) and tokens covered, plus the doc's token count.
+    *
+    * Scale shape: the [[graft.functions.TokenWindows]] kernel generates
+    * windows scan-side in one codegen pass; only `xxhash64(window)` —
+    * 8 bytes, never the window text — enters the occurrence-count shuffle
+    * (map-side partial count first) and the position semi-join. The
+    * interval-union window pass runs only over flagged positions (a
+    * vanishing fraction of the corpus). Collisions: 64-bit hashing over
+    * ~10⁶ windows/TB gives ~1e-7 false-dup probability per TB² pair —
+    * deterministic, and far below near-dup noise; the string windows
+    * themselves never need to shuffle at any scale. The DuckDB oracle
+    * replays the same pipeline on the window strings (no hashing), so a
+    * collision would surface as a hash mismatch — the check covers it.
+    */
+  def qDedupSubstring(spark: SparkSession, sfDir: String): DataFrame =
+    substringSpans(Tables.documents(spark, sfDir), SubstrK)
+
+  /** The substring-dedup pipeline over any (doc_id, text) frame; see
+    * [[qDedupSubstring]] for semantics and the scale argument.
+    */
+  private[graft] def substringSpans(docs: DataFrame, k: Int): DataFrame = {
+    val wins = docs
+      .select(
+        col("doc_id"),
+        posexplode(graft.functions.TokenWindows.of(col("text"), k)).as(Seq("pos", "w")))
+      .select(col("doc_id"), col("pos"), xxhash64(col("w")).as("wh"))
+    // windows occurring at >= 2 positions corpus-wide (8-byte keys only)
+    val dup = wins
+      .groupBy("wh")
+      .agg(count(lit(1)).as("c"))
+      .where(col("c") >= 2)
+      .select("wh")
+    val dupPos = wins.join(dup, Seq("wh"), "left_semi").select("doc_id", "pos")
+    // interval union per doc: a window starting past every earlier
+    // window's end opens a new maximal span (strict >: touching-but-
+    // disjoint spans stay separate — both engines use the same rule)
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val prevEnd = max(col("pos") + lit(k - 1))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val spans = dupPos
+      .withColumn("brk", when(col("pos") > coalesce(prevEnd, lit(-1)), 1).otherwise(0))
+      .withColumn("gid", sum(col("brk")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "gid")
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + lit(k - 1)).as("e"))
+    val perDoc = spans
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("dup_spans"),
+        sum(col("e") - col("s") + 1).as("dup_tokens"))
+    docs
+      .select(
+        col("doc_id"),
+        graft.functions.TextProfile
+          .profile(col("text"))
+          .getField("n_tokens")
+          .cast("long")
+          .as("n_tokens"))
+      .join(perDoc, "doc_id")
+      .select("doc_id", "dup_spans", "dup_tokens", "n_tokens")
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------- MinHash LSH
 
   private val NumHashes = 16
@@ -973,6 +1056,37 @@ object LlmOps {
              |FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
              |WHERE CAST(common AS DOUBLE) / CAST(s1.n_sh + s2.n_sh - common AS DOUBLE) >= 0.5
              |ORDER BY d1, d2""".stripMargin)),
+    "q_dedup_substring" -> Q(
+      qDedupSubstring,
+      Some("""WITH docs AS (
+             | SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+             | FROM documents),
+             |w AS (
+             | SELECT doc_id, i AS pos, array_to_string(toks[i:i+9], ' ') AS win
+             | FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 9)) AS i
+             |       FROM docs WHERE len(toks) >= 10)),
+             |dup AS (SELECT win FROM w GROUP BY win HAVING count(1) >= 2),
+             |dp AS (SELECT doc_id, pos FROM w JOIN dup USING (win)),
+             |m AS (
+             | SELECT doc_id, pos,
+             |  CASE WHEN pos > coalesce(max(pos + 9) OVER (
+             |    PARTITION BY doc_id ORDER BY pos
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+             |  THEN 1 ELSE 0 END AS brk
+             | FROM dp),
+             |isl AS (
+             | SELECT doc_id, pos,
+             |  sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS gid
+             | FROM m),
+             |spans AS (
+             | SELECT doc_id, gid, min(pos) AS s, max(pos) + 9 AS e
+             | FROM isl GROUP BY doc_id, gid),
+             |perdoc AS (
+             | SELECT doc_id, count(1) AS dup_spans, CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens
+             | FROM spans GROUP BY doc_id)
+             |SELECT d.doc_id, p.dup_spans, p.dup_tokens, len(d.toks) AS n_tokens
+             |FROM docs d JOIN perdoc p USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin)),
     "q_dedup_near" -> Q(qDedupNear, None),
     // same pairs CTE as q_dedup_ngram_capped, then connected components as
     // a recursive reachability fixpoint (UNION dedups, so it terminates):
