@@ -52,6 +52,16 @@ object StreamingQueries {
       .orderBy("click_id", "purchase_id")
   }
 
+  /** Batch twin of the left-outer attribution join: clicks with no
+    * purchase within 30 minutes keep NULL purchase columns.
+    */
+  def joinOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    Streams
+      .attributionOuter(ev, ev, withWatermark = false)
+      .orderBy("click_id", "purchase_id")
+  }
+
   /** Batch twin of the stream-static enrichment join. */
   def enrich(spark: SparkSession, sfDir: String): DataFrame =
     Streams
@@ -109,6 +119,15 @@ object StreamingQueries {
               | c.ts AS click_ts, p.ts AS purchase_ts
               |FROM $EV c JOIN $EV p ON c.user_id = p.user_id
               |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+              | AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 30 MINUTE
+              |ORDER BY click_id, purchase_id""".stripMargin)),
+    "s_stream_join_outer" -> Q(
+      joinOuter,
+      Some(s"""SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts,
+              | p.event_id AS purchase_id, p.ts AS purchase_ts
+              |FROM (SELECT * FROM $EV WHERE event_type = 'click') c
+              |LEFT JOIN (SELECT * FROM $EV WHERE event_type = 'purchase') p
+              | ON c.user_id = p.user_id
               | AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 30 MINUTE
               |ORDER BY click_id, purchase_id""".stripMargin)),
     "s_stream_enrich" -> Q(

@@ -221,6 +221,48 @@ object Streams {
         col("purchase_ts"))
   }
 
+  /** Left-outer stream-stream interval join — the abandonment twin of
+    * [[attribution]]: every click appears exactly once per matching
+    * purchase, and clicks with NO purchase by the same user in the
+    * following 30 minutes surface with NULL purchase columns. The outer
+    * side is what makes this a distinct streaming mode: matched pairs
+    * emit as they join, but a null row can only emit once the purchase
+    * side's watermark has passed `click_ts + 30 min` (before that, a
+    * matching purchase could still arrive) — so correctness depends on
+    * the same watermark + range predicate that bounds the join state.
+    * Batch runs the identical transform as a plain left join (the
+    * driver's oracle twin `s_stream_join_outer`).
+    */
+  def attributionOuter(
+      clicksSrc: DataFrame,
+      purchasesSrc: DataFrame,
+      withWatermark: Boolean): DataFrame = {
+    val clicks0 = clicksSrc
+      .where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+    val purch0 = purchasesSrc
+      .where(col("event_type") === "purchase")
+      .select(
+        col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"),
+        col("ts").as("purchase_ts"))
+    val clicks = if (withWatermark) clicks0.withWatermark("click_ts", "30 minutes") else clicks0
+    val purch = if (withWatermark) purch0.withWatermark("purchase_ts", "30 minutes") else purch0
+    clicks
+      .join(
+        purch,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") < col("click_ts") + expr("INTERVAL 30 MINUTES"),
+        "left_outer")
+      .select(
+        col("user_id"),
+        col("click_id"),
+        col("click_ts"),
+        col("purchase_id"),
+        col("purchase_ts"))
+  }
+
   /** Per-user session windows, 30-minute gap. Session end = last event +
     * gap (Spark session_window semantics).
     */

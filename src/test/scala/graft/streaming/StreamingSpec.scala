@@ -198,6 +198,48 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("left-outer attribution join emits null rows once the watermark passes") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val df = mem
+      .toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Streams
+      .attributionOuter(df, df, withWatermark = true)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("attribution_outer_append")
+      .start()
+    try {
+      val evs = eventTuples
+      mem.addData(evs.toIndexedSeq)
+      q.processAllAvailable()
+      // a null row may only emit after the GLOBAL watermark (min across
+      // both sides' watermark nodes) passes click_ts + 30 min. The
+      // sentinels must survive the event_type filters that precede the
+      // watermark nodes, so send one far-future click AND purchase for a
+      // user id that matches nothing; the sentinel click's own null row
+      // stays buffered forever (the watermark never passes IT), so it
+      // never reaches the output.
+      val maxTs = evs.map(_._2.getTime).max
+      mem.addData(
+        (-1L, new java.sql.Timestamp(maxTs + 7200L * 1000), -999L, "click", 0.0),
+        (-2L, new java.sql.Timestamp(maxTs + 7200L * 1000), -998L, "purchase", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("attribution_outer_append")
+      val batch = Streams.attributionOuter(
+        Tables.events(spark, sf001).select("event_id", "ts", "user_id", "event_type", "value"),
+        Tables.events(spark, sf001).select("event_id", "ts", "user_id", "event_type", "value"),
+        withWatermark = false)
+      assert(
+        batch.where(col("purchase_id").isNull).count() > 0,
+        "fixture must contain at least one unattributed click")
+      assert(streamed.exceptAll(batch).count() == 0)
+      assert(batch.exceptAll(streamed).count() == 0)
+    } finally q.stop()
+  }
+
   test("stream-static enrichment join equals the batch join") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
