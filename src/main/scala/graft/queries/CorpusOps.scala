@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -383,6 +383,107 @@ object CorpusOps {
         count(lit(1)).as("n_users"))
   }
 
+  // ---------------------------------------------------------------- retention
+
+  /** Daily cohort retention — the engagement matrix behind every growth
+    * dashboard: users are cohorted by their first active day; cell
+    * (cohort, day_offset) counts cohort members active that many days
+    * later, next to the cohort's size. Shapes: active days collapse to
+    * DISTINCT (user, day) first (one shuffle — day counts never inflate
+    * the matrix), the per-user first day is a partial-aggregating
+    * groupBy, and the user⋈cohort join hash-partitions on user_id (AQE
+    * may broadcast the cohort side when small — both are correct at
+    * 100 TB because each shuffle is keyed and combiner-friendly; no
+    * window pass anywhere).
+    */
+  def qEventsRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val days = Tables
+      .events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+    val first = days.groupBy("user_id").agg(min(col("d")).as("cohort"))
+    val sizes = first.groupBy("cohort").agg(count(lit(1)).as("cohort_size"))
+    days
+      .join(first, "user_id")
+      .groupBy(col("cohort"), datediff(col("d"), col("cohort")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, "cohort")
+      .select("cohort", "day_offset", "n_active", "cohort_size")
+      .orderBy("cohort", "day_offset")
+  }
+
+  // ----------------------------------------------------------- HLL sketch merge
+
+  /** Re-aggregatable distinct counting — the cube/rollup pattern behind
+    * every "daily uniques, mergeable to any date range" metric store:
+    * build one Datasketches HLL sketch per (event_type, day) cell
+    * (partial agg; sketch size is KB-bounded regardless of row count),
+    * then `hll_union_agg` the daily sketches per event_type and
+    * estimate. At 100 TB the daily cells would be PRECOMPUTED once and
+    * every downstream range query merges sketches instead of rescanning
+    * raw events — the two-level aggregation here exercises exactly that
+    * merge path. Estimates are deterministic for a fixed lgK but not
+    * SQL-portable → rows-only check; CorpusOpsSpec pins merge ≡ direct
+    * and accuracy vs the exact count.
+    */
+  def qAggHllMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables
+      .events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    daily
+      .groupBy("event_type")
+      .agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"),
+        count(lit(1)).as("n_days"))
+      .orderBy("event_type")
+  }
+
+  // ---------------------------------------------------------------- z-order
+
+  /** One bit-spread stage of the 16→32-bit Morton interleave (insert a
+    * zero between adjacent bits): the classic magic-mask sequence, as
+    * codegen'd builtin column ops.
+    */
+  private def spread16(c: Column): Column = {
+    val a = c.bitwiseOR(shiftleft(c, 8)).bitwiseAND(lit(0x00ff00ffL))
+    val b = a.bitwiseOR(shiftleft(a, 4)).bitwiseAND(lit(0x0f0f0f0fL))
+    val d = b.bitwiseOR(shiftleft(b, 2)).bitwiseAND(lit(0x33333333L))
+    d.bitwiseOR(shiftleft(d, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** Z-order (Morton-curve) clustering key over (customer, order date) —
+    * the multi-dimensional data-layout primitive behind lakehouse
+    * `OPTIMIZE ZORDER BY`: sorting by the interleaved key co-locates rows
+    * that are close in BOTH dimensions, so per-file min/max stats prune
+    * scans for predicates on either column (a 1-D sort only ever prunes
+    * its own column). Normalization bounds come from one 1-row aggregate
+    * broadcast (bounded model state, like the IVF centroids); the z-value
+    * itself is pure integer bit math — exact `div`, no doubles — so the
+    * DuckDB twin reproduces it bit-for-bit. LayoutSpec proves the
+    * clustering property: z-sorted buckets have narrow min/max ranges on
+    * both dimensions simultaneously.
+    */
+  def qLayoutZorder(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables
+      .orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val bounds = o.agg(
+      min(col("o_custkey")).as("ck0"),
+      max(col("o_custkey")).as("ck1"),
+      min(col("o_orderdate")).as("d0"),
+      max(col("o_orderdate")).as("d1"))
+    o.crossJoin(broadcast(bounds))
+      .select(
+        col("o_orderkey"),
+        expr("CAST((o_custkey - ck0) * 65535 DIV (ck1 - ck0) AS BIGINT)").as("x"),
+        expr("CAST(datediff(o_orderdate, d0) * 65535 DIV datediff(d1, d0) AS BIGINT)").as("y"))
+      .select(
+        col("o_orderkey"),
+        (spread16(col("x")) * lit(2L) + spread16(col("y"))).as("zval"))
+      .orderBy("zval", "o_orderkey")
+  }
+
   // ------------------------------------------------------------ table checksum
 
   /** Bucketed table checksum — the reconciliation primitive behind
@@ -624,6 +725,41 @@ object CorpusOps {
              |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS INT) AS rk
              | FROM scored)
              |SELECT doc_id, rk, tok, score FROM rk WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin)),
+    "q_agg_hll_merge" -> Q(qAggHllMerge, None),
+    "q_layout_zorder" -> Q(
+      qLayoutZorder,
+      Some("""WITH b AS (
+             | SELECT min(o_custkey) AS ck0, max(o_custkey) AS ck1,
+             |        min(o_orderdate) AS d0, max(o_orderdate) AS d1
+             | FROM orders),
+             |n AS (
+             | SELECT o_orderkey,
+             |  ((o_custkey - ck0) * 65535) // (ck1 - ck0) AS x,
+             |  (datediff('day', d0, o_orderdate) * 65535) // datediff('day', d0, d1) AS y
+             | FROM orders, b),
+             |s1 AS (SELECT o_orderkey, ((x | (x << 8)) & 16711935) AS x,
+             |                          ((y | (y << 8)) & 16711935) AS y FROM n),
+             |s2 AS (SELECT o_orderkey, ((x | (x << 4)) & 252645135) AS x,
+             |                          ((y | (y << 4)) & 252645135) AS y FROM s1),
+             |s3 AS (SELECT o_orderkey, ((x | (x << 2)) & 858993459) AS x,
+             |                          ((y | (y << 2)) & 858993459) AS y FROM s2),
+             |s4 AS (SELECT o_orderkey, ((x | (x << 1)) & 1431655765) AS x,
+             |                          ((y | (y << 1)) & 1431655765) AS y FROM s3)
+             |SELECT o_orderkey, x * 2 + y AS zval FROM s4
+             |ORDER BY zval, o_orderkey""".stripMargin)),
+    "q_events_retention" -> Q(
+      qEventsRetention,
+      Some(s"""WITH days AS (
+              | SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM $EV),
+              |firsts AS (SELECT user_id, min(d) AS cohort FROM days GROUP BY user_id),
+              |sizes AS (SELECT cohort, count(1) AS cohort_size FROM firsts GROUP BY cohort),
+              |act AS (
+              | SELECT f.cohort, datediff('day', f.cohort, d.d) AS day_offset,
+              |        count(1) AS n_active
+              | FROM days d JOIN firsts f USING (user_id) GROUP BY 1, 2)
+              |SELECT a.cohort, a.day_offset, a.n_active, s.cohort_size
+              |FROM act a JOIN sizes s USING (cohort)
+              |ORDER BY cohort, day_offset""".stripMargin)),
     "q_events_funnel" -> Q(
       qEventsFunnel,
       Some(s"""WITH f AS (

@@ -49,4 +49,42 @@ class LayoutSpec extends SparkSuite {
     assert(a == b)
     assert(back.count() == src.count())
   }
+
+  test("z-order key clusters BOTH dimensions; a 1-D sort only clusters its own") {
+    import spark.implicits._
+    val o = Tables
+      .orders(spark, sf001)
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+    val z = graft.queries.CorpusOps
+      .qLayoutZorder(spark, sf001)
+      .join(o, "o_orderkey")
+    // simulate 16 files: contiguous z-ranges (what a z-sorted write
+    // produces), then measure each file's min/max span on each dim as a
+    // fraction of the domain — the quantity file-skipping depends on
+    def meanSpan(df: org.apache.spark.sql.DataFrame, sortCol: String): (Double, Double) = {
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col(sortCol), col("o_orderkey"))
+      val bucketed = df.withColumn("b", ntile(16).over(w))
+      val spans = bucketed
+        .groupBy("b")
+        .agg(
+          (max($"o_custkey") - min($"o_custkey")).cast("double").as("ck_span"),
+          datediff(max($"o_orderdate"), min($"o_orderdate")).cast("double").as("d_span"))
+      val dom = df
+        .agg(
+          (max($"o_custkey") - min($"o_custkey")).cast("double"),
+          datediff(max($"o_orderdate"), min($"o_orderdate")).cast("double"))
+        .head()
+      val r = spans.agg(avg($"ck_span" / dom.getDouble(0)), avg($"d_span" / dom.getDouble(1))).head()
+      (r.getDouble(0), r.getDouble(1))
+    }
+    val (zCk, zDate) = meanSpan(z, "zval")
+    val (sCk, sDate) = meanSpan(z, "o_custkey")
+    // z-order: materially narrow on both dims at once
+    assert(zCk < 0.5 && zDate < 0.5, s"z spans: custkey $zCk, date $zDate")
+    // custkey sort: near-perfect on custkey, near-useless on date
+    assert(sCk < 0.15, s"1-D sort custkey span $sCk")
+    assert(sDate > 0.8, s"1-D sort date span $sDate")
+    // and z beats the 1-D sort on the dimension it neglects
+    assert(zDate < sDate / 2, s"z date span $zDate vs 1-D $sDate")
+  }
 }

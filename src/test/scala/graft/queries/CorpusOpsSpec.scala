@@ -273,4 +273,38 @@ class CorpusOpsSpec extends SparkSuite {
       .collect()
     assert(viaBloom.toSeq == plain.toSeq)
   }
+
+  // ---------------------------------------------------------- HLL merge
+
+  test("q_agg_hll_merge: merged daily sketches equal one direct sketch") {
+    val ev = graft.Tables.events(spark, sf001)
+    val merged = CorpusOps
+      .qAggHllMerge(spark, sf001)
+      .select("event_type", "est_users")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .toMap
+    // the same data sketched in ONE pass (no daily split, no union):
+    // merge must be lossless for HLL (the union of registers), so the
+    // two estimates are identical, not merely close
+    val direct = ev
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .toMap
+    assert(merged == direct)
+    // and the estimate is an estimate OF the right thing: within 5% of
+    // the exact distinct count at this cardinality
+    val exact = ev
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .toMap
+    exact.foreach { case (t, n) =>
+      assert(math.abs(merged(t) - n) <= math.max(1L, (0.05 * n).toLong),
+        s"$t: est ${merged(t)} vs exact $n")
+    }
+  }
 }
