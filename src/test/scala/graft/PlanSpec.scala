@@ -136,4 +136,33 @@ class PlanSpec extends SparkSuite {
     val join = p.indexOf("BroadcastHashJoin")
     assert(p.indexOf("UDF", join) > join, p)
   }
+
+  test("substring dedup shuffles window hashes, never window strings") {
+    val p = plan(graft.queries.LlmOps.substringSpans(
+      Tables.documents(spark, sf001), 10))
+    // the kernel + xxhash64 run scan-side; every Exchange carries the
+    // 8-byte hash (wh) or (doc_id, pos) — the window text column (w)
+    // must not appear anywhere at or above the first shuffle
+    val i = p.indexOf("Exchange")
+    assert(i > 0, p)
+    assert(p.contains("token_windows"), p)
+    assert(p.contains("xxhash64"), p)
+    assert(!p.substring(0, i).contains("w#"), p)
+  }
+
+  test("retention aggregates partially; no window pass anywhere") {
+    val p = plan(graft.queries.CorpusOps.qEventsRetention(spark, sf001))
+    assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("z-order bounds come from one broadcast; the z-value is inline bit math") {
+    val p = plan(graft.queries.CorpusOps.qLayoutZorder(spark, sf001))
+    // the 1-row bounds side broadcasts (never a shuffle of the fact side)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    // the interleave stays a builtin-expression Project (codegen-able),
+    // not a UDF or an interpreted kernel call
+    assert(p.contains("shiftleft"), p)
+    assert(!p.contains("UDF"), p)
+  }
 }
