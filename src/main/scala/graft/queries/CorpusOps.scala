@@ -230,6 +230,46 @@ object CorpusOps {
       .orderBy("l_returnflag")
   }
 
+  /** Exact per-group distribution moments — population skewness and excess
+    * kurtosis from the first four power sums, the same
+    * merge-order-independent recipe as [[qAggCorr]]: each power sum is an
+    * exact DECIMAL(18,6) aggregate (map-side combined, one shuffle of 4
+    * decimals + a count per group), the closed forms run on doubles with
+    * identical operation order in both engines, rounded to 1e-9 (FMA
+    * guard). Spark's own `skewness`/`kurtosis` builtins are NOT used on
+    * purpose: their streaming-update formulation is order-sensitive in the
+    * last ulps and DuckDB's differ in bias convention — power sums are the
+    * portable, re-aggregatable form (precomputed per partition, mergeable
+    * to any grouping — the same argument as the HLL sketches).
+    */
+  def qAggMoments(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.Tables.dsum
+    val x = col("l_quantity")
+    val agg = Tables
+      .lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(x).as("s1"),
+        dsum(x * x).as("s2"),
+        dsum(x * x * x).as("s3"),
+        dsum(x * x * x * x).as("s4"))
+    val n = col("n").cast("double")
+    val m = col("s1") / n
+    val m2 = col("s2") / n - m * m
+    val m3 = col("s3") / n - lit(3.0) * m * (col("s2") / n) + lit(2.0) * m * m * m
+    val m4 = col("s4") / n - lit(4.0) * m * (col("s3") / n) +
+      lit(6.0) * m * m * (col("s2") / n) - lit(3.0) * m * m * m * m
+    agg
+      .select(
+        col("l_returnflag"),
+        col("n"),
+        round(m, 9).as("mean_qty"),
+        round(m3 / (m2 * sqrt(m2)), 9).as("skew_qty"),
+        round(m4 / (m2 * m2) - lit(3.0), 9).as("kurt_qty"))
+      .orderBy("l_returnflag")
+  }
+
   // ------------------------------------------------------ time-series resample
 
   /** Time-series resample: hourly snapshot grid per user with
@@ -725,6 +765,27 @@ object CorpusOps {
              |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS INT) AS rk
              | FROM scored)
              |SELECT doc_id, rk, tok, score FROM rk WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin)),
+    "q_agg_moments" -> Q(
+      qAggMoments,
+      Some("""WITH a AS (
+             | SELECT l_returnflag, count(1) AS n,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+             |  CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS s2,
+             |  CAST(sum(CAST(l_quantity * l_quantity * l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS s3,
+             |  CAST(sum(CAST(l_quantity * l_quantity * l_quantity * l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS s4
+             | FROM lineitem GROUP BY l_returnflag),
+             |f AS (
+             | SELECT l_returnflag, n,
+             |  s1 / n AS m,
+             |  s2 / n - (s1 / n) * (s1 / n) AS m2,
+             |  s3 / n - 3.0 * (s1 / n) * (s2 / n) + 2.0 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+             |  s4 / n - 4.0 * (s1 / n) * (s3 / n) + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+             |    - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+             | FROM a)
+             |SELECT l_returnflag, n, round(m, 9) AS mean_qty,
+             | round(m3 / (m2 * sqrt(m2)), 9) AS skew_qty,
+             | round(m4 / (m2 * m2) - 3.0, 9) AS kurt_qty
+             |FROM f ORDER BY l_returnflag""".stripMargin)),
     "q_agg_hll_merge" -> Q(qAggHllMerge, None),
     "q_layout_zorder" -> Q(
       qLayoutZorder,

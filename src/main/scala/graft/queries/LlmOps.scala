@@ -114,6 +114,44 @@ object LlmOps {
     jaccardPairs(ex.join(broadcast(hot), Seq("sh"), "left_anti"))
   }
 
+  /** Incremental (batch-vs-corpus) exact dedup — the operationally real
+    * daily-ingest shape: a new batch (sources src10–src19) lands against
+    * an existing corpus (src0–src9); each incoming doc is dropped if its
+    * digest already exists in the corpus, deduplicated within the batch
+    * (keep the smallest doc_id), or ingested. Scale shape: the corpus
+    * side reduces to DISTINCT digests (32 B/doc — at 100 TB this is the
+    * persisted digest index, not a rescan), the batch joins it on the
+    * digest key, and the within-batch min reuses the same hash
+    * partitioning (window over h, no extra shuffle under AQE). Document
+    * bodies never shuffle.
+    */
+  def qDedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables
+      .documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), sha2(col("text"), 256).as("h"))
+    incrementalStatus(
+      d.where(length(col("source")) === 4),
+      d.where(length(col("source")) === 5))
+  }
+
+  /** Incremental-dedup core over pre-split corpus/incoming frames (both
+    * carrying doc_id + digest column `h`); see [[qDedupIncremental]].
+    */
+  private[graft] def incrementalStatus(corpusDocs: DataFrame, incomingDocs: DataFrame): DataFrame = {
+    val corpus = corpusDocs.select("h").distinct()
+    val incoming = incomingDocs.select("doc_id", "h")
+    val firstInBatch = min(col("doc_id")).over(Window.partitionBy("h"))
+    incoming
+      .join(corpus.withColumn("in_corpus", lit(true)), Seq("h"), "left")
+      .withColumn(
+        "status",
+        when(col("in_corpus"), "drop_corpus_dup")
+          .when(col("doc_id") > firstInBatch, "drop_batch_dup")
+          .otherwise("ingest"))
+      .select("doc_id", "status")
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------- substring dedup
 
   /** Window width for exact-substring dedup: a span must repeat for at
@@ -1056,6 +1094,20 @@ object LlmOps {
              |FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
              |WHERE CAST(common AS DOUBLE) / CAST(s1.n_sh + s2.n_sh - common AS DOUBLE) >= 0.5
              |ORDER BY d1, d2""".stripMargin)),
+    "q_dedup_incremental" -> Q(
+      qDedupIncremental,
+      Some("""WITH d AS (SELECT doc_id, source, sha256(text) AS h FROM documents),
+             |corpus AS (SELECT DISTINCT h FROM d WHERE length(source) = 4),
+             |inc AS (SELECT doc_id, h FROM d WHERE length(source) = 5),
+             |m AS (
+             | SELECT i.doc_id, (c.h IS NOT NULL) AS in_corpus,
+             |        min(i.doc_id) OVER (PARTITION BY i.h) AS first_id
+             | FROM inc i LEFT JOIN corpus c USING (h))
+             |SELECT doc_id,
+             | CASE WHEN in_corpus THEN 'drop_corpus_dup'
+             |      WHEN doc_id > first_id THEN 'drop_batch_dup'
+             |      ELSE 'ingest' END AS status
+             |FROM m ORDER BY doc_id""".stripMargin)),
     "q_dedup_substring" -> Q(
       qDedupSubstring,
       Some("""WITH docs AS (

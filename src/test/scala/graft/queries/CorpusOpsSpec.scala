@@ -307,4 +307,58 @@ class CorpusOpsSpec extends SparkSuite {
         s"$t: est ${merged(t)} vs exact $n")
     }
   }
+
+  // ------------------------------------------------------------- moments
+
+  test("q_agg_moments equals Spark's own skewness/kurtosis builtins") {
+    val mine = CorpusOps
+      .qAggMoments(spark, sf001)
+      .collect()
+      .map(r => (r.getString(0), (r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    // Spark's builtins are the population skew / excess-kurtosis
+    // definitions this operator re-derives from exact power sums; they
+    // must agree to well past the 1e-9 rounding the oracle relies on
+    val builtin = graft.Tables
+      .lineitem(spark, sf001)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        avg(col("l_quantity")).as("m"),
+        skewness(col("l_quantity")).as("sk"),
+        kurtosis(col("l_quantity")).as("ku"))
+      .collect()
+      .map(r => (r.getString(0), (r.getDouble(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(mine.keySet == builtin.keySet)
+    mine.foreach { case (k, (m, sk, ku)) =>
+      val (bm, bsk, bku) = builtin(k)
+      assert(math.abs(m - bm) < 1e-6, s"$k mean $m vs $bm")
+      assert(math.abs(sk - bsk) < 1e-6, s"$k skew $sk vs $bsk")
+      assert(math.abs(ku - bku) < 1e-6, s"$k kurt $ku vs $bku")
+    }
+  }
+
+  // --------------------------------------------------- incremental dedup
+
+  test("incremental dedup: corpus dup beats batch dup beats ingest") {
+    import spark.implicits._
+    val corpus = Seq((1L, "aaa"), (2L, "bbb"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", sha2($"text", 256).as("h"))
+    val incoming = Seq(
+      (10L, "aaa"), // in corpus -> drop_corpus_dup
+      (11L, "ccc"), // new, first -> ingest
+      (12L, "ccc"), // new, repeat in batch -> drop_batch_dup
+      (13L, "ddd") //  new, unique -> ingest
+    ).toDF("doc_id", "text").select($"doc_id", sha2($"text", 256).as("h"))
+    val got = graft.queries.LlmOps
+      .incrementalStatus(corpus, incoming)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq(
+      (10L, "drop_corpus_dup"),
+      (11L, "ingest"),
+      (12L, "drop_batch_dup"),
+      (13L, "ingest")))
+  }
 }
