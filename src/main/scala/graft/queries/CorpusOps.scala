@@ -601,6 +601,66 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** Bigram-LM quality score — the conditional-probability upgrade of
+    * [[qTextUnigramNll]]: per-doc mean negative log-likelihood of each
+    * token given its predecessor, under add-1 smoothing
+    * `p(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V)` with counts from the train
+    * split. Bigrams come straight from the
+    * [[graft.functions.TokenWindows]] kernel (k = 2, one codegen pass per
+    * doc, no HOFs); the three model joins are all token/bigram-keyed
+    * shuffles of counts — at 100 TB the bigram key would shuffle as its
+    * xxhash64 like `q_dedup_substring` (strings kept here for the oracle
+    * twin). Log-probs quantize to 1e-6 fixed point before the per-doc sum
+    * (order/partitioning-proof, same as the unigram).
+    */
+  def qTextBigramNll(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val bucket = pmod(col("doc_id") * lit(40503L), lit(100L))
+    val sp = docs.select(
+      col("doc_id"),
+      when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"))
+    val bi = docs
+      .select(
+        col("doc_id"),
+        explode(graft.functions.TokenWindows.of(col("text"), 2)).as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .where(col("tok") =!= "")
+    val cbg = bi
+      .join(sp, "doc_id")
+      .where(col("split") === "train")
+      .groupBy(col("bg"))
+      .agg(count(lit(1)).as("cbg"))
+    val uni = toks
+      .join(sp, "doc_id")
+      .where(col("split") === "train")
+      .groupBy(col("tok").as("w1"))
+      .agg(count(lit(1)).as("c1"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val scored = bi
+      .join(cbg, Seq("bg"), "left")
+      .join(uni, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(
+        col("doc_id"),
+        round(
+          log(
+            (coalesce(col("cbg"), lit(0L)) + 1.0) /
+              (coalesce(col("c1"), lit(0L)) + col("v"))) * 1e6,
+          0).cast("long").as("lp_micro"))
+    scored
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_micro")).as("lp_sum"))
+      .join(sp, "doc_id")
+      .select(
+        col("doc_id"),
+        col("split"),
+        col("n_bigrams"),
+        round(-(col("lp_sum").cast("double") / 1e6) / col("n_bigrams"), 9).as("nll"))
+      .orderBy("doc_id")
+  }
+
   // -------------------------------------------------------- approximate top-k
 
   /** Heavy hitters via the Space-Saving sketch: top-20 corpus tokens from
@@ -623,6 +683,29 @@ object CorpusOps {
       .select(col("e.tok").as("tok"), col("e.est").as("cnt"))
       .orderBy(col("cnt").desc, col("tok").asc)
       .limit(20)
+  }
+
+  /** Skew-safe join as a first-class query: the events fact side joins
+    * the customer dimension through [[graft.operators.SaltedJoin]] —
+    * every (key, salt) pair is its own shuffle partition, so one hot
+    * user can no longer pin a single task (SkewSpec proves the exchange
+    * is keyed on (key, salt) and the result is identical to the plain
+    * join; this entry makes that identity oracle-checked end-to-end).
+    * The build side replicates `buckets`× (8 here) — the classic
+    * salting trade — and the aggregate after the join keeps the output
+    * small and engine-comparable.
+    */
+  def qJoinSalted(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.Tables.dsum
+    val ev = Tables.events(spark, sfDir).select(col("event_id"), col("user_id"), col("value"))
+    val cust = Tables
+      .customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    graft.operators.SaltedJoin
+      .inner(ev, col("user_id"), col("event_id"), cust, col("c_custkey"), buckets = 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .orderBy("c_mktsegment")
   }
 
   // ------------------------------------------------------------------ mode
@@ -857,6 +940,34 @@ object CorpusOps {
               | FROM toks t LEFT JOIN tr ON t.tok = tr.tok CROSS JOIN nv)
               |SELECT s.doc_id AS doc_id, sp.split, count(1) AS n_toks,
               | round(-(CAST(sum(s.lp_micro) AS DOUBLE) / 1e6) / count(1), 9) AS nll
+              |FROM scored s JOIN sp ON s.doc_id = sp.doc_id
+              |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin)),
+    "q_join_salted" -> Q(
+      qJoinSalted,
+      Some(s"""SELECT c.c_mktsegment, count(1) AS n_events,
+              | CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+              |FROM $EV e JOIN customer c ON e.user_id = c.c_custkey
+              |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin)),
+    "q_text_bigram_nll" -> Q(
+      qTextBigramNll,
+      Some(s"""WITH sp AS (SELECT doc_id, CASE WHEN (doc_id * 40503) % 100 < 80 THEN 'train'
+              |        WHEN (doc_id * 40503) % 100 < 90 THEN 'val' ELSE 'test' END AS split FROM documents),
+              |bi AS (
+              | SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bg, toks[i] AS w1
+              | FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+              |       FROM $DOCS_T WHERE len(toks) >= 2)),
+              |cbg AS (SELECT bg, count(1) AS cbg FROM bi JOIN sp USING (doc_id)
+              |        WHERE split = 'train' GROUP BY 1),
+              |uni AS (SELECT tok AS w1, count(1) AS c1
+              |        FROM (SELECT doc_id, unnest(toks) AS tok FROM $DOCS_T) t
+              |        JOIN sp USING (doc_id) WHERE split = 'train' GROUP BY 1),
+              |vv AS (SELECT count(1) AS v FROM uni),
+              |scored AS (
+              | SELECT b.doc_id AS doc_id,
+              |  CAST(round(ln((coalesce(cbg.cbg, 0) + 1.0) / (coalesce(uni.c1, 0) + vv.v)) * 1e6, 0) AS BIGINT) AS lp
+              | FROM bi b LEFT JOIN cbg USING (bg) LEFT JOIN uni USING (w1) CROSS JOIN vv)
+              |SELECT s.doc_id AS doc_id, sp.split, count(1) AS n_bigrams,
+              | round(-(CAST(sum(s.lp) AS DOUBLE) / 1e6) / count(1), 9) AS nll
               |FROM scored s JOIN sp ON s.doc_id = sp.doc_id
               |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin)),
     "q_topk_approx" -> Q(
