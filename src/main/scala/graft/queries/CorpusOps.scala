@@ -524,6 +524,27 @@ object CorpusOps {
       .orderBy("zval", "o_orderkey")
   }
 
+  // ------------------------------------------------------------- transitions
+
+  /** Event-flow transition matrix (Markov first-order counts): for each
+    * user's time-ordered event stream, count consecutive (from → to)
+    * event-type pairs — the "behavior flow" / path-analysis primitive.
+    * One hash-partition shuffle on user_id for the `lead` window, then a
+    * tiny (type × type) partial-aggregating shuffle; ties broken by
+    * event_id so both engines see the same ordering.
+    */
+  def qEventsTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    Tables
+      .events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("from_type", "to_type")
+  }
+
   // ------------------------------------------------------------ table checksum
 
   /** Bucketed table checksum — the reconciliation primitive behind
@@ -891,6 +912,15 @@ object CorpusOps {
              |                          ((y | (y << 1)) & 1431655765) AS y FROM s3)
              |SELECT o_orderkey, x * 2 + y AS zval FROM s4
              |ORDER BY zval, o_orderkey""".stripMargin)),
+    "q_events_transitions" -> Q(
+      qEventsTransitions,
+      Some(s"""WITH t AS (
+              | SELECT event_type AS from_type,
+              |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+              | FROM $EV)
+              |SELECT from_type, to_type, count(1) AS n FROM t
+              |WHERE to_type IS NOT NULL
+              |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin)),
     "q_events_retention" -> Q(
       qEventsRetention,
       Some(s"""WITH days AS (

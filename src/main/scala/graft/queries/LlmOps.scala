@@ -450,6 +450,36 @@ object LlmOps {
       .limit(10)
   }
 
+  /** Batched exact k-NN join — the multi-query form of [[qSimTopk]]: a
+    * small query SET (vec_ids 0–9) broadcasts once, the corpus scan
+    * computes every (query, vector) cosine in one embarrassingly-parallel
+    * pass, and each query keeps its top 3. The per-query ranking is a
+    * window over q_id — parallel across queries, which is the right axis
+    * when the query set is the small side (the common batch-inference
+    * shape: thousands of queries × billions of vectors still partitions
+    * by corpus rows, and the rank shuffle carries only (q_id, vec_id,
+    * sim) triples, never embeddings).
+    */
+  def qSimKnnBatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e
+      .where(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
+    e.where(col("vec_id") >= 10)
+      .crossJoin(broadcast(q))
+      .select(
+        col("q_id"),
+        col("vec_id"),
+        (dotDec(col("embedding"), col("q_emb")) /
+          (sqrt(dotDec(col("embedding"), col("embedding"))) *
+            sqrt(dotDec(col("q_emb"), col("q_emb"))))).as("sim"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= 3)
+      .select("q_id", "rk", "vec_id", "sim")
+      .orderBy("q_id", "rk")
+  }
+
   /** 16-bit random-hyperplane signature for `q_dedup_embed_lsh` — one
     * [[graft.functions.PlaneSig16]] kernel call per row (`q_sim_ann`
     * uses the wider banded [[graft.functions.PlaneSig64]] pair).
@@ -1240,6 +1270,24 @@ object LlmOps {
              | FROM un GROUP BY vec_id)
              |SELECT vec_id, label, dot / (sqrt(ne) * sqrt(nq)) AS sim FROM s
              |ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin)),
+    "q_sim_knn_batch" -> Q(
+      qSimKnnBatch,
+      Some("""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+             |un AS (
+             | SELECT q.q_id, e.vec_id, unnest(e.embedding) AS x, unnest(q.q_emb) AS y
+             | FROM embeddings e, q WHERE e.vec_id >= 10),
+             |s AS (
+             | SELECT q_id, vec_id,
+             |  CAST(CAST(sum(CAST(round(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1e12, 0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12 AS dot,
+             |  CAST(CAST(sum(CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12, 0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12 AS ne,
+             |  CAST(CAST(sum(CAST(round(CAST(y AS DOUBLE) * CAST(y AS DOUBLE) * 1e12, 0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12 AS nq
+             | FROM un GROUP BY q_id, vec_id),
+             |r AS (
+             | SELECT q_id, vec_id, dot / (sqrt(ne) * sqrt(nq)) AS sim,
+             |  row_number() OVER (PARTITION BY q_id ORDER BY dot / (sqrt(ne) * sqrt(nq)) DESC, vec_id ASC) AS rk
+             | FROM s)
+             |SELECT q_id, rk, vec_id, sim FROM r WHERE rk <= 3
+             |ORDER BY q_id, rk""".stripMargin)),
     "q_sim_ann" -> Q(qSimAnn, None),
     // bench=false: the run is dominated by the IVF BUILD (k-means
     // training = 6+ jobs with driver-side model updates) — index
