@@ -37,6 +37,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // DataFrame builder also self-registers via experimental
     // .extraStrategies for sessions not configured with extensions).
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // Custom physical operator: bounded-heap per-group top-k (no
+    // partition-wide sort; same self-registration fallback).
+    ext.injectPlannerStrategy(_ => graft.plans.GroupTopKStrategy)
     ext.injectFunction(
       (
         FunctionIdentifier("text_profile"),

@@ -1,0 +1,199 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Attribute,
+  AttributeReference,
+  AttributeSet,
+  BindReferences,
+  Expression,
+  JoinedRow,
+  UnsafeProjection
+}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.IntegerType
+
+/** Native per-group top-k — the second custom physical operator (beside
+  * [[AsOfJoinPlan]]), for the one shape Spark's built-ins genuinely can't
+  * plan well: `row_number() OVER (PARTITION BY g ORDER BY v DESC, id) <= k`.
+  *
+  * WindowExec must SORT every partition in full — O(n log n) per
+  * partition and the whole partition buffered/spilled — to then throw
+  * away all but k rows per group. This operator keeps one bounded
+  * binary heap of k rows per group instead: O(n log k) comparisons, heap
+  * memory k × groups-per-partition regardless of row count, and NO sort
+  * requirement on its input (EnsureRequirements inserts only the hash
+  * distribution on the group key — same single shuffle as the window
+  * form, minus the sort). At 100 TB the difference is sorting every
+  * partition of a fact table vs streaming it once through k-slot heaps.
+  *
+  * Semantics match the window formulation exactly: rank by `orderCol`
+  * DESC (nulls last) then `tieCol` ASC (nulls first) — Spark's default
+  * null ordering for those directions — rank column is INT like
+  * `row_number`. Exact row-for-row parity with the window form (and the
+  * DuckDB oracle) is pinned by `q_topk_group_native`.
+  */
+case class GroupTopKPlan(
+    child: LogicalPlan,
+    groupKey: Attribute,
+    orderCol: Attribute,
+    tieCol: Attribute,
+    k: Int,
+    rankAttr: Attribute)
+    extends UnaryNode {
+
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
+
+  override protected def withNewChildInternal(newChild: LogicalPlan): GroupTopKPlan =
+    copy(child = newChild)
+}
+
+/** Planner rule: GroupTopKPlan → GroupTopKExec (registered via
+  * `spark.experimental.extraStrategies` by [[GroupTopK.topk]], and via
+  * `GraftExtensions` for extension-configured sessions).
+  */
+object GroupTopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case GroupTopKPlan(c, g, o, t, k, r) =>
+      GroupTopKExec(g, o, t, k, r, planLater(c)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class GroupTopKExec(
+    groupKey: Attribute,
+    orderCol: Attribute,
+    tieCol: Attribute,
+    k: Int,
+    rankAttr: Attribute,
+    child: SparkPlan)
+    extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+
+  // the whole point: a hash distribution on the group key and NOTHING
+  // else — no requiredChildOrdering, so no partition-wide sort is planned
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(groupKey)) :: Nil
+
+  /** Heap entry: evaluated (order, tie) plus a COPY of the input row
+    * (unsafe rows from the child iterator are reused buffers).
+    */
+  private final class Entry(val ov: Any, val tv: Any, val row: InternalRow)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val gk = BindReferences.bindReference(groupKey: Expression, child.output)
+    val oc = BindReferences.bindReference(orderCol: Expression, child.output)
+    val tc = BindReferences.bindReference(tieCol: Expression, child.output)
+    val ordOrd = TypeUtils.getInterpretedOrdering(orderCol.dataType).asInstanceOf[Ordering[Any]]
+    val tieOrd = TypeUtils.getInterpretedOrdering(tieCol.dataType).asInstanceOf[Ordering[Any]]
+    val outputAttrs = output
+    val childAttrs = child.output
+    val rank = rankAttr
+    val kk = k
+    child.execute().mapPartitions { it =>
+      // negative = ranks earlier: orderCol DESC nulls last, tieCol ASC
+      // nulls first (Spark's defaults for those directions)
+      val rankCmp = new java.util.Comparator[Entry] {
+        override def compare(a: Entry, b: Entry): Int = {
+          val p =
+            if (a.ov == null && b.ov == null) 0
+            else if (a.ov == null) 1
+            else if (b.ov == null) -1
+            else -ordOrd.compare(a.ov, b.ov)
+          if (p != 0) p
+          else if (a.tv == null && b.tv == null) 0
+          else if (a.tv == null) -1
+          else if (b.tv == null) 1
+          else tieOrd.compare(a.tv, b.tv)
+        }
+      }
+      val worstFirst = rankCmp.reversed()
+      val heaps = new java.util.HashMap[Any, java.util.PriorityQueue[Entry]]()
+      while (it.hasNext) {
+        val row = it.next()
+        val g = gk.eval(row)
+        var pq = heaps.get(g)
+        if (pq == null) {
+          pq = new java.util.PriorityQueue[Entry](kk + 1, worstFirst)
+          heaps.put(g, pq)
+        }
+        val ov = oc.eval(row)
+        val tv = tc.eval(row)
+        if (pq.size() < kk) {
+          pq.add(new Entry(ov, tv, row.copy()))
+        } else {
+          // replace the current worst only if this row ranks before it
+          val worst = pq.peek()
+          if (rankCmp.compare(new Entry(ov, tv, null), worst) < 0) {
+            pq.poll()
+            pq.add(new Entry(ov, tv, row.copy()))
+          }
+        }
+      }
+      val proj = UnsafeProjection.create(outputAttrs, childAttrs :+ rank)
+      val joined = new JoinedRow
+      val rankRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+      val groups = heaps.values().iterator()
+      new Iterator[InternalRow] {
+        private var cur: Array[Entry] = Array.empty
+        private var i = 0
+        override def hasNext: Boolean = {
+          while (i >= cur.length && groups.hasNext) {
+            cur = groups.next().toArray(Array.empty[Entry])
+            java.util.Arrays.sort(cur, rankCmp)
+            i = 0
+          }
+          i < cur.length
+        }
+        override def next(): InternalRow = {
+          val e = cur(i)
+          i += 1
+          rankRow.update(0, i)
+          proj(joined(e.row, rankRow))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): GroupTopKExec =
+    copy(child = newChild)
+}
+
+/** Public builder: `GroupTopK.topk(customer, "c_mktsegment", "c_acctbal",
+  * "c_custkey", 5, "rn")` → child columns plus the INT rank, top 5 rows
+  * per segment by balance (desc, custkey tiebreak).
+  */
+object GroupTopK {
+  def topk(
+      df: DataFrame,
+      groupCol: String,
+      orderCol: String,
+      tieCol: String,
+      k: Int,
+      rankName: String): DataFrame = {
+    require(k > 0, "k must be positive")
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(GroupTopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ GroupTopKStrategy
+    val p = df.queryExecution.analyzed
+    def attr(n: String): Attribute =
+      p.output
+        .find(_.name == n)
+        .getOrElse(throw new IllegalArgumentException(s"no column $n in ${p.output.map(_.name)}"))
+    val rank = AttributeReference(rankName, IntegerType, nullable = false)()
+    Bridge.dataset(
+      spark,
+      GroupTopKPlan(p, attr(groupCol), attr(orderCol), attr(tieCol), k, rank))
+  }
+}

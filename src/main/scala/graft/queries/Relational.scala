@@ -551,6 +551,25 @@ object Relational {
       .orderBy("c_mktsegment", "rn")
   }
 
+  /** The same per-group top-5 through the native bounded-heap operator
+    * ([[graft.plans.GroupTopKPlan]]): one hash-partition shuffle and NO
+    * partition sort (WindowExec must sort every partition in full); row
+    * rank and row set are identical to [[qTopkGroup]], so the same
+    * oracle applies.
+    */
+  def qTopkGroupNative(spark: SparkSession, sfDir: String): DataFrame =
+    graft.plans.GroupTopK
+      .topk(
+        Tables
+          .customer(spark, sfDir)
+          .select("c_mktsegment", "c_custkey", "c_acctbal"),
+        "c_mktsegment",
+        "c_acctbal",
+        "c_custkey",
+        5,
+        "rn")
+      .orderBy("c_mktsegment", "rn")
+
   // -------------------------------------------------------------- set ops
 
   private def custYear(spark: SparkSession, sfDir: String, y: Int): DataFrame =
@@ -916,6 +935,13 @@ object Relational {
              |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin)),
     "q_topk_group" -> Q(
       qTopkGroup,
+      Some("""SELECT * FROM (
+             | SELECT c_mktsegment, c_custkey, c_acctbal,
+             |  CAST(row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC) AS INT) AS rn
+             | FROM customer)
+             |WHERE rn <= 5 ORDER BY c_mktsegment, rn""".stripMargin)),
+    "q_topk_group_native" -> Q(
+      qTopkGroupNative,
       Some("""SELECT * FROM (
              | SELECT c_mktsegment, c_custkey, c_acctbal,
              |  CAST(row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC) AS INT) AS rn

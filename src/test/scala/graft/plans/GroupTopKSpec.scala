@@ -1,0 +1,84 @@
+package graft.plans
+
+import graft.SparkSuite
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Native bounded-heap per-group top-k: row-for-row parity with the
+  * window formulation it replaces, the no-sort plan shape that is its
+  * reason to exist, and the edge cases a heap implementation can get
+  * wrong (ties, k larger than the group, null order values).
+  */
+class GroupTopKSpec extends SparkSuite {
+
+  test("plan has one hash exchange, no Sort, no Window below the operator") {
+    val df = GroupTopK.topk(
+      graft.Tables.customer(spark, sf001).select("c_mktsegment", "c_custkey", "c_acctbal"),
+      "c_mktsegment",
+      "c_acctbal",
+      "c_custkey",
+      5,
+      "rn")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("GroupTopK"), p)
+    assert(p.contains("Exchange hashpartitioning(c_mktsegment"), p)
+    assert(!p.contains("Sort "), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("row-for-row parity with the window row_number formulation") {
+    val native = graft.queries.Relational.qTopkGroupNative(spark, sf001).collect()
+    val w =
+      Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    val window = graft.Tables
+      .customer(spark, sf001)
+      .select(
+        col("c_mktsegment"),
+        col("c_custkey"),
+        col("c_acctbal"),
+        row_number().over(w).as("rn"))
+      .where(col("rn") <= 5)
+      .orderBy("c_mktsegment", "rn")
+      .collect()
+    assert(native.toSeq == window.toSeq)
+  }
+
+  test("ties break on the tiebreak column; k > group size returns the group") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L, 10.0),
+      ("a", 2L, 10.0), // tie with id 1 -> id 1 ranks first
+      ("a", 3L, 30.0),
+      ("b", 4L, 5.0) //   group of 1 with k = 2
+    ).toDF("g", "id", "v")
+    val got = GroupTopK
+      .topk(df, "g", "v", "id", 2, "rn")
+      .orderBy("g", "rn")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(3)))
+    assert(got.toSeq == Seq(("a", 3L, 1), ("a", 1L, 2), ("b", 4L, 1)))
+  }
+
+  test("null order values rank last (desc nulls-last, like the window form)") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L, Some(1.0)),
+      ("a", 2L, None),
+      ("a", 3L, Some(2.0))
+    ).toDF("g", "id", "v")
+    val got = GroupTopK
+      .topk(df, "g", "v", "id", 3, "rn")
+      .orderBy("rn")
+      .collect()
+      .map(r => (r.getLong(1), r.getInt(3)))
+    assert(got.toSeq == Seq((3L, 1), (1L, 2), (2L, 3)))
+    // and the window form agrees
+    val w = Window.partitionBy("g").orderBy(col("v").desc, col("id").asc)
+    val win = df
+      .select(col("id"), row_number().over(w).as("rn"))
+      .orderBy("rn")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(got.toSeq == win.toSeq)
+  }
+}
