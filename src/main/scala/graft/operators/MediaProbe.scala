@@ -68,3 +68,94 @@ object MediaProbe {
     Unknown
   }
 }
+
+/** Audio-container metadata probe — the audio-modality sibling of
+  * [[MediaProbe]]: WAV (RIFF) headers are parsed in full (a chunk walk
+  * to `fmt ` and `data`, tolerating extra chunks like `LIST` in
+  * between), FLAC / Ogg / ID3(MP3) containers are identified by
+  * signature. Sample-accurate duration needs no codec for PCM WAV:
+  * `data` byte length / (channels × bytes-per-sample) is the sample
+  * count. Compressed payload decode stays behind the same documented
+  * stub boundary as pixel decode.
+  */
+object AudioProbe {
+
+  /** nSamples / sampleRate etc. are -1 when the container doesn't carry
+    * them without decode (flac/ogg/mp3 here) or the file is corrupt.
+    */
+  final case class Audio(
+      format: String,
+      channels: Int,
+      sampleRate: Int,
+      bitsPerSample: Int,
+      nSamples: Long)
+
+  private val Unknown = Audio("unknown", -1, -1, -1, -1L)
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def leU16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def leU32(b: Array[Byte], i: Int): Long =
+    u8(b, i).toLong | (u8(b, i + 1).toLong << 8) | (u8(b, i + 2).toLong << 16) |
+      (u8(b, i + 3).toLong << 24)
+  private def tag(b: Array[Byte], i: Int, s: String): Boolean =
+    b.length >= i + 4 && b(i) == s(0).toByte && b(i + 1) == s(1).toByte &&
+      b(i + 2) == s(2).toByte && b(i + 3) == s(3).toByte
+
+  def probe(b: Array[Byte]): Audio =
+    if (tag(b, 0, "RIFF") && tag(b, 8, "WAVE")) wav(b)
+    else if (tag(b, 0, "fLaC")) Audio("flac", -1, -1, -1, -1L)
+    else if (tag(b, 0, "OggS")) Audio("ogg", -1, -1, -1, -1L)
+    else if (b.length >= 3 && b(0) == 'I' && b(1) == 'D' && b(2) == '3')
+      Audio("mp3", -1, -1, -1, -1L)
+    else Unknown
+
+  /** Chunk walk: chunks are (4-byte tag, u32le size, payload, pad to
+    * even). The declared `data` size is trusted even when the payload is
+    * truncated (header-only files are how manifests/probes see large
+    * objects) — real ingestion validates length against object size
+    * separately.
+    */
+  private def wav(b: Array[Byte]): Audio = {
+    var i = 12
+    var channels = -1
+    var rate = -1
+    var bits = -1
+    var dataBytes = -1L
+    while (i + 8 <= b.length && (channels < 0 || dataBytes < 0)) {
+      val size = leU32(b, i + 4)
+      if (tag(b, i, "fmt ") && i + 24 <= b.length) {
+        channels = leU16(b, i + 10)
+        rate = leU32(b, i + 12).toInt
+        bits = leU16(b, i + 22)
+      } else if (tag(b, i, "data")) {
+        dataBytes = size
+      }
+      i += 8 + size.toInt + (size.toInt & 1) // chunks pad to even offsets
+    }
+    if (channels <= 0 || rate <= 0 || bits <= 0) Unknown
+    else {
+      val n = if (dataBytes < 0) -1L else dataBytes / (channels.toLong * (bits / 8))
+      Audio("wav", channels, rate, bits, n)
+    }
+  }
+
+  /** Minimal PCM WAV header (44 bytes) declaring `nSamples` of audio —
+    * the synthesis half of the round trip `q_multimodal_audio` tests;
+    * payload bytes are intentionally omitted (see [[wav]] on truncation).
+    */
+  def wavHeader(channels: Int, rate: Int, bits: Int, nSamples: Long): Array[Byte] = {
+    val dataSize = nSamples * channels * (bits / 8)
+    val bb = java.nio.ByteBuffer.allocate(44).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt((36 + dataSize).toInt)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    bb.putShort(1.toShort) // PCM
+    bb.putShort(channels.toShort)
+    bb.putInt(rate)
+    bb.putInt(rate * channels * (bits / 8)) // byte rate
+    bb.putShort((channels * (bits / 8)).toShort) // block align
+    bb.putShort(bits.toShort)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataSize.toInt)
+    bb.array()
+  }
+}

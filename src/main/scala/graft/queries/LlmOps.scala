@@ -1037,6 +1037,49 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** Audio-modality metadata: per-doc WAV payloads synthesized from
+    * doc_id-derived parameters (rate/channels/sample-count), then parsed
+    * back by [[graft.operators.AudioProbe]]'s RIFF chunk walk in a
+    * second, bytes-only mapPartitions stage. Unlike the image probe
+    * (whose corpus payloads are text → `unknown`), this one carries a
+    * REAL hash-match oracle: the DuckDB twin recomputes the expected
+    * metadata from the same doc_id arithmetic, so the Spark side only
+    * matches if the 44 actual RIFF header bytes round-trip through the
+    * parser exactly — an end-to-end binary-format check, not a stub.
+    * Payloads are born and probed in the same partition; no binary ever
+    * shuffles (the output is scalar metadata).
+    */
+  def qMultimodalAudio(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rates = Array(8000, 16000, 22050, 44100, 48000)
+    val synth = Tables
+      .documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        it.map { case (id, nChars) =>
+          val h = graft.operators.AudioProbe.wavHeader(
+            channels = (id % 2 + 1).toInt,
+            rate = rates((id % 5).toInt),
+            bits = 16,
+            nSamples = nChars * 100)
+          (id, h)
+        }
+      }
+      .toDF("doc_id", "content")
+      .as[(Long, Array[Byte])]
+    synth
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val a = graft.operators.AudioProbe.probe(bytes)
+          (id, a.format, a.channels, a.sampleRate, a.bitsPerSample, a.nSamples,
+            if (a.sampleRate > 0) a.nSamples * 1000L / a.sampleRate else -1L)
+        }
+      }
+      .toDF("doc_id", "format", "channels", "sample_rate", "bits", "n_samples", "duration_ms")
+      .orderBy("doc_id")
+  }
+
   /** Multimodal 1:N frame sampling: each binary payload ("video") yields
     * every 4th 1 KiB block as a "frame" row — the row-exploding batch
     * shape of video frame extraction (one decoder per partition, an
@@ -1455,6 +1498,15 @@ object LlmOps {
               |FROM sess GROUP BY user_id, session_id
               |ORDER BY user_id, session_id""".stripMargin)),
     "q_multimodal_meta" -> Q(qMultimodalMeta, None, bench = false),
+    "q_multimodal_audio" -> Q(
+      qMultimodalAudio,
+      Some("""SELECT doc_id, 'wav' AS format,
+             | CAST(doc_id % 2 + 1 AS INT) AS channels,
+             | CAST([8000, 16000, 22050, 44100, 48000][CAST(doc_id % 5 AS INT) + 1] AS INT) AS sample_rate,
+             | CAST(16 AS INT) AS bits,
+             | n_chars * 100 AS n_samples,
+             | (n_chars * 100 * 1000) // [8000, 16000, 22050, 44100, 48000][CAST(doc_id % 5 AS INT) + 1] AS duration_ms
+             |FROM documents ORDER BY doc_id""".stripMargin)),
     "q_multimodal_frames" -> Q(qMultimodalFrames, None, bench = false))
 }
 

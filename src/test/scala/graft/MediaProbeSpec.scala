@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.MediaProbe
+import graft.operators.{AudioProbe, MediaProbe}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** MediaProbe header parsing pinned on crafted container headers — the
@@ -68,5 +68,31 @@ class MediaProbeSpec extends AnyFunSuite {
     // JPEG SOI with a desynchronized stream after it
     assert(MediaProbe.probe(bytes(0xff, 0xd8, 0x00, 0x00, 0x00)) ==
       MediaProbe.Probe("unknown", -1, -1))
+  }
+
+  // ------------------------------------------------------------- audio
+
+  test("WAV header round-trips through the chunk walk") {
+    val h = AudioProbe.wavHeader(channels = 2, rate = 44100, bits = 16, nSamples = 1000L)
+    assert(h.length == 44)
+    assert(AudioProbe.probe(h) == AudioProbe.Audio("wav", 2, 44100, 16, 1000L))
+  }
+
+  test("WAV chunk walk skips extra chunks and honors odd-size padding") {
+    val base = AudioProbe.wavHeader(1, 8000, 16, 10L)
+    // splice a 3-byte LIST chunk (padded to 4) between WAVE and fmt
+    val list = "LIST".getBytes ++ Array[Byte](3, 0, 0, 0) ++ Array[Byte](1, 2, 3, 0)
+    val spliced = base.take(12) ++ list ++ base.drop(12)
+    assert(AudioProbe.probe(spliced) == AudioProbe.Audio("wav", 1, 8000, 16, 10L))
+  }
+
+  test("compressed containers identify by signature; garbage is unknown") {
+    assert(AudioProbe.probe("fLaC....".getBytes).format == "flac")
+    assert(AudioProbe.probe("OggS....".getBytes).format == "ogg")
+    assert(AudioProbe.probe("ID3.....".getBytes).format == "mp3")
+    assert(AudioProbe.probe("RIFF1234AVI ".getBytes).format == "unknown")
+    assert(AudioProbe.probe(Array.empty[Byte]).format == "unknown")
+    // RIFF/WAVE with no fmt chunk -> unknown, not a crash
+    assert(AudioProbe.probe("RIFF\u0000\u0000\u0000\u0000WAVE".getBytes).format == "unknown")
   }
 }
