@@ -545,6 +545,68 @@ object CorpusOps {
       .orderBy("from_type", "to_type")
   }
 
+  // ------------------------------------------------------------- DAU / WAU
+
+  /** Exact rolling active users (DAU + trailing-7-day WAU per day) — the
+    * metric a window frame CANNOT express (no `count(DISTINCT)` over a
+    * running frame in any engine): a user active on day d contributes to
+    * WAU on days d..d+6, so explode each distinct (user, day) into its 7
+    * contribution days, de-dup (user, contribution day), and count. The
+    * blowup is a bounded ×7 of the ALREADY-DISTINCT (user, day) pairs
+    * (not of raw events), and every stage is a keyed partial-aggregating
+    * shuffle. The approximate alternative at extreme scale is the
+    * [[qAggHllMerge]] daily-sketch pattern (union 7 sketches per day);
+    * this is its exact twin, and the grid stays inside observed days so
+    * the output is driver-comparable.
+    */
+  def qEventsWau(spark: SparkSession, sfDir: String): DataFrame = {
+    val days = Tables
+      .events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+    val dau = days.groupBy(col("d")).agg(count(lit(1)).as("dau"))
+    val wau = days
+      .select(
+        col("user_id"),
+        explode(sequence(lit(0), lit(6))).as("off"),
+        col("d"))
+      .select(col("user_id"), date_add(col("d"), col("off")).as("d"))
+      .distinct()
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("wau"))
+    dau
+      .join(wau, "d")
+      .select("d", "dau", "wau")
+      .orderBy("d")
+  }
+
+  // -------------------------------------------------------------- user erasure
+
+  /** Right-to-be-forgotten sweep audit — the GDPR/CCPA compliance shape
+    * every lakehouse needs: an erasure list (here the deterministic
+    * `custkey % 97 = 0` cohort) is broadcast-semi-joined into every
+    * table that carries the subject key, producing the per-table
+    * delete-impact audit (row + distinct-subject counts) that precedes
+    * the actual rewrite. The erasure list is the bounded side by
+    * definition (it's a request queue), so each fact scan stays a broadcast
+    * probe — no fact-side shuffle; the per-table aggregates are 1-row
+    * reduces unioned at the end.
+    */
+  def qUserErasure(spark: SparkSession, sfDir: String): DataFrame = {
+    val erase = Tables
+      .customer(spark, sfDir)
+      .where(pmod(col("c_custkey"), lit(97)) === 0)
+      .select(col("c_custkey").as("k"))
+    def audit(df: DataFrame, key: String, name: String): DataFrame =
+      df.join(broadcast(erase), col(key) === col("k"), "left_semi")
+        .agg(count(lit(1)).as("n_rows"), countDistinct(col(key)).as("n_users"))
+        .select(lit(name).as("tbl"), col("n_rows"), col("n_users"))
+    audit(Tables.customer(spark, sfDir), "c_custkey", "customer")
+      .unionByName(audit(Tables.orders(spark, sfDir), "o_custkey", "orders"))
+      .unionByName(audit(Tables.events(spark, sfDir), "user_id", "events"))
+      .orderBy("tbl")
+  }
+
   // ------------------------------------------------------------ table checksum
 
   /** Bucketed table checksum — the reconciliation primitive behind
@@ -912,6 +974,31 @@ object CorpusOps {
              |                          ((y | (y << 1)) & 1431655765) AS y FROM s3)
              |SELECT o_orderkey, x * 2 + y AS zval FROM s4
              |ORDER BY zval, o_orderkey""".stripMargin)),
+    "q_user_erasure" -> Q(
+      qUserErasure,
+      Some(s"""WITH e AS (SELECT c_custkey AS k FROM customer WHERE c_custkey % 97 = 0)
+              |SELECT * FROM (
+              | SELECT 'customer' AS tbl, count(1) AS n_rows,
+              |        count(DISTINCT c_custkey) AS n_users
+              | FROM customer WHERE c_custkey IN (SELECT k FROM e)
+              | UNION ALL
+              | SELECT 'events', count(1), count(DISTINCT user_id)
+              | FROM $EV WHERE user_id IN (SELECT k FROM e)
+              | UNION ALL
+              | SELECT 'orders', count(1), count(DISTINCT o_custkey)
+              | FROM orders WHERE o_custkey IN (SELECT k FROM e))
+              |ORDER BY tbl""".stripMargin)),
+    "q_events_wau" -> Q(
+      qEventsWau,
+      Some(s"""WITH days AS (
+              | SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM $EV),
+              |dau AS (SELECT d, count(1) AS dau FROM days GROUP BY d),
+              |con AS (
+              | SELECT DISTINCT user_id, d + CAST(off.off AS INT) AS d
+              | FROM days, (SELECT unnest(generate_series(0, 6)) AS off) off),
+              |wau AS (SELECT d, count(1) AS wau FROM con GROUP BY d)
+              |SELECT dau.d, dau.dau, wau.wau
+              |FROM dau JOIN wau USING (d) ORDER BY d""".stripMargin)),
     "q_events_transitions" -> Q(
       qEventsTransitions,
       Some(s"""WITH t AS (
