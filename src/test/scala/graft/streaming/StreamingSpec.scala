@@ -326,4 +326,48 @@ class StreamingSpec extends SparkSuite {
       assert(missing.count() == 0)
     } finally q.stop()
   }
+
+  test("checkpointed query resumes across restart with no loss or duplication") {
+    // exactly-once recovery: a file-source stream with a checkpoint is
+    // stopped mid-stream and restarted as a NEW query; the sink must end
+    // up with every input row exactly once — the property that makes a
+    // 100 TB streaming ingest operable (crash = restart, not replay-audit)
+    val root = java.nio.file.Files.createTempDirectory("graft_resume")
+    val srcDir = root.resolve("src").toString
+    val ckpt = root.resolve("ckpt").toString
+    val schema = "event_id BIGINT, user_id BIGINT, value DOUBLE"
+    val evs = eventTuples.map(t => (t._1, t._3, t._5))
+    def writeBatchFile(part: Seq[(Long, Long, Double)], name: String): Unit =
+      part.toDF("event_id", "user_id", "value")
+        .coalesce(1).write.mode("append").json(srcDir)
+    writeBatchFile(evs.take(400).toSeq, "a")
+    def startQuery() = spark.readStream
+      .schema(schema)
+      .json(srcDir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,6)")).as("s"))
+      .writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .format("memory")
+      .queryName("resume_agg")
+      .start()
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop()
+    // more data lands while the query is DOWN
+    writeBatchFile(evs.drop(400).toSeq, "b")
+    val q2 = startQuery()
+    try {
+      q2.processAllAvailable()
+      val got = spark.table("resume_agg")
+      val want = evs.toSeq
+        .toDF("event_id", "user_id", "value")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,6)")).as("s"))
+      assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+      // totals prove no row was lost or double-counted across the restart
+      assert(got.agg(sum(col("n"))).head().getLong(0) == evs.length.toLong)
+    } finally q2.stop()
+  }
 }
