@@ -143,4 +143,32 @@ class KernelEdgeCaseSpec extends SparkSuite {
       else assert(r.getSeq[Long](1).length == 16)
     }
   }
+
+  test("TokenWindows equals the HOF window construction on adversarial input") {
+    val k = 3
+    val viaKernel = docs
+      .select(col("doc_id"), TokenWindows.of(col("text"), k).as("w"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1))
+      .toMap
+    // positional (NOT deduplicated) k-windows via builtins
+    val viaHof = docs
+      .select(
+        col("doc_id"),
+        when(
+          size(toksCol) >= k,
+          transform(
+            sequence(lit(0), size(toksCol) - k),
+            i =>
+              concat_ws(
+                " ",
+                element_at(toksCol, i + 1),
+                element_at(toksCol, i + 2),
+                element_at(toksCol, i + 3))))
+          .otherwise(array().cast("array<string>")).as("w"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1))
+      .toMap
+    viaHof.foreach { case (id, w) => assert(viaKernel(id) == w, s"doc $id") }
+  }
 }
