@@ -33,6 +33,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (see graft.plans.HofToKernelRule) — users get kernel speed without
     // changing their SQL.
     ext.injectOptimizerRule(_ => graft.plans.HofToKernelRule)
+    // Operator substitution: the window row_number-top-k shape → the
+    // native bounded-heap GroupTopK operator (see WindowTopKRule).
+    ext.injectOptimizerRule(_ => graft.plans.WindowTopKRule)
     // Custom physical operator: native sort-merge as-of join (the
     // DataFrame builder also self-registers via experimental
     // .extraStrategies for sessions not configured with extensions).

@@ -116,4 +116,48 @@ class ExtensionsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getInt(1))
     assert(viaSql.sameElements(viaApi))
   }
+
+  test("window top-k SQL rewrites to the native GroupTopK operator, same rows") {
+    val sf = "/root/testdata/sf0.001"
+    ext.read.parquet(s"$sf/customer.parquet").createOrReplaceTempView("cust_ext")
+    val sql = """SELECT * FROM (
+                | SELECT c_mktsegment, c_custkey, c_acctbal,
+                |  row_number() OVER (PARTITION BY c_mktsegment
+                |                     ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+                | FROM cust_ext)
+                |WHERE rn <= 5 ORDER BY c_mktsegment, rn""".stripMargin
+    val df = ext.sql(sql)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GroupTopK"), plan)
+    assert(!plan.contains("Window"), plan)
+    // same rows as the un-rewritten window form (plain suite session)
+    val viaWindow = graft.SparkSuite.spark
+      .read.parquet(s"$sf/customer.parquet")
+      .selectExpr(
+        "c_mktsegment",
+        "c_custkey",
+        "c_acctbal",
+        "row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC) AS rn")
+      .where("rn <= 5")
+      .orderBy("c_mktsegment", "rn")
+      .collect()
+    assert(df.collect().toSeq == viaWindow.toSeq)
+  }
+
+  test("window shapes GroupTopK can't express stay on WindowExec") {
+    val sf = "/root/testdata/sf0.001"
+    ext.read.parquet(s"$sf/customer.parquet").createOrReplaceTempView("cust_ext2")
+    // rank() has tie semantics a bounded heap of k rows can't reproduce
+    val rank = ext.sql("""SELECT * FROM (
+                | SELECT c_mktsegment, rank() OVER (PARTITION BY c_mktsegment
+                |   ORDER BY c_acctbal DESC, c_custkey ASC) AS rn FROM cust_ext2)
+                |WHERE rn <= 5""".stripMargin)
+    assert(rank.queryExecution.executedPlan.toString.contains("Window"))
+    // multi-key partition spec is out of the strict match too
+    val multi = ext.sql("""SELECT * FROM (
+                | SELECT c_mktsegment, row_number() OVER (PARTITION BY c_mktsegment, c_nationkey
+                |   ORDER BY c_acctbal DESC, c_custkey ASC) AS rn FROM cust_ext2)
+                |WHERE rn <= 5""".stripMargin)
+    assert(multi.queryExecution.executedPlan.toString.contains("Window"))
+  }
 }
