@@ -607,6 +607,52 @@ object CorpusOps {
       .orderBy("tbl")
   }
 
+  // ----------------------------------------------------------- k-anonymity
+
+  /** k-anonymity audit — the third leg of the privacy battery beside
+    * `q_text_pii` (content scrubbing) and `q_user_erasure` (deletion):
+    * for a quasi-identifier tuple (here (lang, source) on documents),
+    * find equivalence classes smaller than k=5 — the groups whose
+    * members a release would re-identify. One partial-aggregating
+    * shuffle on the QI tuple; the output is the risk report (violating
+    * classes + their sizes) a release gate consumes.
+    */
+  def qPrivacyKanon(spark: SparkSession, sfDir: String): DataFrame =
+    Tables
+      .documents(spark, sfDir)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("class_size"))
+      .where(col("class_size") < 5)
+      .orderBy("lang", "source")
+
+  // ------------------------------------------------------------- CDC latest
+
+  /** CDC latest-wins compaction (the MERGE/upsert read shape): a change
+    * log (events) collapses to one current row per key via
+    * `max_by(payload, version)` with a total (ts, event_id) version
+    * order — one partial-aggregating shuffle, no window sort, no join.
+    * This is the materialization half of [[qEventsScd2]] (which keeps
+    * history; this keeps the head) and the standard way a 100 TB CDC
+    * mirror table is read before compaction lands.
+    */
+  def qEventsCdcLatest(spark: SparkSession, sfDir: String): DataFrame =
+    Tables
+      .events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(
+        max_by(
+          struct(col("ts"), col("event_id"), col("event_type"), col("value")),
+          struct(col("ts"), col("event_id"))).as("cur"),
+        count(lit(1)).as("n_changes"))
+      .select(
+        col("user_id"),
+        col("cur.ts").as("ts"),
+        col("cur.event_id").as("event_id"),
+        col("cur.event_type").as("event_type"),
+        col("cur.value").as("value"),
+        col("n_changes"))
+      .orderBy("user_id")
+
   // ------------------------------------------------------------ table checksum
 
   /** Bucketed table checksum — the reconciliation primitive behind
@@ -974,6 +1020,20 @@ object CorpusOps {
              |                          ((y | (y << 1)) & 1431655765) AS y FROM s3)
              |SELECT o_orderkey, x * 2 + y AS zval FROM s4
              |ORDER BY zval, o_orderkey""".stripMargin)),
+    "q_privacy_kanon" -> Q(
+      qPrivacyKanon,
+      Some("""SELECT lang, source, count(1) AS class_size
+             |FROM documents GROUP BY lang, source
+             |HAVING count(1) < 5 ORDER BY lang, source""".stripMargin)),
+    "q_events_cdc_latest" -> Q(
+      qEventsCdcLatest,
+      Some(s"""WITH r AS (
+              | SELECT user_id, ts, event_id, event_type, value,
+              |  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+              |  count(1) OVER (PARTITION BY user_id) AS n_changes
+              | FROM $EV)
+              |SELECT user_id, ts, event_id, event_type, value, n_changes
+              |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin)),
     "q_user_erasure" -> Q(
       qUserErasure,
       Some(s"""WITH e AS (SELECT c_custkey AS k FROM customer WHERE c_custkey % 97 = 0)
