@@ -674,6 +674,126 @@ object LlmOps {
       .limit(10)
   }
 
+  // -------------------------------------------------------- product quantization
+
+  private val PqM = 8 // subspaces
+  private val PqK = 16 // codewords per subspace (4-bit codes)
+  private val PqSub = 8 // dims per subspace (64 / PqM)
+
+  /** (vec_id, m, sv) subvector rows for every non-query vector: each
+    * 64-dim embedding splits into [[PqM]] contiguous 8-dim slices.
+    */
+  private def pqSubvectors(e: DataFrame): DataFrame =
+    e.where(col("vec_id") =!= 0)
+      .select(
+        col("vec_id"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("m"),
+        col("embedding"))
+      .select(
+        col("vec_id"),
+        col("m"),
+        slice(col("embedding"), col("m") * PqSub + 1, lit(PqSub)).as("sv"))
+
+  /** Squared euclidean distance via the exact decimal-cored dot products
+    * (|a|² + |b|² − 2a·b) — deterministic across engines/partitionings.
+    */
+  private def sqDist(a: Column, b: Column): Column =
+    dotDec(a, a) + dotDec(b, b) - lit(2.0) * dotDec(a, b)
+
+  /** Nearest-codeword assignment: broadcast the (m, code, cw) codebook,
+    * one `min_by` partial agg per (vec_id, m) — the IVF assignment shape
+    * per subspace, (dist, code) struct tiebreak for determinism.
+    */
+  private def pqAssign(sv: DataFrame, cb: DataFrame): DataFrame =
+    sv.join(broadcast(cb), "m")
+      .select(col("vec_id"), col("m"), col("code"), sqDist(col("sv"), col("cw")).as("d"))
+      .groupBy("vec_id", "m")
+      .agg(min_by(col("code"), struct(col("d"), col("code"))).as("code"))
+
+  /** ANN via product quantization — the fourth rung of the vector-search
+    * ladder (brute force → banded LSH → IVF → PQ), the standard
+    * billion-scale memory trade: each vector compresses to [[PqM]]
+    * 4-bit codes (32 bits vs 256 bytes — 64×), queries scan CODES with
+    * an additive lookup table, and only the ADC top-50 see their full
+    * embeddings again for the exact rerank.
+    *
+    * Scale shapes, in order: codebook training is [[PqM]] parallel
+    * k-means-lite problems (deterministic init from vec_ids 1..16, two
+    * Lloyd rounds, exact decimal means — at 100 TB you train on a
+    * `q_sample_hash`-style sample and encode the full corpus map-side);
+    * the trained codebook and the query's distance LUT are bounded model
+    * state (8×16 codewords / 128 doubles) broadcast like the IVF
+    * centroids; ADC scoring is a broadcast join + one partial-agg
+    * shuffle of (vec_id, partial sums) — NO higher-order functions on
+    * the hot path (the LUT lookup is a join, not an `aggregate` lambda —
+    * §6's cliff); rerank joins embeddings back by id for the top-50
+    * only. Rows-only check (16 nested k-means have no SQL twin);
+    * PqSpec pins determinism, code-range, and rerank recall vs the
+    * exact top-k.
+    */
+  def qSimAnnPq(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sfDir)
+    val sv = pqSubvectors(e)
+
+    // deterministic init: codeword c of subspace m = vec (c+1)'s m-th slice
+    var codebook: Seq[(Int, Int, Seq[Float])] = e
+      .where(col("vec_id").between(1, PqK))
+      .orderBy("vec_id")
+      .collect()
+      .toIndexedSeq
+      .flatMap { r =>
+        val code = r.getLong(r.fieldIndex("vec_id")).toInt - 1
+        val emb = r.getSeq[Float](r.fieldIndex("embedding"))
+        (0 until PqM).map(m => (m, code, emb.slice(m * PqSub, (m + 1) * PqSub)))
+      }
+    def cbDf = codebook.toDF("m", "code", "cw")
+    (1 to 2).foreach { _ =>
+      codebook = pqAssign(sv, cbDf)
+        .join(sv, Seq("vec_id", "m"))
+        .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy("m", "code", "pos")
+        .agg(Tables.davg(col("x").cast("double")).as("mean"))
+        .collect()
+        .toIndexedSeq
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case ((m, code), rows) =>
+          val byPos = rows.map(r => r.getInt(2) -> r.getDouble(3).toFloat).toMap
+          (m, code, (0 until PqSub).map(byPos))
+        }
+        .toSeq
+        .sortBy(t => (t._1, t._2))
+    }
+
+    // query LUT: distance from the query's m-th slice to every codeword
+    // (8×16 driver-side evaluations — bounded model math, like IVF probes)
+    val qEmb = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+    val lut = codebook.map { case (m, code, cw) =>
+      val qs = qEmb.slice(m * PqSub, (m + 1) * PqSub)
+      val d = qs.zip(cw).map { case (a, b) => (a - b).toDouble * (a - b) }.sum
+      (m, code, d)
+    }.toDF("m", "code", "d")
+
+    // ADC scan over codes + exact rerank of the top 50
+    val adcTop = pqAssign(sv, cbDf)
+      .join(broadcast(lut), Seq("m", "code"))
+      .groupBy("vec_id")
+      .agg(sum(col("d")).as("adc"))
+      .orderBy(col("adc").asc, col("vec_id").asc)
+      .limit(50)
+    val q = e.where(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    e.join(adcTop, "vec_id")
+      .crossJoin(broadcast(q))
+      .select(
+        col("vec_id"),
+        col("label"),
+        (dotDec(col("embedding"), col("q_emb")) /
+          (sqrt(dotDec(col("embedding"), col("embedding"))) *
+            sqrt(dotDec(col("q_emb"), col("q_emb"))))).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
   // ------------------------------------------------------------ text analysis
 
   /** The text battery (`q_text_stats/quality/langid/tokens`) computes all
@@ -1337,6 +1457,9 @@ object LlmOps {
     // construction, not per-query cost; q_sim_ann is the benched ANN.
     // Verify still executes it (rows-only check).
     "q_sim_ann_ivf" -> Q(qSimAnnIvf, None, bench = false),
+    // bench=false: like IVF, the run is dominated by the codebook BUILD
+    // (16 k-means-lite jobs); the encode/ADC query path is the scale story.
+    "q_sim_ann_pq" -> Q(qSimAnnPq, None, bench = false),
     "q_text_stats" -> Q(
       qTextStats,
       Some(s"""SELECT doc_id, lang, CAST(length(text) AS INT) AS len,
