@@ -1119,6 +1119,63 @@ object LlmOps {
       .orderBy("user_id", "session_id")
   }
 
+  /** Interval × interval overlap join WITHOUT an equality key — the one
+    * join algorithm shape the range/as-of family doesn't cover: user
+    * sessions (varying width) against global high-activity "incident"
+    * hours (hours with ≥ 12 events). A naive formulation is an O(n·m)
+    * nested loop; the scale shape bins BOTH interval sets to a common
+    * unit (1 day), explodes each interval into every bin it touches
+    * (bounded: intervals are short relative to the unit), joins on bin
+    * equality — a hash shuffle — then applies the exact overlap
+    * predicate and de-dups pairs that met in several bins (the step
+    * point-in-range binning never needs). Output is the per-incident
+    * session/user count; the DuckDB twin runs the quadratic form, so
+    * the binned plan must reproduce it row-for-row.
+    */
+  def qJoinIntervalOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val sess = ev
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn(
+        "new_s",
+        when(
+          col("prev_ts").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) >= 1800000000L,
+          1).otherwise(0))
+      .withColumn(
+        "session_id",
+        sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("s_start"), max(col("ts")).as("s_end"))
+    val incidents = ev
+      .groupBy(date_trunc("hour", col("ts")).as("w_start"))
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") >= 12)
+      .select(col("w_start"), (col("w_start") + expr("INTERVAL 1 HOUR")).as("w_end"))
+    val day = 86400L
+    val sessBins = sess.withColumn(
+      "bin",
+      explode(
+        sequence(
+          floor(unix_seconds(col("s_start")) / day).cast("long"),
+          floor(unix_seconds(col("s_end")) / day).cast("long"))))
+    val winBins = incidents.withColumn(
+      "bin",
+      explode(
+        sequence(
+          floor(unix_seconds(col("w_start")) / day).cast("long"),
+          floor(unix_seconds(col("w_end")) / day).cast("long"))))
+    sessBins
+      .join(winBins, Seq("bin"))
+      .where(col("s_start") < col("w_end") && col("w_start") <= col("s_end"))
+      .select("user_id", "session_id", "w_start")
+      .distinct() // a pair can meet in 2 bins when either interval crosses midnight
+      .groupBy(col("w_start"))
+      .agg(count(lit(1)).as("n_sessions"), countDistinct(col("user_id")).as("n_users"))
+      .orderBy("w_start")
+  }
+
   // ------------------------------------------------------------- multimodal
 
   /** Multimodal binary-column metadata extraction: docs → opaque binary
@@ -1460,6 +1517,30 @@ object LlmOps {
     // bench=false: like IVF, the run is dominated by the codebook BUILD
     // (16 k-means-lite jobs); the encode/ADC query path is the scale story.
     "q_sim_ann_pq" -> Q(qSimAnnPq, None, bench = false),
+    "q_join_interval_overlap" -> Q(
+      qJoinIntervalOverlap,
+      Some(s"""WITH ord AS (
+              | SELECT user_id, event_id, ts,
+              |  CASE WHEN lag(ts) OVER w IS NULL
+              |        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000 THEN 1 ELSE 0 END AS new_s
+              | FROM $EV
+              | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+              |sess AS (
+              | SELECT user_id, sid, min(ts) AS s_start, max(ts) AS s_end
+              | FROM (SELECT user_id, ts,
+              |        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              |                         ROWS UNBOUNDED PRECEDING) AS sid
+              |       FROM ord)
+              | GROUP BY user_id, sid),
+              |inc AS (
+              | SELECT date_trunc('hour', ts) AS w_start,
+              |        date_trunc('hour', ts) + INTERVAL 1 HOUR AS w_end
+              | FROM $EV GROUP BY 1 HAVING count(1) >= 12)
+              |SELECT i.w_start, count(1) AS n_sessions,
+              | count(DISTINCT s.user_id) AS n_users
+              |FROM sess s JOIN inc i
+              | ON s.s_start < i.w_end AND i.w_start <= s.s_end
+              |GROUP BY i.w_start ORDER BY i.w_start""".stripMargin)),
     "q_text_stats" -> Q(
       qTextStats,
       Some(s"""SELECT doc_id, lang, CAST(length(text) AS INT) AS len,

@@ -165,4 +165,13 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("shiftleft"), p)
     assert(!p.contains("UDF"), p)
   }
+
+  test("interval-overlap join is a bin-keyed equi-join, not a nested loop") {
+    val p = plan(graft.queries.LlmOps.qJoinIntervalOverlap(spark, sf001))
+    assert(!p.contains("NestedLoop"), p)
+    assert(
+      p.contains("SortMergeJoin [bin") || p.contains("ShuffledHashJoin [bin") ||
+        p.contains("BroadcastHashJoin [bin"),
+      p)
+  }
 }
