@@ -1148,10 +1148,15 @@ object LlmOps {
         sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("user_id"), col("session_id"))
       .agg(min(col("ts")).as("s_start"), max(col("ts")).as("s_end"))
-    val incidents = ev
+    // incident = hour busier than the corpus mean hourly rate (relative
+    // threshold: meaningful at every scale factor; the mean is a 1-row
+    // broadcast like the z-order bounds)
+    val hourly = ev
       .groupBy(date_trunc("hour", col("ts")).as("w_start"))
       .agg(count(lit(1)).as("n"))
-      .where(col("n") >= 12)
+    val incidents = hourly
+      .crossJoin(broadcast(hourly.agg(avg(col("n")).as("mean_n"))))
+      .where(col("n") > col("mean_n"))
       .select(col("w_start"), (col("w_start") + expr("INTERVAL 1 HOUR")).as("w_end"))
     val day = 86400L
     val sessBins = sess.withColumn(
@@ -1532,10 +1537,13 @@ object LlmOps {
               |                         ROWS UNBOUNDED PRECEDING) AS sid
               |       FROM ord)
               | GROUP BY user_id, sid),
+              |hourly AS (
+              | SELECT date_trunc('hour', ts) AS w_start, count(1) AS n
+              | FROM $EV GROUP BY 1),
               |inc AS (
-              | SELECT date_trunc('hour', ts) AS w_start,
-              |        date_trunc('hour', ts) + INTERVAL 1 HOUR AS w_end
-              | FROM $EV GROUP BY 1 HAVING count(1) >= 12)
+              | SELECT w_start, w_start + INTERVAL 1 HOUR AS w_end
+              | FROM hourly, (SELECT avg(n) AS mean_n FROM hourly) m
+              | WHERE n > mean_n)
               |SELECT i.w_start, count(1) AS n_sessions,
               | count(DISTINCT s.user_id) AS n_users
               |FROM sess s JOIN inc i

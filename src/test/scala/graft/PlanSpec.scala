@@ -168,10 +168,15 @@ class PlanSpec extends SparkSuite {
 
   test("interval-overlap join is a bin-keyed equi-join, not a nested loop") {
     val p = plan(graft.queries.LlmOps.qJoinIntervalOverlap(spark, sf001))
-    assert(!p.contains("NestedLoop"), p)
+    // the pair join must key on the bin (hash or merge); the only
+    // permissible nested loop is the 1-row mean-threshold broadcast,
+    // which must NOT carry the overlap predicate
     assert(
       p.contains("SortMergeJoin [bin") || p.contains("ShuffledHashJoin [bin") ||
         p.contains("BroadcastHashJoin [bin"),
+      p)
+    assert(
+      p.linesIterator.filter(_.contains("NestedLoop")).forall(l => !l.contains("s_start")),
       p)
   }
 }
