@@ -172,6 +172,29 @@ object TextProfile {
   * cost a full extra shuffle of every (doc_id, shingle) row. One
   * generated call per document does both for free.
   */
+/** Shared space-split token scan (the battery's tokenization — single
+  * space separator, empties dropped) as (start, end) char offsets;
+  * [[Shingles3]] and [[TokenWindows]] both rebuild their windows from
+  * these offsets, so the semantics live in exactly one loop.
+  */
+private[functions] object TokenOffsets {
+  def of(s: String): (java.util.ArrayList[Integer], java.util.ArrayList[Integer]) = {
+    val n = s.length
+    val starts = new java.util.ArrayList[Integer]()
+    val ends = new java.util.ArrayList[Integer]()
+    var i = 0
+    var start = -1
+    while (i < n) {
+      if (s.charAt(i) == ' ') {
+        if (start >= 0) { starts.add(start); ends.add(i); start = -1 }
+      } else if (start < 0) start = i
+      i += 1
+    }
+    if (start >= 0) { starts.add(start); ends.add(n) }
+    (starts, ends)
+  }
+}
+
 case class Shingles3(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -193,19 +216,7 @@ object Shingles3 {
 
   def shingles(u: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
     val s = u.toString
-    val n = s.length
-    // token start/end offsets (space-split, empties dropped)
-    val starts = new java.util.ArrayList[Integer]()
-    val ends = new java.util.ArrayList[Integer]()
-    var i = 0
-    var start = -1
-    while (i < n) {
-      if (s.charAt(i) == ' ') {
-        if (start >= 0) { starts.add(start); ends.add(i); start = -1 }
-      } else if (start < 0) start = i
-      i += 1
-    }
-    if (start >= 0) { starts.add(start); ends.add(n) }
+    val (starts, ends) = TokenOffsets.of(s)
     val m = starts.size()
     val out = new java.util.LinkedHashSet[String]()
     var j = 0
@@ -642,18 +653,7 @@ object TokenWindows {
 
   def windows(u: UTF8String, k: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
     val s = u.toString
-    val n = s.length
-    val starts = new java.util.ArrayList[Integer]()
-    val ends = new java.util.ArrayList[Integer]()
-    var i = 0
-    var start = -1
-    while (i < n) {
-      if (s.charAt(i) == ' ') {
-        if (start >= 0) { starts.add(start); ends.add(i); start = -1 }
-      } else if (start < 0) start = i
-      i += 1
-    }
-    if (start >= 0) { starts.add(start); ends.add(n) }
+    val (starts, ends) = TokenOffsets.of(s)
     val m = starts.size()
     val cnt = math.max(0, m - k + 1)
     val arr = new Array[Any](cnt)

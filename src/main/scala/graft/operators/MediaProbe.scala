@@ -116,21 +116,25 @@ object AudioProbe {
     * separately.
     */
   private def wav(b: Array[Byte]): Audio = {
-    var i = 12
+    var i = 12L
     var channels = -1
     var rate = -1
     var bits = -1
     var dataBytes = -1L
     while (i + 8 <= b.length && (channels < 0 || dataBytes < 0)) {
-      val size = leU32(b, i + 4)
-      if (tag(b, i, "fmt ") && i + 24 <= b.length) {
-        channels = leU16(b, i + 10)
-        rate = leU32(b, i + 12).toInt
-        bits = leU16(b, i + 22)
-      } else if (tag(b, i, "data")) {
+      val at = i.toInt // safe: i + 8 <= b.length <= Int.MaxValue
+      // unsigned chunk size, advanced in LONG arithmetic — a corrupt
+      // size near 2^32 through .toInt would go negative (an
+      // un-advancing loop, or a negative index into tag())
+      val size = leU32(b, at + 4)
+      if (tag(b, at, "fmt ") && i + 24 <= b.length) {
+        channels = leU16(b, at + 10)
+        rate = leU32(b, at + 12).toInt
+        bits = leU16(b, at + 22)
+      } else if (tag(b, at, "data")) {
         dataBytes = size
       }
-      i += 8 + size.toInt + (size.toInt & 1) // chunks pad to even offsets
+      i += 8L + size + (size & 1L) // chunks pad to even offsets
     }
     if (channels <= 0 || rate <= 0 || bits <= 0) Unknown
     else {
@@ -145,6 +149,11 @@ object AudioProbe {
     */
   def wavHeader(channels: Int, rate: Int, bits: Int, nSamples: Long): Array[Byte] = {
     val dataSize = nSamples * channels * (bits / 8)
+    // RIFF sizes are u32; fail loudly instead of silently truncating
+    // through putInt (the probe round-trip would diverge undetected)
+    require(
+      dataSize >= 0 && dataSize + 36 <= 0xffffffffL,
+      s"WAV data size $dataSize exceeds the RIFF u32 limit")
     val bb = java.nio.ByteBuffer.allocate(44).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     bb.put("RIFF".getBytes("US-ASCII")).putInt((36 + dataSize).toInt)
     bb.put("WAVE".getBytes("US-ASCII"))

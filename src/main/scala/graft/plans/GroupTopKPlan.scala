@@ -124,7 +124,12 @@ case class GroupTopKExec(
       val heaps = new java.util.HashMap[Any, java.util.PriorityQueue[Entry]]()
       while (it.hasNext) {
         val row = it.next()
-        val g = gk.eval(row)
+        // eval'd values from a reused UnsafeRow may be buffer-backed
+        // (UTF8String, nested rows): anything RETAINED — the map key and
+        // the heap's (ov, tv) — must be deep-copied or it silently
+        // mutates when the iterator advances. The comparison-only probe
+        // entry below is safe uncopied.
+        val g = InternalRow.copyValue(gk.eval(row))
         var pq = heaps.get(g)
         if (pq == null) {
           pq = new java.util.PriorityQueue[Entry](kk + 1, worstFirst)
@@ -133,13 +138,13 @@ case class GroupTopKExec(
         val ov = oc.eval(row)
         val tv = tc.eval(row)
         if (pq.size() < kk) {
-          pq.add(new Entry(ov, tv, row.copy()))
+          pq.add(new Entry(InternalRow.copyValue(ov), InternalRow.copyValue(tv), row.copy()))
         } else {
           // replace the current worst only if this row ranks before it
           val worst = pq.peek()
           if (rankCmp.compare(new Entry(ov, tv, null), worst) < 0) {
             pq.poll()
-            pq.add(new Entry(ov, tv, row.copy()))
+            pq.add(new Entry(InternalRow.copyValue(ov), InternalRow.copyValue(tv), row.copy()))
           }
         }
       }

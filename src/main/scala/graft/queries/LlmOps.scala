@@ -353,6 +353,13 @@ object LlmOps {
     * zip_with/aggregate HOF formulation of the same math ran interpreted
     * at ~190 s for 125k pairs × 64 dims).
     */
+  /** Exact decimal-cored cosine similarity — ONE definition shared by
+    * every similarity query so quantization and operation order can't
+    * drift between them (the oracles all replay this exact form).
+    */
+  private def cosSim(a: Column, b: Column): Column =
+    dotDec(a, b) / (sqrt(dotDec(a, a)) * sqrt(dotDec(b, b)))
+
   private def dotDec(a: Column, b: Column): Column =
     graft.functions.ScaledDot.dot(a, b)
 
@@ -443,9 +450,7 @@ object LlmOps {
       .select(
         col("vec_id"),
         col("label"),
-        (dotDec(col("embedding"), col("q_emb")) /
-          (sqrt(dotDec(col("embedding"), col("embedding"))) *
-            sqrt(dotDec(col("q_emb"), col("q_emb"))))).as("sim"))
+        cosSim(col("embedding"), col("q_emb")).as("sim"))
       .orderBy(col("sim").desc, col("vec_id").asc)
       .limit(10)
   }
@@ -471,9 +476,7 @@ object LlmOps {
       .select(
         col("q_id"),
         col("vec_id"),
-        (dotDec(col("embedding"), col("q_emb")) /
-          (sqrt(dotDec(col("embedding"), col("embedding"))) *
-            sqrt(dotDec(col("q_emb"), col("q_emb"))))).as("sim"))
+        cosSim(col("embedding"), col("q_emb")).as("sim"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .where(col("rk") <= 3)
       .select("q_id", "rk", "vec_id", "sim")
@@ -568,9 +571,7 @@ object LlmOps {
       .select(
         col("vec_id"),
         col("label"),
-        (dotDec(col("embedding"), col("q_emb")) /
-          (sqrt(dotDec(col("embedding"), col("embedding"))) *
-            sqrt(dotDec(col("q_emb"), col("q_emb"))))).as("sim"))
+        cosSim(col("embedding"), col("q_emb")).as("sim"))
       .orderBy(col("sim").desc, col("vec_id").asc)
       .limit(10)
   }
@@ -667,9 +668,7 @@ object LlmOps {
       .select(
         col("vec_id"),
         col("label"),
-        (dotDec(col("embedding"), col("q_emb")) /
-          (sqrt(dotDec(col("embedding"), col("embedding"))) *
-            sqrt(dotDec(col("q_emb"), col("q_emb"))))).as("sim"))
+        cosSim(col("embedding"), col("q_emb")).as("sim"))
       .orderBy(col("sim").desc, col("vec_id").asc)
       .limit(10)
   }
@@ -768,17 +767,20 @@ object LlmOps {
     // query LUT: distance from the query's m-th slice to every codeword
     // (8×16 driver-side evaluations — bounded model math, like IVF probes)
     val qEmb = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+    // LUT distances quantized to 1e-6 fixed point: the per-vector ADC sum
+    // of 8 of them is then a LONG sum — merge-order-independent, so the
+    // top-50 cut can't flip with partitioning (same rule as lp_micro)
     val lut = codebook.map { case (m, code, cw) =>
       val qs = qEmb.slice(m * PqSub, (m + 1) * PqSub)
       val d = qs.zip(cw).map { case (a, b) => (a - b).toDouble * (a - b) }.sum
-      (m, code, d)
-    }.toDF("m", "code", "d")
+      (m, code, math.round(d * 1e6))
+    }.toDF("m", "code", "d_micro")
 
     // ADC scan over codes + exact rerank of the top 50
     val adcTop = pqAssign(sv, cbDf)
       .join(broadcast(lut), Seq("m", "code"))
       .groupBy("vec_id")
-      .agg(sum(col("d")).as("adc"))
+      .agg(sum(col("d_micro")).as("adc"))
       .orderBy(col("adc").asc, col("vec_id").asc)
       .limit(50)
     val q = e.where(col("vec_id") === 0).select(col("embedding").as("q_emb"))
@@ -787,9 +789,7 @@ object LlmOps {
       .select(
         col("vec_id"),
         col("label"),
-        (dotDec(col("embedding"), col("q_emb")) /
-          (sqrt(dotDec(col("embedding"), col("embedding"))) *
-            sqrt(dotDec(col("q_emb"), col("q_emb"))))).as("sim"))
+        cosSim(col("embedding"), col("q_emb")).as("sim"))
       .orderBy(col("sim").desc, col("vec_id").asc)
       .limit(10)
   }
@@ -1092,15 +1092,16 @@ object LlmOps {
 
   // ----------------------------------------------------------- sessionization
 
-  /** Gap-based sessionization (30 min, `>=` boundary to match Spark's
-    * session_window semantics exactly): lag → new-session flag → running
-    * sum session index → per-session aggregate. One shuffle on user_id.
+  /** Events with their gap-based session index (30-min gap, `>=`
+    * boundary to match Spark's session_window semantics exactly):
+    * lag → new-session flag → running-sum session_id. One shuffle on
+    * user_id; shared by [[qEventsSessionize]] and
+    * [[qJoinIntervalOverlap]] so the session semantics can't drift
+    * between them.
     */
-  def qEventsSessionize(spark: SparkSession, sfDir: String): DataFrame = {
+  private def sessionized(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
-    Tables
-      .events(spark, sfDir)
-      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+    ev.withColumn("prev_ts", lag(col("ts"), 1).over(w))
       .withColumn(
         "new_s",
         when(
@@ -1110,6 +1111,11 @@ object LlmOps {
       .withColumn(
         "session_id",
         sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Gap-based sessionization: per-session aggregate over [[sessionized]]. */
+  def qEventsSessionize(spark: SparkSession, sfDir: String): DataFrame =
+    sessionized(Tables.events(spark, sfDir))
       .groupBy(col("user_id"), col("session_id"))
       .agg(
         min(col("ts")).as("session_start"),
@@ -1117,7 +1123,6 @@ object LlmOps {
         count(lit(1)).as("n_events"),
         dsum(col("value")).as("sum_value"))
       .orderBy("user_id", "session_id")
-  }
 
   /** Interval × interval overlap join WITHOUT an equality key — the one
     * join algorithm shape the range/as-of family doesn't cover: user
@@ -1134,18 +1139,7 @@ object LlmOps {
     */
   def qJoinIntervalOverlap(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
-    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
-    val sess = ev
-      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
-      .withColumn(
-        "new_s",
-        when(
-          col("prev_ts").isNull ||
-            unix_micros(col("ts")) - unix_micros(col("prev_ts")) >= 1800000000L,
-          1).otherwise(0))
-      .withColumn(
-        "session_id",
-        sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val sess = sessionized(ev)
       .groupBy(col("user_id"), col("session_id"))
       .agg(min(col("ts")).as("s_start"), max(col("ts")).as("s_end"))
     // incident = hour busier than the corpus mean hourly rate (relative

@@ -94,5 +94,10 @@ class MediaProbeSpec extends AnyFunSuite {
     assert(AudioProbe.probe(Array.empty[Byte]).format == "unknown")
     // RIFF/WAVE with no fmt chunk -> unknown, not a crash
     assert(AudioProbe.probe("RIFF\u0000\u0000\u0000\u0000WAVE".getBytes).format == "unknown")
+    // corrupt u32 chunk size near 2^32: must terminate (no un-advancing
+    // loop) and must not index negatively — just unknown
+    val corrupt = "RIFF\u0000\u0000\u0000\u0000WAVEJUNK".getBytes ++
+      Array[Byte](0xf8.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte) ++ new Array[Byte](16)
+    assert(AudioProbe.probe(corrupt).format == "unknown")
   }
 }

@@ -81,4 +81,32 @@ class GroupTopKSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getInt(1)))
     assert(got.toSeq == win.toSeq)
   }
+
+  test("string group keys survive UnsafeRow buffer reuse (varying-width rows)") {
+    // a VARYING-width payload column before the key makes each
+    // deserialized UnsafeRow lay the group string out at a different
+    // offset — retained eval'd values that aren't deep-copied would
+    // mutate when the shuffle iterator advances (duplicate groups,
+    // garbage keys). Pin row-for-row parity with the window form.
+    import org.apache.spark.sql.expressions.Window
+    val df = spark
+      .range(2000)
+      .select(
+        concat(lit("pad_"), repeat(lit("x"), (col("id") % 37).cast("int"))).as("payload"),
+        concat(lit("g"), (col("id") % 5).cast("string")).as("g"),
+        col("id").as("tie"),
+        ((col("id") * 37) % 1000).cast("double").as("v"))
+    val got = GroupTopK
+      .topk(df, "g", "v", "tie", 3, "rn")
+      .orderBy("g", "rn")
+      .collect()
+    val w = Window.partitionBy("g").orderBy(col("v").desc, col("tie").asc)
+    val want = df
+      .select(col("payload"), col("g"), col("tie"), col("v"), row_number().over(w).as("rn"))
+      .where(col("rn") <= 3)
+      .orderBy("g", "rn")
+      .collect()
+    assert(got.length == 15)
+    assert(got.toSeq == want.toSeq)
+  }
 }

@@ -337,10 +337,10 @@ class StreamingSpec extends SparkSuite {
     val ckpt = root.resolve("ckpt").toString
     val schema = "event_id BIGINT, user_id BIGINT, value DOUBLE"
     val evs = eventTuples.map(t => (t._1, t._3, t._5))
-    def writeBatchFile(part: Seq[(Long, Long, Double)], name: String): Unit =
+    def writeBatchFile(part: Seq[(Long, Long, Double)]): Unit =
       part.toDF("event_id", "user_id", "value")
         .coalesce(1).write.mode("append").json(srcDir)
-    writeBatchFile(evs.take(400).toSeq, "a")
+    writeBatchFile(evs.take(400).toSeq)
     def startQuery() = spark.readStream
       .schema(schema)
       .json(srcDir)
@@ -356,7 +356,7 @@ class StreamingSpec extends SparkSuite {
     q1.processAllAvailable()
     q1.stop()
     // more data lands while the query is DOWN
-    writeBatchFile(evs.drop(400).toSeq, "b")
+    writeBatchFile(evs.drop(400).toSeq)
     val q2 = startQuery()
     try {
       q2.processAllAvailable()
