@@ -125,12 +125,21 @@ case class AsOfJoinExec(
       var pendingTime: Any = null
       def advance(): Unit = {
         pending = null
-        // skip right rows with null key or null time — they can't match
+        // skip right rows with null key or null time — they can't match.
+        // The eval'd values are RETAINED across iterator advances
+        // (pendingKey/Time, then matchKey/Time), and the right iterator
+        // reuses its UnsafeRow buffer — buffer-backed values (string
+        // keys, nested times) must be deep-copied or they silently
+        // mutate; primitives copy for free (same rule as GroupTopKExec).
         while (pending == null && ri.hasNext) {
           val r = ri.next()
           val k = rKey.eval(r)
           val t = rTime.eval(r)
-          if (k != null && t != null) { pending = r; pendingKey = k; pendingTime = t }
+          if (k != null && t != null) {
+            pending = r
+            pendingKey = InternalRow.copyValue(k)
+            pendingTime = InternalRow.copyValue(t)
+          }
         }
       }
       advance()

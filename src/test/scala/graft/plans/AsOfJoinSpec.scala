@@ -62,4 +62,37 @@ class AsOfJoinSpec extends SparkSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).length >= 2, p)
     assert(p.contains("Sort "), p)
   }
+
+  test("string keys survive UnsafeRow buffer reuse on the right side") {
+    // varying-width columns shift each deserialized row's string offsets;
+    // the retained right-side key must be a deep copy or it mutates as
+    // the merge advances (same hazard class as GroupTopKExec)
+    val lefts = spark
+      .range(300)
+      .select(
+        col("id").as("event_id"),
+        concat(lit("k"), (col("id") % 7).cast("string")).as("k"),
+        (col("id") * 1000).as("t"))
+    val rights = spark
+      .range(50)
+      .select(
+        concat(lit("pad"), repeat(lit("y"), (col("id") % 13).cast("int"))).as("payload"),
+        concat(lit("k"), (col("id") % 7).cast("string")).as("rk"),
+        (col("id") * 5000).as("rt"))
+    val got = AsOfJoin
+      .asof(lefts, "k", "t", rights, "rk", "rt", "m")
+      .orderBy("event_id")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(3)).map(_.asInstanceOf[Long])))
+    // oracle: per left row, max rt <= t within the same key (computed
+    // naively on the driver)
+    val rm = (0L until 50L).map(i => (s"k${i % 7}", i * 5000))
+    val want = (0L until 300L).map { i =>
+      val key = s"k${i % 7}"
+      val t = i * 1000
+      val m = rm.filter(p => p._1 == key && p._2 <= t).map(_._2).reduceOption(_ max _)
+      (i, m)
+    }
+    assert(got.toSeq == want)
+  }
 }
