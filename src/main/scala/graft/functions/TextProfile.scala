@@ -257,13 +257,22 @@ object Shingles3 {
 case class SimHash64(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true
   override def prettyName: String = "simhash64"
 
   override def nullSafeEval(input: Any): Any =
     SimHash64.simhash(input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"${SimHash64.Mod}.simhash($c)")
+    nullSafeCodeGen(
+      ctx,
+      ev, {
+        val r = ctx.freshName("sh")
+        c => s"""
+        |java.lang.Long $r = ${SimHash64.Mod}.simhash($c);
+        |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.longValue(); }
+        |""".stripMargin
+      })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -275,11 +284,12 @@ object SimHash64 {
 
   private val Seed = 42L // Spark's xxhash64 default seed
 
-  def simhash(u: UTF8String): Long = {
+  def simhash(u: UTF8String): java.lang.Long = {
     val base = u.getBaseObject
     val off = u.getBaseOffset
     val n = u.numBytes()
     val votes = new Array[Int](64)
+    var tokens = 0
     var i = 0
     var start = -1
     while (i <= n) {
@@ -293,21 +303,27 @@ object SimHash64 {
             votes(b) += (((h >>> b) & 1L).toInt * 2) - 1
             b += 1
           }
+          tokens += 1
           start = -1
         }
       } else if (start < 0) start = i
       i += 1
     }
+    // token-less documents have NO signature (the explode+SUM
+    // formulation produced no row for them) — returning 0 instead made
+    // every empty doc collide at signature 0 and spuriously pair with
+    // any real doc within hamming range of 0
+    if (tokens == 0) return null
     var sig = 0L
     var b = 0
     while (b < 64) {
       if (votes(b) > 0) sig |= 1L << b
       b += 1
     }
-    sig
+    java.lang.Long.valueOf(sig)
   }
 
-  /** Column API: simhash64(text) → BIGINT signature. */
+  /** Column API: simhash64(text) → BIGINT signature (NULL if no tokens). */
   def of(c: Column): Column = Bridge.column(SimHash64(Bridge.expression(c)))
 }
 
@@ -321,6 +337,38 @@ object SimHash64 {
   * that formulation: same per-element product → scaled-round → sum order,
   * and `dot > 0 ⇔ scaled sum > 0` exactly.
   */
+/** The ONE deterministic ±1 hyperplane family every plane-LSH kernel
+  * draws from: 128 planes over 64 dims via a splitmix-style index mix.
+  * [[PlaneSig16]] uses rows 0–15; [[PlaneSig64]] planeSet `s` uses rows
+  * s*64 … s*64+63 — a single table (and a single scaled-round-sum dot,
+  * ScaledDot semantics) so the families cannot de-correlate by a
+  * constant tweak applied to one copy.
+  */
+private[functions] object HyperPlanes {
+
+  val Table: Array[Array[Float]] = Array.tabulate(128) { j =>
+    Array.tabulate(64) { i =>
+      var z = j.toLong * 64 + i + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      if (((z ^ (z >>> 31)) & 1L) == 0L) 1.0f else -1.0f
+    }
+  }
+
+  /** Sign of plane_j · xs under the exact scaled-round-sum dot. */
+  def dotPositive(xs: Array[Float], j: Int): Boolean = {
+    val p = Table(j)
+    val n = math.min(xs.length, p.length)
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s += ScaledDot.roundHalfAway(xs(i).toDouble * p(i).toDouble * 1e12)
+      i += 1
+    }
+    s > 0
+  }
+}
+
 case class PlaneSig16(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = IntegerType
@@ -340,30 +388,12 @@ object PlaneSig16 {
 
   private[functions] val Mod = getClass.getName.stripSuffix("$") + "$.MODULE$"
 
-  /** 16 deterministic ±1 hyperplanes over 64 dims. */
-  private val Planes: Array[Array[Float]] = Array.tabulate(16) { j =>
-    Array.tabulate(64) { i =>
-      var z = j.toLong * 64 + i + 0x9e3779b97f4a7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      if (((z ^ (z >>> 31)) & 1L) == 0L) 1.0f else -1.0f
-    }
-  }
-
   def sig(a: org.apache.spark.sql.catalyst.util.ArrayData): Int = {
     val xs = a.toFloatArray()
     var out = 0
     var j = 0
     while (j < 16) {
-      val p = Planes(j)
-      val n = math.min(xs.length, p.length)
-      var s = 0L
-      var i = 0
-      while (i < n) {
-        s += ScaledDot.roundHalfAway(xs(i).toDouble * p(i).toDouble * 1e12)
-        i += 1
-      }
-      if (s > 0) out |= 1 << j
+      if (HyperPlanes.dotPositive(xs, j)) out |= 1 << j
       j += 1
     }
     out
@@ -402,31 +432,13 @@ object PlaneSig64 {
 
   private[functions] val Mod = getClass.getName.stripSuffix("$") + "$.MODULE$"
 
-  /** 128 deterministic ±1 hyperplanes over 64 dims (two 64-plane sets). */
-  private val Planes: Array[Array[Float]] = Array.tabulate(128) { j =>
-    Array.tabulate(64) { i =>
-      var z = j.toLong * 64 + i + 0x9e3779b97f4a7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      if (((z ^ (z >>> 31)) & 1L) == 0L) 1.0f else -1.0f
-    }
-  }
-
   def sig(a: org.apache.spark.sql.catalyst.util.ArrayData, planeSet: Int): Long = {
     val xs = a.toFloatArray()
     val base = planeSet * 64
     var out = 0L
     var j = 0
     while (j < 64) {
-      val p = Planes(base + j)
-      val n = math.min(xs.length, p.length)
-      var s = 0L
-      var i = 0
-      while (i < n) {
-        s += ScaledDot.roundHalfAway(xs(i).toDouble * p(i).toDouble * 1e12)
-        i += 1
-      }
-      if (s > 0) out |= 1L << j
+      if (HyperPlanes.dotPositive(xs, base + j)) out |= 1L << j
       j += 1
     }
     out
@@ -633,6 +645,7 @@ object TextFingerprint {
   * [[TextProfile]].
   */
 case class TokenWindows(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, s"token_windows: k must be >= 1, got $k") // fail at plan time
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "token_windows"

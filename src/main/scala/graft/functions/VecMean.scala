@@ -36,6 +36,13 @@ object VecMean extends Aggregator[Array[Float], VecBuf, Array[Double]] {
   override def reduce(b: VecBuf, v: Array[Float]): VecBuf = {
     if (v == null) b
     else {
+      // dimension mismatches are data corruption: fail loudly. The old
+      // fallback (fresh zero array) silently DISCARDED every previously
+      // accumulated sum while n kept counting — a wrong centroid with no
+      // error.
+      require(
+        b.n == 0L || b.sums.length == v.length,
+        s"VecMean: vector of dim ${v.length} in a group accumulating dim ${b.sums.length}")
       val s = if (b.sums.length == v.length) b.sums else new Array[Long](v.length)
       var i = 0
       while (i < v.length) {
@@ -50,6 +57,9 @@ object VecMean extends Aggregator[Array[Float], VecBuf, Array[Double]] {
     if (a.n == 0L) b
     else if (b.n == 0L) a
     else {
+      require(
+        a.sums.length == b.sums.length,
+        s"VecMean: merging buffers of dim ${a.sums.length} and ${b.sums.length}")
       val s = a.sums.clone()
       var i = 0
       while (i < s.length) { s(i) += b.sums(i); i += 1 }

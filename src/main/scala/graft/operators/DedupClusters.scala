@@ -73,6 +73,12 @@ object DedupClusters {
           (min(col("label")) < max(when(col("own"), col("label")))).as("chg"))
         .localCheckpoint() // eager: the round's single distributed job
       converged = next.where(col("chg")).isEmpty // take(1) over cached blocks
+      // superseded rounds' checkpoint blocks are reclaimed by the
+      // ContextCleaner once the old `labels` reference is dropped (GC-
+      // driven, not immediate); convergence is diameter-bounded (near-dup
+      // graphs: a handful of rounds), so at most a few (id, label) copies
+      // coexist — acceptable; an explicit unpersist would need the
+      // checkpoint RDD handle Spark doesn't expose publicly.
       labels = next.select("id", "label")
       i += 1
     }

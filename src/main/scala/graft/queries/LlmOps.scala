@@ -308,6 +308,7 @@ object LlmOps {
     Tables
       .documents(spark, sfDir)
       .select(col("doc_id"), graft.functions.SimHash64.of(col("text")).as("simhash"))
+      .where(col("simhash").isNotNull) // token-less docs have no signature
 
   def qDedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
     simhashSigs(spark, sfDir).orderBy("doc_id")

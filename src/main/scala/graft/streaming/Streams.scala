@@ -45,13 +45,19 @@ object Streams {
     * value sum (Long-micros accumulator), session_id = 1-based per-user
     * arrival order.
     *
-    * One shuffle on user_id; state is O(1) per live user (the open
-    * session only). In streaming mode sessions close either when a later
-    * event opens a gap or when the event-time watermark passes
-    * last+gap (EventTimeTimeout); in batch mode each key sees all its
-    * events in one call and the final open session is emitted at the end,
-    * which makes the batch run of the SAME function bit-identical to the
-    * SQL oracle. Cross-trigger event disorder beyond the watermark is the
+    * One shuffle on user_id; state is O(1) per user — the open session,
+    * or after a timeout a tiny closed marker carrying the next session
+    * id (the 1-based-per-user contract REQUIRES remembering the count
+    * across timeouts; dropping state entirely restarted returning users
+    * at session 1, duplicating keys — the same O(#users) state any
+    * per-user aggregation keeps; at corpus scale, key sessions by
+    * (user, session_start) instead if per-user counters must expire).
+    * In streaming mode sessions close either when a later event opens a
+    * gap or when the event-time watermark passes last+gap
+    * (EventTimeTimeout); in batch mode each key sees all its events in
+    * one call and the final open session is emitted at the end, which
+    * makes the batch run of the SAME function bit-identical to the SQL
+    * oracle. Cross-trigger event disorder beyond the watermark is the
     * usual Structured Streaming contract (late events are dropped by the
     * watermark before reaching the state function).
     */
@@ -76,13 +82,25 @@ object Streams {
 
     def fn(uid: Long, it: Iterator[(Long, java.sql.Timestamp, Double)], state: GroupState[SessionState]): Iterator[SessionRow] =
       if (state.hasTimedOut) {
-        val out = Iterator.single(close(uid, state.get))
-        state.remove()
+        val s = state.get
+        val out = Iterator.single(close(uid, s))
+        // keep the per-user counter as a CLOSED marker (startMicros = -1,
+        // no timeout registered): a user returning after a timeout must
+        // continue the 1-based session sequence, not restart at 1 —
+        // `state.remove()` here made streaming emit duplicate
+        // (user_id, session_id) keys and diverge from the batch oracle.
+        state.update(SessionState(s.session_id + 1, -1L, -1L, 0L, 0L))
         out
       } else {
         val evs = it.toArray.sortBy(e => micros(e._2))
         val out = scala.collection.mutable.ArrayBuffer.empty[SessionRow]
-        var open = state.getOption
+        // first session id when no session is open: the closed marker's
+        // carried counter, or 1 for a never-seen user
+        val nextId = state.getOption match {
+          case Some(s) if s.startMicros < 0 => s.session_id
+          case _ => 1L
+        }
+        var open = state.getOption.filter(_.startMicros >= 0)
         evs.foreach { case (_, t, v) =>
           val m = micros(t)
           val vq = graft.Tables.decimalMicros(v)
@@ -93,7 +111,7 @@ object Streams {
             case Some(s) =>
               open = Some(s.copy(lastMicros = m, n_events = s.n_events + 1, sumMicros = s.sumMicros + vq))
             case None =>
-              open = Some(SessionState(1L, m, m, 1L, vq))
+              open = Some(SessionState(nextId, m, m, 1L, vq))
           }
         }
         if (streaming) {
@@ -168,16 +186,21 @@ object Streams {
 
   /** Streaming exact dedup by event_id within the watermark horizon —
     * the ingestion-side guard an at-least-once source needs (retried
-    * sends, replayed offsets). `dropDuplicates` keeps per-key state;
-    * the watermark bounds that state: a duplicate arriving later than
-    * the horizon is dropped by the watermark itself, so state stays
-    * O(keys-per-horizon) instead of O(all-keys-ever). Same call works
-    * in batch (plain distinct-by-key).
+    * sends, replayed offsets). State boundedness needs the RIGHT
+    * operator: plain `dropDuplicates("event_id")` under a watermark
+    * never evicts (Spark only cleans dedup state when the event-time
+    * column is part of the keys — the watermark would drop late rows
+    * but the state store still grows one entry per key forever).
+    * `dropDuplicatesWithinWatermark` exists for exactly this: dedup by
+    * key, state evicted once the watermark passes the key's event time
+    * — O(keys-per-horizon), which is the correct guarantee for retry
+    * storms (an at-least-once source re-sends within the horizon).
+    * Batch runs the plain distinct-by-key.
     */
-  def dedupEvents(events: DataFrame, withWatermark: Boolean): DataFrame = {
-    val src = if (withWatermark) events.withWatermark("ts", "10 minutes") else events
-    src.dropDuplicates("event_id")
-  }
+  def dedupEvents(events: DataFrame, withWatermark: Boolean): DataFrame =
+    if (withWatermark)
+      events.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark("event_id")
+    else events.dropDuplicates("event_id")
 
   /** Stream-stream interval join — click→purchase attribution: each
     * purchase is credited to every click by the same user in the

@@ -370,4 +370,43 @@ class StreamingSpec extends SparkSuite {
       assert(got.agg(sum(col("n"))).head().getLong(0) == evs.length.toLong)
     } finally q2.stop()
   }
+
+  test("stateful sessionize continues session ids after a timeout-closed session") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val df = mem
+      .toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Streams
+      .sessionizeStateful(df, streaming = true)
+      .toDF()
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("session_resume_append")
+      .start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2024-06-01 10:00:00").getTime
+      def at(minutes: Long) = new java.sql.Timestamp(t0 + minutes * 60000L)
+      // session 1 for user 7, then advance the watermark far enough for
+      // EventTimeTimeout to close it (state becomes the closed marker)
+      mem.addData((1L, at(0), 7L, "click", 1.0), (2L, at(5), 7L, "click", 1.0))
+      q.processAllAvailable()
+      mem.addData((3L, at(24 * 60), -999L, "sentinel", 0.0))
+      q.processAllAvailable()
+      // the user RETURNS after the timeout: this must be session 2, not a
+      // duplicate session 1 (the batch oracle numbers cumulatively)
+      mem.addData((4L, at(25 * 60), 7L, "click", 1.0))
+      q.processAllAvailable()
+      mem.addData((5L, at(72 * 60), -999L, "sentinel", 0.0))
+      q.processAllAvailable()
+      val got = spark
+        .table("session_resume_append")
+        .where($"user_id" === 7L)
+        .orderBy("session_id")
+        .collect()
+        .map(r => (r.getLong(1), r.getLong(4)))
+      assert(got.toSeq == Seq((1L, 2L), (2L, 1L)), got.mkString(", "))
+    } finally q.stop()
+  }
 }
