@@ -66,6 +66,15 @@ object Bench {
       .map(_.getCollectionTime)
       .sum
 
+  /** Locale-independent decimal formatting for every machine-parsed line
+    * (the partial-line protocol and the final JSON): Scala's `f`
+    * interpolator uses the DEFAULT locale, so a comma-decimal JVM
+    * (de_DE, fr_FR) would emit `"sec":1,234` — unparseable by the
+    * child-rescue regex and the driver's JSON reader.
+    */
+  private def num(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Dev bisection knob: comma-separated query names; keeps declared order.
@@ -150,7 +159,7 @@ object Bench {
           // stream the decided result immediately: if THIS JVM is later
           // killed (round-driver timeout, straggler cap), the line is the
           // durable record a parent/driver can still parse
-          println(f"""{"partial":"$name","sec":$best%.3f}""")
+          println(s"""{"partial":"$name","sec":${num(best)}}""")
           ok :+= (name -> best)
         }
       }
@@ -180,12 +189,12 @@ object Bench {
       }
     }
     val qs = ok
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = ok.map(_._2).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

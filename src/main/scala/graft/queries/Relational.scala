@@ -651,7 +651,14 @@ object Relational {
         element_at(tokens, 1).as("first_tok"),
         array_contains(tokens, "red").as("has_red"),
         array_join(sort_array(tokens), ",").as("sorted_joined"),
-        aggregate(sequence(lit(1), col("p_size")), lit(0), (a, x) => a + x)
+        // guard p_size < 1: Spark's sequence(1, 0) auto-steps DOWN to
+        // [1, 0] (sum 1) while the oracle's closed form n*(n+1)/2 gives
+        // 0 — current data has p_size in [1, 50], but the pair must not
+        // silently diverge if a fixture ever admits p_size <= 0
+        when(
+          col("p_size") >= 1,
+          aggregate(sequence(lit(1), col("p_size")), lit(0), (a, x) => a + x))
+          .otherwise(lit(0))
           .cast("bigint")
           .as("seq_sum"))
       .orderBy("p_partkey")
@@ -1008,7 +1015,7 @@ object Relational {
              | string_split(p_name, ' ')[1] AS first_tok,
              | list_contains(string_split(p_name, ' '), 'red') AS has_red,
              | array_to_string(list_sort(string_split(p_name, ' ')), ',') AS sorted_joined,
-             | CAST(p_size * (p_size + 1) / 2 AS BIGINT) AS seq_sum
+             | CAST(CASE WHEN p_size >= 1 THEN p_size * (p_size + 1) / 2 ELSE 0 END AS BIGINT) AS seq_sum
              |FROM part ORDER BY p_partkey""".stripMargin)),
     "q_fn_map" -> Q(
       qFnMap,

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.sinks.{LocalFsStore, ObjectSink}
 import graft.tile.{Tile, TileConfig}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Tile cache scan (R7-R8) and upload sink (R10-R12) over a deterministic
@@ -29,6 +29,15 @@ object TileCacheQueries {
   private def fixtureRoot: java.io.File =
     new java.io.File(sys.props("java.io.tmpdir"), "graft_tile_cache")
 
+  /** The fixture's identity: config + gap rule. Written into the
+    * completion marker so an on-disk fixture from an OLDER build (edited
+    * config or gap predicate) is regenerated instead of silently reused
+    * — stale fixtures produced verify mismatches that looked like engine
+    * bugs and differed across machines.
+    */
+  private val fixtureFingerprint: String =
+    s"$fixtureCfg;gap=(r+c+level)%3!=0;v1"
+
   /** Deterministic fixture: every 3rd candidate cell is a gap (exercises
     * the existence filter); out-of-range padded cells (negative indices)
     * have no file by construction. Payload = "tile-L-R-C" bytes.
@@ -36,7 +45,18 @@ object TileCacheQueries {
   def ensureFixture(): String = {
     val root = fixtureRoot
     val done = new java.io.File(root, ".complete")
-    if (!done.exists()) {
+    val fresh = done.exists() &&
+      new String(java.nio.file.Files.readAllBytes(done.toPath), "UTF-8") == fixtureFingerprint
+    if (!fresh) {
+      if (root.exists()) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files
+          .walk(root.toPath)
+          .sorted(java.util.Comparator.reverseOrder())
+          .iterator()
+          .asScala
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
       for (level <- fixtureCfg.startLevel to fixtureCfg.endLevel) {
         val ts = fixtureCfg.webMercatorDelta * math.pow(2.0, 1 - level)
         val sr = ((fixtureCfg.webMercatorDelta - fixtureCfg.extentMaxY) / ts).toInt - fixtureCfg.padY
@@ -50,43 +70,69 @@ object TileCacheQueries {
         }
       }
       done.getParentFile.mkdirs()
-      java.nio.file.Files.write(done.toPath, Array.emptyByteArray)
+      java.nio.file.Files.write(done.toPath, fixtureFingerprint.getBytes("UTF-8"))
     }
     root.getAbsolutePath
   }
 
-  /** Parse `R{hex}` / `C{hex}` path components back to signed 32-bit ints
+  /** The cache path TAIL (`L{dd}/R{hex8}/C{hex8}.jpg`), anchored at the
+    * end of the URI: extraction groups 1/2/3 = level/row/col. Anchoring
+    * matters — an UNanchored `L(\d{2})` would take the first match
+    * anywhere in the absolute path, so a tmpdir component like
+    * `/tmp/ciL07.3/` would corrupt every parsed key.
+    */
+  private val PathTailRe = "L(\\d{2})/R([0-9a-f]{8})/C([0-9a-f]{8})\\.jpg$"
+
+  /** Parse an 8-digit hex path component back to a signed 32-bit int
     * (two's complement, matching the C# `{0:x8}` format at Program.cs:99).
     * `conv` yields an unsigned decimal string; re-wrap values > Int.Max.
     */
-  private def hexComponent(path: org.apache.spark.sql.Column, re: String) = {
-    val v = conv(regexp_extract(path, re, 1), 16, 10).cast("long")
+  private def hexComponent(path: Column, group: Int): Column = {
+    val v = conv(regexp_extract(path, PathTailRe, group), 16, 10).cast("long")
     when(v > 2147483647L, v - 4294967296L).otherwise(v).cast("int")
   }
 
-  /** R7+R8: binaryFile scan of the cache, keys parsed from paths, inner
-    * join to the candidate grid (the join IS the existence filter — padded
-    * off-world probes simply don't match). Output manifest only; binary
-    * content is pruned before any shuffle.
+  /** R7+R8 core shared by every cache query: binaryFile scan, keys parsed
+    * from the anchored path tail, inner join to the candidate grid (the
+    * join IS the existence filter — padded off-world probes simply don't
+    * match). One definition, so a parsing fix can't diverge between the
+    * scan/upload/delta shapes.
     */
-  def cacheScan(spark: SparkSession, sfDir: String): DataFrame = {
-    val root = ensureFixture()
-    val files = spark.read
+  private def parsedTiles(spark: SparkSession, root: String): DataFrame = {
+    val grid = Tile
+      .tileGrid(spark, fixtureCfg)
+      .withColumnRenamed("row", "tile_row")
+      .withColumnRenamed("col", "tile_col")
+    spark.read
       .format("binaryFile")
       .option("pathGlobFilter", "*.jpg")
       .option("recursiveFileLookup", "true")
       .load(root)
       .select(
-        regexp_extract(col("path"), "L(\\d{2})", 1).cast("int").as("level"),
-        hexComponent(col("path"), "R([0-9a-f]{8})").as("tile_row"),
-        hexComponent(col("path"), "C([0-9a-f]{8})").as("tile_col"),
-        col("length"))
-    val grid = Tile
-      .tileGrid(spark, fixtureCfg)
-      .withColumnRenamed("row", "tile_row")
-      .withColumnRenamed("col", "tile_col")
-    files
+        regexp_extract(col("path"), PathTailRe, 1).cast("int").as("level"),
+        hexComponent(col("path"), 2).as("tile_row"),
+        hexComponent(col("path"), 3).as("tile_col"),
+        col("length"),
+        col("content"))
       .join(grid, Seq("level", "tile_row", "tile_col"))
+  }
+
+  /** Strip the bucket prefix from a re-listed `file:<bucket>/<key>` URI
+    * by LENGTH, not regex — a tmpdir containing regex metacharacters
+    * (`build(42)`, `+`, backslashes) must not break (or silently
+    * mis-strip) the object key.
+    */
+  private def keyFromBucketPath(bucket: java.io.File): Column = {
+    val prefix = "file:" + bucket.getAbsolutePath + "/"
+    col("path").substr(lit(prefix.length + 1), lit(Int.MaxValue))
+  }
+
+  /** Output manifest of the existence-filtered scan; binary content is
+    * pruned before any shuffle.
+    */
+  def cacheScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = ensureFixture()
+    parsedTiles(spark, root)
       .select(
         col("level"),
         col("tile_row"),
@@ -101,30 +147,14 @@ object TileCacheQueries {
   /** Source tiles with content + object key (scan ⋈ grid), the input
     * relation of both the full upload and the delta sync.
     */
-  private def sourceTiles(spark: SparkSession, root: String): DataFrame = {
-    val grid = Tile
-      .tileGrid(spark, fixtureCfg)
-      .withColumnRenamed("row", "tile_row")
-      .withColumnRenamed("col", "tile_col")
-    spark.read
-      .format("binaryFile")
-      .option("pathGlobFilter", "*.jpg")
-      .option("recursiveFileLookup", "true")
-      .load(root)
-      .select(
-        regexp_extract(col("path"), "L(\\d{2})", 1).cast("int").as("level"),
-        hexComponent(col("path"), "R([0-9a-f]{8})").as("tile_row"),
-        hexComponent(col("path"), "C([0-9a-f]{8})").as("tile_col"),
-        col("length"),
-        col("content"))
-      .join(grid, Seq("level", "tile_row", "tile_col"))
+  private def sourceTiles(spark: SparkSession, root: String): DataFrame =
+    parsedTiles(spark, root)
       .select(
         Tile
           .objectKey(fixtureCfg, col("level"), col("tile_row"), col("tile_col"))
           .as("object_key"),
         col("length"),
         col("content"))
-  }
 
   /** Destination manifest (object_key, dest_length) re-listed from a
     * local bucket; empty relation when the bucket does not exist yet.
@@ -139,8 +169,7 @@ object TileCacheQueries {
         .load(bucket.getAbsolutePath)
         .where(!col("path").contains("/_meta/"))
         .select(
-          regexp_replace(col("path"), "^file:" + bucket.getAbsolutePath + "/", "")
-            .as("object_key"),
+          keyFromBucketPath(bucket).as("object_key"),
           col("length").as("dest_length"))
   }
 
@@ -150,14 +179,18 @@ object TileCacheQueries {
     * destination object of the same (key, length) — one left-anti
     * key-equality join of two manifest projections (rsync's quick
     * check; binary content is pruned from both sides and loaded only
-    * for the rows actually uploaded). Returns (#uploaded, #skipped).
+    * for the rows actually uploaded). Returns (#uploaded, #skipped,
+    * #failed) — a failed PUT is neither uploaded nor skipped.
     *
     * At 100 TB: both manifests are (key, length) columns — the source
     * side never shuffles tile bytes, the destination side is a bucket
     * LIST (or inventory table), and the anti-join shuffles keys only.
+    * The total is counted once from the key projection (content pruned)
+    * before the write, not re-scanned after.
     */
-  def deltaUpload(spark: SparkSession, root: String, bucket: java.io.File): (Long, Long) = {
+  def deltaUpload(spark: SparkSession, root: String, bucket: java.io.File): (Long, Long, Long) = {
     val src = sourceTiles(spark, root)
+    val total = src.select("object_key").count()
     val dest = destManifest(spark, bucket)
     val todo = src.join(
       dest,
@@ -169,8 +202,7 @@ object TileCacheQueries {
       "object_key",
       "content",
       "image/jpg")
-    val total = src.count()
-    (ok + failed, total - ok - failed)
+    (ok, total - ok - failed, failed)
   }
 
   /** Registry entry: clean-bucket delta sync run twice — first pass
@@ -193,9 +225,10 @@ object TileCacheQueries {
         .asScala
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
-    val (u1, s1) = deltaUpload(spark, root, bucket)
-    val (u2, s2) = deltaUpload(spark, root, bucket)
-    Seq(("initial", u1, s1), ("resync", u2, s2)).toDF("phase", "uploaded", "skipped")
+    val (u1, s1, f1) = deltaUpload(spark, root, bucket)
+    val (u2, s2, f2) = deltaUpload(spark, root, bucket)
+    Seq(("initial", u1, s1, f1), ("resync", u2, s2, f2))
+      .toDF("phase", "uploaded", "skipped", "failed")
   }
 
   /** R10-R12 end-to-end: scan → key projection → ObjectSink into a local
@@ -216,21 +249,7 @@ object TileCacheQueries {
         .asScala
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
-    val grid = Tile
-      .tileGrid(spark, fixtureCfg)
-      .withColumnRenamed("row", "tile_row")
-      .withColumnRenamed("col", "tile_col")
-    val tiles = spark.read
-      .format("binaryFile")
-      .option("pathGlobFilter", "*.jpg")
-      .option("recursiveFileLookup", "true")
-      .load(root)
-      .select(
-        regexp_extract(col("path"), "L(\\d{2})", 1).cast("int").as("level"),
-        hexComponent(col("path"), "R([0-9a-f]{8})").as("tile_row"),
-        hexComponent(col("path"), "C([0-9a-f]{8})").as("tile_col"),
-        col("content"))
-      .join(grid, Seq("level", "tile_row", "tile_col"))
+    val tiles = parsedTiles(spark, root)
       .select(
         Tile
           .objectKey(fixtureCfg, col("level"), col("tile_row"), col("tile_col"))
@@ -250,9 +269,7 @@ object TileCacheQueries {
       .format("binaryFile")
       .option("recursiveFileLookup", "true")
       .load(bucket.getAbsolutePath)
-      .select(
-        regexp_replace(col("path"), "^file:" + bucket.getAbsolutePath + "/", "").as("object_key"),
-        col("length"))
+      .select(keyFromBucketPath(bucket).as("object_key"), col("length"))
       .orderBy("object_key")
   }
 }

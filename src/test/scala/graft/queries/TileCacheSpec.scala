@@ -131,11 +131,11 @@ class TileCacheSpec extends SparkSuite {
     val root = TileCacheQueries.ensureFixture()
     val bucket = java.nio.file.Files.createTempDirectory("graft_delta_spec").toFile
     // pass 1: empty bucket -> everything uploads
-    val (u1, s1) = TileCacheQueries.deltaUpload(spark, root, bucket)
-    assert(u1 > 0 && s1 == 0)
+    val (u1, s1, f1) = TileCacheQueries.deltaUpload(spark, root, bucket)
+    assert(u1 > 0 && s1 == 0 && f1 == 0)
     // pass 2: nothing changed -> nothing uploads
-    val (u2, s2) = TileCacheQueries.deltaUpload(spark, root, bucket)
-    assert(u2 == 0 && s2 == u1)
+    val (u2, s2, f2) = TileCacheQueries.deltaUpload(spark, root, bucket)
+    assert(u2 == 0 && s2 == u1 && f2 == 0)
     // mutate the cache in a COPY (the shared fixture must stay pristine):
     // one modified tile (longer payload) + one brand-new tile
     val copy = java.nio.file.Files.createTempDirectory("graft_delta_cache").toFile
@@ -160,7 +160,8 @@ class TileCacheSpec extends SparkSuite {
     // grid cell is hard to guarantee -> instead delete one tile and check
     // deletion is NOT re-uploaded (delta is additive) while the modify is
     java.nio.file.Files.delete(existing.last)
-    val (u3, s3) = TileCacheQueries.deltaUpload(spark, copy.getAbsolutePath, bucket)
+    val (u3, s3, f3) = TileCacheQueries.deltaUpload(spark, copy.getAbsolutePath, bucket)
+    assert(f3 == 0)
     assert(u3 == 1, s"exactly the modified tile must re-upload, got $u3")
     assert(s3 == u1 - 2) // unchanged tiles minus the deleted and modified ones
   }
