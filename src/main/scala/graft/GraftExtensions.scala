@@ -21,7 +21,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[GraftExtensions].getName, null, name)
+    // 4-arg ctor carries the usage through to DESCRIBE FUNCTION
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
   private def one(args: Seq[Expression], name: String): Expression = {
     require(args.length == 1, s"$name expects exactly 1 argument")
@@ -68,6 +69,43 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FunctionIdentifier("shingles3"),
         info("shingles3", "shingles3(text) - distinct 3-token shingles"),
         (args: Seq[Expression]) => functions.Shingles3(one(args, "shingles3"))))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("token_windows"),
+        info(
+          "token_windows",
+          "token_windows(text, k) - all k-token sliding windows in order"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, "token_windows expects exactly 2 arguments")
+          args(1) match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(k: Int, _) =>
+              functions.TokenWindows(args.head, k)
+            case other =>
+              throw new IllegalArgumentException(
+                s"token_windows: k must be an integer literal, got $other")
+          }
+        }))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("plane_sig16"),
+        info("plane_sig16", "plane_sig16(embedding) - 16-bit hyperplane LSH signature"),
+        (args: Seq[Expression]) => functions.PlaneSig16(one(args, "plane_sig16"))))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("plane_sig64"),
+        info(
+          "plane_sig64",
+          "plane_sig64(embedding, set) - 64-bit hyperplane LSH signature word"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, "plane_sig64 expects exactly 2 arguments")
+          args(1) match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(ps: Int, _) =>
+              functions.PlaneSig64(args.head, ps)
+            case other =>
+              throw new IllegalArgumentException(
+                s"plane_sig64: set must be an integer literal, got $other")
+          }
+        }))
     ext.injectFunction(
       (
         FunctionIdentifier("edit_within"),

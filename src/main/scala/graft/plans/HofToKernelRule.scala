@@ -48,7 +48,11 @@ object HofToKernelRule extends Rule[LogicalPlan] {
   private val nTokensOrdinal = TextProfile.schema.fieldIndex("n_tokens")
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
-    case Size(ArrayFilter(StringSplit(str, regex, Literal(-1, _)), lf: LambdaFunction), _)
+    // legacySizeOfNull must be false (ANSI default): under the legacy
+    // flag, size(NULL) returns -1 while the kernel rewrite would return
+    // NULL — an optimizer rule must never change results, so the legacy
+    // shape is left on the HOF path
+    case Size(ArrayFilter(StringSplit(str, regex, Literal(-1, _)), lf: LambdaFunction), false)
         if isSpaceLit(regex) && isNotEmptyLambda(lf) =>
       GetStructField(TextProfile(str), nTokensOrdinal, Some("n_tokens"))
   }

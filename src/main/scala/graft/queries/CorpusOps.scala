@@ -13,10 +13,10 @@ import org.apache.spark.sql.functions._
   */
 object CorpusOps {
 
-  private val DOCS_T =
-    "(SELECT doc_id, text, lang, source, n_chars, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents)"
-  private val EV =
-    "(SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events)"
+  // ONE definition of the oracle-side table prefixes (the tokenization
+  // contract lives with the battery in LlmOps)
+  private val DOCS_T = LlmOps.DOCS_T
+  private val EV = LlmOps.EV
 
   // ---------------------------------------------------------- embed centroid
 
@@ -59,7 +59,6 @@ object CorpusOps {
     */
   def qPackSequences(spark: SparkSession, sfDir: String): DataFrame = {
     val prof = graft.functions.TextProfile.profile(col("text"))
-    val splitBucket = pmod(col("doc_id") * lit(40503L), lit(100L))
     val w = Window
       .partitionBy("split", "bucket")
       .orderBy("doc_id")
@@ -68,10 +67,7 @@ object CorpusOps {
       .documents(spark, sfDir)
       .select(
         col("doc_id"),
-        when(splitBucket < 80, "train")
-          .when(splitBucket < 90, "val")
-          .otherwise("test")
-          .as("split"),
+        LlmOps.splitCol.as("split"),
         pmod(col("doc_id"), lit(8)).as("bucket"),
         prof.getField("n_tokens").cast("long").as("toks"))
       .withColumn("start_off", sum(col("toks")).over(w) - col("toks"))
@@ -175,9 +171,12 @@ object CorpusOps {
       .orders(spark, sfDir)
       .where(col("o_totalprice") > 150000.0)
       .select(col("o_orderkey"), col("o_orderpriority"))
-    // ~5% of orders pass at any SF; expected-items scales with the input
-    // (cheap count on the filtered dim — one column scan), capped fpp 1%.
-    val bf = dim.stat.bloomFilter("o_orderkey", math.max(dim.count(), 1000L), 0.01)
+    // fixed expected-items bound (~5% of orders pass; 200k covers sf1)
+    // instead of an eager dim.count() job at DataFrame-CONSTRUCTION time
+    // — the bloomFilter aggregation below is the one intentional eager
+    // model-build step (like the IVF centroids); exceeding the bound
+    // only raises the FP rate, and FPs are removed by the exact join.
+    val bf = dim.stat.bloomFilter("o_orderkey", 200000L, 0.01)
     val bfB = spark.sparkContext.broadcast(bf)
     val mightContain = udf((k: Long) => bfB.value.mightContain(k))
     Tables
@@ -373,10 +372,7 @@ object CorpusOps {
     * window order is identical across engines (ln() last-ulp noise).
     */
   def qTextTfidf(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = Tables
-      .documents(spark, sfDir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .where(col("tok") =!= "")
+    val toks = LlmOps.docTokens(Tables.documents(spark, sfDir))
     val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     // df from the aggregated pairs, not a countDistinct over raw tokens:
     // tf already holds one row per (doc, tok), so a plain count per tok
@@ -697,13 +693,8 @@ object CorpusOps {
     */
   def qTextUnigramNll(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val bucket = pmod(col("doc_id") * lit(40503L), lit(100L))
-    val sp = docs.select(
-      col("doc_id"),
-      when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"))
-    val toks = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .where(col("tok") =!= "")
+    val sp = docs.select(col("doc_id"), LlmOps.splitCol.as("split"))
+    val toks = LlmOps.docTokens(docs)
     val counts = toks
       .join(sp, "doc_id")
       .where(col("split") === "train")
@@ -744,18 +735,13 @@ object CorpusOps {
     */
   def qTextBigramNll(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val bucket = pmod(col("doc_id") * lit(40503L), lit(100L))
-    val sp = docs.select(
-      col("doc_id"),
-      when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"))
+    val sp = docs.select(col("doc_id"), LlmOps.splitCol.as("split"))
     val bi = docs
       .select(
         col("doc_id"),
         explode(graft.functions.TokenWindows.of(col("text"), 2)).as("bg"))
       .withColumn("w1", substring_index(col("bg"), " ", 1))
-    val toks = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .where(col("tok") =!= "")
+    val toks = LlmOps.docTokens(docs)
     val cbg = bi
       .join(sp, "doc_id")
       .where(col("split") === "train")

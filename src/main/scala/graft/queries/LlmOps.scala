@@ -25,8 +25,28 @@ object LlmOps {
   // Token semantics everywhere (kernels and oracles alike): split on the
   // single space character, drop empties — the oracle side spells it
   // list_filter(string_split(text, ' '), t -> t <> '').
-  private val DOCS_T = "(SELECT doc_id, text, lang, source, n_chars, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents)"
-  private val EV =
+  private[queries] val DOCS_T = "(SELECT doc_id, text, lang, source, n_chars, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents)"
+
+  /** Deterministic 1%-hash bucket of doc_id — the ONE split formula every
+    * split-aware query (assign / pipeline / decontaminate / packing /
+    * unigram+bigram NLL) derives train/val/test membership from; a
+    * single definition so their memberships cannot drift apart.
+    */
+  private[queries] def splitBucket: Column = pmod(col("doc_id") * lit(40503L), lit(100L))
+
+  /** The 80/10/10 split label from [[splitBucket]]. */
+  private[queries] def splitCol: Column =
+    when(splitBucket < 80, "train").when(splitBucket < 90, "val").otherwise("test")
+
+  /** (doc_id, tok) rows under the battery's tokenization (single-space
+    * split, empties dropped) — shared by every token-explode pipeline so
+    * the Spark side cannot drift from the DOCS_T oracle semantics.
+    */
+  private[queries] def docTokens(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .where(col("tok") =!= "")
+  private[queries] val EV =
     "(SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events)"
 
   // ------------------------------------------------------------- exact dedup
@@ -624,8 +644,13 @@ object LlmOps {
     val K = 16
     val NProbe = 4
     val e = Tables.embeddings(spark, sfDir)
+    // the index (centroids + assignments) is built over the CORPUS only:
+    // a persisted IVF index cannot depend on the query vector — letting
+    // vec_id 0 train the centroids made probed-cluster contents shift
+    // with the query (the PQ twin always excluded it)
+    val corpus = e.where(col("vec_id") =!= 0)
 
-    def assignTo(cents: Seq[(Int, Seq[Float])]): DataFrame = ivfAssign(spark, e, cents)
+    def assignTo(cents: Seq[(Int, Seq[Float])]): DataFrame = ivfAssign(spark, corpus, cents)
 
     // deterministic seed + 2 Lloyd iterations; exact decimal means keep
     // the centroids identical across partitionings
@@ -639,7 +664,7 @@ object LlmOps {
     (1 to 2).foreach { _ =>
       val assigned = assignTo(cents)
       cents = assigned
-        .join(e, "vec_id")
+        .join(corpus, "vec_id")
         .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy("cid", "pos")
         .agg(Tables.davg(col("x").cast("double")).as("m"))
@@ -911,10 +936,7 @@ object LlmOps {
   def qTextRepetition(spark: SparkSession, sfDir: String): DataFrame = {
     val topFrac = col("top_tok_n").cast("double") / col("n_tokens")
     val dupFrac = lit(1.0) - col("n_distinct").cast("double") / col("n_tokens")
-    Tables
-      .documents(spark, sfDir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .where(col("tok") =!= "")
+    docTokens(Tables.documents(spark, sfDir))
       .groupBy("doc_id", "tok")
       .agg(count(lit(1)).as("n"))
       .groupBy("doc_id")
@@ -969,8 +991,8 @@ object LlmOps {
     * contaminated shingles.
     */
   def qDecontaminate(spark: SparkSession, sfDir: String): DataFrame = {
-    val bucket = pmod(col("doc_id") * lit(40503L), lit(100L))
-    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"), bucket.as("b"))
+    val docs =
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text"), splitBucket.as("b"))
     contamination(docs.where(col("b") < 80), docs.where(col("b") >= 90))
       .orderBy("doc_id")
   }
@@ -1020,12 +1042,8 @@ object LlmOps {
     val kept = passed
       .groupBy(sha2(col("text"), 256).as("h"))
       .agg(min(col("doc_id")).as("doc_id"), min(col("n_chars")).as("n_chars"))
-    val bucket = pmod(col("doc_id") * lit(40503L), lit(100L))
     kept
-      .select(
-        col("doc_id"),
-        col("n_chars"),
-        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"))
+      .select(col("doc_id"), col("n_chars"), splitCol.as("split"))
       .groupBy("split")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
       .orderBy("split")
@@ -1081,15 +1099,11 @@ object LlmOps {
     * splits). Multiplicative-hash mod keeps both engines in exact integer
     * range; per-row, no shuffle, stable under any partitioning.
     */
-  def qSplitAssign(spark: SparkSession, sfDir: String): DataFrame = {
-    val bucket = pmod(col("doc_id") * lit(40503L), lit(100L))
+  def qSplitAssign(spark: SparkSession, sfDir: String): DataFrame =
     Tables
       .documents(spark, sfDir)
-      .select(
-        col("doc_id"),
-        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"))
+      .select(col("doc_id"), splitCol.as("split"))
       .orderBy("doc_id")
-  }
 
   // ----------------------------------------------------------- sessionization
 
