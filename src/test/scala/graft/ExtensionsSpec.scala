@@ -160,4 +160,32 @@ class ExtensionsSpec extends AnyFunSuite {
                 |WHERE rn <= 5""".stripMargin)
     assert(multi.queryExecution.executedPlan.toString.contains("Window"))
   }
+
+  test("round-4 kernels resolve as SQL functions: token_windows, plane_sig16/64") {
+    val tw = ext
+      .sql("SELECT token_windows('a b c d', 2) AS w")
+      .head()
+      .getSeq[String](0)
+    assert(tw == Seq("a b", "b c", "c d"))
+    val sf = "/root/testdata/sf0.001"
+    ext.read.parquet(s"$sf/embeddings.parquet").createOrReplaceTempView("emb_ext")
+    val viaSql = ext
+      .sql("SELECT vec_id, plane_sig16(embedding) AS s16, plane_sig64(embedding, 0) AS s64 FROM emb_ext ORDER BY vec_id LIMIT 5")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val viaApi = ext.read
+      .parquet(s"$sf/embeddings.parquet")
+      .select(
+        org.apache.spark.sql.functions.col("vec_id"),
+        functions.PlaneSig16.of(org.apache.spark.sql.functions.col("embedding")).as("s16"),
+        functions.PlaneSig64.of(org.apache.spark.sql.functions.col("embedding"), 0).as("s64"))
+      .orderBy("vec_id")
+      .limit(5)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(viaSql.sameElements(viaApi))
+    // usage text survives registration (DESCRIBE FUNCTION shows it)
+    val desc = ext.sql("DESCRIBE FUNCTION token_windows").collect().map(_.getString(0)).mkString("\n")
+    assert(desc.contains("sliding windows"), desc)
+  }
 }
