@@ -717,7 +717,12 @@ object CorpusOps {
         col("doc_id"),
         col("split"),
         col("n_toks"),
-        round(-(col("lp_sum").cast("double") / 1e6) / col("n_toks"), 9).as("nll"))
+        // 6 decimals, not 9: Java and C libm ln() can differ in the last
+        // ulp, so ~1e-6-quantized log-probs rarely flip by one unit at
+        // corpus scale; a flip moves the per-doc mean by ~1e-6/n_toks —
+        // far below the 5e-7 grain of 6-decimal rounding, while at 9
+        // decimals it surfaced as a hash mismatch at sf0.1
+        round(-(col("lp_sum").cast("double") / 1e6) / col("n_toks"), 6).as("nll"))
       .orderBy("doc_id")
   }
 
@@ -772,7 +777,7 @@ object CorpusOps {
         col("doc_id"),
         col("split"),
         col("n_bigrams"),
-        round(-(col("lp_sum").cast("double") / 1e6) / col("n_bigrams"), 9).as("nll"))
+        round(-(col("lp_sum").cast("double") / 1e6) / col("n_bigrams"), 6).as("nll"))
       .orderBy("doc_id")
   }
 
@@ -1102,7 +1107,7 @@ object CorpusOps {
               |  CAST(round(ln((coalesce(tr.cnt, 0) + 1.0) / (nv.n + nv.v)) * 1e6, 0) AS BIGINT) AS lp_micro
               | FROM toks t LEFT JOIN tr ON t.tok = tr.tok CROSS JOIN nv)
               |SELECT s.doc_id AS doc_id, sp.split, count(1) AS n_toks,
-              | round(-(CAST(sum(s.lp_micro) AS DOUBLE) / 1e6) / count(1), 9) AS nll
+              | round(-(CAST(sum(s.lp_micro) AS DOUBLE) / 1e6) / count(1), 6) AS nll
               |FROM scored s JOIN sp ON s.doc_id = sp.doc_id
               |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin)),
     "q_join_salted" -> Q(
@@ -1130,7 +1135,7 @@ object CorpusOps {
               |  CAST(round(ln((coalesce(cbg.cbg, 0) + 1.0) / (coalesce(uni.c1, 0) + vv.v)) * 1e6, 0) AS BIGINT) AS lp
               | FROM bi b LEFT JOIN cbg USING (bg) LEFT JOIN uni USING (w1) CROSS JOIN vv)
               |SELECT s.doc_id AS doc_id, sp.split, count(1) AS n_bigrams,
-              | round(-(CAST(sum(s.lp) AS DOUBLE) / 1e6) / count(1), 9) AS nll
+              | round(-(CAST(sum(s.lp) AS DOUBLE) / 1e6) / count(1), 6) AS nll
               |FROM scored s JOIN sp ON s.doc_id = sp.doc_id
               |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin)),
     "q_topk_approx" -> Q(
