@@ -5,11 +5,17 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Round-4 corpus/training-pipeline operators (SURVEY.md §2.2-C): embedding
-  * centroids, context-window sequence packing, temporal (SCD2-style)
-  * interval construction, and bloom-filter semi-join reduction.
+/** Round-4 corpus/training-pipeline operators (SURVEY.md §2.2-C):
+  * embedding centroids, sequence packing, SCD2 intervals, bloom-join
+  * reduction, stratified sampling, source mixing, fuzzy dedup, TF-IDF,
+  * funnel / retention / WAU / transitions / CDC-latest analytics,
+  * bucketed checksums, deterministic mode, exact moments, mergeable HLL
+  * sketches, z-order keys, unigram/bigram LM quality scores, Space-Saving
+  * top-k, salted join, k-anonymity and erasure audits.
   *
-  * All four are oracle-checked (hash-match vs DuckDB on the same parquet).
+  * Oracle-checked (hash-match vs DuckDB on the same parquet) except the
+  * sketch-estimate entries (spec-pinned instead); scale notes inline per
+  * operator.
   */
 object CorpusOps {
 
