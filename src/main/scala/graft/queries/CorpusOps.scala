@@ -834,6 +834,82 @@ object CorpusOps {
       .orderBy("c_mktsegment")
   }
 
+  // --------------------------------------------------------- quantile sketch
+
+  /** Mergeable quantiles per group via the
+    * [[graft.functions.LogHistQuantile]] log-histogram sketch (DDSketch
+    * idea): p50/p95/p99 of extended price per return flag. Like the HLL
+    * entry, the point is the METRIC-STORE shape — per-partition sketches
+    * (bounded by dynamic range, not rows) merge exactly under any
+    * partial-agg tree, so precomputed per-day sketches can answer any
+    * date-range quantile without touching raw values. Deterministic but
+    * intrinsically approximate (≤ ~1% relative error by construction) →
+    * rows-only check; QuantileSketchSpec pins merge ≡ direct and the
+    * error bound vs the exact percentile.
+    */
+  def qAggQuantileSketch(spark: SparkSession, sfDir: String): DataFrame = {
+    val qsk = udaf(new graft.functions.LogHistQuantile(Seq(0.5, 0.95, 0.99)))
+    Tables
+      .lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(qsk(col("l_extendedprice")).as("qv"))
+      .select(
+        col("l_returnflag"),
+        round(element_at(col("qv"), 1), 4).as("p50"),
+        round(element_at(col("qv"), 2), 4).as("p95"),
+        round(element_at(col("qv"), 3), 4).as("p99"))
+      .orderBy("l_returnflag")
+  }
+
+  // ------------------------------------------------------------- RFM segments
+
+  /** RFM (recency / frequency / monetary) customer segmentation — the
+    * classic CRM cut, done the scale-honest way: thresholds RELATIVE to
+    * the corpus (mean frequency/monetary, reference day = max event
+    * day — one 1-row broadcast, like the z-order bounds), NOT global
+    * ntile quartiles, which would need a single-partition sort of every
+    * user at 100 TB. Scoring is one partial-aggregating shuffle on
+    * user_id plus a per-row CASE; relative thresholds also stay
+    * meaningful at every scale factor (per-user volume grows with SF).
+    * Output: per (r, f, m) score cell, user count and value share.
+    */
+  def qEventsRfm(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.Tables.dsum
+    val ev = Tables.events(spark, sfDir)
+    val perUser = ev
+      .groupBy(col("user_id"))
+      .agg(
+        max(to_date(col("ts"))).as("last_day"),
+        count(lit(1)).as("freq"),
+        dsum(col("value")).as("monetary"))
+    // avg_f: exact integer sum / count. avg_m: decimal-cored (davg) —
+    // a plain double avg is partial-merge-order-sensitive in the last
+    // ulp, which could flip a user sitting exactly on the threshold
+    val refs = perUser.agg(
+      max(col("last_day")).as("ref_day"),
+      avg(col("freq")).as("avg_f"),
+      graft.Tables.davg(col("monetary")).as("avg_m"))
+    perUser
+      .crossJoin(broadcast(refs))
+      .select(
+        when(datediff(col("ref_day"), col("last_day")) <= 3, 3)
+          .when(datediff(col("ref_day"), col("last_day")) <= 10, 2)
+          .otherwise(1)
+          .as("r"),
+        when(col("freq") >= col("avg_f") * 1.02, 3)
+          .when(col("freq") >= col("avg_f"), 2)
+          .otherwise(1)
+          .as("f"),
+        when(col("monetary") >= col("avg_m") * 1.02, 3)
+          .when(col("monetary") >= col("avg_m"), 2)
+          .otherwise(1)
+          .as("m"),
+        col("monetary"))
+      .groupBy("r", "f", "m")
+      .agg(count(lit(1)).as("n_users"), dsum(col("monetary")).as("total_value"))
+      .orderBy("r", "f", "m")
+  }
+
   // ------------------------------------------------------------------ mode
 
   /** Deterministic per-group mode: most frequent `l_quantity` per return
@@ -996,6 +1072,29 @@ object CorpusOps {
              | round(m4 / (m2 * m2) - 3.0, 9) AS kurt_qty
              |FROM f ORDER BY l_returnflag""".stripMargin)),
     "q_agg_hll_merge" -> Q(qAggHllMerge, None),
+    "q_agg_quantile_sketch" -> Q(qAggQuantileSketch, None),
+    "q_events_rfm" -> Q(
+      qEventsRfm,
+      Some(s"""WITH pu AS (
+              | SELECT user_id, max(CAST(ts AS DATE)) AS last_day, count(1) AS freq,
+              |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS monetary
+              | FROM $EV GROUP BY user_id),
+              |refs AS (
+              | SELECT max(last_day) AS ref_day, avg(freq) AS avg_f,
+              |  CAST(sum(CAST(monetary AS DECIMAL(18,6))) AS DOUBLE) / count(1) AS avg_m
+              | FROM pu),
+              |scored AS (
+              | SELECT CASE WHEN datediff('day', last_day, ref_day) <= 3 THEN 3
+              |             WHEN datediff('day', last_day, ref_day) <= 10 THEN 2 ELSE 1 END AS r,
+              |        CASE WHEN freq >= avg_f * 1.02 THEN 3
+              |             WHEN freq >= avg_f THEN 2 ELSE 1 END AS f,
+              |        CASE WHEN monetary >= avg_m * 1.02 THEN 3
+              |             WHEN monetary >= avg_m THEN 2 ELSE 1 END AS m,
+              |        monetary
+              | FROM pu, refs)
+              |SELECT r, f, m, count(1) AS n_users,
+              | CAST(sum(CAST(monetary AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+              |FROM scored GROUP BY r, f, m ORDER BY r, f, m""".stripMargin)),
     "q_layout_zorder" -> Q(
       qLayoutZorder,
       Some("""WITH b AS (
