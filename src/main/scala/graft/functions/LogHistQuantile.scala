@@ -13,64 +13,97 @@ import org.apache.spark.sql.expressions.Aggregator
   * Design: positive values map to bucket `floor(ln(x) / ln(gamma))` with
   * `gamma = 1.02` — every value in a bucket is within one gamma of the
   * bucket's geometric midpoint, so any reported quantile has ≤ ~1%
-  * relative error by construction. Buckets are a sparse (index → count)
-  * map whose size is bounded by the DYNAMIC RANGE of the data, not its
-  * volume (~700 buckets span 1 .. 10⁶ at 2% grain); merge is exact
-  * element-wise addition — associative and commutative, so partial
-  * aggregation order cannot perturb the result and (unlike a sampled
-  * t-digest) the sketch is fully deterministic. Zero/negative inputs
-  * count into a dedicated underflow bucket (reported as 0.0).
-  *
-  * The quantile estimate walks the cumulative counts to the target rank
-  * and returns the bucket's geometric midpoint — deterministic, and
-  * spec-pinned to ≤ 2% relative error against the exact percentile
-  * (QuantileSketchSpec also pins merged ≡ direct).
+  * relative error by construction. Zero/negative values count into a
+  * dedicated underflow bucket (reported as 0.0); NaN inputs are IGNORED
+  * (they are not "below all data" — counting them anywhere would
+  * silently deflate every quantile). Buckets live in sorted parallel
+  * arrays (same zero-garbage reduce discipline as [[SpaceSaving]]: the
+  * common case bumps a count in place; a new bucket — bounded by the
+  * data's DYNAMIC RANGE, ~700 buckets across 1..10⁶ at 2% grain, never
+  * by row count — pays one array copy). Merge is exact element-wise
+  * addition — associative and commutative, so partial-aggregation order
+  * cannot perturb the result and the sketch is fully deterministic
+  * (partitioning-invariance is spec-pinned, with ≤ 2% error vs the
+  * exact percentile, in QuantileSketchSpec).
   */
-case class QBuf(bins: Map[Int, Long], under: Long)
+case class QBuf(bins: Array[Int], counts: Array[Long])
 
 class LogHistQuantile(qs: Seq[Double]) extends Aggregator[Double, QBuf, Array[Double]] {
 
   private val lnGamma = math.log(1.02)
 
-  override def zero: QBuf = QBuf(Map.empty, 0L)
+  /** Zero/negative sentinel bin; Int.MinValue sorts before every real
+    * log-bucket index, so the rank walk sees it first.
+    */
+  private val Under = Int.MinValue
+
+  override def zero: QBuf = QBuf(Array.empty, Array.empty)
+
+  private def bump(b: QBuf, bin: Int): QBuf = {
+    val idx = java.util.Arrays.binarySearch(b.bins, bin)
+    if (idx >= 0) {
+      b.counts(idx) += 1L // in-place: zero allocation on the hot path
+      b
+    } else {
+      val at = -idx - 1
+      val nb = new Array[Int](b.bins.length + 1)
+      val nc = new Array[Long](b.counts.length + 1)
+      System.arraycopy(b.bins, 0, nb, 0, at)
+      System.arraycopy(b.counts, 0, nc, 0, at)
+      nb(at) = bin
+      nc(at) = 1L
+      System.arraycopy(b.bins, at, nb, at + 1, b.bins.length - at)
+      System.arraycopy(b.counts, at, nc, at + 1, b.counts.length - at)
+      QBuf(nb, nc)
+    }
+  }
 
   override def reduce(b: QBuf, x: Double): QBuf =
-    if (!(x > 0.0)) b.copy(under = b.under + 1)
-    else {
-      val bin = math.floor(math.log(x) / lnGamma).toInt
-      b.copy(bins = b.bins.updated(bin, b.bins.getOrElse(bin, 0L) + 1L))
-    }
+    if (x.isNaN) b
+    else if (!(x > 0.0)) bump(b, Under)
+    else bump(b, math.floor(math.log(x) / lnGamma).toInt)
 
-  override def merge(a: QBuf, b: QBuf): QBuf =
-    QBuf(
-      b.bins.foldLeft(a.bins) { case (m, (k, v)) => m.updated(k, m.getOrElse(k, 0L) + v) },
-      a.under + b.under)
+  override def merge(a: QBuf, b: QBuf): QBuf = {
+    // merge two sorted (bin, count) runs
+    val nb = new Array[Int](a.bins.length + b.bins.length)
+    val nc = new Array[Long](nb.length)
+    var i = 0; var j = 0; var k = 0
+    while (i < a.bins.length || j < b.bins.length) {
+      if (j >= b.bins.length || (i < a.bins.length && a.bins(i) < b.bins(j))) {
+        nb(k) = a.bins(i); nc(k) = a.counts(i); i += 1
+      } else if (i >= a.bins.length || b.bins(j) < a.bins(i)) {
+        nb(k) = b.bins(j); nc(k) = b.counts(j); j += 1
+      } else {
+        nb(k) = a.bins(i); nc(k) = a.counts(i) + b.counts(j); i += 1; j += 1
+      }
+      k += 1
+    }
+    QBuf(java.util.Arrays.copyOf(nb, k), java.util.Arrays.copyOf(nc, k))
+  }
 
   override def finish(b: QBuf): Array[Double] = {
-    val total = b.under + b.bins.valuesIterator.sum
+    var total = 0L
+    b.counts.foreach(total += _)
     if (total == 0L) Array.fill(qs.length)(Double.NaN)
-    else {
-      val sorted = b.bins.toArray.sortBy(_._1)
+    else
       qs.map { q =>
-        // rank of the q-quantile under the lower nearest-rank definition
+        // lower nearest-rank quantile over the cumulative bucket counts
         val rank = math.max(1L, math.ceil(q * total).toLong)
-        if (rank <= b.under) 0.0
-        else {
-          var acc = b.under
-          var i = 0
-          var out = Double.NaN
-          while (i < sorted.length && out.isNaN) {
-            acc += sorted(i)._2
-            if (acc >= rank) {
+        var acc = 0L
+        var i = 0
+        var out = Double.NaN
+        while (i < b.bins.length && out.isNaN) {
+          acc += b.counts(i)
+          if (acc >= rank) {
+            out =
+              if (b.bins(i) == Under) 0.0
               // geometric midpoint of bucket [gamma^k, gamma^(k+1))
-              out = math.exp((sorted(i)._1 + 0.5) * lnGamma)
-            }
-            i += 1
+              else math.exp((b.bins(i) + 0.5) * lnGamma)
           }
-          out
+          i += 1
         }
+        out
       }.toArray
-    }
   }
 
   override def bufferEncoder: Encoder[QBuf] = Encoders.product[QBuf]

@@ -1081,7 +1081,7 @@ object CorpusOps {
               | FROM $EV GROUP BY user_id),
               |refs AS (
               | SELECT max(last_day) AS ref_day, avg(freq) AS avg_f,
-              |  CAST(sum(CAST(monetary AS DECIMAL(18,6))) AS DOUBLE) / count(1) AS avg_m
+              |  CAST(sum(CAST(monetary AS DECIMAL(18,6))) AS DOUBLE) / count(monetary) AS avg_m
               | FROM pu),
               |scored AS (
               | SELECT CASE WHEN datediff('day', last_day, ref_day) <= 3 THEN 3

@@ -65,5 +65,13 @@ class QuantileSketchSpec extends SparkSuite {
       .head()
       .getSeq[Double](1)
     assert(math.abs(mixed.head - 100.0) / 100.0 <= 0.02)
+    // NaN inputs are IGNORED, not counted below the data
+    val withNaN = Seq(("a", Double.NaN), ("a", 100.0))
+      .toDF("g", "v")
+      .groupBy("g")
+      .agg(qsk(col("v")).as("qv"))
+      .head()
+      .getSeq[Double](1)
+    assert(math.abs(withNaN.head - 100.0) / 100.0 <= 0.02)
   }
 }
