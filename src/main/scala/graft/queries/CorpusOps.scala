@@ -861,6 +861,61 @@ object CorpusOps {
       .orderBy("l_returnflag")
   }
 
+  // ------------------------------------------------------- data-quality gates
+
+  /** Declarative data-quality expectation report (the Great
+    * Expectations / Delta-constraints shape every ingest gate needs):
+    * null-rate, value-range, domain-membership, key-uniqueness and
+    * cross-column-consistency checks over events and documents. Scale
+    * shape: ALL of a table's expectations evaluate as conditional
+    * aggregates in ONE scan (never one scan per rule — at 100 TB a
+    * 20-rule suite must not cost 20 passes); uniqueness rides the same
+    * aggregate as a countDistinct; the report is rules × 1 rows,
+    * unpivoted with `stack`.
+    */
+  def qDqExpectations(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables
+      .events(spark, sfDir)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("ts").isNull, 1L).otherwise(0L)).as("v_ts_null"),
+        sum(when(col("value").isNull || col("value") < 0.0, 1L).otherwise(0L)).as("v_value_neg"),
+        sum(
+          when(!col("event_type").isin("view", "click", "purchase", "signup", "error"), 1L)
+            .otherwise(0L)).as("v_bad_type"),
+        (count(lit(1)) - countDistinct(col("event_id"))).as("v_dup_id"))
+      .select(
+        expr("""stack(4,
+          'events', 'ts_not_null', v_ts_null, n,
+          'events', 'value_non_negative', v_value_neg, n,
+          'events', 'event_type_in_domain', v_bad_type, n,
+          'events', 'event_id_unique', v_dup_id, n) AS (tbl, expectation, n_violations, n_rows)"""))
+    val docs = Tables
+      .documents(spark, sfDir)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("text").isNull || length(col("text")) === 0, 1L).otherwise(0L))
+          .as("v_empty_text"),
+        sum(when(!col("lang").isin("en", "de", "fr", "es", "zh"), 1L).otherwise(0L))
+          .as("v_bad_lang"),
+        sum(when(col("n_chars") =!= length(col("text")), 1L).otherwise(0L)).as("v_len_drift"),
+        (count(lit(1)) - countDistinct(col("doc_id"))).as("v_dup_id"))
+      .select(
+        expr("""stack(4,
+          'documents', 'text_not_empty', v_empty_text, n,
+          'documents', 'lang_in_domain', v_bad_lang, n,
+          'documents', 'n_chars_matches_text', v_len_drift, n,
+          'documents', 'doc_id_unique', v_dup_id, n) AS (tbl, expectation, n_violations, n_rows)"""))
+    ev.unionByName(docs)
+      .select(
+        col("tbl"),
+        col("expectation"),
+        col("n_violations"),
+        col("n_rows"),
+        (col("n_violations") === 0L).as("pass"))
+      .orderBy("tbl", "expectation")
+  }
+
   // ------------------------------------------------------------- RFM segments
 
   /** RFM (recency / frequency / monetary) customer segmentation — the
@@ -1073,6 +1128,34 @@ object CorpusOps {
              |FROM f ORDER BY l_returnflag""".stripMargin)),
     "q_agg_hll_merge" -> Q(qAggHllMerge, None),
     "q_agg_quantile_sketch" -> Q(qAggQuantileSketch, None),
+    "q_dq_expectations" -> Q(
+      qDqExpectations,
+      Some(s"""WITH ev AS (
+              | SELECT count(1) AS n,
+              |  CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_ts_null,
+              |  CAST(sum(CASE WHEN value IS NULL OR value < 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS v_value_neg,
+              |  CAST(sum(CASE WHEN event_type NOT IN ('view','click','purchase','signup','error') THEN 1 ELSE 0 END) AS BIGINT) AS v_bad_type,
+              |  count(1) - count(DISTINCT event_id) AS v_dup_id
+              | FROM $EV),
+              |dx AS (
+              | SELECT count(1) AS n,
+              |  CAST(sum(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_empty_text,
+              |  CAST(sum(CASE WHEN lang NOT IN ('en','de','fr','es','zh') THEN 1 ELSE 0 END) AS BIGINT) AS v_bad_lang,
+              |  CAST(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS BIGINT) AS v_len_drift,
+              |  count(1) - count(DISTINCT doc_id) AS v_dup_id
+              | FROM documents),
+              |rows_ AS (
+              | SELECT 'events' AS tbl, 'ts_not_null' AS expectation, v_ts_null AS n_violations, n AS n_rows FROM ev
+              | UNION ALL SELECT 'events', 'value_non_negative', v_value_neg, n FROM ev
+              | UNION ALL SELECT 'events', 'event_type_in_domain', v_bad_type, n FROM ev
+              | UNION ALL SELECT 'events', 'event_id_unique', v_dup_id, n FROM ev
+              | UNION ALL SELECT 'documents', 'text_not_empty', v_empty_text, n FROM dx
+              | UNION ALL SELECT 'documents', 'lang_in_domain', v_bad_lang, n FROM dx
+              | UNION ALL SELECT 'documents', 'n_chars_matches_text', v_len_drift, n FROM dx
+              | UNION ALL SELECT 'documents', 'doc_id_unique', v_dup_id, n FROM dx)
+              |SELECT tbl, expectation, n_violations, n_rows,
+              | n_violations = 0 AS pass
+              |FROM rows_ ORDER BY tbl, expectation""".stripMargin)),
     "q_events_rfm" -> Q(
       qEventsRfm,
       Some(s"""WITH pu AS (

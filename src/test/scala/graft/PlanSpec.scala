@@ -179,4 +179,12 @@ class PlanSpec extends SparkSuite {
       p.linesIterator.filter(_.contains("NestedLoop")).forall(l => !l.contains("s_start")),
       p)
   }
+
+  test("DQ expectation suite runs ONE scan per table, not one per rule") {
+    val p = plan(graft.queries.CorpusOps.qDqExpectations(spark, sf001))
+    // 8 rules over 2 tables must still plan exactly 2 file scans (all of
+    // a table's expectations are conditional aggregates in a single pass)
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans == 2, s"expected 2 scans, got $scans:\n$p")
+  }
 }
