@@ -1004,6 +1004,84 @@ object CorpusOps {
         bit_count(col("o_orderkey")).as("b_cnt"))
       .orderBy("o_orderkey")
 
+  // ------------------------------------------------------- anomaly detection
+
+  /** Daily-volume anomaly detection per event type: z-score of each
+    * (type, day) event count against that type's own daily distribution —
+    * the ingest-monitoring shape (a collector outage or a bot flood shows
+    * up as |z| > 2 long before downstream metrics move).
+    *
+    * Exact and merge-order-independent: the daily counts are integers, the
+    * per-type mean/variance come from integer power sums (count, Σn, Σn²
+    * — same re-aggregatable-moments pattern as `q_agg_moments`), and the
+    * only doubles are the final closed form, rounded to 1e-6 (FMA-
+    * contraction guard, see `q_agg_corr`). Scale shape: one partial-agg
+    * shuffle on (type, day) → a per-type agg over days (tiny) → broadcast
+    * join back. Days-per-type grows with time not data volume, so the
+    * stats side stays bounded at any corpus size.
+    */
+  def qEventsAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables
+      .events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val stats = daily
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum(col("n")).as("sx"),
+        sum(col("n") * col("n")).as("sxx"))
+    val mean = col("sx").cast("double") / col("n_days").cast("double")
+    // population variance from the power sums; greatest(.,0) absorbs the
+    // tiny negative FP residue a zero-variance group can produce
+    val variance = greatest(
+      col("sxx").cast("double") / col("n_days").cast("double") - mean * mean,
+      lit(0.0))
+    val z = when(
+      variance > 0,
+      round((col("n").cast("double") - mean) / sqrt(variance), 6)).otherwise(lit(0.0))
+    daily
+      .join(broadcast(stats), "event_type")
+      .select(col("event_type"), col("day"), col("n"), z.as("z"))
+      .withColumn("is_anomaly", abs(col("z")) > 2.0)
+      .orderBy("event_type", "day")
+  }
+
+  // ------------------------------------------------------- feature scaling
+
+  /** Robust per-group feature scaling (feature-engineering shape):
+    * winsorize `c_acctbal` to its segment's [p05, p95], then min-max
+    * normalize to [0, 1]. Quantile clamping instead of mean/std keeps one
+    * whale from flattening everyone else's feature — the standard robust
+    * scaler for heavy-tailed features.
+    *
+    * Scale shape: the thresholds are one exact-percentile agg (5 rows —
+    * at 100 TB you'd swap `percentile` for the mergeable
+    * `q_agg_quantile_sketch` path and keep everything else identical)
+    * broadcast back to the row scan; per-row work is pure projection, no
+    * second shuffle. Thresholds are rounded to 1e-6 before the clamp so
+    * the derived arithmetic starts from identical doubles in both engines
+    * (`q_agg_percentile` proves the raw interpolation already matches).
+    */
+  def qFeatureScale(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+    val qs = cust
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        round(percentile(col("c_acctbal"), lit(0.05)), 6).as("lo"),
+        round(percentile(col("c_acctbal"), lit(0.95)), 6).as("hi"))
+    val clamped = least(greatest(col("c_acctbal"), col("lo")), col("hi"))
+    cust
+      .join(broadcast(qs), "c_mktsegment")
+      .select(
+        col("c_custkey"),
+        col("c_mktsegment"),
+        when(col("hi") > col("lo"), round((clamped - col("lo")) / (col("hi") - col("lo")), 6))
+          .otherwise(lit(0.5))
+          .as("scaled"))
+      .orderBy("c_custkey")
+  }
+
   // ------------------------------------------------------------- registry
 
   val all: Seq[(String, Q)] = Seq(
@@ -1366,6 +1444,42 @@ object CorpusOps {
              |  CASE WHEN CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) % 2 = 0
              |       THEN 256 ELSE 64 END
              |GROUP BY 1 ORDER BY source""".stripMargin)),
+    "q_events_anomaly" -> Q(
+      qEventsAnomaly,
+      Some(s"""WITH daily AS (
+              | SELECT event_type, CAST(ts AS DATE) AS day, count(1) AS n
+              | FROM $EV GROUP BY 1, 2),
+              |st AS (
+              | SELECT event_type, count(1) AS n_days, sum(n) AS sx, sum(n * n) AS sxx
+              | FROM daily GROUP BY 1),
+              |sc AS (
+              | SELECT d.event_type, d.day, d.n,
+              |  CAST(st.sx AS DOUBLE) / CAST(st.n_days AS DOUBLE) AS mean,
+              |  greatest(CAST(st.sxx AS DOUBLE) / CAST(st.n_days AS DOUBLE)
+              |    - (CAST(st.sx AS DOUBLE) / CAST(st.n_days AS DOUBLE))
+              |      * (CAST(st.sx AS DOUBLE) / CAST(st.n_days AS DOUBLE)), 0.0) AS var
+              | FROM daily d JOIN st USING (event_type))
+              |SELECT event_type, day, n,
+              | CASE WHEN var > 0
+              |      THEN round((CAST(n AS DOUBLE) - mean) / sqrt(var), 6)
+              |      ELSE 0.0 END AS z,
+              | abs(CASE WHEN var > 0
+              |      THEN round((CAST(n AS DOUBLE) - mean) / sqrt(var), 6)
+              |      ELSE 0.0 END) > 2.0 AS is_anomaly
+              |FROM sc ORDER BY event_type, day""".stripMargin)),
+    "q_feature_scale" -> Q(
+      qFeatureScale,
+      Some("""WITH qs AS (
+             | SELECT c_mktsegment,
+             |  round(quantile_cont(c_acctbal, 0.05), 6) AS lo,
+             |  round(quantile_cont(c_acctbal, 0.95), 6) AS hi
+             | FROM customer GROUP BY 1)
+             |SELECT c_custkey, c.c_mktsegment,
+             | CASE WHEN hi > lo
+             |      THEN round((least(greatest(c_acctbal, lo), hi) - lo) / (hi - lo), 6)
+             |      ELSE 0.5 END AS scaled
+             |FROM customer c JOIN qs ON c.c_mktsegment = qs.c_mktsegment
+             |ORDER BY c_custkey""".stripMargin)),
     "q_join_bloom" -> Q(
       qJoinBloom,
       Some("""SELECT o.o_orderpriority,

@@ -693,6 +693,38 @@ object Relational {
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_v"))
       .orderBy("k")
 
+  /** Nested-struct function battery — the STRUCT member of the complex-type
+    * family beside `q_fn_array`/`q_fn_map`/`q_fn_json`: `struct()`
+    * construction, dotted field access through an alias, an ARRAY<STRUCT>
+    * built per row, and `inline()` exploding it back to columns (the
+    * generator form that yields struct fields directly, no post-hoc
+    * `getField`). All per-row projection work at the scan — no shuffle;
+    * the 1:2 inline fan-out happens in the scan stage like any generator.
+    * The oracle reproduces the flattened result relationally (a constant
+    * 2-row cross join) — same contract as `q_fn_map`'s oracle: results
+    * must match, implementation shape needn't.
+    */
+  def qFnStruct(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = struct(
+      col("o_orderkey").as("key"),
+      col("o_totalprice").as("price"),
+      col("o_orderpriority").as("prio"))
+    val arr = array(
+      struct(lit(1).as("idx"), col("o_orderstatus").as("v")),
+      struct(lit(2).as("idx"), col("o_orderpriority").as("v")))
+    Tables
+      .orders(spark, sfDir)
+      .select(col("o_orderkey"), s.as("s"), arr.as("arr"))
+      .select(
+        col("o_orderkey"),
+        col("s.key").as("s_key"),
+        col("s.price").as("s_price"),
+        upper(col("s.prio")).as("s_prio_up"),
+        inline(col("arr")))
+      .withColumnRenamed("v", "val")
+      .orderBy("o_orderkey", "idx")
+  }
+
   // ----------------------------------------------------------- UDF surface
 
   /** Scala UDF demo (black-box to Catalyst — kept out of hot paths). */
@@ -1028,6 +1060,13 @@ object Relational {
               | count(1) AS n,
               | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v
               |FROM $EV GROUP BY 1 ORDER BY k""".stripMargin)),
+    "q_fn_struct" -> Q(
+      qFnStruct,
+      Some("""SELECT o_orderkey, o_orderkey AS s_key, o_totalprice AS s_price,
+             | upper(o_orderpriority) AS s_prio_up, i.idx AS idx,
+             | CASE WHEN i.idx = 1 THEN o_orderstatus ELSE o_orderpriority END AS val
+             |FROM orders CROSS JOIN (VALUES (1), (2)) AS i(idx)
+             |ORDER BY o_orderkey, idx""".stripMargin)),
     "q_udf_scalar" -> Q(
       qUdfScalar,
       Some("""SELECT p_partkey, replace(lower(p_name), ' ', '-') AS slug

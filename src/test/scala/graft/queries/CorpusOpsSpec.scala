@@ -361,4 +361,40 @@ class CorpusOpsSpec extends SparkSuite {
       (12L, "drop_batch_dup"),
       (13L, "ingest")))
   }
+
+  // ------------------------------------------------------------- anomaly
+
+  test("q_events_anomaly: flag consistent with z, z-scores center at 0 per type") {
+    val rows = CorpusOps.qEventsAnomaly(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(4) == (math.abs(r.getDouble(3)) > 2.0))
+    }
+    // sum of z-scores per type is 0 by construction (each term is
+    // (n - mean)/std); rounded at 1e-6 per row, so the sum stays tiny
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      assert(math.abs(rs.map(_.getDouble(3)).sum) < 1e-3)
+    }
+  }
+
+  // ------------------------------------------------------- feature scaling
+
+  test("q_feature_scale: output in [0,1], order-preserving within segment") {
+    val scaled = CorpusOps.qFeatureScale(spark, sf001)
+    val bal = graft.Tables
+      .customer(spark, sf001)
+      .select(col("c_custkey"), col("c_acctbal"))
+    val rows = scaled
+      .join(bal, "c_custkey")
+      .select("c_mktsegment", "c_acctbal", "scaled")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
+    // winsorize + min-max never reorders values within a segment
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val byBal = rs.sortBy(_.getDouble(1)).map(_.getDouble(2)).toSeq
+      assert(byBal == byBal.sorted)
+      assert(byBal.head == 0.0 && byBal.last == 1.0) // clamped tails hit both ends
+    }
+  }
 }

@@ -268,4 +268,15 @@ class QueriesSpec extends SparkSuite {
     assert(got.keySet == exp.keySet)
     got.foreach { case (k, v) => assert(math.abs(v - exp(k)) < 1e-9, k) }
   }
+
+  test("fn_struct: inline fans each order into idx 1,2 and preserves fields") {
+    val rows = Relational.qFnStruct(spark, sf001).collect()
+    assert(rows.nonEmpty && rows.length % 2 == 0)
+    rows.grouped(2).foreach { case Array(a, b) =>
+      assert(a.getLong(0) == b.getLong(0)) // same order key
+      assert(a.getLong(1) == a.getLong(0)) // s.key round-trips
+      assert(a.getInt(4) == 1 && b.getInt(4) == 2)
+      assert(b.getString(3) == b.getString(5).toUpperCase) // prio field consistent
+    }
+  }
 }
