@@ -134,6 +134,52 @@ object LlmOps {
     jaccardPairs(ex.join(broadcast(hot), Seq("sh"), "left_anti"))
   }
 
+  /** Directed containment pairs: containment(a → b) = |S(a) ∩ S(b)| / |S(a)|
+    * over the df-capped 3-shingle sets. Jaccard misses the
+    * quote-inside-a-longer-doc case (a 100-word doc fully embedded in a
+    * 10,000-word doc has Jaccard ≈ 0.01 but containment = 1.0) — this is
+    * the asymmetric member of the dedup family, the signal used to drop
+    * near-subset documents while keeping their supersets.
+    *
+    * Same candidate generation as `q_dedup_ngram_capped` (shingle-equality
+    * self-join on the df ≤ 50 sets: bounded blowup, one key shuffle);
+    * each unordered candidate pair is then scored in BOTH directions and
+    * kept where containment ≥ 0.8. Output (d_sub, d_sup): d_sub is
+    * (nearly) contained in d_sup.
+    */
+  def qDedupContainment(spark: SparkSession, sfDir: String): DataFrame = {
+    val ex0 = shingles(spark, sfDir)
+    val hot = ex0
+      .groupBy("sh")
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") > MaxShingleDf)
+      .select("sh")
+    val ex = ex0.join(broadcast(hot), Seq("sh"), "left_anti")
+    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).cast("int").as("n_sh"))
+    val pairs = ex
+      .as("a")
+      .join(ex.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("common"))
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_sh", "n1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_sh", "n2"), "d2")
+    // score both directions of each unordered pair: sub=d1 then sub=d2
+    pairs
+      .select(
+        explode(
+          array(
+            struct(col("d1").as("d_sub"), col("d2").as("d_sup"), col("common"), col("n1").as("n_sub")),
+            struct(col("d2").as("d_sub"), col("d1").as("d_sup"), col("common"), col("n2").as("n_sub"))))
+          .as("e"))
+      .select(
+        col("e.d_sub").as("d_sub"),
+        col("e.d_sup").as("d_sup"),
+        col("e.common").as("common"),
+        (col("e.common").cast("double") / col("e.n_sub").cast("double")).as("containment"))
+      .where(col("containment") >= 0.8)
+      .orderBy("d_sub", "d_sup")
+  }
+
   /** Incremental (batch-vs-corpus) exact dedup — the operationally real
     * daily-ingest shape: a new batch (sources src10–src19) lands against
     * an existing corpus (src0–src9); each incoming doc is dropped if its
@@ -1358,6 +1404,34 @@ object LlmOps {
              |FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
              |WHERE CAST(common AS DOUBLE) / CAST(s1.n_sh + s2.n_sh - common AS DOUBLE) >= 0.5
              |ORDER BY d1, d2""".stripMargin)),
+    "q_dedup_containment" -> Q(
+      qDedupContainment,
+      Some("""WITH docs AS (
+             | SELECT doc_id, list_distinct(
+             |   CASE WHEN len(toks) >= 3 THEN
+             |     list_transform(generate_series(1, len(toks) - 2),
+             |       i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+             |   ELSE [] END) AS shingles
+             | FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents)),
+             |ex0 AS (SELECT doc_id, unnest(shingles) AS sh FROM docs),
+             |df AS (SELECT sh, count(1) AS df FROM ex0 GROUP BY sh),
+             |ex AS (SELECT ex0.doc_id, ex0.sh FROM ex0 JOIN df USING (sh) WHERE df.df <= 50),
+             |sizes AS (SELECT doc_id, count(1) AS n_sh FROM ex GROUP BY doc_id),
+             |pairs AS (
+             | SELECT a.doc_id AS d1, b.doc_id AS d2, count(1) AS common
+             | FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+             | GROUP BY 1, 2),
+             |dir AS (
+             | SELECT d1 AS d_sub, d2 AS d_sup, common, s1.n_sh AS n_sub
+             | FROM pairs JOIN sizes s1 ON d1 = s1.doc_id
+             | UNION ALL
+             | SELECT d2 AS d_sub, d1 AS d_sup, common, s2.n_sh AS n_sub
+             | FROM pairs JOIN sizes s2 ON d2 = s2.doc_id)
+             |SELECT d_sub, d_sup, common,
+             |  CAST(common AS DOUBLE) / CAST(n_sub AS DOUBLE) AS containment
+             |FROM dir
+             |WHERE CAST(common AS DOUBLE) / CAST(n_sub AS DOUBLE) >= 0.8
+             |ORDER BY d_sub, d_sup""".stripMargin)),
     "q_dedup_incremental" -> Q(
       qDedupIncremental,
       Some("""WITH d AS (SELECT doc_id, source, sha256(text) AS h FROM documents),

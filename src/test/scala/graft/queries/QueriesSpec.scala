@@ -269,6 +269,28 @@ class QueriesSpec extends SparkSuite {
     got.foreach { case (k, v) => assert(math.abs(v - exp(k)) < 1e-9, k) }
   }
 
+  test("containment dominates jaccard on the same capped shingle sets") {
+    val cont = LlmOps
+      .qDedupContainment(spark, sf001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3))
+      .toMap
+    assert(cont.nonEmpty)
+    cont.values.foreach(c => assert(c >= 0.8 && c <= 1.0))
+    // containment(a->b) >= jaccard(a,b) (same numerator, smaller
+    // denominator), so every high-jaccard pair must appear in BOTH
+    // directions of the containment output
+    LlmOps
+      .qDedupNgramCapped(spark, sf001)
+      .collect()
+      .filter(_.getDouble(3) >= 0.8)
+      .foreach { r =>
+        val (d1, d2) = (r.getLong(0), r.getLong(1))
+        assert(cont.contains((d1, d2)) && cont((d1, d2)) >= r.getDouble(3))
+        assert(cont.contains((d2, d1)))
+      }
+  }
+
   test("fn_struct: inline fans each order into idx 1,2 and preserves fields") {
     val rows = Relational.qFnStruct(spark, sf001).collect()
     assert(rows.nonEmpty && rows.length % 2 == 0)
