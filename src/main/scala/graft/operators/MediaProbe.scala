@@ -168,3 +168,177 @@ object AudioProbe {
     bb.array()
   }
 }
+
+/** Video-container metadata probe — the video-modality sibling of
+  * [[MediaProbe]]/[[AudioProbe]], completing the image/audio/video trio.
+  * MP4 (ISO-BMFF) is parsed in full: a top-level box walk to `moov`, then
+  * a child walk to `mvhd` (timescale + duration, version 0 and 1 layouts)
+  * and `trak`/`tkhd` (presentation width/height, 16.16 fixed point).
+  * AVI (RIFF) and Matroska/WebM (EBML magic) are identified by signature.
+  * Frame DECODE stays behind the same documented stub boundary as pixel
+  * and compressed-audio decode (no codec libraries in this container) —
+  * none of it is needed for container metadata, which is what ingestion
+  * filters (duration caps, aspect-ratio gates, format routing) read.
+  */
+object VideoProbe {
+
+  /** `timescale`/`durationMs`/`width`/`height` are -1 where the container
+    * doesn't carry them without decode (avi/mkv here) or the file is
+    * corrupt/truncated.
+    */
+  final case class Video(
+      format: String,
+      brand: String,
+      timescale: Int,
+      durationMs: Long,
+      width: Int,
+      height: Int)
+
+  private val Unknown = Video("unknown", "", -1, -1L, -1, -1)
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def beU32(b: Array[Byte], i: Int): Long =
+    (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+  private def beU64(b: Array[Byte], i: Int): Long =
+    (beU32(b, i) << 32) | beU32(b, i + 4)
+  private def tag(b: Array[Byte], i: Int, s: String): Boolean =
+    i >= 0 && b.length >= i + 4 && b(i) == s(0).toByte && b(i + 1) == s(1).toByte &&
+      b(i + 2) == s(2).toByte && b(i + 3) == s(3).toByte
+
+  def probe(b: Array[Byte]): Video =
+    if (tag(b, 4, "ftyp")) mp4(b)
+    else if (tag(b, 0, "RIFF") && tag(b, 8, "AVI ")) Video("avi", "", -1, -1L, -1, -1)
+    else if (b.length >= 4 && u8(b, 0) == 0x1a && u8(b, 1) == 0x45 &&
+      u8(b, 2) == 0xdf && u8(b, 3) == 0xa3)
+      Video("mkv", "", -1, -1L, -1, -1) // EBML: Matroska or WebM
+    else Unknown
+
+  /** Walk ISO-BMFF boxes: (u32be size, 4cc type); size 1 → u64 extended
+    * size at offset 8, size 0 → box runs to EOF. Box sizes are advanced in
+    * LONG arithmetic for the same corrupt-u32 reason as [[AudioProbe.wav]].
+    * Returns the offset of the first `want` box's PAYLOAD inside
+    * [from, to), or -1.
+    */
+  private def findBox(b: Array[Byte], from: Long, to: Long, want: String): Long = {
+    var i = from
+    while (i + 8 <= to) {
+      val at = i.toInt
+      val size0 = beU32(b, at)
+      val hdr = if (size0 == 1L) 16L else 8L
+      val size =
+        if (size0 == 0L) to - i // to end of enclosing space
+        else if (size0 == 1L) { if (i + 16 > to) return -1L else beU64(b, at + 8) }
+        else size0
+      if (size < hdr) return -1L // corrupt: box smaller than its own header
+      if (tag(b, at + 4, want)) return i + hdr
+      i += size
+    }
+    -1L
+  }
+
+  /** End offset of the box whose payload starts at `payloadAt` (payload
+    * start - header, reading the size again) — needed to bound child walks.
+    */
+  private def boxEnd(b: Array[Byte], payloadAt: Long, limit: Long): Long = {
+    val hdrAt = payloadAt - 8 // only called for boxes found with 8-byte headers
+    val size0 = beU32(b, hdrAt.toInt)
+    if (size0 == 0L) limit else math.min(hdrAt + size0, limit)
+  }
+
+  private def mp4(b: Array[Byte]): Video = {
+    val n = b.length.toLong
+    val brand = new String(b, 8, 4, "US-ASCII")
+    val moov = findBox(b, 0L, n, "moov")
+    if (moov < 0) return Video("mp4", brand, -1, -1L, -1, -1)
+    val moovEnd = boxEnd(b, moov, n)
+    var timescale = -1
+    var durMs = -1L
+    val mvhd = findBox(b, moov, moovEnd, "mvhd")
+    if (mvhd >= 0 && mvhd + 4 <= moovEnd) {
+      val v = u8(b, mvhd.toInt)
+      // FullBox payload: version(1) flags(3), then v0: ctime4 mtime4
+      // timescale4 duration4 / v1: ctime8 mtime8 timescale4 duration8
+      if (v == 0 && mvhd + 20 <= moovEnd) {
+        timescale = beU32(b, mvhd.toInt + 12).toInt
+        val dur = beU32(b, mvhd.toInt + 16)
+        if (timescale > 0) durMs = dur * 1000L / timescale
+      } else if (v == 1 && mvhd + 32 <= moovEnd) {
+        timescale = beU32(b, mvhd.toInt + 20).toInt
+        val dur = beU64(b, mvhd.toInt + 24)
+        if (timescale > 0) durMs = dur * 1000L / timescale
+      }
+    }
+    var width = -1
+    var height = -1
+    val trak = findBox(b, moov, moovEnd, "trak")
+    if (trak >= 0) {
+      val trakEnd = boxEnd(b, trak, moovEnd)
+      val tkhd = findBox(b, trak, trakEnd, "tkhd")
+      if (tkhd >= 0 && tkhd + 4 <= trakEnd) {
+        val v = u8(b, tkhd.toInt)
+        // v0 payload: ver/flags4 ctime4 mtime4 id4 res4 dur4 res8 layer2
+        // alt2 vol2 res2 matrix36 → width @ +76, height @ +80 (16.16)
+        // v1 adds 12 bytes (ctime/mtime/duration u64) → width @ +88
+        val wOff = if (v == 1) 88 else 76
+        if (tkhd + wOff + 8 <= trakEnd) {
+          width = (beU32(b, (tkhd + wOff).toInt) >> 16).toInt
+          height = (beU32(b, (tkhd + wOff + 4).toInt) >> 16).toInt
+        }
+      }
+    }
+    Video("mp4", brand, timescale, durMs, width, height)
+  }
+
+  /** Minimal-but-valid MP4: `ftyp` + `moov`(`mvhd` v0 + `trak`(`tkhd` v0))
+    * — the synthesis half of the `q_multimodal_video` round trip. A `free`
+    * box sits between ftyp and moov, and an `iods` box precedes mvhd
+    * inside moov, so the probe's box walks are exercised against
+    * non-adjacent siblings (same idea as WAV's LIST-chunk tolerance).
+    */
+  def mp4Header(
+      brand: String,
+      timescale: Int,
+      duration: Long,
+      width: Int,
+      height: Int): Array[Byte] = {
+    require(brand.length == 4, s"brand must be a 4cc: '$brand'")
+    require(duration >= 0 && duration <= 0xffffffffL, s"duration $duration exceeds u32 (mvhd v0)")
+    val mvhdSize = 8 + 100 // standard v0 mvhd
+    val tkhdSize = 8 + 84 // standard v0 tkhd
+    val trakSize = 8 + tkhdSize
+    val iodsSize = 8 + 4
+    val moovSize = 8 + iodsSize + mvhdSize + trakSize
+    val bb = java.nio.ByteBuffer
+      .allocate(16 + 16 + moovSize)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    def fourcc(s: String): Unit = bb.put(s.getBytes("US-ASCII"))
+    // ftyp
+    bb.putInt(16); fourcc("ftyp"); fourcc(brand); bb.putInt(0)
+    // free (walk must skip it)
+    bb.putInt(16); fourcc("free"); bb.putLong(0L)
+    // moov
+    bb.putInt(moovSize); fourcc("moov")
+    //   iods (walk must skip it)
+    bb.putInt(iodsSize); fourcc("iods"); bb.putInt(0)
+    //   mvhd v0
+    bb.putInt(mvhdSize); fourcc("mvhd")
+    bb.putInt(0) // version 0 + flags
+    bb.putInt(0); bb.putInt(0) // ctime, mtime
+    bb.putInt(timescale)
+    bb.putInt(duration.toInt) // u32 (range-checked above)
+    val mvhdRest = mvhdSize - 8 - 4 - 8 - 4 - 4
+    bb.put(new Array[Byte](mvhdRest))
+    //   trak > tkhd v0
+    bb.putInt(trakSize); fourcc("trak")
+    bb.putInt(tkhdSize); fourcc("tkhd")
+    bb.putInt(0) // version 0 + flags
+    bb.putInt(0); bb.putInt(0) // ctime, mtime
+    bb.putInt(1) // track id
+    bb.putInt(0) // reserved
+    bb.putInt(duration.toInt) // track duration
+    bb.put(new Array[Byte](8 + 2 + 2 + 2 + 2 + 36)) // res/layer/alt/vol/res/matrix
+    bb.putInt(width << 16) // 16.16 fixed point
+    bb.putInt(height << 16)
+    bb.array()
+  }
+}

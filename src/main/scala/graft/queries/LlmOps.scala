@@ -1317,6 +1317,51 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** Video-modality metadata probe — the MP4 sibling of
+    * `q_multimodal_audio`, completing the image/audio/video trio: a
+    * minimal-but-valid ISO-BMFF file (ftyp + moov(mvhd + trak/tkhd), with
+    * decoy `free`/`iods` boxes the walk must skip) is synthesized per
+    * document from its (doc_id, n_chars), then parsed back by the real
+    * [[graft.operators.VideoProbe]] box walk. The DuckDB twin recomputes
+    * the expected brand/timescale/duration/dimensions from the same
+    * arithmetic — a true binary round-trip oracle: any parser or
+    * synthesizer bug (wrong offset, wrong endianness, fixed-point slip)
+    * breaks the hash match. Bytes are born and probed in-partition,
+    * never shuffled.
+    */
+  def qMultimodalVideo(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val brands = Array("isom", "mp42", "avc1")
+    val scales = Array(600, 1000, 90000)
+    val synth = Tables
+      .documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        it.map { case (id, nChars) =>
+          val k = (id % 3).toInt
+          val b = graft.operators.VideoProbe.mp4Header(
+            brand = brands(k),
+            timescale = scales(k),
+            duration = nChars * scales(k) / 100,
+            width = 320 + (id % 4).toInt * 160,
+            height = 240 + (id % 4).toInt * 120)
+          (id, b)
+        }
+      }
+      .toDF("doc_id", "content")
+      .as[(Long, Array[Byte])]
+    synth
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val v = graft.operators.VideoProbe.probe(bytes)
+          (id, v.format, v.brand, v.timescale, v.durationMs, v.width, v.height)
+        }
+      }
+      .toDF("doc_id", "format", "brand", "timescale", "duration_ms", "width", "height")
+      .orderBy("doc_id")
+  }
+
   /** Multimodal 1:N frame sampling: each binary payload ("video") yields
     * every 4th 1 KiB block as a "frame" row — the row-exploding batch
     * shape of video frame extraction (one decoder per partition, an
@@ -1801,6 +1846,16 @@ object LlmOps {
              | CAST(16 AS INT) AS bits,
              | n_chars * 100 AS n_samples,
              | (n_chars * 100 * 1000) // [8000, 16000, 22050, 44100, 48000][CAST(doc_id % 5 AS INT) + 1] AS duration_ms
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+    "q_multimodal_video" -> Q(
+      qMultimodalVideo,
+      Some("""SELECT doc_id, 'mp4' AS format,
+             | ['isom', 'mp42', 'avc1'][CAST(doc_id % 3 AS INT) + 1] AS brand,
+             | CAST([600, 1000, 90000][CAST(doc_id % 3 AS INT) + 1] AS INT) AS timescale,
+             | ((n_chars * [600, 1000, 90000][CAST(doc_id % 3 AS INT) + 1]) // 100) * 1000
+             |   // [600, 1000, 90000][CAST(doc_id % 3 AS INT) + 1] AS duration_ms,
+             | CAST(320 + (doc_id % 4) * 160 AS INT) AS width,
+             | CAST(240 + (doc_id % 4) * 120 AS INT) AS height
              |FROM documents ORDER BY doc_id""".stripMargin)),
     "q_multimodal_frames" -> Q(qMultimodalFrames, None, bench = false))
 }

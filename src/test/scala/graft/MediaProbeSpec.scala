@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AudioProbe, MediaProbe}
+import graft.operators.{AudioProbe, MediaProbe, VideoProbe}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** MediaProbe header parsing pinned on crafted container headers — the
@@ -99,5 +99,53 @@ class MediaProbeSpec extends AnyFunSuite {
     val corrupt = "RIFF\u0000\u0000\u0000\u0000WAVEJUNK".getBytes ++
       Array[Byte](0xf8.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte) ++ new Array[Byte](16)
     assert(AudioProbe.probe(corrupt).format == "unknown")
+  }
+
+  // ------------------------------------------------------------ VideoProbe
+
+  test("mp4: synthesize/probe round trip through decoy boxes") {
+    val b = VideoProbe.mp4Header("isom", 90000, 450000L, 1280, 720)
+    val v = VideoProbe.probe(b)
+    assert(v == VideoProbe.Video("mp4", "isom", 90000, 450000L * 1000 / 90000, 1280, 720))
+  }
+
+  test("mp4: mvhd version 1 (64-bit times) layout") {
+    // hand-build: ftyp + moov(mvhd v1): ver1/flags, ctime8, mtime8,
+    // timescale4, duration8
+    val mvhdSize = 8 + 4 + 8 + 8 + 4 + 8
+    val bb = java.nio.ByteBuffer.allocate(16 + 8 + mvhdSize)
+    bb.putInt(16); bb.put("ftypmp42".getBytes); bb.putInt(0)
+    bb.putInt(8 + mvhdSize); bb.put("moov".getBytes)
+    bb.putInt(mvhdSize); bb.put("mvhd".getBytes)
+    bb.putInt(0x01000000) // version 1
+    bb.putLong(0L); bb.putLong(0L) // ctime, mtime
+    bb.putInt(1000) // timescale
+    bb.putLong(123456L) // duration
+    val v = VideoProbe.probe(bb.array())
+    assert(v.format == "mp4" && v.brand == "mp42")
+    assert(v.timescale == 1000 && v.durationMs == 123456L)
+    assert(v.width == -1 && v.height == -1) // no trak in this file
+  }
+
+  test("video container signatures and corrupt-input hardening") {
+    assert(VideoProbe.probe("RIFF1234AVI ".getBytes).format == "avi")
+    assert(VideoProbe.probe(Array(0x1a, 0x45, 0xdf, 0xa3).map(_.toByte)).format == "mkv")
+    assert(VideoProbe.probe("not a video".getBytes).format == "unknown")
+    assert(VideoProbe.probe(Array.empty[Byte]).format == "unknown")
+    // ftyp with no moov: identified, metadata absent
+    val bare = java.nio.ByteBuffer.allocate(16)
+    bare.putInt(16); bare.put("ftypavc1".getBytes); bare.putInt(0)
+    val v = VideoProbe.probe(bare.array())
+    assert(v.format == "mp4" && v.brand == "avc1" && v.timescale == -1 &&
+      v.durationMs == -1L && v.width == -1)
+    // corrupt box size smaller than its own header: walk must stop, not spin
+    val corrupt = java.nio.ByteBuffer.allocate(32)
+    corrupt.putInt(16); corrupt.put("ftypisom".getBytes); corrupt.putInt(0)
+    corrupt.putInt(3); corrupt.put("junk".getBytes) // size 3 < header 8
+    assert(VideoProbe.probe(corrupt.array()).format == "mp4") // and terminates
+    // truncated mid-moov: no crash, absent fields stay -1
+    val full = VideoProbe.mp4Header("isom", 600, 600L, 640, 480)
+    val trunc = VideoProbe.probe(java.util.Arrays.copyOfRange(full, 0, 40))
+    assert(trunc.format == "mp4" && trunc.timescale == -1)
   }
 }
