@@ -1,0 +1,94 @@
+package graft.functions
+
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Count-Min sketch (Cormode & Muthukrishnan) as a typed Aggregator — the
+  * point-frequency member of the engine's mergeable-sketch family (HLL =
+  * distinct counting, Space-Saving = top-k, DDSketch-style log-histogram =
+  * quantiles). State is a fixed D×W counter grid regardless of stream
+  * length or vocabulary; merge is element-wise addition, so ANY partial-
+  * aggregation tree yields the identical sketch (partitioning-invariant,
+  * unlike the order-sensitive sketches that need spec-only checks).
+  *
+  * Estimate contract: `est(x) = min_i grid[i][h_i(x)] ≥ true count(x)`
+  * (counters only ever over-count via collisions), with the classic
+  * `est ≤ true + εN` bound at ε = e/W. When every row of the grid is
+  * collision-free over the observed vocabulary — guaranteed here by
+  * vocab ≪ W, see `q_agg_count_min` — the estimate is EXACT, which is
+  * what lets that query keep a DuckDB exact-count oracle (same trick as
+  * `q_topk_approx`'s capacity ≥ vocab regime). The approximate regime's
+  * overestimate guarantee is spec-tested on crafted collisions at W = 2.
+  *
+  * Probe-side parity: row hashes are `xxhash64(tok, CAST(i AS BIGINT))`
+  * — Spark's builtin fold (seed 42, string bytes then the row index as a
+  * long) — so a SQL probe `element_at(sk, CAST(pmod(xxhash64(tok, i), W)
+  * + i*W + 1 AS INT))` reads the same cell this aggregator incremented;
+  * the sketch is queryable from plain column expressions, no UDF on the
+  * probe path.
+  */
+class CountMinSketch(val D: Int, val W: Int)
+    extends Aggregator[String, Array[Long], Array[Long]] {
+
+  private val Seed = 42L // Spark's xxhash64 default seed
+
+  /** Row-i bucket of `tok`, bit-identical to `pmod(xxhash64(tok, i), W)`
+    * with `i` as a BIGINT column: the builtin folds seed → string bytes →
+    * long, via XXH64.hashLong(i, hashUnsafeBytes(tok, seed)).
+    */
+  def bucket(tok: String, row: Int): Int = {
+    val u = UTF8String.fromString(tok)
+    val h0 = org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes(), Seed)
+    val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(row.toLong, h0)
+    val m = (h % W).toInt
+    if (m < 0) m + W else m // pmod semantics
+  }
+
+  override def zero: Array[Long] = new Array[Long](D * W)
+
+  override def reduce(b: Array[Long], tok: String): Array[Long] = {
+    if (tok != null) {
+      var i = 0
+      while (i < D) {
+        b(i * W + bucket(tok, i)) += 1L
+        i += 1
+      }
+    }
+    b
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def finish(b: Array[Long]): Array[Long] = b
+
+  /** Driver-side probe twin of the SQL `least(element_at(...))` form —
+    * used by specs to pin the estimate contract without a SparkSession.
+    */
+  def estimate(sketch: Array[Long], tok: String): Long = {
+    var best = Long.MaxValue
+    var i = 0
+    while (i < D) {
+      val c = sketch(i * W + bucket(tok, i))
+      if (c < best) best = c
+      i += 1
+    }
+    best
+  }
+
+  override def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+}
+
+/** The default grid: 3 rows × 4096 counters (96 KiB of state) — what
+  * `q_agg_count_min` aggregates with and what its SQL probe arithmetic
+  * (`i*W + bucket + 1`) is written against.
+  */
+object CountMin extends CountMinSketch(3, 4096)

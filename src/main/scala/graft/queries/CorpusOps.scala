@@ -1004,6 +1004,42 @@ object CorpusOps {
         bit_count(col("o_orderkey")).as("b_cnt"))
       .orderBy("o_orderkey")
 
+  // ----------------------------------------------------- count-min sketch
+
+  /** Point-frequency estimation via the [[graft.functions.CountMin]]
+    * sketch: build one 3×4096 counter grid over the whole token stream
+    * (one partial sketch per partition, element-wise-add merge — 96 KiB
+    * crosses the shuffle per partition, never tokens), then probe every
+    * distinct token against the broadcast sketch with PLAIN COLUMN
+    * arithmetic: `least(element_at(sk, pmod(xxhash64(tok, i), 4096) +
+    * i*4096 + 1) ...)` — the aggregator's row hashes are bit-identical to
+    * Spark's `xxhash64` builtin, so no UDF sits on the probe path.
+    *
+    * Oracle: the corpus vocabulary (~31 words) is ≪ 4096, so every grid
+    * row is collision-free and the estimate is EXACT = the plain
+    * `GROUP BY tok` counts (the same exact-regime trick `q_topk_approx`
+    * uses); the collision/overestimate regime is spec-pinned at W = 2.
+    * At 100 TB the sketch answers point lookups without materializing
+    * the (huge) exact token table.
+    */
+  def qAggCountMin(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.CountMin
+    val cm = udaf(CountMin)
+    val toks = LlmOps.docTokens(Tables.documents(spark, sfDir))
+    val sketch = toks.agg(cm(col("tok")).as("sk"))
+    def est(i: Int): Column =
+      element_at(
+        col("sk"),
+        (pmod(xxhash64(col("tok"), lit(i.toLong)), lit(CountMin.W.toLong))
+          + lit(i.toLong * CountMin.W) + lit(1L)).cast("int"))
+    toks
+      .select("tok")
+      .distinct()
+      .crossJoin(broadcast(sketch))
+      .select(col("tok"), least(est(0), est(1), est(2)).as("n"))
+      .orderBy("tok")
+  }
+
   // ------------------------------------------------------- anomaly detection
 
   /** Daily-volume anomaly detection per event type: z-score of each
@@ -1444,6 +1480,11 @@ object CorpusOps {
              |  CASE WHEN CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) % 2 = 0
              |       THEN 256 ELSE 64 END
              |GROUP BY 1 ORDER BY source""".stripMargin)),
+    "q_agg_count_min" -> Q(
+      qAggCountMin,
+      Some(s"""SELECT tok, count(1) AS n
+              |FROM (SELECT unnest(toks) AS tok FROM $DOCS_T)
+              |GROUP BY tok ORDER BY tok""".stripMargin)),
     "q_events_anomaly" -> Q(
       qEventsAnomaly,
       Some(s"""WITH daily AS (
