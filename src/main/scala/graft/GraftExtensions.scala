@@ -124,5 +124,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           require(args.length == 2, "scaled_dot expects exactly 2 arguments")
           functions.ScaledDot(args.head, args(1))
         }))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("deflate_len"),
+        info("deflate_len", "deflate_len(text) - raw-DEFLATE length of the UTF-8 bytes"),
+        (args: Seq[Expression]) => functions.DeflateLen(one(args, "deflate_len"))))
   }
 }

@@ -954,6 +954,36 @@ object LlmOps {
         graft.functions.TextFingerprint.of(col("text")).as("fingerprint"))
       .orderBy("doc_id")
 
+  /** Compressibility quality signal: raw-DEFLATE length of each doc's
+    * UTF-8 bytes over the [[graft.functions.DeflateLen]] kernel — the
+    * corpus-hygiene gate that catches long-range and sub-token redundancy
+    * (boilerplate, machine-generated loops, base64 blobs read LOW ratio;
+    * the token-level ratios of `q_text_repetition` can miss all three).
+    * Pure per-row projection at the scan, no shuffle; thresholds
+    * (ratio < 0.35 → repetitive, > 0.95 → binary-ish/random) are the
+    * standard Gopher-style gates. No DuckDB deflate ⇒ rows-only check;
+    * determinism + ordering pinned in spec.
+    */
+  def qTextCompressibility(spark: SparkSession, sfDir: String): DataFrame = {
+    val nBytes = octet_length(col("text"))
+    val zBytes = graft.functions.DeflateLen.of(col("text"))
+    Tables
+      .documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        nBytes.as("n_bytes"),
+        zBytes.as("z_bytes"),
+        when(nBytes > 0, round(zBytes.cast("double") / nBytes.cast("double"), 4))
+          .otherwise(lit(1.0))
+          .as("ratio"))
+      .withColumn(
+        "gate",
+        when(col("ratio") < 0.35, "repetitive")
+          .when(col("ratio") > 0.95, "incompressible")
+          .otherwise("ok"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus term frequencies, top 100 (wordcount at scale): explode
     * tokens → map-side partial count → shuffle on the token → TakeOrdered
     * top-k merge. The explode is a codegen'd generate over the native
@@ -1746,6 +1776,7 @@ object LlmOps {
              |FROM (SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
              |      FROM documents)
              |GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 100""".stripMargin)),
+    "q_text_compressibility" -> Q(qTextCompressibility, None),
     "q_text_repetition" -> Q(
       qTextRepetition,
       Some("""WITH tf AS (

@@ -188,4 +188,18 @@ class ExtensionsSpec extends AnyFunSuite {
     val desc = ext.sql("DESCRIBE FUNCTION token_windows").collect().map(_.getString(0)).mkString("\n")
     assert(desc.contains("sliding windows"), desc)
   }
+
+  test("deflate_len resolves in SQL and matches the Column API") {
+    val viaSql = ext
+      .sql("SELECT deflate_len('spam ham spam ham spam ham') AS z")
+      .head()
+      .getInt(0)
+    import ext.implicits._
+    val viaApi = Seq("spam ham spam ham spam ham")
+      .toDF("t")
+      .select(functions.DeflateLen.of(org.apache.spark.sql.functions.col("t")))
+      .head()
+      .getInt(0)
+    assert(viaSql == viaApi && viaSql > 0)
+  }
 }

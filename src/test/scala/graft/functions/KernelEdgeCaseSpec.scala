@@ -171,4 +171,33 @@ class KernelEdgeCaseSpec extends SparkSuite {
       .toMap
     viaHof.foreach { case (id, w) => assert(viaKernel(id) == w, s"doc $id") }
   }
+
+  test("DeflateLen equals an independent Deflater run; orders by redundancy") {
+    val viaKernel = docs
+      .select(col("doc_id"), DeflateLen.of(col("text")).as("z"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+      .toMap
+    tricky.zipWithIndex.foreach { case (t, i) =>
+      // reference computation: fresh Deflater, same parameters
+      val d = new java.util.zip.Deflater(6, true)
+      d.setInput(t.getBytes("UTF-8"))
+      d.finish()
+      val buf = new Array[Byte](1 << 16)
+      var total = 0
+      while (!d.finished()) total += d.deflate(buf)
+      d.end()
+      assert(viaKernel(i.toLong) == total, s"doc $i: '$t'")
+    }
+    // the signal: heavy repetition compresses far below varied text of
+    // the same length
+    val rep = "spam ham " * 200
+    val varied = (1 to 400).map(i => (i * 2654435761L).toHexString).mkString(" ").take(rep.length)
+    val z = Seq((0L, rep), (1L, varied))
+      .toDF("doc_id", "text")
+      .select(DeflateLen.of(col("text")).as("z"))
+      .collect()
+      .map(_.getInt(0))
+    assert(z(0) * 5 < z(1), s"repetitive ${z(0)} vs varied ${z(1)}")
+  }
 }
