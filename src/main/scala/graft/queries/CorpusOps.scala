@@ -1118,6 +1118,73 @@ object CorpusOps {
       .orderBy("c_custkey")
   }
 
+  // ------------------------------------------------------------ A/B testing
+
+  /** A/B experiment readout: users hash-assigned to two variants (same
+    * multiplicative-hash determinism as `q_split_assign` — reproducible
+    * across engines and runs), per-user purchase totals compared with a
+    * Welch t statistic. The decision metric every experimentation
+    * pipeline ends in; "model-trained-on-dataset-A vs B" evals are this
+    * exact shape.
+    *
+    * Exactness: per-user sums are DECIMAL(18,6); variant n/mean/variance
+    * come from decimal power sums (the `q_agg_stats` discipline), the
+    * t statistic's doubles are rounded 1e-6. Scale: one user-keyed
+    * partial-agg shuffle, then a 2-row reduce — nothing else moves.
+    */
+  def qEventsAbtest(spark: SparkSession, sfDir: String): DataFrame = {
+    val perUser = Tables
+      .events(spark, sfDir)
+      .where(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(sum(col("value").cast("decimal(18,6)")).as("spend"))
+      .select(
+        when(pmod(col("user_id") * lit(2654435761L), lit(2)) === 0, "A")
+          .otherwise("B")
+          .as("variant"),
+        col("spend"))
+    // re-cast the (28,6) per-user sum down to (18,6) (exact at these
+    // magnitudes) so the square stays within decimal-38 exactly on both
+    // engines — the q_agg_stats product discipline
+    val sp = col("spend").cast("decimal(18,6)")
+    val byVariant = perUser
+      .groupBy(col("variant"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(sp).as("sx"),
+        sum(sp * sp).as("sxx"))
+      .select(
+        col("variant"),
+        col("n"),
+        col("sx").cast("double").as("sxd"),
+        col("sxx").cast("double").as("sxxd"))
+    val mean = col("sxd") / col("n").cast("double")
+    // unbiased per-variant variance from the power sums
+    val variance =
+      (col("sxxd") - col("sxd") * col("sxd") / col("n").cast("double")) /
+        (col("n").cast("double") - 1.0)
+    val stats = byVariant.select(
+      col("variant"),
+      col("n"),
+      round(mean, 6).as("mean_spend"),
+      round(variance, 6).as("var_spend"))
+    val a = stats.where(col("variant") === "A").as("a")
+    val b = stats.where(col("variant") === "B").as("b")
+    a.crossJoin(b)
+      .select(
+        col("a.n").as("n_a"),
+        col("b.n").as("n_b"),
+        col("a.mean_spend").as("mean_a"),
+        col("b.mean_spend").as("mean_b"),
+        round(
+          (col("a.mean_spend") - col("b.mean_spend")) /
+            sqrt(
+              col("a.var_spend") / col("a.n").cast("double") +
+                col("b.var_spend") / col("b.n").cast("double")),
+          6).as("t_welch"))
+      .withColumn("significant", abs(col("t_welch")) > 1.96)
+  }
+
   // ------------------------------------------------------------- registry
 
   val all: Seq[(String, Q)] = Seq(
@@ -1521,6 +1588,32 @@ object CorpusOps {
              |      ELSE 0.5 END AS scaled
              |FROM customer c JOIN qs ON c.c_mktsegment = qs.c_mktsegment
              |ORDER BY c_custkey""".stripMargin)),
+    "q_events_abtest" -> Q(
+      qEventsAbtest,
+      Some(s"""WITH pu AS (
+              | SELECT user_id, sum(CAST(value AS DECIMAL(18,6))) AS spend
+              | FROM $EV WHERE event_type = 'purchase' GROUP BY user_id),
+              |v AS (
+              | SELECT CASE WHEN (user_id * 2654435761) % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+              |        CAST(spend AS DECIMAL(19,6)) AS spend
+              | FROM pu),
+              |agg AS (
+              | SELECT variant, count(1) AS n,
+              |  CAST(sum(spend) AS DOUBLE) AS sxd,
+              |  CAST(sum(spend * spend) AS DOUBLE) AS sxxd
+              | FROM v GROUP BY variant),
+              |st AS (
+              | SELECT variant, n,
+              |  round(sxd / CAST(n AS DOUBLE), 6) AS mean_spend,
+              |  round((sxxd - sxd * sxd / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0), 6) AS var_spend
+              | FROM agg)
+              |SELECT a.n AS n_a, b.n AS n_b, a.mean_spend AS mean_a, b.mean_spend AS mean_b,
+              | round((a.mean_spend - b.mean_spend) /
+              |   sqrt(a.var_spend / CAST(a.n AS DOUBLE) + b.var_spend / CAST(b.n AS DOUBLE)), 6) AS t_welch,
+              | abs(round((a.mean_spend - b.mean_spend) /
+              |   sqrt(a.var_spend / CAST(a.n AS DOUBLE) + b.var_spend / CAST(b.n AS DOUBLE)), 6)) > 1.96 AS significant
+              |FROM (SELECT * FROM st WHERE variant = 'A') a
+              |CROSS JOIN (SELECT * FROM st WHERE variant = 'B') b""".stripMargin)),
     "q_join_bloom" -> Q(
       qJoinBloom,
       Some("""SELECT o.o_orderpriority,

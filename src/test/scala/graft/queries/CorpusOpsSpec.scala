@@ -377,6 +377,22 @@ class CorpusOpsSpec extends SparkSuite {
     }
   }
 
+  // ------------------------------------------------------------ A/B test
+
+  test("q_events_abtest: variant split is exhaustive, flag matches t") {
+    val r = CorpusOps.qEventsAbtest(spark, sf001).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    val purchasers = graft.Tables
+      .events(spark, sf001)
+      .where(col("event_type") === "purchase")
+      .select("user_id")
+      .distinct()
+      .count()
+    assert(row.getLong(0) + row.getLong(1) == purchasers) // A + B = everyone
+    assert(row.getBoolean(5) == (math.abs(row.getDouble(4)) > 1.96))
+  }
+
   // ------------------------------------------------------- feature scaling
 
   test("q_feature_scale: output in [0,1], order-preserving within segment") {
