@@ -82,4 +82,25 @@ class SourcesSpec extends SparkSuite {
       assert(back.where(col("id").isNotNull).count() == 2)
     } finally back.unpersist()
   }
+
+  test("parquet schema evolution: mergeSchema unions column vintages") {
+    // the lakehouse reality: yesterday's files lack the column added
+    // today; a merged read must surface the union schema with NULLs for
+    // the missing vintage, and plain reads of either vintage still work
+    import spark.implicits._
+    val dir = tmp("graft_evolve")
+    val v1 = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    val v2 = Seq((3L, "c", 0.5), (4L, "d", 0.9)).toDF("id", "name", "score")
+    v1.write.parquet(s"$dir/day=2026-01-01")
+    v2.write.parquet(s"$dir/day=2026-01-02")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("id", "name", "score", "day"))
+    assert(merged.count() == 4)
+    // old vintage reads NULL for the new column; new vintage keeps values
+    assert(merged.where(col("score").isNull).select("id").collect().map(_.getLong(0)).sorted
+      .sameElements(Array(1L, 2L)))
+    assert(merged.where(col("score").isNotNull).count() == 2)
+    // filters on the evolved column prune correctly
+    assert(merged.where(col("score") > 0.7).select("id").head().getLong(0) == 4L)
+  }
 }
