@@ -1052,32 +1052,32 @@ object CorpusOps {
     * — same re-aggregatable-moments pattern as `q_agg_moments`), and the
     * only doubles are the final closed form, rounded to 1e-6 (FMA-
     * contraction guard, see `q_agg_corr`). Scale shape: one partial-agg
-    * shuffle on (type, day) → a per-type agg over days (tiny) → broadcast
-    * join back. Days-per-type grows with time not data volume, so the
-    * stats side stays bounded at any corpus size.
+    * shuffle on (type, day), then whole-partition window aggregates over
+    * the resulting daily table — which is types × days, i.e. grows with
+    * TIME not data volume, so the window pass is bounded at any corpus
+    * size and the raw events table is scanned exactly once.
     */
   def qEventsAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
     val daily = Tables
       .events(spark, sfDir)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("n"))
-    val stats = daily
-      .groupBy("event_type")
-      .agg(
-        count(lit(1)).as("n_days"),
-        sum(col("n")).as("sx"),
-        sum(col("n") * col("n")).as("sxx"))
-    val mean = col("sx").cast("double") / col("n_days").cast("double")
+    // per-type moments as whole-partition window aggregates over the
+    // (tiny: types × days) daily table — ONE events scan; a groupBy +
+    // join-back formulation re-scans the full events table for the
+    // stats branch, which is the expensive half at 100 TB
+    val w = Window.partitionBy("event_type")
+    val nDays = count(lit(1)).over(w).cast("double")
+    val sx = sum(col("n")).over(w).cast("double")
+    val sxx = sum(col("n") * col("n")).over(w).cast("double")
+    val mean = sx / nDays
     // population variance from the power sums; greatest(.,0) absorbs the
     // tiny negative FP residue a zero-variance group can produce
-    val variance = greatest(
-      col("sxx").cast("double") / col("n_days").cast("double") - mean * mean,
-      lit(0.0))
+    val variance = greatest(sxx / nDays - mean * mean, lit(0.0))
     val z = when(
       variance > 0,
       round((col("n").cast("double") - mean) / sqrt(variance), 6)).otherwise(lit(0.0))
     daily
-      .join(broadcast(stats), "event_type")
       .select(col("event_type"), col("day"), col("n"), z.as("z"))
       .withColumn("is_anomaly", abs(col("z")) > 2.0)
       .orderBy("event_type", "day")
