@@ -725,6 +725,37 @@ object Relational {
       .orderBy("o_orderkey", "idx")
   }
 
+  /** URL function battery — `parse_url` host/path/query extraction plus
+    * query-parameter lookup, over URLs synthesized deterministically from
+    * table columns (the web-pipeline shape: crawl records carry URLs;
+    * this battery is how source-domain mixing, per-site caps, and
+    * canonicalization all start). Same round-trip oracle idea as the
+    * multimodal probes: DuckDB rebuilds the expected parts from the same
+    * synthesis arithmetic, so a parse bug on the Spark side (wrong
+    * component, bad delimiter handling) breaks the hash match. Pure
+    * scan-side projection, no shuffle.
+    */
+  def qFnUrl(spark: SparkSession, sfDir: String): DataFrame = {
+    val url = concat(
+      lit("https://"),
+      col("source"),
+      lit(".example.com/docs/"),
+      col("doc_id"),
+      lit("?lang="),
+      col("lang"),
+      lit("&v=2"))
+    Tables
+      .documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        url.as("url"),
+        parse_url(url, lit("HOST")).as("host"),
+        parse_url(url, lit("PATH")).as("path"),
+        parse_url(url, lit("QUERY")).as("query"),
+        parse_url(url, lit("QUERY"), lit("lang")).as("q_lang"))
+      .orderBy("doc_id")
+  }
+
   // ----------------------------------------------------------- UDF surface
 
   /** Scala UDF demo (black-box to Catalyst — kept out of hot paths). */
@@ -1067,6 +1098,15 @@ object Relational {
              | CASE WHEN i.idx = 1 THEN o_orderstatus ELSE o_orderpriority END AS val
              |FROM orders CROSS JOIN (VALUES (1), (2)) AS i(idx)
              |ORDER BY o_orderkey, idx""".stripMargin)),
+    "q_fn_url" -> Q(
+      qFnUrl,
+      Some("""SELECT doc_id,
+             | 'https://' || source || '.example.com/docs/' || doc_id || '?lang=' || lang || '&v=2' AS url,
+             | source || '.example.com' AS host,
+             | '/docs/' || doc_id AS path,
+             | 'lang=' || lang || '&v=2' AS query,
+             | lang AS q_lang
+             |FROM documents ORDER BY doc_id""".stripMargin)),
     "q_udf_scalar" -> Q(
       qUdfScalar,
       Some("""SELECT p_partkey, replace(lower(p_name), ' ', '-') AS slug
