@@ -1168,20 +1168,31 @@ object CorpusOps {
       col("n"),
       round(mean, 6).as("mean_spend"),
       round(variance, 6).as("var_spend"))
-    val a = stats.where(col("variant") === "A").as("a")
-    val b = stats.where(col("variant") === "B").as("b")
-    a.crossJoin(b)
+    // fold the 2-row variant table into one row with conditional
+    // aggregates — an A×B self-join here would recompute the whole
+    // upstream (two full events scans) since Spark doesn't cache
+    // shared subplans across join sides
+    def side(v: String, c: String) = max(when(col("variant") === v, col(c)))
+    val t = round(
+      (col("mean_a") - col("mean_b")) /
+        sqrt(
+          col("var_a") / col("n_a").cast("double") +
+            col("var_b") / col("n_b").cast("double")),
+      6)
+    stats
+      .agg(
+        side("A", "n").as("n_a"),
+        side("B", "n").as("n_b"),
+        side("A", "mean_spend").as("mean_a"),
+        side("B", "mean_spend").as("mean_b"),
+        side("A", "var_spend").as("var_a"),
+        side("B", "var_spend").as("var_b"))
       .select(
-        col("a.n").as("n_a"),
-        col("b.n").as("n_b"),
-        col("a.mean_spend").as("mean_a"),
-        col("b.mean_spend").as("mean_b"),
-        round(
-          (col("a.mean_spend") - col("b.mean_spend")) /
-            sqrt(
-              col("a.var_spend") / col("a.n").cast("double") +
-                col("b.var_spend") / col("b.n").cast("double")),
-          6).as("t_welch"))
+        col("n_a"),
+        col("n_b"),
+        col("mean_a"),
+        col("mean_b"),
+        t.as("t_welch"))
       .withColumn("significant", abs(col("t_welch")) > 1.96)
   }
 
@@ -1606,14 +1617,22 @@ object CorpusOps {
               | SELECT variant, n,
               |  round(sxd / CAST(n AS DOUBLE), 6) AS mean_spend,
               |  round((sxxd - sxd * sxd / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0), 6) AS var_spend
-              | FROM agg)
-              |SELECT a.n AS n_a, b.n AS n_b, a.mean_spend AS mean_a, b.mean_spend AS mean_b,
-              | round((a.mean_spend - b.mean_spend) /
-              |   sqrt(a.var_spend / CAST(a.n AS DOUBLE) + b.var_spend / CAST(b.n AS DOUBLE)), 6) AS t_welch,
-              | abs(round((a.mean_spend - b.mean_spend) /
-              |   sqrt(a.var_spend / CAST(a.n AS DOUBLE) + b.var_spend / CAST(b.n AS DOUBLE)), 6)) > 1.96 AS significant
-              |FROM (SELECT * FROM st WHERE variant = 'A') a
-              |CROSS JOIN (SELECT * FROM st WHERE variant = 'B') b""".stripMargin)),
+              | FROM agg),
+              |wide AS (
+              | SELECT
+              |  max(CASE WHEN variant = 'A' THEN n END) AS n_a,
+              |  max(CASE WHEN variant = 'B' THEN n END) AS n_b,
+              |  max(CASE WHEN variant = 'A' THEN mean_spend END) AS mean_a,
+              |  max(CASE WHEN variant = 'B' THEN mean_spend END) AS mean_b,
+              |  max(CASE WHEN variant = 'A' THEN var_spend END) AS var_a,
+              |  max(CASE WHEN variant = 'B' THEN var_spend END) AS var_b
+              | FROM st)
+              |SELECT n_a, n_b, mean_a, mean_b,
+              | round((mean_a - mean_b) /
+              |   sqrt(var_a / CAST(n_a AS DOUBLE) + var_b / CAST(n_b AS DOUBLE)), 6) AS t_welch,
+              | abs(round((mean_a - mean_b) /
+              |   sqrt(var_a / CAST(n_a AS DOUBLE) + var_b / CAST(n_b AS DOUBLE)), 6)) > 1.96 AS significant
+              |FROM wide""".stripMargin)),
     "q_join_bloom" -> Q(
       qJoinBloom,
       Some("""SELECT o.o_orderpriority,
