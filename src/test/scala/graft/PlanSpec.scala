@@ -187,4 +187,38 @@ class PlanSpec extends SparkSuite {
     val scans = "FileScan parquet".r.findAllIn(p).length
     assert(scans == 2, s"expected 2 scans, got $scans:\n$p")
   }
+
+  test("anomaly and A/B readout scan events exactly once") {
+    // both had two-scan formulations (stats branch recomputing the
+    // upstream); the window-moments / conditional-agg rewrites must keep
+    // them single-pass
+    for (
+      df <- Seq(
+        graft.queries.CorpusOps.qEventsAnomaly(spark, sf001),
+        graft.queries.CorpusOps.qEventsAbtest(spark, sf001))
+    ) {
+      val p = plan(df)
+      val scans = "FileScan parquet".r.findAllIn(p).length
+      assert(scans == 1, s"expected 1 scan, got $scans:\n$p")
+    }
+  }
+
+  test("count-min probe path is broadcast column arithmetic, no UDF") {
+    val p = plan(graft.queries.CorpusOps.qAggCountMin(spark, sf001))
+    // sketch build is the typed aggregator (partial + final object agg);
+    // the per-token probe must stay in plain expressions against the
+    // broadcast 1-row sketch
+    assert(p.contains("BroadcastExchange"), p)
+    val aggs = "ObjectHashAggregate".r.findAllIn(p).length
+    assert(aggs == 2, s"expected partial+final sketch agg, got $aggs:\n$p")
+    assert(
+      !p.linesIterator.exists(l => l.contains("Project") && l.contains("UDF")),
+      p)
+  }
+
+  test("feature scaling broadcasts the 5-row thresholds to the row scan") {
+    val p = plan(graft.queries.CorpusOps.qFeatureScale(spark, sf001))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Window"), p) // thresholds via agg, not a window sort
+  }
 }
