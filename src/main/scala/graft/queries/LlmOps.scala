@@ -1030,6 +1030,38 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** Per-doc token Shannon entropy (nats): `H = ln N − (Σ nₜ·ln nₜ)/N` —
+    * the token-diversity quality signal between `q_text_repetition`'s
+    * ratio heuristics and `q_text_compressibility`'s byte-level DEFLATE
+    * gate: a doc cycling five words scores low H however long it is.
+    * Same shape as repetition (one (doc, tok) partial-count shuffle, one
+    * per-doc agg); each `ln nₜ` is quantized to 1e-6 fixed point BEFORE
+    * the weighted sum (the `q_text_unigram_nll` cross-libm discipline —
+    * Java and C `ln` differ in the last ulp), so the aggregate is exact
+    * integer arithmetic on both engines and the closed form rounds
+    * identically.
+    */
+  def qTextEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    val lnMicro = round(log(col("n")) * 1e6, 0).cast("long")
+    val hN = round(log(col("n_tokens")) * 1e6, 0).cast("long").cast("double")
+    docTokens(Tables.documents(spark, sfDir))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("n")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("n") * lnMicro).as("s_micro"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("n_distinct"),
+        round((hN - col("s_micro").cast("double") / col("n_tokens").cast("double")) / 1e6, 6)
+          .as("entropy"))
+      .withColumn("low_diversity", col("entropy") < 1.5)
+      .orderBy("doc_id")
+  }
+
   /** Train↔test decontamination core: for each train document, how many
     * of its distinct 3-token shingles appear anywhere in the eval set.
     * The scalable shape: eval shingles reduce to a DISTINCT shingle
@@ -1777,6 +1809,25 @@ object LlmOps {
              |      FROM documents)
              |GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 100""".stripMargin)),
     "q_text_compressibility" -> Q(qTextCompressibility, None),
+    "q_text_entropy" -> Q(
+      qTextEntropy,
+      Some("""WITH tf AS (
+             | SELECT doc_id, tok, count(1) AS n
+             | FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+             |       FROM documents)
+             | GROUP BY doc_id, tok),
+             |agg AS (
+             | SELECT doc_id,
+             |  CAST(sum(n) AS BIGINT) AS n_tokens,
+             |  count(1) AS n_distinct,
+             |  CAST(sum(n * CAST(round(ln(n) * 1e6, 0) AS BIGINT)) AS BIGINT) AS s_micro
+             | FROM tf GROUP BY doc_id)
+             |SELECT doc_id, n_tokens, n_distinct,
+             | round((CAST(CAST(round(ln(n_tokens) * 1e6, 0) AS BIGINT) AS DOUBLE)
+             |   - CAST(s_micro AS DOUBLE) / CAST(n_tokens AS DOUBLE)) / 1e6, 6) AS entropy,
+             | round((CAST(CAST(round(ln(n_tokens) * 1e6, 0) AS BIGINT) AS DOUBLE)
+             |   - CAST(s_micro AS DOUBLE) / CAST(n_tokens AS DOUBLE)) / 1e6, 6) < 1.5 AS low_diversity
+             |FROM agg ORDER BY doc_id""".stripMargin)),
     "q_text_repetition" -> Q(
       qTextRepetition,
       Some("""WITH tf AS (
