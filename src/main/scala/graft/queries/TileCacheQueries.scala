@@ -144,6 +144,38 @@ object TileCacheQueries {
       .orderBy("level", "tile_row", "tile_col")
   }
 
+  /** The manifest scan through the DataSource V2 connector
+    * (`format("tilecache")`, [[graft.sources.tilecache.TileCacheSource]])
+    * instead of binaryFile + regex parsing: keys come parsed from the
+    * source, level predicates prune whole level directories at planning
+    * time, and because `content` is never projected here the connector
+    * never opens a tile file — the manifest runs at directory-listing
+    * speed. Output is row-for-row identical to [[cacheScan]]
+    * (spec-pinned), so the two formulations stay interchangeable.
+    */
+  def cacheScanV2(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = ensureFixture()
+    val grid = Tile
+      .tileGrid(spark, fixtureCfg)
+      .withColumnRenamed("row", "tile_row")
+      .withColumnRenamed("col", "tile_col")
+    spark.read
+      .format("tilecache")
+      .load(root)
+      .withColumnRenamed("row", "tile_row")
+      .withColumnRenamed("col", "tile_col")
+      .join(grid, Seq("level", "tile_row", "tile_col"))
+      .select(
+        col("level"),
+        col("tile_row"),
+        col("tile_col"),
+        Tile
+          .objectKey(fixtureCfg, col("level"), col("tile_row"), col("tile_col"))
+          .as("object_key"),
+        col("length"))
+      .orderBy("level", "tile_row", "tile_col")
+  }
+
   /** Source tiles with content + object key (scan ⋈ grid), the input
     * relation of both the full upload and the delta sync.
     */

@@ -118,6 +118,7 @@ object TileQueries {
             |FROM (SELECT g.*, 20037508.34278 * power(2.0, 1 - level) AS ts FROM grid g)
             |ORDER BY level, tile_row, tile_col""".stripMargin)),
     "tile_cache_scan" -> Q(TileCacheQueries.cacheScan, None, bench = false),
+    "tile_cache_scan_v2" -> Q(TileCacheQueries.cacheScanV2, None, bench = false),
     "tile_upload_sink" -> Q(TileCacheQueries.uploadSink, None, bench = false),
     "tile_delta_sync" -> Q(TileCacheQueries.deltaSync, None, bench = false),
     "tile_pyramid_rollup" -> Q(
