@@ -103,4 +103,26 @@ class SourcesSpec extends SparkSuite {
     // filters on the evolved column prune correctly
     assert(merged.where(col("score") > 0.7).select("id").head().getLong(0) == 4L)
   }
+
+  test("ignoreCorruptFiles: a garbage file in the directory doesn't kill the scan") {
+    import spark.implicits._
+    val dir = tmp("graft_corrupt")
+    Seq((1L, "ok"), (2L, "fine")).toDF("id", "s").write.mode("append").parquet(dir)
+    // a file with a .parquet name but garbage bytes — the torn-upload /
+    // partial-write reality of object stores
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "part-99999-torn.snappy.parquet"),
+      "this is not a parquet file".getBytes("UTF-8"))
+    // default (fail-fast) surfaces the corruption loudly…
+    val failed =
+      try { spark.read.parquet(dir).count(); false }
+      catch { case _: Throwable => true }
+    assert(failed, "corrupt file should fail a strict read")
+    // …and the operational toggle degrades to skip-and-continue
+    val tolerant = spark.read
+      .option("ignoreCorruptFiles", "true")
+      .parquet(dir)
+    assert(tolerant.count() == 2)
+    assert(tolerant.select("id").collect().map(_.getLong(0)).sorted.sameElements(Array(1L, 2L)))
+  }
 }

@@ -88,4 +88,26 @@ class PipelineOpsSpec extends SparkSuite {
     assert(got(2).getInt(1) == 0 && got(2).getInt(2) == 0)
     assert(got(2).getString(3) == "clean text with no pii at all")
   }
+
+  test("observe(): pipeline metrics ride the job instead of a second pass") {
+    // the production pattern for ingest counters: Observation attaches
+    // named aggregates to the SAME action (no extra scan, no accumulator
+    // double-count on retries); here the cleaning pipeline reports its
+    // own gate statistics
+    import org.apache.spark.sql.Observation
+    val obs = Observation("clean_metrics")
+    val docs = graft.Tables.documents(spark, sf001)
+    val prof = graft.functions.TextProfile.profile(col("text"))
+    val gated = docs
+      .select(col("doc_id"), prof.getField("n_tokens").as("n_toks"))
+      .observe(
+        obs,
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_toks") < 5, 1).otherwise(0)).as("n_too_short"))
+      .where(col("n_toks") >= 5)
+    val kept = gated.count()
+    val m = obs.get
+    assert(m("n_docs").asInstanceOf[Long] == docs.count())
+    assert(m("n_docs").asInstanceOf[Long] - m("n_too_short").asInstanceOf[Long] == kept)
+  }
 }
