@@ -216,10 +216,12 @@ object VideoProbe {
   /** Walk ISO-BMFF boxes: (u32be size, 4cc type); size 1 → u64 extended
     * size at offset 8, size 0 → box runs to EOF. Box sizes are advanced in
     * LONG arithmetic for the same corrupt-u32 reason as [[AudioProbe.wav]].
-    * Returns the offset of the first `want` box's PAYLOAD inside
-    * [from, to), or -1.
+    * Returns (payloadStart, boxEnd) of the first `want` box inside
+    * [from, to), or null — the end travels WITH the find so a box carrying
+    * a 64-bit extended size (16-byte header) can't be re-measured wrongly
+    * by a second 8-byte-header read.
     */
-  private def findBox(b: Array[Byte], from: Long, to: Long, want: String): Long = {
+  private def findBox(b: Array[Byte], from: Long, to: Long, want: String): Array[Long] = {
     var i = from
     while (i + 8 <= to) {
       val at = i.toInt
@@ -227,34 +229,27 @@ object VideoProbe {
       val hdr = if (size0 == 1L) 16L else 8L
       val size =
         if (size0 == 0L) to - i // to end of enclosing space
-        else if (size0 == 1L) { if (i + 16 > to) return -1L else beU64(b, at + 8) }
+        else if (size0 == 1L) { if (i + 16 > to) return null else beU64(b, at + 8) }
         else size0
-      if (size < hdr) return -1L // corrupt: box smaller than its own header
-      if (tag(b, at + 4, want)) return i + hdr
+      if (size < hdr) return null // corrupt: box smaller than its own header
+      if (tag(b, at + 4, want)) return Array(i + hdr, math.min(i + size, to))
       i += size
     }
-    -1L
-  }
-
-  /** End offset of the box whose payload starts at `payloadAt` (payload
-    * start - header, reading the size again) — needed to bound child walks.
-    */
-  private def boxEnd(b: Array[Byte], payloadAt: Long, limit: Long): Long = {
-    val hdrAt = payloadAt - 8 // only called for boxes found with 8-byte headers
-    val size0 = beU32(b, hdrAt.toInt)
-    if (size0 == 0L) limit else math.min(hdrAt + size0, limit)
+    null
   }
 
   private def mp4(b: Array[Byte]): Video = {
     val n = b.length.toLong
     val brand = new String(b, 8, 4, "US-ASCII")
-    val moov = findBox(b, 0L, n, "moov")
-    if (moov < 0) return Video("mp4", brand, -1, -1L, -1, -1)
-    val moovEnd = boxEnd(b, moov, n)
+    val moovBox = findBox(b, 0L, n, "moov")
+    if (moovBox == null) return Video("mp4", brand, -1, -1L, -1, -1)
+    val moov = moovBox(0)
+    val moovEnd = moovBox(1)
     var timescale = -1
     var durMs = -1L
-    val mvhd = findBox(b, moov, moovEnd, "mvhd")
-    if (mvhd >= 0 && mvhd + 4 <= moovEnd) {
+    val mvhdBox = findBox(b, moov, moovEnd, "mvhd")
+    if (mvhdBox != null && mvhdBox(0) + 4 <= moovEnd) {
+      val mvhd = mvhdBox(0)
       val v = u8(b, mvhd.toInt)
       // FullBox payload: version(1) flags(3), then v0: ctime4 mtime4
       // timescale4 duration4 / v1: ctime8 mtime8 timescale4 duration8
@@ -270,11 +265,13 @@ object VideoProbe {
     }
     var width = -1
     var height = -1
-    val trak = findBox(b, moov, moovEnd, "trak")
-    if (trak >= 0) {
-      val trakEnd = boxEnd(b, trak, moovEnd)
-      val tkhd = findBox(b, trak, trakEnd, "tkhd")
-      if (tkhd >= 0 && tkhd + 4 <= trakEnd) {
+    val trakBox = findBox(b, moov, moovEnd, "trak")
+    if (trakBox != null) {
+      val trak = trakBox(0)
+      val trakEnd = trakBox(1)
+      val tkhdBox = findBox(b, trak, trakEnd, "tkhd")
+      if (tkhdBox != null && tkhdBox(0) + 4 <= trakEnd) {
+        val tkhd = tkhdBox(0)
         val v = u8(b, tkhd.toInt)
         // v0 payload: ver/flags4 ctime4 mtime4 id4 res4 dur4 res8 layer2
         // alt2 vol2 res2 matrix36 → width @ +76, height @ +80 (16.16)

@@ -127,6 +127,22 @@ class MediaProbeSpec extends AnyFunSuite {
     assert(v.width == -1 && v.height == -1) // no trak in this file
   }
 
+  test("mp4: 64-bit extended box size (size=1 + u64) walks correctly") {
+    // moov with a 16-byte header: size0=1, largesize at offset 8
+    val mvhdSize = 8 + 4 + 4 + 4 + 4 + 4 // v0 through duration
+    val moovSize = 16 + mvhdSize
+    val bb = java.nio.ByteBuffer.allocate(16 + moovSize)
+    bb.putInt(16); bb.put("ftypisom".getBytes); bb.putInt(0)
+    bb.putInt(1); bb.put("moov".getBytes); bb.putLong(moovSize.toLong)
+    bb.putInt(mvhdSize); bb.put("mvhd".getBytes)
+    bb.putInt(0) // version 0
+    bb.putInt(0); bb.putInt(0) // ctime, mtime
+    bb.putInt(48000) // timescale
+    bb.putInt(96000) // duration
+    val v = VideoProbe.probe(bb.array())
+    assert(v.timescale == 48000 && v.durationMs == 2000L, v)
+  }
+
   test("video container signatures and corrupt-input hardening") {
     assert(VideoProbe.probe("RIFF1234AVI ".getBytes).format == "avi")
     assert(VideoProbe.probe(Array(0x1a, 0x45, 0xdf, 0xa3).map(_.toByte)).format == "mkv")
