@@ -590,6 +590,18 @@ object Relational {
   def qSetExcept(spark: SparkSession, sfDir: String): DataFrame =
     custYear(spark, sfDir, 1995).except(custYear(spark, sfDir, 2001)).orderBy("o_custkey")
 
+  /** Bag-semantics set ops (`INTERSECT ALL` / `EXCEPT ALL`): multiplicity
+    * matters — a customer with 3 orders in 1995 and 1 in 2001 contributes
+    * min(3,1)=1 row to the intersection and 3−1=2 to the difference. The
+    * multiset members of the set-op family; Catalyst plans both as an
+    * aggregate-count + replicate, one shuffle each.
+    */
+  def qSetIntersectAll(spark: SparkSession, sfDir: String): DataFrame =
+    custYear(spark, sfDir, 1995).intersectAll(custYear(spark, sfDir, 2001)).orderBy("o_custkey")
+
+  def qSetExceptAll(spark: SparkSession, sfDir: String): DataFrame =
+    custYear(spark, sfDir, 1995).exceptAll(custYear(spark, sfDir, 2001)).orderBy("o_custkey")
+
   // ----------------------------------------------------- function families
 
   def qFnString(spark: SparkSession, sfDir: String): DataFrame =
@@ -1033,6 +1045,18 @@ object Relational {
       qSetExcept,
       Some("""SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
              |EXCEPT
+             |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 2001
+             |ORDER BY o_custkey""".stripMargin)),
+    "q_set_intersect_all" -> Q(
+      qSetIntersectAll,
+      Some("""SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+             |INTERSECT ALL
+             |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 2001
+             |ORDER BY o_custkey""".stripMargin)),
+    "q_set_except_all" -> Q(
+      qSetExceptAll,
+      Some("""SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+             |EXCEPT ALL
              |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 2001
              |ORDER BY o_custkey""".stripMargin)),
     "q_fn_string" -> Q(

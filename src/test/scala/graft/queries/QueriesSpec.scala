@@ -269,6 +269,18 @@ class QueriesSpec extends SparkSuite {
     got.foreach { case (k, v) => assert(math.abs(v - exp(k)) < 1e-9, k) }
   }
 
+  test("bag set ops: intersectAll + exceptAll partition the left multiset") {
+    // per value: min(a,b) + max(a-b, 0) = a, so the two results together
+    // hold exactly the left side's rows
+    val a = Relational.qSetIntersectAll(spark, sf001).count() +
+      Relational.qSetExceptAll(spark, sf001).count()
+    val left = graft.Tables
+      .orders(spark, sf001)
+      .where(year(col("o_orderdate")) === 1995)
+      .count()
+    assert(a == left)
+  }
+
   test("containment dominates jaccard on the same capped shingle sets") {
     val cont = LlmOps
       .qDedupContainment(spark, sf001)
