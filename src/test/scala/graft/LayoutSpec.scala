@@ -87,4 +87,32 @@ class LayoutSpec extends SparkSuite {
     // and z beats the 1-D sort on the dimension it neglects
     assert(zDate < sDate / 2, s"z date span $zDate vs 1-D $sDate")
   }
+
+  test("dynamic partition overwrite replaces only the written partitions") {
+    import spark.implicits._
+    // the ETL re-run shape: re-landing one day must not wipe the others
+    // (static overwrite mode truncates the whole table first)
+    val dir = java.nio.file.Files.createTempDirectory("graft_dyn").toString + "/t"
+    Seq((1L, "a", "d1"), (2L, "b", "d2"), (3L, "c", "d2"))
+      .toDF("id", "v", "day")
+      .write
+      .partitionBy("day")
+      .parquet(dir)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      Seq((20L, "B2", "d2")) // re-land day d2 only
+        .toDF("id", "v", "day")
+        .write
+        .mode("overwrite")
+        .partitionBy("day")
+        .parquet(dir)
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", p)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    val back = spark.read.parquet(dir).orderBy("id").collect()
+    assert(back.map(_.getLong(0)).toSeq == Seq(1L, 20L)) // d1 intact, d2 replaced
+    assert(back.map(_.getString(2)).toSeq == Seq("d1", "d2"))
+  }
 }
