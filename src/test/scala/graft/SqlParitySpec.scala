@@ -60,4 +60,23 @@ class SqlParitySpec extends SparkSuite {
       assert(sql.collect().toSeq == api.collect().toSeq)
     }
   }
+
+  test("tilecache connector mounts via SQL DDL (USING tilecache)") {
+    val root = graft.queries.TileCacheQueries.ensureFixture()
+    spark.sql(
+      s"CREATE OR REPLACE TEMPORARY VIEW tile_cache USING tilecache OPTIONS (path '$root')")
+    try {
+      val sql = spark
+        .sql("SELECT level, row, col, length FROM tile_cache WHERE level = 3 ORDER BY row, col")
+        .collect()
+      val api = spark.read
+        .format("tilecache")
+        .load(root)
+        .where(col("level") === 3)
+        .select("level", "row", "col", "length")
+        .orderBy("row", "col")
+        .collect()
+      assert(sql.nonEmpty && sql.sameElements(api))
+    } finally spark.catalog.dropTempView("tile_cache")
+  }
 }
