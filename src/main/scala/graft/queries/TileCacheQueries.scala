@@ -176,6 +176,44 @@ object TileCacheQueries {
       .orderBy("level", "tile_row", "tile_col")
   }
 
+  /** Per-level cache coverage report: candidate grid size vs tiles
+    * actually present — the completeness audit a tile pipeline runs
+    * before publishing (the reference over-generates and lets misses
+    * fall out silently, `Program.cs:102`; this surfaces the miss rate).
+    * The CACHED side comes from a real filesystem listing (the v2
+    * connector, content never read); the ORACLE recomputes both sides
+    * arithmetically — grid from the fixture extent formulas, presence
+    * from the fixture's deterministic gap rule — so a fixture/listing
+    * divergence (missing file, stale dir) breaks the hash match. Same
+    * end-to-end round-trip contract as the multimodal probes, applied to
+    * a filesystem.
+    */
+  def cacheCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = ensureFixture()
+    val grid = Tile
+      .tileGrid(spark, fixtureCfg)
+      .withColumnRenamed("row", "tile_row")
+      .withColumnRenamed("col", "tile_col")
+    val cells = grid.groupBy("level").agg(count(lit(1)).as("n_cells"))
+    val cached = spark.read
+      .format("tilecache")
+      .load(root)
+      .select(col("level"), col("row").as("tile_row"), col("col").as("tile_col"))
+      .join(grid, Seq("level", "tile_row", "tile_col"))
+      .groupBy("level")
+      .agg(count(lit(1)).as("n_cached"))
+    cells
+      .join(cached, Seq("level"), "left")
+      .select(
+        col("level"),
+        col("n_cells"),
+        coalesce(col("n_cached"), lit(0L)).as("n_cached"),
+        round(
+          coalesce(col("n_cached"), lit(0L)).cast("double") / col("n_cells").cast("double"),
+          4).as("coverage"))
+      .orderBy("level")
+  }
+
   /** Source tiles with content + object key (scan ⋈ grid), the input
     * relation of both the full upload and the delta sync.
     */

@@ -119,6 +119,34 @@ object TileQueries {
             |ORDER BY level, tile_row, tile_col""".stripMargin)),
     "tile_cache_scan" -> Q(TileCacheQueries.cacheScan, None, bench = false),
     "tile_cache_scan_v2" -> Q(TileCacheQueries.cacheScanV2, None, bench = false),
+    "tile_cache_coverage" -> Q(
+      TileCacheQueries.cacheCoverage,
+      // the oracle recomputes BOTH sides arithmetically: the grid from
+      // the fixture extent formulas (trunc-toward-zero, +1+pad bounds),
+      // presence from the fixture generator's gap rule — a divergence
+      // between the real filesystem listing and this arithmetic fails
+      // the hash match (see cacheCoverage scaladoc)
+      Some("""WITH lv AS (SELECT CAST(unnest(generate_series(2, 4)) AS INT) AS level),
+             |b AS (SELECT level, 20037508.34278 * power(2.0, 1 - level) AS tile_size FROM lv),
+             |rg AS (SELECT level,
+             |  CAST(trunc((20037508.34278 - 6384021.0) / tile_size) AS INT) - 1 AS start_row,
+             |  CAST(trunc((20037508.34278 - 3604577.0) / tile_size) AS INT) + 1 + 1 AS end_row,
+             |  CAST(trunc((-14078565.0 + 20037508.34278) / tile_size) AS INT) - 1 AS start_col,
+             |  CAST(trunc((-11137983.0 + 20037508.34278) / tile_size) AS INT) + 1 + 1 AS end_col
+             | FROM b),
+             |grid AS (SELECT level, CAST(r.r AS INT) AS tile_row, CAST(c.c AS INT) AS tile_col
+             | FROM rg,
+             |  LATERAL (SELECT unnest(generate_series(start_row, end_row)) AS r) r,
+             |  LATERAL (SELECT unnest(generate_series(start_col, end_col)) AS c) c)
+             |SELECT level, count(1) AS n_cells,
+             | CAST(sum(CASE WHEN (tile_row + tile_col + level) % 3 <> 0
+             |                AND tile_row >= 0 AND tile_col >= 0
+             |               THEN 1 ELSE 0 END) AS BIGINT) AS n_cached,
+             | round(CAST(sum(CASE WHEN (tile_row + tile_col + level) % 3 <> 0
+             |                      AND tile_row >= 0 AND tile_col >= 0
+             |                     THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(1) AS DOUBLE), 4) AS coverage
+             |FROM grid GROUP BY level ORDER BY level""".stripMargin),
+      bench = false),
     "tile_upload_sink" -> Q(TileCacheQueries.uploadSink, None, bench = false),
     "tile_delta_sync" -> Q(TileCacheQueries.deltaSync, None, bench = false),
     "tile_pyramid_rollup" -> Q(
