@@ -121,4 +121,45 @@ class PropertySpec extends SparkSuite {
         s"seed $seed")
     }
   }
+
+  test("property: token entropy matches a direct computation on random docs") {
+    val word = Gen.oneOf("a", "bb", "ccc", "dd", "e", "fff", "gg")
+    val doc = Gen.choose(1, 40).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    (1L to 3L).foreach { seed =>
+      val docs = sample(Gen.listOfN(80, doc), seed).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }
+      // direct computation under the SAME quantization contract
+      def entropyOf(text: String): Double = {
+        val toks = text.split(" ").filter(_.nonEmpty)
+        val n = toks.length.toDouble
+        val s = toks.groupBy(identity).values
+          .map(g => g.length.toLong * math.round(math.log(g.length.toDouble) * 1e6))
+          .sum
+        val hN = math.round(math.log(n) * 1e6).toDouble
+        BigDecimal((hN - s.toDouble / n) / 1e6)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble
+      }
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_ent$seed")
+      try {
+        docs.toDF("doc_id", "text")
+          .withColumn("lang", lit("en"))
+          .withColumn("source", lit("src0"))
+          .withColumn("n_chars", length($"text").cast("long"))
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        val got = graft.queries.LlmOps
+          .qTextEntropy(spark, dir.toString)
+          .collect()
+          .map(r => r.getLong(0) -> r.getDouble(3))
+          .toMap
+        docs.foreach { case (id, text) =>
+          assert(math.abs(got(id) - entropyOf(text)) < 1e-9, s"seed $seed doc $id: '$text'")
+        }
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+  }
 }
