@@ -113,6 +113,56 @@ object CorpusOps {
       .orderBy("user_id", "valid_from", "event_id")
   }
 
+  // ------------------------------------------------- point-in-time join
+
+  /** Point-in-time (temporal) join over SCD2 intervals — the feature-store
+    * correctness pattern: each purchase is joined to the user's profile
+    * version (here: the `view`-event value history) that was valid AT the
+    * purchase instant, `valid_from ≤ ts < valid_to`. Training-data
+    * pipelines need exactly this to avoid feature leakage (joining
+    * TODAY'S dimension row onto LAST YEAR'S facts).
+    *
+    * Versions are half-open [from, to) intervals from the same
+    * `lead()`-window construction as `q_events_scd2`, so time partitions
+    * exactly and each fact matches ≤ 1 version (ties on valid_from
+    * collapse to empty intervals). LEFT join keeps pre-history facts with
+    * NULL dims. Scale shape: an equi-join keyed on the entity (user_id)
+    * with the interval predicate as a join residual — versions-per-user
+    * is bounded (profile churn, not event volume), so there's no range
+    * explosion; one hash-partition shuffle per side.
+    */
+  def qJoinScd2Pit(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Tables.events(spark, sfDir)
+    val w = Window.partitionBy("user_id").orderBy(col("valid_from").asc, col("dim_event_id").asc)
+    val dim = events
+      .where(col("event_type") === "view")
+      .select(
+        col("user_id"),
+        col("event_id").as("dim_event_id"),
+        col("ts").as("valid_from"),
+        col("value").as("dim_value"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+    val facts = events
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    facts
+      .join(
+        dim,
+        facts("user_id") === dim("user_id") &&
+          col("valid_from") <= col("ts") &&
+          (col("valid_to").isNull || col("ts") < col("valid_to")),
+        "left")
+      .select(
+        col("event_id"),
+        facts("user_id"),
+        col("ts"),
+        col("value"),
+        col("dim_event_id"),
+        col("dim_value"),
+        col("valid_from"))
+      .orderBy("event_id")
+  }
+
   // ---------------------------------------------------- stratified sampling
 
   /** Stratified deterministic sample: the "first" 20 documents per
@@ -1563,6 +1613,18 @@ object CorpusOps {
       Some(s"""SELECT tok, count(1) AS n
               |FROM (SELECT unnest(toks) AS tok FROM $DOCS_T)
               |GROUP BY tok ORDER BY tok""".stripMargin)),
+    "q_join_scd2_pit" -> Q(
+      qJoinScd2Pit,
+      Some(s"""WITH dim AS (
+              | SELECT user_id, event_id AS dim_event_id, ts AS valid_from, value AS dim_value,
+              |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+              | FROM $EV WHERE event_type = 'view'),
+              |f AS (SELECT user_id, event_id, ts, value FROM $EV WHERE event_type = 'purchase')
+              |SELECT f.event_id, f.user_id, f.ts, f.value,
+              |       d.dim_event_id, d.dim_value, d.valid_from
+              |FROM f LEFT JOIN dim d ON f.user_id = d.user_id
+              | AND d.valid_from <= f.ts AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+              |ORDER BY f.event_id""".stripMargin)),
     "q_events_anomaly" -> Q(
       qEventsAnomaly,
       Some(s"""WITH daily AS (

@@ -377,6 +377,32 @@ class CorpusOpsSpec extends SparkSuite {
     }
   }
 
+  // ------------------------------------------------------------ PIT join
+
+  test("q_join_scd2_pit: each purchase gets exactly the latest prior view") {
+    val rows = CorpusOps.qJoinScd2Pit(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length) // <=1 version per fact
+    // brute force on the raw events: the valid version IS the as-of view
+    val evs = graft.Tables
+      .events(spark, sf001)
+      .select("user_id", "event_id", "ts", "event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime, r.getString(3)))
+    val viewsByUser = evs.filter(_._4 == "view").groupBy(_._1)
+    rows.foreach { r =>
+      val (uid, ts) = (r.getLong(1), r.getTimestamp(2).getTime)
+      val expect = viewsByUser
+        .getOrElse(uid, Array.empty)
+        .filter(_._3 <= ts)
+        .sortBy(v => (v._3, v._2))
+        .lastOption
+        .map(_._2)
+      val got = if (r.isNullAt(4)) None else Some(r.getLong(4))
+      assert(got == expect, s"purchase ${r.getLong(0)} user $uid")
+    }
+  }
+
   // ------------------------------------------------------------ A/B test
 
   test("q_events_abtest: variant split is exhaustive, flag matches t") {
