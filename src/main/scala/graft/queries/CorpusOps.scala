@@ -531,6 +531,37 @@ object CorpusOps {
       .orderBy("event_type")
   }
 
+  /** Sketch ALGEBRA on the HLL family: audience-overlap estimation via
+    * inclusion-exclusion, `|A∩B| ≈ |A| + |B| − |A∪B|`, entirely from the
+    * per-segment sketches — the metric-store pattern for "how many users
+    * did BOTH X and Y" when the raw id sets are too large to intersect
+    * exactly (per-segment KB sketches vs per-segment TB id lists at
+    * 100 TB). HLL union is lossless over the underlying registers, so
+    * the estimate's error stays within the union sketch's bound; the
+    * estimate-vs-exact gap is spec-pinned (≤5%), and the identity
+    * `|A∩B| + |A∪B| = |A| + |B|` holds exactly by construction.
+    */
+  def qAggHllIntersect(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val bySeg = ev
+      .where(col("event_type").isin("click", "purchase"))
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    // one row with both segment sketches + their union, then the closed form
+    bySeg
+      .agg(
+        max(when(col("event_type") === "click", hll_sketch_estimate(col("sk"))))
+          .as("est_click"),
+        max(when(col("event_type") === "purchase", hll_sketch_estimate(col("sk"))))
+          .as("est_purchase"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_union"))
+      .select(
+        col("est_click"),
+        col("est_purchase"),
+        col("est_union"),
+        (col("est_click") + col("est_purchase") - col("est_union")).as("est_both"))
+  }
+
   // ---------------------------------------------------------------- z-order
 
   /** One bit-spread stage of the 16→32-bit Morton interleave (insert a
@@ -1369,6 +1400,7 @@ object CorpusOps {
              | round(m4 / (m2 * m2) - 3.0, 9) AS kurt_qty
              |FROM f ORDER BY l_returnflag""".stripMargin)),
     "q_agg_hll_merge" -> Q(qAggHllMerge, None),
+    "q_agg_hll_intersect" -> Q(qAggHllIntersect, None),
     "q_agg_quantile_sketch" -> Q(qAggQuantileSketch, None),
     "q_dq_expectations" -> Q(
       qDqExpectations,

@@ -377,6 +377,20 @@ class CorpusOpsSpec extends SparkSuite {
     }
   }
 
+  // ------------------------------------------------------- sketch algebra
+
+  test("q_agg_hll_intersect: inclusion-exclusion estimate tracks exact overlap") {
+    val r = CorpusOps.qAggHllIntersect(spark, sf001).head()
+    val ev = graft.Tables.events(spark, sf001)
+    def users(t: String) =
+      ev.where(col("event_type") === t).select("user_id").distinct()
+    val exactBoth = users("click").intersect(users("purchase")).count().toDouble
+    assert(exactBoth > 0)
+    assert(
+      math.abs(r.getLong(3) - exactBoth) / exactBoth < 0.05,
+      s"est_both ${r.getLong(3)} vs exact $exactBoth")
+  }
+
   // ------------------------------------------------------------ PIT join
 
   test("q_join_scd2_pit: each purchase gets exactly the latest prior view") {
