@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run's stdout through UNPREFIXED: sbt's default logger
+// strategy wraps every child line as "[info] {...}", which breaks any
+// harness that parses the bench/verify JSON line from stdout (the
+// BENCH_r02/r03 artifacts show "parsed": null with "[info] {"metric"...
+// in the captured tail). StdoutOutput emits the child's stdout verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

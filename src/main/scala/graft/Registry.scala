@@ -19,5 +19,6 @@ object Registry {
       graft.queries.Relational.all ++
       graft.queries.LlmOps.all ++
       graft.queries.CorpusOps.all ++
+      graft.queries.MiningOps.all ++
       graft.queries.StreamingQueries.all
 }
