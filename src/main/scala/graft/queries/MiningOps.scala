@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Pattern-mining and showcase analytics (SURVEY.md §2.2-B/C additions,
@@ -32,6 +33,10 @@ import org.apache.spark.sql.functions._
 object MiningOps {
 
   // ------------------------------------------------------------ helpers
+
+  // Oracle-side events view with the ns→TIMESTAMP cast (one definition,
+  // shared with the LlmOps battery).
+  private val EVT = LlmOps.EV
 
   /** Exact money: DOUBLE dollars → LONG cents, half-away rounding on the
     * exact double (oracle twin: `CAST(round(x * 100, 0) AS BIGINT)`).
@@ -277,6 +282,84 @@ object MiningOps {
       .orderBy("drop_id")
   }
 
+  // -------------------------------------------------------------- linreg
+
+  /** Per-group simple OLS (price on quantity): slope, intercept, r² from
+    * the same five exact DECIMAL(18,6) power sums as `q_agg_corr` — the
+    * re-aggregatable "ML-lite" analytics member: power sums precompute
+    * per partition/day and merge to any grouping, so the regression can
+    * be served incrementally at 100 TB. Closed forms run on doubles in
+    * the identical IEEE order both engines, rounded 1e-9 (FMA guard).
+    */
+  def qAggLinreg(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.Tables.dsum
+    val x = col("l_quantity")
+    val y = col("l_extendedprice")
+    val agg = Tables
+      .lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(x).as("sx"),
+        dsum(y).as("sy"),
+        dsum(x * y).as("sxy"),
+        dsum(x * x).as("sxx"),
+        dsum(y * y).as("syy"))
+    val n = col("n").cast("double")
+    val sx = col("sx").cast("double")
+    val sy = col("sy").cast("double")
+    val sxy = col("sxy").cast("double")
+    val sxx = col("sxx").cast("double")
+    val syy = col("syy").cast("double")
+    val covn = n * sxy - sx * sy // n² · cov
+    val varxn = n * sxx - sx * sx // n² · var(x)
+    val varyn = n * syy - sy * sy
+    val slope = covn / varxn
+    agg
+      .select(
+        col("l_returnflag"),
+        col("n"),
+        round(slope, 9).as("slope"),
+        round((sy - slope * sx) / n, 9).as("intercept"),
+        round((covn * covn) / (varxn * varyn), 9).as("r2"))
+      .orderBy("l_returnflag")
+  }
+
+  // ---------------------------------------------------------------- EWMA
+
+  /** Decayed rolling feature: per-user EWMA of event value over the last
+    * 5 events (weights 16:8:4:2:1 — α = 1/2, truncated). All arithmetic
+    * until the final division is exact INTEGER math on 1e-6 fixed-point
+    * values (weights are powers of two; head-of-stream rows renormalize
+    * by the weights actually present), so the result is engine- and
+    * partitioning-identical. One hash-partition shuffle on user_id; the
+    * lag window needs only 4 rows of state — the standard "decayed
+    * counter" feature-engineering shape next to `q_window_frame`'s flat
+    * moving average and `q_window_range_interval`'s time-range sum.
+    */
+  def qEventsEwma(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val vfp = round(col("value") * 1e6).cast("long")
+    val base = Tables
+      .events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts"), vfp.as("vfp"))
+    val lags = (1 to 4).map(k => lag(col("vfp"), k).over(w).as(s"l$k"))
+    val wts = Seq(8L, 4L, 2L, 1L)
+    val withLags = base.select(col("event_id") +: col("user_id") +: col("vfp") +: lags: _*)
+    val num = wts.zipWithIndex.foldLeft(col("vfp") * 16) { case (acc, (wt, i)) =>
+      acc + coalesce(col(s"l${i + 1}"), lit(0L)) * wt
+    }
+    val den = wts.zipWithIndex.foldLeft(lit(16L)) { case (acc, (wt, i)) =>
+      acc + when(col(s"l${i + 1}").isNotNull, wt).otherwise(0L)
+    }
+    withLags
+      .select(
+        col("event_id"),
+        col("user_id"),
+        round(num.cast("double") / den / 1e6, 6).as("ewma_value"))
+      .orderBy("event_id")
+  }
+
   // ----------------------------------------------------------- registry
 
   /** Shared CTE: exact fixed-point pairwise cosine within a label, the
@@ -378,6 +461,42 @@ object MiningOps {
              | GROUP BY vec_id, ux.label)
              |SELECT vec_id, label, round(dotc / (sqrt(nx) * sqrt(nc)), 6) AS centroid_cos
              |FROM p ORDER BY centroid_cos ASC, vec_id ASC LIMIT 20""".stripMargin)),
+    "q_agg_linreg" -> Q(
+      qAggLinreg,
+      Some("""WITH s AS (
+             | SELECT l_returnflag,
+             |  count(1) AS n,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+             |  CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+             |  CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+             |  CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS syy
+             | FROM lineitem GROUP BY 1)
+             |SELECT l_returnflag, n,
+             | round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS slope,
+             | round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 9) AS intercept,
+             | round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+             |       ((n * sxx - sx * sx) * (n * syy - sy * sy)), 9) AS r2
+             |FROM s ORDER BY l_returnflag""".stripMargin)),
+    "q_events_ewma" -> Q(
+      qEventsEwma,
+      Some(s"""WITH v AS (
+              | SELECT event_id, user_id, ts,
+              |  CAST(round(value * 1e6, 0) AS BIGINT) AS vfp
+              | FROM $EVT),
+              |l AS (
+              | SELECT event_id, user_id, vfp,
+              |  lag(vfp, 1) OVER w AS l1, lag(vfp, 2) OVER w AS l2,
+              |  lag(vfp, 3) OVER w AS l3, lag(vfp, 4) OVER w AS l4
+              | FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+              |SELECT event_id, user_id,
+              | round(CAST(vfp * 16 + coalesce(l1, 0) * 8 + coalesce(l2, 0) * 4 +
+              |            coalesce(l3, 0) * 2 + coalesce(l4, 0) * 1 AS DOUBLE) /
+              |       (16 + CASE WHEN l1 IS NOT NULL THEN 8 ELSE 0 END
+              |           + CASE WHEN l2 IS NOT NULL THEN 4 ELSE 0 END
+              |           + CASE WHEN l3 IS NOT NULL THEN 2 ELSE 0 END
+              |           + CASE WHEN l4 IS NOT NULL THEN 1 ELSE 0 END) / 1e6, 6) AS ewma_value
+              |FROM l ORDER BY event_id""".stripMargin)),
     "q_semdedup" -> Q(
       qSemDedup,
       Some(s"""WITH $PAIR_COS

@@ -155,6 +155,28 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** As-of join with a staleness tolerance (feature-store freshness
+    * bound): latest order per user at most 1 DAY before the event;
+    * older matches are surfaced as NULL, exactly like a feature whose
+    * last update is too stale to serve. Same single-shuffle union +
+    * running-last window as [[qJoinAsof]] — the tolerance is a post-hoc
+    * projection on the as-of result (the latest match is the only
+    * candidate, so "latest within the window" ≡ "latest, if within the
+    * window"), NOT a range join that would explode event×order pairs.
+    */
+  def qJoinAsofTolerance(spark: SparkSession, sfDir: String): DataFrame = {
+    val asof = qJoinAsof(spark, sfDir)
+    asof
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("ts"),
+        when(
+          col("last_order_date") >= col("ts") - expr("INTERVAL 1 DAY"),
+          col("last_order_date")).as("fresh_order_date"))
+      .orderBy("event_id")
+  }
+
   /** Time-interval range frame: per user, the rolling 1-hour event-value
     * sum and count (frame = RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND
     * CURRENT ROW, keyed on event time, not row position — the
@@ -853,6 +875,14 @@ object Relational {
     "q_join_asof" -> Q(
       qJoinAsof,
       Some(s"""SELECT e.event_id, e.user_id, e.ts, o.o_orderdate AS last_order_date
+              |FROM $EV e ASOF LEFT JOIN orders o
+              |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+              |ORDER BY e.event_id""".stripMargin)),
+    "q_join_asof_tolerance" -> Q(
+      qJoinAsofTolerance,
+      Some(s"""SELECT e.event_id, e.user_id, e.ts,
+              | CASE WHEN o.o_orderdate >= e.ts - INTERVAL 1 DAY
+              |      THEN o.o_orderdate END AS fresh_order_date
               |FROM $EV e ASOF LEFT JOIN orders o
               |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
               |ORDER BY e.event_id""".stripMargin)),

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Q
 import graft.tile.{Tile, TileConfig}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Tile-domain queries (SURVEY.md §2.2-A) — the reference's dataflow
@@ -84,6 +84,44 @@ object TileQueries {
       .agg(count(lit(1)).as("n_children"))
       .orderBy("parent_level", "parent_row", "parent_col")
 
+  /** Bing-maps quadkey for every in-world grid tile: the third key scheme
+    * beside the Esri hex path (R6) and the slippy decimal key (R9). A
+    * quadkey's base-4 digits are the Morton interleave of (row, col) read
+    * two bits at a time (digit = 2·rowbit + colbit, MSB first), and its
+    * defining property — a parent's key is its child's key minus the last
+    * digit — is what makes prefix range scans enumerate subtrees in
+    * key-sorted object stores. Pure integer bit math (the same magic-mask
+    * spread as `q_layout_zorder`), so the DuckDB twin is bit-identical;
+    * out-of-world probe cells (negative / past-edge padding indices,
+    * Program.cs:102's silent misses) have no quadkey and are filtered.
+    */
+  def tileQuadkey(spark: SparkSession, sfDir: String): DataFrame = {
+    def spread(c: Column): Column = {
+      val a = c.bitwiseOR(shiftleft(c, 8)).bitwiseAND(lit(0x00ff00ffL))
+      val b = a.bitwiseOR(shiftleft(a, 4)).bitwiseAND(lit(0x0f0f0f0fL))
+      val d = b.bitwiseOR(shiftleft(b, 2)).bitwiseAND(lit(0x33333333L))
+      d.bitwiseOR(shiftleft(d, 1)).bitwiseAND(lit(0x55555555L))
+    }
+    grid(spark)
+      .where(
+        col("tile_row") >= 0 && col("tile_col") >= 0 &&
+          col("tile_row") < expr("shiftleft(1, level)") &&
+          col("tile_col") < expr("shiftleft(1, level)"))
+      .select(
+        col("level"),
+        col("tile_row"),
+        col("tile_col"),
+        lpad(
+          conv(
+            (spread(col("tile_row").cast("long")) * 2 +
+              spread(col("tile_col").cast("long"))).cast("string"),
+            10,
+            4),
+          11,
+          "0").substr(lit(12) - col("level"), col("level")).as("quadkey"))
+      .orderBy("level", "tile_row", "tile_col")
+  }
+
   val all: Seq[(String, Q)] = Seq(
     "tile_grid_enum" -> Q(
       tileGridEnum,
@@ -117,6 +155,27 @@ object TileQueries {
             | 20037508.34278 - tile_row * ts AS maxy
             |FROM (SELECT g.*, 20037508.34278 * power(2.0, 1 - level) AS ts FROM grid g)
             |ORDER BY level, tile_row, tile_col""".stripMargin)),
+    "tile_quadkey" -> Q(
+      tileQuadkey,
+      Some(
+        rangesCte +
+          """, wg AS (
+            | SELECT level, CAST(tile_row AS BIGINT) AS r, CAST(tile_col AS BIGINT) AS c,
+            |        tile_row, tile_col
+            | FROM grid
+            | WHERE tile_row >= 0 AND tile_col >= 0
+            |   AND tile_row < (1 << level) AND tile_col < (1 << level)),
+            |s1 AS (SELECT level, tile_row, tile_col,
+            |  ((r | (r << 8)) & 16711935) AS r, ((c | (c << 8)) & 16711935) AS c FROM wg),
+            |s2 AS (SELECT level, tile_row, tile_col,
+            |  ((r | (r << 4)) & 252645135) AS r, ((c | (c << 4)) & 252645135) AS c FROM s1),
+            |s3 AS (SELECT level, tile_row, tile_col,
+            |  ((r | (r << 2)) & 858993459) AS r, ((c | (c << 2)) & 858993459) AS c FROM s2),
+            |s4 AS (SELECT level, tile_row, tile_col,
+            |  ((r | (r << 1)) & 1431655765) AS r, ((c | (c << 1)) & 1431655765) AS c FROM s3)
+            |SELECT level, tile_row, tile_col,
+            | substr(lpad(to_base(r * 2 + c, 4), 11, '0'), 12 - level, level) AS quadkey
+            |FROM s4 ORDER BY level, tile_row, tile_col""".stripMargin)),
     "tile_cache_scan" -> Q(TileCacheQueries.cacheScan, None, bench = false),
     "tile_cache_scan_v2" -> Q(TileCacheQueries.cacheScanV2, None, bench = false),
     "tile_cache_coverage" -> Q(

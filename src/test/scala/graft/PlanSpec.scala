@@ -221,4 +221,46 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("Window"), p) // thresholds via agg, not a window sort
   }
+
+  test("market basket: pair agg is partial; lift sides broadcast; no nested loop") {
+    val p = plan(graft.queries.MiningOps.qMarketBasket(spark, sf001))
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") || p.contains("n_orders"), p)
+  }
+
+  test("TPC-H Q1 is one scan with pushed date filter and map-side combine") {
+    val p = plan(graft.queries.MiningOps.qTpchQ1(spark, sf001))
+    assert(p.contains("partial_sum"), p)
+    assert(p.contains("PushedFilters") && p.contains("LessThanOrEqual(l_shipdate"), p)
+    // single lineitem scan
+    assert("lineitem".r.findAllIn(p).size >= 1 && p.split("Scan parquet").length == 2, p)
+  }
+
+  test("TPC-H Q3 takes the top 10 via TakeOrdered, dims broadcast") {
+    val p = plan(graft.queries.MiningOps.qTpchQ3(spark, sf001))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("TPC-H Q5 broadcasts the dim chain; orders date filter is pushed") {
+    val p = plan(graft.queries.MiningOps.qTpchQ5(spark, sf001))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
+  }
+
+  test("embed outlier: centroids broadcast back; shortlist is TakeOrdered") {
+    val p = plan(graft.queries.MiningOps.qEmbedOutlier(spark, sf001))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("scaled_dot"), p) // kernel, not HOF, scores rows
+    assert(!p.toLowerCase.contains("aggregatefunction zip_with"), p)
+  }
+
+  test("semdedup joins on the cluster key with kernel cosines, no window") {
+    val p = plan(graft.queries.MiningOps.qSemDedup(spark, sf001))
+    assert(p.contains("scaled_dot"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }

@@ -127,4 +127,119 @@ class MiningOpsSpec extends SparkSuite {
     // still appear as keep_id for an even later one, but never drops itself
     rows.foreach(r => assert(r.getLong(0) != r.getLong(1)))
   }
+
+  // ------------------------------------------------------------- quadkey
+
+  test("tile_quadkey: digit law and parent-prefix property") {
+    val rows = TileQueries
+      .tileQuadkey(spark, sf001)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getString(3))
+      .toMap
+    assert(rows.nonEmpty)
+    // independent digit-by-digit reference (Bing quadkey definition)
+    def ref(level: Int, row: Int, col: Int): String =
+      (level - 1 to 0 by -1).map { i =>
+        ('0' + 2 * ((row >> i) & 1) + ((col >> i) & 1)).toChar
+      }.mkString
+    rows.foreach { case ((l, r, c), qk) =>
+      assert(qk.length == l)
+      assert(qk == ref(l, r, c), s"level $l row $r col $c")
+    }
+    // a child's key extends its parent's by exactly one digit
+    rows.foreach { case ((l, r, c), qk) =>
+      rows.get((l - 1, r >> 1, c >> 1)).foreach(pk => assert(qk.startsWith(pk)))
+    }
+  }
+
+  // ------------------------------------------------- as-of with tolerance
+
+  test("q_join_asof_tolerance: stale matches null out, fresh ones agree with asof") {
+    // event ts reads back as legacy java.sql.Timestamp (LTZ, UTC session),
+    // o_orderdate as LocalDateTime (NTZ) — normalize both for comparison
+    def ldt(v: Any): java.time.LocalDateTime = v match {
+      case t: java.sql.Timestamp => t.toLocalDateTime
+      case d: java.time.LocalDateTime => d
+      case other => fail(s"unexpected temporal $other")
+    }
+    val asof = Relational
+      .qJoinAsof(spark, sf001)
+      .collect()
+      .map(r => r.getLong(0) -> Option(r.get(3)).map(ldt))
+      .toMap
+    val tol = Relational.qJoinAsofTolerance(spark, sf001).collect()
+    assert(tol.nonEmpty)
+    var nulled = 0
+    tol.foreach { r =>
+      val ts = ldt(r.get(2))
+      val fresh = Option(r.get(3)).map(ldt)
+      val base = asof(r.getLong(0))
+      fresh match {
+        case Some(d) =>
+          assert(base.contains(d))
+          assert(!d.isBefore(ts.minusDays(1)))
+        case None =>
+          nulled += 1
+          // either no order at all, or the latest one is stale
+          base.foreach(d => assert(d.isBefore(ts.minusDays(1))))
+      }
+    }
+    assert(nulled > 0) // tolerance actually bites on this data
+  }
+
+  // -------------------------------------------------------------- linreg
+
+  test("q_agg_linreg: slope/intercept minimize SSE locally; r2 = corr^2") {
+    val lr = MiningOps.qAggLinreg(spark, sf001).collect()
+    assert(lr.nonEmpty)
+    val corr = CorpusOps
+      .qAggCorr(spark, sf001)
+      .collect()
+      .map(r => r.getString(0) -> r.getDouble(2))
+      .toMap
+    lr.foreach { r =>
+      val (flag, slope, r2) = (r.getString(0), r.getDouble(2), r.getDouble(4))
+      assert(math.abs(r2 - corr(flag) * corr(flag)) < 1e-6)
+      // nudging the slope off the OLS optimum must not reduce SSE
+      val pts = graft.Tables
+        .lineitem(spark, sf001)
+        .where(col("l_returnflag") === flag)
+        .select("l_quantity", "l_extendedprice")
+        .collect()
+        .map(p => (p.getDouble(0), p.getDouble(1)))
+      val intercept = r.getDouble(3)
+      def sse(m: Double, b: Double): Double =
+        pts.map { case (x, y) => val e = y - (m * x + b); e * e }.sum
+      val base = sse(slope, intercept)
+      assert(base <= sse(slope * 1.01, intercept) + 1e-6)
+      assert(base <= sse(slope * 0.99, intercept) + 1e-6)
+    }
+  }
+
+  // ---------------------------------------------------------------- EWMA
+
+  test("q_events_ewma: first event per user equals its own value") {
+    val ew = MiningOps.qEventsEwma(spark, sf001)
+    val first = graft.Tables
+      .events(spark, sf001)
+      .withColumn(
+        "rn",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("user_id")
+            .orderBy(col("ts").asc, col("event_id").asc)))
+      .where(col("rn") === 1)
+      .select(col("event_id"), col("value"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+      .toMap
+    val got = ew.collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(first.nonEmpty)
+    first.foreach { case (eid, v) =>
+      val expected = BigDecimal(math.round(v * 1e6).toDouble * 16 / 16 / 1e6)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+      assert(math.abs(got(eid) - expected) < 1e-9, s"event $eid")
+    }
+  }
 }
