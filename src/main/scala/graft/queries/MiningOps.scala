@@ -360,6 +360,172 @@ object MiningOps {
       .orderBy("event_id")
   }
 
+  // ------------------------------------------------------ distribution drift
+
+  /** Population-stability drift report (PSI) between order cohorts: the
+    * price distribution before vs since 1998-01-01 over 10 fixed 50k
+    * bins, Laplace-smoothed. The ingest-monitoring twin of
+    * `q_dq_expectations`: expectations catch rule breaks, PSI catches
+    * the silent distribution shifts rules can't enumerate. Per-bin PSI
+    * terms `(p−q)·ln(p/q)` are emitted (the total is their sum; >0.2 =
+    * actionable drift by the usual convention).
+    *
+    * Scale shape: one scan, bin assignment at the row, one 10-group
+    * partial agg carrying two conditional counts — identical cost to any
+    * histogram. Each `ln` is quantized to 1e-6 BEFORE the product (the
+    * cross-libm discipline of `q_text_entropy`), so the report is
+    * engine-identical.
+    */
+  def qDqDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val cut = lit("1998-01-01").cast("timestamp")
+    val binned = Tables
+      .orders(spark, sfDir)
+      .select(
+        least(lit(9), floor(col("o_totalprice") / 50000)).cast("int").as("bin"),
+        when(col("o_orderdate") < cut, 1L).otherwise(0L).as("is_base"))
+    val counts = binned
+      .groupBy("bin")
+      .agg(
+        sum(col("is_base")).as("n_base"),
+        sum(lit(1L) - col("is_base")).as("n_cur"))
+    val tot = counts.select(
+      sum(col("n_base")).as("t_base"),
+      sum(col("n_cur")).as("t_cur"))
+    counts
+      .crossJoin(broadcast(tot))
+      .select(
+        col("bin"),
+        col("n_base"),
+        col("n_cur"),
+        // Laplace-smoothed shares, identical op order in the oracle
+        ((col("n_base") + 1).cast("double") / (col("t_base") + 10).cast("double")).as("p"),
+        ((col("n_cur") + 1).cast("double") / (col("t_cur") + 10).cast("double")).as("q"))
+      .select(
+        col("bin"),
+        col("n_base"),
+        col("n_cur"),
+        round(
+          (col("p") - col("q")) * (round(log(col("p") / col("q")) * 1e6).cast("long") / 1e6),
+          9).as("psi_term"))
+      .orderBy("bin")
+  }
+
+  // ---------------------------------------------------------- l-diversity
+
+  /** l-diversity audit (l = 2) — the companion to `q_privacy_kanon`:
+    * k-anonymity bounds re-identification, l-diversity bounds ATTRIBUTE
+    * disclosure. A (nation, segment) quasi-identifier class fails when
+    * every member shares the same sensitive value (balance sign here):
+    * knowing someone's QI then reveals their attribute even though the
+    * class is large. One partial-agg shuffle on the QI tuple, distinct
+    * sensitive values counted exactly (the sensitive domain is tiny by
+    * construction; a sketch would serve at larger domains).
+    */
+  def qPrivacyLdiversity(spark: SparkSession, sfDir: String): DataFrame =
+    Tables
+      .customer(spark, sfDir)
+      .select(
+        col("c_nationkey"),
+        col("c_mktsegment"),
+        when(col("c_acctbal") < 0, "neg").otherwise("nonneg").as("bal_sign"))
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(
+        count(lit(1)).as("class_size"),
+        countDistinct(col("bal_sign")).as("l_distinct"))
+      .where(col("l_distinct") < 2)
+      .orderBy("c_nationkey", "c_mktsegment")
+
+  // ------------------------------------------------------------ table diff
+
+  /** Row-level table diff (reconciliation read): ADDED / REMOVED /
+    * CHANGED rows between two table versions — the row-granular
+    * companion to `q_table_checksum`'s bucket digests (checksum finds
+    * WHICH bucket diverged; diff shows WHAT). Versions are derived
+    * deterministically from `orders` (v1 drops key%10=3, v2 drops
+    * key%10=7 and reprices key%4=0), standing in for two snapshots.
+    *
+    * Scale shape: one full-outer hash join on the primary key, change
+    * detection as a row-local comparison — no window, no sort; at 100 TB
+    * the join co-partitions both snapshots on the key (or prunes to the
+    * buckets `q_table_checksum` flagged).
+    */
+  def qTableDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val v1 = o
+      .where(pmod(col("o_orderkey"), lit(10)) =!= 3)
+      .select(col("o_orderkey").as("k1"), col("o_totalprice").as("price1"))
+    val v2 = o
+      .where(pmod(col("o_orderkey"), lit(10)) =!= 7)
+      .select(
+        col("o_orderkey").as("k2"),
+        when(pmod(col("o_orderkey"), lit(4)) === 0, col("o_totalprice") + 1.5)
+          .otherwise(col("o_totalprice"))
+          .as("price2"))
+    v1.join(v2, col("k1") === col("k2"), "full_outer")
+      .select(
+        coalesce(col("k1"), col("k2")).as("o_orderkey"),
+        when(col("k1").isNull, "added")
+          .when(col("k2").isNull, "removed")
+          .when(col("price1") =!= col("price2"), "changed")
+          .otherwise("same")
+          .as("status"),
+        col("price1"),
+        col("price2"))
+      .where(col("status") =!= "same")
+      .orderBy("o_orderkey")
+  }
+
+  // -------------------------------------------------------------- pagerank
+
+  /** Weighted PageRank over the event-type transition graph (3 unrolled
+    * iterations, damping 0.85) — the graph-centrality member beside
+    * `DedupClusters`' connected components: which event types the
+    * behavior flow concentrates on. Every per-target contribution sum is
+    * quantized to 1e-12 fixed point before aggregation (the ScaledDot
+    * discipline), so ranks are partitioning- and engine-identical
+    * without any rounding until the final projection.
+    *
+    * Scale shape per iteration: one edge⋈rank equi-join on the source
+    * key + one target-keyed partial agg — the textbook distributed
+    * PageRank step (edges partition by source; ranks are the small side
+    * only because this graph is type-level; at node scale both sides
+    * hash-partition). No driver-side loop state beyond the 3 static
+    * unrolls; dangling mass is zero here (every type transitions out).
+    */
+  def qGraphPagerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val edges = Tables
+      .events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("src"), col("to_type").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+    val frac = edges
+      .join(outw, "src")
+      .select(col("src"), col("dst"), (col("w").cast("double") / col("ow").cast("double")).as("frac"))
+    val nodes = edges.select(col("src").as("node")).distinct()
+    val n = nodes.agg(count(lit(1)).as("n"))
+    val p0 = nodes
+      .crossJoin(broadcast(n))
+      .select(col("node"), (lit(1.0) / col("n").cast("double")).as("p"), col("n"))
+    def step(p: DataFrame): DataFrame =
+      frac
+        .join(p.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(
+          sum(round(col("p") * col("frac") * 1e12).cast("long")).as("sfp"),
+          first(col("n")).as("n"))
+        .select(
+          col("node"),
+          (lit(0.15) / col("n").cast("double") +
+            lit(0.85) * (col("sfp").cast("double") / 1e12)).as("p"),
+          col("n"))
+    val p3 = step(step(step(p0)))
+    p3.select(col("node"), round(col("p"), 9).as("rank")).orderBy("node")
+  }
+
   // ----------------------------------------------------------- registry
 
   /** Shared CTE: exact fixed-point pairwise cosine within a label, the
@@ -497,6 +663,85 @@ object MiningOps {
               |           + CASE WHEN l3 IS NOT NULL THEN 2 ELSE 0 END
               |           + CASE WHEN l4 IS NOT NULL THEN 1 ELSE 0 END) / 1e6, 6) AS ewma_value
               |FROM l ORDER BY event_id""".stripMargin)),
+    "q_dq_drift" -> Q(
+      qDqDrift,
+      Some("""WITH b AS (
+             | SELECT CAST(least(9, CAST(floor(o_totalprice / 50000) AS INT)) AS INT) AS bin,
+             |  CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END AS is_base
+             | FROM orders),
+             |c AS (
+             | SELECT bin, CAST(sum(is_base) AS BIGINT) AS n_base,
+             |        CAST(sum(1 - is_base) AS BIGINT) AS n_cur
+             | FROM b GROUP BY bin),
+             |t AS (SELECT CAST(sum(n_base) AS BIGINT) AS t_base, CAST(sum(n_cur) AS BIGINT) AS t_cur FROM c),
+             |s AS (
+             | SELECT bin, n_base, n_cur,
+             |  CAST(n_base + 1 AS DOUBLE) / CAST(t_base + 10 AS DOUBLE) AS p,
+             |  CAST(n_cur + 1 AS DOUBLE) / CAST(t_cur + 10 AS DOUBLE) AS q
+             | FROM c, t)
+             |SELECT bin, n_base, n_cur,
+             | round((p - q) * (CAST(round(ln(p / q) * 1e6, 0) AS BIGINT) / 1e6), 9) AS psi_term
+             |FROM s ORDER BY bin""".stripMargin)),
+    "q_privacy_ldiversity" -> Q(
+      qPrivacyLdiversity,
+      Some("""SELECT c_nationkey, c_mktsegment, count(1) AS class_size,
+             | count(DISTINCT CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'nonneg' END) AS l_distinct
+             |FROM customer GROUP BY c_nationkey, c_mktsegment
+             |HAVING count(DISTINCT CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'nonneg' END) < 2
+             |ORDER BY c_nationkey, c_mktsegment""".stripMargin)),
+    "q_table_diff" -> Q(
+      qTableDiff,
+      Some("""WITH v1 AS (
+             | SELECT o_orderkey AS k1, o_totalprice AS price1
+             | FROM orders WHERE o_orderkey % 10 <> 3),
+             |v2 AS (
+             | SELECT o_orderkey AS k2,
+             |  CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice + 1.5 ELSE o_totalprice END AS price2
+             | FROM orders WHERE o_orderkey % 10 <> 7),
+             |d AS (
+             | SELECT coalesce(k1, k2) AS o_orderkey,
+             |  CASE WHEN k1 IS NULL THEN 'added'
+             |       WHEN k2 IS NULL THEN 'removed'
+             |       WHEN price1 <> price2 THEN 'changed' ELSE 'same' END AS status,
+             |  price1, price2
+             | FROM v1 FULL JOIN v2 ON k1 = k2)
+             |SELECT o_orderkey, status, price1, price2 FROM d
+             |WHERE status <> 'same' ORDER BY o_orderkey""".stripMargin)),
+    "q_graph_pagerank" -> Q(
+      qGraphPagerank,
+      Some(s"""WITH ord AS (
+              | SELECT event_type,
+              |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS to_type
+              | FROM $EVT),
+              |edges AS (
+              | SELECT event_type AS src, to_type AS dst, count(1) AS w
+              | FROM ord WHERE to_type IS NOT NULL GROUP BY 1, 2),
+              |outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM edges GROUP BY src),
+              |frac AS (
+              | SELECT e.src, e.dst, CAST(w AS DOUBLE) / CAST(ow AS DOUBLE) AS frac
+              | FROM edges e JOIN outw USING (src)),
+              |nodes AS (SELECT DISTINCT src AS node FROM edges),
+              |nn AS (SELECT count(1) AS n FROM nodes),
+              |p0 AS (SELECT node, 1.0 / CAST(n AS DOUBLE) AS p, n FROM nodes, nn),
+              |p1 AS (
+              | SELECT f.dst AS node,
+              |  0.15 / CAST(any_value(p0.n) AS DOUBLE) +
+              |  0.85 * (CAST(sum(CAST(round(p0.p * f.frac * 1e12, 0) AS BIGINT)) AS DOUBLE) / 1e12) AS p,
+              |  any_value(p0.n) AS n
+              | FROM frac f JOIN p0 ON f.src = p0.node GROUP BY f.dst),
+              |p2 AS (
+              | SELECT f.dst AS node,
+              |  0.15 / CAST(any_value(p1.n) AS DOUBLE) +
+              |  0.85 * (CAST(sum(CAST(round(p1.p * f.frac * 1e12, 0) AS BIGINT)) AS DOUBLE) / 1e12) AS p,
+              |  any_value(p1.n) AS n
+              | FROM frac f JOIN p1 ON f.src = p1.node GROUP BY f.dst),
+              |p3 AS (
+              | SELECT f.dst AS node,
+              |  0.15 / CAST(any_value(p2.n) AS DOUBLE) +
+              |  0.85 * (CAST(sum(CAST(round(p2.p * f.frac * 1e12, 0) AS BIGINT)) AS DOUBLE) / 1e12) AS p,
+              |  any_value(p2.n) AS n
+              | FROM frac f JOIN p2 ON f.src = p2.node GROUP BY f.dst)
+              |SELECT node, round(p, 9) AS rank FROM p3 ORDER BY node""".stripMargin)),
     "q_semdedup" -> Q(
       qSemDedup,
       Some(s"""WITH $PAIR_COS

@@ -216,6 +216,66 @@ class MiningOpsSpec extends SparkSuite {
     }
   }
 
+  // --------------------------------------------------------------- drift
+
+  test("q_dq_drift: 10 bins, counts close, PSI terms sign-consistent") {
+    val rows = MiningOps.qDqDrift(spark, sf001).collect()
+    assert(rows.map(_.getInt(0)).toSeq == (0 until 10))
+    val total = rows.map(r => r.getLong(1) + r.getLong(2)).sum
+    assert(total == graft.Tables.orders(spark, sf001).count())
+    // PSI term is (p-q)ln(p/q): zero iff shares equal, else positive
+    rows.foreach(r => assert(r.getDouble(3) >= 0.0))
+  }
+
+  test("q_privacy_ldiversity: flagged classes are single-signed") {
+    val rows = MiningOps.qPrivacyLdiversity(spark, sf001).collect()
+    rows.foreach(r => assert(r.getLong(3) == 1L))
+    // recompute one flagged class from the base table
+    if (rows.nonEmpty) {
+      val r = rows.head
+      val signs = graft.Tables
+        .customer(spark, sf001)
+        .where(col("c_nationkey") === r.getInt(0) && col("c_mktsegment") === r.getString(1))
+        .select(when(col("c_acctbal") < 0, "neg").otherwise("nonneg").as("s"))
+        .distinct()
+        .count()
+      assert(signs == 1L)
+    }
+  }
+
+  // ----------------------------------------------------------- table diff
+
+  test("q_table_diff: statuses partition correctly by the derivation rules") {
+    val rows = MiningOps.qTableDiff(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val k = r.getLong(0)
+      r.getString(1) match {
+        case "added" => assert(k % 10 == 3 && k % 10 != 7)
+        case "removed" => assert(k % 10 == 7)
+        case "changed" =>
+          assert(k % 4 == 0 && k % 10 != 3 && k % 10 != 7)
+          assert(math.abs(r.getDouble(3) - r.getDouble(2) - 1.5) < 1e-9)
+        case other => fail(s"unexpected status $other")
+      }
+    }
+    assert(rows.map(_.getString(1)).toSet == Set("added", "removed", "changed"))
+  }
+
+  // ------------------------------------------------------------- pagerank
+
+  test("q_graph_pagerank: ranks positive, sum near 1, flow concentrates mass") {
+    val rows = MiningOps.qGraphPagerank(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(1) > 0.0))
+    // with no dangling mass the ranks of a stochastic matrix sum to ~1
+    val s = rows.map(_.getDouble(1)).sum
+    assert(math.abs(s - 1.0) < 1e-3, s"rank mass $s")
+    // determinism across runs (fixed-point contributions)
+    val again = MiningOps.qGraphPagerank(spark, sf001).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   // ---------------------------------------------------------------- EWMA
 
   test("q_events_ewma: first event per user equals its own value") {
