@@ -339,3 +339,114 @@ object VideoProbe {
     bb.array()
   }
 }
+
+/** Uncompressed-BMP codec + average-hash (aHash) — the pixel-DATA stage
+  * the header probes stop short of: BMP carries raw 24-bit pixels, so a
+  * full synthesize → parse → decode → hash round trip needs no external
+  * codec library. The motivating duplicate in the reference's own domain:
+  * a tile cache is full of byte-identical and near-identical images
+  * (ocean/desert tiles), and a perceptual hash dedups the near-identical
+  * ones a byte digest misses.
+  *
+  * aHash (the classic average-hash): per-pixel BT.601 integer luminance
+  * `(299·R + 587·G + 114·B) / 1000`, image mean by integer division,
+  * bit(idx) = lum > mean, idx = y·8 + x. Real pipelines resize to 8×8
+  * first; the synthesized tiles are born 8×8, where the resize is the
+  * identity (the decode/hash plumbing is exactly the production shape).
+  * All arithmetic is integer, so the hash is bit-reproducible by the
+  * DuckDB oracle from the same synthesis formula.
+  */
+object ImageCodec {
+
+  val W = 8
+  val H = 8
+
+  /** Deterministic synthetic tile content: a scene (doc_id mod 97) fixes
+    * a high-contrast 20/220 pattern; every third document additionally
+    * flips ONE scene pixel (which one depends on doc_id), making
+    * same-scene documents near- but not byte-identical. Values sit ≥ 95
+    * luminance units from any reachable mean, so the single-pixel flip
+    * moves exactly one hash bit (the mean itself shifts by at most 4).
+    */
+  def lum(docId: Long, idx: Int): Int = {
+    val scene = docId % 97
+    val base =
+      if ((((scene * 2654435761L + idx * 40503L) / 128) % 2) == 0L) 20 else 220
+    if (docId % 3 == 0 && idx == (docId % 64).toInt) 240 - base else base
+  }
+
+  /** A real, well-formed 24-bpp bottom-up BMP of the document's tile
+    * (54-byte header + 8×8 BGR rows; row stride 24 is already 4-aligned).
+    */
+  def bmp8x8(docId: Long): Array[Byte] = {
+    val stride = W * 3
+    val bytes = java.nio.ByteBuffer
+      .allocate(54 + stride * H)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bytes.put('B'.toByte).put('M'.toByte)
+    bytes.putInt(54 + stride * H) // file size
+    bytes.putShort(0); bytes.putShort(0)
+    bytes.putInt(54) // pixel-data offset
+    bytes.putInt(40) // BITMAPINFOHEADER
+    bytes.putInt(W)
+    bytes.putInt(H) // positive = bottom-up row order
+    bytes.putShort(1) // planes
+    bytes.putShort(24) // bpp
+    bytes.putInt(0) // BI_RGB
+    bytes.putInt(stride * H)
+    bytes.putInt(2835); bytes.putInt(2835) // 72 dpi
+    bytes.putInt(0); bytes.putInt(0)
+    var y = H - 1 // bottom row first
+    while (y >= 0) {
+      var x = 0
+      while (x < W) {
+        val v = lum(docId, y * W + x).toByte
+        bytes.put(v).put(v).put(v) // grayscale: B = G = R
+        x += 1
+      }
+      y -= 1
+    }
+    bytes.array()
+  }
+
+  /** Decode a 24-bpp BMP and compute the 64-bit average hash. Parses the
+    * actual header fields (data offset, dimensions, bottom-up vs
+    * top-down height sign) — a synthesizer bug or a parser bug breaks
+    * the oracle hash-match, same contract as [[AudioProbe]]/[[VideoProbe]].
+    */
+  def aHash(b: Array[Byte]): Long = {
+    require(b.length >= 54 && b(0) == 'B' && b(1) == 'M', "not a BMP")
+    def leI32(i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+    val off = leI32(10)
+    val w = leI32(18)
+    val rawH = leI32(22)
+    val h = math.abs(rawH)
+    val bottomUp = rawH > 0
+    require(w == W && h == H, s"aHash expects ${W}x$H, got ${w}x$h")
+    val stride = (w * 3 + 3) / 4 * 4
+    val lums = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      val srcRow = if (bottomUp) h - 1 - y else y
+      var x = 0
+      while (x < w) {
+        val p = off + srcRow * stride + x * 3
+        val blue = b(p) & 0xff
+        val green = b(p + 1) & 0xff
+        val red = b(p + 2) & 0xff
+        lums(y * w + x) = (299 * red + 587 * green + 114 * blue) / 1000
+        x += 1
+      }
+      y += 1
+    }
+    val mean = lums.foldLeft(0L)(_ + _) / (w * h)
+    var hash = 0L
+    var i = 0
+    while (i < lums.length) {
+      if (lums(i) > mean) hash |= 1L << i
+      i += 1
+    }
+    hash
+  }
+}

@@ -1424,6 +1424,59 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** Image near-dup via perceptual hash — the pixel-DATA member of the
+    * multimodal battery (the header probes stop at metadata; this one
+    * decodes): each document synthesizes a real 8×8 24-bpp BMP tile
+    * ([[graft.operators.ImageCodec]]; same-scene documents are near- but
+    * not byte-identical), a second bytes-only stage parses the BMP and
+    * computes the 64-bit average hash, and near-dup pairs come from the
+    * same 4×16-bit pigeonhole equi-join as `q_dedup_simhash_pairs`
+    * (exact at hamming ≤ 3, key shuffle only — never O(n²)). The tile
+    * cache this engine's reference uploads is the textbook use: ocean
+    * tiles are near-identical and a byte digest misses them.
+    *
+    * The DuckDB oracle recomputes hashes ARITHMETICALLY from the same
+    * synthesis formula and compares pairs — a true binary round-trip
+    * gate: any bug in BMP write (stride, row order, BGR), parse
+    * (offsets, height sign) or hash (luminance, mean, bit order) breaks
+    * the hash-match. Bytes are born and hashed in-partition, never
+    * shuffled; only (doc_id, 8-byte hash) leaves the scan.
+    */
+  def qMultimodalPhash(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val hashes = Tables
+      .documents(spark, sfDir)
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val bytes = graft.operators.ImageCodec.bmp8x8(id)
+          (id, graft.operators.ImageCodec.aHash(bytes))
+        }
+      }
+      .toDF("doc_id", "phash")
+    val segs = hashes.select(
+      col("doc_id"),
+      col("phash"),
+      posexplode(
+        array((0 until 4).map(i =>
+          shiftrightunsigned(col("phash"), i * 16).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("seg", "seg_val")))
+    segs
+      .as("a")
+      .join(
+        segs.as("b"),
+        col("a.seg") === col("b.seg") && col("a.seg_val") === col("b.seg_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("d1"),
+        col("b.doc_id").as("d2"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).as("hamming"))
+      .where(col("hamming") <= 3)
+      .distinct()
+      .orderBy("d1", "d2")
+  }
+
   /** Multimodal 1:N frame sampling: each binary payload ("video") yields
     * every 4th 1 KiB block as a "frame" row — the row-exploding batch
     * shape of video frame extraction (one decoder per partition, an
@@ -1939,6 +1992,34 @@ object LlmOps {
              | CAST(320 + (doc_id % 4) * 160 AS INT) AS width,
              | CAST(240 + (doc_id % 4) * 120 AS INT) AS height
              |FROM documents ORDER BY doc_id""".stripMargin)),
+    "q_multimodal_phash" -> Q(
+      qMultimodalPhash,
+      Some("""WITH g AS (
+             | SELECT doc_id, CAST(i.idx AS INT) AS idx
+             | FROM documents, LATERAL (SELECT unnest(generate_series(0, 63)) AS idx) i),
+             |v AS (
+             | SELECT doc_id, idx,
+             |  CASE WHEN doc_id % 3 = 0 AND idx = doc_id % 64
+             |   THEN 240 - (CASE WHEN (((doc_id % 97) * 2654435761 + idx * 40503) // 128) % 2 = 0
+             |               THEN 20 ELSE 220 END)
+             |   ELSE (CASE WHEN (((doc_id % 97) * 2654435761 + idx * 40503) // 128) % 2 = 0
+             |         THEN 20 ELSE 220 END) END AS lum
+             | FROM g),
+             |m AS (SELECT doc_id, CAST(sum(lum) AS BIGINT) // 64 AS mean FROM v GROUP BY doc_id),
+             |bits AS (
+             | SELECT v.doc_id, idx, CASE WHEN lum > mean THEN 1 ELSE 0 END AS b
+             | FROM v JOIN m USING (doc_id)),
+             |segs AS (
+             | SELECT doc_id, idx // 16 AS seg,
+             |  CAST(sum(b * (1 << (idx % 16))) AS BIGINT) AS seg_val
+             | FROM bits GROUP BY doc_id, idx // 16),
+             |p AS (
+             | SELECT a.doc_id AS d1, b.doc_id AS d2,
+             |  bit_count(xor(a.seg_val, b.seg_val)) AS hd
+             | FROM segs a JOIN segs b ON a.seg = b.seg AND a.doc_id < b.doc_id)
+             |SELECT d1, d2, CAST(sum(hd) AS INT) AS hamming
+             |FROM p GROUP BY d1, d2 HAVING sum(hd) <= 3
+             |ORDER BY d1, d2""".stripMargin)),
     "q_multimodal_frames" -> Q(qMultimodalFrames, None, bench = false))
 }
 
