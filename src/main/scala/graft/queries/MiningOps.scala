@@ -526,6 +526,84 @@ object MiningOps {
     p3.select(col("node"), round(col("p"), 9).as("rank")).orderBy("node")
   }
 
+  // ---------------------------------------------------------- seasonality
+
+  /** Day-of-week seasonality test per event type: a chi-square
+    * goodness-of-fit statistic against the uniform-weekday null, with
+    * the df=6, α=0.05 critical value (12.592) as the significance gate —
+    * the statistical-test member beside `q_events_anomaly`'s z-scores
+    * and `q_events_abtest`'s Welch t. The (type × weekday) grid is
+    * completed before scoring so an absent weekday contributes its full
+    * (0 − E)²/E term instead of silently dropping.
+    *
+    * Scale shape: one (type, dow) partial-agg shuffle over the events
+    * scan; the grid completion and scoring run on the tiny (types × 7)
+    * aggregate. Each χ² term is quantized to 1e-6 before the 7-term sum
+    * (the cross-engine discipline), so the statistic is bit-stable.
+    */
+  def qEventsSeasonality(spark: SparkSession, sfDir: String): DataFrame = {
+    val cd = Tables
+      .events(spark, sfDir)
+      .select(col("event_type"), (dayofweek(col("ts")) - 1).as("dow"))
+      .groupBy("event_type", "dow")
+      .agg(count(lit(1)).as("obs"))
+    val grid = cd
+      .select(col("event_type"))
+      .distinct()
+      .crossJoin(spark.range(0, 7).select(col("id").cast("int").as("dow")))
+    val full = grid
+      .join(cd, Seq("event_type", "dow"), "left")
+      .select(col("event_type"), col("dow"), coalesce(col("obs"), lit(0L)).as("obs"))
+    val tot = full.groupBy("event_type").agg(sum(col("obs")).as("n"))
+    full
+      .join(tot, "event_type")
+      .select(
+        col("event_type"),
+        col("n"),
+        round(
+          (col("obs").cast("double") - col("n").cast("double") / 7.0) *
+            (col("obs").cast("double") - col("n").cast("double") / 7.0) /
+            (col("n").cast("double") / 7.0) * 1e6)
+          .cast("long")
+          .as("term_fp"))
+      .groupBy("event_type")
+      .agg(first(col("n")).as("n_events"), (sum(col("term_fp")).cast("double") / 1e6).as("chi2"))
+      .select(
+        col("event_type"),
+        col("n_events"),
+        round(col("chi2"), 6).as("chi2"),
+        (col("chi2") > 12.592).as("significant"))
+      .orderBy("event_type")
+  }
+
+  // ------------------------------------------------------ LSH calibration
+
+  /** MinHash-LSH calibration readout: precision/recall of
+    * `q_dedup_near`'s candidate pairs against the exact 3-shingle
+    * Jaccard ≥ 0.5 ground truth (`q_dedup_ngram`) — the evaluation
+    * harness any approximate-dedup deployment runs before trusting its
+    * bands/hashes at scale. One row: candidate count, truth count, hits,
+    * precision, recall. Rows-only (the LSH side is impl-defined), and
+    * bench=false (it executes both pipelines, one of them the quadratic
+    * oracle twin).
+    */
+  def qDedupNearEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val cand = LlmOps.qDedupNear(spark, sfDir).select(col("d1"), col("d2"))
+    val truth = LlmOps.qDedupNgram(spark, sfDir).select(col("d1"), col("d2"))
+    val nc = cand.agg(count(lit(1)).as("n_candidates"))
+    val nt = truth.agg(count(lit(1)).as("n_true"))
+    val nh = cand.join(truth, Seq("d1", "d2")).agg(count(lit(1)).as("n_hit"))
+    nc.crossJoin(nt)
+      .crossJoin(nh)
+      .select(
+        col("n_candidates"),
+        col("n_true"),
+        col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_candidates").cast("double"), 6)
+          .as("precision"),
+        round(col("n_hit").cast("double") / col("n_true").cast("double"), 6).as("recall"))
+  }
+
   // ----------------------------------------------------------- registry
 
   /** Shared CTE: exact fixed-point pairwise cosine within a label, the
@@ -742,6 +820,33 @@ object MiningOps {
               |  any_value(p2.n) AS n
               | FROM frac f JOIN p2 ON f.src = p2.node GROUP BY f.dst)
               |SELECT node, round(p, 9) AS rank FROM p3 ORDER BY node""".stripMargin)),
+    "q_events_seasonality" -> Q(
+      qEventsSeasonality,
+      Some(s"""WITH cd AS (
+              | SELECT event_type, CAST(dayofweek(ts) AS INT) AS dow, count(1) AS obs
+              | FROM $EVT GROUP BY 1, 2),
+              |grid AS (
+              | SELECT t.event_type, CAST(d.d AS INT) AS dow
+              | FROM (SELECT DISTINCT event_type FROM cd) t,
+              |  LATERAL (SELECT unnest(generate_series(0, 6)) AS d) d),
+              |full0 AS (
+              | SELECT grid.event_type, grid.dow, CAST(coalesce(obs, 0) AS BIGINT) AS obs
+              | FROM grid LEFT JOIN cd ON grid.event_type = cd.event_type AND grid.dow = cd.dow),
+              |tot AS (SELECT event_type, CAST(sum(obs) AS BIGINT) AS n FROM full0 GROUP BY 1),
+              |terms AS (
+              | SELECT f.event_type, t.n,
+              |  CAST(round((CAST(obs AS DOUBLE) - CAST(n AS DOUBLE) / 7.0) *
+              |             (CAST(obs AS DOUBLE) - CAST(n AS DOUBLE) / 7.0) /
+              |             (CAST(n AS DOUBLE) / 7.0) * 1e6, 0) AS BIGINT) AS term_fp
+              | FROM full0 f JOIN tot t ON f.event_type = t.event_type),
+              |agg AS (
+              | SELECT event_type, any_value(n) AS n_events,
+              |  CAST(sum(term_fp) AS DOUBLE) / 1e6 AS chi2
+              | FROM terms GROUP BY event_type)
+              |SELECT event_type, n_events, round(chi2, 6) AS chi2,
+              | chi2 > 12.592 AS significant
+              |FROM agg ORDER BY event_type""".stripMargin)),
+    "q_dedup_near_eval" -> Q(qDedupNearEval, None, bench = false),
     "q_semdedup" -> Q(
       qSemDedup,
       Some(s"""WITH $PAIR_COS

@@ -276,6 +276,36 @@ class MiningOpsSpec extends SparkSuite {
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  // ---------------------------------------------------------- seasonality
+
+  test("q_events_seasonality: totals close, chi2 >= 0, uniform data scores 0") {
+    val rows = MiningOps.qEventsSeasonality(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val byType = graft.Tables
+      .events(spark, sf001)
+      .groupBy("event_type")
+      .count()
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    rows.foreach { r =>
+      assert(r.getLong(1) == byType(r.getString(0))) // grid closure
+      assert(r.getDouble(2) >= 0.0)
+      assert(r.getBoolean(3) == r.getDouble(2) > 12.592)
+    }
+  }
+
+  // ------------------------------------------------------ LSH calibration
+
+  test("q_dedup_near_eval: counts consistent, ratios in [0,1]") {
+    val r = MiningOps.qDedupNearEval(spark, sf001).collect().head
+    val (nc, nt, nh) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nh <= math.min(nc, nt))
+    assert(nt > 0) // ground truth exists at sf0.001
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+  }
+
   // ---------------------------------------------------------------- EWMA
 
   test("q_events_ewma: first event per user equals its own value") {
