@@ -344,13 +344,19 @@ object LlmOps {
         col("a.sig").as("sig1"),
         col("b.sig").as("sig2"))
       .distinct()
+    // est_sim as 16 unrolled element comparisons — plain codegen'd
+    // expressions, NOT zip_with/aggregate: the HOF pair runs on Spark's
+    // SHARED interpreted eval loop, the exact JVM deopt surface SURVEY §6
+    // documents (and the round-2 bench measured at 60+ s when sigs also
+    // rode the distinct). The candidate set is small, but hot-path HOFs
+    // pollute the runtime for every other query in the process.
+    val matches = (0 until NumHashes)
+      .map(j =>
+        when(element_at(col("sig1"), j + 1) === element_at(col("sig2"), j + 1), 1)
+          .otherwise(0))
+      .reduce(_ + _)
     cand
-      .withColumn(
-        "est_sim",
-        aggregate(
-          zip_with(col("sig1"), col("sig2"), (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0),
-          (acc, x) => acc + x).cast("double") / NumHashes)
+      .withColumn("est_sim", matches.cast("double") / NumHashes)
       .select("d1", "d2", "est_sim")
       .orderBy("d1", "d2")
   }

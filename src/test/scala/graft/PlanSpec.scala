@@ -222,6 +222,12 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Window"), p) // thresholds via agg, not a window sort
   }
 
+  test("q_dedup_near carries no higher-order functions (est_sim is unrolled codegen)") {
+    val p = plan(graft.queries.LlmOps.qDedupNear(spark, sf001))
+    assert(!p.contains("zip_with"), p)
+    assert(!p.contains("lambdafunction"), p)
+  }
+
   test("market basket: pair agg is partial; lift sides broadcast; no nested loop") {
     val p = plan(graft.queries.MiningOps.qMarketBasket(spark, sf001))
     assert(p.contains("partial_count"), p)
