@@ -20,5 +20,6 @@ object Registry {
       graft.queries.LlmOps.all ++
       graft.queries.CorpusOps.all ++
       graft.queries.MiningOps.all ++
+      graft.queries.SearchOps.all ++
       graft.queries.StreamingQueries.all
 }

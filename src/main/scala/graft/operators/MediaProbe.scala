@@ -409,6 +409,21 @@ object ImageCodec {
     bytes.array()
   }
 
+  /** 64-bit average hash of a decoded W×H luminance array — the shared
+    * hashing tail of the BMP ([[aHash]]) and PNG ([[PngCodec.decode]])
+    * round trips: mean by integer division, bit(i) = lum(i) > mean.
+    */
+  def hashLums(lums: Array[Int]): Long = {
+    val mean = lums.foldLeft(0L)(_ + _) / lums.length
+    var hash = 0L
+    var i = 0
+    while (i < lums.length) {
+      if (lums(i) > mean) hash |= 1L << i
+      i += 1
+    }
+    hash
+  }
+
   /** Decode a 24-bpp BMP and compute the 64-bit average hash. Parses the
     * actual header fields (data offset, dimensions, bottom-up vs
     * top-down height sign) — a synthesizer bug or a parser bug breaks
@@ -440,13 +455,171 @@ object ImageCodec {
       }
       y += 1
     }
-    val mean = lums.foldLeft(0L)(_ + _) / (w * h)
-    var hash = 0L
-    var i = 0
-    while (i < lums.length) {
-      if (lums(i) > mean) hash |= 1L << i
-      i += 1
+    hashLums(lums)
+  }
+}
+
+/** Minimal-but-real PNG codec (grayscale, 8-bit, scanline filters
+  * None/Sub/Up) — the COMPRESSED sibling of [[ImageCodec]]'s raw-pixel
+  * BMP round trip, and the step past [[MediaProbe]]'s header-only PNG
+  * probe: synthesis deflates a genuine zlib IDAT stream
+  * (`java.util.zip.Deflater` — in the JRE, so no codec-library stub
+  * needed) and stamps every chunk with its CRC-32; decode walks the
+  * chunk stream verifying each CRC, re-inflates IDAT, reverses the
+  * per-row filters, and average-hashes the recovered pixels with the
+  * shared [[ImageCodec.hashLums]] tail.
+  *
+  * Pixel content is [[ImageCodec.lum]], and for grayscale the BT.601
+  * weighted sum collapses to the identity (`(299v+587v+114v)/1000 = v`),
+  * so a correct PNG round trip must reproduce the BMP pipeline's hash
+  * bit-for-bit — pinned cross-codec in the spec, and recomputed
+  * arithmetically by the DuckDB oracle of `q_multimodal_png`.
+  *
+  * Scale shape (same contract as the other media probes): synthesis,
+  * decode, and hashing all happen inside one `mapPartitions` pass —
+  * compressed bytes are born and die in the input partition; only
+  * doc_id + fixed-width metadata ever reach a shuffle.
+  */
+object PngCodec {
+  import java.util.zip.{CRC32, Deflater, Inflater}
+
+  val W: Int = ImageCodec.W
+  val H: Int = ImageCodec.H
+
+  final case class Png(
+      width: Int,
+      height: Int,
+      bitDepth: Int,
+      colorType: Int,
+      nChunks: Int,
+      crcOk: Boolean,
+      hash: Long)
+
+  private def beI32(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) | ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+
+  private def chunk(bb: java.nio.ByteBuffer, typ: String, data: Array[Byte]): Unit = {
+    val t = typ.getBytes("US-ASCII")
+    bb.putInt(data.length).put(t).put(data)
+    val crc = new CRC32
+    crc.update(t)
+    crc.update(data)
+    bb.putInt(crc.getValue.toInt)
+  }
+
+  /** A real, well-formed grayscale PNG of the document's 8×8 tile. Rows
+    * cycle filter types None/Sub/Up (`y % 3`) so the decoder's
+    * un-filtering is exercised on every image, not just the trivial
+    * filter-0 path.
+    */
+  def png8x8(docId: Long): Array[Byte] = {
+    val raw = Array.tabulate(H, W)((y, x) => ImageCodec.lum(docId, y * W + x))
+    val lines = new Array[Byte]((W + 1) * H)
+    var y = 0
+    while (y < H) {
+      val f = y % 3
+      lines(y * (W + 1)) = f.toByte
+      var x = 0
+      while (x < W) {
+        val cur = raw(y)(x)
+        val filtered = f match {
+          case 0 => cur // None
+          case 1 => cur - (if (x == 0) 0 else raw(y)(x - 1)) // Sub
+          case _ => cur - (if (y == 0) 0 else raw(y - 1)(x)) // Up
+        }
+        lines(y * (W + 1) + 1 + x) = (filtered & 0xff).toByte
+        x += 1
+      }
+      y += 1
     }
-    hash
+    val defl = new Deflater()
+    defl.setInput(lines)
+    defl.finish()
+    val buf = new Array[Byte](lines.length + 128) // zlib worst case for 72 B
+    val n = defl.deflate(buf)
+    require(defl.finished(), "IDAT deflate did not fit its buffer")
+    defl.end()
+    val idat = java.util.Arrays.copyOf(buf, n)
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+    ihdr.putInt(W).putInt(H)
+    ihdr.put(8.toByte).put(0.toByte) // bit depth 8, color type 0 (gray)
+    ihdr.put(0.toByte).put(0.toByte).put(0.toByte) // deflate, adaptive, no interlace
+    val bb = java.nio.ByteBuffer.allocate(8 + (12 + 13) + (12 + idat.length) + 12)
+    bb.put(
+      Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d.toByte, 0x0a.toByte, 0x1a.toByte, 0x0a.toByte))
+    chunk(bb, "IHDR", ihdr.array())
+    chunk(bb, "IDAT", idat)
+    chunk(bb, "IEND", Array.emptyByteArray)
+    bb.array()
+  }
+
+  /** Full decode: chunk walk with per-chunk CRC-32 verification, IDAT
+    * inflate, filter reversal (types 0/1/2 — what the synthesizer emits;
+    * anything else fails loudly), average hash. Chunk lengths are
+    * validated against the buffer before any read, so truncated input
+    * fails with a message instead of an index error.
+    */
+  def decode(b: Array[Byte]): Png = {
+    require(
+      b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G',
+      "not a PNG")
+    var i = 8
+    var w = -1
+    var h = -1
+    var depth = -1
+    var ctype = -1
+    var nChunks = 0
+    var crcOk = true
+    val idat = new java.io.ByteArrayOutputStream
+    while (i + 12 <= b.length) {
+      val len = beI32(b, i)
+      require(len >= 0 && i + 12 + len <= b.length, s"truncated chunk at offset $i")
+      val typ = new String(b, i + 4, 4, "US-ASCII")
+      val crc = new CRC32
+      crc.update(b, i + 4, 4 + len)
+      if (crc.getValue.toInt != beI32(b, i + 8 + len)) crcOk = false
+      typ match {
+        case "IHDR" =>
+          w = beI32(b, i + 8)
+          h = beI32(b, i + 12)
+          depth = b(i + 16) & 0xff
+          ctype = b(i + 17) & 0xff
+        case "IDAT" => idat.write(b, i + 8, len)
+        case _ => ()
+      }
+      nChunks += 1
+      i += 12 + len
+    }
+    require(w == W && h == H && depth == 8 && ctype == 0, s"unsupported PNG ${w}x$h d$depth c$ctype")
+    val inf = new Inflater()
+    inf.setInput(idat.toByteArray)
+    val lines = new Array[Byte]((w + 1) * h)
+    var got = 0
+    while (got < lines.length && !inf.finished()) {
+      val k = inf.inflate(lines, got, lines.length - got)
+      require(k > 0 || inf.finished(), "IDAT inflate stalled")
+      got += k
+    }
+    require(got == lines.length, s"IDAT decoded $got of ${lines.length} bytes")
+    inf.end()
+    val lums = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      val f = lines(y * (w + 1)) & 0xff
+      var x = 0
+      while (x < w) {
+        val v = lines(y * (w + 1) + 1 + x) & 0xff
+        val recon = f match {
+          case 0 => v
+          case 1 => v + (if (x == 0) 0 else lums(y * w + x - 1))
+          case 2 => v + (if (y == 0) 0 else lums((y - 1) * w + x))
+          case other => throw new IllegalArgumentException(s"unsupported PNG filter $other")
+        }
+        lums(y * w + x) = recon & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    Png(w, h, depth, ctype, nChunks, crcOk, ImageCodec.hashLums(lums))
   }
 }

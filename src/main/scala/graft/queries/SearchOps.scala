@@ -1,0 +1,309 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Search, tokenizer-induction, graph, and operational-diagnostic
+  * operators (SURVEY.md §2.2 additions, round 4 continuation):
+  *
+  *   - `q_text_bm25` — BM25 keyword retrieval over the corpus: the
+  *     lexical-search baseline every LLM-data pipeline needs next to its
+  *     embedding ANN (decontamination probes, corpus inspection, hybrid
+  *     retrieval). Okapi BM25 with k1 = 1.2, b = 0.75.
+  *   - `q_vocab_pairs` — adjacent-token pair frequencies: the counting
+  *     step of a BPE merge round (tokenizer induction runs this exact
+  *     aggregation once per merge).
+  *   - `q_graph_triangles` — distributed triangle counting over the
+  *     co-purchase graph, via the degree-oriented wedge join (each edge
+  *     directed low-rank → high-rank, rank = (degree, id)): wedge count
+  *     is Σ out-deg², and orientation bounds out-degree by O(√m) on any
+  *     graph — THE standard trick that keeps hub nodes from exploding
+  *     the join at scale. The oracle proves the orientation sound by
+  *     recounting naively (id-ordered three-way join): same triangles.
+  *   - `q_dq_skew` — hot-key diagnostics on the event stream: top keys
+  *     by row count with their corpus share and ×-average skew factor —
+  *     the report you read BEFORE choosing a salting factor
+  *     ([[graft.operators.SaltedJoin]]) or AQE skew thresholds.
+  *   - `q_multimodal_png` — the compressed-image round trip: per doc a
+  *     real zlib-compressed PNG is synthesized, CRC-verified, inflated,
+  *     un-filtered, and average-hashed in-partition
+  *     ([[graft.operators.PngCodec]]); the oracle recomputes dimensions,
+  *     chunk structure, and the 64-bit hash arithmetically from the
+  *     pixel formula. Completes the media battery: header probes
+  *     (image/audio/video), raw-pixel codec (BMP), compressed codec
+  *     (PNG).
+  *
+  * Float discipline (repo-wide contract): every sum that crosses a
+  * partition boundary is an exactly-rounded fixed-point LONG; `ln` — the
+  * one libm call (BM25 idf) — is quantized to 1e-6 before use, the same
+  * portability grain `q_text_entropy` / `q_dq_drift` established for
+  * Java-vs-C last-ulp divergence. All other double arithmetic is an
+  * identical correctly-rounded IEEE sequence in both engines.
+  */
+object SearchOps {
+
+  // ----------------------------------------------------------- BM25
+
+  /** The fixed query of the retrieval entry; mid-df terms so idf, tf and
+    * length normalization all pull their weight in the ranking.
+    */
+  val Bm25Terms: Seq[String] = Seq("data", "vector", "stream")
+
+  /** Okapi BM25 top-20. Scale shape: one token explode feeding two
+    * partial aggs (per-doc length, per-doc×term tf); the term-df table
+    * (|terms| rows) and the 1-row corpus stats BROADCAST to the scoring
+    * projection, so the only shuffles are the two doc-keyed aggs and
+    * their doc-keyed join; top-20 is a TakeOrdered k-merge, never a
+    * global sort. Per-term contributions are summed as 1e-6 fixed-point
+    * LONGs (partition-order-proof); idf is ln quantized to the same
+    * grain.
+    */
+  def qTextBm25(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = Tables
+      .documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .where(col("tok") =!= "")
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val st = dl.agg(
+      count(lit(1)).as("n"),
+      (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+    val tf = tok
+      .where(col("tok").isin(Bm25Terms: _*))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    // idf = ln(1 + (N - df + 0.5)/(df + 0.5)), quantized; weight =
+    // tf(k1+1) / (tf + k1(1 - b + b·dl/avgdl)) with k1 = 1.2, b = 0.75 —
+    // written as the literal IEEE sequence the oracle repeats verbatim.
+    val idf6 = round(
+      log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))),
+      6)
+    val weight = col("tf") * lit(2.2) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl"))))
+    tf.join(broadcast(dfreq), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(st))
+      .select(col("doc_id"), round(idf6 * weight * lit(1e6)).cast("long").as("fp"))
+      .groupBy("doc_id")
+      .agg((sum("fp").cast("double") / lit(1e6)).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  // ---------------------------------------------------- BPE pair counts
+
+  /** Adjacent-pair frequencies, top 50: `zip(tokens, tokens.tail)` as two
+    * slices zipped and exploded — all codegen'd builtins, no UDF — then
+    * one pair-keyed partial agg. At corpus scale the agg is map-side
+    * combined (pair vocabulary ≪ token stream), and top-50 is a
+    * TakeOrdered k-merge. A BPE trainer iterates exactly this query,
+    * re-tokenizing with the merged vocabulary between rounds.
+    */
+  def qVocabPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables.documents(spark, sfDir).select(split(col("text"), " ").as("t"))
+    t.select(
+      explode(
+        arrays_zip(
+          slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1))).as("pr"))
+      .select(col("pr.0").as("a"), col("pr.1").as("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("a"), col("b"))
+      .limit(50)
+  }
+
+  // ------------------------------------------------- triangle counting
+
+  /** Per-node triangle membership counts (top 20) over the co-purchase
+    * graph (parts bought together in ≥ 2 orders). Degree-oriented wedge
+    * join; see the object doc for why orientation is the scale move. The
+    * rank key packs (degree, id) into one LONG — exact while
+    * id < 1e8, which holds through sf100 here (and the pack is a local
+    * convenience, not a semantic: any total order works).
+    */
+  def qGraphTriangles(spark: SparkSession, sfDir: String): DataFrame = {
+    val items = Tables
+      .lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val edges = items
+      .as("a")
+      .join(items.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+      .agg(count(lit(1)).as("support"))
+      .where(col("support") >= 2)
+      .select("u", "v")
+    val okey = edges
+      .select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy("node")
+      .agg(count(lit(1)).as("deg"))
+      .select(col("node"), (col("deg") * lit(100000000L) + col("node")).as("okey"))
+    val oriented = edges
+      .join(okey.as("ku"), col("u") === col("ku.node"))
+      .join(okey.as("kv"), col("v") === col("kv.node"))
+      .select(
+        when(col("ku.okey") < col("kv.okey"), col("u")).otherwise(col("v")).as("a"),
+        when(col("ku.okey") < col("kv.okey"), col("v")).otherwise(col("u")).as("b"),
+        greatest(col("ku.okey"), col("kv.okey")).as("bkey"))
+    val tri = oriented
+      .as("e1")
+      .join(oriented.as("e2"), col("e1.a") === col("e2.a") && col("e1.bkey") < col("e2.bkey"))
+      .join(oriented.as("e3"), col("e1.b") === col("e3.a") && col("e2.b") === col("e3.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node")
+      .agg(count(lit(1)).as("n_tri"))
+      .orderBy(col("n_tri").desc, col("node"))
+      .limit(20)
+  }
+
+  // ------------------------------------------------------ skew report
+
+  /** Top-10 hot keys with corpus share (ppm, exact fixed point) and
+    * ×-average skew. One key-partial-agg shuffle + a broadcast 1-row
+    * total — the cheapest possible look at whether a downstream
+    * key-equality operation needs salting. `cnt·1e6` and `cnt·n_keys`
+    * stay ≪ 2^53, so every double here is exact before its one division.
+    */
+  def qDqSkew(spark: SparkSession, sfDir: String): DataFrame = {
+    val cnts = Tables
+      .events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = cnts.agg(sum("cnt").as("total"), count(lit(1)).as("n_keys"))
+    cnts
+      .crossJoin(broadcast(tot))
+      .select(
+        col("user_id"),
+        col("cnt"),
+        round(col("cnt") * lit(1e6) / col("total")).cast("long").as("share_ppm"),
+        round(col("cnt").cast("double") * col("n_keys") / col("total"), 6).as("x_avg"))
+      .orderBy(col("cnt").desc, col("user_id"))
+      .limit(10)
+  }
+
+  // ------------------------------------------------- PNG codec round trip
+
+  /** Compressed-image round trip: synthesize → CRC-verify → inflate →
+    * un-filter → hash, per document, inside one partition pass. The
+    * 64-bit hash travels as four 16-bit segments (the same layout
+    * `q_multimodal_phash` proved out) so the oracle can rebuild it
+    * without BIGINT sign/overflow traps.
+    */
+  def qMultimodalPng(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .documents(spark, sfDir)
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val png = graft.operators.PngCodec.decode(graft.operators.PngCodec.png8x8(id))
+          (
+            id,
+            png.width,
+            png.height,
+            png.bitDepth,
+            png.colorType,
+            png.nChunks,
+            png.crcOk,
+            ((png.hash >>> 0) & 0xffffL).toInt,
+            ((png.hash >>> 16) & 0xffffL).toInt,
+            ((png.hash >>> 32) & 0xffffL).toInt,
+            ((png.hash >>> 48) & 0xffffL).toInt)
+        }
+      }
+      .toDF(
+        "doc_id",
+        "width",
+        "height",
+        "bit_depth",
+        "color_type",
+        "n_chunks",
+        "crc_ok",
+        "s0",
+        "s1",
+        "s2",
+        "s3")
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------------- registry
+
+  val all: Seq[(String, Q)] = Seq(
+    "q_text_bm25" -> Q(
+      qTextBm25,
+      Some("""WITH tok AS (
+             | SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+             | FROM documents),
+             |dl AS (SELECT doc_id, count(1) AS dl FROM tok GROUP BY doc_id),
+             |st AS (SELECT count(1) AS n, CAST(sum(dl) AS DOUBLE) / count(1) AS avgdl FROM dl),
+             |tf AS (SELECT doc_id, tok, count(1) AS tf FROM tok
+             |       WHERE tok IN ('data', 'vector', 'stream') GROUP BY doc_id, tok),
+             |df AS (SELECT tok, count(1) AS df FROM tf GROUP BY tok),
+             |c AS (
+             | SELECT tf.doc_id,
+             |  CAST(round(round(ln(1 + (n - df + 0.5) / (df + 0.5)), 6) *
+             |   (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * (dl.dl / avgdl)))) * 1e6, 0) AS BIGINT) AS fp
+             | FROM tf JOIN df USING (tok) JOIN dl ON tf.doc_id = dl.doc_id, st)
+             |SELECT doc_id, CAST(sum(fp) AS DOUBLE) / 1e6 AS bm25
+             |FROM c GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin)),
+    "q_vocab_pairs" -> Q(
+      qVocabPairs,
+      Some("""WITH l AS (SELECT string_split(text, ' ') AS t FROM documents),
+             |p AS (SELECT t[g] AS a, t[g + 1] AS b
+             |      FROM l, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS g) s)
+             |SELECT a, b, count(1) AS n
+             |FROM p GROUP BY a, b ORDER BY n DESC, a, b LIMIT 50""".stripMargin)),
+    "q_graph_triangles" -> Q(
+      qGraphTriangles,
+      Some("""WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+             |e AS (SELECT a.p AS u, b.p AS v FROM it a JOIN it b ON a.o = b.o AND a.p < b.p
+             |      GROUP BY 1, 2 HAVING count(1) >= 2),
+             |tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+             |        FROM e e1 JOIN e e2 ON e1.v = e2.u
+             |        JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v)
+             |SELECT node, count(1) AS n_tri
+             |FROM (SELECT unnest([x, y, z]) AS node FROM tri)
+             |GROUP BY node ORDER BY n_tri DESC, node LIMIT 20""".stripMargin)),
+    "q_dq_skew" -> Q(
+      qDqSkew,
+      Some("""WITH c AS (SELECT user_id, count(1) AS cnt FROM events GROUP BY user_id),
+             |t AS (SELECT sum(cnt) AS total, count(1) AS n_keys FROM c)
+             |SELECT user_id, cnt,
+             | CAST(round(cnt * 1e6 / total, 0) AS BIGINT) AS share_ppm,
+             | round(CAST(cnt AS DOUBLE) * n_keys / total, 6) AS x_avg
+             |FROM c, t ORDER BY cnt DESC, user_id LIMIT 10""".stripMargin)),
+    "q_multimodal_png" -> Q(
+      qMultimodalPng,
+      Some("""WITH g AS (
+             | SELECT doc_id, CAST(i.idx AS INT) AS idx
+             | FROM documents, LATERAL (SELECT unnest(generate_series(0, 63)) AS idx) i),
+             |v AS (
+             | SELECT doc_id, idx,
+             |  CASE WHEN doc_id % 3 = 0 AND idx = doc_id % 64
+             |   THEN 240 - (CASE WHEN (((doc_id % 97) * 2654435761 + idx * 40503) // 128) % 2 = 0
+             |               THEN 20 ELSE 220 END)
+             |   ELSE (CASE WHEN (((doc_id % 97) * 2654435761 + idx * 40503) // 128) % 2 = 0
+             |         THEN 20 ELSE 220 END) END AS lum
+             | FROM g),
+             |m AS (SELECT doc_id, CAST(sum(lum) AS BIGINT) // 64 AS mean FROM v GROUP BY doc_id),
+             |bits AS (
+             | SELECT v.doc_id, idx, CASE WHEN lum > mean THEN 1 ELSE 0 END AS bt
+             | FROM v JOIN m USING (doc_id)),
+             |segs AS (
+             | SELECT doc_id, idx // 16 AS seg,
+             |  CAST(sum(bt * (1 << (idx % 16))) AS INT) AS sv
+             | FROM bits GROUP BY doc_id, idx // 16)
+             |SELECT doc_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+             | CAST(8 AS INT) AS bit_depth, CAST(0 AS INT) AS color_type,
+             | CAST(3 AS INT) AS n_chunks, TRUE AS crc_ok,
+             | CAST(max(CASE WHEN seg = 0 THEN sv END) AS INT) AS s0,
+             | CAST(max(CASE WHEN seg = 1 THEN sv END) AS INT) AS s1,
+             | CAST(max(CASE WHEN seg = 2 THEN sv END) AS INT) AS s2,
+             | CAST(max(CASE WHEN seg = 3 THEN sv END) AS INT) AS s3
+             |FROM segs GROUP BY doc_id ORDER BY doc_id""".stripMargin)))
+}

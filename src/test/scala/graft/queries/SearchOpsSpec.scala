@@ -1,0 +1,167 @@
+package graft.queries
+
+import graft.SparkSuite
+import graft.operators.{ImageCodec, PngCodec}
+import org.apache.spark.sql.functions._
+
+/** SearchOps: BM25 recomputed from first principles, pair-count closure,
+  * triangle-orientation soundness vs a naive recount, skew-report
+  * arithmetic, and the PNG codec round trip (incl. the cross-codec hash
+  * pin against the BMP pipeline and CRC tamper detection). Values are
+  * oracle-hash-checked; these specs pin the laws a hash diff would not
+  * explain well.
+  */
+class SearchOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  // ---------------------------------------------------------------- BM25
+
+  test("q_text_bm25: descending scores, top-1 recomputed from first principles") {
+    val rows = SearchOps.qTextBm25(spark, sf001).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val scores = rows.map(_.getDouble(1))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+
+    // recompute the winner's score directly from the token stream
+    val docs = graft.Tables.documents(spark, sf001)
+    val tok = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .where(col("tok") =!= "")
+      .cache()
+    val n = docs.count()
+    val dls = tok.groupBy("doc_id").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val avgdl = dls.values.sum.toDouble / n
+    val winner = rows.head.getLong(0)
+    val fp = SearchOps.Bm25Terms.map { term =>
+      val df = tok.where(col("tok") === term).select("doc_id").distinct().count()
+      val tf = tok.where(col("tok") === term && col("doc_id") === winner).count()
+      if (tf == 0L) 0L
+      else {
+        val idf6 = BigDecimal(math.log(1 + (n - df + 0.5) / (df + 0.5)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble
+        val w = tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * (dls(winner) / avgdl)))
+        math.round(idf6 * w * 1e6)
+      }
+    }.sum
+    assert(rows.head.getDouble(1) == fp.toDouble / 1e6)
+    tok.unpersist()
+  }
+
+  // --------------------------------------------------------- vocab pairs
+
+  test("q_vocab_pairs: counts close against the per-doc token lengths") {
+    val rows = SearchOps.qVocabPairs(spark, sf001).collect()
+    assert(rows.length == 50)
+    val counts = rows.map(_.getLong(2))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+    // the top pair's count, recounted with an independent formulation
+    // (posexplode + self-join on adjacent positions)
+    val (a, b) = (rows.head.getString(0), rows.head.getString(1))
+    val pos = graft.Tables
+      .documents(spark, sf001)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("i", "tok")))
+    val direct = pos
+      .as("x")
+      .join(
+        pos.as("y"),
+        col("x.doc_id") === col("y.doc_id") && col("y.i") === col("x.i") + 1)
+      .where(col("x.tok") === a && col("y.tok") === b)
+      .count()
+    assert(rows.head.getLong(2) == direct)
+  }
+
+  // ----------------------------------------------------------- triangles
+
+  test("q_graph_triangles: oriented wedge join equals the naive recount") {
+    val rows = SearchOps.qGraphTriangles(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    // naive recount: id-ordered three-way edge join, per-node membership
+    val items = graft.Tables
+      .lineitem(spark, sf001)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val e = items
+      .as("a")
+      .join(items.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+      .agg(count(lit(1)).as("s"))
+      .where(col("s") >= 2)
+      .select("u", "v")
+      .cache()
+    val naive = e
+      .as("e1")
+      .join(e.as("e2"), col("e1.v") === col("e2.u"))
+      .join(e.as("e3"), col("e1.u") === col("e3.u") && col("e2.v") === col("e3.v"))
+      .select(
+        explode(array(col("e1.u"), col("e1.v"), col("e2.v"))).as("node"))
+      .groupBy("node")
+      .agg(count(lit(1)).as("n_tri"))
+      .orderBy(col("n_tri").desc, col("node"))
+      .limit(20)
+      .collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      naive.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    e.unpersist()
+  }
+
+  // ---------------------------------------------------------- skew report
+
+  test("q_dq_skew: top key is the true max, share and x-avg re-derive") {
+    val rows = SearchOps.qDqSkew(spark, sf001).collect()
+    assert(rows.length == 10)
+    val ev = graft.Tables.events(spark, sf001)
+    val cnts = ev.groupBy("user_id").count().collect().map(r => r.getLong(0) -> r.getLong(1))
+    val total = cnts.map(_._2).sum
+    val nKeys = cnts.length.toLong
+    val maxCnt = cnts.map(_._2).max
+    assert(rows.head.getLong(1) == maxCnt)
+    rows.foreach { r =>
+      val cnt = r.getLong(1)
+      assert(r.getLong(2) == math.round(cnt * 1e6 / total))
+      val expect = BigDecimal(cnt.toDouble * nKeys / total)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+      assert(r.getDouble(3) == expect)
+    }
+  }
+
+  // ------------------------------------------------------- PNG round trip
+
+  test("PngCodec: round trip matches the BMP pipeline's hash bit-for-bit") {
+    (0L until 256L).foreach { id =>
+      val png = PngCodec.decode(PngCodec.png8x8(id))
+      assert(png.width == 8 && png.height == 8 && png.bitDepth == 8 && png.colorType == 0)
+      assert(png.nChunks == 3 && png.crcOk)
+      // grayscale BT.601 is the identity, so the compressed round trip
+      // must land on exactly the BMP codec's hash
+      assert(png.hash == ImageCodec.aHash(ImageCodec.bmp8x8(id)), s"doc $id")
+    }
+  }
+
+  test("PngCodec: synthesis really uses Sub/Up filters, and CRC catches tampering") {
+    val bytes = PngCodec.png8x8(7L)
+    // IDAT payload must inflate to rows with filter types 0,1,2 cycling —
+    // decode proves un-filtering works; here prove a filtered byte stream
+    // is actually present (a None-only encoder would emit raw row bytes)
+    val inf = new java.util.zip.Inflater()
+    val idatLen = ((bytes(33) & 0xff) << 24) | ((bytes(34) & 0xff) << 16) |
+      ((bytes(35) & 0xff) << 8) | (bytes(36) & 0xff)
+    inf.setInput(bytes, 41, idatLen)
+    val lines = new Array[Byte](9 * 8)
+    assert(inf.inflate(lines) == lines.length)
+    inf.end()
+    assert((0 until 8).map(y => lines(y * 9) & 0xff) == Seq(0, 1, 2, 0, 1, 2, 0, 1))
+
+    // flip one pixel byte inside IDAT: CRC must go red
+    val tampered = bytes.clone()
+    tampered(45) = (tampered(45) ^ 0x41).toByte
+    val png = try PngCodec.decode(tampered)
+    catch {
+      // corrupting deflate bytes may break the stream before the CRC
+      // verdict is read — either failure mode is a caught tamper
+      case _: Throwable => null
+    }
+    assert(png == null || !png.crcOk)
+  }
+}
