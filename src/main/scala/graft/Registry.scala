@@ -21,5 +21,6 @@ object Registry {
       graft.queries.CorpusOps.all ++
       graft.queries.MiningOps.all ++
       graft.queries.SearchOps.all ++
+      graft.queries.QualityOps.all ++
       graft.queries.StreamingQueries.all
 }

@@ -881,7 +881,7 @@ object LlmOps {
     * still replay the HOF formulations); see TextProfile's scaladoc for
     * the measured 25-100× interpreted-path cliff this avoids.
     */
-  private def profiled(spark: SparkSession, sfDir: String): DataFrame =
+  private[queries] def profiled(spark: SparkSession, sfDir: String): DataFrame =
     Tables
       .documents(spark, sfDir)
       .withColumn("p", graft.functions.TextProfile.profile(col("text")))

@@ -1,0 +1,245 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation and operational-quality operators (SURVEY.md §2.2
+  * additions, round 4 continuation):
+  *
+  *   - `q_text_gopher` — the Gopher-style quality-rule battery (Rae et
+  *     al. 2021 shape): per-document word-count bounds, mean-word-length
+  *     bounds, stopword floor, type-token-ratio floor, and the composite
+  *     verdict. Complements `q_text_quality` (raw ratios) with the
+  *     rule/verdict form real filter pipelines ship; rides the same
+  *     single [[graft.functions.TextProfile]] codegen pass.
+  *   - `q_mix_temperature` — temperature-based sampling weights over the
+  *     language distribution (`q ∝ p^α`, α = 0.7): the multilingual-
+  *     corpus rebalancing formula (upsample tails, damp the head).
+  *     Complements `q_mix_sources` (explicit target weights) with the
+  *     derived-weights form.
+  *   - `q_dq_ks` — exact two-sample Kolmogorov–Smirnov statistic between
+  *     two event-type value distributions, on a 1e-3 value grid. The
+  *     cross-multiplied integer form (`max |c1·n2 − c2·n1|`) makes the
+  *     sup-distance EXACT (no float accumulation at all); sqrt — the one
+  *     libm call in the significance threshold — is IEEE
+  *     correctly-rounded, so both engines agree bit-for-bit.
+  *   - `q_layout_compaction` — the OPTIMIZE planner's grouping step:
+  *     per table partition, size-sorted next-fit binning of small files
+  *     into compaction groups targeting a size budget. Pure integer
+  *     arithmetic.
+  *
+  * Scale shapes: gopher is one kernel pass, no shuffle until the
+  * (optional) downstream filter; temperature is two 1-row broadcast
+  * aggs over a |langs|-row table; KS is a per-bucket partial agg whose
+  * ordered scan is bounded by the GRID (≤ 500k cells), not the data;
+  * compaction windows are partitioned per table-partition (file counts
+  * per partition are bounded in any sane layout).
+  */
+object QualityOps {
+
+  // -------------------------------------------------------- gopher rules
+
+  /** Rule battery over the kernel profile. Mean word length uses the
+    * single-space invariant (chars-of-words = len − (n_tok − 1)), which
+    * `SourcesSpec` pins for this corpus; nullif guards keep empty docs
+    * NULL rather than crashing, same contract as `q_text_quality`.
+    */
+  def qTextGopher(spark: SparkSession, sfDir: String): DataFrame = {
+    val nTok = col("p.n_tokens")
+    val meanWlen =
+      (col("p.len") - (nTok - lit(1))).cast("double") / nullif(nTok, lit(0))
+    val ttr = col("p.n_distinct").cast("double") / nullif(nTok, lit(0))
+    LlmOps
+      .profiled(spark, sfDir)
+      .select(
+        col("doc_id"),
+        nTok.as("n_tok"),
+        round(meanWlen, 6).as("mean_wlen"),
+        col("p.n_stop").as("n_stop"),
+        round(ttr, 6).as("ttr"),
+        (nTok >= 50 && nTok <= 100000).as("pass_len"),
+        (meanWlen >= 3.0 && meanWlen <= 10.0).as("pass_wlen"),
+        (col("p.n_stop") >= 2).as("pass_stop"),
+        (ttr >= 0.2).as("pass_ttr"))
+      .withColumn(
+        "gopher_pass",
+        col("pass_len") && col("pass_wlen") && col("pass_stop") && col("pass_ttr"))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------ temperature sampling
+
+  /** `q_l ∝ p_l^0.7`. The powered weights are quantized to 1e-6
+    * fixed-point LONGs before normalization (`pow` is the one
+    * not-correctly-rounded libm call here — same portability grain as
+    * the ln-quantization precedent), so the normalizing sum is exact
+    * integer arithmetic and partition-order-proof.
+    */
+  def qMixTemperature(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables
+      .documents(spark, sfDir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(sum("n_docs").as("n"))
+    val weighted = counts
+      .crossJoin(broadcast(tot))
+      .withColumn("p", col("n_docs").cast("double") / col("n"))
+      .withColumn("q_fp", round(pow(col("p"), 0.7) * lit(1e6)).cast("long"))
+    val z = weighted.agg(sum("q_fp").as("z"))
+    weighted
+      .crossJoin(broadcast(z))
+      .select(
+        col("lang"),
+        col("n_docs"),
+        round(col("p"), 6).as("p"),
+        round(col("q_fp").cast("double") / col("z"), 6).as("q_share"),
+        round(col("q_fp").cast("double") / col("z") / col("p"), 6).as("boost"))
+      .orderBy("lang")
+  }
+
+  // --------------------------------------------------------- KS test
+
+  /** D = sup |F₁ − F₂| between 'click' and 'purchase' value ECDFs on the
+    * 1e-3 grid, via integer cross-multiplication; significance at
+    * α = 0.05 (c(α) = 1.358). The cumulative scan is a window over
+    * GRID-bounded bucket rows — cardinality is fixed by the grid and the
+    * value range, independent of row count, which is what makes the
+    * single ordered pass safe at any corpus size.
+    */
+  def qDqKs(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables
+      .events(spark, sfDir)
+      .where(col("event_type").isin("click", "purchase"))
+      .select(
+        (col("event_type") === "click").as("is1"),
+        floor(col("value") * lit(1000)).cast("long").as("bucket"))
+    val byBucket = ev
+      .groupBy("bucket")
+      .agg(
+        sum(when(col("is1"), 1L).otherwise(0L)).as("c1"),
+        sum(when(!col("is1"), 1L).otherwise(0L)).as("c2"))
+    val w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = byBucket
+      .withColumn("f1", sum("c1").over(w))
+      .withColumn("f2", sum("c2").over(w))
+    val tot = byBucket.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+    // exact while n1·n2 < 2^63 (≈3e9 rows per side); past that the sup
+    // distance would move to the double form with an explicit error bar
+    cum
+      .crossJoin(broadcast(tot))
+      .agg(
+        max("n1").as("n1"),
+        max("n2").as("n2"),
+        count(lit(1)).as("n_buckets"),
+        max(abs(col("f1") * col("n2") - col("f2") * col("n1"))).as("d_num"))
+      .select(
+        col("n1"),
+        col("n2"),
+        col("n_buckets"),
+        round(col("d_num").cast("double") / (col("n1") * col("n2")), 6).as("d"),
+        (col("d_num").cast("double") / (col("n1") * col("n2")) >
+          lit(1.358) * sqrt((col("n1") + col("n2")).cast("double") / (col("n1") * col("n2"))))
+          .as("significant"))
+  }
+
+  // ----------------------------------------------------- compaction plan
+
+  /** Small-file compaction groups: files (here: 16 content-hash buckets
+    * per source, sized by their text bytes) are sorted size-descending
+    * within their partition and binned next-fit against a 4 KiB target.
+    * Output is the per-group manifest a compactor would execute. Integer
+    * division only — `div`, not `/` (Spark's `/` on longs is DOUBLE
+    * division; the oracle's `//` truncates).
+    */
+  def qLayoutCompaction(spark: SparkSession, sfDir: String): DataFrame = {
+    val target = 4096L
+    val files = Tables
+      .documents(spark, sfDir)
+      .groupBy(col("source"), pmod(col("doc_id"), lit(16)).as("file_id"))
+      .agg(sum(col("n_chars")).as("bytes"), count(lit(1)).as("n_docs"))
+    val w = Window
+      .partitionBy("source")
+      .orderBy(col("bytes").desc, col("file_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    files
+      .withColumn("cum", sum("bytes").over(w))
+      .withColumn("bin", expr(s"(cum - bytes) div $target"))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_files"), sum("bytes").as("tot_bytes"))
+      .orderBy("source", "bin")
+  }
+
+  // ------------------------------------------------------------- registry
+
+  private val DOCS_T = LlmOps.DOCS_T
+
+  val all: Seq[(String, Q)] = Seq(
+    "q_text_gopher" -> Q(
+      qTextGopher,
+      Some(s"""WITH p AS (
+              | SELECT doc_id, CAST(len(toks) AS INT) AS n_tok,
+              |  CAST(length(text) - (len(toks) - 1) AS DOUBLE) / nullif(CAST(len(toks) AS INT), 0) AS mw,
+              |  CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS INT) AS n_stop,
+              |  CAST(len(list_distinct(toks)) AS DOUBLE) / nullif(CAST(len(toks) AS INT), 0) AS ttr
+              | FROM $DOCS_T)
+              |SELECT doc_id, n_tok, round(mw, 6) AS mean_wlen, n_stop, round(ttr, 6) AS ttr,
+              | (n_tok >= 50 AND n_tok <= 100000) AS pass_len,
+              | (mw >= 3.0 AND mw <= 10.0) AS pass_wlen,
+              | (n_stop >= 2) AS pass_stop,
+              | (ttr >= 0.2) AS pass_ttr,
+              | (n_tok >= 50 AND n_tok <= 100000 AND mw >= 3.0 AND mw <= 10.0
+              |  AND n_stop >= 2 AND ttr >= 0.2) AS gopher_pass
+              |FROM p ORDER BY doc_id""".stripMargin)),
+    "q_mix_temperature" -> Q(
+      qMixTemperature,
+      Some("""WITH c AS (SELECT lang, count(1) AS n_docs FROM documents GROUP BY lang),
+             |t AS (SELECT sum(n_docs) AS n FROM c),
+             |wt AS (
+             | SELECT lang, n_docs, CAST(n_docs AS DOUBLE) / n AS p,
+             |  CAST(round(power(CAST(n_docs AS DOUBLE) / n, 0.7) * 1e6, 0) AS BIGINT) AS q_fp
+             | FROM c, t),
+             |z AS (SELECT sum(q_fp) AS z FROM wt)
+             |SELECT lang, n_docs, round(p, 6) AS p,
+             | round(CAST(q_fp AS DOUBLE) / z, 6) AS q_share,
+             | round(CAST(q_fp AS DOUBLE) / z / p, 6) AS boost
+             |FROM wt, z ORDER BY lang""".stripMargin)),
+    "q_dq_ks" -> Q(
+      qDqKs,
+      Some("""WITH ev AS (
+             | SELECT event_type = 'click' AS is1,
+             |  CAST(floor(value * 1000) AS BIGINT) AS bucket
+             | FROM events WHERE event_type IN ('click', 'purchase')),
+             |b AS (
+             | SELECT bucket,
+             |  CAST(sum(CASE WHEN is1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             |  CAST(sum(CASE WHEN is1 THEN 0 ELSE 1 END) AS BIGINT) AS c2
+             | FROM ev GROUP BY bucket),
+             |cum AS (
+             | SELECT c1, c2,
+             |  CAST(sum(c1) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS f1,
+             |  CAST(sum(c2) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS f2,
+             |  CAST(sum(c1) OVER () AS BIGINT) AS n1, CAST(sum(c2) OVER () AS BIGINT) AS n2
+             | FROM b)
+             |SELECT max(n1) AS n1, max(n2) AS n2, count(1) AS n_buckets,
+             | round(CAST(max(abs(f1 * n2 - f2 * n1)) AS DOUBLE) / (max(n1) * max(n2)), 6) AS d,
+             | (CAST(max(abs(f1 * n2 - f2 * n1)) AS DOUBLE) / (max(n1) * max(n2)) >
+             |  1.358 * sqrt(CAST(max(n1) + max(n2) AS DOUBLE) / (max(n1) * max(n2)))) AS significant
+             |FROM cum""".stripMargin)),
+    "q_layout_compaction" -> Q(
+      qLayoutCompaction,
+      Some("""WITH f AS (
+             | SELECT source, doc_id % 16 AS file_id,
+             |  CAST(sum(n_chars) AS BIGINT) AS bytes, count(1) AS n_docs
+             | FROM documents GROUP BY source, doc_id % 16),
+             |c AS (
+             | SELECT source, bytes,
+             |  CAST(sum(bytes) OVER (PARTITION BY source ORDER BY bytes DESC, file_id
+             |                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+             | FROM f)
+             |SELECT source, (cum - bytes) // 4096 AS bin,
+             | count(1) AS n_files, CAST(sum(bytes) AS BIGINT) AS tot_bytes
+             |FROM c GROUP BY source, (cum - bytes) // 4096
+             |ORDER BY source, bin""".stripMargin)))
+}

@@ -1,0 +1,95 @@
+package graft.queries
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** QualityOps: gopher verdict consistency + a from-the-raw-string
+  * recompute, temperature-sampling normalization laws, an exact local KS
+  * recount, and compaction-plan closure invariants. Values are
+  * oracle-hash-checked; these pin the laws.
+  */
+class QualityOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("q_text_gopher: verdict is the AND of its rules; one doc recomputed raw") {
+    val rows = QualityOps.qTextGopher(spark, sf001).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      assert(r.getBoolean(9) ==
+        (r.getBoolean(5) && r.getBoolean(6) && r.getBoolean(7) && r.getBoolean(8)))
+    }
+    // recompute doc 0's profile directly from the string
+    val text = graft.Tables
+      .documents(spark, sf001)
+      .where(col("doc_id") === 0L)
+      .select("text")
+      .as[String]
+      .head()
+    val toks = text.split(" ").filter(_.nonEmpty)
+    val r0 = rows.find(_.getLong(0) == 0L).get
+    assert(r0.getInt(1) == toks.length)
+    val mw = BigDecimal((text.length - (toks.length - 1)).toDouble / toks.length)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+    assert(r0.getDouble(2) == mw)
+    val stops = Set("the", "a", "of", "and", "to", "in", "is")
+    assert(r0.getInt(3) == toks.count(stops))
+  }
+
+  test("q_mix_temperature: shares normalize, tails boost up, head damps down") {
+    val rows = QualityOps.qMixTemperature(spark, sf001).collect()
+    assert(rows.length == 5) // five languages in the corpus
+    val shareSum = rows.map(_.getDouble(3)).sum
+    assert(math.abs(shareSum - 1.0) < 5e-6 * rows.length) // per-row 1e-6 rounding
+    val byLang = rows.map(r => r.getString(0) -> r).toMap
+    val en = byLang("en")
+    assert(en.getDouble(4) < 1.0, "head language must be damped")
+    rows.filter(_.getString(0) != "en").foreach { r =>
+      assert(r.getDouble(4) > 1.0, s"tail ${r.getString(0)} must be boosted")
+    }
+    // α = 0.7 flattens but must preserve the count ordering
+    val ordered = rows.sortBy(-_.getLong(1)).map(_.getDouble(3))
+    assert(ordered.zip(ordered.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q_dq_ks: statistic equals an exact local recount") {
+    val row = QualityOps.qDqKs(spark, sf001).collect().head
+    val (n1, n2) = (row.getLong(0), row.getLong(1))
+    val vals = graft.Tables
+      .events(spark, sf001)
+      .where(col("event_type").isin("click", "purchase"))
+      .select(col("event_type") === "click", floor(col("value") * 1000).cast("long"))
+      .as[(Boolean, Long)]
+      .collect()
+    assert(n1 == vals.count(_._1) && n2 == vals.count(!_._1))
+    val buckets = vals.groupBy(_._2).toSeq.sortBy(_._1)
+    var (f1, f2) = (0L, 0L)
+    var dNum = 0L
+    buckets.foreach { case (_, vs) =>
+      f1 += vs.count(_._1)
+      f2 += vs.count(!_._1)
+      dNum = math.max(dNum, math.abs(f1 * n2 - f2 * n1))
+    }
+    val d = BigDecimal(dNum.toDouble / (n1 * n2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+    assert(row.getDouble(3) == d)
+    assert(row.getLong(2) == buckets.length)
+  }
+
+  test("q_layout_compaction: plan closes over all bytes; no group starts past budget") {
+    val rows = QualityOps.qLayoutCompaction(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val planned = rows.map(_.getLong(3)).sum
+    val total = graft.Tables
+      .documents(spark, sf001)
+      .agg(sum("n_chars"))
+      .as[Long]
+      .head()
+    assert(planned == total) // every byte lands in exactly one group
+    // every source's plan starts at bin 0 (first file's offset is 0)
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(1)).min == 0L)
+    }
+  }
+}
