@@ -604,6 +604,107 @@ object MiningOps {
         round(col("n_hit").cast("double") / col("n_true").cast("double"), 6).as("recall"))
   }
 
+  // ------------------------------------------------- multi-touch attribution
+
+  /** Multi-touch attribution: every purchase is credited back to the
+    * clicks of the same user in the preceding 30 minutes — LINEAR
+    * (value / n_touches to each) and LAST-TOUCH (full value to the
+    * latest click, click_id tiebreak) models side by side, per click.
+    *
+    * Scale shape: one user-keyed equi-join with the time window as a
+    * residual predicate (the `q_join_scd2_pit` shape), then one window
+    * pass PARTITIONED BY purchase (touch counts are bounded by clicks
+    * per user per 30 min), then one click-keyed partial agg. Credits
+    * are 1e-6 fixed-point LONGs before summing (partition-order-proof;
+    * the linear shares divide first — an identical IEEE sequence in
+    * both engines). Unattributed purchases are out of scope here; the
+    * outer-join emission side lives in `s_stream_join_outer`.
+    */
+  def qEventsAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, sfDir)
+    val clicks = ev
+      .where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+    val purchases = ev
+      .where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"), col("value"))
+    val touches = clicks
+      .join(purchases, Seq("user_id"))
+      .where(
+        col("p_ts") >= col("click_ts") &&
+          col("p_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+    val byPurchase = Window.partitionBy("p_id")
+    val ranked = touches
+      .withColumn("n_touch", count(lit(1)).over(byPurchase))
+      .withColumn(
+        "rn",
+        row_number().over(
+          Window.partitionBy("p_id").orderBy(col("click_ts").desc, col("click_id").desc)))
+    ranked
+      .groupBy("click_id", "user_id")
+      .agg(
+        countDistinct(col("p_id")).as("n_purchases"),
+        (sum(round(col("value") / col("n_touch") * lit(1e6)).cast("long")).cast("double") / 1e6)
+          .as("linear_credit"),
+        (sum(
+          when(col("rn") === 1, round(col("value") * lit(1e6)).cast("long"))
+            .otherwise(0L)).cast("double") / 1e6).as("last_credit"))
+      .orderBy("click_id")
+  }
+
+  // -------------------------------------------------- power-iteration PCA
+
+  /** Top principal direction of the embedding corpus by three unrolled
+    * power iterations on the (uncentered) Gram operator:
+    * `w = Σᵢ eᵢ (eᵢ·v) / N`, renormalized between rounds. The ML-lite
+    * companion of `q_agg_linreg`/`q_graph_pagerank`: distributed linear
+    * algebra with nothing but joins and partial aggs.
+    *
+    * Scale shape: per iteration, one vec-keyed partial agg (the dots)
+    * and one dim-keyed partial agg (the new direction) — embeddings are
+    * scanned, never shuffled wide; the ONLY driver-side state is the
+    * 64-float direction vector (the k-means-centroid precedent for
+    * bounded model state). Exactness: every cross-partition sum is a
+    * fixed-point LONG (1e-9 grain on unit-norm data ⇒ overflow-safe at
+    * any corpus size after the 1/N scale); the driver-side
+    * renormalization quantizes each component to 1e-6 before the next
+    * round, so both engines iterate on identical vectors; `sqrt` is
+    * IEEE correctly-rounded.
+    */
+  def qEmbedPca(spark: SparkSession, sfDir: String): DataFrame = {
+    val ex = graft.Tables
+      .embeddings(spark, sfDir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("j", "e")))
+      .select(col("vec_id"), col("j"), col("e").cast("double").as("e"))
+    val n = graft.Tables.embeddings(spark, sfDir).count()
+    var v: Array[Double] = Array.fill(64)(0.125) // 1/sqrt(64), exact
+    for (_ <- 1 to 3) {
+      val vArr = array(v.map(lit(_)): _*)
+      val dots = ex
+        .withColumn(
+          "t_fp",
+          round(col("e") * element_at(vArr, col("j") + 1) * lit(1e9)).cast("long"))
+        .groupBy("vec_id")
+        .agg(sum("t_fp").as("s_fp"))
+        .select(col("vec_id"), (col("s_fp").cast("double") / lit(1e9)).as("s"))
+      val w = ex
+        .join(dots, "vec_id")
+        .groupBy("j")
+        .agg(sum(round(col("e") * col("s") * lit(1e9)).cast("long")).as("w_fp"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getLong(1))
+        .toMap
+      val wd = Array.tabulate(64)(j => w(j).toDouble / 1e9 / n)
+      val nsqFp = wd.map(x => math.round(x * x * 1e9)).sum // terms ≥ 0
+      val norm = math.sqrt(nsqFp.toDouble / 1e9)
+      v = wd.map(x =>
+        BigDecimal(x / norm).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val spark2 = spark
+    import spark2.implicits._
+    v.zipWithIndex.map { case (l, j) => (j, l) }.toSeq.toDF("j", "loading").orderBy("j")
+  }
+
   // ----------------------------------------------------------- registry
 
   /** Shared CTE: exact fixed-point pairwise cosine within a label, the
@@ -853,5 +954,53 @@ object MiningOps {
               |SELECT v AS drop_id, min(u) AS keep_id, count(1) AS n_similar
               |FROM s WHERE dot / (sqrt(n1) * sqrt(n2)) >= 0.3
               |GROUP BY v ORDER BY drop_id""".stripMargin)),
+    "q_events_attribution" -> Q(
+      qEventsAttribution,
+      Some(s"""WITH ev AS $EVT,
+              |c AS (SELECT event_id AS click_id, user_id, ts AS click_ts FROM ev
+              |      WHERE event_type = 'click'),
+              |p AS (SELECT event_id AS p_id, user_id, ts AS p_ts, value FROM ev
+              |      WHERE event_type = 'purchase'),
+              |t AS (
+              | SELECT click_id, c.user_id, click_ts, p_id, value,
+              |  count(1) OVER (PARTITION BY p_id) AS n_touch,
+              |  row_number() OVER (PARTITION BY p_id
+              |                     ORDER BY click_ts DESC, click_id DESC) AS rn
+              | FROM c JOIN p ON c.user_id = p.user_id
+              | WHERE p_ts >= click_ts AND p_ts <= click_ts + INTERVAL 30 MINUTE)
+              |SELECT click_id, user_id, count(DISTINCT p_id) AS n_purchases,
+              | CAST(CAST(sum(CAST(round(value / n_touch * 1e6, 0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e6 AS linear_credit,
+              | CAST(CAST(sum(CASE WHEN rn = 1 THEN CAST(round(value * 1e6, 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS DOUBLE) / 1e6 AS last_credit
+              |FROM t GROUP BY click_id, user_id ORDER BY click_id""".stripMargin)),
+    "q_embed_pca" -> Q(
+      qEmbedPca,
+      Some("""WITH un AS (
+             | SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS j,
+             |  CAST(unnest(embedding) AS DOUBLE) AS e
+             | FROM embeddings),
+             |nn AS (SELECT count(1) AS n FROM embeddings),
+             |v0 AS (SELECT CAST(unnest(generate_series(0, 63)) AS INT) AS j, 0.125 AS vj),
+             |s1 AS (SELECT vec_id, CAST(sum(CAST(round(e * vj * 1e9, 0) AS BIGINT)) AS BIGINT) AS s_fp
+             |       FROM un JOIN v0 USING (j) GROUP BY vec_id),
+             |w1 AS (SELECT j, CAST(sum(CAST(round(e * (CAST(s_fp AS DOUBLE) / 1e9) * 1e9, 0) AS BIGINT)) AS BIGINT) AS w_fp
+             |       FROM un JOIN s1 USING (vec_id) GROUP BY j),
+             |w1d AS (SELECT j, CAST(w_fp AS DOUBLE) / 1e9 / n AS wd FROM w1, nn),
+             |n1 AS (SELECT CAST(sum(CAST(round(wd * wd * 1e9, 0) AS BIGINT)) AS BIGINT) AS nsq FROM w1d),
+             |v1 AS (SELECT j, round(wd / sqrt(CAST(nsq AS DOUBLE) / 1e9), 6) AS vj FROM w1d, n1),
+             |s2 AS (SELECT vec_id, CAST(sum(CAST(round(e * vj * 1e9, 0) AS BIGINT)) AS BIGINT) AS s_fp
+             |       FROM un JOIN v1 USING (j) GROUP BY vec_id),
+             |w2 AS (SELECT j, CAST(sum(CAST(round(e * (CAST(s_fp AS DOUBLE) / 1e9) * 1e9, 0) AS BIGINT)) AS BIGINT) AS w_fp
+             |       FROM un JOIN s2 USING (vec_id) GROUP BY j),
+             |w2d AS (SELECT j, CAST(w_fp AS DOUBLE) / 1e9 / n AS wd FROM w2, nn),
+             |n2 AS (SELECT CAST(sum(CAST(round(wd * wd * 1e9, 0) AS BIGINT)) AS BIGINT) AS nsq FROM w2d),
+             |v2 AS (SELECT j, round(wd / sqrt(CAST(nsq AS DOUBLE) / 1e9), 6) AS vj FROM w2d, n2),
+             |s3 AS (SELECT vec_id, CAST(sum(CAST(round(e * vj * 1e9, 0) AS BIGINT)) AS BIGINT) AS s_fp
+             |       FROM un JOIN v2 USING (j) GROUP BY vec_id),
+             |w3 AS (SELECT j, CAST(sum(CAST(round(e * (CAST(s_fp AS DOUBLE) / 1e9) * 1e9, 0) AS BIGINT)) AS BIGINT) AS w_fp
+             |       FROM un JOIN s3 USING (vec_id) GROUP BY j),
+             |w3d AS (SELECT j, CAST(w_fp AS DOUBLE) / 1e9 / n AS wd FROM w3, nn),
+             |n3 AS (SELECT CAST(sum(CAST(round(wd * wd * 1e9, 0) AS BIGINT)) AS BIGINT) AS nsq FROM w3d),
+             |v3 AS (SELECT j, round(wd / sqrt(CAST(nsq AS DOUBLE) / 1e9), 6) AS vj FROM w3d, n3)
+             |SELECT j, vj AS loading FROM v3 ORDER BY j""".stripMargin)),
   )
 }

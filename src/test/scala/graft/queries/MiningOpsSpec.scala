@@ -332,4 +332,71 @@ class MiningOpsSpec extends SparkSuite {
       assert(math.abs(got(eid) - expected) < 1e-9, s"event $eid")
     }
   }
+
+  // ------------------------------------------------------- attribution
+
+  test("q_events_attribution: both models conserve the attributed value") {
+    val rows = MiningOps.qEventsAttribution(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    // every attributed purchase's value is fully distributed: the linear
+    // credits and the last-touch credits both sum to the same total —
+    // the sum of values of purchases that have >= 1 touch
+    val ev = graft.Tables.events(spark, sf001)
+    val clicks = ev
+      .where(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("cts"))
+    val attributed = ev
+      .where(col("event_type") === "purchase")
+      .join(
+        clicks,
+        Seq("user_id"))
+      .where(col("ts") >= col("cts") && col("ts") <= col("cts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("event_id"), col("value"))
+      .distinct()
+      .collect()
+    val expectFp = attributed.map(r => math.round(r.getDouble(1) * 1e6)).sum
+    val lastFp = rows.map(r => math.round(r.getDouble(4) * 1e6)).sum
+    assert(lastFp == expectFp)
+    // linear credits re-assemble each purchase's value up to the 1e-6
+    // per-share rounding (n_touch shares, each rounded once)
+    val linFp = rows.map(r => math.round(r.getDouble(3) * 1e6)).sum
+    assert(math.abs(linFp - expectFp) <= attributed.length * 50L)
+  }
+
+  // ------------------------------------------------------------- PCA
+
+  test("q_embed_pca: equals a local replay; unit norm; dominant direction") {
+    val rows = MiningOps.qEmbedPca(spark, sf001).collect()
+    assert(rows.length == 64)
+    val loadings = rows.sortBy(_.getInt(0)).map(_.getDouble(1))
+    // unit norm up to the 1e-6 component quantization
+    val nrm = math.sqrt(loadings.map(x => x * x).sum)
+    assert(math.abs(nrm - 1.0) < 1e-4)
+
+    // local replay of the exact same fixed-point schedule
+    val embs = graft.Tables
+      .embeddings(spark, sf001)
+      .select("vec_id", "embedding")
+      .collect()
+      .map(r => r.getSeq[Float](1).toArray)
+    val n = embs.length
+    // away-from-zero rounding — what Spark round() and DuckDB round()
+    // both do on negatives (math.round goes toward +inf instead)
+    def rnd(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    var v = Array.fill(64)(0.125)
+    for (_ <- 1 to 3) {
+      val sFp = embs.map { e =>
+        e.indices.map(j => rnd(e(j).toDouble * v(j) * 1e9)).sum
+      }
+      val wFp = Array.tabulate(64) { j =>
+        embs.indices.map(i => rnd(embs(i)(j).toDouble * (sFp(i).toDouble / 1e9) * 1e9)).sum
+      }
+      val wd = wFp.map(_.toDouble / 1e9 / n)
+      val nsqFp = wd.map(x => math.round(x * x * 1e9)).sum
+      val norm = math.sqrt(nsqFp.toDouble / 1e9)
+      v = wd.map(x => BigDecimal(x / norm).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(loadings.toSeq == v.toSeq)
+  }
 }
