@@ -259,6 +259,27 @@ object Relational {
       .crossJoin(Tables.nation(spark, sfDir).select("n_name"))
       .orderBy("r_name", "n_name")
 
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    * match each other instead of vanishing — the semantic plain `=`
+    * joins silently drop (unknown-bucket × unknown-bucket pairs here).
+    * Still a hash-partitionable equi-join in Catalyst: NULL is just one
+    * more key value, so the plan is the same shuffle as `q_join_inner`
+    * (a NULL-heavy key at 100 TB is a skew key — `q_dq_skew` finds it,
+    * `q_join_salted` fixes it).
+    */
+  def qJoinNullsafe(spark: SparkSession, sfDir: String): DataFrame = {
+    val a = Tables
+      .customer(spark, sfDir)
+      .select(nullif(pmod(col("c_custkey"), lit(10)), lit(7)).as("nk"))
+    val b = Tables
+      .supplier(spark, sfDir)
+      .select(nullif(pmod(col("s_suppkey"), lit(10)), lit(7)).as("bk"))
+    a.join(b, col("nk") <=> col("bk"))
+      .groupBy("nk")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("nk")
+  }
+
   // ----------------------------------------------------------- subqueries
 
   /** Uncorrelated scalar subquery through the SQL front door: orders above
@@ -790,6 +811,44 @@ object Relational {
       .orderBy("doc_id")
   }
 
+  /** Spark 4 VARIANT round trip — the semi-structured column type that
+    * supersedes string-JSON hot paths (binary-encoded, typed access, no
+    * re-parse per extraction): per event a nested JSON document is
+    * synthesized from columns, `parse_json`'d into a VARIANT, and read
+    * back with typed `variant_get` paths (nested object, array index,
+    * and a `try_variant_get` miss). The oracle never parses JSON — it
+    * recomputes every extracted value from the same source-column
+    * arithmetic, so a parse/extract/encode bug on the Spark side breaks
+    * the hash (the `q_fn_url` round-trip contract). Only integer/string
+    * fields enter the JSON (float formatting is not engine-portable).
+    * Scale: per-row projection at the scan + one small-key partial agg.
+    */
+  def qFnVariant(spark: SparkSession, sfDir: String): DataFrame = {
+    val js = format_string(
+      """{"id": %d, "m": {"t": "%s", "vc": %d}, "tags": [%d, %d]}""",
+      col("event_id"),
+      col("event_type"),
+      round(col("value") * 100).cast("long"),
+      pmod(col("user_id"), lit(5)),
+      pmod(col("user_id"), lit(7)))
+    Tables
+      .events(spark, sfDir)
+      .withColumn("v", parse_json(js))
+      .select(
+        col("event_type"),
+        schema_of_variant(col("v")).as("sch"),
+        variant_get(col("v"), "$.m.vc", "bigint").as("vc"),
+        variant_get(col("v"), "$.tags[0]", "bigint").as("t0"),
+        try_variant_get(col("v"), "$.missing", "bigint").as("miss"))
+      .groupBy("event_type", "sch")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("vc").as("sum_vc"),
+        sum("t0").as("sum_t0"),
+        count(col("miss")).as("n_miss"))
+      .orderBy("event_type")
+  }
+
   // ----------------------------------------------------------- UDF surface
 
   /** Scala UDF demo (black-box to Catalyst — kept out of hot paths). */
@@ -912,6 +971,13 @@ object Relational {
       qJoinCross,
       Some("""SELECT r_name, n_name FROM region CROSS JOIN nation
              |ORDER BY r_name, n_name""".stripMargin)),
+    "q_join_nullsafe" -> Q(
+      qJoinNullsafe,
+      Some("""WITH a AS (SELECT nullif(c_custkey % 10, 7) AS nk FROM customer),
+             |b AS (SELECT nullif(s_suppkey % 10, 7) AS bk FROM supplier)
+             |SELECT nk, count(1) AS n_pairs
+             |FROM a JOIN b ON nk IS NOT DISTINCT FROM bk
+             |GROUP BY nk ORDER BY nk""".stripMargin)),
     "q_subq_scalar" -> Q(
       qSubqScalar,
       Some("""SELECT o_orderkey, o_totalprice FROM orders
@@ -1161,6 +1227,15 @@ object Relational {
              | 'lang=' || lang || '&v=2' AS query,
              | lang AS q_lang
              |FROM documents ORDER BY doc_id""".stripMargin)),
+    "q_fn_variant" -> Q(
+      qFnVariant,
+      Some(s"""SELECT event_type,
+              | 'OBJECT<id: BIGINT, m: OBJECT<t: STRING, vc: BIGINT>, tags: ARRAY<BIGINT>>' AS sch,
+              | count(1) AS n,
+              | CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_vc,
+              | CAST(sum(user_id % 5) AS BIGINT) AS sum_t0,
+              | CAST(0 AS BIGINT) AS n_miss
+              |FROM $EV GROUP BY event_type ORDER BY event_type""".stripMargin)),
     "q_udf_scalar" -> Q(
       qUdfScalar,
       Some("""SELECT p_partkey, replace(lower(p_name), ' ', '-') AS slug

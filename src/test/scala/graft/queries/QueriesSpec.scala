@@ -313,4 +313,45 @@ class QueriesSpec extends SparkSuite {
       assert(b.getString(3) == b.getString(5).toUpperCase) // prio field consistent
     }
   }
+
+  test("null-safe join: the NULL bucket pairs up instead of vanishing") {
+    val rows = Relational.qJoinNullsafe(spark, sf001).collect()
+    val cust = graft.Tables.customer(spark, sf001)
+    val supp = graft.Tables.supplier(spark, sf001)
+    val nullA = cust.where(pmod(col("c_custkey"), lit(10)) === 7).count()
+    val nullB = supp.where(pmod(col("s_suppkey"), lit(10)) === 7).count()
+    assert(nullA > 0 && nullB > 0) // the data actually exercises the case
+    val nullRow = rows.find(_.isNullAt(0)).get
+    assert(nullRow.getLong(1) == nullA * nullB)
+    // a plain equi-join loses exactly that bucket
+    val plain = cust
+      .select(nullif(pmod(col("c_custkey"), lit(10)), lit(7)).as("nk"))
+      .join(
+        supp.select(nullif(pmod(col("s_suppkey"), lit(10)), lit(7)).as("bk")),
+        col("nk") === col("bk"))
+      .count()
+    assert(rows.map(_.getLong(1)).sum == plain + nullA * nullB)
+  }
+
+  test("variant round trip: typed extraction equals the source columns") {
+    val rows = Relational.qFnVariant(spark, sf001).collect()
+    assert(rows.length == 5) // one per event type
+    // one uniform schema inferred for every row
+    assert(rows.map(_.getString(1)).distinct.length == 1)
+    val ev = graft.Tables.events(spark, sf001)
+    val expect = ev
+      .groupBy("event_type")
+      .agg(
+        sum(round(col("value") * 100).cast("long")).as("svc"),
+        sum(pmod(col("user_id"), lit(5))).as("st0"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    rows.foreach { r =>
+      val (svc, st0) = expect(r.getString(0))
+      assert(r.getLong(3) == svc, s"sum_vc for ${r.getString(0)}")
+      assert(r.getLong(4) == st0, s"sum_t0 for ${r.getString(0)}")
+      assert(r.getLong(5) == 0L) // try_variant_get on a missing path is NULL
+    }
+  }
 }
