@@ -504,6 +504,46 @@ object CorpusOps {
       .orderBy("cohort", "day_offset")
   }
 
+  /** Cumulative cohort value (LTV curve): users cohorted by first-event
+    * day, purchase value accumulated per (cohort, day offset) — the
+    * money sibling of `q_events_retention`'s activity matrix, and the
+    * curve a growth team reads unit economics from. Offsets with no
+    * purchases are simply absent (the running total carries across the
+    * gap; the oracle mirrors the sparse form).
+    *
+    * Scale shape: one DISTINCT-free user-keyed partial agg for cohorts,
+    * one user-keyed join, one (cohort, offset) partial agg, then a
+    * window PARTITIONED BY cohort over day offsets — cohort×offset cells
+    * grow with time, not volume. Values are exact LONG cents end to end.
+    */
+  def qEventsCohortLtv(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables
+      .events(spark, sfDir)
+      .select(
+        col("user_id"),
+        to_date(col("ts")).as("d"),
+        col("event_type"),
+        col("value"))
+    val cohort = ev.groupBy("user_id").agg(min(col("d")).as("cohort"))
+    val daily = ev
+      .where(col("event_type") === "purchase")
+      .join(cohort, "user_id")
+      .groupBy(col("cohort"), datediff(col("d"), col("cohort")).cast("long").as("day_offset"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("day_cents"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cohort")
+      .orderBy("day_offset")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    daily
+      .withColumn("cum_cents", sum("day_cents").over(w))
+      .select(
+        col("cohort"),
+        col("day_offset"),
+        (col("day_cents").cast("double") / 100).as("day_value"),
+        (col("cum_cents").cast("double") / 100).as("ltv"))
+      .orderBy("cohort", "day_offset")
+  }
+
   // ----------------------------------------------------------- HLL sketch merge
 
   /** Re-aggregatable distinct counting — the cube/rollup pattern behind
@@ -1521,6 +1561,21 @@ object CorpusOps {
               |SELECT from_type, to_type, count(1) AS n FROM t
               |WHERE to_type IS NOT NULL
               |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin)),
+    "q_events_cohort_ltv" -> Q(
+      qEventsCohortLtv,
+      Some(s"""WITH ev AS (
+              | SELECT user_id, CAST(ts AS DATE) AS d, event_type, value FROM $EV),
+              |firsts AS (SELECT user_id, min(d) AS cohort FROM ev GROUP BY user_id),
+              |daily AS (
+              | SELECT f.cohort, datediff('day', f.cohort, e.d) AS day_offset,
+              |  CAST(sum(CAST(round(e.value * 100, 0) AS BIGINT)) AS BIGINT) AS day_cents
+              | FROM ev e JOIN firsts f USING (user_id)
+              | WHERE e.event_type = 'purchase' GROUP BY 1, 2)
+              |SELECT cohort, day_offset,
+              | CAST(day_cents AS DOUBLE) / 100 AS day_value,
+              | CAST(CAST(sum(day_cents) OVER (PARTITION BY cohort ORDER BY day_offset
+              |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS DOUBLE) / 100 AS ltv
+              |FROM daily ORDER BY cohort, day_offset""".stripMargin)),
     "q_events_retention" -> Q(
       qEventsRetention,
       Some(s"""WITH days AS (

@@ -202,6 +202,29 @@ object MiningOps {
       .orderBy(col("revenue").desc, col("n_name").asc)
   }
 
+  /** TPC-H Q18 (large-volume customers), through the SQL front door: the
+    * HAVING + IN-subquery shape the subquery battery (`q_subq_*`)
+    * doesn't cover. Catalyst rewrites the IN into a left-semi join on
+    * the aggregated subquery — the scalable plan; the inner and outer
+    * lineitem aggregations both partial-agg before their shuffles.
+    * Quantities quantize to exact LONG hundredths at the scan (they are
+    * integral in this data, but the oracle must not depend on that).
+    */
+  def qTpchQ18(spark: SparkSession, sfDir: String): DataFrame =
+    spark.sql(
+      s"""SELECT c_name, o_orderkey, o_orderdate, o_totalprice,
+         | CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty
+         |FROM parquet.`$sfDir/customer.parquet`,
+         |     parquet.`$sfDir/orders.parquet`,
+         |     parquet.`$sfDir/lineitem.parquet`
+         |WHERE o_orderkey IN (
+         |  SELECT l_orderkey FROM parquet.`$sfDir/lineitem.parquet`
+         |  GROUP BY l_orderkey
+         |  HAVING sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) > 25000)
+         | AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+         |GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice
+         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin)
+
   // -------------------------------------------------------- embed outlier
 
   /** Per-label centroid cosine outliers: the 20 vectors least aligned
@@ -954,6 +977,18 @@ object MiningOps {
               |SELECT v AS drop_id, min(u) AS keep_id, count(1) AS n_similar
               |FROM s WHERE dot / (sqrt(n1) * sqrt(n2)) >= 0.3
               |GROUP BY v ORDER BY drop_id""".stripMargin)),
+    "q_tpch_q18" -> Q(
+      qTpchQ18,
+      Some("""SELECT c_name, o_orderkey, o_orderdate, o_totalprice,
+             | CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty
+             |FROM customer, orders, lineitem
+             |WHERE o_orderkey IN (
+             |  SELECT l_orderkey FROM lineitem
+             |  GROUP BY l_orderkey
+             |  HAVING sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) > 25000)
+             | AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+             |GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin)),
     "q_events_attribution" -> Q(
       qEventsAttribution,
       Some(s"""WITH ev AS $EVT,

@@ -811,6 +811,28 @@ object Relational {
       .orderBy("doc_id")
   }
 
+  /** Higher-order lambda battery (`transform` / `filter` / `aggregate` /
+    * `exists` / `forall`) — API-coverage entry for the array-lambda
+    * surface `q_fn_array` (plain functions) doesn't touch. These run on
+    * Spark's INTERPRETED HOF evaluator — exactly the hot path the
+    * codegen kernels exist to replace (§6) — which is fine here: the
+    * arrays are per-row token lists, the projection is one scan, and the
+    * entry documents the API, not a scale recommendation.
+    */
+  def qFnLambda(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = split(col("text"), " ")
+    val lens = transform(t, x => length(x))
+    Tables
+      .documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        size(filter(lens, x => x > 4)).as("n_long_toks"),
+        aggregate(lens, lit(0), (acc, x) => acc + x).as("sum_tok_len"),
+        exists(t, x => x === "spark").as("has_spark"),
+        forall(lens, x => x <= 12).as("all_short"))
+      .orderBy("doc_id")
+  }
+
   /** Spark 4 VARIANT round trip — the semi-structured column type that
     * supersedes string-JSON hot paths (binary-encoded, typed access, no
     * re-parse per extraction): per event a nested JSON document is
@@ -1226,6 +1248,14 @@ object Relational {
              | '/docs/' || doc_id AS path,
              | 'lang=' || lang || '&v=2' AS query,
              | lang AS q_lang
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+    "q_fn_lambda" -> Q(
+      qFnLambda,
+      Some("""SELECT doc_id,
+             | CAST(len(list_filter(string_split(text, ' '), x -> length(x) > 4)) AS INT) AS n_long_toks,
+             | CAST(list_aggregate(list_transform(string_split(text, ' '), x -> length(x)), 'sum') AS INT) AS sum_tok_len,
+             | len(list_filter(string_split(text, ' '), x -> x = 'spark')) > 0 AS has_spark,
+             | len(list_filter(list_transform(string_split(text, ' '), x -> length(x)), x -> x > 12)) = 0 AS all_short
              |FROM documents ORDER BY doc_id""".stripMargin)),
     "q_fn_variant" -> Q(
       qFnVariant,

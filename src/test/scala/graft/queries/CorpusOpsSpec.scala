@@ -453,4 +453,29 @@ class CorpusOpsSpec extends SparkSuite {
       assert(byBal.head == 0.0 && byBal.last == 1.0) // clamped tails hit both ends
     }
   }
+
+  test("q_events_cohort_ltv: running totals climb and close to the cohort spend") {
+    val rows = CorpusOps.qEventsCohortLtv(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getDate(0)).foreach { case (_, rs) =>
+      val byOffset = rs.sortBy(_.getLong(1))
+      // ltv is a nondecreasing running sum of the day values
+      val ltvs = byOffset.map(_.getDouble(3)).toSeq
+      assert(ltvs.zip(ltvs.tail).forall { case (a, b) => b >= a })
+      val sumDays = byOffset.map(r => math.round(r.getDouble(2) * 100)).sum
+      assert(math.round(byOffset.last.getDouble(3) * 100) == sumDays)
+    }
+    // grand total closes to the corpus purchase spend (exact cents)
+    val total = graft.Tables
+      .events(spark, sf001)
+      .where(col("event_type") === "purchase")
+      .select(sum(round(col("value") * 100).cast("long")))
+      .collect()(0)
+      .getLong(0)
+    val lastPerCohort = rows
+      .groupBy(_.getDate(0))
+      .map { case (_, rs) => math.round(rs.maxBy(_.getLong(1)).getDouble(3) * 100) }
+      .sum
+    assert(lastPerCohort == total)
+  }
 }

@@ -333,6 +333,24 @@ class MiningOpsSpec extends SparkSuite {
     }
   }
 
+  // ---------------------------------------------------------- TPC-H Q18
+
+  test("q_tpch_q18: every order clears the quantity floor; ordered by price") {
+    val rows = MiningOps.qTpchQ18(spark, sf001).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach(r => assert(r.getDouble(4) > 250.0))
+    val prices = rows.map(_.getDouble(3))
+    assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
+    // floor recomputed independently: the flagged order set matches
+    val flagged = graft.Tables
+      .lineitem(spark, sf001)
+      .groupBy("l_orderkey")
+      .agg(sum(round(col("l_quantity") * 100).cast("long")).as("qc"))
+      .where(col("qc") > 25000)
+      .count()
+    assert(rows.length == math.min(20, flagged.toInt))
+  }
+
   // ------------------------------------------------------- attribution
 
   test("q_events_attribution: both models conserve the attributed value") {

@@ -333,6 +333,23 @@ class QueriesSpec extends SparkSuite {
     assert(rows.map(_.getLong(1)).sum == plain + nullA * nullB)
   }
 
+  test("lambda battery: one doc recomputed from the raw string") {
+    val rows = Relational.qFnLambda(spark, sf001).collect()
+    assert(rows.length == 500)
+    val text = graft.Tables
+      .documents(spark, sf001)
+      .where(col("doc_id") === 0L)
+      .select("text")
+      .head()
+      .getString(0)
+    val toks = text.split(" ")
+    val r0 = rows.find(_.getLong(0) == 0L).get
+    assert(r0.getInt(1) == toks.count(_.length > 4))
+    assert(r0.getInt(2) == toks.map(_.length).sum)
+    assert(r0.getBoolean(3) == toks.contains("spark"))
+    assert(r0.getBoolean(4) == toks.forall(_.length <= 12))
+  }
+
   test("variant round trip: typed extraction equals the source columns") {
     val rows = Relational.qFnVariant(spark, sf001).collect()
     assert(rows.length == 5) // one per event type
