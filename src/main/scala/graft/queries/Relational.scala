@@ -811,6 +811,40 @@ object Relational {
       .orderBy("doc_id")
   }
 
+  /** Correlated LATERAL join through the SQL front door: per nation, the
+    * top-2 customers by balance — the "top-N per outer row" shape that
+    * reads naturally as a lateral subquery. Catalyst decorrelates the
+    * ORDER BY + LIMIT inner query into a window-rank join (the same plan
+    * family as `q_topk_group`), so the lateral form is syntax, not a
+    * nested-loop sentence.
+    */
+  def qJoinLateral(spark: SparkSession, sfDir: String): DataFrame =
+    spark.sql(
+      s"""SELECT n_name, c.c_name, c.c_acctbal
+         |FROM parquet.`$sfDir/nation.parquet`,
+         | LATERAL (
+         |  SELECT c_name, c_acctbal FROM parquet.`$sfDir/customer.parquet`
+         |  WHERE c_nationkey = n_nationkey
+         |  ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+         |ORDER BY n_name, c_acctbal DESC, c_name""".stripMargin)
+
+  /** `unpivot` (melt): the wide→long reshape dual of `q_pivot` — four
+    * lineitem measures become (metric, value) rows through the typed
+    * DataFrame API (Spark's `unpivot` emits a single value column, so
+    * the measures must share a type; they're all DOUBLE here). Values
+    * pass through untouched — bit-identical in any engine.
+    */
+  def qReshapeUnpivot(spark: SparkSession, sfDir: String): DataFrame =
+    Tables
+      .lineitem(spark, sfDir)
+      .where(col("l_orderkey") % 50 === 0) // keep the long table bounded
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        "metric",
+        "value")
+      .orderBy("l_orderkey", "l_linenumber", "metric")
+
   /** Higher-order lambda battery (`transform` / `filter` / `aggregate` /
     * `exists` / `forall`) — API-coverage entry for the array-lambda
     * surface `q_fn_array` (plain functions) doesn't touch. These run on
@@ -1249,6 +1283,30 @@ object Relational {
              | 'lang=' || lang || '&v=2' AS query,
              | lang AS q_lang
              |FROM documents ORDER BY doc_id""".stripMargin)),
+    "q_join_lateral" -> Q(
+      qJoinLateral,
+      Some("""SELECT n_name, c.c_name, c.c_acctbal
+             |FROM nation, LATERAL (
+             | SELECT c_name, c_acctbal FROM customer
+             | WHERE c_nationkey = n_nationkey
+             | ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+             |ORDER BY n_name, c_acctbal DESC, c_name""".stripMargin)),
+    "q_reshape_unpivot" -> Q(
+      qReshapeUnpivot,
+      Some("""SELECT l_orderkey, l_linenumber, metric, value
+             |FROM (
+             | SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value
+             | FROM lineitem WHERE l_orderkey % 50 = 0
+             | UNION ALL
+             | SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+             | FROM lineitem WHERE l_orderkey % 50 = 0
+             | UNION ALL
+             | SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+             | FROM lineitem WHERE l_orderkey % 50 = 0
+             | UNION ALL
+             | SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+             | FROM lineitem WHERE l_orderkey % 50 = 0)
+             |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin)),
     "q_fn_lambda" -> Q(
       qFnLambda,
       Some("""SELECT doc_id,

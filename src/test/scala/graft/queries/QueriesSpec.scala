@@ -333,6 +333,43 @@ class QueriesSpec extends SparkSuite {
     assert(rows.map(_.getLong(1)).sum == plain + nullA * nullB)
   }
 
+  test("lateral top-2 per nation equals the window-rank formulation") {
+    val rows = Relational.qJoinLateral(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val viaWindow = graft.Tables
+      .customer(spark, sf001)
+      .join(graft.Tables.nation(spark, sf001), col("c_nationkey") === col("n_nationkey"))
+      .withColumn(
+        "rn",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("n_nationkey")
+            .orderBy(col("c_acctbal").desc, col("c_name"))))
+      .where(col("rn") <= 2)
+      .select("n_name", "c_name", "c_acctbal")
+      .orderBy(col("n_name"), col("c_acctbal").desc, col("c_name"))
+      .collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      viaWindow.map(r => (r.getString(0), r.getString(1))).toSeq)
+  }
+
+  test("unpivot emits one row per measure and round-trips the values") {
+    val rows = Relational.qReshapeUnpivot(spark, sf001).collect()
+    assert(rows.nonEmpty && rows.length % 4 == 0)
+    val src = graft.Tables
+      .lineitem(spark, sf001)
+      .where(col("l_orderkey") % 50 === 0)
+    assert(rows.length == src.count() * 4)
+    val first = src.orderBy("l_orderkey", "l_linenumber").head()
+    val key = (first.getLong(0), first.getInt(3))
+    val mine = rows
+      .filter(r => (r.getLong(0), r.getInt(1)) == key)
+      .map(r => r.getString(2) -> r.getDouble(3))
+      .toMap
+    assert(mine("l_quantity") == first.getDouble(4))
+    assert(mine("l_extendedprice") == first.getDouble(5))
+  }
+
   test("lambda battery: one doc recomputed from the raw string") {
     val rows = Relational.qFnLambda(spark, sf001).collect()
     assert(rows.length == 500)
