@@ -544,6 +544,38 @@ object CorpusOps {
       .orderBy("cohort", "day_offset")
   }
 
+  /** EXACT re-aggregatable distinct counting via roaring-style bitmaps —
+    * the exact sibling of `q_agg_hll_merge`'s sketch path, for when the
+    * error bar must be zero and the id domain is dense enough: per
+    * (event_type, day, 32Ki-bucket) a bitmap of seen user bits
+    * (`bitmap_construct_agg`, ≤4 KiB per cell), daily bitmaps OR-merged
+    * per (type, bucket), bit counts summed per type. Merge is exact for
+    * any partitioning/date range — the precompute-daily / merge-any-range
+    * metric-store pattern with NO estimate. State per cell is bounded by
+    * the bucket width, not row count; the id→(bucket, bit) split keeps
+    * sparse/huge domains from materializing one giant bitmap.
+    */
+  def qAggBitmapDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables
+      .events(spark, sfDir)
+      .groupBy(
+        col("event_type"),
+        to_date(col("ts")).as("d"),
+        bitmap_bucket_number(col("user_id")).as("bucket"))
+      .agg(bitmap_construct_agg(bitmap_bit_position(col("user_id"))).as("bm"))
+    val users = daily
+      .groupBy("event_type", "bucket")
+      .agg(bitmap_count(bitmap_or_agg(col("bm"))).as("bucket_users"))
+      .groupBy("event_type")
+      .agg(sum("bucket_users").as("n_users"))
+    val days = daily
+      .select("event_type", "d")
+      .distinct()
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"))
+    users.join(days, "event_type").orderBy("event_type")
+  }
+
   // ----------------------------------------------------------- HLL sketch merge
 
   /** Re-aggregatable distinct counting — the cube/rollup pattern behind
@@ -1561,6 +1593,12 @@ object CorpusOps {
               |SELECT from_type, to_type, count(1) AS n FROM t
               |WHERE to_type IS NOT NULL
               |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin)),
+    "q_agg_bitmap_distinct" -> Q(
+      qAggBitmapDistinct,
+      Some(s"""SELECT event_type,
+              | count(DISTINCT user_id) AS n_users,
+              | count(DISTINCT CAST(ts AS DATE)) AS n_days
+              |FROM $EV GROUP BY event_type ORDER BY event_type""".stripMargin)),
     "q_events_cohort_ltv" -> Q(
       qEventsCohortLtv,
       Some(s"""WITH ev AS (

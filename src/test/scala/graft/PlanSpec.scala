@@ -269,4 +269,45 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Window"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("BM25 broadcasts df + corpus stats; top-20 is TakeOrdered") {
+    val p = plan(graft.queries.SearchOps.qTextBm25(spark, sf001))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("triangle counting is equi-joins only — no nested loop anywhere") {
+    val p = plan(graft.queries.SearchOps.qGraphTriangles(spark, sf001))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("vocab pairs partial-aggregate before the shuffle; top-50 is TakeOrdered") {
+    val p = plan(graft.queries.SearchOps.qVocabPairs(spark, sf001))
+    assert(p.contains("partial_"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("compaction plan windows are partition-local (no single-partition window)") {
+    val p = plan(graft.queries.QualityOps.qLayoutCompaction(spark, sf001))
+    assert(p.contains("Window"), p)
+    // the window's required child distribution is hashpartitioning on
+    // source, never SinglePartition
+    assert(!p.contains("SinglePartition, Window"), p)
+  }
+
+  test("null-safe join is still a hash-partitionable equi-join") {
+    val p = plan(graft.queries.Relational.qJoinNullsafe(spark, sf001))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("lateral top-N decorrelates to a rank join, not a per-row re-execution") {
+    val p = plan(graft.queries.Relational.qJoinLateral(spark, sf001))
+    assert(p.contains("Window") || p.contains("TakeOrdered"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

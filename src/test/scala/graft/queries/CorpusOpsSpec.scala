@@ -454,6 +454,36 @@ class CorpusOpsSpec extends SparkSuite {
     }
   }
 
+  test("q_agg_bitmap_distinct: exact under any partitioning; matches countDistinct") {
+    val rows = CorpusOps.qAggBitmapDistinct(spark, sf001).collect()
+    val expect = graft.Tables
+      .events(spark, sf001)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(1) == expect(r.getString(0))))
+    // merge exactness is partitioning-independent (the metric-store law)
+    val repart = graft.Tables
+      .events(spark, sf001)
+      .repartition(13)
+      .groupBy(
+        col("event_type"),
+        to_date(col("ts")).as("d"),
+        bitmap_bucket_number(col("user_id")).as("bucket"))
+      .agg(bitmap_construct_agg(bitmap_bit_position(col("user_id"))).as("bm"))
+      .groupBy("event_type", "bucket")
+      .agg(bitmap_count(bitmap_or_agg(col("bm"))).as("bu"))
+      .groupBy("event_type")
+      .agg(sum("bu").as("n"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    rows.foreach(r => assert(repart(r.getString(0)) == r.getLong(1)))
+  }
+
   test("q_events_cohort_ltv: running totals climb and close to the cohort spend") {
     val rows = CorpusOps.qEventsCohortLtv(spark, sf001).collect()
     assert(rows.nonEmpty)
