@@ -69,6 +69,42 @@ object QualityOps {
       .orderBy("doc_id")
   }
 
+  /** Per-source curation scorecard: the dashboard a dataset owner reads
+    * before deciding which sources to keep, reweight, or drop — doc
+    * counts, Gopher-rule pass rates, repetition-flag rates, and mean
+    * token entropy, composed from the per-doc signal queries
+    * ([[qTextGopher]], `q_text_repetition`, `q_text_entropy`) by doc-id
+    * joins. Per-doc entropies are already 1e-6-quantized, so the
+    * per-source mean is an exact fixed-point sum over exact values.
+    * Scale shape: the three signal pipelines each end in a doc-keyed
+    * table; the scorecard adds doc-keyed joins plus one tiny
+    * (|sources|-row) partial agg — no new wide state.
+    */
+  def qCurationScorecard(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = Tables.documents(spark, sfDir).select("doc_id", "source")
+    val gop = qTextGopher(spark, sfDir).select("doc_id", "gopher_pass")
+    val rep = LlmOps.qTextRepetition(spark, sfDir).select("doc_id", "repetitive")
+    val ent = LlmOps.qTextEntropy(spark, sfDir).select("doc_id", "entropy")
+    src
+      .join(gop, "doc_id")
+      .join(rep, "doc_id")
+      .join(ent, "doc_id")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("gopher_pass"), 1L).otherwise(0L)).as("n_gopher_pass"),
+        sum(when(col("repetitive"), 1L).otherwise(0L)).as("n_repetitive"),
+        sum(round(col("entropy") * 1e6).cast("long")).as("ent_fp"))
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("n_gopher_pass"),
+        col("n_repetitive"),
+        round(col("n_gopher_pass").cast("double") / col("n_docs"), 6).as("gopher_rate"),
+        round(col("ent_fp").cast("double") / 1e6 / col("n_docs"), 6).as("avg_entropy"))
+      .orderBy("source")
+  }
+
   // ------------------------------------------------ temperature sampling
 
   /** `q_l ∝ p_l^0.7`. The powered weights are quantized to 1e-6
@@ -192,6 +228,42 @@ object QualityOps {
               | (n_tok >= 50 AND n_tok <= 100000 AND mw >= 3.0 AND mw <= 10.0
               |  AND n_stop >= 2 AND ttr >= 0.2) AS gopher_pass
               |FROM p ORDER BY doc_id""".stripMargin)),
+    "q_curation_scorecard" -> Q(
+      qCurationScorecard,
+      Some(s"""WITH tf AS (
+              | SELECT doc_id, tok, count(1) AS n
+              | FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+              |       FROM documents)
+              | GROUP BY doc_id, tok),
+              |agg AS (
+              | SELECT doc_id, CAST(max(n) AS BIGINT) AS top_tok_n,
+              |  CAST(sum(n) AS BIGINT) AS n_tokens, count(1) AS n_distinct,
+              |  CAST(sum(n * CAST(round(ln(n) * 1e6, 0) AS BIGINT)) AS BIGINT) AS s_micro
+              | FROM tf GROUP BY doc_id),
+              |sig AS (
+              | SELECT doc_id,
+              |  (CAST(top_tok_n AS DOUBLE) / n_tokens > 0.125
+              |   OR 1.0 - CAST(n_distinct AS DOUBLE) / n_tokens > 0.3) AS repetitive,
+              |  round((CAST(CAST(round(ln(n_tokens) * 1e6, 0) AS BIGINT) AS DOUBLE)
+              |   - CAST(s_micro AS DOUBLE) / CAST(n_tokens AS DOUBLE)) / 1e6, 6) AS entropy
+              | FROM agg),
+              |gop AS (
+              | SELECT doc_id,
+              |  (n_tok >= 50 AND n_tok <= 100000 AND mw >= 3.0 AND mw <= 10.0
+              |   AND n_stop >= 2 AND ttr >= 0.2) AS gopher_pass
+              | FROM (
+              |  SELECT doc_id, CAST(len(toks) AS INT) AS n_tok,
+              |   CAST(length(text) - (len(toks) - 1) AS DOUBLE) / nullif(CAST(len(toks) AS INT), 0) AS mw,
+              |   CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS INT) AS n_stop,
+              |   CAST(len(list_distinct(toks)) AS DOUBLE) / nullif(CAST(len(toks) AS INT), 0) AS ttr
+              |  FROM $DOCS_T))
+              |SELECT source, count(1) AS n_docs,
+              | CAST(sum(CASE WHEN gopher_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher_pass,
+              | CAST(sum(CASE WHEN repetitive THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
+              | round(CAST(sum(CASE WHEN gopher_pass THEN 1 ELSE 0 END) AS DOUBLE) / count(1), 6) AS gopher_rate,
+              | round(CAST(CAST(sum(CAST(round(entropy * 1e6, 0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e6 / count(1), 6) AS avg_entropy
+              |FROM documents JOIN sig USING (doc_id) JOIN gop USING (doc_id)
+              |GROUP BY source ORDER BY source""".stripMargin)),
     "q_mix_temperature" -> Q(
       qMixTemperature,
       Some("""WITH c AS (SELECT lang, count(1) AS n_docs FROM documents GROUP BY lang),

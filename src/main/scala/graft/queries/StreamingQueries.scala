@@ -68,6 +68,12 @@ object StreamingQueries {
       .enrich(Tables.events(spark, sfDir), Tables.customer(spark, sfDir))
       .orderBy("event_id")
 
+  /** Batch twin of the windowed exact-uniques metric. */
+  def windowDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    Streams
+      .windowDistinct(Tables.events(spark, sfDir), withWatermark = false)
+      .orderBy("ws")
+
   /** Batch run of the flatMapGroupsWithState sessionizer (custom-state
     * API surface); bit-identical to `q_events_sessionize`'s oracle.
     */
@@ -85,6 +91,12 @@ object StreamingQueries {
               | event_type, count(1) AS n,
               | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v
               |FROM $EV GROUP BY 1, 2, 3 ORDER BY ws, event_type""".stripMargin)),
+    "s_stream_window_distinct" -> Q(
+      windowDistinct,
+      Some(s"""SELECT time_bucket(INTERVAL '5 minutes', ts) AS ws,
+              | time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes' AS we,
+              | count(DISTINCT user_id) AS n_users
+              |FROM $EV GROUP BY 1, 2 ORDER BY ws""".stripMargin)),
     "s_stream_sliding" -> Q(
       sliding,
       Some(s"""WITH ex AS (

@@ -197,6 +197,30 @@ object Streams {
     * storms (an at-least-once source re-sends within the horizon).
     * Batch runs the plain distinct-by-key.
     */
+  /** Exact windowed unique users per 5-minute tumbling window — the
+    * exact-uniques streaming metric (its batch/extreme-scale twins are
+    * `q_events_wau`, `q_agg_bitmap_distinct`, `q_agg_hll_merge`). Two
+    * chained stateful operators (Spark ≥ 3.4 multi-stateful support):
+    * dedup on (user, window) inside the watermark horizon, then a
+    * windowed count. Both states are watermark-evicted — per-window
+    * dedup keys die when the watermark passes the window end, so state
+    * is bounded by uniques-per-horizon, never stream history.
+    */
+  def windowDistinct(events: DataFrame, withWatermark: Boolean): DataFrame = {
+    val src = if (withWatermark) events.withWatermark("ts", "10 minutes") else events
+    // project ts AWAY once the window is derived: the window struct
+    // inherits the event-time watermark, and a stream may carry at most
+    // ONE event-time column into a stateful operator
+    val keyed = src.select(col("user_id"), window(col("ts"), "5 minutes").as("win"))
+    val dedup =
+      if (withWatermark) keyed.dropDuplicatesWithinWatermark("user_id", "win")
+      else keyed.dropDuplicates("user_id", "win")
+    dedup
+      .groupBy(col("win"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(col("win.start").as("ws"), col("win.end").as("we"), col("n_users"))
+  }
+
   def dedupEvents(events: DataFrame, withWatermark: Boolean): DataFrame =
     if (withWatermark)
       events.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark("event_id")

@@ -162,4 +162,32 @@ class PropertySpec extends SparkSuite {
       }
     }
   }
+
+  test("property: PNG decode under random single-byte corruption fails loudly or flags CRC") {
+    // a corrupted compressed payload must never hang, loop, or silently
+    // return crc_ok — the three acceptable outcomes are: a thrown
+    // IllegalArgument/requirement failure, a zlib DataFormatException,
+    // or a decode with crcOk == false
+    val rng = new scala.util.Random(20260813L)
+    (1 to 300).foreach { _ =>
+      val id = rng.nextInt(10000).toLong
+      val bytes = graft.operators.PngCodec.png8x8(id)
+      val pos = 8 + rng.nextInt(bytes.length - 8) // keep the signature intact
+      val flip = (1 + rng.nextInt(255)).toByte
+      val tampered = bytes.clone()
+      tampered(pos) = (tampered(pos) ^ flip).toByte
+      try {
+        val png = graft.operators.PngCodec.decode(tampered)
+        assert(
+          !png.crcOk || java.util.Arrays.equals(tampered, bytes),
+          s"silent success on corrupt byte at $pos of doc $id")
+      } catch {
+        case _: IllegalArgumentException => () // require() / unsupported filter
+        case _: java.util.zip.DataFormatException => ()
+        case e: RuntimeException
+            if e.getCause.isInstanceOf[java.util.zip.DataFormatException] =>
+          ()
+      }
+    }
+  }
 }

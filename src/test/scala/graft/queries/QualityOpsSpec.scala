@@ -77,6 +77,34 @@ class QualityOpsSpec extends SparkSuite {
     assert(row.getLong(2) == buckets.length)
   }
 
+  test("q_curation_scorecard: closes over the corpus and re-derives from the signals") {
+    val rows = QualityOps.qCurationScorecard(spark, sf001).collect()
+    assert(rows.map(_.getLong(1)).sum == 500) // every doc lands in one source row
+    val gopher = QualityOps
+      .qTextGopher(spark, sf001)
+      .select("doc_id", "gopher_pass")
+      .collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1))
+      .toMap
+    val srcOf = graft.Tables
+      .documents(spark, sf001)
+      .select("doc_id", "source")
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    val passBySrc =
+      gopher.groupBy { case (id, _) => srcOf(id) }.map { case (s, m) =>
+        s -> m.count(_._2).toLong
+      }
+    rows.foreach { r =>
+      assert(r.getLong(2) == passBySrc(r.getString(0)), s"source ${r.getString(0)}")
+      val rate = BigDecimal(r.getLong(2).toDouble / r.getLong(1))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+      assert(r.getDouble(4) == rate)
+    }
+  }
+
   test("q_layout_compaction: plan closes over all bytes; no group starts past budget") {
     val rows = QualityOps.qLayoutCompaction(spark, sf001).collect()
     assert(rows.nonEmpty)

@@ -409,4 +409,62 @@ class StreamingSpec extends SparkSuite {
       assert(got.toSeq == Seq((1L, 2L), (2L, 1L)), got.mkString(", "))
     } finally q.stop()
   }
+
+  test("streaming windowed distinct (complete mode) equals batch") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val df = mem
+      .toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Streams
+      .windowDistinct(df, withWatermark = false)
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("window_distinct_complete")
+      .start()
+    try {
+      mem.addData(eventTuples.toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("window_distinct_complete")
+      val batch = Streams.windowDistinct(
+        Tables.events(spark, sf001).select("event_id", "ts", "user_id", "event_type", "value"),
+        withWatermark = false)
+      assert(streamed.exceptAll(batch).count() == 0)
+      assert(batch.exceptAll(streamed).count() == 0)
+    } finally q.stop()
+  }
+
+  test("windowed distinct chains two stateful ops under a watermark (append mode)") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val df = mem
+      .toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Streams
+      .windowDistinct(df, withWatermark = true)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("window_distinct_append")
+      .start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2024-06-01 10:00:00").getTime
+      def at(minutes: Long) = new java.sql.Timestamp(t0 + minutes * 60000L)
+      // user 7 appears twice in the same window (must count once), user 8
+      // once; then a far-future sentinel finalizes the window
+      mem.addData(
+        (1L, at(0), 7L, "click", 1.0),
+        (2L, at(2), 7L, "view", 1.0),
+        (3L, at(3), 8L, "click", 1.0))
+      q.processAllAvailable()
+      mem.addData((4L, at(60), -999L, "sentinel", 0.0))
+      q.processAllAvailable()
+      val got = spark
+        .table("window_distinct_append")
+        .where(col("ws") === at(0))
+        .collect()
+      assert(got.length == 1 && got.head.getLong(2) == 2L, got.mkString(", "))
+    } finally q.stop()
+  }
 }
