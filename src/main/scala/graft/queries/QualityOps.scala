@@ -72,23 +72,43 @@ object QualityOps {
   /** Per-source curation scorecard: the dashboard a dataset owner reads
     * before deciding which sources to keep, reweight, or drop — doc
     * counts, Gopher-rule pass rates, repetition-flag rates, and mean
-    * token entropy, composed from the per-doc signal queries
-    * ([[qTextGopher]], `q_text_repetition`, `q_text_entropy`) by doc-id
-    * joins. Per-doc entropies are already 1e-6-quantized, so the
-    * per-source mean is an exact fixed-point sum over exact values.
-    * Scale shape: the three signal pipelines each end in a doc-keyed
-    * table; the scorecard adds doc-keyed joins plus one tiny
-    * (|sources|-row) partial agg — no new wide state.
+    * token entropy. The repetition and entropy signals use the SAME
+    * per-(doc, token) counts, so both are computed from ONE shared token
+    * aggregation (naive composition of `q_text_repetition` +
+    * `q_text_entropy` would shuffle the token stream twice — at 100 TB
+    * that second shuffle is the whole cost); the formulas are verbatim
+    * those queries' (same 1e-6 ln quantization), which the shared-CTE
+    * oracle mirrors. Gopher flags ride the one TextProfile kernel scan.
+    * Per-doc entropies are 1e-6-quantized, so the per-source mean is an
+    * exact fixed-point sum.
     */
   def qCurationScorecard(spark: SparkSession, sfDir: String): DataFrame = {
     val src = Tables.documents(spark, sfDir).select("doc_id", "source")
     val gop = qTextGopher(spark, sfDir).select("doc_id", "gopher_pass")
-    val rep = LlmOps.qTextRepetition(spark, sfDir).select("doc_id", "repetitive")
-    val ent = LlmOps.qTextEntropy(spark, sfDir).select("doc_id", "entropy")
+    val lnMicro = round(log(col("n")) * 1e6, 0).cast("long")
+    val hN = round(log(col("n_tokens")) * 1e6, 0).cast("long").cast("double")
+    val topFrac = col("top_tok_n").cast("double") / col("n_tokens")
+    val dupFrac = lit(1.0) - col("n_distinct").cast("double") / col("n_tokens")
+    val sig = Tables
+      .documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("doc_id")
+      .agg(
+        max(col("n")).as("top_tok_n"),
+        sum(col("n")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("n") * lnMicro).as("s_micro"))
+      .select(
+        col("doc_id"),
+        (topFrac > 0.125 || dupFrac > 0.3).as("repetitive"),
+        round((hN - col("s_micro").cast("double") / col("n_tokens").cast("double")) / 1e6, 6)
+          .as("entropy"))
     src
       .join(gop, "doc_id")
-      .join(rep, "doc_id")
-      .join(ent, "doc_id")
+      .join(sig, "doc_id")
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),
