@@ -285,6 +285,53 @@ object CorpusOps {
       .orderBy("l_returnflag")
   }
 
+  /** Full pairwise correlation MATRIX over four lineitem measures from
+    * ONE scan: 15 exact decimal power sums (4 + 4 squares + 6 crosses +
+    * count) feed all six pairwise correlations, unpivoted long-form via
+    * `stack` — the "profile every numeric column pair" one-pass shape
+    * (naively: six separate `corr()` scans). Same per-group
+    * re-aggregatability and FMA-guard 1e-9 rounding as [[qAggCorr]].
+    */
+  def qAggCorrMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.Tables.dsum
+    val m = Seq(
+      "q" -> col("l_quantity"),
+      "p" -> col("l_extendedprice"),
+      "d" -> col("l_discount"),
+      "t" -> col("l_tax"))
+    val sums = m.map { case (k, c) => dsum(c).as(s"s_$k") } ++
+      m.map { case (k, c) => dsum(c * c).as(s"s_$k$k") } ++
+      (for {
+        i <- m.indices
+        j <- m.indices if i < j
+      } yield dsum(m(i)._2 * m(j)._2).as(s"s_${m(i)._1}${m(j)._1}"))
+    def corrOf(a: String, b: String) =
+      round(
+        (col("n") * col(s"s_$a$b") - col(s"s_$a") * col(s"s_$b")) /
+          (sqrt(col("n") * col(s"s_$a$a") - col(s"s_$a") * col(s"s_$a")) *
+            sqrt(col("n") * col(s"s_$b$b") - col(s"s_$b") * col(s"s_$b"))),
+        9)
+    val agg = Tables
+      .lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sums: _*)
+    val pairs = for {
+      i <- m.indices
+      j <- m.indices if i < j
+    } yield s"${m(i)._1}_${m(j)._1}"
+    val stackArgs = pairs.map(name => s"'$name', corr_$name").mkString(", ")
+    pairs
+      .foldLeft(agg) { (df, name) =>
+        val Array(a, b) = name.split("_")
+        df.withColumn(s"corr_$name", corrOf(a, b))
+      }
+      .selectExpr(
+        "l_returnflag",
+        "n",
+        s"stack(${pairs.length}, $stackArgs) AS (pair, corr)")
+      .orderBy("l_returnflag", "pair")
+  }
+
   /** Exact per-group distribution moments — population skewness and excess
     * kurtosis from the first four power sums, the same
     * merge-order-independent recipe as [[qAggCorr]]: each power sum is an
@@ -1349,6 +1396,41 @@ object CorpusOps {
       .withColumn("significant", abs(col("t_welch")) > 1.96)
   }
 
+  /** Sample-ratio mismatch (SRM) guardrail for the A/B readout: before
+    * trusting `q_events_abtest`'s t statistic, check the variant split
+    * itself. Assignment is upstream of behavior, so this counts ALL
+    * users seen in the event stream (not just purchasers) under the
+    * same assignment hash. For a 50/50 design the df=1 chi-square
+    * collapses algebraically to `(n_a − n_b)² / (n_a + n_b)` — an exact
+    * integer numerator, so the statistic is float-noise-free by
+    * construction; gate at the 3.841 (α = 0.05) critical value. One
+    * DISTINCT-user partial agg + a 2-cell reduce.
+    */
+  def qEventsAbSrm(spark: SparkSession, sfDir: String): DataFrame = {
+    val users = Tables
+      .events(spark, sfDir)
+      .select(col("user_id"))
+      .distinct()
+      .select(
+        when(pmod(col("user_id") * lit(2654435761L), lit(2)) === 0, "A")
+          .otherwise("B")
+          .as("variant"))
+    users
+      .groupBy("variant")
+      .agg(count(lit(1)).as("n"))
+      .agg(
+        sum(when(col("variant") === "A", col("n")).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === "B", col("n")).otherwise(0L)).as("n_b"))
+      .select(
+        col("n_a"),
+        col("n_b"),
+        round(
+          ((col("n_a") - col("n_b")) * (col("n_a") - col("n_b"))).cast("double") /
+            (col("n_a") + col("n_b")),
+          6).as("chi2"))
+      .withColumn("srm", col("chi2") > 3.841459)
+  }
+
   // ------------------------------------------------------------- registry
 
   val all: Seq[(String, Q)] = Seq(
@@ -1386,6 +1468,39 @@ object CorpusOps {
               |FROM $EV
               |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
               |ORDER BY user_id, valid_from, event_id""".stripMargin)),
+    "q_agg_corr_matrix" -> Q(
+      qAggCorrMatrix,
+      Some("""WITH s AS (
+             | SELECT l_returnflag, count(1) AS n,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS s_q,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS s_p,
+             |  CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS s_d,
+             |  CAST(sum(CAST(l_tax AS DECIMAL(18,6))) AS DOUBLE) AS s_t,
+             |  CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS s_qq,
+             |  CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS s_pp,
+             |  CAST(sum(CAST(l_discount * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS s_dd,
+             |  CAST(sum(CAST(l_tax * l_tax AS DECIMAL(18,6))) AS DOUBLE) AS s_tt,
+             |  CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS s_qp,
+             |  CAST(sum(CAST(l_quantity * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS s_qd,
+             |  CAST(sum(CAST(l_quantity * l_tax AS DECIMAL(18,6))) AS DOUBLE) AS s_qt,
+             |  CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS s_pd,
+             |  CAST(sum(CAST(l_extendedprice * l_tax AS DECIMAL(18,6))) AS DOUBLE) AS s_pt,
+             |  CAST(sum(CAST(l_discount * l_tax AS DECIMAL(18,6))) AS DOUBLE) AS s_dt
+             | FROM lineitem GROUP BY l_returnflag)
+             |SELECT l_returnflag, n, pair, corr FROM (
+             | SELECT l_returnflag, n, 'q_p' AS pair,
+             |  round((n * s_qp - s_q * s_p) / (sqrt(n * s_qq - s_q * s_q) * sqrt(n * s_pp - s_p * s_p)), 9) AS corr FROM s
+             | UNION ALL SELECT l_returnflag, n, 'q_d',
+             |  round((n * s_qd - s_q * s_d) / (sqrt(n * s_qq - s_q * s_q) * sqrt(n * s_dd - s_d * s_d)), 9) FROM s
+             | UNION ALL SELECT l_returnflag, n, 'q_t',
+             |  round((n * s_qt - s_q * s_t) / (sqrt(n * s_qq - s_q * s_q) * sqrt(n * s_tt - s_t * s_t)), 9) FROM s
+             | UNION ALL SELECT l_returnflag, n, 'p_d',
+             |  round((n * s_pd - s_p * s_d) / (sqrt(n * s_pp - s_p * s_p) * sqrt(n * s_dd - s_d * s_d)), 9) FROM s
+             | UNION ALL SELECT l_returnflag, n, 'p_t',
+             |  round((n * s_pt - s_p * s_t) / (sqrt(n * s_pp - s_p * s_p) * sqrt(n * s_tt - s_t * s_t)), 9) FROM s
+             | UNION ALL SELECT l_returnflag, n, 'd_t',
+             |  round((n * s_dt - s_d * s_t) / (sqrt(n * s_dd - s_d * s_d) * sqrt(n * s_tt - s_t * s_t)), 9) FROM s)
+             |ORDER BY l_returnflag, pair""".stripMargin)),
     "q_agg_corr" -> Q(
       qAggCorr,
       Some("""WITH s AS (
@@ -1786,6 +1901,19 @@ object CorpusOps {
              |      ELSE 0.5 END AS scaled
              |FROM customer c JOIN qs ON c.c_mktsegment = qs.c_mktsegment
              |ORDER BY c_custkey""".stripMargin)),
+    "q_events_ab_srm" -> Q(
+      qEventsAbSrm,
+      Some(s"""WITH u AS (SELECT DISTINCT user_id FROM $EV),
+              |v AS (SELECT CASE WHEN (user_id * 2654435761) % 2 = 0 THEN 'A' ELSE 'B' END AS variant FROM u),
+              |c AS (SELECT variant, count(1) AS n FROM v GROUP BY variant),
+              |w AS (
+              | SELECT CAST(sum(CASE WHEN variant = 'A' THEN n ELSE 0 END) AS BIGINT) AS n_a,
+              |  CAST(sum(CASE WHEN variant = 'B' THEN n ELSE 0 END) AS BIGINT) AS n_b
+              | FROM c)
+              |SELECT n_a, n_b,
+              | round(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b), 6) AS chi2,
+              | round(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b), 6) > 3.841459 AS srm
+              |FROM w""".stripMargin)),
     "q_events_abtest" -> Q(
       qEventsAbtest,
       Some(s"""WITH pu AS (

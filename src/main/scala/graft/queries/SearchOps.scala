@@ -160,6 +160,48 @@ object SearchOps {
       .limit(20)
   }
 
+  /** Node-pair similarity by common neighbors (the link-prediction
+    * primitive): for part pairs sharing a co-purchase neighbor,
+    * `|N(u)∩N(v)| / |N(u)∪N(v)|`. The ∩ counts come from a wedge join
+    * through the shared neighbor (Σ deg² work — same hazard and same
+    * mitigation as [[qGraphTriangles]]: degree-orient at extreme scale);
+    * degrees join back on the node key and the union size is
+    * `d(u)+d(v)−∩` — never a second pass.
+    */
+  def qGraphCommonNeighbors(spark: SparkSession, sfDir: String): DataFrame = {
+    val items = Tables
+      .lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val edges = items
+      .as("a")
+      .join(items.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+      .agg(count(lit(1)).as("support"))
+      .where(col("support") >= 2)
+      .select("u", "v")
+    val adj = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+    val deg = adj.groupBy("u").agg(count(lit(1)).as("deg"))
+    val inter = adj
+      .as("x")
+      .join(adj.as("y"), col("x.v") === col("y.v") && col("x.u") < col("y.u"))
+      .groupBy(col("x.u").as("a"), col("y.u").as("b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(deg.as("da"), col("a") === col("da.u"))
+      .join(deg.as("db"), col("b") === col("db.u"))
+      .select(
+        col("a"),
+        col("b"),
+        col("n_common"),
+        round(
+          col("n_common").cast("double") /
+            (col("da.deg") + col("db.deg") - col("n_common")),
+          6).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
   // ------------------------------------------------------ skew report
 
   /** Top-10 hot keys with corpus share (ppm, exact fixed point) and
@@ -269,6 +311,21 @@ object SearchOps {
              |SELECT node, count(1) AS n_tri
              |FROM (SELECT unnest([x, y, z]) AS node FROM tri)
              |GROUP BY node ORDER BY n_tri DESC, node LIMIT 20""".stripMargin)),
+    "q_graph_common_neighbors" -> Q(
+      qGraphCommonNeighbors,
+      Some("""WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+             |e AS (SELECT a.p AS u, b.p AS v FROM it a JOIN it b ON a.o = b.o AND a.p < b.p
+             |      GROUP BY 1, 2 HAVING count(1) >= 2),
+             |adj AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+             |deg AS (SELECT u, count(1) AS deg FROM adj GROUP BY u),
+             |inter AS (
+             | SELECT x.u AS a, y.u AS b, count(1) AS n_common
+             | FROM adj x JOIN adj y ON x.v = y.v AND x.u < y.u
+             | GROUP BY 1, 2)
+             |SELECT a, b, n_common,
+             | round(CAST(n_common AS DOUBLE) / (da.deg + db.deg - n_common), 6) AS jaccard
+             |FROM inter JOIN deg da ON a = da.u JOIN deg db ON b = db.u
+             |ORDER BY jaccard DESC, a, b LIMIT 20""".stripMargin)),
     "q_dq_skew" -> Q(
       qDqSkew,
       Some("""WITH c AS (SELECT user_id, count(1) AS cnt FROM events GROUP BY user_id),

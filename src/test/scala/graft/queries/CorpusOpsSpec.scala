@@ -454,6 +454,31 @@ class CorpusOpsSpec extends SparkSuite {
     }
   }
 
+  test("q_agg_corr_matrix: 6 pairs per group, q_p equals the standalone corr") {
+    val rows = CorpusOps.qAggCorrMatrix(spark, sf001).collect()
+    assert(rows.length == 18) // 3 return flags x 6 pairs
+    rows.foreach(r => assert(math.abs(r.getDouble(3)) <= 1.0))
+    val qp = rows
+      .filter(_.getString(2) == "q_p")
+      .map(r => r.getString(0) -> r.getDouble(3))
+      .toMap
+    CorpusOps.qAggCorr(spark, sf001).collect().foreach { r =>
+      assert(qp(r.getString(0)) == r.getDouble(2), s"flag ${r.getString(0)}")
+    }
+  }
+
+  test("q_events_ab_srm: cells close over the user set, chi2 re-derives") {
+    val row = CorpusOps.qEventsAbSrm(spark, sf001).collect().head
+    val (na, nb) = (row.getLong(0), row.getLong(1))
+    val users = graft.Tables.events(spark, sf001).select("user_id").distinct().count()
+    assert(na + nb == users)
+    val chi2 = BigDecimal((na - nb).toDouble * (na - nb) / (na + nb))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+    assert(row.getDouble(2) == chi2)
+    assert(row.getBoolean(3) == (chi2 > 3.841459))
+  }
+
   test("q_agg_bitmap_distinct: exact under any partitioning; matches countDistinct") {
     val rows = CorpusOps.qAggBitmapDistinct(spark, sf001).collect()
     val expect = graft.Tables

@@ -105,6 +105,39 @@ class SearchOpsSpec extends SparkSuite {
     e.unpersist()
   }
 
+  // ------------------------------------------------- common neighbors
+
+  test("q_graph_common_neighbors: jaccard bounds and a brute-force recount") {
+    val rows = SearchOps.qGraphCommonNeighbors(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0))
+    // brute-force the top pair's intersection from the adjacency lists
+    val items = graft.Tables
+      .lineitem(spark, sf001)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val edges = items
+      .as("x")
+      .join(items.as("y"), col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .groupBy(col("x.p").as("u"), col("y.p").as("v"))
+      .agg(count(lit(1)).as("s"))
+      .where(col("s") >= 2)
+      .select("u", "v")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nbrs = (edges ++ edges.map(_.swap))
+      .groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val top = rows.head
+    val (a, b) = (top.getLong(0), top.getLong(1))
+    val inter = (nbrs(a) & nbrs(b)).size.toLong
+    assert(top.getLong(2) == inter)
+    val expect = BigDecimal(inter.toDouble / (nbrs(a).size + nbrs(b).size - inter))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+    assert(top.getDouble(3) == expect)
+  }
+
   // ---------------------------------------------------------- skew report
 
   test("q_dq_skew: top key is the true max, share and x-avg re-derive") {
