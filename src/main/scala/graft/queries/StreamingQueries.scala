@@ -68,6 +68,12 @@ object StreamingQueries {
       .enrich(Tables.events(spark, sfDir), Tables.customer(spark, sfDir))
       .orderBy("event_id")
 
+  /** Batch twin of the streaming CDC latest-wins materialization. */
+  def cdcLatest(spark: SparkSession, sfDir: String): DataFrame =
+    Streams
+      .cdcLatest(Tables.events(spark, sfDir))
+      .orderBy("user_id")
+
   /** Batch twin of the windowed exact-uniques metric. */
   def windowDistinct(spark: SparkSession, sfDir: String): DataFrame =
     Streams
@@ -91,6 +97,15 @@ object StreamingQueries {
               | event_type, count(1) AS n,
               | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v
               |FROM $EV GROUP BY 1, 2, 3 ORDER BY ws, event_type""".stripMargin)),
+    "s_stream_cdc_latest" -> Q(
+      cdcLatest,
+      Some(s"""WITH r AS (
+              | SELECT user_id, ts, event_id, event_type, value,
+              |  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+              |  count(1) OVER (PARTITION BY user_id) AS n_changes
+              | FROM $EV)
+              |SELECT user_id, ts, event_id, event_type, value, n_changes
+              |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin)),
     "s_stream_window_distinct" -> Q(
       windowDistinct,
       Some(s"""SELECT time_bucket(INTERVAL '5 minutes', ts) AS ws,

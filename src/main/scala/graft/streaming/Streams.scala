@@ -197,6 +197,33 @@ object Streams {
     * storms (an at-least-once source re-sends within the horizon).
     * Batch runs the plain distinct-by-key.
     */
+  /** Streaming CDC latest-wins materialization — `q_events_cdc_latest`'s
+    * exact transform run over the change stream: per key, `max_by` on
+    * the (ts, event_id) version struct. No watermark by design: the
+    * state IS the compacted current table (one struct per key — the
+    * floor for any latest-wins materialization), served in
+    * complete/update mode; a late change simply loses the version
+    * comparison, so out-of-order delivery cannot regress a key. The
+    * batch run of the same function is the driver's oracle entry;
+    * StreamingSpec proves an incrementally-fed MemoryStream converges to
+    * the batch table.
+    */
+  def cdcLatest(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"))
+      .agg(
+        max_by(
+          struct(col("ts"), col("event_id"), col("event_type"), col("value")),
+          struct(col("ts"), col("event_id"))).as("cur"),
+        count(lit(1)).as("n_changes"))
+      .select(
+        col("user_id"),
+        col("cur.ts").as("ts"),
+        col("cur.event_id").as("event_id"),
+        col("cur.event_type").as("event_type"),
+        col("cur.value").as("value"),
+        col("n_changes"))
+
   /** Exact windowed unique users per 5-minute tumbling window — the
     * exact-uniques streaming metric (its batch/extreme-scale twins are
     * `q_events_wau`, `q_agg_bitmap_distinct`, `q_agg_hll_merge`). Two

@@ -410,6 +410,36 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming CDC latest-wins converges to the batch table, fed incrementally") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val df = mem
+      .toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Streams
+      .cdcLatest(df)
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("cdc_latest_complete")
+      .start()
+    try {
+      // two chunks, deliberately NOT time-ordered across the split: the
+      // second chunk contains earlier versions of some keys — they must
+      // lose the version comparison, never regress the materialization
+      val (chunk1, chunk2) = eventTuples.zipWithIndex.partition(_._2 % 3 != 0)
+      mem.addData(chunk1.map(_._1).toIndexedSeq)
+      q.processAllAvailable()
+      mem.addData(chunk2.map(_._1).toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("cdc_latest_complete")
+      val batch = Streams.cdcLatest(
+        Tables.events(spark, sf001).select("event_id", "ts", "user_id", "event_type", "value"))
+      assert(streamed.exceptAll(batch).count() == 0)
+      assert(batch.exceptAll(streamed).count() == 0)
+    } finally q.stop()
+  }
+
   test("streaming windowed distinct (complete mode) equals batch") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
