@@ -227,6 +227,39 @@ object SearchOps {
       .limit(10)
   }
 
+  /** Crawl-frontier URL dedup: canonicalize (lowercase host, strip the
+    * default :443 port, drop the query string) and keep one document per
+    * canonical URL. The Spark side REALLY parses the synthesized URLs
+    * (`parse_url` host/path + a port-strip regex); the oracle rebuilds
+    * the canonical form from the same synthesis arithmetic — the
+    * `q_fn_url` round-trip contract, so a parse or canonicalization bug
+    * breaks the hash. One canonical-keyed partial-agg shuffle; URL
+    * strings are small and the body never moves.
+    */
+  def qDedupUrl(spark: SparkSession, sfDir: String): DataFrame = {
+    val url = concat(
+      lit("https://"),
+      when(col("doc_id") % 3 === 0, upper(col("source"))).otherwise(col("source")),
+      lit(".Example.COM"),
+      when(col("doc_id") % 2 === 0, lit(":443")).otherwise(lit("")),
+      lit("/item/"),
+      col("doc_id") % 40,
+      lit("?utm_source="),
+      col("lang"),
+      lit("&session="),
+      col("doc_id"))
+    val host = regexp_replace(lower(parse_url(col("url"), lit("HOST"))), lit(":443$"), lit(""))
+    Tables
+      .documents(spark, sfDir)
+      .select(col("doc_id"), url.as("url"))
+      .select(
+        col("doc_id"),
+        concat(lit("https://"), host, parse_url(col("url"), lit("PATH"))).as("canonical"))
+      .groupBy("canonical")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_urls"))
+      .orderBy("canonical")
+  }
+
   // ------------------------------------------------- PNG codec round trip
 
   /** Compressed-image round trip: synthesize → CRC-verify → inflate →
@@ -334,6 +367,12 @@ object SearchOps {
              | CAST(round(cnt * 1e6 / total, 0) AS BIGINT) AS share_ppm,
              | round(CAST(cnt AS DOUBLE) * n_keys / total, 6) AS x_avg
              |FROM c, t ORDER BY cnt DESC, user_id LIMIT 10""".stripMargin)),
+    "q_dedup_url" -> Q(
+      qDedupUrl,
+      Some("""SELECT 'https://' || source || '.example.com/item/' || (doc_id % 40) AS canonical,
+             | min(doc_id) AS keep_id, count(1) AS n_urls
+             |FROM documents
+             |GROUP BY 1 ORDER BY canonical""".stripMargin)),
     "q_multimodal_png" -> Q(
       qMultimodalPng,
       Some("""WITH g AS (

@@ -159,6 +159,20 @@ class SearchOpsSpec extends SparkSuite {
     }
   }
 
+  // ----------------------------------------------------------- URL dedup
+
+  test("q_dedup_url: case/port/query variants collapse into one canonical form") {
+    val rows = SearchOps.qDedupUrl(spark, sf001).collect()
+    rows.foreach { r =>
+      val canon = r.getString(0)
+      assert(canon == canon.toLowerCase) // host case collapsed
+      assert(!canon.contains(":443") && !canon.contains("?")) // port+query stripped
+      assert(r.getLong(2) > 1L) // the variants really merged
+    }
+    // every doc lands in exactly one canonical bucket
+    assert(rows.map(_.getLong(2)).sum == 500L)
+  }
+
   // ------------------------------------------------------- PNG round trip
 
   test("PngCodec: round trip matches the BMP pipeline's hash bit-for-bit") {
