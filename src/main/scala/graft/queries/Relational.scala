@@ -811,6 +811,38 @@ object Relational {
       .orderBy("doc_id")
   }
 
+  /** Typed `Dataset[T]` pipeline — the case-class-Encoder surface as an
+    * oracle-checked entry: `as[OrderRow]` → typed `filter` (a Scala
+    * predicate, not a Column) → `groupByKey` → `mapGroups`. This is the
+    * ESCAPE HATCH, deliberately costed: a typed filter is opaque to
+    * Catalyst (no pushdown) and `mapGroups` shuffles whole rows with no
+    * partial aggregation — the relational twin `q_agg_group` is the
+    * scale recommendation; this entry documents that the typed surface
+    * produces identical results when per-group imperative logic is
+    * genuinely needed. Group sums accumulate exact LONG cents, so
+    * iterator order cannot perturb the result.
+    */
+  def qTypedPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .as[OrderRow]
+      .filter(_.o_totalprice > 150000.0)
+      .groupByKey(_.o_orderstatus)
+      .mapGroups { (status, it) =>
+        var n = 0L
+        var cents = 0L
+        it.foreach { o =>
+          n += 1
+          cents += math.round(o.o_totalprice * 100)
+        }
+        (status, n, cents.toDouble / 100)
+      }
+      .toDF("o_orderstatus", "n", "sum_price")
+      .orderBy("o_orderstatus")
+  }
+
   /** Correlated LATERAL join through the SQL front door: per nation, the
     * top-2 customers by balance — the "top-N per outer row" shape that
     * reads naturally as a lateral subquery. Catalyst decorrelates the
@@ -1283,6 +1315,12 @@ object Relational {
              | 'lang=' || lang || '&v=2' AS query,
              | lang AS q_lang
              |FROM documents ORDER BY doc_id""".stripMargin)),
+    "q_typed_pipeline" -> Q(
+      qTypedPipeline,
+      Some("""SELECT o_orderstatus, count(1) AS n,
+             | CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100 AS sum_price
+             |FROM orders WHERE o_totalprice > 150000.0
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
     "q_join_lateral" -> Q(
       qJoinLateral,
       Some("""SELECT n_name, c.c_name, c.c_acctbal
@@ -1348,3 +1386,10 @@ object Relational {
   // BIGINT on both sides; q_fn_map's literal n_keys is INT in DuckDB and
   // Spark (size() → INT; literal 2 → INT32 in DuckDB).
 }
+
+/** Row type of `Relational.qTypedPipeline`'s typed Dataset stage. */
+case class OrderRow(
+    o_orderkey: Long,
+    o_custkey: Long,
+    o_orderstatus: String,
+    o_totalprice: Double)
