@@ -706,6 +706,99 @@ object CorpusOps {
     * clustering property: z-sorted buckets have narrow min/max ranges on
     * both dimensions simultaneously.
     */
+  /** Hilbert-curve clustering key over the same normalized 16-bit
+    * (custkey, orderdate) plane as [[qLayoutZorder]] — the locality
+    * upgrade modern lakehouse clustering uses: the Hilbert curve never
+    * makes Z-order's long diagonal jumps, so contiguous key ranges
+    * (files) stay tighter on BOTH dimensions (LayoutSpec measures both
+    * keys on the identical file-span harness). The classic xy→d walk is
+    * 16 unrolled rounds of pure integer bit math — each round ONE
+    * projection stage (`withColumn`), keeping the expression tree linear
+    * (inlining the recurrence would grow it 3^16); the oracle generates
+    * the identical 16 chained CTEs.
+    */
+  def qLayoutHilbert(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables
+      .orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val bounds = o.agg(
+      min(col("o_custkey")).as("ck0"),
+      max(col("o_custkey")).as("ck1"),
+      min(col("o_orderdate")).as("d0"),
+      max(col("o_orderdate")).as("d1"))
+    var df = o
+      .crossJoin(broadcast(bounds))
+      .select(
+        col("o_orderkey"),
+        expr("CAST((o_custkey - ck0) * 65535 DIV (ck1 - ck0) AS BIGINT)").as("x"),
+        expr("CAST(datediff(o_orderdate, d0) * 65535 DIV datediff(d1, d0) AS BIGINT)").as("y"))
+      .withColumn("d", lit(0L))
+    var s = 32768L
+    while (s > 0) {
+      val rx = when(col("x").bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L))
+      val ry = when(col("y").bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L))
+      df = df
+        .withColumn("rx", rx)
+        .withColumn("ry", ry)
+        .withColumn(
+          "d",
+          col("d") + lit(s * s) * (lit(3L) * col("rx")).bitwiseXOR(col("ry")))
+        .withColumn(
+          "nx",
+          when(
+            col("ry") === 0,
+            when(col("rx") === 1, lit(s - 1) - col("y")).otherwise(col("y")))
+            .otherwise(col("x")))
+        .withColumn(
+          "ny",
+          when(
+            col("ry") === 0,
+            when(col("rx") === 1, lit(s - 1) - col("x")).otherwise(col("x")))
+            .otherwise(col("y")))
+        .withColumn("x", col("nx"))
+        .withColumn("y", col("ny"))
+      s >>= 1
+    }
+    df.select(col("o_orderkey"), col("d").as("hval")).orderBy("hval", "o_orderkey")
+  }
+
+  /** The 16 unrolled Hilbert rounds as chained SQL CTEs — generated by
+    * the same loop that builds the Spark stages, so the two cannot
+    * drift.
+    */
+  private[queries] def hilbertOracleSql: String = {
+    val stages = new StringBuilder
+    var prev = "n"
+    var s = 32768L
+    var i = 0
+    while (s > 0) {
+      val rx = s"(CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END)"
+      val ry = s"(CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END)"
+      stages.append(
+        s""",h$i AS (
+           | SELECT o_orderkey,
+           |  CASE WHEN $ry = 0 THEN (CASE WHEN $rx = 1 THEN ${s - 1} - y ELSE y END) ELSE x END AS x,
+           |  CASE WHEN $ry = 0 THEN (CASE WHEN $rx = 1 THEN ${s - 1} - x ELSE x END) ELSE y END AS y,
+           |  d + CAST(${s * s} AS BIGINT) * xor(3 * $rx, $ry) AS d
+           | FROM $prev)""".stripMargin)
+      prev = s"h$i"
+      i += 1
+      s >>= 1
+    }
+    s"""WITH b AS (
+       | SELECT min(o_custkey) AS ck0, max(o_custkey) AS ck1,
+       |        min(o_orderdate) AS d0, max(o_orderdate) AS d1
+       | FROM orders),
+       |n AS (
+       | SELECT o_orderkey,
+       |  ((o_custkey - ck0) * 65535) // (ck1 - ck0) AS x,
+       |  (datediff('day', d0, o_orderdate) * 65535) // datediff('day', d0, d1) AS y,
+       |  CAST(0 AS BIGINT) AS d
+       | FROM orders, b)$stages
+       |SELECT o_orderkey, CAST(d AS BIGINT) AS hval FROM $prev
+       |ORDER BY hval, o_orderkey""".stripMargin
+  }
+
   def qLayoutZorder(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Tables
       .orders(spark, sfDir)
@@ -1639,6 +1732,7 @@ object CorpusOps {
               |SELECT r, f, m, count(1) AS n_users,
               | CAST(sum(CAST(monetary AS DECIMAL(18,6))) AS DOUBLE) AS total_value
               |FROM scored GROUP BY r, f, m ORDER BY r, f, m""".stripMargin)),
+    "q_layout_hilbert" -> Q(qLayoutHilbert, Some(hilbertOracleSql)),
     "q_layout_zorder" -> Q(
       qLayoutZorder,
       Some("""WITH b AS (

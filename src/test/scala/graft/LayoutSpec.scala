@@ -86,6 +86,16 @@ class LayoutSpec extends SparkSuite {
     assert(sDate > 0.8, s"1-D sort date span $sDate")
     // and z beats the 1-D sort on the dimension it neglects
     assert(zDate < sDate / 2, s"z date span $zDate vs 1-D $sDate")
+
+    // Hilbert on the SAME harness: clusters both dims, and its combined
+    // file span does not lose to z-order (the no-diagonal-jumps claim,
+    // measured — small margin for the synthetic grid's quantization)
+    val h = graft.queries.CorpusOps
+      .qLayoutHilbert(spark, sf001)
+      .join(o, "o_orderkey")
+    val (hCk, hDate) = meanSpan(h, "hval")
+    assert(hCk < 0.5 && hDate < 0.5, s"hilbert spans: custkey $hCk, date $hDate")
+    assert(hCk + hDate <= (zCk + zDate) * 1.05, s"hilbert $hCk+$hDate vs z $zCk+$zDate")
   }
 
   test("dynamic partition overwrite replaces only the written partitions") {
