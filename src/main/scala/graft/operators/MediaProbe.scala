@@ -240,7 +240,9 @@ object VideoProbe {
 
   private def mp4(b: Array[Byte]): Video = {
     val n = b.length.toLong
-    val brand = new String(b, 8, 4, "US-ASCII")
+    // a truncated buffer can end inside the ftyp header: the signature
+    // check only guarantees 8 bytes, the brand needs 12 (fuzz-found)
+    val brand = if (b.length >= 12) new String(b, 8, 4, "US-ASCII") else ""
     val moovBox = findBox(b, 0L, n, "moov")
     if (moovBox == null) return Video("mp4", brand, -1, -1L, -1, -1)
     val moov = moovBox(0)

@@ -163,6 +163,40 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("property: media probes are total on arbitrary bytes (fuzz, no throw)") {
+    // the probes run against UNTRUSTED cache bytes at scale — they must
+    // classify or return unknown, never throw or hang, whatever the input
+    import graft.operators.{AudioProbe, MediaProbe, VideoProbe}
+    val rng = new scala.util.Random(424242L)
+    def corrupt(b: Array[Byte], n: Int): Array[Byte] = {
+      val c = b.clone()
+      (1 to n).foreach { _ =>
+        c(rng.nextInt(c.length)) = rng.nextInt(256).toByte
+      }
+      c
+    }
+    (1 to 200).foreach { i =>
+      // pure noise of random length
+      val noise = new Array[Byte](rng.nextInt(256))
+      rng.nextBytes(noise)
+      MediaProbe.probe(noise)
+      AudioProbe.probe(noise)
+      VideoProbe.probe(noise)
+      // corrupted valid containers (signatures survive often enough to
+      // reach the parsing walks)
+      val wav = AudioProbe.wavHeader(2, 44100, 16, 1000L + i)
+      AudioProbe.probe(corrupt(wav, 1 + rng.nextInt(4)))
+      val mp4 = VideoProbe.mp4Header("isom", 1000, 5000L, 640, 360)
+      VideoProbe.probe(corrupt(mp4, 1 + rng.nextInt(4)))
+      val bmp = graft.operators.ImageCodec.bmp8x8(i.toLong)
+      MediaProbe.probe(corrupt(bmp, 1 + rng.nextInt(4)))
+      // truncations at arbitrary points
+      val cut = rng.nextInt(wav.length)
+      AudioProbe.probe(java.util.Arrays.copyOf(wav, cut))
+      VideoProbe.probe(java.util.Arrays.copyOf(mp4, rng.nextInt(mp4.length)))
+    }
+  }
+
   test("property: PNG decode under random single-byte corruption fails loudly or flags CRC") {
     // a corrupted compressed payload must never hang, loop, or silently
     // return crc_ok — the three acceptable outcomes are: a thrown
