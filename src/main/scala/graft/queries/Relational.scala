@@ -811,6 +811,54 @@ object Relational {
       .orderBy("doc_id")
   }
 
+  /** ANSI-safe `try_*` arithmetic surface: `try_divide` (zero divisor),
+    * `try_add` (BIGINT overflow), `try_to_number` (malformed string) all
+    * yield NULL instead of failing the job — the error-handling contract
+    * a pipeline over dirty data relies on. Aggregated per event type so
+    * the null/total accounting is the visible result; the oracle
+    * reproduces each NULL rule with explicit CASE guards.
+    */
+  def qFnTry(spark: SparkSession, sfDir: String): DataFrame = {
+    val div = try_divide(col("value"), (col("user_id") % 5).cast("double"))
+    val add = try_add(lit(Long.MaxValue), col("user_id"))
+    val num = try_to_number(
+      concat(col("user_id"), when(col("user_id") % 3 === 0, "x").otherwise("")),
+      lit("999999"))
+    Tables
+      .events(spark, sfDir)
+      .select(col("event_type"), div.as("d"), add.as("a"), num.as("m"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        count(col("d")).as("n_div_ok"),
+        count(col("a")).as("n_add_ok"),
+        count(col("m")).as("n_num_ok"),
+        (sum(round(col("d") * lit(100)).cast("long")).cast("double") / 100).as("sum_div"))
+      .orderBy("event_type")
+  }
+
+  /** `nth_value` analytic over a full partition frame — the ranked-pick
+    * member missing from `q_window_analytic`'s lag/lead/first/last: the
+    * 3rd-highest-balance customer per market segment, read directly off
+    * the frame rather than rank-filtered.
+    */
+  def qWindowNth(spark: SparkSession, sfDir: String): DataFrame = {
+    val order = Window
+      .partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal").desc, col("c_name"))
+    val full = order.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables
+      .customer(spark, sfDir)
+      .select(
+        col("c_mktsegment"),
+        nth_value(col("c_name"), 3).over(full).as("third_name"),
+        nth_value(col("c_acctbal"), 3).over(full).as("third_bal"),
+        row_number().over(order).as("rn"))
+      .where(col("rn") === 1)
+      .select("c_mktsegment", "third_name", "third_bal")
+      .orderBy("c_mktsegment")
+  }
+
   /** Typed `Dataset[T]` pipeline — the case-class-Encoder surface as an
     * oracle-checked entry: `as[OrderRow]` → typed `filter` (a Scala
     * predicate, not a Column) → `groupByKey` → `mapGroups`. This is the
@@ -1315,6 +1363,27 @@ object Relational {
              | 'lang=' || lang || '&v=2' AS query,
              | lang AS q_lang
              |FROM documents ORDER BY doc_id""".stripMargin)),
+    "q_fn_try" -> Q(
+      qFnTry,
+      Some(s"""SELECT event_type, count(1) AS n,
+              | CAST(count(CASE WHEN user_id % 5 <> 0 THEN 1 END) AS BIGINT) AS n_div_ok,
+              | CAST(count(CASE WHEN user_id = 0 THEN 1 END) AS BIGINT) AS n_add_ok,
+              | CAST(count(CASE WHEN user_id % 3 <> 0 THEN 1 END) AS BIGINT) AS n_num_ok,
+              | CAST(CAST(sum(CASE WHEN user_id % 5 <> 0
+              |   THEN CAST(round(value / (user_id % 5) * 100, 0) AS BIGINT) END) AS BIGINT) AS DOUBLE) / 100 AS sum_div
+              |FROM $EV GROUP BY event_type ORDER BY event_type""".stripMargin)),
+    "q_window_nth" -> Q(
+      qWindowNth,
+      Some("""SELECT c_mktsegment, third_name, third_bal FROM (
+             | SELECT c_mktsegment,
+             |  nth_value(c_name, 3) OVER w AS third_name,
+             |  nth_value(c_acctbal, 3) OVER w AS third_bal,
+             |  row_number() OVER (PARTITION BY c_mktsegment
+             |                     ORDER BY c_acctbal DESC, c_name) AS rn
+             | FROM customer
+             | WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_name
+             |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+             |WHERE rn = 1 ORDER BY c_mktsegment""".stripMargin)),
     "q_typed_pipeline" -> Q(
       qTypedPipeline,
       Some("""SELECT o_orderstatus, count(1) AS n,
