@@ -33,7 +33,8 @@ import org.apache.spark.sql.functions._
   * Scale shapes: gopher is one kernel pass, no shuffle until the
   * (optional) downstream filter; temperature is two 1-row broadcast
   * aggs over a |langs|-row table; KS is a per-bucket partial agg whose
-  * ordered scan is bounded by the GRID (≤ 500k cells), not the data;
+  * ordered scan is bounded by the CLAMPED grid (hard ≤ 1e6 + 1 cells),
+  * not the data;
   * compaction windows are partitioned per table-partition (file counts
   * per partition are bounded in any sane layout).
   */
@@ -158,11 +159,12 @@ object QualityOps {
   // --------------------------------------------------------- KS test
 
   /** D = sup |F₁ − F₂| between 'click' and 'purchase' value ECDFs on the
-    * 1e-3 grid, via integer cross-multiplication; significance at
-    * α = 0.05 (c(α) = 1.358). The cumulative scan is a window over
-    * GRID-bounded bucket rows — cardinality is fixed by the grid and the
-    * value range, independent of row count, which is what makes the
-    * single ordered pass safe at any corpus size.
+    * 1e-3 grid (values ≥ 1000 clamp into one terminal cell), via integer
+    * cross-multiplication; significance at α = 0.05 (c(α) = 1.358). The
+    * cumulative scan is a window over GRID-bounded bucket rows — the
+    * clamp makes the cell count a hard ≤ 1e6 + 1 regardless of the data's
+    * value range or row count, which is what makes the single ordered
+    * pass safe at any corpus size.
     */
   def qDqKs(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables
@@ -170,7 +172,12 @@ object QualityOps {
       .where(col("event_type").isin("click", "purchase"))
       .select(
         (col("event_type") === "click").as("is1"),
-        floor(col("value") * lit(1000)).cast("long").as("bucket"))
+        // the grid cap is what makes the ordered scan data-independent:
+        // raw floor(value*1000) grows with the value RANGE (which grows
+        // with sf), so the tail clamps into one terminal cell at 1e6 —
+        // KS stays exact for values < 1000 and the cell count is a hard
+        // 1e6 + 1 bound at any corpus size
+        least(floor(col("value") * lit(1000)), lit(1000000L)).cast("long").as("bucket"))
     val byBucket = ev
       .groupBy("bucket")
       .agg(
@@ -301,7 +308,7 @@ object QualityOps {
       qDqKs,
       Some("""WITH ev AS (
              | SELECT event_type = 'click' AS is1,
-             |  CAST(floor(value * 1000) AS BIGINT) AS bucket
+             |  CAST(least(floor(value * 1000), 1000000) AS BIGINT) AS bucket
              | FROM events WHERE event_type IN ('click', 'purchase')),
              |b AS (
              | SELECT bucket,

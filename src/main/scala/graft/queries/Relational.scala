@@ -821,9 +821,12 @@ object Relational {
   def qFnTry(spark: SparkSession, sfDir: String): DataFrame = {
     val div = try_divide(col("value"), (col("user_id") % 5).cast("double"))
     val add = try_add(lit(Long.MaxValue), col("user_id"))
+    // 12-digit format: user_id grows ~15k per sf unit, so 6 digits would
+    // silently cap parseability around sf67 and diverge from the oracle's
+    // %-3 rule; 12 digits holds to sf ~6e7
     val num = try_to_number(
       concat(col("user_id"), when(col("user_id") % 3 === 0, "x").otherwise("")),
-      lit("999999"))
+      lit("999999999999"))
     Tables
       .events(spark, sfDir)
       .select(col("event_type"), div.as("d"), add.as("a"), num.as("m"))

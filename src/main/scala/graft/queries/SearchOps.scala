@@ -114,6 +114,24 @@ object SearchOps {
       .limit(50)
   }
 
+  /** Shared edge set of the two graph queries: part pairs co-purchased
+    * in ≥ 2 orders, canonical (u < v). ONE definition — a threshold or
+    * column change here changes both analyses together.
+    */
+  private def coPurchaseEdges(spark: SparkSession, sfDir: String): DataFrame = {
+    val items = Tables
+      .lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    items
+      .as("a")
+      .join(items.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+      .agg(count(lit(1)).as("support"))
+      .where(col("support") >= 2)
+      .select("u", "v")
+  }
+
   // ------------------------------------------------- triangle counting
 
   /** Per-node triangle membership counts (top 20) over the co-purchase
@@ -124,17 +142,7 @@ object SearchOps {
     * convenience, not a semantic: any total order works).
     */
   def qGraphTriangles(spark: SparkSession, sfDir: String): DataFrame = {
-    val items = Tables
-      .lineitem(spark, sfDir)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-    val edges = items
-      .as("a")
-      .join(items.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
-      .agg(count(lit(1)).as("support"))
-      .where(col("support") >= 2)
-      .select("u", "v")
+    val edges = coPurchaseEdges(spark, sfDir)
     val okey = edges
       .select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy("node")
@@ -169,17 +177,7 @@ object SearchOps {
     * `d(u)+d(v)−∩` — never a second pass.
     */
   def qGraphCommonNeighbors(spark: SparkSession, sfDir: String): DataFrame = {
-    val items = Tables
-      .lineitem(spark, sfDir)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-    val edges = items
-      .as("a")
-      .join(items.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
-      .agg(count(lit(1)).as("support"))
-      .where(col("support") >= 2)
-      .select("u", "v")
+    val edges = coPurchaseEdges(spark, sfDir)
     val adj = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
     val deg = adj.groupBy("u").agg(count(lit(1)).as("deg"))
     val inter = adj
@@ -227,14 +225,17 @@ object SearchOps {
       .limit(10)
   }
 
-  /** Crawl-frontier URL dedup: canonicalize (lowercase host, strip the
-    * default :443 port, drop the query string) and keep one document per
-    * canonical URL. The Spark side REALLY parses the synthesized URLs
-    * (`parse_url` host/path + a port-strip regex); the oracle rebuilds
-    * the canonical form from the same synthesis arithmetic — the
-    * `q_fn_url` round-trip contract, so a parse or canonicalization bug
-    * breaks the hash. One canonical-keyed partial-agg shuffle; URL
-    * strings are small and the body never moves.
+  /** Crawl-frontier URL dedup: canonicalize (lowercase host, drop the
+    * :443 port and the query string) and keep one document per canonical
+    * URL. The Spark side REALLY parses the synthesized URLs — `parse_url
+    * HOST` follows Hive/java.net.URI semantics and already returns the
+    * bare host (port excluded), so the port drop comes from the parse,
+    * the case fold and query drop from this projection; the oracle
+    * rebuilds the canonical form from the same synthesis arithmetic
+    * (the `q_fn_url` round-trip contract), so a parse or
+    * canonicalization bug breaks the hash. One canonical-keyed
+    * partial-agg shuffle; URL strings are small and the body never
+    * moves.
     */
   def qDedupUrl(spark: SparkSession, sfDir: String): DataFrame = {
     val url = concat(
@@ -248,7 +249,7 @@ object SearchOps {
       col("lang"),
       lit("&session="),
       col("doc_id"))
-    val host = regexp_replace(lower(parse_url(col("url"), lit("HOST"))), lit(":443$"), lit(""))
+    val host = lower(parse_url(col("url"), lit("HOST")))
     Tables
       .documents(spark, sfDir)
       .select(col("doc_id"), url.as("url"))

@@ -184,19 +184,6 @@ object Streams {
       onBatch(batchId, ok, failed)
     }
 
-  /** Streaming exact dedup by event_id within the watermark horizon —
-    * the ingestion-side guard an at-least-once source needs (retried
-    * sends, replayed offsets). State boundedness needs the RIGHT
-    * operator: plain `dropDuplicates("event_id")` under a watermark
-    * never evicts (Spark only cleans dedup state when the event-time
-    * column is part of the keys — the watermark would drop late rows
-    * but the state store still grows one entry per key forever).
-    * `dropDuplicatesWithinWatermark` exists for exactly this: dedup by
-    * key, state evicted once the watermark passes the key's event time
-    * — O(keys-per-horizon), which is the correct guarantee for retry
-    * storms (an at-least-once source re-sends within the horizon).
-    * Batch runs the plain distinct-by-key.
-    */
   /** Streaming CDC latest-wins materialization — `q_events_cdc_latest`'s
     * exact transform run over the change stream: per key, `max_by` on
     * the (ts, event_id) version struct. No watermark by design: the
@@ -248,6 +235,19 @@ object Streams {
       .select(col("win.start").as("ws"), col("win.end").as("we"), col("n_users"))
   }
 
+  /** Streaming exact dedup by event_id within the watermark horizon —
+    * the ingestion-side guard an at-least-once source needs (retried
+    * sends, replayed offsets). State boundedness needs the RIGHT
+    * operator: plain `dropDuplicates("event_id")` under a watermark
+    * never evicts (Spark only cleans dedup state when the event-time
+    * column is part of the keys — the watermark would drop late rows
+    * but the state store still grows one entry per key forever).
+    * `dropDuplicatesWithinWatermark` exists for exactly this: dedup by
+    * key, state evicted once the watermark passes the key's event time
+    * — O(keys-per-horizon), which is the correct guarantee for retry
+    * storms (an at-least-once source re-sends within the horizon).
+    * Batch runs the plain distinct-by-key.
+    */
   def dedupEvents(events: DataFrame, withWatermark: Boolean): DataFrame =
     if (withWatermark)
       events.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark("event_id")

@@ -292,10 +292,10 @@ class PlanSpec extends SparkSuite {
 
   test("compaction plan windows are partition-local (no single-partition window)") {
     val p = plan(graft.queries.QualityOps.qLayoutCompaction(spark, sf001))
-    assert(p.contains("Window"), p)
-    // the window's required child distribution is hashpartitioning on
-    // source, never SinglePartition
-    assert(!p.contains("SinglePartition, Window"), p)
+    // the window spec itself must carry the source partition key — a
+    // regression to a global (unpartitioned) window would print
+    // windowspecdefinition(bytes ... with no partition column
+    assert(p.contains("windowspecdefinition(source"), p)
   }
 
   test("null-safe join is still a hash-partitionable equi-join") {
