@@ -627,6 +627,79 @@ object MiningOps {
         round(col("n_hit").cast("double") / col("n_true").cast("double"), 6).as("recall"))
   }
 
+  /** Source-pair vocabulary overlap (Jaccard over distinct token sets) —
+    * the corpus-similarity input to mix design: two sources with
+    * near-identical vocabularies are redundant in a pretraining mix,
+    * near-disjoint ones are complementary (`q_mix_sources` /
+    * `q_mix_temperature` decide weights; this measures the overlap they
+    * act on). Shape: one DISTINCT (source, token) reduction, a
+    * token-keyed wedge join for ∩ (fan-out bounded by \|sources\| per
+    * token), vocab sizes joined back, union = v1 + v2 − ∩.
+    */
+  def qSourceVocabOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val st = graft.Tables
+      .documents(spark, sfDir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .where(col("tok") =!= "")
+      .distinct()
+    val sizes = st.groupBy("source").agg(count(lit(1)).as("vocab"))
+    val inter = st
+      .as("x")
+      .join(st.as("y"), col("x.tok") === col("y.tok") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("s1"), col("y.source").as("s2"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.as("va"), col("s1") === col("va.source"))
+      .join(sizes.as("vb"), col("s2") === col("vb.source"))
+      .select(
+        col("s1"),
+        col("s2"),
+        col("n_common"),
+        round(
+          col("n_common").cast("double") /
+            (col("va.vocab") + col("vb.vocab") - col("n_common")),
+          6).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("s1"), col("s2"))
+      .limit(30)
+  }
+
+  /** Revenue concentration (Pareto) per market segment: how many top
+    * customers carry 80% of the segment's spend. The threshold test is
+    * exact integer arithmetic (`cum·5 ≥ total·4` on LONG cents — no
+    * 0.8·total double), so the crossover rank is engine-identical. One
+    * customer-keyed partial agg, per-segment rank/cumsum windows
+    * (customers per segment bounded), a 1-row-per-segment reduce.
+    */
+  def qOrdersPareto(spark: SparkSession, sfDir: String): DataFrame = {
+    val spend = Tables
+      .orders(spark, sfDir)
+      .join(
+        Tables.customer(spark, sfDir).select("c_custkey", "c_mktsegment"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("c_custkey"))
+      .agg(sum(cents(col("o_totalprice"))).as("cents"))
+    val w = Window
+      .partitionBy("c_mktsegment")
+      .orderBy(col("cents").desc, col("c_custkey"))
+    val ranked = spend
+      .withColumn("rank", row_number().over(w))
+      .withColumn(
+        "cum",
+        sum("cents").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum("cents").over(Window.partitionBy("c_mktsegment")))
+    ranked
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        min(when(col("cum") * 5 >= col("total") * 4, col("rank"))).cast("long").as("pareto_n"))
+      .select(
+        col("c_mktsegment"),
+        col("n_customers"),
+        col("pareto_n"),
+        round(col("pareto_n").cast("double") / col("n_customers"), 6).as("pareto_frac"))
+      .orderBy("c_mktsegment")
+  }
+
   // ------------------------------------------------- multi-touch attribution
 
   /** Multi-touch attribution: every purchase is credited back to the
@@ -977,6 +1050,39 @@ object MiningOps {
               |SELECT v AS drop_id, min(u) AS keep_id, count(1) AS n_similar
               |FROM s WHERE dot / (sqrt(n1) * sqrt(n2)) >= 0.3
               |GROUP BY v ORDER BY drop_id""".stripMargin)),
+    "q_source_vocab_overlap" -> Q(
+      qSourceVocabOverlap,
+      Some("""WITH st AS (
+             | SELECT DISTINCT source, tok FROM (
+             |  SELECT source, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+             |  FROM documents)),
+             |sz AS (SELECT source, count(1) AS vocab FROM st GROUP BY source),
+             |i AS (
+             | SELECT x.source AS s1, y.source AS s2, count(1) AS n_common
+             | FROM st x JOIN st y ON x.tok = y.tok AND x.source < y.source
+             | GROUP BY 1, 2)
+             |SELECT s1, s2, n_common,
+             | round(CAST(n_common AS DOUBLE) / (va.vocab + vb.vocab - n_common), 6) AS jaccard
+             |FROM i JOIN sz va ON s1 = va.source JOIN sz vb ON s2 = vb.source
+             |ORDER BY jaccard DESC, s1, s2 LIMIT 30""".stripMargin)),
+    "q_orders_pareto" -> Q(
+      qOrdersPareto,
+      Some("""WITH sp AS (
+             | SELECT c_mktsegment, c_custkey,
+             |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+             | FROM orders JOIN customer ON o_custkey = c_custkey
+             | GROUP BY 1, 2),
+             |r AS (
+             | SELECT c_mktsegment, cents,
+             |  row_number() OVER w AS rank,
+             |  CAST(sum(cents) OVER (w ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             |  CAST(sum(cents) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS total
+             | FROM sp
+             | WINDOW w AS (PARTITION BY c_mktsegment ORDER BY cents DESC, c_custkey))
+             |SELECT c_mktsegment, count(1) AS n_customers,
+             | CAST(min(CASE WHEN cum * 5 >= total * 4 THEN rank END) AS BIGINT) AS pareto_n,
+             | round(CAST(min(CASE WHEN cum * 5 >= total * 4 THEN rank END) AS DOUBLE) / count(1), 6) AS pareto_frac
+             |FROM r GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
     "q_tpch_q18" -> Q(
       qTpchQ18,
       Some("""SELECT c_name, o_orderkey, o_orderdate, o_totalprice,

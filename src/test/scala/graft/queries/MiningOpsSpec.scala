@@ -333,6 +333,56 @@ class MiningOpsSpec extends SparkSuite {
     }
   }
 
+  // ------------------------------------------------------ vocab overlap
+
+  test("q_source_vocab_overlap: jaccard bounds and one pair recounted from sets") {
+    val rows = MiningOps.qSourceVocabOverlap(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0))
+    val top = rows.head
+    val vocab = graft.Tables
+      .documents(spark, sf001)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .where(col("tok") =!= "")
+      .distinct()
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (s, ts) => s -> ts.map(_.getString(1)).toSet }
+    val (s1, s2) = (top.getString(0), top.getString(1))
+    val inter = (vocab(s1) & vocab(s2)).size.toLong
+    assert(top.getLong(2) == inter)
+    val expect = BigDecimal(inter.toDouble / (vocab(s1).size + vocab(s2).size - inter))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+    assert(top.getDouble(3) == expect)
+  }
+
+  // ------------------------------------------------------------ pareto
+
+  test("q_orders_pareto: the crossover rank really is the 80% point") {
+    val rows = MiningOps.qOrdersPareto(spark, sf001).collect()
+    assert(rows.length == 5) // five market segments
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 1L && r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
+    }
+    // recount one segment by brute force
+    val seg = rows.head.getString(0)
+    val spends = graft.Tables
+      .orders(spark, sf001)
+      .join(graft.Tables.customer(spark, sf001), col("o_custkey") === col("c_custkey"))
+      .where(col("c_mktsegment") === seg)
+      .groupBy("c_custkey")
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(r => (-r._2, r._1))
+    val total = spends.map(_._2).sum
+    var cum = 0L
+    val paretoN = spends.indexWhere { case (_, c) => cum += c; cum * 5 >= total * 4 } + 1
+    assert(rows.head.getLong(2) == paretoN.toLong)
+  }
+
   // ---------------------------------------------------------- TPC-H Q18
 
   test("q_tpch_q18: every order clears the quantity floor; ordered by price") {
