@@ -667,8 +667,14 @@ object MiningOps {
     * customers carry 80% of the segment's spend. The threshold test is
     * exact integer arithmetic (`cum·5 ≥ total·4` on LONG cents — no
     * 0.8·total double), so the crossover rank is engine-identical. One
-    * customer-keyed partial agg, per-segment rank/cumsum windows
-    * (customers per segment bounded), a 1-row-per-segment reduce.
+    * customer-keyed partial agg, then per-segment rank/cumsum windows.
+    * Honest cost note (the `q_typed_pipeline` convention): customers
+    * per segment GROW with the corpus over a fixed segment domain, so
+    * each window partition is a per-segment sort that grows with scale
+    * — at the 100 TB target this becomes the classic two-phase
+    * distributed prefix sum (range-partition by spend, per-partition
+    * sums, broadcast partition offsets); the windowed form here is the
+    * readable reference semantics the oracle can mirror.
     */
   def qOrdersPareto(spark: SparkSession, sfDir: String): DataFrame = {
     val spend = Tables

@@ -33,7 +33,7 @@ import org.apache.spark.sql.functions._
   * Scale shapes: gopher is one kernel pass, no shuffle until the
   * (optional) downstream filter; temperature is two 1-row broadcast
   * aggs over a |langs|-row table; KS is a per-bucket partial agg whose
-  * ordered scan is bounded by the CLAMPED grid (hard ≤ 1e6 + 1 cells),
+  * ordered scan is bounded by the CLAMPED grid (hard ≤ 2e6 + 1 cells),
   * not the data;
   * compaction windows are partitioned per table-partition (file counts
   * per partition are bounded in any sane layout).
@@ -159,10 +159,10 @@ object QualityOps {
   // --------------------------------------------------------- KS test
 
   /** D = sup |F₁ − F₂| between 'click' and 'purchase' value ECDFs on the
-    * 1e-3 grid (values ≥ 1000 clamp into one terminal cell), via integer
+    * 1e-3 grid (|values| ≥ 1000 clamp into terminal cells), via integer
     * cross-multiplication; significance at α = 0.05 (c(α) = 1.358). The
     * cumulative scan is a window over GRID-bounded bucket rows — the
-    * clamp makes the cell count a hard ≤ 1e6 + 1 regardless of the data's
+    * clamp makes the cell count a hard ≤ 2e6 + 1 regardless of the data's
     * value range or row count, which is what makes the single ordered
     * pass safe at any corpus size.
     */
@@ -308,7 +308,7 @@ object QualityOps {
       qDqKs,
       Some("""WITH ev AS (
              | SELECT event_type = 'click' AS is1,
-             |  CAST(least(floor(value * 1000), 1000000) AS BIGINT) AS bucket
+             |  CAST(greatest(least(floor(value * 1000), 1000000), -1000000) AS BIGINT) AS bucket
              | FROM events WHERE event_type IN ('click', 'purchase')),
              |b AS (
              | SELECT bucket,

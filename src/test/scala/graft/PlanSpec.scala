@@ -292,10 +292,11 @@ class PlanSpec extends SparkSuite {
 
   test("compaction plan windows are partition-local (no single-partition window)") {
     val p = plan(graft.queries.QualityOps.qLayoutCompaction(spark, sf001))
-    // the window spec itself must carry the source partition key — a
-    // regression to a global (unpartitioned) window would print
-    // windowspecdefinition(bytes ... with no partition column
-    assert(p.contains("windowspecdefinition(source"), p)
+    // the exchange FEEDING the window must hash-partition on source — a
+    // global window (even one that merely sorts by source first) would
+    // plan Exchange SinglePartition below the Window instead
+    assert(p.contains("windowspecdefinition"), p)
+    assert(p.contains("hashpartitioning(source"), p)
   }
 
   test("null-safe join is still a hash-partitionable equi-join") {
