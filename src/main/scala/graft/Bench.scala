@@ -195,6 +195,16 @@ object Bench {
     val total = ok.map(_._2).sum
     println(
       s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
+    // The full per-query line above is the audit record, but with ~180
+    // entries it overflows any bounded tail window a log collector keeps —
+    // three rounds of `parsed: null` in the recorded bench artifacts came
+    // from exactly that truncation. So the LAST line out is a compact,
+    // self-contained duplicate of the headline numbers that survives any
+    // reasonable tail: total, query count, worst query, failures.
+    val (worstQ, worstSec) =
+      if (ok.nonEmpty) ok.maxBy(_._2) else ("none", 0.0)
+    println(
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","n":${ok.size},"worst_q":"$worstQ","worst_sec":${num(worstSec)},"failed":$fs,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -66,8 +66,9 @@ object MiningOps {
     * corpus-quadratic. One distinct on (order, part) (digest-sized rows),
     * one order-keyed equi-join, one pair-keyed partial agg; the per-part
     * count table and the 1-row order count broadcast to the lift
-    * projection. Lift's division is exact-integer → double, identical in
-    * both engines.
+    * projection. Lift multiplies DOUBLE-cast factors (exact below 2^53,
+    * and overflow-proof where a LONG product would wrap) — the identical
+    * IEEE sequence in both engines.
     */
   def qMarketBasket(spark: SparkSession, sfDir: String): DataFrame = {
     val items = Tables
@@ -89,9 +90,12 @@ object MiningOps {
         col("p1"),
         col("p2"),
         col("support"),
+        // cast each factor BEFORE multiplying: a LONG·LONG product
+        // silently wraps past ~3e9 rows per part, while the double
+        // product merely rounds (and is exact below 2^53 anyway)
         round(
-          (col("support") * col("n_orders")).cast("double") /
-            (col("c1") * col("c2")).cast("double"),
+          (col("support").cast("double") * col("n_orders").cast("double")) /
+            (col("c1").cast("double") * col("c2").cast("double")),
           6).as("lift"))
       .orderBy("p1", "p2")
   }
@@ -666,15 +670,26 @@ object MiningOps {
   /** Revenue concentration (Pareto) per market segment: how many top
     * customers carry 80% of the segment's spend. The threshold test is
     * exact integer arithmetic (`cum·5 ≥ total·4` on LONG cents — no
-    * 0.8·total double), so the crossover rank is engine-identical. One
-    * customer-keyed partial agg, then per-segment rank/cumsum windows.
-    * Honest cost note (the `q_typed_pipeline` convention): customers
-    * per segment GROW with the corpus over a fixed segment domain, so
-    * each window partition is a per-segment sort that grows with scale
-    * — at the 100 TB target this becomes the classic two-phase
-    * distributed prefix sum (range-partition by spend, per-partition
-    * sums, broadcast partition offsets); the windowed form here is the
-    * readable reference semantics the oracle can mirror.
+    * 0.8·total double), so the crossover rank is engine-identical.
+    *
+    * Scale shape (round 5 — the two-phase DISTRIBUTED prefix sum this
+    * query's round-4 scaladoc promised): a per-segment `row_number` +
+    * running-sum window sorts the whole customer set of each segment on
+    * ~5 tasks, a sort that grows linearly with the corpus. Instead:
+    *   1. range-partition the per-customer spend by the FULL rank key
+    *     (segment, cents desc, custkey) — partitions are contiguous
+    *     slices of the global rank order, each bounded by corpus/N;
+    *   2. local rank/cumsum windows over (segment, partition-slice) —
+    *     every window partition is one bounded slice, never a segment;
+    *   3. per-slice partials (count, sum) — ≤ N·|segments| rows — get
+    *     exclusive prefix offsets via a window over that TINY frame;
+    *   4. offsets broadcast-join back; global rank = slice rank +
+    *     offset, global cumsum = slice cumsum + offset.
+    * The integer crossover test then runs identically. Boundary ties
+    * can't split wrongly: the range key includes the custkey tiebreak,
+    * so the slice order IS the total rank order. The oracle keeps the
+    * naive single-window SQL — rank/cumsum are partition-invariant, so
+    * the hash match proves the offset algebra.
     */
   def qOrdersPareto(spark: SparkSession, sfDir: String): DataFrame = {
     val spend = Tables
@@ -684,19 +699,41 @@ object MiningOps {
         col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"), col("c_custkey"))
       .agg(sum(cents(col("o_totalprice"))).as("cents"))
-    val w = Window
-      .partitionBy("c_mktsegment")
+    val sliced = spend
+      .repartitionByRange(col("c_mktsegment"), col("cents").desc, col("c_custkey"))
+      .withColumn("pid", spark_partition_id())
+    val wLocal = Window
+      .partitionBy("c_mktsegment", "pid")
       .orderBy(col("cents").desc, col("c_custkey"))
-    val ranked = spend
-      .withColumn("rank", row_number().over(w))
+    val local = sliced
+      .withColumn("lrank", row_number().over(wLocal))
       .withColumn(
-        "cum",
-        sum("cents").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("total", sum("cents").over(Window.partitionBy("c_mktsegment")))
-    ranked
+        "lcum",
+        sum("cents").over(wLocal.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // per-slice partials: ≤ shuffle-partitions × segments rows — the tiny
+    // frame whose single-partition window is the whole driver-side cost
+    val wSeg = Window.partitionBy("c_mktsegment").orderBy("pid")
+    val offsets = local
+      .groupBy("c_mktsegment", "pid")
+      .agg(count(lit(1)).as("n_part"), sum("cents").as("c_part"))
+      .select(
+        col("c_mktsegment"),
+        col("pid"),
+        (sum("n_part").over(wSeg) - col("n_part")).as("rank_off"),
+        (sum("c_part").over(wSeg) - col("c_part")).as("cum_off"),
+        sum("c_part").over(Window.partitionBy("c_mktsegment")).as("total"),
+        sum("n_part").over(Window.partitionBy("c_mktsegment")).as("n_customers"))
+    local
+      .join(broadcast(offsets), Seq("c_mktsegment", "pid"))
+      .select(
+        col("c_mktsegment"),
+        col("n_customers"),
+        (col("lrank") + col("rank_off")).as("rank"),
+        (col("lcum") + col("cum_off")).as("cum"),
+        col("total"))
       .groupBy("c_mktsegment")
       .agg(
-        count(lit(1)).as("n_customers"),
+        max(col("n_customers")).as("n_customers"),
         min(when(col("cum") * 5 >= col("total") * 4, col("rank"))).cast("long").as("pareto_n"))
       .select(
         col("c_mktsegment"),
@@ -764,47 +801,49 @@ object MiningOps {
     *
     * Scale shape: per iteration, one vec-keyed partial agg (the dots)
     * and one dim-keyed partial agg (the new direction) — embeddings are
-    * scanned, never shuffled wide; the ONLY driver-side state is the
-    * 64-float direction vector (the k-means-centroid precedent for
-    * bounded model state). Exactness: every cross-partition sum is a
-    * fixed-point LONG (1e-9 grain on unit-norm data ⇒ overflow-safe at
-    * any corpus size after the 1/N scale); the driver-side
-    * renormalization quantizes each component to 1e-6 before the next
-    * round, so both engines iterate on identical vectors; `sqrt` is
-    * IEEE correctly-rounded.
+    * scanned, never shuffled wide. Since round 5 the three iterations
+    * are ONE LAZY PLAN (each round's 64-row direction and 1-row norm
+    * broadcast into the next — the same CTE chain the oracle runs), so
+    * nothing executes at builder time: plan capture is free and a bench
+    * run measures the real distributed work, not a pre-computed 64-row
+    * local frame. No driver-side state at all. Exactness: every
+    * cross-partition sum is a fixed-point LONG (1e-9 grain on unit-norm
+    * data ⇒ overflow-safe at any corpus size after the 1/N scale); each
+    * round's renormalization quantizes components to 1e-6 (`round`
+    * half-away-from-zero in both engines), so both engines iterate on
+    * identical vectors; `sqrt` is IEEE correctly-rounded.
     */
   def qEmbedPca(spark: SparkSession, sfDir: String): DataFrame = {
     val ex = graft.Tables
       .embeddings(spark, sfDir)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("j", "e")))
       .select(col("vec_id"), col("j"), col("e").cast("double").as("e"))
-    val n = graft.Tables.embeddings(spark, sfDir).count()
-    var v: Array[Double] = Array.fill(64)(0.125) // 1/sqrt(64), exact
-    for (_ <- 1 to 3) {
-      val vArr = array(v.map(lit(_)): _*)
+    val nn = graft.Tables.embeddings(spark, sfDir).agg(count(lit(1)).as("n"))
+    val spark2 = spark
+    import spark2.implicits._
+    val v0 = (0 until 64).map(j => (j, 0.125)).toDF("j", "vj")
+    // one power-iteration round: v → renormalized (Gram·v)/N, quantized
+    def iterate(v: DataFrame): DataFrame = {
       val dots = ex
-        .withColumn(
-          "t_fp",
-          round(col("e") * element_at(vArr, col("j") + 1) * lit(1e9)).cast("long"))
+        .join(broadcast(v), "j")
         .groupBy("vec_id")
-        .agg(sum("t_fp").as("s_fp"))
+        .agg(sum(round(col("e") * col("vj") * lit(1e9)).cast("long")).as("s_fp"))
         .select(col("vec_id"), (col("s_fp").cast("double") / lit(1e9)).as("s"))
       val w = ex
         .join(dots, "vec_id")
         .groupBy("j")
         .agg(sum(round(col("e") * col("s") * lit(1e9)).cast("long")).as("w_fp"))
-        .collect()
-        .map(r => r.getInt(0) -> r.getLong(1))
-        .toMap
-      val wd = Array.tabulate(64)(j => w(j).toDouble / 1e9 / n)
-      val nsqFp = wd.map(x => math.round(x * x * 1e9)).sum // terms ≥ 0
-      val norm = math.sqrt(nsqFp.toDouble / 1e9)
-      v = wd.map(x =>
-        BigDecimal(x / norm).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        .crossJoin(broadcast(nn))
+        .select(col("j"), (col("w_fp").cast("double") / lit(1e9) / col("n")).as("wd"))
+      val nsq = w.agg(sum(round(col("wd") * col("wd") * lit(1e9)).cast("long")).as("nsq"))
+      w.crossJoin(broadcast(nsq))
+        .select(
+          col("j"),
+          round(col("wd") / sqrt(col("nsq").cast("double") / lit(1e9)), 6).as("vj"))
     }
-    val spark2 = spark
-    import spark2.implicits._
-    v.zipWithIndex.map { case (l, j) => (j, l) }.toSeq.toDF("j", "loading").orderBy("j")
+    iterate(iterate(iterate(v0)))
+      .select(col("j"), col("vj").as("loading"))
+      .orderBy("j")
   }
 
   // ----------------------------------------------------------- registry
@@ -835,7 +874,8 @@ object MiningOps {
              | FROM it a JOIN it b ON a.o = b.o AND a.p < b.p
              | GROUP BY 1, 2)
              |SELECT p1, p2, support,
-             | round(CAST(support * n_orders AS DOUBLE) / CAST(c1.cnt * c2.cnt AS DOUBLE), 6) AS lift
+             | round((CAST(support AS DOUBLE) * CAST(n_orders AS DOUBLE)) /
+             |       (CAST(c1.cnt AS DOUBLE) * CAST(c2.cnt AS DOUBLE)), 6) AS lift
              |FROM pairs, no
              |JOIN pc c1 ON p1 = c1.p JOIN pc c2 ON p2 = c2.p
              |WHERE support >= 3

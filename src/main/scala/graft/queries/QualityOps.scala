@@ -174,10 +174,14 @@ object QualityOps {
         (col("event_type") === "click").as("is1"),
         // the grid cap is what makes the ordered scan data-independent:
         // raw floor(value*1000) grows with the value RANGE (which grows
-        // with sf), so the tail clamps into one terminal cell at 1e6 —
-        // KS stays exact for values < 1000 and the cell count is a hard
-        // 1e6 + 1 bound at any corpus size
-        least(floor(col("value") * lit(1000)), lit(1000000L)).cast("long").as("bucket"))
+        // with sf), so each tail clamps into a terminal cell at ±1e6 —
+        // KS stays exact for |values| < 1000 and the cell count is a
+        // hard 2e6 + 1 bound at any corpus size
+        // two-sided: the lower clamp mirrors the oracle's so values
+        // < -1000 bucket into the same terminal cell in both engines
+        greatest(least(floor(col("value") * lit(1000)), lit(1000000L)), lit(-1000000L))
+          .cast("long")
+          .as("bucket"))
     val byBucket = ev
       .groupBy("bucket")
       .agg(

@@ -170,20 +170,67 @@ object SearchOps {
 
   /** Node-pair similarity by common neighbors (the link-prediction
     * primitive): for part pairs sharing a co-purchase neighbor,
-    * `|N(u)∩N(v)| / |N(u)∪N(v)|`. The ∩ counts come from a wedge join
-    * through the shared neighbor (Σ deg² work — same hazard and same
-    * mitigation as [[qGraphTriangles]]: degree-orient at extreme scale);
-    * degrees join back on the node key and the union size is
-    * `d(u)+d(v)−∩` — never a second pass.
+    * `|N(u)∩N(v)| / |N(u)∪N(v)|`. Degrees join back on the node key and
+    * the union size is `d(u)+d(v)−∩` — never a second pass.
+    *
+    * The ∩ counts come from DEGREE-ORIENTED wedge enumeration (the
+    * [[qGraphTriangles]] orientation, applied here since round 5): every
+    * edge is directed low-rank → high-rank (rank = (degree, id)), and
+    * each wedge a–c–b is enumerated exactly once, in the case arm picked
+    * by its center's rank relative to the endpoints:
+    *   - center lowest  → out×out pairs of `s` (out-deg ≤ O(√m) — the
+    *     orientation bound, so hub keys CANNOT explode this arm);
+    *   - center middle  → in×out through the center (≤ in-deg·√m per
+    *     key — the hub's quadratic term splits off);
+    *   - center highest → in×in pairs of `d` — the one arm that stays
+    *     Σ in-deg² because it MUST: hub-centered wedges are real output
+    *     rows (a degree-d hub's leaves form C(d,2) genuinely-common-
+    *     neighbor pairs), so this term is the output's own size, not
+    *     join waste, and AQE skew-split owns its residual hot keys.
+    * Versus the unoriented symmetric self-join (Σ deg² candidates, half
+    * discarded by `u < v`), this emits each wedge once with no discard
+    * and bounds two of the three arms. The unoriented DuckDB oracle
+    * recounts naively — counts are orientation-invariant, so the hash
+    * match proves the case trichotomy sound.
     */
   def qGraphCommonNeighbors(spark: SparkSession, sfDir: String): DataFrame = {
     val edges = coPurchaseEdges(spark, sfDir)
-    val adj = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
-    val deg = adj.groupBy("u").agg(count(lit(1)).as("deg"))
-    val inter = adj
-      .as("x")
-      .join(adj.as("y"), col("x.v") === col("y.v") && col("x.u") < col("y.u"))
-      .groupBy(col("x.u").as("a"), col("y.u").as("b"))
+    val okey = edges
+      .select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy("node")
+      .agg(count(lit(1)).as("deg"))
+      .select(col("node"), col("deg"), (col("deg") * lit(100000000L) + col("node")).as("okey"))
+    val oriented = edges
+      .join(okey.as("ku"), col("u") === col("ku.node"))
+      .join(okey.as("kv"), col("v") === col("kv.node"))
+      .select(
+        when(col("ku.okey") < col("kv.okey"), col("u")).otherwise(col("v")).as("s"),
+        when(col("ku.okey") < col("kv.okey"), col("v")).otherwise(col("u")).as("d"),
+        least(col("ku.okey"), col("kv.okey")).as("skey"),
+        greatest(col("ku.okey"), col("kv.okey")).as("dkey"))
+    // center lowest-ranked: unordered pairs of s's out-neighbors
+    val wLow = oriented
+      .as("e1")
+      .join(oriented.as("e2"), col("e1.s") === col("e2.s") && col("e1.dkey") < col("e2.dkey"))
+      .select(col("e1.d").as("p"), col("e2.d").as("q"))
+    // center middle-ranked: an in-neighbor × an out-neighbor of the center
+    // (endpoint ranks straddle the center's, so each such wedge lands in
+    // this arm exactly once — no ordering predicate needed)
+    val wMid = oriented
+      .as("e1")
+      .join(oriented.as("e2"), col("e1.d") === col("e2.s"))
+      .select(col("e1.s").as("p"), col("e2.d").as("q"))
+    // center highest-ranked: unordered pairs of d's in-neighbors
+    val wHigh = oriented
+      .as("e1")
+      .join(oriented.as("e2"), col("e1.d") === col("e2.d") && col("e1.skey") < col("e2.skey"))
+      .select(col("e1.s").as("p"), col("e2.s").as("q"))
+    val deg = okey.select(col("node").as("u"), col("deg"))
+    val inter = wLow
+      .union(wMid)
+      .union(wHigh)
+      .select(least(col("p"), col("q")).as("a"), greatest(col("p"), col("q")).as("b"))
+      .groupBy("a", "b")
       .agg(count(lit(1)).as("n_common"))
     inter
       .join(deg.as("da"), col("a") === col("da.u"))

@@ -284,6 +284,31 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("common neighbors wedge join is degree-oriented (skey/dkey), equi-joins only") {
+    val p = plan(graft.queries.SearchOps.qGraphCommonNeighbors(spark, sf001))
+    // the orientation rank keys must survive into the physical join
+    // conditions — their absence would mean the unoriented symmetric
+    // self-join (Σ deg² with no hub bound) is back
+    assert(p.contains("skey"), p)
+    assert(p.contains("dkey"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("pareto prefix sum is range-sliced — no growing per-segment window") {
+    val p = plan(graft.queries.MiningOps.qOrdersPareto(spark, sf001))
+    // phase 1: the big frame must be RANGE-partitioned on the full rank
+    // key, and its rank/cumsum windows partitioned by (segment, slice) —
+    // a window partitioned by the segment alone would be the growing
+    // per-segment sort this plan exists to avoid
+    assert(p.contains("rangepartitioning(c_mktsegment"), p)
+    assert(p.contains("windowspecdefinition(c_mktsegment"), p)
+    assert(p.contains("pid"), p)
+    // phase 4: slice offsets come back via broadcast, not a shuffle join
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("vocab pairs partial-aggregate before the shuffle; top-50 is TakeOrdered") {
     val p = plan(graft.queries.SearchOps.qVocabPairs(spark, sf001))
     assert(p.contains("partial_"), p)
