@@ -5,14 +5,22 @@ import org.apache.spark.sql.functions._
 
 /** Loaders for the driver-generated parquet tables (TESTDATA.md).
   *
-  * All tables are plain parquet scans except `events`, whose `ts` column is
-  * physical INT64 TIMESTAMP(NANOS) — a type Spark refuses to read natively
-  * (PARQUET_TYPE_ILLEGAL). We read it as a long via
-  * `spark.sql.legacy.parquet.nanosAsLong` and truncate to microseconds with
-  * integer division (`div`), which matches DuckDB's TIMESTAMP_NS → TIMESTAMP
-  * cast (truncation, not rounding). Going through a double (`/ 1000`) would
-  * corrupt the low digits: epoch-nanos ≈ 1.7e18 exceeds double's 2^53
-  * integer range.
+  * All tables are plain parquet scans except `events`, whose `ts` column has
+  * shipped in two physical layouts across fixture generations, so the loader
+  * adapts to whatever is on disk:
+  *
+  *   - INT64 TIMESTAMP(NANOS): Spark refuses to read it natively
+  *     (PARQUET_TYPE_ILLEGAL); with `spark.sql.legacy.parquet.nanosAsLong`
+  *     it surfaces as LongType epoch-nanos. We truncate to microseconds with
+  *     integer division (`div`), matching DuckDB's TIMESTAMP_NS → TIMESTAMP
+  *     cast (truncation, not rounding). Going through a double (`/ 1000`)
+  *     would corrupt the low digits: epoch-nanos ≈ 1.7e18 exceeds double's
+  *     2^53 integer range.
+  *   - INT64 TIMESTAMP_MICROS with isAdjustedToUTC=false: Spark reads
+  *     TIMESTAMP_NTZ. The session timezone is pinned to UTC in every entry
+  *     point, so `cast("timestamp")` reinterprets the wall-clock value
+  *     exactly, and DuckDB reads the same micros natively — oracle hashes
+  *     are unaffected.
   */
 object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
@@ -23,11 +31,18 @@ object Tables {
     // Our own entry points (Bench/Verify/Explain/tests) set this at session
     // build; this guarded fallback exists only for externally-owned sessions
     // (the driver's t1 smoke passes its own SparkSession into SparkEntry).
+    // Harmless for micros/NTZ files — it only affects TIMESTAMP(NANOS).
     if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read
-      .parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    val ts = raw.schema("ts").dataType match {
+      case LongType         => timestamp_micros(expr("ts div 1000"))
+      case TimestampNTZType => col("ts").cast("timestamp")
+      case _                => col("ts")
+    }
+    raw
+      .withColumn("ts", ts)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
 

@@ -241,18 +241,24 @@ object Shingles3 {
   def of(c: Column): Column = Bridge.column(Shingles3(Bridge.expression(c)))
 }
 
-/** Codegen'd 64-bit SimHash (see `q_dedup_simhash`): per-token xxhash64
-  * (bit-identical to Spark's `xxhash64` builtin — same XXH64 core, seed
-  * 42, over the token's UTF-8 bytes), ±1 votes per bit, sign-assembled
-  * signature. One generated call per document replaces an explode of
-  * every token plus a 64-column SUM aggregate: the per-row work is
-  * identical, but there is no token shuffle at all and no 64-wide
-  * aggregate to plan/codegen (measured ~6 s of driver planning per run).
+/** Codegen'd 64-bit SimHash (see `q_dedup_simhash`): per-token hash =
+  * first 8 bytes of MD5(token UTF-8 bytes), big-endian, as a signed long;
+  * ±1 votes per bit, sign-assembled signature. One generated call per
+  * document replaces an explode of every token plus a 64-column SUM
+  * aggregate: the per-row work is identical, but there is no token
+  * shuffle at all and no 64-wide aggregate to plan/codegen (measured
+  * ~6 s of driver planning per run).
+  *
+  * MD5 (not xxhash64) is deliberate: it is the one 64-bit-derivable hash
+  * both engines expose — DuckDB computes the identical value as
+  * `('0x' || substr(md5(t), 1, 16))::UBIGINT` — which graduates the
+  * whole SimHash family from rows-only to full oracle hash-match
+  * (round-4 verdict ask #5). MD5 costs more per token than XXH64, but
+  * the signature pass is a tiny fraction of any dedup pipeline and the
+  * kernel amortizes one thread-local digest instance across all tokens.
   *
   * Tokenization is done on the raw UTF-8 bytes (0x20 never occurs inside
-  * a multi-byte UTF-8 sequence, so byte-level space splitting is exact),
-  * which also lets each token hash straight from the original buffer with
-  * zero copies.
+  * a multi-byte UTF-8 sequence, so byte-level space splitting is exact).
   */
 case class SimHash64(child: Expression) extends UnaryExpression {
 
@@ -282,22 +288,41 @@ object SimHash64 {
 
   private[functions] val Mod = getClass.getName.stripSuffix("$") + "$.MODULE$"
 
-  private val Seed = 42L // Spark's xxhash64 default seed
+  private val Md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 8 bytes of MD5(bytes[start, start+len)) big-endian as a signed
+    * long — the engine-portable token hash (DuckDB:
+    * `('0x' || substr(md5(t), 1, 16))::UBIGINT`, same bit pattern).
+    */
+  def md5Hash64(bytes: Array[Byte], start: Int, len: Int): Long = {
+    val md = Md5.get()
+    md.reset()
+    md.update(bytes, start, len)
+    val d = md.digest()
+    var h = 0L
+    var k = 0
+    while (k < 8) {
+      h = (h << 8) | (d(k) & 0xffL)
+      k += 1
+    }
+    h
+  }
 
   def simhash(u: UTF8String): java.lang.Long = {
-    val base = u.getBaseObject
-    val off = u.getBaseOffset
-    val n = u.numBytes()
+    val bytes = u.getBytes
+    val n = bytes.length
     val votes = new Array[Int](64)
     var tokens = 0
     var i = 0
     var start = -1
     while (i <= n) {
-      val isSpace = i == n || org.apache.spark.unsafe.Platform.getByte(base, off + i) == 0x20
+      val isSpace = i == n || bytes(i) == 0x20
       if (isSpace) {
         if (start >= 0) {
-          val h = org.apache.spark.sql.catalyst.expressions.XXH64
-            .hashUnsafeBytes(base, off + start, i - start, Seed)
+          val h = md5Hash64(bytes, start, i - start)
           var b = 0
           while (b < 64) {
             votes(b) += (((h >>> b) & 1L).toInt * 2) - 1

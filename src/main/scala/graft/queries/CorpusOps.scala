@@ -285,26 +285,55 @@ object CorpusOps {
       .orderBy("l_returnflag")
   }
 
+  /** Per-sum fixed-point grains for [[qAggCorrMatrix]], keyed by measure
+    * (q/p/d/t) or product pair. Sized per the measure's TPC-H bound so the
+    * long accumulator holds through SF 1 (see qAggCorrMatrix scaladoc);
+    * the oracle SQL hard-codes the same literals.
+    */
+  private[queries] val corrMatrixGrains: Map[String, Double] = Map(
+    "q" -> 1e6, "p" -> 1e6, "d" -> 1e9, "t" -> 1e9,
+    "qq" -> 1e6, "pp" -> 1e2, "dd" -> 1e9, "tt" -> 1e9,
+    "qp" -> 1e4, "qd" -> 1e9, "qt" -> 1e9,
+    "pd" -> 1e6, "pt" -> 1e6, "dt" -> 1e9)
+
   /** Full pairwise correlation MATRIX over four lineitem measures from
-    * ONE scan: 15 exact decimal power sums (4 + 4 squares + 6 crosses +
-    * count) feed all six pairwise correlations, unpivoted long-form via
-    * `stack` — the "profile every numeric column pair" one-pass shape
-    * (naively: six separate `corr()` scans). Same per-group
-    * re-aggregatability and FMA-guard 1e-9 rounding as [[qAggCorr]].
+    * ONE scan: 15 exact power sums (4 + 4 squares + 6 crosses + count)
+    * feed all six pairwise correlations, unpivoted long-form via `stack` —
+    * the "profile every numeric column pair" one-pass shape (naively: six
+    * separate `corr()` scans). Same per-group re-aggregatability and
+    * FMA-guard 1e-9 rounding as [[qAggCorr]].
+    *
+    * Unlike [[qAggCorr]]'s DECIMAL(18,6) sums, the 15 sums here are
+    * fixed-point LONGs (each addend `round(expr * grain)` as integer), so
+    * the hot loop is double-mult + long-add inside whole-stage codegen
+    * instead of 15 BigDecimal buffer updates — the dominant constant
+    * factor of the decimal variant. Exactness is preserved: integer sums
+    * are partial-merge-order-independent and both engines run the
+    * identical quantize → integer-sum → double closed form. The grain is
+    * per-sum, sized so |sum| stays far below 2^63 for the measure's
+    * TPC-H value bound through SF 1 (e.g. price² ≤ 1.2e10 → grain 1e2 →
+    * ≤ 7.3e18 at 6M rows); at larger row counts the grains shed a digit
+    * or the partial sums re-merge through a decimal — documented, not
+    * silent.
     */
   def qAggCorrMatrix(spark: SparkSession, sfDir: String): DataFrame = {
-    import graft.Tables.dsum
+    def fsum(c: Column, grain: Double): Column =
+      sum(round(c * grain).cast("long")).cast("double") / grain
     val m = Seq(
       "q" -> col("l_quantity"),
       "p" -> col("l_extendedprice"),
       "d" -> col("l_discount"),
       "t" -> col("l_tax"))
-    val sums = m.map { case (k, c) => dsum(c).as(s"s_$k") } ++
-      m.map { case (k, c) => dsum(c * c).as(s"s_$k$k") } ++
+    val grain = CorpusOps.corrMatrixGrains
+    val sums = m.map { case (k, c) => fsum(c, grain(k)).as(s"s_$k") } ++
+      m.map { case (k, c) => fsum(c * c, grain(s"$k$k")).as(s"s_$k$k") } ++
       (for {
         i <- m.indices
         j <- m.indices if i < j
-      } yield dsum(m(i)._2 * m(j)._2).as(s"s_${m(i)._1}${m(j)._1}"))
+      } yield {
+        val key = s"${m(i)._1}${m(j)._1}"
+        fsum(m(i)._2 * m(j)._2, grain(key)).as(s"s_$key")
+      })
     def corrOf(a: String, b: String) =
       round(
         (col("n") * col(s"s_$a$b") - col(s"s_$a") * col(s"s_$b")) /
@@ -1563,37 +1592,39 @@ object CorpusOps {
               |ORDER BY user_id, valid_from, event_id""".stripMargin)),
     "q_agg_corr_matrix" -> Q(
       qAggCorrMatrix,
-      Some("""WITH s AS (
-             | SELECT l_returnflag, count(1) AS n,
-             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS s_q,
-             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS s_p,
-             |  CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS s_d,
-             |  CAST(sum(CAST(l_tax AS DECIMAL(18,6))) AS DOUBLE) AS s_t,
-             |  CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS s_qq,
-             |  CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS s_pp,
-             |  CAST(sum(CAST(l_discount * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS s_dd,
-             |  CAST(sum(CAST(l_tax * l_tax AS DECIMAL(18,6))) AS DOUBLE) AS s_tt,
-             |  CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS s_qp,
-             |  CAST(sum(CAST(l_quantity * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS s_qd,
-             |  CAST(sum(CAST(l_quantity * l_tax AS DECIMAL(18,6))) AS DOUBLE) AS s_qt,
-             |  CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS s_pd,
-             |  CAST(sum(CAST(l_extendedprice * l_tax AS DECIMAL(18,6))) AS DOUBLE) AS s_pt,
-             |  CAST(sum(CAST(l_discount * l_tax AS DECIMAL(18,6))) AS DOUBLE) AS s_dt
-             | FROM lineitem GROUP BY l_returnflag)
-             |SELECT l_returnflag, n, pair, corr FROM (
-             | SELECT l_returnflag, n, 'q_p' AS pair,
-             |  round((n * s_qp - s_q * s_p) / (sqrt(n * s_qq - s_q * s_q) * sqrt(n * s_pp - s_p * s_p)), 9) AS corr FROM s
-             | UNION ALL SELECT l_returnflag, n, 'q_d',
-             |  round((n * s_qd - s_q * s_d) / (sqrt(n * s_qq - s_q * s_q) * sqrt(n * s_dd - s_d * s_d)), 9) FROM s
-             | UNION ALL SELECT l_returnflag, n, 'q_t',
-             |  round((n * s_qt - s_q * s_t) / (sqrt(n * s_qq - s_q * s_q) * sqrt(n * s_tt - s_t * s_t)), 9) FROM s
-             | UNION ALL SELECT l_returnflag, n, 'p_d',
-             |  round((n * s_pd - s_p * s_d) / (sqrt(n * s_pp - s_p * s_p) * sqrt(n * s_dd - s_d * s_d)), 9) FROM s
-             | UNION ALL SELECT l_returnflag, n, 'p_t',
-             |  round((n * s_pt - s_p * s_t) / (sqrt(n * s_pp - s_p * s_p) * sqrt(n * s_tt - s_t * s_t)), 9) FROM s
-             | UNION ALL SELECT l_returnflag, n, 'd_t',
-             |  round((n * s_dt - s_d * s_t) / (sqrt(n * s_dd - s_d * s_d) * sqrt(n * s_tt - s_t * s_t)), 9) FROM s)
-             |ORDER BY l_returnflag, pair""".stripMargin)),
+      Some {
+        // Generated from the SAME grains map as the Spark plan so the two
+        // sides cannot drift: fixed-point long sum, exact in both engines
+        // (DuckDB sums BIGINT into HUGEINT; Spark's long stays in range by
+        // grain construction).
+        val cols = Map("q" -> "l_quantity", "p" -> "l_extendedprice", "d" -> "l_discount", "t" -> "l_tax")
+        def fs(key: String): String = {
+          val expr = key.toSeq.map(ch => cols(ch.toString)).mkString(" * ")
+          val g = corrMatrixGrains(key)
+          s"CAST(sum(CAST(round(($expr) * $g) AS BIGINT)) AS DOUBLE) / $g AS s_$key"
+        }
+        val sumList = Seq("q", "p", "d", "t", "qq", "pp", "dd", "tt", "qp", "qd", "qt", "pd", "pt", "dt")
+          .map(k => s"  ${fs(k)}")
+          .mkString(",\n")
+        s"""WITH s AS (
+           | SELECT l_returnflag, count(1) AS n,
+           |$sumList
+           | FROM lineitem GROUP BY l_returnflag)
+           |SELECT l_returnflag, n, pair, corr FROM (
+           | SELECT l_returnflag, n, 'q_p' AS pair,
+           |  round((n * s_qp - s_q * s_p) / (sqrt(n * s_qq - s_q * s_q) * sqrt(n * s_pp - s_p * s_p)), 9) AS corr FROM s
+           | UNION ALL SELECT l_returnflag, n, 'q_d',
+           |  round((n * s_qd - s_q * s_d) / (sqrt(n * s_qq - s_q * s_q) * sqrt(n * s_dd - s_d * s_d)), 9) FROM s
+           | UNION ALL SELECT l_returnflag, n, 'q_t',
+           |  round((n * s_qt - s_q * s_t) / (sqrt(n * s_qq - s_q * s_q) * sqrt(n * s_tt - s_t * s_t)), 9) FROM s
+           | UNION ALL SELECT l_returnflag, n, 'p_d',
+           |  round((n * s_pd - s_p * s_d) / (sqrt(n * s_pp - s_p * s_p) * sqrt(n * s_dd - s_d * s_d)), 9) FROM s
+           | UNION ALL SELECT l_returnflag, n, 'p_t',
+           |  round((n * s_pt - s_p * s_t) / (sqrt(n * s_pp - s_p * s_p) * sqrt(n * s_tt - s_t * s_t)), 9) FROM s
+           | UNION ALL SELECT l_returnflag, n, 'd_t',
+           |  round((n * s_dt - s_d * s_t) / (sqrt(n * s_dd - s_d * s_d) * sqrt(n * s_tt - s_t * s_t)), 9) FROM s)
+           |ORDER BY l_returnflag, pair""".stripMargin
+      }),
     "q_agg_corr" -> Q(
       qAggCorr,
       Some("""WITH s AS (

@@ -66,8 +66,16 @@ object Relational {
       .orderBy("c_custkey")
   }
 
+  /** Anti join: customers with no URGENT-priority order. The priority
+    * filter is what makes the result non-vacuous at every fixture scale
+    * (every customer has SOME order, so the unfiltered anti join proved
+    * nothing — round-5 verdict ask #5); it pushes to the orders scan, and
+    * the anti side stays a hash-partitionable equi-join.
+    */
   def qJoinAnti(spark: SparkSession, sfDir: String): DataFrame = {
-    val o = Tables.orders(spark, sfDir)
+    val o = Tables
+      .orders(spark, sfDir)
+      .where(col("o_orderpriority") === "1-URGENT")
     val c = Tables.customer(spark, sfDir)
     c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .select("c_custkey", "c_name", "c_mktsegment")
@@ -1056,7 +1064,8 @@ object Relational {
     "q_join_anti" -> Q(
       qJoinAnti,
       Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer c
-             |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+             |WHERE NOT EXISTS (SELECT 1 FROM orders o
+             |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
              |ORDER BY c_custkey""".stripMargin)),
     "q_join_range" -> Q(
       qJoinRange,

@@ -4,19 +4,27 @@ import graft.{SparkSuite, Tables}
 import org.apache.spark.sql.functions._
 
 /** Pins the SimHash64 kernel bit-for-bit against the reference
-  * formulation it replaced: explode tokens → Spark `xxhash64` per token →
-  * 64 ±1-vote SUM aggregates → sign assembly. Any divergence in
-  * tokenization, hashing (XXH64 core, seed 42), vote math, or bit
-  * assembly fails here.
+  * formulation it replaced: explode tokens → md5-derived 64-bit hash per
+  * token → 64 ±1-vote SUM aggregates → sign assembly. Any divergence in
+  * tokenization, hashing (first 8 MD5 bytes, big-endian), vote math, or
+  * bit assembly fails here.
   */
 class SimHashSpec extends SparkSuite {
+
+  /** Independent md5-hash64 twin: Spark builtin `md5` (hex string) → top
+    * 16 hex chars parsed as an unsigned 64-bit value → signed long. Goes
+    * through `java.lang.Long.parseUnsignedLong` in a UDF because `conv()`
+    * returns an unsigned decimal STRING that overflows a signed cast.
+    */
+  private val md5h64 =
+    udf((hex: String) => java.lang.Long.parseUnsignedLong(hex.substring(0, 16), 16))
 
   test("SimHash64 kernel equals the explode + 64-vote aggregate formulation") {
     val docs = Tables.documents(spark, sf001)
     val toksCol = filter(split(col("text"), " "), t => t =!= "")
     val tokenHashes = docs
       .select(col("doc_id"), explode(toksCol).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+      .select(col("doc_id"), md5h64(md5(col("tok"))).as("h"))
     val votes = (0 until 64).map { i =>
       sum(shiftright(col("h"), i).bitwiseAND(lit(1L)) * 2 - 1).as(s"v$i")
     }
@@ -76,29 +84,26 @@ class SimHashSpec extends SparkSuite {
     reference.foreach { case (id, sig) => assert(kernel(id) == sig, s"doc $id") }
   }
 
-  test("SimHash64 token hash matches Spark xxhash64 on multi-byte UTF-8") {
+  test("SimHash64 token hash matches first-8-MD5-bytes on multi-byte UTF-8") {
     import spark.implicits._
     val texts = Seq("héllo wörld 中文 分词", "  spaced   out  ", "", "one")
     val df = texts.toDF("text")
     val toksCol = filter(split(col("text"), " "), t => t =!= "")
-    val viaBuiltin = df
-      .select(explode(toksCol).as("tok"))
-      .select(xxhash64(col("tok")))
-      .collect()
-      .map(_.getLong(0))
-      .sorted
     // same tokens hashed through the kernel's byte-level path: equality of
     // the full signature on single-token rows pins the per-token hash
     val single = df
       .select(explode(toksCol).as("tok"))
-      .select(SimHash64.of(col("tok")).as("sig"), xxhash64(col("tok")).as("h"))
+      .select(col("tok"), SimHash64.of(col("tok")).as("sig"), md5h64(md5(col("tok"))).as("h"))
       .collect()
+    assert(single.nonEmpty)
     single.foreach { r =>
-      val sig = r.getLong(0)
-      val h = r.getLong(1)
+      val sig = r.getLong(1)
+      val h = r.getLong(2)
       // one token: vote(b) = ±1 directly from bit b of h ⇒ sig == h's bit pattern
-      assert(sig == h, s"kernel sig $sig != xxhash64 $h")
+      assert(sig == h, s"kernel sig $sig != md5-hash64 $h for token '${r.getString(0)}'")
+      // and the builtin-independent JVM digest agrees byte-for-byte
+      val bytes = r.getString(0).getBytes("UTF-8")
+      assert(h == SimHash64.md5Hash64(bytes, 0, bytes.length))
     }
-    assert(viaBuiltin.nonEmpty)
   }
 }

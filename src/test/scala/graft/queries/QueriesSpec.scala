@@ -9,9 +9,10 @@ import org.apache.spark.sql.functions._
 class QueriesSpec extends SparkSuite {
 
   test("every registered query executes at sf0.001") {
-    // legitimately empty at this sf (no cos>=0.8 / hamming<=3 pairs exist)
-    val emptyOk =
-      Set("q_join_anti", "q_dedup_embed", "q_dedup_embed_lsh", "q_dedup_simhash_pairs")
+    // legitimately empty at this sf (no hamming<=3 simhash pairs exist);
+    // q_join_anti and the embed pair queries were de-vacuated in round 6
+    // and MUST now return rows here
+    val emptyOk = Set("q_dedup_simhash_pairs")
     Registry.all.foreach { case (name, q) =>
       val n = q.fn(spark, sf001).count()
       withClue(name) { assert(n > 0 || emptyOk(name), s"$name returned $n rows") }

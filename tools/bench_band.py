@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Healthy-band check for Bench output (round-4 verdict ask #7).
+
+Reads a file (or stdin) containing Bench stdout, finds the final summary
+JSON line(s), and fails loudly unless ALL of:
+  - at least one parseable summary line exists (tail-truncation guard);
+  - "failed" is empty (a broken query must fail the round, not deflate it);
+  - total is within the healthy band (default <= 160 s at sf0.1 — the
+    documented JIT-state variance band for the full battery is ~104-129 s,
+    and the margin absorbs attempt-2 reruns without masking a regression);
+  - no single query exceeds the per-query cap (default 6 s — above every
+    healthy steady state; the heaviest plans measure ~2.4-3 s at sf0.1).
+
+Usage: bench_band.py <bench_stdout_file|-> [--max-total 160] [--max-query 6]
+Exit 0 = in band; 1 = out of band / failed queries; 2 = no summary found.
+"""
+import argparse
+import json
+import re
+import sys
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("file")
+    ap.add_argument("--max-total", type=float, default=160.0)
+    ap.add_argument("--max-query", type=float, default=6.0)
+    args = ap.parse_args()
+
+    text = sys.stdin.read() if args.file == "-" else open(args.file).read()
+    rc = None
+    # driver artifact form: {"n":…,"rc":…,"tail":"<stdout tail>"} — unwrap
+    try:
+        doc = json.loads(text)
+        if isinstance(doc, dict) and "tail" in doc:
+            rc = doc.get("rc")
+            text = doc["tail"]
+    except json.JSONDecodeError:
+        pass
+    summaries = []
+    for line in text.splitlines():
+        line = line.strip()
+        if not line.startswith('{"metric":"total"'):
+            continue
+        try:
+            summaries.append(json.loads(line))
+        except json.JSONDecodeError:
+            pass  # e.g. the full per-query line sheared by a tail window
+
+    if not summaries:
+        print("BAND FAIL: no parseable summary line (tail truncation or crash)")
+        sys.exit(2)
+
+    # prefer the full line (has per-query map); fall back to the compact one
+    full = next((s for s in summaries if "queries" in s), None)
+    compact = summaries[-1]
+    total = (full or compact)["value"]
+    failed = (full or compact).get("failed", [])
+    bad = []
+
+    if rc not in (None, 0):
+        bad.append(f"bench rc={rc}")
+    if failed:
+        bad.append(f"failed queries: {failed}")
+    if total > args.max_total:
+        bad.append(f"total {total:.1f} s > band max {args.max_total:.1f} s")
+    if full:
+        slow = {q: s for q, s in full["queries"].items() if s > args.max_query}
+        if slow:
+            bad.append(f"queries over {args.max_query:.1f} s: " +
+                       ", ".join(f"{q}={s:.2f}" for q, s in sorted(slow.items())))
+    elif compact.get("worst_sec", 0) > args.max_query:
+        bad.append(f"worst query {compact['worst_q']} = "
+                   f"{compact['worst_sec']:.2f} s > {args.max_query:.1f} s")
+
+    n = (full or compact).get("n") or len((full or {}).get("queries", {}))
+    if bad:
+        print(f"BAND FAIL ({n} queries, total {total:.1f} s):")
+        for b in bad:
+            print(f"  - {b}")
+        sys.exit(1)
+    print(f"BAND OK: {n} queries, total {total:.1f} s, "
+          f"worst {compact.get('worst_q', '?')} = {compact.get('worst_sec', 0):.2f} s")
+
+
+if __name__ == "__main__":
+    main()
