@@ -475,10 +475,12 @@ object PlaneSig64 {
 }
 
 /** Codegen'd 16-hash MinHash signature over distinct 3-token shingles
-  * (see `q_dedup_near`): per-shingle base hash = `pmod(xxhash64(sh), P)`
-  * (bit-identical to the Spark builtins it replaces — XXH64 core, seed
-  * 42, over the shingle's UTF-8 bytes), then 16 affine permutations
-  * `pmod(h*(1+37j) + (101+97j), P)` minimized in one pass. NULL when the
+  * (see `q_dedup_near`): per-shingle base hash = first 8 MD5 bytes
+  * big-endian taken unsigned mod P (DuckDB twin:
+  * `(('0x' || substr(md5(sh), 1, 16))::UBIGINT) % P` — same md5 choice
+  * and rationale as [[SimHash64]]: it graduates the MinHash family to
+  * full oracle hash-match), then 16 affine permutations
+  * `(h*(1+37j) + (101+97j)) % P` minimized in one pass. NULL when the
   * document has < 3 tokens (such docs had no signature row in the
   * explode + groupBy formulation either). Replaces shingle-explode →
   * hash → 16-column MIN aggregate: the signature becomes a pure map-side
@@ -512,7 +514,6 @@ object MinHash16 {
 
   private[functions] val Mod = getClass.getName.stripSuffix("$") + "$.MODULE$"
 
-  private val Seed = 42L // Spark's xxhash64 default seed
   private val P = 2038074743L // prime < 2^31: a*h+b stays in Long
 
   def minhash(u: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
@@ -559,9 +560,10 @@ object MinHash16 {
       }
       val sh = UTF8String.fromBytes(java.util.Arrays.copyOf(buf, len))
       if (seen.add(sh)) {
-        val x = org.apache.spark.sql.catalyst.expressions.XXH64
-          .hashUnsafeBytes(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, Seed)
-        val h = ((x % P) + P) % P // pmod
+        val x = SimHash64.md5Hash64(buf, 0, len)
+        // unsigned mod, NOT signed pmod: DuckDB reads the 16 hex chars as
+        // UBIGINT, so both engines must reduce the same 2^64 value
+        val h = java.lang.Long.remainderUnsigned(x, P)
         var k = 0
         while (k < 16) {
           val v = (h * (1L + 37L * k) + (101L + 97L * k)) % P // positive: no pmod needed

@@ -27,6 +27,48 @@ object LlmOps {
   // list_filter(string_split(text, ' '), t -> t <> '').
   private[queries] val DOCS_T = "(SELECT doc_id, text, lang, source, n_chars, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents)"
 
+  /** DuckDB twin of the [[graft.functions.MinHash16]] kernel +
+    * banded-LSH candidate join, shared by the `q_dedup_near` /
+    * `q_dedup_near_eval` oracles: distinct 3-token shingles, per-shingle
+    * base hash = first 16 md5 hex chars as UBIGINT reduced mod P
+    * (identical to the kernel's unsigned-mod of the first 8 MD5 bytes),
+    * 16 affine-permutation MINs, candidates = pairs agreeing on at least
+    * one of the 4 four-hash bands (tuple equality here; the engine keys
+    * the shuffle by a 64-bit hash of the same tuple, so the sets differ
+    * only if that hash collides — negligible and caught by the compare).
+    * A CTE body (no leading WITH) so callers can append their own CTEs.
+    */
+  private[queries] val MINHASH_CAND: String = {
+    val P = 2038074743L
+    val mins = (0 until 16)
+      .map(k => s"min((h * ${1L + 37L * k} + ${101L + 97L * k}) % $P) AS m$k")
+      .mkString(",\n  ")
+    val bands = (0 until 4)
+      .map(b => "(" + (0 until 4).map(j => s"a.m${4 * b + j} = b.m${4 * b + j}").mkString(" AND ") + ")")
+      .mkString("\n   OR ")
+    val nmatch = (0 until 16).map(k => s"CAST(a.m$k = b.m$k AS INT)").mkString(" + ")
+    s"""mh_docs AS (
+       | SELECT doc_id, list_distinct(
+       |   CASE WHEN len(toks) >= 3 THEN
+       |     list_transform(generate_series(1, len(toks) - 2),
+       |       i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+       |   ELSE [] END) AS shingles
+       | FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents)),
+       |mh_bh AS (
+       | SELECT doc_id,
+       |  CAST((('0x' || substr(md5(sh), 1, 16))::UBIGINT) % $P AS BIGINT) AS h
+       | FROM (SELECT doc_id, unnest(shingles) AS sh FROM mh_docs)),
+       |mh_sig AS (
+       | SELECT doc_id,
+       |  $mins
+       | FROM mh_bh GROUP BY doc_id),
+       |mh_cand AS (
+       | SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |  CAST($nmatch AS DOUBLE) / 16 AS est_sim
+       | FROM mh_sig a JOIN mh_sig b ON a.doc_id < b.doc_id AND (
+       |   $bands))""".stripMargin
+  }
+
   /** DuckDB twin of the [[graft.functions.SimHash64]] kernel, shared by
     * both SimHash oracles: per-token hash = first 16 md5 hex chars as
     * UBIGINT (identical bit pattern to the kernel's first-8-MD5-bytes
@@ -343,9 +385,10 @@ object LlmOps {
   /** MinHash + banded LSH near-dup candidates — the 100 TB dedup path:
     * shingle→hash→k minhashes (map-side agg), band keys, candidates from a
     * band-equality shuffle. Output = candidate pairs with estimated
-    * similarity (fraction of matching minhashes). Deterministic but not
-    * SQL-oracle-able (xxhash64 has no DuckDB twin) → rows-only check;
-    * `q_dedup_ngram` is the exact-semantics oracle.
+    * similarity (fraction of matching minhashes). Fully oracle-checked
+    * since the md5-based base hash landed ([[MINHASH_CAND]] replays the
+    * signature + banding in DuckDB); `q_dedup_ngram` remains the
+    * exact-semantics ground truth the candidates approximate.
     */
   def qDedupNear(spark: SparkSession, sfDir: String): DataFrame = {
     // One map-side kernel call per doc (see [[graft.functions.MinHash16]];
@@ -1682,7 +1725,10 @@ object LlmOps {
              |SELECT d.doc_id, p.dup_spans, p.dup_tokens, len(d.toks) AS n_tokens
              |FROM docs d JOIN perdoc p USING (doc_id)
              |ORDER BY d.doc_id""".stripMargin)),
-    "q_dedup_near" -> Q(qDedupNear, None),
+    "q_dedup_near" -> Q(
+      qDedupNear,
+      Some(s"""WITH $MINHASH_CAND
+              |SELECT d1, d2, est_sim FROM mh_cand ORDER BY d1, d2""".stripMargin)),
     // same pairs CTE as q_dedup_ngram_capped, then connected components as
     // a recursive reachability fixpoint (UNION dedups, so it terminates):
     // label = min reachable vertex — exactly DedupClusters' fixpoint.

@@ -610,9 +610,10 @@ object MiningOps {
     * Jaccard ≥ 0.5 ground truth (`q_dedup_ngram`) — the evaluation
     * harness any approximate-dedup deployment runs before trusting its
     * bands/hashes at scale. One row: candidate count, truth count, hits,
-    * precision, recall. Rows-only (the LSH side is impl-defined), and
-    * bench=false (it executes both pipelines, one of them the quadratic
-    * oracle twin).
+    * precision, recall. Fully oracle-checked since the md5-based MinHash
+    * landed (the DuckDB twin replays signatures, banding, and the exact
+    * truth); bench=false (it executes both pipelines, one of them the
+    * quadratic oracle twin).
     */
   def qDedupNearEval(spark: SparkSession, sfDir: String): DataFrame = {
     val cand = LlmOps.qDedupNear(spark, sfDir).select(col("d1"), col("d2"))
@@ -1089,7 +1090,26 @@ object MiningOps {
               |SELECT event_type, n_events, round(chi2, 6) AS chi2,
               | chi2 > 12.592 AS significant
               |FROM agg ORDER BY event_type""".stripMargin)),
-    "q_dedup_near_eval" -> Q(qDedupNearEval, None, bench = false),
+    "q_dedup_near_eval" -> Q(
+      qDedupNearEval,
+      Some(s"""WITH ${LlmOps.MINHASH_CAND},
+              |mh_ex AS (SELECT doc_id, unnest(shingles) AS sh FROM mh_docs),
+              |mh_sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM mh_docs),
+              |truth AS (
+              | SELECT d1, d2 FROM (
+              |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(1) AS common
+              |  FROM mh_ex a JOIN mh_ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2) p
+              | JOIN mh_sizes s1 ON d1 = s1.doc_id
+              | JOIN mh_sizes s2 ON d2 = s2.doc_id
+              | WHERE CAST(common AS DOUBLE) / CAST(s1.n_sh + s2.n_sh - common AS DOUBLE) >= 0.5)
+              |SELECT nc.n_candidates, nt.n_true, nh.n_hit,
+              | round(CAST(nh.n_hit AS DOUBLE) / CAST(nc.n_candidates AS DOUBLE), 6) AS "precision",
+              | round(CAST(nh.n_hit AS DOUBLE) / CAST(nt.n_true AS DOUBLE), 6) AS recall
+              |FROM (SELECT count(1) AS n_candidates FROM mh_cand) nc,
+              |     (SELECT count(1) AS n_true FROM truth) nt,
+              |     (SELECT count(1) AS n_hit FROM (SELECT d1, d2 FROM mh_cand) c JOIN truth USING (d1, d2)) nh""".stripMargin),
+      bench = false),
     "q_semdedup" -> Q(
       qSemDedup,
       Some(s"""WITH $PAIR_COS

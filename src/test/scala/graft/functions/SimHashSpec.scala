@@ -50,10 +50,13 @@ class SimHashSpec extends SparkSuite {
 
   test("MinHash16 kernel equals the shingle-explode + 16-MIN aggregate formulation") {
     val P = 2038074743L
+    // independent md5-unsigned-mod-P twin of the kernel's base hash
+    val md5hmodP = udf((hex: String) =>
+      java.lang.Long.remainderUnsigned(java.lang.Long.parseUnsignedLong(hex.substring(0, 16), 16), P))
     val docs = Tables.documents(spark, sf001)
     val toksCol = filter(split(col("text"), " "), t => t =!= "")
     // reference formulation: explode tokens -> window shingles -> distinct
-    // -> pmod(xxhash64) -> 16 affine MINs (the round-1 shape)
+    // -> md5-hash mod P -> 16 affine MINs (the round-1 shape)
     val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("pos")
     val ex = docs
       .select(col("doc_id"), posexplode(toksCol).as(Seq("pos", "tok")))
@@ -62,7 +65,7 @@ class SimHashSpec extends SparkSuite {
       .where(col("t2").isNotNull)
       .select(col("doc_id"), concat_ws(" ", col("tok"), col("t1"), col("t2")).as("sh"))
       .distinct()
-      .withColumn("h", pmod(xxhash64(col("sh")), lit(P)))
+      .withColumn("h", md5hmodP(md5(col("sh"))))
     val minCols = (0 until 16).map { j =>
       min(pmod(col("h") * lit(1L + 37L * j) + lit(101L + 97L * j), lit(P))).as(s"mh$j")
     }
