@@ -336,4 +336,15 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("Window") || p.contains("TakeOrdered"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("corr matrix sums are fixed-point longs, partial-aggregated — no decimal buffers") {
+    val df = graft.queries.CorpusOps.qAggCorrMatrix(spark, sf001)
+    val p = plan(df)
+    // the r6 rewrite's point: the 15 power sums must aggregate as LONGs
+    // (codegen long-add), not DECIMAL(18,6) buffers
+    assert(!p.toLowerCase.contains("decimal"), p)
+    assert(p.contains("partial_sum"), p) // map-side combine before the shuffle
+    // one scan feeds all 15 sums: exactly one lineitem parquet scan node
+    assert("FileScan parquet".r.findAllIn(p).size == 1, p)
+  }
 }
