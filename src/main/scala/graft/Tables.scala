@@ -64,6 +64,20 @@ object Tables {
   def dsum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     sum(c.cast("decimal(18,6)")).cast("double")
 
+  /** Exact fixed-point power sum — the cheaper sibling of [[dsum]] for
+    * multi-sum aggregates (see `q_agg_corr_matrix`, round 6): each addend
+    * quantizes to `round(x * grain)` as a LONG, so the hot loop is a
+    * double-mult + long-add inside whole-stage codegen instead of a
+    * BigDecimal buffer update, and the sum is merge-order-independent by
+    * integer exactness. The caller picks `grain` so |sum| stays far below
+    * 2^63 for the column's value bound at the target row count. Oracle
+    * twin: `CAST(sum(CAST(round((x) * grain) AS BIGINT)) AS DOUBLE) /
+    * grain` (DuckDB sums BIGINT into HUGEINT — exact on its side at any
+    * grain).
+    */
+  def fsum(c: org.apache.spark.sql.Column, grain: Double): org.apache.spark.sql.Column =
+    sum(round(c * grain).cast("long")).cast("double") / grain
+
   /** Deterministic average built from the exact decimal sum; the oracle
     * mirrors the same double-division so both engines produce identical
     * IEEE results: CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE)/COUNT(x).

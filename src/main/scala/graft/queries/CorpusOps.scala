@@ -248,16 +248,18 @@ object CorpusOps {
 
   // ----------------------------------------------------- exact distributed corr
 
-  /** Per-group Pearson correlation from exact decimal power sums: each
-    * addend (x, y, xy, x², y²) is quantized to DECIMAL(18,6) so the five
-    * sums are partial-merge-order-independent (the engine-parity property
-    * Spark's built-in `corr`'s streaming co-moment merge can't give), then
-    * the closed form runs on doubles in the same IEEE operation order as
-    * the oracle. One map-side-combined shuffle of 5 longs + a count per
-    * group — the textbook "algebraic aggregate" scale shape.
+  /** Per-group Pearson correlation from exact fixed-point power sums:
+    * each addend (x, y, xy, x², y²) is quantized to an integer grain so
+    * the five sums are partial-merge-order-independent (the engine-parity
+    * property Spark's built-in `corr`'s streaming co-moment merge can't
+    * give), then the closed form runs on doubles in the same IEEE
+    * operation order as the oracle. One map-side-combined shuffle of
+    * 5 longs + a count per group — the textbook "algebraic aggregate"
+    * scale shape. Grains per [[qAggCorrMatrix]]'s q/p bounds (round 6:
+    * decimal sums → long sums, ~2× on the multi-sum constant factor).
     */
   def qAggCorr(spark: SparkSession, sfDir: String): DataFrame = {
-    import graft.Tables.dsum
+    import graft.Tables.fsum
     val x = col("l_quantity")
     val y = col("l_extendedprice")
     Tables
@@ -265,11 +267,11 @@ object CorpusOps {
       .groupBy(col("l_returnflag"))
       .agg(
         count(lit(1)).as("n"),
-        dsum(x).as("sx"),
-        dsum(y).as("sy"),
-        dsum(x * y).as("sxy"),
-        dsum(x * x).as("sxx"),
-        dsum(y * y).as("syy"))
+        fsum(x, 1e6).as("sx"),
+        fsum(y, 1e6).as("sy"),
+        fsum(x * y, 1e4).as("sxy"),
+        fsum(x * x, 1e6).as("sxx"),
+        fsum(y * y, 1e2).as("syy"))
       .select(
         col("l_returnflag"),
         col("n"),
@@ -317,8 +319,7 @@ object CorpusOps {
     * silent.
     */
   def qAggCorrMatrix(spark: SparkSession, sfDir: String): DataFrame = {
-    def fsum(c: Column, grain: Double): Column =
-      sum(round(c * grain).cast("long")).cast("double") / grain
+    import graft.Tables.fsum
     val m = Seq(
       "q" -> col("l_quantity"),
       "p" -> col("l_extendedprice"),
@@ -364,8 +365,8 @@ object CorpusOps {
   /** Exact per-group distribution moments — population skewness and excess
     * kurtosis from the first four power sums, the same
     * merge-order-independent recipe as [[qAggCorr]]: each power sum is an
-    * exact DECIMAL(18,6) aggregate (map-side combined, one shuffle of 4
-    * decimals + a count per group), the closed forms run on doubles with
+    * exact fixed-point LONG aggregate (map-side combined, one shuffle of
+    * 4 longs + a count per group), the closed forms run on doubles with
     * identical operation order in both engines, rounded to 1e-9 (FMA
     * guard). Spark's own `skewness`/`kurtosis` builtins are NOT used on
     * purpose: their streaming-update formulation is order-sensitive in the
@@ -374,17 +375,19 @@ object CorpusOps {
     * to any grouping — the same argument as the HLL sketches).
     */
   def qAggMoments(spark: SparkSession, sfDir: String): DataFrame = {
-    import graft.Tables.dsum
+    import graft.Tables.fsum
     val x = col("l_quantity")
+    // quantity ≤ 50 ⇒ q⁴ ≤ 6.25e6: grains keep each long sum below 2^63
+    // through SF 1+ (6M rows × 6.25e10 ≈ 3.8e17 for s4)
     val agg = Tables
       .lineitem(spark, sfDir)
       .groupBy(col("l_returnflag"))
       .agg(
         count(lit(1)).as("n"),
-        dsum(x).as("s1"),
-        dsum(x * x).as("s2"),
-        dsum(x * x * x).as("s3"),
-        dsum(x * x * x * x).as("s4"))
+        fsum(x, 1e6).as("s1"),
+        fsum(x * x, 1e6).as("s2"),
+        fsum(x * x * x, 1e6).as("s3"),
+        fsum(x * x * x * x, 1e4).as("s4"))
     val n = col("n").cast("double")
     val m = col("s1") / n
     val m2 = col("s2") / n - m * m
@@ -1630,11 +1633,11 @@ object CorpusOps {
       Some("""WITH s AS (
              | SELECT l_returnflag,
              |  count(1) AS n,
-             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
-             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
-             |  CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
-             |  CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
-             |  CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS syy
+             |  CAST(sum(CAST(round((l_quantity) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sx,
+             |  CAST(sum(CAST(round((l_extendedprice) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sy,
+             |  CAST(sum(CAST(round((l_quantity * l_extendedprice) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 AS sxy,
+             |  CAST(sum(CAST(round((l_quantity * l_quantity) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sxx,
+             |  CAST(sum(CAST(round((l_extendedprice * l_extendedprice) * 100.0) AS BIGINT)) AS DOUBLE) / 100.0 AS syy
              | FROM lineitem GROUP BY 1)
              |SELECT l_returnflag, n,
              | round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9) AS corr_qty_price
@@ -1693,10 +1696,10 @@ object CorpusOps {
       qAggMoments,
       Some("""WITH a AS (
              | SELECT l_returnflag, count(1) AS n,
-             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS s1,
-             |  CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS s2,
-             |  CAST(sum(CAST(l_quantity * l_quantity * l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS s3,
-             |  CAST(sum(CAST(l_quantity * l_quantity * l_quantity * l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS s4
+             |  CAST(sum(CAST(round((l_quantity) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS s1,
+             |  CAST(sum(CAST(round((l_quantity * l_quantity) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS s2,
+             |  CAST(sum(CAST(round((l_quantity * l_quantity * l_quantity) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS s3,
+             |  CAST(sum(CAST(round((l_quantity * l_quantity * l_quantity * l_quantity) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 AS s4
              | FROM lineitem GROUP BY l_returnflag),
              |f AS (
              | SELECT l_returnflag, n,

@@ -312,14 +312,14 @@ object MiningOps {
   // -------------------------------------------------------------- linreg
 
   /** Per-group simple OLS (price on quantity): slope, intercept, r² from
-    * the same five exact DECIMAL(18,6) power sums as `q_agg_corr` — the
+    * the same five exact fixed-point power sums as `q_agg_corr` — the
     * re-aggregatable "ML-lite" analytics member: power sums precompute
     * per partition/day and merge to any grouping, so the regression can
     * be served incrementally at 100 TB. Closed forms run on doubles in
     * the identical IEEE order both engines, rounded 1e-9 (FMA guard).
     */
   def qAggLinreg(spark: SparkSession, sfDir: String): DataFrame = {
-    import graft.Tables.dsum
+    import graft.Tables.fsum
     val x = col("l_quantity")
     val y = col("l_extendedprice")
     val agg = Tables
@@ -327,11 +327,11 @@ object MiningOps {
       .groupBy(col("l_returnflag"))
       .agg(
         count(lit(1)).as("n"),
-        dsum(x).as("sx"),
-        dsum(y).as("sy"),
-        dsum(x * y).as("sxy"),
-        dsum(x * x).as("sxx"),
-        dsum(y * y).as("syy"))
+        fsum(x, 1e6).as("sx"),
+        fsum(y, 1e6).as("sy"),
+        fsum(x * y, 1e4).as("sxy"),
+        fsum(x * x, 1e6).as("sxx"),
+        fsum(y * y, 1e2).as("syy"))
     val n = col("n").cast("double")
     val sx = col("sx").cast("double")
     val sy = col("sy").cast("double")
@@ -954,11 +954,11 @@ object MiningOps {
       Some("""WITH s AS (
              | SELECT l_returnflag,
              |  count(1) AS n,
-             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
-             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
-             |  CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
-             |  CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
-             |  CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS syy
+             |  CAST(sum(CAST(round((l_quantity) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sx,
+             |  CAST(sum(CAST(round((l_extendedprice) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sy,
+             |  CAST(sum(CAST(round((l_quantity * l_extendedprice) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 AS sxy,
+             |  CAST(sum(CAST(round((l_quantity * l_quantity) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sxx,
+             |  CAST(sum(CAST(round((l_extendedprice * l_extendedprice) * 100.0) AS BIGINT)) AS DOUBLE) / 100.0 AS syy
              | FROM lineitem GROUP BY 1)
              |SELECT l_returnflag, n,
              | round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS slope,
