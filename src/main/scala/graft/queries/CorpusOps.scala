@@ -743,13 +743,24 @@ object CorpusOps {
     * upgrade modern lakehouse clustering uses: the Hilbert curve never
     * makes Z-order's long diagonal jumps, so contiguous key ranges
     * (files) stay tighter on BOTH dimensions (LayoutSpec measures both
-    * keys on the identical file-span harness). The classic xy→d walk is
-    * 16 unrolled rounds of pure integer bit math — each round ONE
-    * projection stage (`withColumn`), keeping the expression tree linear
-    * (inlining the recurrence would grow it 3^16); the oracle generates
-    * the identical 16 chained CTEs.
+    * keys on the identical file-span harness). The classic 16-round xy→d
+    * walk runs in the [[graft.functions.HilbertKey]] kernel — one
+    * codegen call per row (round 6; the previous 16 chained projection
+    * stages measured ~3-4 s at sf0.1, the worst healthy bench entry).
+    * The oracle still generates the equivalent 16 chained CTEs, and
+    * LayoutSpec pins kernel ≡ staged bit-for-bit.
     */
-  def qLayoutHilbert(spark: SparkSession, sfDir: String): DataFrame = {
+  def qLayoutHilbert(spark: SparkSession, sfDir: String): DataFrame =
+    hilbertNormalized(spark, sfDir)
+      .select(
+        col("o_orderkey"),
+        graft.functions.HilbertKey.of(col("x"), col("y")).as("hval"))
+      .orderBy("hval", "o_orderkey")
+
+  /** Shared (o_orderkey, x, y) normalization onto the 16-bit plane —
+    * bounds from one 1-row broadcast aggregate, exact integer `DIV`.
+    */
+  private[graft] def hilbertNormalized(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Tables
       .orders(spark, sfDir)
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
@@ -758,13 +769,19 @@ object CorpusOps {
       max(col("o_custkey")).as("ck1"),
       min(col("o_orderdate")).as("d0"),
       max(col("o_orderdate")).as("d1"))
-    var df = o
-      .crossJoin(broadcast(bounds))
+    o.crossJoin(broadcast(bounds))
       .select(
         col("o_orderkey"),
         expr("CAST((o_custkey - ck0) * 65535 DIV (ck1 - ck0) AS BIGINT)").as("x"),
         expr("CAST(datediff(o_orderdate, d0) * 65535 DIV datediff(d1, d0) AS BIGINT)").as("y"))
-      .withColumn("d", lit(0L))
+  }
+
+  /** The retired 16-stage dataframe walk, kept as the independent twin
+    * LayoutSpec pins the kernel against (same per-round math; the oracle
+    * CTE chain is generated from the same recurrence).
+    */
+  private[graft] def hilbertStaged(spark: SparkSession, sfDir: String): DataFrame = {
+    var df = hilbertNormalized(spark, sfDir).withColumn("d", lit(0L))
     var s = 32768L
     while (s > 0) {
       val rx = when(col("x").bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L))

@@ -98,6 +98,19 @@ class LayoutSpec extends SparkSuite {
     assert(hCk + hDate <= (zCk + zDate) * 1.05, s"hilbert $hCk+$hDate vs z $zCk+$zDate")
   }
 
+  test("Hilbert kernel equals the 16-stage dataframe walk bit-for-bit") {
+    val kernel = graft.queries.CorpusOps
+      .qLayoutHilbert(spark, sf001)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val staged = graft.queries.CorpusOps
+      .hilbertStaged(spark, sf001)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(kernel.nonEmpty)
+    assert(kernel.sameElements(staged))
+  }
+
   test("dynamic partition overwrite replaces only the written partitions") {
     import spark.implicits._
     // the ETL re-run shape: re-landing one day must not wipe the others
