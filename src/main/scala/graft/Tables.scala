@@ -76,7 +76,7 @@ object Tables {
     * grain).
     */
   def fsum(c: org.apache.spark.sql.Column, grain: Double): org.apache.spark.sql.Column =
-    sum(round(c * grain).cast("long")).cast("double") / grain
+    sum(graft.functions.ScaledLong.of(c.cast("double"), grain)).cast("double") / grain
 
   /** Deterministic average built from the exact decimal sum; the oracle
     * mirrors the same double-division so both engines produce identical

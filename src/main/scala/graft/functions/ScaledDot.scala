@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
@@ -47,6 +47,43 @@ case class ScaledDot(left: Expression, right: Expression) extends BinaryExpressi
   override protected def withNewChildrenInternal(
       newLeft: Expression,
       newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
+/** Codegen'd `round(x * grain)` as LONG — the per-row quantization step of
+  * the fixed-point sums (`Tables.fsum`). Spark's builtin `round` on a
+  * DOUBLE routes through `BigDecimal.valueOf(x).setScale(0, HALF_UP)` —
+  * one BigDecimal allocation per value, which at 15 sums × 600k rows is
+  * ~9M allocations per corr-matrix scan. [[ScaledDot.roundHalfAway]] is
+  * value-identical at scale 0 (HALF_UP is away-from-zero on halves, and
+  * the shortest-decimal vs exact-binary distinction cannot flip a
+  * scale-0 comparison against a representable half-integer), allocation-
+  * free, and monomorphic.
+  */
+case class ScaledLong(child: Expression, grain: Double) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "scaled_long"
+
+  override def nullSafeEval(input: Any): Any =
+    ScaledDot.roundHalfAway(input.asInstanceOf[Double] * grain)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      c => {
+        val cls = ScaledDot.getClass.getName.stripSuffix("$") + "$.MODULE$"
+        s"${ev.value} = $cls.roundHalfAway($c * ${grain}d);"
+      })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ScaledLong {
+  /** Column API: scaled_long(x, grain) → BIGINT round(x·grain). */
+  def of(c: Column, grain: Double): Column =
+    Bridge.column(ScaledLong(Bridge.expression(c), grain))
 }
 
 object ScaledDot {
