@@ -166,14 +166,16 @@ object Bench {
     }
     // Straggler isolation pass (see scaladoc): re-measure still-slow
     // queries in one fresh child JVM; per-query min of parent/child wins.
-    // 4 s sits above every query's healthy steady state (the heaviest,
-    // q_dedup_clusters / q_dedup_fuzzy, measure ~2.4-3 s at sf0.1), so a
-    // clean run never pays the child-JVM cost — while the shared-path
-    // deopt mode that parks a query at 4-8 s of REAL task CPU for the
-    // life of the JVM (observed: q_agg_stats 4.6/7.7 s both attempts vs
-    // 1.5 s fresh) now gets the fresh-JVM re-measure it needs. min-of-2
-    // can't catch that mode: both same-JVM attempts are honestly slow.
-    val stragglerSec = sys.env.getOrElse("SPARK_GRAFT_STRAGGLER_SEC", "4.0").toDouble
+    // 3.5 s sits above every query's healthy steady state (the heaviest,
+    // q_dedup_clusters / q_graph_common_neighbors, measure ~2.4-3 s at
+    // sf0.1; the round-6 kernels took the old 3.5-4 s entries to <1 s),
+    // so a clean run rarely pays the child-JVM cost — while the
+    // shared-path deopt mode that parks a query at 3.5-8 s of REAL task
+    // CPU for the life of the JVM (observed: q_agg_stats 4.6/7.7 s both
+    // attempts vs 1.5 s fresh; q_layout_hilbert 3.42/3.42 vs 0.71 fresh)
+    // now gets the fresh-JVM re-measure it needs. min-of-2 can't catch
+    // that mode: both same-JVM attempts are honestly slow.
+    val stragglerSec = sys.env.getOrElse("SPARK_GRAFT_STRAGGLER_SEC", "3.5").toDouble
     val stragglers = ok.collect { case (n, v) if v > stragglerSec => n }
     if (stragglers.nonEmpty && !sys.env.contains("SPARK_GRAFT_NO_RESPAWN")) {
       System.err.println(

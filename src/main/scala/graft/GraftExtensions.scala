@@ -129,5 +129,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FunctionIdentifier("deflate_len"),
         info("deflate_len", "deflate_len(text) - raw-DEFLATE length of the UTF-8 bytes"),
         (args: Seq[Expression]) => functions.DeflateLen(one(args, "deflate_len"))))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("hilbert_key"),
+        info(
+          "hilbert_key",
+          "hilbert_key(x, y) - Hilbert-curve distance of a 16-bit (x, y) cell"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, "hilbert_key expects exactly 2 arguments")
+          functions.HilbertKey(args.head, args(1))
+        }))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("scaled_long"),
+        info(
+          "scaled_long",
+          "scaled_long(x, grain) - round(x * grain) as BIGINT, allocation-free"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, "scaled_long expects exactly 2 arguments")
+          args(1) match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(g: Double, _) =>
+              functions.ScaledLong(args.head, g)
+            case other =>
+              throw new IllegalArgumentException(
+                s"scaled_long: grain must be a double literal, got $other")
+          }
+        }))
   }
 }

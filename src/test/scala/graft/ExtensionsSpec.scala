@@ -58,7 +58,10 @@ class ExtensionsSpec extends AnyFunSuite {
              |       scaled_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
              |                  array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS sd,
              |       edit_within('abcdefghij', 'abcdefghiX') AS ed,
-             |       edit_within('abcdefghij', 'XYZdefXYZX') AS ed_far
+             |       edit_within('abcdefghij', 'XYZdefXYZX') AS ed_far,
+             |       hilbert_key(CAST(0 AS BIGINT), CAST(0 AS BIGINT)) AS h0,
+             |       hilbert_key(CAST(65535 AS BIGINT), CAST(0 AS BIGINT)) AS hmax,
+             |       scaled_long(CAST(2.5 AS DOUBLE), 1e2) AS sl
              |""".stripMargin)
       .head()
     assert(r.getAs[Int]("nt") == 4)
@@ -69,6 +72,10 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("sd") == (3.0 + 8.0) * 1e12.toLong)
     assert(r.getAs[Int]("ed") == 1)
     assert(r.getAs[Int]("ed_far") == -1)
+    assert(r.getAs[Long]("h0") == 0L) // curve starts at the origin
+    // (65535, 0) is the curve's other endpoint: d = 2^32 - 1
+    assert(r.getAs[Long]("hmax") == (1L << 32) - 1)
+    assert(r.getAs[Long]("sl") == 250L)
   }
 
   test("optimizer rule rewrites the HOF token count to the kernel, same values") {

@@ -200,4 +200,37 @@ class KernelEdgeCaseSpec extends SparkSuite {
       .map(_.getInt(0))
     assert(z(0) * 5 < z(1), s"repetitive ${z(0)} vs varied ${z(1)}")
   }
+
+  test("ScaledLong equals builtin round(x*grain)::long on ties, negatives, and fixture bounds") {
+    // the allocation-free quantizer must be value-identical to the
+    // BigDecimal-backed builtin it replaced in Tables.fsum — including
+    // exact .5 ties (HALF_UP = away from zero on both paths) and values
+    // just below/above tie boundaries in binary
+    val xs = Seq(
+      0.0, 1.0, -1.0, 0.5, -0.5, 1.5, -1.5, 2.5, -2.5,
+      0.4999999999999999, 0.5000000000000001, -0.4999999999999999,
+      0.005, -0.005, 0.015, 0.025, 123.456789, -123.456789,
+      105000.12345, -105000.12345, 560.21, 1.0e-12, -1.0e-12,
+      49.999999, 0.1 + 0.2)
+    val df = xs.toDF("x")
+    // grains paired with the largest fixture-bound addend each carries
+    // (see corrMatrixGrains): the x·grain products stay inside BIGINT,
+    // as in production — at larger products the builtin reference side
+    // itself overflows the ANSI cast
+    val byGrain = Seq(
+      1e2 -> (xs :+ 1.2099999999999e10), // price² bound at the pp grain
+      1e4 -> xs,
+      1e6 -> xs,
+      1e9 -> xs)
+    byGrain.foreach { case (g, vals) =>
+      vals.toDF("x").select(
+        col("x"),
+        ScaledLong.of(col("x"), g).as("k"),
+        round(col("x") * g).cast("long").as("r"))
+        .collect()
+        .foreach { r =>
+          assert(r.getLong(1) == r.getLong(2), s"x=${r.getDouble(0)} grain=$g")
+        }
+    }
+  }
 }
