@@ -129,6 +129,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FunctionIdentifier("deflate_len"),
         info("deflate_len", "deflate_len(text) - raw-DEFLATE length of the UTF-8 bytes"),
         (args: Seq[Expression]) => functions.DeflateLen(one(args, "deflate_len"))))
+    // ExpectsInputTypes is private[sql], so SQL-surface kernels coerce
+    // their arguments by construction: a bare integer literal (parsed as
+    // INT) or a plain decimal literal (parsed as DECIMAL) would otherwise
+    // hit the eval path's primitive casts and throw ClassCastException.
+    def asLong(e: Expression): Expression =
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        e,
+        org.apache.spark.sql.types.LongType)
+    def asDouble(e: Expression): Expression =
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        e,
+        org.apache.spark.sql.types.DoubleType)
     ext.injectFunction(
       (
         FunctionIdentifier("hilbert_key"),
@@ -137,7 +149,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "hilbert_key(x, y) - Hilbert-curve distance of a 16-bit (x, y) cell"),
         (args: Seq[Expression]) => {
           require(args.length == 2, "hilbert_key expects exactly 2 arguments")
-          functions.HilbertKey(args.head, args(1))
+          functions.HilbertKey(asLong(args.head), asLong(args(1)))
         }))
     ext.injectFunction(
       (
@@ -147,12 +159,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "scaled_long(x, grain) - round(x * grain) as BIGINT, allocation-free"),
         (args: Seq[Expression]) => {
           require(args.length == 2, "scaled_long expects exactly 2 arguments")
+          // accept any numeric literal as the grain: 1e2 parses as DOUBLE
+          // but 100.0 parses as DECIMAL(4,1) and 100 as INT
           args(1) match {
-            case org.apache.spark.sql.catalyst.expressions.Literal(g: Double, _) =>
-              functions.ScaledLong(args.head, g)
+            case org.apache.spark.sql.catalyst.expressions.Literal(g, _)
+                if g != null && Seq(
+                  classOf[java.lang.Double],
+                  classOf[java.lang.Float],
+                  classOf[java.lang.Integer],
+                  classOf[java.lang.Long],
+                  classOf[org.apache.spark.sql.types.Decimal]).exists(_.isInstance(g)) =>
+              val grain = g match {
+                case d: org.apache.spark.sql.types.Decimal => d.toDouble
+                case n: java.lang.Number => n.doubleValue()
+              }
+              functions.ScaledLong(asDouble(args.head), grain)
             case other =>
               throw new IllegalArgumentException(
-                s"scaled_long: grain must be a double literal, got $other")
+                s"scaled_long: grain must be a numeric literal, got $other")
           }
         }))
   }

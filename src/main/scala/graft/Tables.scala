@@ -28,12 +28,18 @@ object Tables {
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    // Our own entry points (Bench/Verify/Explain/tests) set this at session
-    // build; this guarded fallback exists only for externally-owned sessions
+    // Our own entry points (Bench/Verify/Explain/tests) set these at session
+    // build; the guarded fallbacks exist only for externally-owned sessions
     // (the driver's t1 smoke passes its own SparkSession into SparkEntry).
-    // Harmless for micros/NTZ files — it only affects TIMESTAMP(NANOS).
+    // nanosAsLong is harmless for micros/NTZ files — it only affects
+    // TIMESTAMP(NANOS). The UTC pin is LOAD-BEARING for the NTZ layout:
+    // `cast(ntz as timestamp)` reinterprets the wall clock in the SESSION
+    // zone, so a non-UTC external session would silently shift every
+    // events timestamp against the oracle's naive read.
     if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (spark.conf.get("spark.sql.session.timeZone") != "UTC")
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
     import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     val ts = raw.schema("ts").dataType match {

@@ -65,15 +65,15 @@ case class ScaledLong(child: Expression, grain: Double) extends UnaryExpression 
   override def prettyName: String = "scaled_long"
 
   override def nullSafeEval(input: Any): Any =
-    ScaledDot.roundHalfAway(input.asInstanceOf[Double] * grain)
+    ScaledLong.scaledLong(input.asInstanceOf[Double], grain)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(
       ctx,
       ev,
       c => {
-        val cls = ScaledDot.getClass.getName.stripSuffix("$") + "$.MODULE$"
-        s"${ev.value} = $cls.roundHalfAway($c * ${grain}d);"
+        val cls = ScaledLong.getClass.getName.stripSuffix("$") + "$.MODULE$"
+        s"${ev.value} = $cls.scaledLong($c, ${grain}d);"
       })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -81,6 +81,21 @@ case class ScaledLong(child: Expression, grain: Double) extends UnaryExpression 
 }
 
 object ScaledLong {
+
+  /** [[ScaledDot.roundHalfAway]] with explicit non-finite saturation:
+    * +∞ → Long.MaxValue, −∞ → Long.MinValue, NaN → 0 (the long-cast
+    * conventions). roundHalfAway alone would return r+1 = MinValue for
+    * p = +∞ (floor(∞).toLong already saturates, then the away-from-zero
+    * bump wraps). Fixture data is finite; this guards the SQL surface.
+    */
+  def scaledLong(x: Double, grain: Double): Long = {
+    val p = x * grain
+    if (java.lang.Double.isNaN(p)) 0L
+    else if (p == Double.PositiveInfinity) Long.MaxValue
+    else if (p == Double.NegativeInfinity) Long.MinValue
+    else ScaledDot.roundHalfAway(p)
+  }
+
   /** Column API: scaled_long(x, grain) → BIGINT round(x·grain). */
   def of(c: Column, grain: Double): Column =
     Bridge.column(ScaledLong(Bridge.expression(c), grain))

@@ -260,6 +260,7 @@ object CorpusOps {
     */
   def qAggCorr(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.Tables.fsum
+    val g = corrMatrixGrains
     val x = col("l_quantity")
     val y = col("l_extendedprice")
     Tables
@@ -267,11 +268,11 @@ object CorpusOps {
       .groupBy(col("l_returnflag"))
       .agg(
         count(lit(1)).as("n"),
-        fsum(x, 1e6).as("sx"),
-        fsum(y, 1e6).as("sy"),
-        fsum(x * y, 1e4).as("sxy"),
-        fsum(x * x, 1e6).as("sxx"),
-        fsum(y * y, 1e2).as("syy"))
+        fsum(x, g("q")).as("sx"),
+        fsum(y, g("p")).as("sy"),
+        fsum(x * y, g("qp")).as("sxy"),
+        fsum(x * x, g("qq")).as("sxx"),
+        fsum(y * y, g("pp")).as("syy"))
       .select(
         col("l_returnflag"),
         col("n"),
@@ -297,6 +298,20 @@ object CorpusOps {
     "qq" -> 1e6, "pp" -> 1e2, "dd" -> 1e9, "tt" -> 1e9,
     "qp" -> 1e4, "qd" -> 1e9, "qt" -> 1e9,
     "pd" -> 1e6, "pt" -> 1e6, "dt" -> 1e9)
+
+  /** Grains for [[qAggMoments]]'s quantity power sums (q ≤ 50 ⇒ q⁴ ≤
+    * 6.25e6; s4's grain keeps the long sum < 2^63 through SF 1+).
+    */
+  private[queries] val momentsGrains: Map[String, Double] =
+    Map("s1" -> 1e6, "s2" -> 1e6, "s3" -> 1e6, "s4" -> 1e4)
+
+  /** Oracle-side twin of [[graft.Tables.fsum]], rendered from the SAME
+    * grain constant the Spark plan uses — the only way grain edits stay
+    * in lockstep on both sides (shared by the corr / corr-matrix /
+    * linreg / moments oracles).
+    */
+  private[queries] def fsumSql(sqlExpr: String, grain: Double, alias: String): String =
+    s"CAST(sum(CAST(round(($sqlExpr) * $grain) AS BIGINT)) AS DOUBLE) / $grain AS $alias"
 
   /** Full pairwise correlation MATRIX over four lineitem measures from
     * ONE scan: 15 exact power sums (4 + 4 squares + 6 crosses + count)
@@ -376,18 +391,17 @@ object CorpusOps {
     */
   def qAggMoments(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.Tables.fsum
+    val g = momentsGrains
     val x = col("l_quantity")
-    // quantity ≤ 50 ⇒ q⁴ ≤ 6.25e6: grains keep each long sum below 2^63
-    // through SF 1+ (6M rows × 6.25e10 ≈ 3.8e17 for s4)
     val agg = Tables
       .lineitem(spark, sfDir)
       .groupBy(col("l_returnflag"))
       .agg(
         count(lit(1)).as("n"),
-        fsum(x, 1e6).as("s1"),
-        fsum(x * x, 1e6).as("s2"),
-        fsum(x * x * x, 1e6).as("s3"),
-        fsum(x * x * x * x, 1e4).as("s4"))
+        fsum(x, g("s1")).as("s1"),
+        fsum(x * x, g("s2")).as("s2"),
+        fsum(x * x * x, g("s3")).as("s3"),
+        fsum(x * x * x * x, g("s4")).as("s4"))
     val n = col("n").cast("double")
     val m = col("s1") / n
     val m2 = col("s2") / n - m * m
@@ -1620,8 +1634,7 @@ object CorpusOps {
         val cols = Map("q" -> "l_quantity", "p" -> "l_extendedprice", "d" -> "l_discount", "t" -> "l_tax")
         def fs(key: String): String = {
           val expr = key.toSeq.map(ch => cols(ch.toString)).mkString(" * ")
-          val g = corrMatrixGrains(key)
-          s"CAST(sum(CAST(round(($expr) * $g) AS BIGINT)) AS DOUBLE) / $g AS s_$key"
+          fsumSql(expr, corrMatrixGrains(key), s"s_$key")
         }
         val sumList = Seq("q", "p", "d", "t", "qq", "pp", "dd", "tt", "qp", "qd", "qt", "pd", "pt", "dt")
           .map(k => s"  ${fs(k)}")
@@ -1647,18 +1660,21 @@ object CorpusOps {
       }),
     "q_agg_corr" -> Q(
       qAggCorr,
-      Some("""WITH s AS (
-             | SELECT l_returnflag,
-             |  count(1) AS n,
-             |  CAST(sum(CAST(round((l_quantity) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sx,
-             |  CAST(sum(CAST(round((l_extendedprice) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sy,
-             |  CAST(sum(CAST(round((l_quantity * l_extendedprice) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 AS sxy,
-             |  CAST(sum(CAST(round((l_quantity * l_quantity) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sxx,
-             |  CAST(sum(CAST(round((l_extendedprice * l_extendedprice) * 100.0) AS BIGINT)) AS DOUBLE) / 100.0 AS syy
-             | FROM lineitem GROUP BY 1)
-             |SELECT l_returnflag, n,
-             | round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9) AS corr_qty_price
-             |FROM s ORDER BY l_returnflag""".stripMargin)),
+      Some {
+        val g = corrMatrixGrains
+        s"""WITH s AS (
+           | SELECT l_returnflag,
+           |  count(1) AS n,
+           |  ${fsumSql("l_quantity", g("q"), "sx")},
+           |  ${fsumSql("l_extendedprice", g("p"), "sy")},
+           |  ${fsumSql("l_quantity * l_extendedprice", g("qp"), "sxy")},
+           |  ${fsumSql("l_quantity * l_quantity", g("qq"), "sxx")},
+           |  ${fsumSql("l_extendedprice * l_extendedprice", g("pp"), "syy")}
+           | FROM lineitem GROUP BY 1)
+           |SELECT l_returnflag, n,
+           | round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9) AS corr_qty_price
+           |FROM s ORDER BY l_returnflag""".stripMargin
+      }),
     "q_events_resample" -> Q(
       qEventsResample,
       Some(s"""WITH b0 AS (
@@ -1711,13 +1727,15 @@ object CorpusOps {
              |SELECT doc_id, rk, tok, score FROM rk WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin)),
     "q_agg_moments" -> Q(
       qAggMoments,
-      Some("""WITH a AS (
-             | SELECT l_returnflag, count(1) AS n,
-             |  CAST(sum(CAST(round((l_quantity) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS s1,
-             |  CAST(sum(CAST(round((l_quantity * l_quantity) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS s2,
-             |  CAST(sum(CAST(round((l_quantity * l_quantity * l_quantity) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS s3,
-             |  CAST(sum(CAST(round((l_quantity * l_quantity * l_quantity * l_quantity) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 AS s4
-             | FROM lineitem GROUP BY l_returnflag),
+      Some {
+        val g = momentsGrains
+        s"""WITH a AS (
+           | SELECT l_returnflag, count(1) AS n,
+           |  ${fsumSql("l_quantity", g("s1"), "s1")},
+           |  ${fsumSql("l_quantity * l_quantity", g("s2"), "s2")},
+           |  ${fsumSql("l_quantity * l_quantity * l_quantity", g("s3"), "s3")},
+           |  ${fsumSql("l_quantity * l_quantity * l_quantity * l_quantity", g("s4"), "s4")}
+           | FROM lineitem GROUP BY l_returnflag),
              |f AS (
              | SELECT l_returnflag, n,
              |  s1 / n AS m,
@@ -1729,7 +1747,8 @@ object CorpusOps {
              |SELECT l_returnflag, n, round(m, 9) AS mean_qty,
              | round(m3 / (m2 * sqrt(m2)), 9) AS skew_qty,
              | round(m4 / (m2 * m2) - 3.0, 9) AS kurt_qty
-             |FROM f ORDER BY l_returnflag""".stripMargin)),
+           |FROM f ORDER BY l_returnflag""".stripMargin
+      }),
     "q_agg_hll_merge" -> Q(qAggHllMerge, None),
     "q_agg_hll_intersect" -> Q(qAggHllIntersect, None),
     "q_agg_quantile_sketch" -> Q(qAggQuantileSketch, None),

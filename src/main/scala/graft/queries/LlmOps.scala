@@ -27,6 +27,22 @@ object LlmOps {
   // list_filter(string_split(text, ' '), t -> t <> '').
   private[queries] val DOCS_T = "(SELECT doc_id, text, lang, source, n_chars, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents)"
 
+  /** ONE oracle-side definition of "distinct 3-token shingles per doc" —
+    * the shared CTE body of every shingle-family oracle (ngram /
+    * ngram_capped / containment / clusters / droplist / MinHash). The
+    * near-eval oracle judges MinHash candidates against the ngram ground
+    * truth, so the two MUST tokenize and shingle identically — a single
+    * definition removes that drift surface (q_decontaminate's variant
+    * carries an extra split-bucket column and stays inline).
+    */
+  private[queries] val SHINGLE_DOCS: String =
+    """ SELECT doc_id, list_distinct(
+      |   CASE WHEN len(toks) >= 3 THEN
+      |     list_transform(generate_series(1, len(toks) - 2),
+      |       i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+      |   ELSE [] END) AS shingles
+      | FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents)""".stripMargin
+
   /** DuckDB twin of the [[graft.functions.MinHash16]] kernel +
     * banded-LSH candidate join, shared by the `q_dedup_near` /
     * `q_dedup_near_eval` oracles: distinct 3-token shingles, per-shingle
@@ -48,12 +64,7 @@ object LlmOps {
       .mkString("\n   OR ")
     val nmatch = (0 until 16).map(k => s"CAST(a.m$k = b.m$k AS INT)").mkString(" + ")
     s"""mh_docs AS (
-       | SELECT doc_id, list_distinct(
-       |   CASE WHEN len(toks) >= 3 THEN
-       |     list_transform(generate_series(1, len(toks) - 2),
-       |       i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
-       |   ELSE [] END) AS shingles
-       | FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents)),
+       |$SHINGLE_DOCS),
        |mh_bh AS (
        | SELECT doc_id,
        |  CAST((('0x' || substr(md5(sh), 1, 16))::UBIGINT) % $P AS BIGINT) AS h
@@ -1611,13 +1622,8 @@ object LlmOps {
              |FROM documents GROUP BY 1 ORDER BY h""".stripMargin)),
     "q_dedup_ngram" -> Q(
       qDedupNgram,
-      Some("""WITH docs AS (
-             | SELECT doc_id, list_distinct(
-             |   CASE WHEN len(toks) >= 3 THEN
-             |     list_transform(generate_series(1, len(toks) - 2),
-             |       i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
-             |   ELSE [] END) AS shingles
-             | FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents)),
+      Some(s"""WITH docs AS (
+             |$SHINGLE_DOCS),
              |sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM docs),
              |ex AS (SELECT doc_id, unnest(shingles) AS sh FROM docs),
              |pairs AS (
@@ -1632,13 +1638,8 @@ object LlmOps {
       bench = false),
     "q_dedup_ngram_capped" -> Q(
       qDedupNgramCapped,
-      Some("""WITH docs AS (
-             | SELECT doc_id, list_distinct(
-             |   CASE WHEN len(toks) >= 3 THEN
-             |     list_transform(generate_series(1, len(toks) - 2),
-             |       i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
-             |   ELSE [] END) AS shingles
-             | FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents)),
+      Some(s"""WITH docs AS (
+             |$SHINGLE_DOCS),
              |ex0 AS (SELECT doc_id, unnest(shingles) AS sh FROM docs),
              |df AS (SELECT sh, count(1) AS df FROM ex0 GROUP BY sh),
              |ex AS (SELECT ex0.doc_id, ex0.sh FROM ex0 JOIN df USING (sh) WHERE df.df <= 50),
@@ -1654,13 +1655,8 @@ object LlmOps {
              |ORDER BY d1, d2""".stripMargin)),
     "q_dedup_containment" -> Q(
       qDedupContainment,
-      Some("""WITH docs AS (
-             | SELECT doc_id, list_distinct(
-             |   CASE WHEN len(toks) >= 3 THEN
-             |     list_transform(generate_series(1, len(toks) - 2),
-             |       i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
-             |   ELSE [] END) AS shingles
-             | FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents)),
+      Some(s"""WITH docs AS (
+             |$SHINGLE_DOCS),
              |ex0 AS (SELECT doc_id, unnest(shingles) AS sh FROM docs),
              |df AS (SELECT sh, count(1) AS df FROM ex0 GROUP BY sh),
              |ex AS (SELECT ex0.doc_id, ex0.sh FROM ex0 JOIN df USING (sh) WHERE df.df <= 50),
@@ -1734,13 +1730,8 @@ object LlmOps {
     // label = min reachable vertex — exactly DedupClusters' fixpoint.
     "q_dedup_clusters" -> Q(
       qDedupClusters,
-      Some("""WITH RECURSIVE docs AS (
-             | SELECT doc_id, list_distinct(
-             |   CASE WHEN len(toks) >= 3 THEN
-             |     list_transform(generate_series(1, len(toks) - 2),
-             |       i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
-             |   ELSE [] END) AS shingles
-             | FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents)),
+      Some(s"""WITH RECURSIVE docs AS (
+             |$SHINGLE_DOCS),
              |ex0 AS (SELECT doc_id, unnest(shingles) AS sh FROM docs),
              |df AS (SELECT sh, count(1) AS df FROM ex0 GROUP BY sh),
              |ex AS (SELECT ex0.doc_id, ex0.sh FROM ex0 JOIN df USING (sh) WHERE df.df <= 50),
@@ -1768,13 +1759,8 @@ object LlmOps {
     "q_dedup_droplist" -> Q(
       qDedupDroplist,
       bench = false,
-      oracle = Some("""WITH RECURSIVE docs AS (
-             | SELECT doc_id, list_distinct(
-             |   CASE WHEN len(toks) >= 3 THEN
-             |     list_transform(generate_series(1, len(toks) - 2),
-             |       i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
-             |   ELSE [] END) AS shingles
-             | FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents)),
+      oracle = Some(s"""WITH RECURSIVE docs AS (
+             |$SHINGLE_DOCS),
              |ex0 AS (SELECT doc_id, unnest(shingles) AS sh FROM docs),
              |df AS (SELECT sh, count(1) AS df FROM ex0 GROUP BY sh),
              |ex AS (SELECT ex0.doc_id, ex0.sh FROM ex0 JOIN df USING (sh) WHERE df.df <= 50),

@@ -320,6 +320,7 @@ object MiningOps {
     */
   def qAggLinreg(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.Tables.fsum
+    val g = CorpusOps.corrMatrixGrains
     val x = col("l_quantity")
     val y = col("l_extendedprice")
     val agg = Tables
@@ -327,11 +328,11 @@ object MiningOps {
       .groupBy(col("l_returnflag"))
       .agg(
         count(lit(1)).as("n"),
-        fsum(x, 1e6).as("sx"),
-        fsum(y, 1e6).as("sy"),
-        fsum(x * y, 1e4).as("sxy"),
-        fsum(x * x, 1e6).as("sxx"),
-        fsum(y * y, 1e2).as("syy"))
+        fsum(x, g("q")).as("sx"),
+        fsum(y, g("p")).as("sy"),
+        fsum(x * y, g("qp")).as("sxy"),
+        fsum(x * x, g("qq")).as("sxx"),
+        fsum(y * y, g("pp")).as("syy"))
     val n = col("n").cast("double")
     val sx = col("sx").cast("double")
     val sy = col("sy").cast("double")
@@ -951,21 +952,25 @@ object MiningOps {
              |FROM p ORDER BY centroid_cos ASC, vec_id ASC LIMIT 20""".stripMargin)),
     "q_agg_linreg" -> Q(
       qAggLinreg,
-      Some("""WITH s AS (
-             | SELECT l_returnflag,
-             |  count(1) AS n,
-             |  CAST(sum(CAST(round((l_quantity) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sx,
-             |  CAST(sum(CAST(round((l_extendedprice) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sy,
-             |  CAST(sum(CAST(round((l_quantity * l_extendedprice) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 AS sxy,
-             |  CAST(sum(CAST(round((l_quantity * l_quantity) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sxx,
-             |  CAST(sum(CAST(round((l_extendedprice * l_extendedprice) * 100.0) AS BIGINT)) AS DOUBLE) / 100.0 AS syy
-             | FROM lineitem GROUP BY 1)
-             |SELECT l_returnflag, n,
-             | round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS slope,
-             | round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 9) AS intercept,
-             | round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
-             |       ((n * sxx - sx * sx) * (n * syy - sy * sy)), 9) AS r2
-             |FROM s ORDER BY l_returnflag""".stripMargin)),
+      Some {
+        val g = CorpusOps.corrMatrixGrains
+        import CorpusOps.fsumSql
+        s"""WITH s AS (
+           | SELECT l_returnflag,
+           |  count(1) AS n,
+           |  ${fsumSql("l_quantity", g("q"), "sx")},
+           |  ${fsumSql("l_extendedprice", g("p"), "sy")},
+           |  ${fsumSql("l_quantity * l_extendedprice", g("qp"), "sxy")},
+           |  ${fsumSql("l_quantity * l_quantity", g("qq"), "sxx")},
+           |  ${fsumSql("l_extendedprice * l_extendedprice", g("pp"), "syy")}
+           | FROM lineitem GROUP BY 1)
+           |SELECT l_returnflag, n,
+           | round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS slope,
+           | round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 9) AS intercept,
+           | round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+           |       ((n * sxx - sx * sx) * (n * syy - sy * sy)), 9) AS r2
+           |FROM s ORDER BY l_returnflag""".stripMargin
+      }),
     "q_events_ewma" -> Q(
       qEventsEwma,
       Some(s"""WITH v AS (

@@ -22,6 +22,13 @@ class ExtensionsSpec extends AnyFunSuite {
   // the config line stays as production documentation (it IS the
   // mechanism when the context is born with it, i.e. spark-submit).
   private lazy val ext: SparkSession = {
+    // Force the SHARED suite session to exist FIRST: if this suite runs
+    // before any SparkSuite-based one, our ext session would be left as
+    // the thread's active session after a test action, and the shared
+    // lazy getOrCreate in a later suite would silently ADOPT it —
+    // extensions rules and all (observed: PlanSpec's lateral test seeing
+    // a GroupTopK plan only when ExtensionsSpec ran first in the batch).
+    SparkSuite.spark
     val prevDefault = SparkSession.getDefaultSession
     val prevActive = SparkSession.getActiveSession
     SparkSession.clearDefaultSession()

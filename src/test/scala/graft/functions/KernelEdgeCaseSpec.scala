@@ -212,7 +212,6 @@ class KernelEdgeCaseSpec extends SparkSuite {
       0.005, -0.005, 0.015, 0.025, 123.456789, -123.456789,
       105000.12345, -105000.12345, 560.21, 1.0e-12, -1.0e-12,
       49.999999, 0.1 + 0.2)
-    val df = xs.toDF("x")
     // grains paired with the largest fixture-bound addend each carries
     // (see corrMatrixGrains): the x·grain products stay inside BIGINT,
     // as in production — at larger products the builtin reference side
@@ -232,5 +231,11 @@ class KernelEdgeCaseSpec extends SparkSuite {
           assert(r.getLong(1) == r.getLong(2), s"x=${r.getDouble(0)} grain=$g")
         }
     }
+    // non-finite saturation (the SQL surface can feed these; the builtin
+    // reference THROWS under ANSI, so the kernel defines its own
+    // long-cast-convention behavior and we pin it directly)
+    assert(ScaledLong.scaledLong(Double.PositiveInfinity, 1e6) == Long.MaxValue)
+    assert(ScaledLong.scaledLong(Double.NegativeInfinity, 1e6) == Long.MinValue)
+    assert(ScaledLong.scaledLong(Double.NaN, 1e6) == 0L)
   }
 }

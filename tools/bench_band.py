@@ -51,8 +51,10 @@ def main():
         print("BAND FAIL: no parseable summary line (tail truncation or crash)")
         sys.exit(2)
 
-    # prefer the full line (has per-query map); fall back to the compact one
-    full = next((s for s in summaries if "queries" in s), None)
+    # prefer the LATEST full line (has per-query map) — a log with two
+    # appended bench runs must be judged by the most recent one — and
+    # fall back to the latest compact line
+    full = next((s for s in reversed(summaries) if "queries" in s), None)
     compact = summaries[-1]
     total = (full or compact)["value"]
     failed = (full or compact).get("failed", [])
