@@ -71,6 +71,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (args: Seq[Expression]) => functions.Shingles3(one(args, "shingles3"))))
     ext.injectFunction(
       (
+        FunctionIdentifier("shingles3_hashed"),
+        info(
+          "shingles3_hashed",
+          "shingles3_hashed(text) - distinct 3-token shingle md5-hash64s"),
+        (args: Seq[Expression]) => functions.Shingles3Hashed(one(args, "shingles3_hashed"))))
+    ext.injectFunction(
+      (
         FunctionIdentifier("token_windows"),
         info(
           "token_windows",

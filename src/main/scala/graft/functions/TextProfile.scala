@@ -241,6 +241,62 @@ object Shingles3 {
   def of(c: Column): Column = Bridge.column(Shingles3(Bridge.expression(c)))
 }
 
+/** [[Shingles3]] with the shingle emitted as its 64-bit md5 hash (first 8
+  * MD5 bytes big-endian, the engine-portable hash of [[SimHash64]]):
+  * ARRAY<LONG> of distinct shingle hashes. The n-gram dedup family joins
+  * and aggregates on this instead of the shingle STRING, so its candidate
+  * shuffle carries 8-byte keys instead of ~25-byte text — the difference
+  * between shuffling the corpus vocabulary and shuffling fixed-width ids
+  * at 100 TB. Distinctness is on the HASH (a within-doc collision would
+  * merge two shingles); the DuckDB twin replays exactly that:
+  * `list_distinct(list_transform(shingles, s ->
+  * ('0x' || substr(md5(s), 1, 16))::UBIGINT))`.
+  */
+case class Shingles3Hashed(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingles3_hashed"
+
+  override def nullSafeEval(input: Any): Any =
+    Shingles3Hashed.shingleHashes(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${Shingles3Hashed.Mod}.shingleHashes($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Shingles3Hashed {
+
+  private[functions] val Mod = getClass.getName.stripSuffix("$") + "$.MODULE$"
+
+  def shingleHashes(u: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val s = u.toString
+    val (starts, ends) = TokenOffsets.of(s)
+    val m = starts.size()
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    var j = 0
+    while (j + 2 < m) {
+      val sb = new java.lang.StringBuilder(ends.get(j + 2) - starts.get(j))
+      sb.append(s, starts.get(j), ends.get(j)).append(' ')
+      sb.append(s, starts.get(j + 1), ends.get(j + 1)).append(' ')
+      sb.append(s, starts.get(j + 2), ends.get(j + 2))
+      val bytes = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.add(SimHash64.md5Hash64(bytes, 0, bytes.length))
+      j += 1
+    }
+    val arr = new Array[Any](out.size())
+    val it = out.iterator()
+    var k = 0
+    while (it.hasNext) { arr(k) = it.next().longValue(); k += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
+  /** Column API: distinct 3-token shingle hashes as ARRAY<BIGINT>. */
+  def of(c: Column): Column = Bridge.column(Shingles3Hashed(Bridge.expression(c)))
+}
+
 /** Codegen'd 64-bit SimHash (see `q_dedup_simhash`): per-token hash =
   * first 8 bytes of MD5(token UTF-8 bytes), big-endian, as a signed long;
   * ±1 votes per bit, sign-assembled signature. One generated call per

@@ -43,6 +43,20 @@ object LlmOps {
       |   ELSE [] END) AS shingles
       | FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents)""".stripMargin
 
+  /** Hashed twin of [[SHINGLE_DOCS]] (expects a `docs` CTE in scope):
+    * per-doc distinct 64-bit shingle hashes, replaying
+    * [[graft.functions.Shingles3Hashed]] exactly — distinctness applies
+    * AFTER hashing, as in the kernel. UBIGINT equality ≡ the engine's
+    * signed-long equality (same 64 bits), and no hash value reaches any
+    * output column, so no sign conversion is needed.
+    */
+  private[queries] def shingleHashList(from: String): String =
+    s""" SELECT doc_id, list_distinct(list_transform(shingles,
+       |   s -> ('0x' || substr(md5(s), 1, 16))::UBIGINT)) AS hs
+       | FROM $from""".stripMargin
+
+  private[queries] val SHINGLE_HASH_LIST: String = shingleHashList("docs")
+
   /** DuckDB twin of the [[graft.functions.MinHash16]] kernel +
     * banded-LSH candidate join, shared by the `q_dedup_near` /
     * `q_dedup_near_eval` oracles: distinct 3-token shingles, per-shingle
@@ -150,20 +164,24 @@ object LlmOps {
 
   // ----------------------------------------------------------- n-gram Jaccard
 
-  /** Distinct 3-word shingles per doc as (doc_id, sh) rows, via the
-    * [[graft.functions.Shingles3]] codegen kernel + explode: the whole
-    * shingle derivation is scan → generate inside one codegen stage, with
-    * no window pass and no distinct shuffle (the kernel dedupes per doc).
-    * Two earlier shapes both failed at this: a higher-order-function build
-    * re-executed `split(text)` per element after CollapseProject inlining
-    * (one task burning 15 min at sf0.1), and a posexplode + window-lead +
-    * distinct pipeline left WindowExec's interpreted per-row path on the
-    * hot loop (74 s task CPU late-JVM vs 4 s healthy — see Shingles3).
+  /** Distinct 3-word shingle HASHES per doc as (doc_id, sh: LONG) rows,
+    * via the [[graft.functions.Shingles3Hashed]] codegen kernel + explode:
+    * the whole shingle derivation is scan → generate inside one codegen
+    * stage, with no window pass and no distinct shuffle (the kernel
+    * dedupes per doc). Joining/aggregating on the 8-byte md5-derived hash
+    * instead of the shingle string (round 6) keeps the candidate shuffle
+    * fixed-width at 100 TB, and DuckDB replays the identical hash so the
+    * family stays fully oracle-checked. Two earlier shapes both failed at
+    * the derivation step: a higher-order-function build re-executed
+    * `split(text)` per element after CollapseProject inlining (one task
+    * burning 15 min at sf0.1), and a posexplode + window-lead + distinct
+    * pipeline left WindowExec's interpreted per-row path on the hot loop
+    * (74 s task CPU late-JVM vs ~4 s healthy — see Shingles3).
     */
   private def shingles(spark: SparkSession, sfDir: String): DataFrame =
     Tables
       .documents(spark, sfDir)
-      .select(col("doc_id"), explode(graft.functions.Shingles3.of(col("text"))).as("sh"))
+      .select(col("doc_id"), explode(graft.functions.Shingles3Hashed.of(col("text"))).as("sh"))
 
   /** Shared shingle→pair→Jaccard tail of the two n-gram dedup variants. */
   private def jaccardPairs(ex: DataFrame): DataFrame = {
@@ -1171,7 +1189,9 @@ object LlmOps {
     * crafted train/eval sets.
     */
   private[graft] def contamination(train: DataFrame, evalDocs: DataFrame): DataFrame = {
-    val sh = graft.functions.Shingles3.of(col("text"))
+    // hashed shingles (round 6): the overlap join shuffles 8-byte keys,
+    // not shingle text — same rationale and DuckDB twin as the dedup family
+    val sh = graft.functions.Shingles3Hashed.of(col("text"))
     val evalSh = evalDocs.select(explode(sh).as("sh")).distinct()
     val shared = train
       .select(col("doc_id"), explode(sh).as("sh"))
@@ -1193,9 +1213,9 @@ object LlmOps {
     * splits: train = q_split_assign buckets 0-79, eval = the test split
     * (buckets 90-99); a train document whose shingles overlap the test
     * set would leak eval data into training. Shingles come from the
-    * [[graft.functions.Shingles3]] kernel (distinct per doc, same
+    * [[graft.functions.Shingles3Hashed]] kernel (distinct per doc, same
     * semantics as the dedup family), so `n_shared` counts distinct
-    * contaminated shingles.
+    * contaminated shingle hashes.
     */
   def qDecontaminate(spark: SparkSession, sfDir: String): DataFrame = {
     val docs =
@@ -1624,8 +1644,10 @@ object LlmOps {
       qDedupNgram,
       Some(s"""WITH docs AS (
              |$SHINGLE_DOCS),
-             |sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM docs),
-             |ex AS (SELECT doc_id, unnest(shingles) AS sh FROM docs),
+             |dh AS (
+             |$SHINGLE_HASH_LIST),
+             |sizes AS (SELECT doc_id, len(hs) AS n_sh FROM dh),
+             |ex AS (SELECT doc_id, unnest(hs) AS sh FROM dh),
              |pairs AS (
              | SELECT a.doc_id AS d1, b.doc_id AS d2, count(1) AS common
              | FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
@@ -1640,7 +1662,9 @@ object LlmOps {
       qDedupNgramCapped,
       Some(s"""WITH docs AS (
              |$SHINGLE_DOCS),
-             |ex0 AS (SELECT doc_id, unnest(shingles) AS sh FROM docs),
+             |dh AS (
+             |$SHINGLE_HASH_LIST),
+             |ex0 AS (SELECT doc_id, unnest(hs) AS sh FROM dh),
              |df AS (SELECT sh, count(1) AS df FROM ex0 GROUP BY sh),
              |ex AS (SELECT ex0.doc_id, ex0.sh FROM ex0 JOIN df USING (sh) WHERE df.df <= 50),
              |sizes AS (SELECT doc_id, count(1) AS n_sh FROM ex GROUP BY doc_id),
@@ -1657,7 +1681,9 @@ object LlmOps {
       qDedupContainment,
       Some(s"""WITH docs AS (
              |$SHINGLE_DOCS),
-             |ex0 AS (SELECT doc_id, unnest(shingles) AS sh FROM docs),
+             |dh AS (
+             |$SHINGLE_HASH_LIST),
+             |ex0 AS (SELECT doc_id, unnest(hs) AS sh FROM dh),
              |df AS (SELECT sh, count(1) AS df FROM ex0 GROUP BY sh),
              |ex AS (SELECT ex0.doc_id, ex0.sh FROM ex0 JOIN df USING (sh) WHERE df.df <= 50),
              |sizes AS (SELECT doc_id, count(1) AS n_sh FROM ex GROUP BY doc_id),
@@ -1732,7 +1758,9 @@ object LlmOps {
       qDedupClusters,
       Some(s"""WITH RECURSIVE docs AS (
              |$SHINGLE_DOCS),
-             |ex0 AS (SELECT doc_id, unnest(shingles) AS sh FROM docs),
+             |dh AS (
+             |$SHINGLE_HASH_LIST),
+             |ex0 AS (SELECT doc_id, unnest(hs) AS sh FROM dh),
              |df AS (SELECT sh, count(1) AS df FROM ex0 GROUP BY sh),
              |ex AS (SELECT ex0.doc_id, ex0.sh FROM ex0 JOIN df USING (sh) WHERE df.df <= 50),
              |sizes AS (SELECT doc_id, count(1) AS n_sh FROM ex GROUP BY doc_id),
@@ -1761,7 +1789,9 @@ object LlmOps {
       bench = false,
       oracle = Some(s"""WITH RECURSIVE docs AS (
              |$SHINGLE_DOCS),
-             |ex0 AS (SELECT doc_id, unnest(shingles) AS sh FROM docs),
+             |dh AS (
+             |$SHINGLE_HASH_LIST),
+             |ex0 AS (SELECT doc_id, unnest(hs) AS sh FROM dh),
              |df AS (SELECT sh, count(1) AS df FROM ex0 GROUP BY sh),
              |ex AS (SELECT ex0.doc_id, ex0.sh FROM ex0 JOIN df USING (sh) WHERE df.df <= 50),
              |sizes AS (SELECT doc_id, count(1) AS n_sh FROM ex GROUP BY doc_id),
@@ -1987,23 +2017,21 @@ object LlmOps {
              |FROM agg ORDER BY doc_id""".stripMargin)),
     "q_decontaminate" -> Q(
       qDecontaminate,
-      Some("""WITH docs AS (
-             | SELECT doc_id, (doc_id * 40503) % 100 AS b, list_distinct(
-             |   CASE WHEN len(toks) >= 3 THEN
-             |     list_transform(generate_series(1, len(toks) - 2),
-             |       i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
-             |   ELSE [] END) AS shingles
-             | FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents)),
-             |test_sh AS (SELECT DISTINCT unnest(shingles) AS sh FROM docs WHERE b >= 90),
-             |train AS (SELECT doc_id, shingles FROM docs WHERE b < 80),
+      Some(s"""WITH docs AS (
+             |$SHINGLE_DOCS),
+             |dh0 AS (
+             |$SHINGLE_HASH_LIST),
+             |dh AS (SELECT doc_id, (doc_id * 40503) % 100 AS b, hs FROM dh0),
+             |test_sh AS (SELECT DISTINCT unnest(hs) AS sh FROM dh WHERE b >= 90),
+             |train AS (SELECT doc_id, hs FROM dh WHERE b < 80),
              |shared AS (
              | SELECT doc_id, count(1) AS n_shared
-             | FROM (SELECT doc_id, unnest(shingles) AS sh FROM train) t
+             | FROM (SELECT doc_id, unnest(hs) AS sh FROM train) t
              | JOIN test_sh USING (sh) GROUP BY doc_id)
-             |SELECT t.doc_id, CAST(len(t.shingles) AS BIGINT) AS n_shingles,
+             |SELECT t.doc_id, CAST(len(t.hs) AS BIGINT) AS n_shingles,
              | CAST(coalesce(s.n_shared, 0) AS BIGINT) AS n_shared,
              | CAST(coalesce(s.n_shared, 0) AS DOUBLE)
-             |   / nullif(CAST(len(t.shingles) AS DOUBLE), 0) AS contamination
+             |   / nullif(CAST(len(t.hs) AS DOUBLE), 0) AS contamination
              |FROM train t LEFT JOIN shared s ON t.doc_id = s.doc_id
              |ORDER BY t.doc_id""".stripMargin)),
     "q_text_pii" -> Q(

@@ -1098,8 +1098,10 @@ object MiningOps {
     "q_dedup_near_eval" -> Q(
       qDedupNearEval,
       Some(s"""WITH ${LlmOps.MINHASH_CAND},
-              |mh_ex AS (SELECT doc_id, unnest(shingles) AS sh FROM mh_docs),
-              |mh_sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM mh_docs),
+              |mh_dh AS (
+              |${LlmOps.shingleHashList("mh_docs")}),
+              |mh_ex AS (SELECT doc_id, unnest(hs) AS sh FROM mh_dh),
+              |mh_sizes AS (SELECT doc_id, len(hs) AS n_sh FROM mh_dh),
               |truth AS (
               | SELECT d1, d2 FROM (
               |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(1) AS common
