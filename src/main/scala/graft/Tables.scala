@@ -38,8 +38,17 @@ object Tables {
     // events timestamp against the oracle's naive read.
     if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    if (spark.conf.get("spark.sql.session.timeZone") != "UTC")
+    if (spark.conf.get("spark.sql.session.timeZone") != "UTC") {
+      // Session-global side effect, so be LOUD about it. Restoring after
+      // the read is impossible (the cast evaluates lazily at action
+      // time), and without the pin every events timestamp is silently
+      // shifted — the worse failure mode.
+      System.err.println(
+        "[graft] overriding spark.sql.session.timeZone -> UTC " +
+          "(required for the events NTZ fixture; was " +
+          s"${spark.conf.get("spark.sql.session.timeZone")})")
       spark.conf.set("spark.sql.session.timeZone", "UTC")
+    }
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
     import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     val ts = raw.schema("ts").dataType match {

@@ -214,11 +214,16 @@ object Shingles3 {
 
   private[functions] val Mod = getClass.getName.stripSuffix("$") + "$.MODULE$"
 
-  def shingles(u: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
-    val s = u.toString
+  /** ONE definition of the per-document shingle walk: every consecutive
+    * token triple rebuilt with single spaces, in source order, duplicates
+    * included (the callers dedupe on their own key — string or hash).
+    * [[Shingles3]] and [[Shingles3Hashed]] both iterate through here, so
+    * the shingle-construction semantics cannot drift between the string
+    * SQL surface and the hashed dedup family.
+    */
+  private[functions] def forEachShingle(s: String)(f: String => Unit): Unit = {
     val (starts, ends) = TokenOffsets.of(s)
     val m = starts.size()
-    val out = new java.util.LinkedHashSet[String]()
     var j = 0
     while (j + 2 < m) {
       // tokens are adjacent in the source except for the space runs they
@@ -227,9 +232,14 @@ object Shingles3 {
       sb.append(s, starts.get(j), ends.get(j)).append(' ')
       sb.append(s, starts.get(j + 1), ends.get(j + 1)).append(' ')
       sb.append(s, starts.get(j + 2), ends.get(j + 2))
-      out.add(sb.toString)
+      f(sb.toString)
       j += 1
     }
+  }
+
+  def shingles(u: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val out = new java.util.LinkedHashSet[String]()
+    forEachShingle(u.toString)(sh => out.add(sh))
     val arr = new Array[Any](out.size())
     val it = out.iterator()
     var k = 0
@@ -272,19 +282,10 @@ object Shingles3Hashed {
   private[functions] val Mod = getClass.getName.stripSuffix("$") + "$.MODULE$"
 
   def shingleHashes(u: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
-    val s = u.toString
-    val (starts, ends) = TokenOffsets.of(s)
-    val m = starts.size()
     val out = new java.util.LinkedHashSet[java.lang.Long]()
-    var j = 0
-    while (j + 2 < m) {
-      val sb = new java.lang.StringBuilder(ends.get(j + 2) - starts.get(j))
-      sb.append(s, starts.get(j), ends.get(j)).append(' ')
-      sb.append(s, starts.get(j + 1), ends.get(j + 1)).append(' ')
-      sb.append(s, starts.get(j + 2), ends.get(j + 2))
-      val bytes = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    Shingles3.forEachShingle(u.toString) { sh =>
+      val bytes = sh.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       out.add(SimHash64.md5Hash64(bytes, 0, bytes.length))
-      j += 1
     }
     val arr = new Array[Any](out.size())
     val it = out.iterator()

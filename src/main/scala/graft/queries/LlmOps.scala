@@ -32,8 +32,8 @@ object LlmOps {
     * ngram_capped / containment / clusters / droplist / MinHash). The
     * near-eval oracle judges MinHash candidates against the ngram ground
     * truth, so the two MUST tokenize and shingle identically — a single
-    * definition removes that drift surface (q_decontaminate's variant
-    * carries an extra split-bucket column and stays inline).
+    * definition removes that drift surface (q_decontaminate consumes it
+    * too, adding its split-bucket column in a wrapper CTE).
     */
   private[queries] val SHINGLE_DOCS: String =
     """ SELECT doc_id, list_distinct(

@@ -62,6 +62,7 @@ class ExtensionsSpec extends AnyFunSuite {
              |       text_fingerprint('a b c d e') AS fp,
              |       size(minhash16('a b c d e')) AS mh,
              |       size(shingles3('a b c d')) AS sg,
+             |       size(shingles3_hashed('a b c d')) AS sgh,
              |       scaled_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
              |                  array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS sd,
              |       edit_within('abcdefghij', 'abcdefghiX') AS ed,
@@ -76,6 +77,7 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(!r.isNullAt(r.fieldIndex("fp")))
     assert(r.getAs[Int]("mh") == 16)
     assert(r.getAs[Int]("sg") == 2)
+    assert(r.getAs[Int]("sgh") == 2)
     assert(r.getAs[Long]("sd") == (3.0 + 8.0) * 1e12.toLong)
     assert(r.getAs[Int]("ed") == 1)
     assert(r.getAs[Int]("ed_far") == -1)

@@ -238,4 +238,25 @@ class KernelEdgeCaseSpec extends SparkSuite {
     assert(ScaledLong.scaledLong(Double.NegativeInfinity, 1e6) == Long.MinValue)
     assert(ScaledLong.scaledLong(Double.NaN, 1e6) == 0L)
   }
+
+  test("Shingles3Hashed equals md5-hash64 over Shingles3's strings on tricky corpus") {
+    // pins the hashed kernel to the string kernel + the portable hash —
+    // the dedup family's oracle parity rests on exactly this equivalence
+    val rows = docs
+      .select(
+        col("doc_id"),
+        Shingles3.of(col("text")).as("sh"),
+        Shingles3Hashed.of(col("text")).as("hs"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val strs = r.getSeq[String](1)
+      val got = r.getSeq[Long](2)
+      val want = strs.map { s =>
+        val b = s.getBytes("UTF-8")
+        SimHash64.md5Hash64(b, 0, b.length)
+      }.distinct
+      assert(got == want, s"doc ${r.getLong(0)}")
+    }
+  }
 }

@@ -51,13 +51,21 @@ def main():
         print("BAND FAIL: no parseable summary line (tail truncation or crash)")
         sys.exit(2)
 
-    # prefer the LATEST full line (has per-query map) — a log with two
-    # appended bench runs must be judged by the most recent one — and
-    # fall back to the latest compact line
-    full = next((s for s in reversed(summaries) if "queries" in s), None)
+    # Judge the MOST RECENT run only. A run emits its full per-query line
+    # then a compact duplicate (the compact exists to survive tail
+    # shearing), so the latest run's full line — if it survived — is the
+    # last or second-to-last summary. An older run's full line must NOT
+    # stand in for a newer run whose full line was damaged: totals/failed
+    # always come from the newest summary, per-query detail only from a
+    # full line belonging to that same newest run.
     compact = summaries[-1]
-    total = (full or compact)["value"]
-    failed = (full or compact).get("failed", [])
+    full = None
+    if "queries" in compact:
+        full = compact
+    elif len(summaries) >= 2 and "queries" in summaries[-2]:
+        full = summaries[-2]
+    total = compact["value"]
+    failed = compact.get("failed", [])
     bad = []
 
     if rc not in (None, 0):
