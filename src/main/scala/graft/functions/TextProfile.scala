@@ -426,7 +426,7 @@ object SimHash64 {
   * ScaledDot semantics) so the families cannot de-correlate by a
   * constant tweak applied to one copy.
   */
-private[functions] object HyperPlanes {
+private[graft] object HyperPlanes {
 
   val Table: Array[Array[Float]] = Array.tabulate(128) { j =>
     Array.tabulate(64) { i =>
@@ -435,6 +435,21 @@ private[functions] object HyperPlanes {
       z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
       if (((z ^ (z >>> 31)) & 1L) == 0L) 1.0f else -1.0f
     }
+  }
+
+  /** Plane j as a 64-bit sign mask (bit i set ⇔ plane value +1) — the
+    * shape the generated DuckDB oracles inline as BIGINT literals, so the
+    * SQL twin reads the SAME deterministic family as the kernels
+    * (generate-the-oracle-from-the-Scala-constants house pattern).
+    */
+  def signMask(j: Int): Long = {
+    var m = 0L
+    var i = 0
+    while (i < 64) {
+      if (Table(j)(i) > 0f) m |= 1L << i
+      i += 1
+    }
+    m
   }
 
   /** Sign of plane_j · xs under the exact scaled-round-sum dot. */

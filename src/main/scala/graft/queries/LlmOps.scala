@@ -126,6 +126,125 @@ object LlmOps {
        |)""".stripMargin
   }
 
+  /** DuckDB twin of the [[graft.functions.HyperPlanes]] signature family,
+    * shared by the `q_dedup_embed_lsh` / `q_sim_ann` oracles: the ±1
+    * planes are inlined as 64-bit sign-mask BIGINT literals generated from
+    * the SAME Scala constants the kernels read (the
+    * generate-the-oracle-from-the-Scala-constants house pattern), each
+    * embedding element is quantized ONCE (`round(x·1e12)` — the kernel's
+    * scaled-round-sum dot against a ±1 plane is exactly ±that quantum,
+    * summed, because roundHalfAway is odd and float-by-±1 products are
+    * IEEE-exact), and key bit k of band b is the sign of plane
+    * (b·bandBits + k)'s dot: [[graft.functions.PlaneSig16]] bands are the
+    * (nPlanes=16, bandBits=4) instance, the
+    * [[graft.functions.PlaneSig64]]-pair 8×16-bit banding of `q_sim_ann`
+    * the (128, 16) instance. Produces a `pkeys(vec_id, band, key)` CTE
+    * body (no leading WITH).
+    */
+  private def planeKeysCte(nPlanes: Int, bandBits: Int): String = {
+    val masks = (0 until nPlanes)
+      .map(j => s"($j, CAST(${graft.functions.HyperPlanes.signMask(j)} AS BIGINT))")
+      .mkString(", ")
+    s"""pl(j, mask) AS (VALUES $masks),
+       |prr AS (
+       | SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS i,
+       |  CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e12, 0) AS BIGINT) AS r
+       | FROM embeddings),
+       |pdots AS (
+       | SELECT prr.vec_id, pl.j,
+       |  sum(CASE WHEN ((pl.mask >> prr.i) & 1) = 1 THEN prr.r ELSE -prr.r END) AS s
+       | FROM prr, pl GROUP BY 1, 2),
+       |pkeys AS (
+       | SELECT vec_id, CAST(j // $bandBits AS INT) AS band,
+       |  CAST(sum(CASE WHEN s > 0 THEN (1 << (j % $bandBits)) ELSE 0 END) AS INT) AS key
+       | FROM pdots GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** The exact fixed-point pairwise-cosine tail every embedding oracle
+    * shares (dot/n1/n2 via the ScaledDot 1e12 quantum over a `pr(v1, v2,
+    * e1, e2)` CTE) — kept textually identical to the `q_dedup_embed`
+    * oracle so the exact twin and the LSH subset cannot drift.
+    */
+  private val PAIR_DOT_TAIL =
+    """un AS (SELECT v1, v2, unnest(e1) AS x, unnest(e2) AS y FROM pr),
+      |s AS (
+      | SELECT v1, v2,
+      |  CAST(CAST(sum(CAST(round(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1e12, 0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12 AS dot,
+      |  CAST(CAST(sum(CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12, 0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12 AS n1,
+      |  CAST(CAST(sum(CAST(round(CAST(y AS DOUBLE) * CAST(y AS DOUBLE) * 1e12, 0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12 AS n2
+      | FROM un GROUP BY v1, v2)""".stripMargin
+
+  /** The query-vs-corpus rerank tail shared by the `q_sim_ann` /
+    * `q_sim_ann_ivf` oracles: exact fixed-point cosine of every corpus
+    * vector in `sel(vec_id)` against vec 0, top 10 by (sim DESC, vec_id)
+    * — textually the `q_sim_topk` oracle restricted to the candidate set.
+    */
+  private val ANN_RERANK_TAIL =
+    """q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+      |un AS (
+      | SELECT e.vec_id, e.label, unnest(e.embedding) AS x, unnest(q.q_emb) AS y
+      | FROM embeddings e, q WHERE e.vec_id IN (SELECT vec_id FROM sel)),
+      |s AS (
+      | SELECT vec_id, any_value(label) AS label,
+      |  CAST(CAST(sum(CAST(round(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1e12, 0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12 AS dot,
+      |  CAST(CAST(sum(CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12, 0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12 AS ne,
+      |  CAST(CAST(sum(CAST(round(CAST(y AS DOUBLE) * CAST(y AS DOUBLE) * 1e12, 0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12 AS nq
+      | FROM un GROUP BY vec_id)
+      |SELECT vec_id, label, dot / (sqrt(ne) * sqrt(nq)) AS sim FROM s
+      |ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin
+
+  /** DuckDB twin of `q_sim_ann_ivf`'s whole IVF build + probe + rerank,
+    * with the 2 Lloyd iterations unrolled as CTE pairs (assignment a_n,
+    * float-rounded decimal-mean centroids c_n) — the `q_embed_pca`
+    * unrolled-power-iteration precedent. Every arithmetic step replays
+    * the engine exactly: the 1e12 scaled-round-sum dot in the L2
+    * assignment distance (same `vv - 2·vc + cc` association), HALF_UP
+    * DECIMAL(18,6) means CAST to FLOAT (the Seq[Float] model state), the
+    * fixed-point probe distance over the final centroids, and the
+    * `q_sim_topk` rerank tail over the probed clusters' members.
+    */
+  private def ivfOracle: String = {
+    def assign(name: String, cents: String): String =
+      s"""$name AS (
+         | SELECT vec_id, cid FROM (
+         |  SELECT vec_id, cid,
+         |   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+         |  FROM (
+         |   SELECT ue.vec_id, c.cid,
+         |    CAST(CAST(sum(CAST(round(ue.x * ue.x * 1e12, 0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12
+         |     - CAST(2 AS DOUBLE) * (CAST(CAST(sum(CAST(round(ue.x * c.c * 1e12, 0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12)
+         |     + CAST(CAST(sum(CAST(round(c.c * c.c * 1e12, 0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12 AS dist
+         |   FROM ue JOIN $cents c USING (i) GROUP BY 1, 2))
+         | WHERE rk = 1)""".stripMargin
+    def update(name: String, assignName: String): String =
+      s"""$name AS (
+         | SELECT a.cid, ue.i,
+         |  CAST(CAST(CAST(sum(CAST(ue.x AS DECIMAL(18,6))) AS DOUBLE) / count(ue.x) AS FLOAT) AS DOUBLE) AS c
+         | FROM $assignName a JOIN ue USING (vec_id) GROUP BY 1, 2)""".stripMargin
+    s"""WITH ue AS (
+       | SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS i,
+       |  CAST(unnest(embedding) AS DOUBLE) AS x
+       | FROM embeddings WHERE vec_id <> 0),
+       |c0 AS (
+       | SELECT CAST(dense_rank() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, i, x AS c
+       | FROM ue WHERE vec_id BETWEEN 1 AND 16),
+       |${assign("a1", "c0")},
+       |${update("c1", "a1")},
+       |${assign("a2", "c1")},
+       |${update("c2", "a2")},
+       |${assign("a3", "c2")},
+       |qe AS (
+       | SELECT CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS i,
+       |  CAST(unnest(embedding) AS DOUBLE) AS x
+       | FROM embeddings WHERE vec_id = 0),
+       |pd AS (
+       | SELECT c.cid, sum(CAST(round((c.c - qe.x) * (c.c - qe.x) * 1e12, 0) AS BIGINT)) AS d
+       | FROM c2 c JOIN qe USING (i) GROUP BY 1),
+       |probes AS (SELECT cid FROM pd ORDER BY d, cid LIMIT 4),
+       |sel AS (SELECT vec_id FROM a3 JOIN probes USING (cid)),
+       |$ANN_RERANK_TAIL""".stripMargin
+  }
+
   /** Deterministic 1%-hash bucket of doc_id — the ONE split formula every
     * split-aware query (assign / pipeline / decontaminate / packing /
     * unigram+bigram NLL) derives train/val/test membership from; a
@@ -580,7 +699,10 @@ object LlmOps {
     * agreement = 1 − acos(0.8)/π ≈ 0.795 → P(some band matches) =
     * 1 − (1 − 0.795⁴)⁴ ≈ 0.87. `q_dedup_embed` (all-pairs) is the exact
     * twin this approximates; output here is always a subset of it.
-    * Rows-only (signature scheme is impl-defined). Like the exact twin it
+    * Oracle-verified since round 7: the deterministic ±1 planes inline
+    * into the generated DuckDB SQL as sign-mask literals (see
+    * [[planeKeysCte]]), so the whole LSH pipeline — signature, banding,
+    * candidate join, exact rerank — hash-matches. Like the exact twin it
     * reranks at the θ=0.4 candidate cut with the θ=0.8 `is_near_dup` flag
     * (at cos ≈ 0.4 per-bit agreement is ≈ 0.63 → ≈ 0.50 band-collision
     * probability per pair, so a fixture with dozens of true pairs keeps
@@ -694,8 +816,10 @@ object LlmOps {
     * 8-band recall ≈ 1−(1−0.56)^8 ≈ 99.9% — while this synthetic
     * corpus's best pair (cos ≈ 0.33) sits near the random-pair floor by
     * construction, so the candidate set here is effectively a 1.7%
-    * LSH-stratified sample reranked exactly. Rows-only (signature scheme
-    * is impl-defined).
+    * LSH-stratified sample reranked exactly. Oracle-verified since round
+    * 7: the probe-ball semi-join is twinned in SQL as the equivalent
+    * per-band `bit_count(xor(key, qkey)) <= 2` predicate over the inlined
+    * plane constants (see [[planeKeysCte]]).
     */
   /** The 8 per-row (band, key) structs of the 128-bit banded signature
     * (expects `sig0`/`sig1` [[graft.functions.PlaneSig64]] columns).
@@ -771,7 +895,9 @@ object LlmOps {
     *
     * Model state (K centroids = K×64 floats) is bounded and driver-side
     * by design — the standard k-means pattern; nothing unbounded is ever
-    * collected. Rows-only (cluster geometry is impl-defined).
+    * collected. Oracle-verified since round 7: the whole build replays in
+    * generated SQL with the 2 Lloyd iterations unrolled as CTEs (see
+    * [[ivfOracle]], the `q_embed_pca` unrolled-iteration precedent).
     */
   /** IVF nearest-centroid assignment as one partial-aggregable min_by
     * pass (N×K rows in, map-side combine, no window sort/exchange); the
@@ -843,10 +969,16 @@ object LlmOps {
     }
 
     // probe the NProbe nearest centroids to the query vector (driver-side
-    // model math over K candidates)
+    // model math over K candidates) — scaled-round-sum fixed point, so the
+    // ordering is summation-order-independent and the generated oracle's
+    // `pd` CTE replays it exactly (plain double sums would tie the result
+    // to Scala's left-fold order, which SQL cannot promise)
     val qVec = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
-    def dist(c: Seq[Float]): Double =
-      c.zip(qVec).map { case (a, b) => (a - b).toDouble * (a - b) }.sum
+    def dist(c: Seq[Float]): Long =
+      c.zip(qVec).map { case (a, b) =>
+        val d = a.toDouble - b.toDouble
+        graft.functions.ScaledDot.roundHalfAway(d * d * 1e12)
+      }.sum
     val probes = cents.sortBy(c => (dist(c._2), c._1)).take(NProbe).map(_._1)
 
     val assigned = assignTo(cents).where(col("cid").isin(probes: _*))
@@ -1840,7 +1972,22 @@ object LlmOps {
              |WHERE dot / (sqrt(n1) * sqrt(n2)) >= 0.4
              |ORDER BY v1, v2""".stripMargin),
       bench = false),
-    "q_dedup_embed_lsh" -> Q(qDedupEmbedLsh, None),
+    "q_dedup_embed_lsh" -> Q(
+      qDedupEmbedLsh,
+      Some(s"""WITH ${planeKeysCte(16, 4)},
+              |cand AS (
+              | SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+              | FROM pkeys a JOIN pkeys b
+              |  ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+              |pr AS (
+              | SELECT c.v1, c.v2, ea.embedding AS e1, eb.embedding AS e2
+              | FROM cand c JOIN embeddings ea ON ea.vec_id = c.v1
+              |  JOIN embeddings eb ON eb.vec_id = c.v2),
+              |$PAIR_DOT_TAIL
+              |SELECT v1, v2, dot / (sqrt(n1) * sqrt(n2)) AS cos,
+              | CAST(dot / (sqrt(n1) * sqrt(n2)) >= 0.8 AS INT) AS is_near_dup FROM s
+              |WHERE dot / (sqrt(n1) * sqrt(n2)) >= 0.4
+              |ORDER BY v1, v2""".stripMargin)),
     "q_sim_topk" -> Q(
       qSimTopk,
       Some("""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
@@ -1873,12 +2020,18 @@ object LlmOps {
              | FROM s)
              |SELECT q_id, rk, vec_id, sim FROM r WHERE rk <= 3
              |ORDER BY q_id, rk""".stripMargin)),
-    "q_sim_ann" -> Q(qSimAnn, None),
+    "q_sim_ann" -> Q(
+      qSimAnn,
+      Some(s"""WITH ${planeKeysCte(128, 16)},
+              |qk AS (SELECT band, key AS qkey FROM pkeys WHERE vec_id = 0),
+              |sel AS (
+              | SELECT DISTINCT k.vec_id FROM pkeys k JOIN qk ON k.band = qk.band
+              | WHERE k.vec_id <> 0 AND bit_count(xor(k.key, qk.qkey)) <= 2),
+              |$ANN_RERANK_TAIL""".stripMargin)),
     // bench=false: the run is dominated by the IVF BUILD (k-means
     // training = 6+ jobs with driver-side model updates) — index
     // construction, not per-query cost; q_sim_ann is the benched ANN.
-    // Verify still executes it (rows-only check).
-    "q_sim_ann_ivf" -> Q(qSimAnnIvf, None, bench = false),
+    "q_sim_ann_ivf" -> Q(qSimAnnIvf, Some(ivfOracle), bench = false),
     // bench=false: like IVF, the run is dominated by the codebook BUILD
     // (16 k-means-lite jobs); the encode/ADC query path is the scale story.
     "q_sim_ann_pq" -> Q(qSimAnnPq, None, bench = false),
