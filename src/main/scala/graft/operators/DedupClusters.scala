@@ -32,11 +32,38 @@ object DedupClusters {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
+  /** @param strict non-convergence in `maxIters` rounds THROWS instead of
+    *               returning silently-split components. Default on: at
+    *               bench scale an oracle would catch a bad split, at
+    *               100 TB nothing would — wrong groups must not outrun a
+    *               log line. Pass `strict = false` to get the old
+    *               warn-and-return-partial behavior for exploratory runs.
+    * @param reliableCheckpoint materialize per-round state through
+    *               `RDD.checkpoint` into `spark.sparkContext
+    *               .setCheckpointDir`'s directory instead of
+    *               `localCheckpoint`'s executor block store. Local blocks
+    *               are faster (no FS round-trip) but die with their
+    *               executor — one lost executor mid-loop kills the job
+    *               unrecoverably. On a multi-hour 100 TB run, set a
+    *               durable checkpoint dir (HDFS/object store) and flip
+    *               this on; the loop itself is unchanged. Throws
+    *               IllegalStateException up front if no checkpoint dir is
+    *               set (Spark's own failure would otherwise surface
+    *               rounds later, mid-job).
+    */
   def clusters(
       pairs: DataFrame,
       aCol: String,
       bCol: String,
-      maxIters: Int = 20): DataFrame = {
+      maxIters: Int = 20,
+      strict: Boolean = true,
+      reliableCheckpoint: Boolean = false): DataFrame = {
+    if (reliableCheckpoint && pairs.sparkSession.sparkContext.getCheckpointDir.isEmpty)
+      throw new IllegalStateException(
+        "DedupClusters(reliableCheckpoint = true) needs " +
+          "spark.sparkContext.setCheckpointDir(...) before the loop starts")
+    def ckpt(df: DataFrame): DataFrame =
+      if (reliableCheckpoint) df.checkpoint() else df.localCheckpoint()
     val edges = pairs
       .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
       .where(col("a").isNotNull && col("b").isNotNull)
@@ -44,18 +71,18 @@ object DedupClusters {
     // a union of two branches, which would execute the (possibly
     // expensive, uncached) upstream pairs plan twice; the checkpoint
     // then materializes the symmetric list once for the whole loop.
-    val sym = edges
-      .select(explode(array(
-        struct(col("a"), col("b")),
-        struct(col("b").as("a"), col("a").as("b")))).as("e"))
-      .select(col("e.a").as("a"), col("e.b").as("b"))
-      .distinct()
-      .localCheckpoint()
-    var labels = sym
-      .select(col("a").as("id"))
-      .distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint()
+    val sym = ckpt(
+      edges
+        .select(explode(array(
+          struct(col("a"), col("b")),
+          struct(col("b").as("a"), col("a").as("b")))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+        .distinct())
+    var labels = ckpt(
+      sym
+        .select(col("a").as("id"))
+        .distinct()
+        .withColumn("label", col("id")))
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -64,14 +91,14 @@ object DedupClusters {
         .select(col("b").as("id"), col("label"), lit(false).as("own"))
       // one aggregation computes the new label AND whether it changed:
       // the vertex's own old label is the unique own=true row per id
-      val next = labels
-        .withColumn("own", lit(true))
-        .unionByName(msgs)
-        .groupBy("id")
-        .agg(
-          min(col("label")).as("label"),
-          (min(col("label")) < max(when(col("own"), col("label")))).as("chg"))
-        .localCheckpoint() // eager: the round's single distributed job
+      val next = ckpt( // eager: the round's single distributed job
+        labels
+          .withColumn("own", lit(true))
+          .unionByName(msgs)
+          .groupBy("id")
+          .agg(
+            min(col("label")).as("label"),
+            (min(col("label")) < max(when(col("own"), col("label")))).as("chg")))
       converged = next.where(col("chg")).isEmpty // take(1) over cached blocks
       // superseded rounds' checkpoint blocks are reclaimed by the
       // ContextCleaner once the old `labels` reference is dropped (GC-
@@ -84,12 +111,14 @@ object DedupClusters {
     }
     if (!converged) {
       // a component with diameter > maxIters would be silently split into
-      // several clusters — make that visible instead of returning wrong
-      // groups (near-dup graphs are dense; hitting this means the input
-      // is not a near-dup candidate set, or maxIters needs raising)
-      log.warn(
+      // several clusters (near-dup graphs are dense; hitting this means
+      // the input is not a near-dup candidate set, or maxIters needs
+      // raising)
+      val msg =
         s"DedupClusters did not converge in $maxIters iterations; " +
-          "labels are a partial propagation and may split large-diameter components")
+          "labels are a partial propagation and may split large-diameter components"
+      if (strict) throw new IllegalStateException(msg)
+      log.warn(msg)
     }
     labels
   }

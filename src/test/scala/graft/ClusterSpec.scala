@@ -51,6 +51,45 @@ class ClusterSpec extends SparkSuite {
     }
   }
 
+  test("strict mode throws when a component's diameter exceeds maxIters") {
+    // a path graph 1-2-3-...-8 needs ~log2(diameter) doubling rounds to
+    // fully propagate label 1 to vertex 8; maxIters = 1 cannot converge
+    val path = (1L until 8L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val e = intercept[IllegalStateException] {
+      DedupClusters.clusters(path, "d1", "d2", maxIters = 1).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // strict = false keeps the old warn-and-return-partial behavior: the
+    // partial labels still cover every vertex, just possibly split
+    val partial =
+      DedupClusters.clusters(path, "d1", "d2", maxIters = 1, strict = false).collect()
+    assert(partial.map(_.getLong(0)).toSet == (1L to 8L).toSet)
+  }
+
+  test("reliable checkpointing runs the loop and matches union-find") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+    // without a checkpoint dir the operator must fail up front, not
+    // rounds later inside Spark's RDD machinery
+    assert(spark.sparkContext.getCheckpointDir.isEmpty)
+    intercept[IllegalStateException] {
+      DedupClusters.clusters(edges.toDF("d1", "d2"), "d1", "d2", reliableCheckpoint = true)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    try {
+      spark.sparkContext.setCheckpointDir(dir)
+      val got = DedupClusters
+        .clusters(edges.toDF("d1", "d2"), "d1", "d2", reliableCheckpoint = true)
+        .collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+        .toMap
+      assert(got == unionFind(edges))
+    } finally {
+      // un-setting isn't exposed; leave the dir configured but delete the
+      // files so repeated local runs don't accumulate checkpoint blocks
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("summarize emits representative, size, and sorted members") {
     val df = DedupClusters
       .summarize(Seq((3L, 1L), (1L, 2L), (10L, 11L)).toDF("d1", "d2"), "d1", "d2")
