@@ -38,5 +38,13 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    Registry.all.collect { case (name, Q(_, Some(sql), _)) => name -> sql }.toMap
+    Registry.all.collect { case (name, q) if q.oracle.isDefined => name -> q.oracle.get }.toMap
+
+  /** For each oracle-less key in queries, the one-line reason (the driver's
+    * rows-only rows self-document via Verify's no_oracle_reasons.json).
+    */
+  def noOracleReasons: Map[String, String] =
+    Registry.all.collect {
+      case (name, q) if q.oracle.isEmpty => name -> q.noOracleReason.getOrElse("unspecified")
+    }.toMap
 }

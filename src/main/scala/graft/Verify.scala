@@ -54,6 +54,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // sidecar: WHY each oracle-less entry has no SQL twin, so the driver's
+    // `no_oracle` correctness rows self-document (round-6 verdict ask #7)
+    Files.writeString(
+      Paths.get(s"$outDir/no_oracle_reasons.json"),
+      SparkEntry.noOracleReasons.toSeq.sorted
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     Files.writeString(
       Paths.get(s"$outDir/failures.json"),
       failures.map(q).mkString("[", ",", "]"))

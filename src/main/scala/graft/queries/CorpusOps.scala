@@ -1749,9 +1749,18 @@ object CorpusOps {
              | round(m4 / (m2 * m2) - 3.0, 9) AS kurt_qty
            |FROM f ORDER BY l_returnflag""".stripMargin
       }),
-    "q_agg_hll_merge" -> Q(qAggHllMerge, None),
-    "q_agg_hll_intersect" -> Q(qAggHllIntersect, None),
-    "q_agg_quantile_sketch" -> Q(qAggQuantileSketch, None),
+    "q_agg_hll_merge" -> Q(
+      qAggHllMerge,
+      None,
+      noOracleReason = Some("HyperLogLog register state is merge-order-dependent; DuckDB has no twin of Spark's HLL++ sketch")),
+    "q_agg_hll_intersect" -> Q(
+      qAggHllIntersect,
+      None,
+      noOracleReason = Some("inclusion-exclusion over HLL++ sketches; approximate by construction, no exact SQL twin")),
+    "q_agg_quantile_sketch" -> Q(
+      qAggQuantileSketch,
+      None,
+      noOracleReason = Some("DDSketch-style mergeable quantile sketch; bucket boundaries are impl-defined, not SQL-expressible")),
     "q_dq_expectations" -> Q(
       qDqExpectations,
       Some(s"""WITH ev AS (

@@ -2034,7 +2034,11 @@ object LlmOps {
     "q_sim_ann_ivf" -> Q(qSimAnnIvf, Some(ivfOracle), bench = false),
     // bench=false: like IVF, the run is dominated by the codebook BUILD
     // (16 k-means-lite jobs); the encode/ADC query path is the scale story.
-    "q_sim_ann_pq" -> Q(qSimAnnPq, None, bench = false),
+    "q_sim_ann_pq" -> Q(
+      qSimAnnPq,
+      None,
+      bench = false,
+      noOracleReason = Some("PQ codebook = 8 nested k-means builds; unrolling 8x2 Lloyd iterations as SQL is past the practical CTE ceiling (IVF's single build IS unrolled, see q_sim_ann_ivf)")),
     "q_join_interval_overlap" -> Q(
       qJoinIntervalOverlap,
       Some(s"""WITH ord AS (
@@ -2131,7 +2135,10 @@ object LlmOps {
              |FROM (SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
              |      FROM documents)
              |GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 100""".stripMargin)),
-    "q_text_compressibility" -> Q(qTextCompressibility, None),
+    "q_text_compressibility" -> Q(
+      qTextCompressibility,
+      None,
+      noOracleReason = Some("deflate ratio via java.util.zip.Deflater; the native zlib byte stream has no DuckDB twin (spec pins the kernel against the JDK reference)")),
     "q_text_entropy" -> Q(
       qTextEntropy,
       Some("""WITH tf AS (
@@ -2240,7 +2247,11 @@ object LlmOps {
               | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
               |FROM sess GROUP BY user_id, session_id
               |ORDER BY user_id, session_id""".stripMargin)),
-    "q_multimodal_meta" -> Q(qMultimodalMeta, None, bench = false),
+    "q_multimodal_meta" -> Q(
+      qMultimodalMeta,
+      None,
+      bench = false,
+      noOracleReason = Some("probes synthesized media containers (stubbed codec demo); byte-level container parsing has no SQL twin")),
     "q_multimodal_audio" -> Q(
       qMultimodalAudio,
       Some("""SELECT doc_id, 'wav' AS format,
@@ -2288,7 +2299,11 @@ object LlmOps {
              |SELECT d1, d2, CAST(sum(hd) AS INT) AS hamming
              |FROM p GROUP BY d1, d2 HAVING sum(hd) <= 3
              |ORDER BY d1, d2""".stripMargin)),
-    "q_multimodal_frames" -> Q(qMultimodalFrames, None, bench = false))
+    "q_multimodal_frames" -> Q(
+      qMultimodalFrames,
+      None,
+      bench = false,
+      noOracleReason = Some("frame-sampling plumbing over the stubbed video codec; deterministic fake decode, no SQL twin")))
 }
 
 /** Output record of the multimodal decode stub. */

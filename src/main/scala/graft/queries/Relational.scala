@@ -1193,7 +1193,10 @@ object Relational {
       Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
              | count(DISTINCT l_suppkey) AS n_supps, count(1) AS n
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
-    "q_agg_approx" -> Q(qAggApprox, None),
+    "q_agg_approx" -> Q(
+      qAggApprox,
+      None,
+      noOracleReason = Some("approx_count_distinct is HLL++-based; DuckDB's approx_distinct uses a different sketch, estimates differ by design")),
     "q_agg_percentile" -> Q(
       qAggPercentile,
       Some("""SELECT l_returnflag,
@@ -1201,7 +1204,10 @@ object Relational {
              | quantile_cont(CAST(l_quantity AS DOUBLE), 0.5) AS p50,
              | quantile_cont(CAST(l_quantity AS DOUBLE), 0.75) AS p75
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
-    "q_agg_percentile_approx" -> Q(qAggPercentileApprox, None),
+    "q_agg_percentile_approx" -> Q(
+      qAggPercentileApprox,
+      None,
+      noOracleReason = Some("percentile_approx interpolates an impl-defined quantile summary; exact twin is q_agg_percentile")),
     "q_agg_rollup" -> Q(
       qAggRollup,
       Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,

@@ -176,8 +176,16 @@ object TileQueries {
             |SELECT level, tile_row, tile_col,
             | substr(lpad(to_base(r * 2 + c, 4), 11, '0'), 12 - level, level) AS quadkey
             |FROM s4 ORDER BY level, tile_row, tile_col""".stripMargin)),
-    "tile_cache_scan" -> Q(TileCacheQueries.cacheScan, None, bench = false),
-    "tile_cache_scan_v2" -> Q(TileCacheQueries.cacheScanV2, None, bench = false),
+    "tile_cache_scan" -> Q(
+      TileCacheQueries.cacheScan,
+      None,
+      bench = false,
+      noOracleReason = Some("reads a filesystem tile-cache directory (reference Program.cs:102); DuckDB sees no such table")),
+    "tile_cache_scan_v2" -> Q(
+      TileCacheQueries.cacheScanV2,
+      None,
+      bench = false,
+      noOracleReason = Some("DSv2 connector over the same filesystem tile cache; spec-pinned equal to tile_cache_scan")),
     "tile_cache_coverage" -> Q(
       TileCacheQueries.cacheCoverage,
       // the oracle recomputes BOTH sides arithmetically: the grid from
@@ -206,8 +214,16 @@ object TileQueries {
              |                     THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(1) AS DOUBLE), 4) AS coverage
              |FROM grid GROUP BY level ORDER BY level""".stripMargin),
       bench = false),
-    "tile_upload_sink" -> Q(TileCacheQueries.uploadSink, None, bench = false),
-    "tile_delta_sync" -> Q(TileCacheQueries.deltaSync, None, bench = false),
+    "tile_upload_sink" -> Q(
+      TileCacheQueries.uploadSink,
+      None,
+      bench = false,
+      noOracleReason = Some("side-effecting object-store upload with fault injection (reference Program.cs:109-123); status rows depend on the injected faults")),
+    "tile_delta_sync" -> Q(
+      TileCacheQueries.deltaSync,
+      None,
+      bench = false,
+      noOracleReason = Some("filesystem mtime-based incremental sync; depends on on-disk state DuckDB cannot see")),
     "tile_pyramid_rollup" -> Q(
       tilePyramidRollup,
       Some(

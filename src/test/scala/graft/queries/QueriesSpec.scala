@@ -19,6 +19,20 @@ class QueriesSpec extends SparkSuite {
     }
   }
 
+  test("every oracle-less registry entry declares its no-oracle reason") {
+    // the Q scaladoc contract: oracle=None REQUIRES a one-line reason
+    // (Verify emits them as the no_oracle_reasons.json sidecar)
+    val missing = Registry.all.collect {
+      case (name, q) if q.oracle.isEmpty && q.noOracleReason.forall(_.trim.isEmpty) => name
+    }
+    assert(missing.isEmpty, s"oracle-less entries without a reason: $missing")
+    // and no dangling reasons on entries that DO have an oracle
+    val dangling = Registry.all.collect {
+      case (name, q) if q.oracle.isDefined && q.noOracleReason.isDefined => name
+    }
+    assert(dangling.isEmpty, s"entries with both oracle and no-oracle reason: $dangling")
+  }
+
   test("ngram capped == ngram exact when no shingle exceeds the df cap") {
     // 50 docs at sf0.001 — no shingle can reach df > 50, so the capped
     // variant must reproduce the exact variant bit-for-bit.
