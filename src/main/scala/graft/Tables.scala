@@ -27,6 +27,14 @@ object Tables {
     if (name == "events") events(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** The events table, layout-adaptive (see object doc).
+    *
+    * @note SESSION-GLOBAL SIDE EFFECT: loading this table pins
+    *       `spark.sql.session.timeZone` to UTC (loudly, on stderr) unless
+    *       the configured zone already normalizes to the UTC offset, and
+    *       enables `nanosAsLong`. The pin is load-bearing for the NTZ
+    *       fixture layout and cannot be restored after the lazy cast.
+    */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     // Our own entry points (Bench/Verify/Explain/tests) set these at session
     // build; the guarded fallbacks exist only for externally-owned sessions
@@ -38,15 +46,22 @@ object Tables {
     // events timestamp against the oracle's naive read.
     if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    if (spark.conf.get("spark.sql.session.timeZone") != "UTC") {
+    // Normalize before comparing (round-6 ADVICE): Etc/UTC, GMT, +00:00
+    // etc. all resolve to the UTC offset — overriding those would be a
+    // needless session-global mutation. Unparseable zone ids fall through
+    // to the override (the pin is the safe direction).
+    val tzConf = spark.conf.get("spark.sql.session.timeZone")
+    val alreadyUtc =
+      try java.time.ZoneId.of(tzConf).normalized() == java.time.ZoneOffset.UTC
+      catch { case _: java.time.DateTimeException => false }
+    if (!alreadyUtc) {
       // Session-global side effect, so be LOUD about it. Restoring after
       // the read is impossible (the cast evaluates lazily at action
       // time), and without the pin every events timestamp is silently
       // shifted — the worse failure mode.
       System.err.println(
         "[graft] overriding spark.sql.session.timeZone -> UTC " +
-          "(required for the events NTZ fixture; was " +
-          s"${spark.conf.get("spark.sql.session.timeZone")})")
+          s"(required for the events NTZ fixture; was $tzConf)")
       spark.conf.set("spark.sql.session.timeZone", "UTC")
     }
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
@@ -90,8 +105,26 @@ object Tables {
     * grain` (DuckDB sums BIGINT into HUGEINT — exact on its side at any
     * grain).
     */
-  def fsum(c: org.apache.spark.sql.Column, grain: Double): org.apache.spark.sql.Column =
-    sum(graft.functions.ScaledLong.of(c.cast("double"), grain)).cast("double") / grain
+  def fsum(c: org.apache.spark.sql.Column, grain: Double): org.apache.spark.sql.Column = {
+    val addend = graft.functions.ScaledLong.of(c.cast("double"), grain)
+    // Overflow canary (round-6 ADVICE): the LONG sum wraps SILENTLY in
+    // non-ANSI mode, while the DuckDB oracle sums into HUGEINT — a wrap
+    // would surface as a hash mismatch only if an oracle run covers that
+    // scale. |sum| ≤ count·max|addend|, and that bound is computed in
+    // DOUBLES (cannot itself wrap), so asserting it below 2^62 makes a
+    // grain/row-count combination that outgrows the documented sizing
+    // fail loudly instead of corrupting results. The canary adds + 0.0
+    // to the value (assert_true is NULL on pass), so oracle parity and
+    // IEEE bits are untouched.
+    val bound = count(c).cast("double") * coalesce(max(abs(addend)), lit(0L)).cast("double")
+    sum(addend).cast("double") / grain +
+      coalesce(
+        assert_true(
+          bound < lit(4.611686018427388e18), // 2^62
+          lit(s"fsum(grain=$grain) overflow canary: count*max|addend| >= 2^62 " +
+            "- the fixed-point sum may have wrapped; shrink the grain")).cast("double"),
+        lit(0.0))
+  }
 
   /** Deterministic average built from the exact decimal sum; the oracle
     * mirrors the same double-division so both engines produce identical

@@ -63,9 +63,9 @@ object LlmOps {
     * base hash = first 16 md5 hex chars as UBIGINT reduced mod P
     * (identical to the kernel's unsigned-mod of the first 8 MD5 bytes),
     * 16 affine-permutation MINs, candidates = pairs agreeing on at least
-    * one of the 4 four-hash bands (tuple equality here; the engine keys
-    * the shuffle by a 64-bit hash of the same tuple, so the sets differ
-    * only if that hash collides — negligible and caught by the compare).
+    * one of the 4 four-hash bands (tuple equality on BOTH sides since
+    * round 7: the engine joins on the band struct itself, so the
+    * candidate sets are identical by construction, no collision caveat).
     * A CTE body (no leading WITH) so callers can append their own CTEs.
     */
   private[queries] val MINHASH_CAND: String = {
@@ -547,19 +547,26 @@ object LlmOps {
       .documents(spark, sfDir)
       .select(col("doc_id"), graft.functions.MinHash16.of(col("text")).as("sig"))
       .where(col("sig").isNotNull)
+    // Candidates join on the band TUPLE itself (4 sig values as a struct),
+    // not a 64-bit hash of it (round-6 ADVICE): the MINHASH_CAND oracle
+    // compares tuples exactly, so a band-hash collision — however unlikely
+    // — would have produced a spurious engine-only pair and a hash-compare
+    // failure. The shuffle key grows 8 → 32 bytes, which the full 128-byte
+    // sig riding alongside dwarfs anyway; the candidate sets are now
+    // identical to the oracle's by construction.
     val bands = sigs.select(
       col("doc_id"),
       col("sig"),
       posexplode(
         array((0 until NumHashes / BandSize).map { b =>
-          xxhash64(
+          struct(
             (b * BandSize until (b + 1) * BandSize).map(j => element_at(col("sig"), j + 1)): _*)
-        }: _*)).as(Seq("band", "band_hash")))
+        }: _*)).as(Seq("band", "band_key")))
     val cand = bands
       .as("a")
       .join(
         bands.as("b"),
-        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(
         col("a.doc_id").as("d1"),

@@ -63,7 +63,16 @@ def main():
     if "queries" in compact:
         full = compact
     elif len(summaries) >= 2 and "queries" in summaries[-2]:
-        full = summaries[-2]
+        # Guard (round-6 ADVICE): only trust summaries[-2] as this run's
+        # full line if it AGREES with the compact line — same query count
+        # and same total within epsilon. If the newest run's full line was
+        # sheared by the tail window, summaries[-2] is an OLDER run's line
+        # and must not supply per-query detail; fall through to the
+        # compact line's worst_q/worst_sec path instead.
+        cand = summaries[-2]
+        if (len(cand["queries"]) == compact.get("n")
+                and abs(cand.get("value", -1) - compact.get("value", -2)) < 1e-6):
+            full = cand
     total = compact["value"]
     failed = compact.get("failed", [])
     bad = []
