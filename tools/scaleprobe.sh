@@ -1,0 +1,24 @@
+#!/bin/bash
+# Scale-probe runner (round-6 verdict ask #3). MUST NOT run concurrently
+# with sbt (CPU steal — same rule as Bench): copies compiled classes to a
+# scratch classpath and runs plain java with the build.sbt JVM flags.
+# Usage: tools/scaleprobe.sh [factor] [workdir]
+set -euo pipefail
+cd "$(dirname "$0")/.."
+FACTOR="${1:-20}"
+WORK="${2:-/tmp/graft_scaleprobe}"
+CP=/tmp/scaleprobecp
+rm -rf "$CP" && cp -r target/scala-2.13/classes "$CP"
+ADDOPENS=""
+for p in java.base/java.lang java.base/java.lang.invoke java.base/java.lang.reflect \
+         java.base/java.io java.base/java.net java.base/java.nio java.base/java.util \
+         java.base/java.util.concurrent java.base/java.util.concurrent.atomic \
+         java.base/sun.nio.ch java.base/sun.nio.cs java.base/sun.security.action \
+         java.base/sun.util.calendar; do
+  ADDOPENS="$ADDOPENS --add-opens $p=ALL-UNNAMED"
+done
+SPARK_GRAFT_SCALEPROBE_OUT="$PWD/SCALEPROBE.json" \
+exec java $ADDOPENS -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -Xmx64g -XX:ReservedCodeCacheSize=1g \
+  -XX:PerMethodRecompilationCutoff=-1 -XX:PerBytecodeRecompilationCutoff=-1 \
+  -cp "$CP:/opt/spark/jars/*" graft.ScaleProbe /root/testdata/sf0.1 "$WORK" "$FACTOR"
