@@ -1198,10 +1198,12 @@ object CorpusOps {
     * entry, the point is the METRIC-STORE shape — per-partition sketches
     * (bounded by dynamic range, not rows) merge exactly under any
     * partial-agg tree, so precomputed per-day sketches can answer any
-    * date-range quantile without touching raw values. Deterministic but
-    * intrinsically approximate (≤ ~1% relative error by construction) →
-    * rows-only check; QuantileSketchSpec pins merge ≡ direct and the
-    * error bound vs the exact percentile.
+    * date-range quantile without touching raw values. Approximate vs the
+    * exact percentile (≤ ~1% relative error by construction) but fully
+    * DETERMINISTIC — the sketch state is a pure function of the value
+    * multiset — so the DuckDB oracle replays the whole log-histogram and
+    * hash-matches it; QuantileSketchSpec additionally pins merge ≡ direct
+    * and the error bound vs the exact percentile.
     */
   def qAggQuantileSketch(spark: SparkSession, sfDir: String): DataFrame = {
     val qsk = udaf(new graft.functions.LogHistQuantile(Seq(0.5, 0.95, 0.99)))
@@ -1759,8 +1761,44 @@ object CorpusOps {
       noOracleReason = Some("inclusion-exclusion over HLL++ sketches; approximate by construction, no exact SQL twin")),
     "q_agg_quantile_sketch" -> Q(
       qAggQuantileSketch,
-      None,
-      noOracleReason = Some("DDSketch-style mergeable quantile sketch; bucket boundaries are impl-defined, not SQL-expressible")),
+      // The log-histogram IS SQL-expressible — unlike the HLL entries,
+      // LogHistQuantile's state is a pure function of the value multiset
+      // (bin = floor(ln x / ln 1.02), exact counts, merge = addition),
+      // so DuckDB replays the whole sketch: histogram → cumulative
+      // counts → lower nearest-rank pick → geometric bucket midpoint.
+      // Sentinel -2^31 twins the zero/negative underflow bin (it sorts
+      // first, exactly like Int.MinValue in the sorted bin array). The
+      // only float risk is ln() differing at an exact bucket boundary
+      // (ratio within ~1e-13 of an integer) — measure-zero for price
+      // data, and a wrong bucket would shift the quantile 2% and fail
+      // loudly, not silently.
+      Some("""WITH v AS (
+             | SELECT l_returnflag,
+             |  CASE WHEN NOT (l_extendedprice > 0.0) THEN -2147483648
+             |       ELSE CAST(floor(ln(l_extendedprice) / ln(1.02)) AS INT) END AS bin
+             | FROM lineitem WHERE NOT isnan(l_extendedprice)),
+             |h AS (SELECT l_returnflag, bin, count(1) AS c FROM v GROUP BY 1, 2),
+             |t AS (SELECT l_returnflag, sum(c) AS total FROM h GROUP BY 1),
+             |cum AS (
+             | SELECT l_returnflag, bin, c,
+             |  sum(c) OVER (PARTITION BY l_returnflag ORDER BY bin
+             |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS acc
+             | FROM h),
+             |pick AS (
+             | SELECT c.l_returnflag, q.q,
+             |  min(CASE WHEN c.bin = -2147483648 THEN 0.0
+             |           ELSE exp((c.bin + 0.5) * ln(1.02)) END) AS val
+             | FROM cum c
+             | JOIN t ON c.l_returnflag = t.l_returnflag
+             | CROSS JOIN (SELECT unnest([0.5, 0.95, 0.99]) AS q) q
+             | WHERE c.acc >= greatest(1, CAST(ceil(q.q * t.total) AS BIGINT))
+             |   AND c.acc - c.c < greatest(1, CAST(ceil(q.q * t.total) AS BIGINT))
+             | GROUP BY 1, 2)
+             |SELECT l_returnflag,
+             | round(max(CASE WHEN q = 0.5 THEN val END), 4) AS p50,
+             | round(max(CASE WHEN q = 0.95 THEN val END), 4) AS p95,
+             | round(max(CASE WHEN q = 0.99 THEN val END), 4) AS p99
+             |FROM pick GROUP BY 1 ORDER BY 1""".stripMargin)),
     "q_dq_expectations" -> Q(
       qDqExpectations,
       Some(s"""WITH ev AS (

@@ -245,6 +245,84 @@ object LlmOps {
        |$ANN_RERANK_TAIL""".stripMargin
   }
 
+  /** DuckDB twin of `q_sim_ann_pq`'s whole codebook build + ADC scan +
+    * rerank. The "8 nested k-means" turn out to be ONE k-means with the
+    * subspace index `m` as an extra GROUP BY key — subvector rows are
+    * (vec_id, m, pos, x), so each Lloyd round is a single
+    * assignment/update CTE pair exactly like [[ivfOracle]]'s, unrolled
+    * a1..a3/cb1..cb2. Per-step parity with the engine:
+    *   - assignment distance replays `sqDist` EXACTLY as the engine
+    *     associates it: (La + Lb) as exact BIGINT sum cast to DOUBLE,
+    *     minus 2.0 × Lab — all three the 1e12 scaled-round-sum dots;
+    *     `min_by(code, struct(d, code))` twins as row_number ORDER BY
+    *     d, code;
+    *   - codeword means are the davg contract (DECIMAL(18,6) sum /
+    *     count) with the driver's `.toFloat` as CAST to FLOAT;
+    *   - the query LUT replays the driver's float math: (q − c) is a
+    *     FLOAT subtraction (two floats' difference is exact in DOUBLE,
+    *     so CAST(x−c AS FLOAT) ≡ Float `-`), squared in DOUBLE, summed
+    *     in pos order via list_reduce (double addition is
+    *     order-sensitive; SUM() order is not guaranteed), then
+    *     round(d·1e6) — half-away ≡ Math.round for the non-negative d;
+    *   - ADC partial sums are LONG (order-independent), top-50 with
+    *     vec_id tiebreak, and the shared [[ANN_RERANK_TAIL]].
+    */
+  private def pqOracle: String = {
+    def assign(name: String, cents: String): String =
+      s"""$name AS (
+         | SELECT vec_id, m, code FROM (
+         |  SELECT vec_id, m, code,
+         |   row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code) AS rk
+         |  FROM (
+         |   SELECT s.vec_id, s.m, c.code,
+         |    CAST(sum(CAST(round(s.x * s.x * 1e12, 0) AS BIGINT))
+         |       + sum(CAST(round(c.c * c.c * 1e12, 0) AS BIGINT)) AS DOUBLE)
+         |     - 2.0 * CAST(sum(CAST(round(s.x * c.c * 1e12, 0) AS BIGINT)) AS DOUBLE) AS d
+         |   FROM sue s JOIN $cents c ON s.m = c.m AND s.pos = c.pos
+         |   GROUP BY 1, 2, 3))
+         | WHERE rk = 1)""".stripMargin
+    def update(name: String, assignName: String): String =
+      s"""$name AS (
+         | SELECT a.m, a.code, s.pos,
+         |  CAST(CAST(CAST(sum(CAST(s.x AS DECIMAL(18,6))) AS DOUBLE) / count(s.x) AS FLOAT) AS DOUBLE) AS c
+         | FROM $assignName a JOIN sue s ON a.vec_id = s.vec_id AND a.m = s.m
+         | GROUP BY 1, 2, 3)""".stripMargin
+    s"""WITH ue AS (
+       | SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS i,
+       |  CAST(unnest(embedding) AS DOUBLE) AS x
+       | FROM embeddings WHERE vec_id <> 0),
+       |sue AS (SELECT vec_id, CAST(i // 8 AS INT) AS m, CAST(i % 8 AS INT) AS pos, x FROM ue),
+       |cb0 AS (
+       | SELECT CAST(i // 8 AS INT) AS m, CAST(vec_id - 1 AS INT) AS code,
+       |  CAST(i % 8 AS INT) AS pos, x AS c
+       | FROM ue WHERE vec_id BETWEEN 1 AND 16),
+       |${assign("a1", "cb0")},
+       |${update("cb1", "a1")},
+       |${assign("a2", "cb1")},
+       |${update("cb2", "a2")},
+       |${assign("a3", "cb2")},
+       |que AS (
+       | SELECT CAST((generate_subscripts(embedding, 1) - 1) // 8 AS INT) AS m,
+       |  CAST((generate_subscripts(embedding, 1) - 1) % 8 AS INT) AS pos,
+       |  CAST(unnest(embedding) AS DOUBLE) AS x
+       | FROM embeddings WHERE vec_id = 0),
+       |lut AS (
+       | SELECT c.m, c.code,
+       |  CAST(round(list_reduce(
+       |   list_prepend(CAST(0.0 AS DOUBLE),
+       |    list(CAST(CAST(q.x - c.c AS FLOAT) AS DOUBLE) * CAST(CAST(q.x - c.c AS FLOAT) AS DOUBLE)
+       |         ORDER BY c.pos)),
+       |   (a, b) -> a + b) * 1e6, 0) AS BIGINT) AS d_micro
+       | FROM cb2 c JOIN que q ON q.m = c.m AND q.pos = c.pos
+       | GROUP BY 1, 2),
+       |adc AS (
+       | SELECT a.vec_id, sum(l.d_micro) AS adc
+       | FROM a3 a JOIN lut l ON a.m = l.m AND a.code = l.code
+       | GROUP BY 1),
+       |sel AS (SELECT vec_id FROM adc ORDER BY adc ASC, vec_id ASC LIMIT 50),
+       |$ANN_RERANK_TAIL""".stripMargin
+  }
+
   /** Deterministic 1%-hash bucket of doc_id — the ONE split formula every
     * split-aware query (assign / pipeline / decontaminate / packing /
     * unigram+bigram NLL) derives train/val/test membership from; a
@@ -1054,9 +1132,10 @@ object LlmOps {
     * shuffle of (vec_id, partial sums) — NO higher-order functions on
     * the hot path (the LUT lookup is a join, not an `aggregate` lambda —
     * §6's cliff); rerank joins embeddings back by id for the top-50
-    * only. Rows-only check (16 nested k-means have no SQL twin);
-    * PqSpec pins determinism, code-range, and rerank recall vs the
-    * exact top-k.
+    * only. Fully oracle-checked: [[pqOracle]] replays the entire build
+    * (the 8 "nested" k-means are one grouped k-means with `m` as a key)
+    * plus LUT/ADC/rerank; PqSpec additionally pins determinism,
+    * code-range, and rerank recall vs the exact top-k.
     */
   def qSimAnnPq(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -1566,8 +1645,11 @@ object LlmOps {
     * headers — no codec library needed, proven on crafted headers in
     * MediaProbeSpec. Only the pixel decode behind the header remains the
     * documented stub boundary (no libjpeg/libpng in this container).
-    * This corpus's payloads are UTF-8 text, so they classify as
-    * `unknown`/-1×-1 deterministically. Rows-only check + unit tests.
+    * The DuckDB oracle replays the classification rules byte-for-byte
+    * from the hexed payload (see the registry entry), so the probe's
+    * container walk — not just the all-`unknown` outcome this text
+    * corpus produces — is hash-checked end-to-end; crafted-header
+    * parsing is additionally unit-tested in MediaProbeSpec.
     */
   def qMultimodalMeta(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -1743,6 +1825,8 @@ object LlmOps {
     * like `q_multimodal_meta`'s (no codecs in this container); the real
     * parts are the 1:N iterator plumbing, the binary-safe schema, and
     * that frame bytes are born in the output partition — never shuffled.
+    * Deterministic stub ⇒ full oracle: the DuckDB twin recomputes every
+    * block boundary and Arrays.hashCode value from the payload bytes.
     */
   def qMultimodalFrames(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -2041,11 +2125,7 @@ object LlmOps {
     "q_sim_ann_ivf" -> Q(qSimAnnIvf, Some(ivfOracle), bench = false),
     // bench=false: like IVF, the run is dominated by the codebook BUILD
     // (16 k-means-lite jobs); the encode/ADC query path is the scale story.
-    "q_sim_ann_pq" -> Q(
-      qSimAnnPq,
-      None,
-      bench = false,
-      noOracleReason = Some("PQ codebook = 8 nested k-means builds; unrolling 8x2 Lloyd iterations as SQL is past the practical CTE ceiling (IVF's single build IS unrolled, see q_sim_ann_ivf)")),
+    "q_sim_ann_pq" -> Q(qSimAnnPq, Some(pqOracle), bench = false),
     "q_join_interval_overlap" -> Q(
       qJoinIntervalOverlap,
       Some(s"""WITH ord AS (
@@ -2256,9 +2336,59 @@ object LlmOps {
               |ORDER BY user_id, session_id""".stripMargin)),
     "q_multimodal_meta" -> Q(
       qMultimodalMeta,
-      None,
-      bench = false,
-      noOracleReason = Some("probes synthesized media containers (stubbed codec demo); byte-level container parsing has no SQL twin")),
+      // Byte-level DuckDB twin: v1.0.0 has no BLOB slicing, so the twin
+      // hexes the whole payload once and does all byte arithmetic on the
+      // hex string (byte k = ('0x'||substr(hx,2k+1,2))::INT). It replays
+      // MediaProbe's classification rules — GIF87a/GIF89a and BM magics
+      // with their length guards, little-endian u16/i32 dimension parses,
+      // abs() on BMP height — so the probe's container walk is verified
+      // end-to-end on every payload, not just asserted 'unknown'. PNG and
+      // JPEG branches are unreachable here BY CONSTRUCTION (0x89 is a
+      // UTF-8 continuation byte and 0xFF is invalid anywhere, so neither
+      // can open text encoded from a valid string), hence not twinned.
+      Some("""WITH raw AS (
+             | SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+             |        lower(hex(encode(text))) AS hx
+             | FROM documents),
+             |by8 AS (
+             | SELECT doc_id, n_bytes, hx,
+             |  CASE WHEN n_bytes >= 5 THEN ('0x'||substring(hx, 9, 2))::INT END AS b4,
+             |  CASE WHEN n_bytes >= 6 THEN ('0x'||substring(hx, 11, 2))::INT END AS b5
+             | FROM raw),
+             |cls AS (
+             | SELECT doc_id, n_bytes, hx,
+             |  CASE
+             |   WHEN n_bytes >= 10 AND substring(hx, 1, 8) = '47494638'
+             |        AND b4 IN (55, 57) AND b5 = 97 THEN 'gif'
+             |   WHEN n_bytes >= 26 AND substring(hx, 1, 4) = '424d' THEN 'bmp'
+             |   ELSE 'unknown' END AS format
+             | FROM by8),
+             |le AS (
+             | SELECT doc_id, n_bytes, hx, format,
+             |  CASE WHEN format IN ('gif', 'bmp') THEN
+             |   (SELECT list(('0x'||substring(hx, 2*i.i+1, 2))::BIGINT ORDER BY i.i)
+             |    FROM (SELECT unnest(generate_series(0, 25)) AS i) i
+             |    WHERE 2*i.i+2 <= length(hx))
+             |  END AS bs
+             | FROM cls)
+             |SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes,
+             | substring(hx, 1, 8) AS magic, format,
+             | CAST(CASE
+             |  WHEN format = 'gif' THEN bs[7] + bs[8]*256
+             |  WHEN format = 'bmp' THEN
+             |   CASE WHEN bs[19] + bs[20]*256 + bs[21]*65536 + bs[22]*16777216 >= 2147483648
+             |        THEN bs[19] + bs[20]*256 + bs[21]*65536 + bs[22]*16777216 - 4294967296
+             |        ELSE bs[19] + bs[20]*256 + bs[21]*65536 + bs[22]*16777216 END
+             |  ELSE -1 END AS INT) AS width,
+             | CAST(CASE
+             |  WHEN format = 'gif' THEN bs[9] + bs[10]*256
+             |  WHEN format = 'bmp' THEN
+             |   abs(CASE WHEN bs[23] + bs[24]*256 + bs[25]*65536 + bs[26]*16777216 >= 2147483648
+             |        THEN bs[23] + bs[24]*256 + bs[25]*65536 + bs[26]*16777216 - 4294967296
+             |        ELSE bs[23] + bs[24]*256 + bs[25]*65536 + bs[26]*16777216 END)
+             |  ELSE -1 END AS INT) AS height
+             |FROM le ORDER BY doc_id""".stripMargin),
+      bench = false),
     "q_multimodal_audio" -> Q(
       qMultimodalAudio,
       Some("""SELECT doc_id, 'wav' AS format,
@@ -2308,9 +2438,39 @@ object LlmOps {
              |ORDER BY d1, d2""".stripMargin)),
     "q_multimodal_frames" -> Q(
       qMultimodalFrames,
-      None,
-      bench = false,
-      noOracleReason = Some("frame-sampling plumbing over the stubbed video codec; deterministic fake decode, no SQL twin")))
+      // DuckDB twin of the 1:N frame sampler, byte-exact: blocks at
+      // stride 4 × 1 KiB, and frame_hash replays java.util.Arrays
+      // .hashCode (h = 31·h + signed byte, 32-bit wrap) as a list_reduce
+      // over the block's bytes with h carried mod 2^32 (congruence-
+      // preserving, so per-step reduction ≡ Java's wrapping int), the
+      // leading 1 prepended, and the final value re-signed. Bytes come
+      // from the hexed payload as in q_multimodal_meta's twin.
+      Some("""WITH raw AS (
+             | SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+             |        lower(hex(encode(text))) AS hx
+             | FROM documents),
+             |blocks AS (
+             | SELECT doc_id, n_bytes, hx, CAST(bi.b AS INT) AS blk
+             | FROM raw,
+             |  LATERAL (SELECT unnest(generate_series(0, CAST(ceil(n_bytes/1024.0) AS INT) - 1, 4)) AS b) bi),
+             |fr AS (
+             | SELECT doc_id, blk // 4 AS frame_idx,
+             |  least((blk+1)*1024, n_bytes) - blk*1024 AS frame_bytes,
+             |  (SELECT list(('0x'||substring(hx, 2*p.p+1, 2))::BIGINT ORDER BY p.p)
+             |   FROM (SELECT unnest(generate_series(blk*1024, least((blk+1)*1024, n_bytes)-1)) AS p) p) AS bs
+             | FROM blocks),
+             |hashed AS (
+             | SELECT doc_id, frame_idx, frame_bytes,
+             |  list_reduce(
+             |   list_prepend(CAST(1 AS BIGINT),
+             |    list_transform(bs, x -> CASE WHEN x > 127 THEN x - 256 ELSE x END)),
+             |   (a, b) -> ((a * 31 + b) % 4294967296 + 4294967296) % 4294967296) AS h
+             | FROM fr)
+             |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+             | CAST(frame_bytes AS INT) AS frame_bytes,
+             | CAST(CASE WHEN h >= 2147483648 THEN h - 4294967296 ELSE h END AS INT) AS frame_hash
+             |FROM hashed ORDER BY doc_id, frame_idx""".stripMargin),
+      bench = false))
 }
 
 /** Output record of the multimodal decode stub. */

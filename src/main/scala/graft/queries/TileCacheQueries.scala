@@ -29,6 +29,31 @@ object TileCacheQueries {
   private def fixtureRoot: java.io.File =
     new java.io.File(sys.props("java.io.tmpdir"), "graft_tile_cache")
 
+  /** DuckDB CTE that recomputes the fixture's present-tile set purely
+    * arithmetically — [[ensureFixture]]'s generation loop (extent range
+    * formulas at [[fixtureCfg]], pad 1, gap rule `(r+c+level)%3 != 0`,
+    * no negative indices) re-expressed in SQL. The filesystem-reading
+    * registry entries oracle against this, so the listing⇄arithmetic
+    * round-trip is hash-checked end-to-end (the `tile_cache_coverage`
+    * contract, extended to the scan/sink/sync manifests). `trunc` before
+    * CAST because DuckDB CAST rounds; Scala `.toInt` truncates.
+    */
+  val fixtureCte: String =
+    """WITH lv AS (SELECT CAST(unnest(generate_series(2, 4)) AS INT) AS level),
+      |b AS (SELECT level, 20037508.34278 * power(2.0, 1 - level) AS ts FROM lv),
+      |rg AS (SELECT level,
+      |  CAST(trunc((20037508.34278 - 6384021.0) / ts) AS INT) - 1 AS sr,
+      |  CAST(trunc((20037508.34278 - 3604577.0) / ts) AS INT) + 1 + 1 AS er,
+      |  CAST(trunc((-14078565.0 + 20037508.34278) / ts) AS INT) - 1 AS sc,
+      |  CAST(trunc((-11137983.0 + 20037508.34278) / ts) AS INT) + 1 + 1 AS ec
+      | FROM b),
+      |present AS (SELECT level, CAST(r.r AS INT) AS tile_row, CAST(c.c AS INT) AS tile_col
+      | FROM rg,
+      |  LATERAL (SELECT unnest(generate_series(sr, er)) AS r) r,
+      |  LATERAL (SELECT unnest(generate_series(sc, ec)) AS c) c
+      | WHERE (r.r + c.c + level) % 3 <> 0 AND r.r >= 0 AND c.c >= 0)
+      |""".stripMargin
+
   /** The fixture's identity: config + gap rule. Written into the
     * completion marker so an on-disk fixture from an OLDER build (edited
     * config or gap predicate) is regenerated instead of silently reused

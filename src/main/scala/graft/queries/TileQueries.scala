@@ -178,14 +178,30 @@ object TileQueries {
             |FROM s4 ORDER BY level, tile_row, tile_col""".stripMargin)),
     "tile_cache_scan" -> Q(
       TileCacheQueries.cacheScan,
-      None,
-      bench = false,
-      noOracleReason = Some("reads a filesystem tile-cache directory (reference Program.cs:102); DuckDB sees no such table")),
+      // Arithmetic replay of the deterministic fixture (FIXTURES.md §B),
+      // the same end-to-end contract tile_cache_coverage already carries:
+      // the grid from the extent formulas, presence from the gap rule,
+      // object keys/lengths from the generator's own string arithmetic.
+      // A real-filesystem/arithmetic divergence (missing tile, stale dir,
+      // mis-parsed hex path) fails the hash match.
+      Some(
+        TileCacheQueries.fixtureCte +
+          """SELECT level, tile_row, tile_col,
+            | concat('Lite/', level, '/', tile_row, '/', tile_col) AS object_key,
+            | CAST(length(concat('tile-', level, '-', tile_row, '-', tile_col)) AS BIGINT) AS length
+            |FROM present ORDER BY level, tile_row, tile_col""".stripMargin),
+      bench = false),
     "tile_cache_scan_v2" -> Q(
       TileCacheQueries.cacheScanV2,
-      None,
-      bench = false,
-      noOracleReason = Some("DSv2 connector over the same filesystem tile cache; spec-pinned equal to tile_cache_scan")),
+      // Same arithmetic oracle as tile_cache_scan: the DSv2 connector must
+      // produce the row-for-row identical manifest (also spec-pinned).
+      Some(
+        TileCacheQueries.fixtureCte +
+          """SELECT level, tile_row, tile_col,
+            | concat('Lite/', level, '/', tile_row, '/', tile_col) AS object_key,
+            | CAST(length(concat('tile-', level, '-', tile_row, '-', tile_col)) AS BIGINT) AS length
+            |FROM present ORDER BY level, tile_row, tile_col""".stripMargin),
+      bench = false),
     "tile_cache_coverage" -> Q(
       TileCacheQueries.cacheCoverage,
       // the oracle recomputes BOTH sides arithmetically: the grid from
@@ -216,14 +232,33 @@ object TileQueries {
       bench = false),
     "tile_upload_sink" -> Q(
       TileCacheQueries.uploadSink,
-      None,
-      bench = false,
-      noOracleReason = Some("side-effecting object-store upload with fault injection (reference Program.cs:109-123); status rows depend on the injected faults")),
+      // The registry upload injects no faults, so the re-listed bucket
+      // manifest must equal the arithmetic fixture exactly: every PUT
+      // that the sink claims succeeded must exist on disk at the right
+      // key with the right byte length (fault paths are spec-pinned in
+      // ObjectSinkSpec, where mutation is allowed).
+      Some(
+        TileCacheQueries.fixtureCte +
+          """SELECT concat('Lite/', level, '/', tile_row, '/', tile_col) AS object_key,
+            | CAST(length(concat('tile-', level, '-', tile_row, '-', tile_col)) AS BIGINT) AS length
+            |FROM present ORDER BY object_key""".stripMargin),
+      bench = false),
     "tile_delta_sync" -> Q(
       TileCacheQueries.deltaSync,
-      None,
-      bench = false,
-      noOracleReason = Some("filesystem mtime-based incremental sync; depends on on-disk state DuckDB cannot see")),
+      // Clean-bucket double-run is deterministic: first pass uploads the
+      // whole fixture (N tiles), second pass skips everything — N comes
+      // from the same arithmetic present-set, so a sync that re-uploads
+      // (or silently drops) even one tile fails the hash match. The
+      // mtime/modify incremental cases stay in TileCacheSpec.
+      Some(
+        TileCacheQueries.fixtureCte +
+          """, n AS (SELECT count(1) AS n FROM present)
+            |SELECT 'initial' AS phase, n AS uploaded,
+            | CAST(0 AS BIGINT) AS skipped, CAST(0 AS BIGINT) AS failed FROM n
+            |UNION ALL
+            |SELECT 'resync', CAST(0 AS BIGINT), n, CAST(0 AS BIGINT) FROM n
+            |ORDER BY phase""".stripMargin),
+      bench = false),
     "tile_pyramid_rollup" -> Q(
       tilePyramidRollup,
       Some(
