@@ -53,6 +53,7 @@ object ScaleProbe {
     "q_market_basket",
     "q_embed_pca",
     "q_dedup_near",
+    "q_dedup_near_capped",
     "q_dedup_ngram_capped",
     "q_dedup_exact",
     "q_events_sessionize",

@@ -616,23 +616,23 @@ object LlmOps {
     * signature + banding in DuckDB); `q_dedup_ngram` remains the
     * exact-semantics ground truth the candidates approximate.
     */
-  def qDedupNear(spark: SparkSession, sfDir: String): DataFrame = {
-    // One map-side kernel call per doc (see [[graft.functions.MinHash16]];
-    // bit-identical to the shingle-explode → pmod(xxhash64) → 16×MIN
-    // aggregate it replaces, pinned in SimHashSpec) — candidate
-    // generation below is the first and only shuffle.
-    val sigs = Tables
-      .documents(spark, sfDir)
+  /** (doc_id, sig, band, band_key) rows: one MinHash16 kernel call per
+    * doc (map-side; bit-identical to the shingle-explode →
+    * pmod(xxhash64) → 16×MIN aggregate it replaces, pinned in
+    * SimHashSpec), bands as the 4-value TUPLE itself (4 sig values as a
+    * struct), not a 64-bit hash of it (round-6 ADVICE): the
+    * [[MINHASH_CAND]] oracle compares tuples exactly, so a band-hash
+    * collision — however unlikely — would have produced a spurious
+    * engine-only pair and a hash-compare failure. The shuffle key grows
+    * 8 → 32 bytes, which the full 128-byte sig riding alongside dwarfs
+    * anyway; the candidate sets are identical to the oracle's by
+    * construction.
+    */
+  private[queries] def minhashBands(docs: DataFrame): DataFrame = {
+    val sigs = docs
       .select(col("doc_id"), graft.functions.MinHash16.of(col("text")).as("sig"))
       .where(col("sig").isNotNull)
-    // Candidates join on the band TUPLE itself (4 sig values as a struct),
-    // not a 64-bit hash of it (round-6 ADVICE): the MINHASH_CAND oracle
-    // compares tuples exactly, so a band-hash collision — however unlikely
-    // — would have produced a spurious engine-only pair and a hash-compare
-    // failure. The shuffle key grows 8 → 32 bytes, which the full 128-byte
-    // sig riding alongside dwarfs anyway; the candidate sets are now
-    // identical to the oracle's by construction.
-    val bands = sigs.select(
+    sigs.select(
       col("doc_id"),
       col("sig"),
       posexplode(
@@ -640,6 +640,17 @@ object LlmOps {
           struct(
             (b * BandSize until (b + 1) * BandSize).map(j => element_at(col("sig"), j + 1)): _*)
         }: _*)).as(Seq("band", "band_key")))
+  }
+
+  /** Candidate pairs + estimated similarity from a band frame. est_sim
+    * as 16 unrolled element comparisons — plain codegen'd expressions,
+    * NOT zip_with/aggregate: the HOF pair runs on Spark's SHARED
+    * interpreted eval loop, the exact JVM deopt surface SURVEY §6
+    * documents (and the round-2 bench measured at 60+ s when sigs also
+    * rode the distinct). The candidate set is small, but hot-path HOFs
+    * pollute the runtime for every other query in the process.
+    */
+  private[queries] def bandPairs(bands: DataFrame): DataFrame = {
     val cand = bands
       .as("a")
       .join(
@@ -652,12 +663,6 @@ object LlmOps {
         col("a.sig").as("sig1"),
         col("b.sig").as("sig2"))
       .distinct()
-    // est_sim as 16 unrolled element comparisons — plain codegen'd
-    // expressions, NOT zip_with/aggregate: the HOF pair runs on Spark's
-    // SHARED interpreted eval loop, the exact JVM deopt surface SURVEY §6
-    // documents (and the round-2 bench measured at 60+ s when sigs also
-    // rode the distinct). The candidate set is small, but hot-path HOFs
-    // pollute the runtime for every other query in the process.
     val matches = (0 until NumHashes)
       .map(j =>
         when(element_at(col("sig1"), j + 1) === element_at(col("sig2"), j + 1), 1)
@@ -667,6 +672,50 @@ object LlmOps {
       .withColumn("est_sim", matches.cast("double") / NumHashes)
       .select("d1", "d2", "est_sim")
       .orderBy("d1", "d2")
+  }
+
+  def qDedupNear(spark: SparkSession, sfDir: String): DataFrame =
+    bandPairs(minhashBands(Tables.documents(spark, sfDir)))
+
+  /** Band buckets larger than this are dropped by the capped variant.
+    * 16 keeps every organic bucket at the test scales (capped ≡ uncapped
+    * on the pristine corpus — spec-pinned) while bounding the per-bucket
+    * pair count at 120.
+    */
+  private[queries] val CapBucket = 16
+
+  /** [[qDedupNear]] with the standard production LSH guard: band buckets
+    * holding more than [[CapBucket]] docs are dropped BEFORE the pair
+    * join. Rationale at 100 TB: a band key shared by k docs yields
+    * C(k,2) candidate pairs, so one boilerplate/template cluster of 10⁵
+    * near-identical pages turns into 5×10⁹ pairs from a single bucket —
+    * the 20× scale probe measured exactly this shape (pair count grows
+    * ~quadratically in the duplication factor; 17.7× time at 20× rows).
+    * Over-popular band keys carry almost no information (the docs are
+    * mutual near-dups that exact dedup / q_dedup_clusters already owns),
+    * so dropping them bounds every bucket's contribution at
+    * C(cap,2) = 120 pairs and makes the candidate volume LINEAR in
+    * corpus size at fixed duplication rate. The cap filter is one extra
+    * aggregation over (band, band_key) — ids and 32-byte tuples only —
+    * co-partitioned with the pair join's own shuffle key.
+    */
+  def qDedupNearCapped(spark: SparkSession, sfDir: String): DataFrame =
+    cappedPairsCore(Tables.documents(spark, sfDir))
+
+  /** Core of [[qDedupNearCapped]] over any (doc_id, text) frame —
+    * package-private so the spec can drive it over a synthetic corpus
+    * where the cap actually fires (the organic test corpora max out at
+    * 11-member buckets, so capped ≡ uncapped there; a pin on that
+    * equality alone would be vacuous about the filter itself).
+    */
+  private[queries] def cappedPairsCore(docs: DataFrame): DataFrame = {
+    val bands = minhashBands(docs)
+    val ok = bands
+      .groupBy("band", "band_key")
+      .agg(count(lit(1)).as("bn"))
+      .where(col("bn") <= CapBucket)
+      .select("band", "band_key")
+    bandPairs(bands.join(ok, Seq("band", "band_key")))
   }
 
   // ---------------------------------------------------------------- SimHash
@@ -1974,6 +2023,42 @@ object LlmOps {
       qDedupNear,
       Some(s"""WITH $MINHASH_CAND
               |SELECT d1, d2, est_sim FROM mh_cand ORDER BY d1, d2""".stripMargin)),
+    // The capped oracle reuses MINHASH_CAND's signature CTEs (mh_cand
+    // itself is never referenced, so DuckDB never executes the uncapped
+    // pair join), unpivots the 4 bands into rows, counts each bucket,
+    // and only joins pairs inside buckets of <= CapBucket members —
+    // exactly the engine's filter.
+    "q_dedup_near_capped" -> Q(
+      qDedupNearCapped,
+      Some {
+        val bandRows = (0 until NumHashes / BandSize)
+          .map { b =>
+            val ks = (0 until BandSize)
+              .map(j => s"m${b * BandSize + j} AS k${j}")
+              .mkString(", ")
+            s"SELECT doc_id, $b AS band, $ks FROM mh_sig"
+          }
+          .mkString("\n  UNION ALL ")
+        val keyEq = (0 until BandSize).map(j => s"a.k$j = b.k$j").mkString(" AND ")
+        val keyCols = (0 until BandSize).map(j => s"k$j").mkString(", ")
+        val nmatch = (0 until NumHashes).map(k => s"CAST(sa.m$k = sb.m$k AS INT)").mkString(" + ")
+        s"""WITH $MINHASH_CAND,
+           |bandrows AS (
+           |  $bandRows),
+           |okb AS (
+           | SELECT band, $keyCols FROM bandrows
+           | GROUP BY band, $keyCols HAVING count(1) <= $CapBucket),
+           |cpairs AS (
+           | SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+           | FROM (SELECT br.* FROM bandrows br JOIN okb USING (band, $keyCols)) a
+           | JOIN (SELECT br.* FROM bandrows br JOIN okb USING (band, $keyCols)) b
+           |  ON a.band = b.band AND $keyEq AND a.doc_id < b.doc_id)
+           |SELECT p.d1, p.d2, CAST($nmatch AS DOUBLE) / $NumHashes AS est_sim
+           |FROM cpairs p
+           |JOIN mh_sig sa ON p.d1 = sa.doc_id
+           |JOIN mh_sig sb ON p.d2 = sb.doc_id
+           |ORDER BY p.d1, p.d2""".stripMargin
+      }),
     // same pairs CTE as q_dedup_ngram_capped, then connected components as
     // a recursive reachability fixpoint (UNION dedups, so it terminates):
     // label = min reachable vertex — exactly DedupClusters' fixpoint.

@@ -109,4 +109,5 @@ class SimHashSpec extends SparkSuite {
       assert(h == SimHash64.md5Hash64(bytes, 0, bytes.length))
     }
   }
+
 }

@@ -33,6 +33,42 @@ class QueriesSpec extends SparkSuite {
     assert(dangling.isEmpty, s"entries with both oracle and no-oracle reason: $dangling")
   }
 
+  test("capped LSH equals uncapped on the pristine corpus (no organic bucket over cap)") {
+    val uncapped = LlmOps.qDedupNear(spark, sf001).collect().toSet
+    val capped = LlmOps.qDedupNearCapped(spark, sf001).collect().toSet
+    assert(uncapped.nonEmpty)
+    assert(capped == uncapped)
+  }
+
+  test("capped LSH drops over-cap boilerplate buckets, keeps organic near-dup pairs") {
+    import spark.implicits._
+    // 20 identical "template" docs (every band bucket holds all 20 →
+    // over CapBucket=16) + one organic near-dup pair + isolated docs.
+    val template = "the quick brown fox jumps over the lazy dog again and again in this template body"
+    val nearA = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
+    val nearB = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu omicron"
+    val docs = ((1L to 20L).map(i => (i, template)) ++
+      Seq((100L, nearA), (101L, nearB), (200L, "completely unrelated text about tile caches")))
+      .toDF("doc_id", "text")
+    val uncapped = LlmOps
+      .bandPairs(LlmOps.minhashBands(docs))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val capped = LlmOps
+      .cappedPairsCore(docs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    // uncapped pays C(20,2) = 190 pairs for the template cluster alone
+    assert(uncapped.count { case (a, b) => a <= 20 && b <= 20 } == 190)
+    // the cap removes every template pair...
+    assert(capped.forall { case (a, b) => a > 20 && b > 20 })
+    // ...but keeps the organic near-dup pair (its buckets are size 2)
+    assert(capped.contains((100L, 101L)))
+    assert(uncapped.contains((100L, 101L)))
+  }
+
   test("ngram capped == ngram exact when no shingle exceeds the df cap") {
     // 50 docs at sf0.001 — no shingle can reach df > 50, so the capped
     // variant must reproduce the exact variant bit-for-bit.
