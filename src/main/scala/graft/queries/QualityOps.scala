@@ -211,6 +211,74 @@ object QualityOps {
           .as("significant"))
   }
 
+  // ------------------------------------------------- DSIR data selection
+
+  /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling" shape): per-document
+    * importance weight = mean hashed-unigram log-likelihood ratio between
+    * a target domain (here `lang = 'en'` — the declarative stand-in for
+    * "looks like my downstream corpus") and the raw corpus, with add-1
+    * smoothing over B = 64 hash buckets. The published method resamples
+    * by `exp(weight)`; the engine emits the top-20 ranked docs — the
+    * deterministic head a curation pipeline thresholds on.
+    *
+    * Parity and scale shape:
+    *   - bucket = first 15 md5 hex chars (60 bits, exactly long-safe on
+    *     both engines) mod B — the house md5 trick, so DuckDB replays
+    *     the feature hash bit-for-bit;
+    *   - per-bucket LLR is 1e-6 fixed-point BEFORE the per-doc sum, so
+    *     the doc aggregation is an order-independent LONG sum (the one
+    *     float op per bucket happens once in a 64-row frame);
+    *   - the LLR model is a ≤64-row broadcast — scoring is one exploded
+    *     scan + broadcast-hash-join + per-doc partial agg; the only
+    *     wide exchange carries (doc_id, long) pairs. Two passes over
+    *     the token stream (train the model, score with it) is the
+    *     canonical two-phase shape — at 100 TB each pass is map-side
+    *     until its respective tiny aggregation.
+    */
+  def qCurationDsir(spark: SparkSession, sfDir: String): DataFrame = {
+    val B = 64
+    val toks = Tables
+      .documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        col("source"),
+        col("lang"),
+        explode(split(col("text"), " ")).as("tok"))
+      .where(col("tok") =!= "")
+      .withColumn(
+        "bucket",
+        conv(substring(md5(col("tok").cast("binary")), 1, 15), 16, 10).cast("long") % B)
+    val raw = toks.groupBy("bucket").agg(count(lit(1)).as("c_r"))
+    val tgt =
+      toks.where(col("lang") === "en").groupBy("bucket").agg(count(lit(1)).as("c_t"))
+    val tots = toks.agg(
+      count(lit(1)).as("n_r"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_t"))
+    val llr = raw
+      .join(tgt, Seq("bucket"), "left")
+      .na.fill(0L, Seq("c_t"))
+      .crossJoin(broadcast(tots))
+      .select(
+        col("bucket"),
+        round(
+          (log((col("c_t") + 1).cast("double") / (col("n_t") + lit(B)).cast("double")) -
+            log((col("c_r") + 1).cast("double") / (col("n_r") + lit(B)).cast("double"))) * 1e6,
+          0).cast("long").as("llr_fp"))
+    toks
+      .join(broadcast(llr), "bucket")
+      .groupBy("doc_id", "source", "lang")
+      .agg(count(lit(1)).as("n_tok"), sum(col("llr_fp")).as("s_fp"))
+      .select(
+        col("doc_id"),
+        col("source"),
+        col("lang"),
+        col("n_tok"),
+        round(col("s_fp").cast("double") / col("n_tok") / 1e6, 6).as("avg_llr"))
+      .orderBy(col("avg_llr").desc, col("doc_id"))
+      .limit(20)
+  }
+
   // ----------------------------------------------------- compaction plan
 
   /** Small-file compaction groups: files (here: 16 content-hash buckets
@@ -259,6 +327,31 @@ object QualityOps {
               | (n_tok >= 50 AND n_tok <= 100000 AND mw >= 3.0 AND mw <= 10.0
               |  AND n_stop >= 2 AND ttr >= 0.2) AS gopher_pass
               |FROM p ORDER BY doc_id""".stripMargin)),
+    "q_curation_dsir" -> Q(
+      qCurationDsir,
+      Some("""WITH toks AS (
+             | SELECT doc_id, source, lang, t AS tok,
+             |  CAST(('0x' || substr(md5(t), 1, 15))::UBIGINT % 64 AS BIGINT) AS bucket
+             | FROM (SELECT doc_id, source, lang,
+             |        unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+             |       FROM documents)),
+             |tots AS (
+             | SELECT count(1) AS n_r,
+             |  sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_t FROM toks),
+             |raw AS (SELECT bucket, count(1) AS c_r FROM toks GROUP BY bucket),
+             |tgt AS (SELECT bucket, count(1) AS c_t FROM toks WHERE lang = 'en' GROUP BY bucket),
+             |llr AS (
+             | SELECT raw.bucket,
+             |  CAST(round((ln(CAST(coalesce(c_t, 0) + 1 AS DOUBLE) / (n_t + 64)) -
+             |              ln(CAST(c_r + 1 AS DOUBLE) / (n_r + 64))) * 1e6, 0) AS BIGINT) AS llr_fp
+             | FROM raw LEFT JOIN tgt USING (bucket), tots),
+             |w AS (
+             | SELECT doc_id, source, lang, count(1) AS n_tok, sum(llr_fp) AS s_fp
+             | FROM toks JOIN llr USING (bucket)
+             | GROUP BY doc_id, source, lang)
+             |SELECT doc_id, source, lang, n_tok,
+             | round(CAST(s_fp AS DOUBLE) / n_tok / 1e6, 6) AS avg_llr
+             |FROM w ORDER BY avg_llr DESC, doc_id LIMIT 20""".stripMargin)),
     "q_curation_scorecard" -> Q(
       qCurationScorecard,
       Some(s"""WITH tf AS (
