@@ -105,6 +105,62 @@ class QualityOpsSpec extends SparkSuite {
     }
   }
 
+  test("q_curation_dsir: top-20 equals a full local DSIR recompute") {
+    val rows = QualityOps.qCurationDsir(spark, sf001).collect()
+    assert(rows.length == 20)
+    // exact local replay: hashed-unigram LLR model (B=64 buckets, add-1
+    // smoothing) trained on the collected corpus, then per-doc mean LLR
+    val docs = graft.Tables
+      .documents(spark, sf001)
+      .select("doc_id", "source", "lang", "text")
+      .as[(Long, String, String, String)]
+      .collect()
+    val B = 64
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    def bucket(tok: String): Long = {
+      val h = md5.digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.substring(0, 15), 16) % B
+    }
+    val toks = docs.flatMap { case (id, src, lang, text) =>
+      text.split(" ").filter(_.nonEmpty).map(t => (id, src, lang, bucket(t)))
+    }
+    val nR = toks.length.toLong
+    val nT = toks.count(_._3 == "en").toLong
+    val cR = toks.groupBy(_._4).map { case (b, v) => b -> v.length.toLong }
+    val cT =
+      toks.filter(_._3 == "en").groupBy(_._4).map { case (b, v) => b -> v.length.toLong }
+    val llrFp = cR.map { case (b, cr) =>
+      val ct = cT.getOrElse(b, 0L)
+      b -> BigDecimal(
+        (math.log((ct + 1).toDouble / (nT + B)) -
+          math.log((cr + 1).toDouble / (nR + B))) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP)
+        .toLong
+    }
+    val wantAll = toks
+      .groupBy(t => (t._1, t._2, t._3))
+      .map { case ((id, src, lang), v) =>
+        val n = v.length.toLong
+        val s = v.map(t => llrFp(t._4)).sum
+        val avg = BigDecimal(s.toDouble / n / 1e6)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble
+        (id, src, lang, n, avg)
+      }
+      .toSeq
+      .sortBy { case (id, _, _, _, avg) => (-avg, id) }
+    val got = rows.map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq == wantAll.take(20))
+    // directional law: the importance weight must favor the target domain
+    // on average (64 hash buckets blur per-doc separation, so assert the
+    // corpus-wide mean, not top-20 membership)
+    val (enScores, otherScores) = wantAll.partition(_._3 == "en")
+    val meanEn = enScores.map(_._5).sum / enScores.length
+    val meanOther = otherScores.map(_._5).sum / otherScores.length
+    assert(meanEn > meanOther, s"mean LLR en=$meanEn must exceed non-en=$meanOther")
+  }
+
   test("q_layout_compaction: plan closes over all bytes; no group starts past budget") {
     val rows = QualityOps.qLayoutCompaction(spark, sf001).collect()
     assert(rows.nonEmpty)
