@@ -22,6 +22,25 @@ object CorpusOps {
   // ONE definition of the oracle-side table prefixes (the tokenization
   // contract lives with the battery in LlmOps)
   private val DOCS_T = LlmOps.DOCS_T
+
+  /** Shared oracle body of `q_text_unigram_nll` — `q_text_ppl_buckets`
+    * wraps the same text so the two entries cannot drift.
+    */
+  private lazy val UnigramNllSql =
+    s"""WITH toks AS (
+       | SELECT doc_id, unnest(toks) AS tok FROM $DOCS_T),
+       |sp AS (SELECT doc_id, CASE WHEN (doc_id * 40503) % 100 < 80 THEN 'train'
+       |        WHEN (doc_id * 40503) % 100 < 90 THEN 'val' ELSE 'test' END AS split FROM documents),
+       |tr AS (SELECT tok, count(1) AS cnt FROM toks JOIN sp USING (doc_id) WHERE split = 'train' GROUP BY 1),
+       |nv AS (SELECT CAST(sum(cnt) AS BIGINT) AS n, count(1) AS v FROM tr),
+       |scored AS (
+       | SELECT t.doc_id AS doc_id,
+       |  CAST(round(ln((coalesce(tr.cnt, 0) + 1.0) / (nv.n + nv.v)) * 1e6, 0) AS BIGINT) AS lp_micro
+       | FROM toks t LEFT JOIN tr ON t.tok = tr.tok CROSS JOIN nv)
+       |SELECT s.doc_id AS doc_id, sp.split, count(1) AS n_toks,
+       | round(-(CAST(sum(s.lp_micro) AS DOUBLE) / 1e6) / count(1), 6) AS nll
+       |FROM scored s JOIN sp ON s.doc_id = sp.doc_id
+       |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
   private val EV = LlmOps.EV
 
   // ---------------------------------------------------------- embed centroid
@@ -1088,6 +1107,45 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020 shape): rank
+    * every document by its `q_text_unigram_nll` LM score and split the
+    * corpus into head / middle / tail terciles — the standard curation
+    * move (keep head, inspect middle, drop-or-downweight tail). Built ON
+    * the unigram query (one definition of the score; a smoothing change
+    * there moves this bucketing with it). Output is the per-bucket
+    * rollup: doc count, nll range, fixed-point mean.
+    *
+    * Bucketing is `ntile(3)` over the (nll, doc_id) total order — an
+    * exact global rank. The window sorts ONE 16-byte row per DOCUMENT
+    * (not per token; docs ≪ tokens, and the heavy NLL scoring below it is
+    * the usual broadcast-model scan), so the sort is doc-count-bounded;
+    * at true 100 TB corpora production CCNet derives fixed thresholds
+    * from a sampled histogram instead — that variant drops in by
+    * replacing the window with two broadcast threshold scalars, leaving
+    * every other stage untouched. Mean NLL sums the 1e-6-quantized scores
+    * as LONGs (partition-order-proof, house float discipline).
+    */
+  def qTextPplBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = qTextUnigramNll(spark, sfDir)
+    val w = Window.orderBy(col("nll"), col("doc_id"))
+    scored
+      .select(col("doc_id"), col("nll"), ntile(3).over(w).as("b"))
+      .groupBy(col("b"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("nll")).as("min_nll"),
+        max(col("nll")).as("max_nll"),
+        sum(round(col("nll") * 1e6).cast("long")).as("s_fp"))
+      .select(
+        when(col("b") === 1, "head").when(col("b") === 2, "middle").otherwise("tail")
+          .as("bucket"),
+        col("n_docs"),
+        col("min_nll"),
+        col("max_nll"),
+        round(col("s_fp").cast("double") / col("n_docs") / 1e6, 6).as("mean_nll"))
+      .orderBy("bucket")
+  }
+
   /** Bigram-LM quality score — the conditional-probability upgrade of
     * [[qTextUnigramNll]]: per-doc mean negative log-likelihood of each
     * token given its predecessor, under add-1 smoothing
@@ -1975,22 +2033,15 @@ object CorpusOps {
       Some("""SELECT o_orderkey % 32 AS bucket, count(1) AS n_rows,
              | CAST(sum(CAST(('0x' || substr(md5(concat_ws('|', o_orderkey, o_custkey, o_orderstatus, o_orderpriority)), 1, 15))::BIGINT % 1000000007 AS BIGINT)) AS BIGINT) AS checksum
              |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
-    "q_text_unigram_nll" -> Q(
-      qTextUnigramNll,
-      Some(s"""WITH toks AS (
-              | SELECT doc_id, unnest(toks) AS tok FROM $DOCS_T),
-              |sp AS (SELECT doc_id, CASE WHEN (doc_id * 40503) % 100 < 80 THEN 'train'
-              |        WHEN (doc_id * 40503) % 100 < 90 THEN 'val' ELSE 'test' END AS split FROM documents),
-              |tr AS (SELECT tok, count(1) AS cnt FROM toks JOIN sp USING (doc_id) WHERE split = 'train' GROUP BY 1),
-              |nv AS (SELECT CAST(sum(cnt) AS BIGINT) AS n, count(1) AS v FROM tr),
-              |scored AS (
-              | SELECT t.doc_id AS doc_id,
-              |  CAST(round(ln((coalesce(tr.cnt, 0) + 1.0) / (nv.n + nv.v)) * 1e6, 0) AS BIGINT) AS lp_micro
-              | FROM toks t LEFT JOIN tr ON t.tok = tr.tok CROSS JOIN nv)
-              |SELECT s.doc_id AS doc_id, sp.split, count(1) AS n_toks,
-              | round(-(CAST(sum(s.lp_micro) AS DOUBLE) / 1e6) / count(1), 6) AS nll
-              |FROM scored s JOIN sp ON s.doc_id = sp.doc_id
-              |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin)),
+    "q_text_unigram_nll" -> Q(qTextUnigramNll, Some(UnigramNllSql)),
+    "q_text_ppl_buckets" -> Q(
+      qTextPplBuckets,
+      Some(s"""SELECT CASE WHEN b = 1 THEN 'head' WHEN b = 2 THEN 'middle' ELSE 'tail' END AS bucket,
+              | count(1) AS n_docs, min(nll) AS min_nll, max(nll) AS max_nll,
+              | round(CAST(sum(CAST(round(nll * 1e6, 0) AS BIGINT)) AS DOUBLE) / count(1) / 1e6, 6) AS mean_nll
+              |FROM (SELECT doc_id, nll, ntile(3) OVER (ORDER BY nll, doc_id) AS b
+              |      FROM ($UnigramNllSql) s)
+              |GROUP BY b ORDER BY bucket""".stripMargin)),
     "q_join_salted" -> Q(
       qJoinSalted,
       Some(s"""SELECT c.c_mktsegment, count(1) AS n_events,

@@ -895,6 +895,53 @@ object LlmOps {
       .limit(10)
   }
 
+  /** Int8 symmetric embedding quantization with reconstruction-error
+    * certification — the vector-storage compression every large index
+    * runs (a 100 TB float32 embedding store is 25 TB at int8): per
+    * vector, scale = max|x|/127, q_i = clamp(round(x_i/scale), ±127),
+    * reported per-vector as dims, scale, max and mean |x − q_i·scale|.
+    * The all-zero-vector edge (scale 0) quantizes to zeros with zero
+    * error.
+    *
+    * Scale shape: ONE map-side pass — array HOFs over the embedding
+    * column, no explode, no shuffle at all until the final vec_id
+    * presentation sort (at index scale the sort is dropped and the
+    * quantized column is written in place). Float→double casts are
+    * exact; errors quantize to 1e-9 fixed point before the mean so the
+    * per-vector sum is order-independent LONG math (house float
+    * discipline); the oracle unnests and replays the identical IEEE
+    * sequence.
+    */
+  def qEmbedQuantize(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables
+      .embeddings(spark, sfDir)
+      .select(
+        col("vec_id"),
+        col("label"),
+        transform(col("embedding"), v => v.cast("double")).as("x"),
+        size(col("embedding")).cast("long").as("n_dims"))
+      .withColumn("mx", array_max(transform(col("x"), v => abs(v))))
+      .withColumn("scale", col("mx") / lit(127.0))
+    val qd = base.withColumn(
+      "q",
+      when(col("mx") === 0.0, transform(col("x"), _ => lit(0.0)))
+        .otherwise(transform(
+          col("x"),
+          v => least(greatest(round(v / col("scale")), lit(-127.0)), lit(127.0)))))
+    qd.withColumn("e", zip_with(col("x"), col("q"), (a, b) => abs(a - b * col("scale"))))
+      .select(
+        col("vec_id"),
+        col("label"),
+        col("n_dims"),
+        round(col("scale"), 6).as("scale"),
+        round(array_max(col("e")), 6).as("max_err"),
+        round(
+          aggregate(col("e"), lit(0L), (acc, v) => acc + round(v * 1e9).cast("long"))
+            .cast("double") / col("n_dims") / 1e9,
+          6).as("mean_err"))
+      .orderBy("vec_id")
+  }
+
   /** Batched exact k-NN join — the multi-query form of [[qSimTopk]]: a
     * small query SET (vec_ids 0–9) broadcasts once, the corpus scan
     * computes every (query, vector) cosine in one embarrassingly-parallel
@@ -2178,6 +2225,22 @@ object LlmOps {
              | FROM un GROUP BY vec_id)
              |SELECT vec_id, label, dot / (sqrt(ne) * sqrt(nq)) AS sim FROM s
              |ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin)),
+    "q_embed_quantize" -> Q(
+      qEmbedQuantize,
+      Some("""WITH un AS (
+             | SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+             |m AS (SELECT vec_id, any_value(label) AS label, count(1) AS n, max(abs(x)) AS mx
+             |      FROM un GROUP BY vec_id),
+             |q AS (SELECT un.vec_id, x, mx, mx / 127 AS scale,
+             |       CASE WHEN mx = 0 THEN 0.0
+             |            ELSE least(greatest(round(x / (mx / 127), 0), -127), 127) END AS qi
+             |      FROM un JOIN m USING (vec_id)),
+             |er AS (SELECT vec_id, abs(x - qi * scale) AS e FROM q)
+             |SELECT vec_id, label, CAST(n AS BIGINT) AS n_dims,
+             | round(mx / 127, 6) AS scale, round(max(e), 6) AS max_err,
+             | round(CAST(sum(CAST(round(e * 1e9, 0) AS BIGINT)) AS DOUBLE) / n / 1e9, 6) AS mean_err
+             |FROM er JOIN m USING (vec_id)
+             |GROUP BY vec_id, label, n, mx ORDER BY vec_id""".stripMargin)),
     "q_sim_knn_batch" -> Q(
       qSimKnnBatch,
       Some("""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),

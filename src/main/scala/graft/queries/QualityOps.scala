@@ -211,6 +211,72 @@ object QualityOps {
           .as("significant"))
   }
 
+  // ------------------------------------------- epoch-aware mix materialization
+
+  /** Materializes the `q_mix_temperature` decision as per-document epoch
+    * copies — the missing step between computing mixing weights and
+    * actually training on them. Each language's boost (target share /
+    * raw share, ppm fixed point, derived by the exact `q_mix_temperature`
+    * arithmetic) becomes per-doc copy counts: `boost div 1e6` whole
+    * epochs for every doc plus one more for the deterministic
+    * md5-selected `boost mod 1e6` ppm fraction — so tails upsample to
+    * fractional epochs (the LLaMA/DoReMi repeat-factor recipe) and the
+    * damped head downsamples by the same rule (floor 0 + fractional
+    * keep). Output is the per-language rollup OF the materialized frame
+    * (docs kept, total copies, effective epochs) so the explode itself is
+    * exercised and certified.
+    *
+    * Scale shape: the weight model is two ≤|langs|-row broadcast aggs;
+    * materialization is one broadcast-hash join + a per-row
+    * `explode(sequence)` — map-side, shuffle-free, linear in OUTPUT size
+    * (the only honest cost of upsampling); the rollup is a |langs|-row
+    * partial agg. The md5-hex60 fraction is the house split-by-document
+    * determinism trick: stable under any partitioning, replayed
+    * bit-for-bit by the oracle.
+    */
+  def qMixEpochs(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "lang", "text")
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(sum("n_docs").as("n"))
+    val weighted = counts
+      .crossJoin(broadcast(tot))
+      .withColumn("p", col("n_docs").cast("double") / col("n"))
+      .withColumn("q_fp", round(pow(col("p"), 0.7) * lit(1e6)).cast("long"))
+    val z = weighted.agg(sum("q_fp").as("z"))
+    val boost = weighted
+      .crossJoin(broadcast(z))
+      .select(
+        col("lang"),
+        col("n_docs"),
+        round(col("q_fp").cast("double") / col("z") / col("p") * 1e6)
+          .cast("long")
+          .as("boost_ppm"))
+    val mat = docs
+      .join(broadcast(boost), "lang")
+      .withColumn(
+        "u_ppm",
+        conv(substring(md5(col("text").cast("binary")), 1, 15), 16, 10)
+          .cast("long") % 1000000L)
+      .withColumn(
+        "copies",
+        expr("boost_ppm div 1000000") +
+          when(col("u_ppm") < col("boost_ppm") % 1000000L, 1L).otherwise(0L))
+      .where(col("copies") > 0)
+      .select(col("lang"), col("doc_id"), explode(sequence(lit(1L), col("copies"))).as("epoch"))
+    mat
+      .groupBy("lang")
+      .agg(countDistinct("doc_id").as("n_docs_kept"), count(lit(1)).as("n_copies"))
+      .join(broadcast(boost), "lang")
+      .select(
+        col("lang"),
+        col("n_docs"),
+        col("boost_ppm"),
+        col("n_docs_kept"),
+        col("n_copies"),
+        round(col("n_copies").cast("double") / col("n_docs"), 6).as("eff_epochs"))
+      .orderBy("lang")
+  }
+
   // ------------------------------------------------- DSIR data selection
 
   /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
@@ -327,6 +393,29 @@ object QualityOps {
               | (n_tok >= 50 AND n_tok <= 100000 AND mw >= 3.0 AND mw <= 10.0
               |  AND n_stop >= 2 AND ttr >= 0.2) AS gopher_pass
               |FROM p ORDER BY doc_id""".stripMargin)),
+    "q_mix_epochs" -> Q(
+      qMixEpochs,
+      Some("""WITH c AS (SELECT lang, count(1) AS n_docs FROM documents GROUP BY lang),
+             |t AS (SELECT sum(n_docs) AS n FROM c),
+             |w AS (SELECT lang, n_docs, CAST(n_docs AS DOUBLE) / n AS p,
+             |       CAST(round(pow(CAST(n_docs AS DOUBLE) / n, 0.7) * 1e6, 0) AS BIGINT) AS q_fp
+             |      FROM c, t),
+             |z AS (SELECT sum(q_fp) AS z FROM w),
+             |b AS (SELECT lang, n_docs,
+             |       CAST(round(CAST(q_fp AS DOUBLE) / z / p * 1e6, 0) AS BIGINT) AS boost_ppm
+             |      FROM w, z),
+             |d AS (SELECT documents.lang, doc_id,
+             |       (boost_ppm // 1000000) +
+             |       CASE WHEN CAST(('0x' || substr(md5(text), 1, 15))::UBIGINT % 1000000 AS BIGINT)
+             |            < boost_ppm % 1000000 THEN 1 ELSE 0 END AS copies
+             |      FROM documents JOIN b USING (lang)),
+             |m AS (SELECT lang, doc_id, unnest(generate_series(1, copies)) AS epoch
+             |      FROM d WHERE copies > 0)
+             |SELECT lang, n_docs, boost_ppm,
+             | count(DISTINCT doc_id) AS n_docs_kept, count(1) AS n_copies,
+             | round(CAST(count(1) AS DOUBLE) / n_docs, 6) AS eff_epochs
+             |FROM m JOIN b USING (lang)
+             |GROUP BY lang, n_docs, boost_ppm ORDER BY lang""".stripMargin)),
     "q_curation_dsir" -> Q(
       qCurationDsir,
       Some("""WITH toks AS (

@@ -114,6 +114,120 @@ object SearchOps {
       .limit(50)
   }
 
+  // ------------------------------------------------- BPE merge induction
+
+  /** Number of unrolled BPE merge rounds (and the unroll depth of the
+    * generated oracle CTE chain).
+    */
+  val BpeRounds = 4
+
+  /** Byte-pair-encoding tokenizer induction, [[BpeRounds]] merge rounds:
+    * the full train loop `q_vocab_pairs` is one iteration of. Classic BPE
+    * (Sennrich et al. 2016 shape): train on the WORD-FREQUENCY table, not
+    * the token stream — symbols start as characters, each round merges
+    * the globally most frequent adjacent symbol pair (ties broken
+    * lexicographically) and re-tokenizes every word greedily
+    * left-to-right. Output: the merge table (round, lhs, rhs, merged,
+    * pair count) — the artifact a tokenizer ships.
+    *
+    * Scale shape: the ONLY corpus-scale work is the single token-explode
+    * word-count aggregation (map-side combined, symbol vocabulary ≪
+    * token stream). Every round after that runs on the cached |vocab|-row
+    * sequence frame: one pair-explode partial agg + a 1-row TakeOrdered —
+    * collected as bounded model state (the IVF/PQ house pattern; one
+    * driver row per round, never data). Re-tokenization is a literal
+    * double-`replace` on the space-padded symbol string — pass 1 merges
+    * odd occurrences (each match consumes its trailing delimiter), pass 2
+    * the now-exposed even ones; two passes are exact for a single pair
+    * because post-pass-1 occurrences are never adjacent. Greedy
+    * left-to-right equivalence is spec-pinned against a from-scratch
+    * Scala BPE; the oracle unrolls the same rounds as CTE pairs (the
+    * `q_embed_pca` / IVF unrolled-iteration precedent).
+    *
+    * Words are restricted to `^[a-z]+$` so symbols are single-byte and
+    * the char-split / `replace` semantics are engine-portable by
+    * construction (no grapheme-vs-codepoint ambiguity).
+    */
+  def qBpeMerges(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val s0 = Tables
+      .documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .where(col("tok").rlike("^[a-z]+$"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("freq"))
+      .select(
+        concat(
+          lit(" "),
+          concat_ws(" ", array_remove(split(col("tok"), ""), "")),
+          lit(" ")).as("seq"),
+        col("freq"))
+      .cache() // |vocab| rows; read twice per round
+    try {
+      var seqs = s0
+      val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+      for (r <- 1 to BpeRounds) {
+        val l = split(trim(col("seq")), " ")
+        val top = seqs
+          .select(
+            explode(
+              arrays_zip(
+                slice(l, lit(1), size(l) - 1),
+                slice(l, lit(2), size(l) - 1))).as("pr"),
+            col("freq"))
+          .groupBy(col("pr.0").as("a"), col("pr.1").as("b"))
+          .agg(sum("freq").as("n"))
+          .orderBy(col("n").desc, col("a"), col("b"))
+          .limit(1)
+          .head()
+        val (a, b, n) = (top.getString(0), top.getString(1), top.getLong(2))
+        merges += ((r, a, b, a + b, n))
+        val rep = call_function(
+          "replace",
+          call_function("replace", col("seq"), lit(s" $a $b "), lit(s" $a$b ")),
+          lit(s" $a $b "),
+          lit(s" $a$b "))
+        seqs = seqs.select(rep.as("seq"), col("freq"))
+      }
+      merges.result().toDF("round", "lhs", "rhs", "merged", "n")
+    } finally s0.unpersist(false)
+  }
+
+  /** Generated oracle: [[BpeRounds]] unrolled (pairs, top-1, re-tokenize)
+    * CTE triples over the word-frequency table. NOTE DuckDB list-slice
+    * bounds are INCLUSIVE (`l[:-2]` drops the last element; `[:-1]` keeps
+    * it — unlike Python).
+    */
+  private def bpeOracle: String = {
+    val rounds = (1 to BpeRounds).map { r =>
+      s"""p$r AS (
+         | SELECT prs[1] AS a, prs[2] AS b, sum(freq) AS n
+         | FROM (SELECT unnest(list_zip(l[:-2], l[2:])) AS prs, freq
+         |       FROM (SELECT string_split(trim(seq), ' ') AS l, freq FROM s${r - 1}))
+         | GROUP BY a, b),
+         |t$r AS (SELECT a, b, n FROM p$r ORDER BY n DESC, a, b LIMIT 1),
+         |s$r AS (
+         | SELECT replace(replace(seq, ' '||a||' '||b||' ', ' '||a||b||' '),
+         |                ' '||a||' '||b||' ', ' '||a||b||' ') AS seq, freq
+         | FROM s${r - 1}, t$r)""".stripMargin
+    }.mkString(",\n")
+    val heads = (1 to BpeRounds)
+      .map(r =>
+        s"SELECT $r AS round, a AS lhs, b AS rhs, a||b AS merged, CAST(n AS BIGINT) AS n FROM t$r")
+      .mkString("\n UNION ALL ")
+    s"""WITH words AS (
+       | SELECT tok, count(1) AS freq
+       | FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+       | WHERE regexp_matches(tok, '^[a-z]+$$')
+       | GROUP BY tok),
+       |s0 AS (
+       | SELECT ' ' || array_to_string(string_split(tok, ''), ' ') || ' ' AS seq, freq
+       | FROM words),
+       |$rounds
+       |$heads
+       |ORDER BY round""".stripMargin
+  }
+
   /** Shared edge set of the two graph queries: part pairs co-purchased
     * in ≥ 2 orders, canonical (u < v). ONE definition — a threshold or
     * column change here changes both analyses together.
@@ -381,6 +495,7 @@ object SearchOps {
              |      FROM l, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS g) s)
              |SELECT a, b, count(1) AS n
              |FROM p GROUP BY a, b ORDER BY n DESC, a, b LIMIT 50""".stripMargin)),
+    "q_bpe_merges" -> Q(qBpeMerges, Some(bpeOracle)),
     "q_graph_triangles" -> Q(
       qGraphTriangles,
       Some("""WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

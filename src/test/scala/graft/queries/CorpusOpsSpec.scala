@@ -252,6 +252,28 @@ class CorpusOpsSpec extends SparkSuite {
     assert(scores.min < scores.max)
   }
 
+  // --------------------------------------------------------- ppl buckets
+
+  test("q_text_ppl_buckets: terciles partition the scored corpus in rank order") {
+    val rows = CorpusOps.qTextPplBuckets(spark, sf001).collect()
+    assert(rows.length == 3)
+    val byName = rows.map(r => r.getString(0) -> r).toMap
+    assert(byName.keySet == Set("head", "middle", "tail"))
+    val scored = CorpusOps.qTextUnigramNll(spark, sf001).collect()
+    // partition: every scored doc lands in exactly one bucket
+    assert(rows.map(_.getLong(1)).sum == scored.length)
+    // ntile balance: bucket sizes differ by at most 1
+    val sizes = rows.map(_.getLong(1))
+    assert(sizes.max - sizes.min <= 1)
+    // rank order: head's worst score <= middle's best, middle's worst <= tail's best
+    val (h, m, t) = (byName("head"), byName("middle"), byName("tail"))
+    assert(h.getDouble(3) <= m.getDouble(2), "head.max <= middle.min")
+    assert(m.getDouble(3) <= t.getDouble(2), "middle.max <= tail.min")
+    // head holds the corpus minimum, tail the maximum
+    assert(h.getDouble(2) == scored.map(_.getDouble(3)).min)
+    assert(t.getDouble(3) == scored.map(_.getDouble(3)).max)
+  }
+
   // --------------------------------------------------------- bloom join
 
   test("q_join_bloom equals the plain exact join (FPs removed by join)") {

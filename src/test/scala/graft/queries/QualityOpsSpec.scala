@@ -105,6 +105,42 @@ class QualityOpsSpec extends SparkSuite {
     }
   }
 
+  test("q_mix_epochs: copies re-derive per doc; boosts damp head, lift tails") {
+    val rows = QualityOps.qMixEpochs(spark, sf001).collect()
+    assert(rows.length == 5)
+    val byLang = rows.map(r => r.getString(0) -> r).toMap
+    // the head language is damped below one epoch, tails above
+    assert(byLang("en").getLong(2) < 1000000L, "en boost_ppm < 1")
+    rows.filter(_.getString(0) != "en").foreach { r =>
+      assert(r.getLong(2) > 1000000L, s"tail ${r.getString(0)} boost_ppm > 1")
+    }
+    // recompute each lang's copy totals from the docs + the md5 rule
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    def uPpm(text: String): Long = {
+      val h = md5.digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.substring(0, 15), 16) % 1000000L
+    }
+    val docs = graft.Tables
+      .documents(spark, sf001)
+      .select("doc_id", "lang", "text")
+      .as[(Long, String, String)]
+      .collect()
+    rows.foreach { r =>
+      val (lang, boost) = (r.getString(0), r.getLong(2))
+      val copies = docs.collect {
+        case (_, l, text) if l == lang =>
+          boost / 1000000L + (if (uPpm(text) < boost % 1000000L) 1L else 0L)
+      }
+      assert(r.getLong(1) == copies.length, s"$lang n_docs")
+      assert(r.getLong(3) == copies.count(_ > 0), s"$lang n_docs_kept")
+      assert(r.getLong(4) == copies.sum, s"$lang n_copies")
+      val eff = BigDecimal(copies.sum.toDouble / copies.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+      assert(r.getDouble(5) == eff, s"$lang eff_epochs")
+    }
+  }
+
   test("q_curation_dsir: top-20 equals a full local DSIR recompute") {
     val rows = QualityOps.qCurationDsir(spark, sf001).collect()
     assert(rows.length == 20)

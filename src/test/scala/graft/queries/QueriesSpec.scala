@@ -180,6 +180,43 @@ class QueriesSpec extends SparkSuite {
     assert(sims.forall(s => s >= -1.0000001 && s <= 1.0000001))
   }
 
+  test("q_embed_quantize: int8 round trip recomputed for vec 0; error bounded by scale/2") {
+    val rows = LlmOps.qEmbedQuantize(spark, sf001).collect()
+    val nVecs = Tables.embeddings(spark, sf001).count()
+    assert(rows.length.toLong == nVecs)
+    // no clipping error is possible (|x| <= mx so |x/scale| <= 127), so
+    // the worst reconstruction error is half a quantization step
+    rows.foreach { r =>
+      val (scale, maxErr) = (r.getDouble(3), r.getDouble(4))
+      assert(maxErr <= scale / 2 + 5e-7, s"vec ${r.getLong(0)}") // 6-dec rounding slack
+      assert(r.getDouble(5) <= maxErr + 5e-7)
+    }
+    // full recompute for vec 0
+    val x = Tables
+      .embeddings(spark, sf001)
+      .where(col("vec_id") === 0)
+      .select("embedding")
+      .head()
+      .getSeq[Float](0)
+      .map(_.toDouble)
+    val mx = x.map(math.abs).max
+    val scale = mx / 127.0
+    val errs = x.map { v =>
+      val q = math.max(-127.0, math.min(127.0, BigDecimal(v / scale)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      math.abs(v - q * scale)
+    }
+    val r0 = rows.find(_.getLong(0) == 0L).get
+    def r6(d: Double) =
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r0.getLong(2) == x.length.toLong)
+    assert(r0.getDouble(3) == r6(scale))
+    assert(r0.getDouble(4) == r6(errs.max))
+    val meanFp = errs.map(e =>
+      BigDecimal(e * 1e9).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).sum
+    assert(r0.getDouble(5) == r6(meanFp.toDouble / x.length / 1e9))
+  }
+
   test("q_sim_ann candidates are a subset-quality approximation of exact topk") {
     val exact = LlmOps.qSimTopk(spark, sf001).select("vec_id").collect().map(_.getLong(0)).toSet
     val ann = LlmOps.qSimAnn(spark, sf001).select("vec_id").collect().map(_.getLong(0)).toSet

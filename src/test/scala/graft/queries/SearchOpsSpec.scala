@@ -71,6 +71,47 @@ class SearchOpsSpec extends SparkSuite {
     assert(rows.head.getLong(2) == direct)
   }
 
+  // ----------------------------------------------------------- BPE merges
+
+  test("q_bpe_merges: equals a from-scratch greedy BPE trainer") {
+    val rows = SearchOps.qBpeMerges(spark, sf001).collect()
+    assert(rows.length == SearchOps.BpeRounds)
+    // reference trainer: word-freq table, greedy left-to-right merges
+    var seqs: Map[Vector[String], Long] = graft.Tables
+      .documents(spark, sf001)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .where(col("tok").rlike("^[a-z]+$"))
+      .groupBy("tok")
+      .count()
+      .as[(String, Long)]
+      .collect()
+      .groupMapReduce { case (w, _) => w.toVector.map(_.toString) }(_._2)(_ + _)
+    val want = (1 to SearchOps.BpeRounds).map { r =>
+      val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+      seqs.foreach { case (s, f) =>
+        s.zip(s.tail).foreach(p => pairs(p) = pairs.getOrElse(p, 0L) + f)
+      }
+      val ((a, b), n) = pairs.toSeq.minBy { case ((x, y), m) => (-m, x, y) }
+      seqs = seqs.groupMapReduce { case (s, _) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < s.length) {
+          if (i + 1 < s.length && s(i) == a && s(i + 1) == b) { out += a + b; i += 2 }
+          else { out += s(i); i += 1 }
+        }
+        out.result()
+      } { case (_, f) => f }(_ + _)
+      (r, a, b, a + b, n)
+    }
+    val got = rows.map(r =>
+      (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(got.toSeq == want)
+    // merge counts can only shrink or hold as the vocabulary coarsens...
+    // not a law (a merged symbol can create a NEW frequent pair), so pin
+    // instead that every merged symbol is novel
+    assert(rows.map(_.getString(3)).distinct.length == SearchOps.BpeRounds)
+  }
+
   // ----------------------------------------------------------- triangles
 
   test("q_graph_triangles: oriented wedge join equals the naive recount") {
