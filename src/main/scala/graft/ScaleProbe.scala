@@ -59,7 +59,17 @@ object ScaleProbe {
     "q_events_sessionize",
     "q_tpch_q5",
     "q_tpch_q18",
-    "q_text_tfidf")
+    "q_text_tfidf",
+    // r7 continuation: the new token-stream-heavy curation tier — BPE's
+    // word-count agg + vocab-frame rounds, DSIR's two-pass scoring, the
+    // ppl-bucket global ntile, and the upsampling explode all see
+    // factor× token streams (documents are re-keyed copies, so the word
+    // frequency table keeps its SIZE while counts multiply — the
+    // model-table-stays-small regime these ops claim)
+    "q_bpe_merges",
+    "q_curation_dsir",
+    "q_text_ppl_buckets",
+    "q_mix_epochs")
 
   private def num(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

@@ -244,6 +244,15 @@ object SearchOps {
       .agg(count(lit(1)).as("support"))
       .where(col("support") >= 2)
       .select("u", "v")
+      // materialize ONCE: both graph queries reference the edge list from
+      // 6-8 plan positions (okey, the three wedge arms × 2 sides), and
+      // Spark re-derives an uncheckpointed subtree at every reference —
+      // the r7 fixture refresh made the per-order C(n,2) self-join above
+      // expensive enough that those copies dominated the query (6.7 s vs
+      // 2.9 s checkpointed, same fixtures). |E| rows, executor-local
+      // blocks; same fault-tolerance caveat as DedupClusters (an option
+      // for reliable checkpointing exists there for cluster runs).
+      .localCheckpoint()
   }
 
   // ------------------------------------------------- triangle counting
