@@ -715,6 +715,64 @@ object CorpusOps {
       .orderBy("event_type")
   }
 
+  /** The engine-portable HyperLogLog — the same register algebra as
+    * `q_agg_hll_merge`'s Datasketches path, but built from first
+    * principles on the house md5-hex60 hash so the ORACLE CAN REPLAY THE
+    * SKETCH BIT-FOR-BIT (the builtin's estimates are rows-only because
+    * its internal hash isn't SQL-portable; this entry closes that
+    * verification gap for the HLL concept itself). Flajolet et al. 2007
+    * construction, m = 256 registers: register j = h mod m, rho = one
+    * plus leading zeros of the remaining 52-bit word (computed as
+    * 53 − length(bin(w)) — pure integer/string ops, no float log),
+    * estimate = α·m²/Σ2^−M_j with the small-range linear-counting
+    * correction.
+    *
+    * Exactness discipline: 2^−M_j is summed as the INTEGER 2^(53−M_j)
+    * (shiftleft — exact, order-independent; Σ ≤ m·2^53 < 2^63), so the
+    * only float ops are the final division and one 1e-6-quantized `ln`
+    * in the linear-counting branch. Per event_type the exact distinct
+    * count rides along for the error readout. Scale: registers partial-
+    * agg map-side ((type, j) keys, m-bounded), the exact count is the
+    * one true shuffle — at 100 TB you'd drop the certification column
+    * and ship the 256-register state, which is the point of HLL.
+    */
+  def qAggHllReplayable(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = 256
+    val ev = Tables.events(spark, sfDir)
+    val h = conv(substring(md5(col("user_id").cast("string").cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+    val w = expr(s"hv div $m")
+    val rho = when(w === 0L, 53).otherwise(lit(53) - length(bin(w)))
+    val regs = ev
+      .select(col("event_type"), h.as("hv"))
+      .select(col("event_type"), (col("hv") % m).as("j"), rho.as("rho"))
+      .groupBy("event_type", "j")
+      .agg(max(col("rho")).as("M"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("c"),
+        sum(expr("shiftleft(1L, cast(53 - M as int))")).as("s_present"))
+    val exact = ev.groupBy("event_type").agg(countDistinct("user_id").as("n_exact"))
+    val two53 = 9007199254740992.0 // 2^53
+    val alphaM2 = lit(0.7213 / (1.0 + 1.079 / m) * (m.toDouble * m) * two53)
+    val s = (col("s_present") + (lit(m.toLong) - col("c")) * lit(two53.toLong)).cast("double")
+    val v = lit(m.toLong) - col("c") // zero registers
+    val raw = alphaM2 / s
+    val est = when(
+      raw <= lit(2.5 * m) && v > 0,
+      lit(m.toDouble) * round(log(lit(m.toDouble) / v.cast("double")), 6))
+      .otherwise(raw)
+    regs
+      .join(exact, "event_type")
+      .select(
+        col("event_type"),
+        col("n_exact"),
+        col("c").as("n_regs"),
+        round(est, 6).as("hll_est"),
+        round((round(est, 6) - col("n_exact")) / col("n_exact") * 100, 4).as("err_pct"))
+      .orderBy("event_type")
+  }
+
   /** Sketch ALGEBRA on the HLL family: audience-overlap estimation via
     * inclusion-exclusion, `|A∩B| ≈ |A| + |B| − |A∪B|`, entirely from the
     * per-segment sketches — the metric-store pattern for "how many users
@@ -1813,6 +1871,32 @@ object CorpusOps {
       qAggHllMerge,
       None,
       noOracleReason = Some("HyperLogLog register state is merge-order-dependent; DuckDB has no twin of Spark's HLL++ sketch")),
+    "q_agg_hll_replayable" -> Q(
+      qAggHllReplayable,
+      Some("""WITH h AS (SELECT event_type, user_id,
+             |  CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT) AS hv
+             | FROM events),
+             |r AS (SELECT event_type, hv % 256 AS j,
+             |       CASE WHEN hv // 256 = 0 THEN 53 ELSE 53 - length(bin(hv // 256)) END AS rho
+             |      FROM h),
+             |regs AS (SELECT event_type, j, max(rho) AS M FROM r GROUP BY 1, 2),
+             |agg AS (SELECT event_type, count(1) AS c,
+             |         CAST(sum(1::BIGINT << (53 - M)) AS BIGINT) AS s_present FROM regs GROUP BY 1),
+             |ex AS (SELECT event_type, count(DISTINCT user_id) AS n_exact FROM events GROUP BY 1),
+             |calc AS (
+             | SELECT event_type, n_exact, c AS n_regs,
+             |  0.7213 / (1.0 + 1.079 / 256) * (256.0 * 256) * 9007199254740992.0 /
+             |   CAST(s_present + (256 - c) * 9007199254740992 AS DOUBLE) AS raw,
+             |  256 - c AS v
+             | FROM agg JOIN ex USING (event_type)),
+             |est AS (
+             | SELECT event_type, n_exact, n_regs,
+             |  round(CASE WHEN raw <= 640.0 AND v > 0
+             |        THEN 256.0 * round(ln(256.0 / CAST(v AS DOUBLE)), 6) ELSE raw END, 6) AS hll_est
+             | FROM calc)
+             |SELECT event_type, n_exact, n_regs, hll_est,
+             | round((hll_est - n_exact) / n_exact * 100, 4) AS err_pct
+             |FROM est ORDER BY event_type""".stripMargin)),
     "q_agg_hll_intersect" -> Q(
       qAggHllIntersect,
       None,

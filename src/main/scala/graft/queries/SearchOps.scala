@@ -255,6 +255,26 @@ object SearchOps {
       .localCheckpoint()
   }
 
+  /** Connected components of the co-purchase graph — the generalization
+    * proof that [[graft.operators.DedupClusters]] is a graph primitive,
+    * not a dedup special case: the same strict min-label propagation
+    * (throws on non-convergence, one equi-join + one fused min/chg agg
+    * per round, eager checkpoint, diameter-bounded) runs unchanged over
+    * product-affinity edges. Output: per-component rollup (label = min
+    * node id, size, max node), size-ranked — the "product families"
+    * readout a catalog team acts on.
+    *
+    * Oracle: the recursive-CTE reachability twin (the `q_dedup_clusters`
+    * house pattern) — min-over-reachable-set is propagation-order-proof,
+    * so the hash match proves the distributed loop equals the closure.
+    */
+  def qGraphCc(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.DedupClusters
+      .clusters(coPurchaseEdges(spark, sfDir), "u", "v")
+      .groupBy(col("label").as("component"))
+      .agg(count(lit(1)).as("n_nodes"), max(col("id")).as("max_node"))
+      .orderBy(col("n_nodes").desc, col("component"))
+
   // ------------------------------------------------- triangle counting
 
   /** Per-node triangle membership counts (top 20) over the co-purchase
@@ -505,6 +525,19 @@ object SearchOps {
              |SELECT a, b, count(1) AS n
              |FROM p GROUP BY a, b ORDER BY n DESC, a, b LIMIT 50""".stripMargin)),
     "q_bpe_merges" -> Q(qBpeMerges, Some(bpeOracle)),
+    "q_graph_cc" -> Q(
+      qGraphCc,
+      Some("""WITH RECURSIVE it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+             |e AS (SELECT a.p AS u, b.p AS v FROM it a JOIN it b ON a.o = b.o AND a.p < b.p
+             |      GROUP BY 1, 2 HAVING count(1) >= 2),
+             |edges AS (SELECT u AS a, v AS b FROM e UNION SELECT v, u FROM e),
+             |reach(id, r) AS (
+             | SELECT a, a FROM edges
+             | UNION
+             | SELECT e2.a, reach.r FROM edges e2 JOIN reach ON reach.id = e2.b),
+             |lab AS (SELECT id, min(r) AS label FROM reach GROUP BY id)
+             |SELECT label AS component, count(1) AS n_nodes, max(id) AS max_node
+             |FROM lab GROUP BY label ORDER BY n_nodes DESC, component""".stripMargin)),
     "q_graph_triangles" -> Q(
       qGraphTriangles,
       Some("""WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

@@ -330,6 +330,49 @@ class CorpusOpsSpec extends SparkSuite {
     }
   }
 
+  test("q_agg_hll_replayable: equals a from-scratch scala HLL; sane accuracy") {
+    val rows = CorpusOps.qAggHllReplayable(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val data = graft.Tables
+      .events(spark, sf001)
+      .select(col("event_type"), col("user_id").cast("string"))
+      .as[(String, String)]
+      .collect()
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    def h60(s: String): Long = {
+      val h = md5.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.substring(0, 15), 16)
+    }
+    val m = 256
+    def r6d(d: Double) =
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val ids = data.collect { case (tt, u) if tt == t => u }
+      // register construction: j = h mod m, rho = 53 - bitlength(h div m)
+      val regs = scala.collection.mutable.Map.empty[Long, Int]
+      ids.foreach { u =>
+        val hv = h60(u)
+        val (j, w) = (hv % m, hv / m)
+        val rho = if (w == 0) 53 else 53 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+        regs(j) = math.max(regs.getOrElse(j, 0), rho)
+      }
+      val c = regs.size
+      val sPresent = regs.values.map(mm => 1L << (53 - mm)).sum
+      val s = (sPresent + (m - c).toLong * (1L << 53)).toDouble
+      val raw = 0.7213 / (1.0 + 1.079 / m) * (m.toDouble * m) * 9007199254740992.0 / s
+      val v = m - c
+      val est =
+        if (raw <= 2.5 * m && v > 0) m.toDouble * r6d(math.log(m.toDouble / v))
+        else raw
+      assert(r.getLong(1) == ids.distinct.length.toLong, s"$t exact")
+      assert(r.getLong(2) == c.toLong, s"$t n_regs")
+      assert(r.getDouble(3) == r6d(est), s"$t estimate")
+      // raw (bias-uncorrected) HLL at m=256: generous ±3σ ≈ ±20% bound
+      assert(math.abs(r.getDouble(4)) < 20.0, s"$t err_pct ${r.getDouble(4)}")
+    }
+  }
+
   // ------------------------------------------------------------- moments
 
   test("q_agg_moments equals Spark's own skewness/kurtosis builtins") {

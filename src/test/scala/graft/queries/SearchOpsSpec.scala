@@ -71,6 +71,46 @@ class SearchOpsSpec extends SparkSuite {
     assert(rows.head.getLong(2) == direct)
   }
 
+  // -------------------------------------------------- connected components
+
+  test("q_graph_cc: components equal a union-find over the same edge list") {
+    val rows = SearchOps.qGraphCc(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    // rebuild the co-purchase edge list independently and union-find it
+    val items = graft.Tables
+      .lineitem(spark, sf001)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val edges = items
+      .as("a")
+      .join(items.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+      .agg(count(lit(1)).as("s"))
+      .where(col("s") >= 2)
+      .select("u", "v")
+      .as[(Long, Long)]
+      .collect()
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val comps = parent.keys
+      .map(k => find(k) -> k)
+      .groupBy(_._1)
+      .map { case (root, ms) => root -> ms.map(_._2) }
+    val want = comps
+      .map { case (root, ms) => (root, ms.size.toLong, ms.max) }
+      .toSeq
+      .sortBy { case (root, n, _) => (-n, root) }
+    val got = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+  }
+
   // ----------------------------------------------------------- BPE merges
 
   test("q_bpe_merges: equals a from-scratch greedy BPE trainer") {
