@@ -1613,7 +1613,7 @@ object CorpusOps {
       .groupBy(col("user_id"))
       .agg(sum(col("value").cast("decimal(18,6)")).as("spend"))
       .select(
-        when(pmod(col("user_id") * lit(2654435761L), lit(2)) === 0, "A")
+        when(pmod((col("user_id") % lit(2147483648L)) * lit(2654435761L), lit(2)) === 0, "A")
           .otherwise("B")
           .as("variant"),
         col("spend"))
@@ -1681,12 +1681,17 @@ object CorpusOps {
     * DISTINCT-user partial agg + a 2-cell reduce.
     */
   def qEventsAbSrm(spark: SparkSession, sfDir: String): DataFrame = {
+    // user_id % 2^31 BEFORE the Knuth multiply: 2^31 · 2654435761 < 2^63,
+    // so variant hashing cannot overflow for ANY id — the unguarded
+    // multiply blew up under ANSI mode at the ×10 scale probe (ids
+    // shifted by i·10⁹ crossed 2^63 / 2654435761 ≈ 3.5e9). Same pre-mod
+    // in the oracle; ids < 2^31 (all fixtures) hash identically.
     val users = Tables
       .events(spark, sfDir)
       .select(col("user_id"))
       .distinct()
       .select(
-        when(pmod(col("user_id") * lit(2654435761L), lit(2)) === 0, "A")
+        when(pmod((col("user_id") % lit(2147483648L)) * lit(2654435761L), lit(2)) === 0, "A")
           .otherwise("B")
           .as("variant"))
     users
@@ -2250,7 +2255,7 @@ object CorpusOps {
     "q_events_ab_srm" -> Q(
       qEventsAbSrm,
       Some(s"""WITH u AS (SELECT DISTINCT user_id FROM $EV),
-              |v AS (SELECT CASE WHEN (user_id * 2654435761) % 2 = 0 THEN 'A' ELSE 'B' END AS variant FROM u),
+              |v AS (SELECT CASE WHEN ((user_id % 2147483648) * 2654435761) % 2 = 0 THEN 'A' ELSE 'B' END AS variant FROM u),
               |c AS (SELECT variant, count(1) AS n FROM v GROUP BY variant),
               |w AS (
               | SELECT CAST(sum(CASE WHEN variant = 'A' THEN n ELSE 0 END) AS BIGINT) AS n_a,
@@ -2266,7 +2271,7 @@ object CorpusOps {
               | SELECT user_id, sum(CAST(value AS DECIMAL(18,6))) AS spend
               | FROM $EV WHERE event_type = 'purchase' GROUP BY user_id),
               |v AS (
-              | SELECT CASE WHEN (user_id * 2654435761) % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+              | SELECT CASE WHEN ((user_id % 2147483648) * 2654435761) % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
               |        CAST(spend AS DECIMAL(19,6)) AS spend
               | FROM pu),
               |agg AS (
