@@ -411,7 +411,12 @@ object Relational {
     // scaled decimal to double is 1-ulp engine-dependent (Spark: correctly
     // rounded BigDecimal; DuckDB: int128→double then ÷10^scale — two
     // roundings). Scale-aware rounding puts the comparison grid ~6 orders
-    // of magnitude above that noise.
+    // of magnitude above that noise AT FIXTURE SCALES; the r7 ×10 probe
+    // measured the boundary empirically — covar_qp lands exactly one
+    // 1e-6 grid unit apart at 10× sf0.1 (syy ≈ 6e16 > 2^53), the
+    // predicted failure mode, not a semantic divergence. A deployment
+    // needing 6-decimal covariances past sf1 sums in DECIMAL(38,6)
+    // end-to-end and accepts the ~2× agg cost.
     Tables
       .lineitem(spark, sfDir)
       .groupBy(col("l_returnflag"))
