@@ -74,6 +74,17 @@ object StreamingQueries {
       .cdcLatest(Tables.events(spark, sfDir))
       .orderBy("user_id")
 
+  /** Batch twin of the streaming HLL register state (see
+    * [[graft.streaming.Streams.hllRegisters]]): the sketch a reader
+    * estimates from is identical whether maintained incrementally or
+    * computed in one batch pass — max is order-free, and the oracle
+    * replays the registers bit-for-bit.
+    */
+  def hllRegisters(spark: SparkSession, sfDir: String): DataFrame =
+    Streams
+      .hllRegisters(Tables.events(spark, sfDir))
+      .orderBy("event_type", "j")
+
   /** Batch twin of the windowed exact-uniques metric. */
   def windowDistinct(spark: SparkSession, sfDir: String): DataFrame =
     Streams
@@ -106,6 +117,16 @@ object StreamingQueries {
               | FROM $EV)
               |SELECT user_id, ts, event_id, event_type, value, n_changes
               |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+    "s_stream_hll" -> Q(
+      hllRegisters,
+      Some(s"""WITH h AS (
+              | SELECT event_type,
+              |  CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT) AS hv
+              | FROM $EV)
+              |SELECT event_type, hv % 256 AS j,
+              | CAST(max(CASE WHEN hv // 256 = 0 THEN 53
+              |               ELSE 53 - length(bin(hv // 256)) END) AS INTEGER) AS m_rho
+              |FROM h GROUP BY event_type, j ORDER BY event_type, j""".stripMargin)),
     "s_stream_window_distinct" -> Q(
       windowDistinct,
       Some(s"""SELECT time_bucket(INTERVAL '5 minutes', ts) AS ws,

@@ -211,6 +211,33 @@ object Streams {
         col("cur.value").as("value"),
         col("n_changes"))
 
+  /** Streaming HyperLogLog register state per event_type — the
+    * `q_agg_hll_replayable` sketch maintained incrementally. `max(rho)`
+    * is monotone and commutative, so the streaming aggregation state IS
+    * the 256-register sketch: bounded at m rows per key with NO
+    * watermark needed (the point of a sketch — approximate-distinct
+    * over the whole stream in O(m) state, where the exact version's
+    * state grows with cardinality). Registers are mergeable across
+    * restarts/partitions by construction; the estimate is a stateless
+    * projection a reader applies downstream (see the batch entry).
+    * Same md5-hex60 / bin-length rho as the batch sketch, so the batch
+    * twin oracle replays the streaming state bit-for-bit.
+    */
+  def hllRegisters(events: DataFrame): DataFrame = {
+    val h = conv(substring(md5(col("user_id").cast("string").cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+    events
+      .select(col("event_type"), h.as("hv"))
+      .select(
+        col("event_type"),
+        (col("hv") % 256).as("j"),
+        when(expr("hv div 256") === 0L, 53)
+          .otherwise(lit(53) - length(bin(expr("hv div 256"))))
+          .as("rho"))
+      .groupBy("event_type", "j")
+      .agg(max(col("rho")).as("m_rho"))
+  }
+
   /** Exact windowed unique users per 5-minute tumbling window — the
     * exact-uniques streaming metric (its batch/extreme-scale twins are
     * `q_events_wau`, `q_agg_bitmap_distinct`, `q_agg_hll_merge`). Two

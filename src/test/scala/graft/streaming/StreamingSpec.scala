@@ -19,6 +19,55 @@ class StreamingSpec extends SparkSuite {
       .collect()
       .sortBy(_._2.getTime)
 
+  test("streaming HLL registers: incremental chunks converge to batch, state bounded") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val df = mem
+      .toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Streams
+      .hllRegisters(df)
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("hll_registers_complete")
+      .start()
+    try {
+      // feed in three chunks: registers only ever RISE (max is monotone),
+      // and the final state equals the single-pass batch sketch exactly
+      val all = eventTuples.toIndexedSeq
+      val (c1, rest) = all.splitAt(all.length / 3)
+      val (c2, c3) = rest.splitAt(rest.length / 3)
+      mem.addData(c1)
+      q.processAllAvailable()
+      val after1 = spark
+        .table("hll_registers_complete")
+        .as[(String, Long, Int)]
+        .collect()
+        .map { case (t, j, m) => (t, j) -> m }
+        .toMap
+      mem.addData(c2)
+      mem.addData(c3)
+      q.processAllAvailable()
+      val fin = spark.table("hll_registers_complete")
+      val finMap = fin
+        .as[(String, Long, Int)]
+        .collect()
+        .map { case (t, j, m) => (t, j) -> m }
+        .toMap
+      after1.foreach { case (k, m) =>
+        assert(finMap(k) >= m, s"register $k must be monotone")
+      }
+      // sketch state is bounded at m registers per key, independent of rows
+      val types = fin.select("event_type").distinct().count()
+      assert(fin.count() <= types * 256)
+      val batch = Streams.hllRegisters(
+        Tables.events(spark, sf001).select("event_id", "ts", "user_id", "event_type", "value"))
+      assert(fin.exceptAll(batch).count() == 0)
+      assert(batch.exceptAll(fin).count() == 0)
+    } finally q.stop()
+  }
+
   test("streaming tumbling (complete mode) equals batch") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
