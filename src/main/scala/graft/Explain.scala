@@ -22,16 +22,22 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val df =
+    // Time CONSTRUCTION + execution, like Bench/ScaleProbe do: queries
+    // with eager checkpoints or driver-coordinated rounds (graph edge
+    // lists, BPE training) do their dominant work while the DataFrame is
+    // being BUILT — timing only the final action would report a 4-row
+    // local relation as ~0 s and mislead a band-gate investigation.
+    def build() =
       if (name == "entry") SparkEntry.entry(spark)
       else SparkEntry.queries(name)(spark, sfDir)
-    if (args.contains("--plan")) df.explain("formatted")
+    val df0 = build()
+    if (args.contains("--plan")) df0.explain("formatted")
     val t0 = System.nanoTime()
-    if (args.contains("--count")) println(s"ROWS=${df.count()}")
-    else df.write.format("noop").mode("overwrite").save()
+    if (args.contains("--count")) println(s"ROWS=${build().count()}")
+    else build().write.format("noop").mode("overwrite").save()
     println(f"TIME $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
     val t1 = System.nanoTime()
-    df.write.format("noop").mode("overwrite").save()
+    build().write.format("noop").mode("overwrite").save()
     println(f"TIME2 $name ${(System.nanoTime() - t1) / 1e9}%.2f s (warm)")
     spark.stop()
   }

@@ -29,8 +29,8 @@ object CorpusOps {
   private lazy val UnigramNllSql =
     s"""WITH toks AS (
        | SELECT doc_id, unnest(toks) AS tok FROM $DOCS_T),
-       |sp AS (SELECT doc_id, CASE WHEN (doc_id * 40503) % 100 < 80 THEN 'train'
-       |        WHEN (doc_id * 40503) % 100 < 90 THEN 'val' ELSE 'test' END AS split FROM documents),
+       |sp AS (SELECT doc_id, CASE WHEN ((doc_id % 2147483648) * 40503) % 100 < 80 THEN 'train'
+       |        WHEN ((doc_id % 2147483648) * 40503) % 100 < 90 THEN 'val' ELSE 'test' END AS split FROM documents),
        |tr AS (SELECT tok, count(1) AS cnt FROM toks JOIN sp USING (doc_id) WHERE split = 'train' GROUP BY 1),
        |nv AS (SELECT CAST(sum(cnt) AS BIGINT) AS n, count(1) AS v FROM tr),
        |scored AS (
@@ -739,19 +739,16 @@ object CorpusOps {
   def qAggHllReplayable(spark: SparkSession, sfDir: String): DataFrame = {
     val m = 256
     val ev = Tables.events(spark, sfDir)
-    val h = conv(substring(md5(col("user_id").cast("string").cast("binary")), 1, 15), 16, 10)
-      .cast("long")
-    val w = expr(s"hv div $m")
-    val rho = when(w === 0L, 53).otherwise(lit(53) - length(bin(w)))
-    val regs = ev
-      .select(col("event_type"), h.as("hv"))
-      .select(col("event_type"), (col("hv") % m).as("j"), rho.as("rho"))
-      .groupBy("event_type", "j")
-      .agg(max(col("rho")).as("M"))
+    // ONE register construction for batch and streaming: the sketch this
+    // estimates from is graft.streaming.Streams.hllRegisters verbatim
+    // (s_stream_hll's state) — a hash/width change there moves both
+    // entries and both oracles together.
+    val regs = graft.streaming.Streams
+      .hllRegisters(ev)
       .groupBy("event_type")
       .agg(
         count(lit(1)).as("c"),
-        sum(expr("shiftleft(1L, cast(53 - M as int))")).as("s_present"))
+        sum(expr("shiftleft(1L, cast(53 - m_rho as int))")).as("s_present"))
     val exact = ev.groupBy("event_type").agg(countDistinct("user_id").as("n_exact"))
     val two53 = 9007199254740992.0 // 2^53
     val alphaM2 = lit(0.7213 / (1.0 + 1.079 / m) * (m.toDouble * m) * two53)
@@ -1725,8 +1722,8 @@ object CorpusOps {
       qPackSequences,
       Some(s"""WITH d AS (
               | SELECT doc_id,
-              |  CASE WHEN (doc_id * 40503) % 100 < 80 THEN 'train'
-              |       WHEN (doc_id * 40503) % 100 < 90 THEN 'val' ELSE 'test' END AS split,
+              |  CASE WHEN ((doc_id % 2147483648) * 40503) % 100 < 80 THEN 'train'
+              |       WHEN ((doc_id % 2147483648) * 40503) % 100 < 90 THEN 'val' ELSE 'test' END AS split,
               |  doc_id % 8 AS bucket,
               |  len(toks) AS toks
               | FROM $DOCS_T),
@@ -1878,15 +1875,10 @@ object CorpusOps {
       noOracleReason = Some("HyperLogLog register state is merge-order-dependent; DuckDB has no twin of Spark's HLL++ sketch")),
     "q_agg_hll_replayable" -> Q(
       qAggHllReplayable,
-      Some("""WITH h AS (SELECT event_type, user_id,
-             |  CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT) AS hv
-             | FROM events),
-             |r AS (SELECT event_type, hv % 256 AS j,
-             |       CASE WHEN hv // 256 = 0 THEN 53 ELSE 53 - length(bin(hv // 256)) END AS rho
-             |      FROM h),
-             |regs AS (SELECT event_type, j, max(rho) AS M FROM r GROUP BY 1, 2),
+      Some(s"""WITH regs AS (
+             |${graft.queries.StreamingQueries.HllRegsSql}),
              |agg AS (SELECT event_type, count(1) AS c,
-             |         CAST(sum(1::BIGINT << (53 - M)) AS BIGINT) AS s_present FROM regs GROUP BY 1),
+             |         CAST(sum(1::BIGINT << (53 - m_rho)) AS BIGINT) AS s_present FROM regs GROUP BY 1),
              |ex AS (SELECT event_type, count(DISTINCT user_id) AS n_exact FROM events GROUP BY 1),
              |calc AS (
              | SELECT event_type, n_exact, c AS n_regs,
@@ -2139,8 +2131,8 @@ object CorpusOps {
               |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin)),
     "q_text_bigram_nll" -> Q(
       qTextBigramNll,
-      Some(s"""WITH sp AS (SELECT doc_id, CASE WHEN (doc_id * 40503) % 100 < 80 THEN 'train'
-              |        WHEN (doc_id * 40503) % 100 < 90 THEN 'val' ELSE 'test' END AS split FROM documents),
+      Some(s"""WITH sp AS (SELECT doc_id, CASE WHEN ((doc_id % 2147483648) * 40503) % 100 < 80 THEN 'train'
+              |        WHEN ((doc_id % 2147483648) * 40503) % 100 < 90 THEN 'val' ELSE 'test' END AS split FROM documents),
               |bi AS (
               | SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bg, toks[i] AS w1
               | FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i

@@ -328,7 +328,13 @@ object LlmOps {
     * unigram+bigram NLL) derives train/val/test membership from; a
     * single definition so their memberships cannot drift apart.
     */
-  private[queries] def splitBucket: Column = pmod(col("doc_id") * lit(40503L), lit(100L))
+  // doc_id % 2^31 BEFORE the multiply: 2^31 * 40503 < 2^63, so the split
+  // hash cannot ANSI-overflow for ANY id (same at-scale hazard class the
+  // r7 x10 probe caught in the 2654435761 variant hash); fixture ids
+  // (< 2^31) bucket identically, and every oracle carries the same
+  // pre-mod.
+  private[queries] def splitBucket: Column =
+    pmod((col("doc_id") % lit(2147483648L)) * lit(40503L), lit(100L))
 
   /** The 80/10/10 split label from [[splitBucket]]. */
   private[queries] def splitCol: Column =
@@ -2416,7 +2422,7 @@ object LlmOps {
              |$SHINGLE_DOCS),
              |dh0 AS (
              |$SHINGLE_HASH_LIST),
-             |dh AS (SELECT doc_id, (doc_id * 40503) % 100 AS b, hs FROM dh0),
+             |dh AS (SELECT doc_id, ((doc_id % 2147483648) * 40503) % 100 AS b, hs FROM dh0),
              |test_sh AS (SELECT DISTINCT unnest(hs) AS sh FROM dh WHERE b >= 90),
              |train AS (SELECT doc_id, hs FROM dh WHERE b < 80),
              |shared AS (
@@ -2448,8 +2454,8 @@ object LlmOps {
              | SELECT min(doc_id) AS doc_id, min(n_chars) AS n_chars
              | FROM passed GROUP BY sha256(text)),
              |labeled AS (
-             | SELECT CASE WHEN (doc_id * 40503) % 100 < 80 THEN 'train'
-             |             WHEN (doc_id * 40503) % 100 < 90 THEN 'val'
+             | SELECT CASE WHEN ((doc_id % 2147483648) * 40503) % 100 < 80 THEN 'train'
+             |             WHEN ((doc_id % 2147483648) * 40503) % 100 < 90 THEN 'val'
              |             ELSE 'test' END AS split, n_chars
              | FROM kept)
              |SELECT split, count(1) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
@@ -2461,8 +2467,8 @@ object LlmOps {
     "q_split_assign" -> Q(
       qSplitAssign,
       Some("""SELECT doc_id,
-             | CASE WHEN (doc_id * 40503) % 100 < 80 THEN 'train'
-             |      WHEN (doc_id * 40503) % 100 < 90 THEN 'val'
+             | CASE WHEN ((doc_id % 2147483648) * 40503) % 100 < 80 THEN 'train'
+             |      WHEN ((doc_id % 2147483648) * 40503) % 100 < 90 THEN 'val'
              |      ELSE 'test' END AS split
              |FROM documents ORDER BY doc_id""".stripMargin)),
     "q_events_sessionize" -> Q(

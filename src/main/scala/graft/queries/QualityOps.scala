@@ -236,7 +236,13 @@ object QualityOps {
     */
   def qMixEpochs(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir).select("doc_id", "lang", "text")
-    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    // materialize the |langs|-row count table ONCE: boost is referenced
+    // from the materialization join AND the final rollup join, and its
+    // lineage reaches the corpus scan from ~9 plan positions without
+    // this (the §4 plan-subtree-reuse rule) — checkpointed, the whole
+    // query reads the corpus exactly twice (model pass + explode pass)
+    val counts =
+      docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs")).localCheckpoint()
     val tot = counts.agg(sum("n_docs").as("n"))
     val weighted = counts
       .crossJoin(broadcast(tot))
@@ -263,17 +269,25 @@ object QualityOps {
           when(col("u_ppm") < col("boost_ppm") % 1000000L, 1L).otherwise(0L))
       .where(col("copies") > 0)
       .select(col("lang"), col("doc_id"), explode(sequence(lit(1L), col("copies"))).as("epoch"))
-    mat
-      .groupBy("lang")
-      .agg(countDistinct("doc_id").as("n_docs_kept"), count(lit(1)).as("n_copies"))
-      .join(broadcast(boost), "lang")
+    // LEFT join from boost: a fully-damped language (every doc's md5
+    // fraction at or above its sub-1-epoch boost) must still appear in
+    // the report with zero kept docs — vanishing silently is the one
+    // outcome a mix readout must not have
+    boost
+      .join(
+        mat
+          .groupBy("lang")
+          .agg(countDistinct("doc_id").as("kept"), count(lit(1)).as("copies")),
+        Seq("lang"),
+        "left")
       .select(
         col("lang"),
         col("n_docs"),
         col("boost_ppm"),
-        col("n_docs_kept"),
-        col("n_copies"),
-        round(col("n_copies").cast("double") / col("n_docs"), 6).as("eff_epochs"))
+        coalesce(col("kept"), lit(0L)).as("n_docs_kept"),
+        coalesce(col("copies"), lit(0L)).as("n_copies"),
+        round(coalesce(col("copies"), lit(0L)).cast("double") / col("n_docs"), 6)
+          .as("eff_epochs"))
       .orderBy("lang")
   }
 
@@ -410,12 +424,13 @@ object QualityOps {
              |            < boost_ppm % 1000000 THEN 1 ELSE 0 END AS copies
              |      FROM documents JOIN b USING (lang)),
              |m AS (SELECT lang, doc_id, unnest(generate_series(1, copies)) AS epoch
-             |      FROM d WHERE copies > 0)
+             |      FROM d WHERE copies > 0),
+             |mm AS (SELECT lang, count(DISTINCT doc_id) AS kept, count(1) AS copies
+             |       FROM m GROUP BY lang)
              |SELECT lang, n_docs, boost_ppm,
-             | count(DISTINCT doc_id) AS n_docs_kept, count(1) AS n_copies,
-             | round(CAST(count(1) AS DOUBLE) / n_docs, 6) AS eff_epochs
-             |FROM m JOIN b USING (lang)
-             |GROUP BY lang, n_docs, boost_ppm ORDER BY lang""".stripMargin)),
+             | coalesce(kept, 0) AS n_docs_kept, coalesce(copies, 0) AS n_copies,
+             | round(CAST(coalesce(copies, 0) AS DOUBLE) / n_docs, 6) AS eff_epochs
+             |FROM b LEFT JOIN mm USING (lang) ORDER BY lang""".stripMargin)),
     "q_curation_dsir" -> Q(
       qCurationDsir,
       Some("""WITH toks AS (

@@ -166,7 +166,8 @@ object SearchOps {
     try {
       var seqs = s0
       val merges = Seq.newBuilder[(Int, String, String, String, Long)]
-      for (r <- 1 to BpeRounds) {
+      var exhausted = false
+      for (r <- 1 to BpeRounds if !exhausted) {
         val l = split(trim(col("seq")), " ")
         val top = seqs
           .select(
@@ -179,15 +180,24 @@ object SearchOps {
           .agg(sum("freq").as("n"))
           .orderBy(col("n").desc, col("a"), col("b"))
           .limit(1)
-          .head()
-        val (a, b, n) = (top.getString(0), top.getString(1), top.getLong(2))
-        merges += ((r, a, b, a + b, n))
-        val rep = call_function(
-          "replace",
-          call_function("replace", col("seq"), lit(s" $a $b "), lit(s" $a$b ")),
-          lit(s" $a $b "),
-          lit(s" $a$b "))
-        seqs = seqs.select(rep.as("seq"), col("freq"))
+          .collect()
+          .headOption
+        top match {
+          case None =>
+            // no adjacent pair left (degenerate corpus: every word a
+            // single symbol) — stop with the merges found; the oracle's
+            // empty t_r CTEs contribute no rows in the same rounds
+            exhausted = true
+          case Some(row) =>
+            val (a, b, n) = (row.getString(0), row.getString(1), row.getLong(2))
+            merges += ((r, a, b, a + b, n))
+            val rep = call_function(
+              "replace",
+              call_function("replace", col("seq"), lit(s" $a $b "), lit(s" $a$b ")),
+              lit(s" $a $b "),
+              lit(s" $a$b "))
+            seqs = seqs.select(rep.as("seq"), col("freq"))
+        }
       }
       merges.result().toDF("round", "lhs", "rhs", "merged", "n")
     } finally s0.unpersist(false)
@@ -232,7 +242,10 @@ object SearchOps {
     * in ≥ 2 orders, canonical (u < v). ONE definition — a threshold or
     * column change here changes both analyses together.
     */
-  private def coPurchaseEdges(spark: SparkSession, sfDir: String): DataFrame = {
+  private def coPurchaseEdges(
+      spark: SparkSession,
+      sfDir: String,
+      materialize: Boolean = true): DataFrame = {
     val items = Tables
       .lineitem(spark, sfDir)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
@@ -244,7 +257,7 @@ object SearchOps {
       .agg(count(lit(1)).as("support"))
       .where(col("support") >= 2)
       .select("u", "v")
-      // materialize ONCE: both graph queries reference the edge list from
+      // materialize ONCE: the wedge queries reference the edge list from
       // 6-8 plan positions (okey, the three wedge arms × 2 sides), and
       // Spark re-derives an uncheckpointed subtree at every reference —
       // the r7 fixture refresh made the per-order C(n,2) self-join above
@@ -252,7 +265,11 @@ object SearchOps {
       // 2.9 s checkpointed, same fixtures). |E| rows, executor-local
       // blocks; same fault-tolerance caveat as DedupClusters (an option
       // for reliable checkpointing exists there for cluster runs).
-      .localCheckpoint()
+      // `materialize = false` for single-reference callers that
+      // checkpoint downstream themselves (qGraphCc: DedupClusters
+      // checkpoints the symmetrized list immediately — a second
+      // materialization here would be pure overhead).
+      .transform(e => if (materialize) e.localCheckpoint() else e)
   }
 
   /** Connected components of the co-purchase graph — the generalization
@@ -270,7 +287,7 @@ object SearchOps {
     */
   def qGraphCc(spark: SparkSession, sfDir: String): DataFrame =
     graft.operators.DedupClusters
-      .clusters(coPurchaseEdges(spark, sfDir), "u", "v")
+      .clusters(coPurchaseEdges(spark, sfDir, materialize = false), "u", "v")
       .groupBy(col("label").as("component"))
       .agg(count(lit(1)).as("n_nodes"), max(col("id")).as("max_node"))
       .orderBy(col("n_nodes").desc, col("component"))

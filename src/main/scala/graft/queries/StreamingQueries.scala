@@ -17,6 +17,22 @@ object StreamingQueries {
   private val EV =
     "(SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events)"
 
+  /** Shared oracle body of the HLL register table — `s_stream_hll` is
+    * this text verbatim; `q_agg_hll_replayable` (CorpusOps) wraps it as
+    * its `regs` CTE, so the streaming state and the batch sketch cannot
+    * drift (the Scala side shares [[graft.streaming.Streams.hllRegisters]]
+    * the same way).
+    */
+  private[queries] val HllRegsSql: String =
+    """WITH h AS (
+      | SELECT event_type,
+      |  CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT) AS hv
+      | FROM events)
+      |SELECT event_type, hv % 256 AS j,
+      | CAST(max(CASE WHEN hv // 256 = 0 THEN 53
+      |               ELSE 53 - length(bin(hv // 256)) END) AS INTEGER) AS m_rho
+      |FROM h GROUP BY event_type, j""".stripMargin
+
   def tumbling(spark: SparkSession, sfDir: String): DataFrame =
     Streams
       .tumbling(Tables.events(spark, sfDir), withWatermark = false)
@@ -119,14 +135,7 @@ object StreamingQueries {
               |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin)),
     "s_stream_hll" -> Q(
       hllRegisters,
-      Some(s"""WITH h AS (
-              | SELECT event_type,
-              |  CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT) AS hv
-              | FROM $EV)
-              |SELECT event_type, hv % 256 AS j,
-              | CAST(max(CASE WHEN hv // 256 = 0 THEN 53
-              |               ELSE 53 - length(bin(hv // 256)) END) AS INTEGER) AS m_rho
-              |FROM h GROUP BY event_type, j ORDER BY event_type, j""".stripMargin)),
+      Some(StreamingQueries.HllRegsSql + "\nORDER BY event_type, j")),
     "s_stream_window_distinct" -> Q(
       windowDistinct,
       Some(s"""SELECT time_bucket(INTERVAL '5 minutes', ts) AS ws,

@@ -56,7 +56,7 @@ class PipelineOpsSpec extends SparkSuite {
     val out = LlmOps.qDecontaminate(spark, sf001).collect()
     val trainIds = graft.Tables
       .documents(spark, sf001)
-      .where(pmod($"doc_id" * 40503L, lit(100L)) < 80)
+      .where(pmod(($"doc_id" % 2147483648L) * 40503L, lit(100L)) < 80)
       .select("doc_id")
       .as[Long]
       .collect()

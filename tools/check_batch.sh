@@ -19,4 +19,8 @@ for n in $NAMES; do
   fi
 done
 echo "== $pass pass, $fail fail, $tmo timeout"
-[ "$fail" = 0 ]
+# exit 1 on any mismatch, 2 when timeouts (or zero attempts) leave the
+# certification incomplete — an all-timeout run must NOT read as a pass
+if [ "$fail" != 0 ]; then exit 1; fi
+if [ "$tmo" != 0 ] || [ "$pass" = 0 ]; then exit 2; fi
+exit 0
