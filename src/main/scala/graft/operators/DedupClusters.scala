@@ -57,7 +57,8 @@ object DedupClusters {
       bCol: String,
       maxIters: Int = 20,
       strict: Boolean = true,
-      reliableCheckpoint: Boolean = false): DataFrame = {
+      reliableCheckpoint: Boolean = false,
+      pathDoubling: Boolean = false): DataFrame = {
     if (reliableCheckpoint && pairs.sparkSession.sparkContext.getCheckpointDir.isEmpty)
       throw new IllegalStateException(
         "DedupClusters(reliableCheckpoint = true) needs " +
@@ -89,12 +90,29 @@ object DedupClusters {
       val msgs = sym
         .join(labels.withColumnRenamed("id", "a"), "a")
         .select(col("b").as("id"), col("label"), lit(false).as("own"))
+      // pointer jumping (optional): label(v) := min(.., label(label(v))).
+      // label(v) is always some node's id, so the self-join always hits;
+      // the fixpoint is unchanged (labels only decrease, and every
+      // adopted label is a reachable node's id) but the effective
+      // propagation distance doubles per round — rounds drop from
+      // O(diameter) to O(log diameter) at the cost of one extra
+      // labels⋈labels shuffle per round. Off for the dedup entries
+      // (near-dup clusters are dense, diameter 2-3: the extra join costs
+      // more than it saves); on for long-path graphs (q_graph_cc — the
+      // co-purchase graph has diameter-13 components, 13 rounds → 5).
+      val jumped =
+        if (!pathDoubling) Seq.empty[DataFrame]
+        else
+          Seq(
+            labels
+              .as("x")
+              .join(labels.as("y"), col("x.label") === col("y.id"))
+              .select(col("x.id").as("id"), col("y.label").as("label"), lit(false).as("own")))
       // one aggregation computes the new label AND whether it changed:
       // the vertex's own old label is the unique own=true row per id
       val next = ckpt( // eager: the round's single distributed job
-        labels
-          .withColumn("own", lit(true))
-          .unionByName(msgs)
+        jumped
+          .foldLeft(labels.withColumn("own", lit(true)).unionByName(msgs))(_ unionByName _)
           .groupBy("id")
           .agg(
             min(col("label")).as("label"),

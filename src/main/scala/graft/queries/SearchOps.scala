@@ -287,7 +287,11 @@ object SearchOps {
     */
   def qGraphCc(spark: SparkSession, sfDir: String): DataFrame =
     graft.operators.DedupClusters
-      .clusters(coPurchaseEdges(spark, sfDir, materialize = false), "u", "v")
+      .clusters(
+        coPurchaseEdges(spark, sfDir, materialize = false),
+        "u",
+        "v",
+        pathDoubling = true)
       .groupBy(col("label").as("component"))
       .agg(count(lit(1)).as("n_nodes"), max(col("id")).as("max_node"))
       .orderBy(col("n_nodes").desc, col("component"))

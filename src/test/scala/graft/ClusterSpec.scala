@@ -51,6 +51,34 @@ class ClusterSpec extends SparkSuite {
     }
   }
 
+  test("path doubling: same components as plain propagation, fewer rounds") {
+    // chains are the worst case for plain propagation (rounds = diameter)
+    // and the best case for pointer jumping (rounds ~ log2 diameter)
+    val chains = Seq(
+      (1L until 16L).map(i => (i, i + 1)),
+      (9L to 1L by -1).map(i => (i + 1, i)), // min label enters last
+      Seq((1L, 2L), (3L, 4L), (2L, 3L), (10L, 11L)))
+    chains.foreach { edges =>
+      val expected = unionFind(edges)
+      val got = DedupClusters
+        .clusters(edges.toDF("d1", "d2"), "d1", "d2", pathDoubling = true)
+        .collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+        .toMap
+      assert(got == expected, s"edges $edges")
+    }
+    // a 16-node path (diameter 15) must converge within ~log2 rounds when
+    // doubling — maxIters = 6 would fail plain propagation
+    val path = (1L until 16L).map(i => (i, i + 1)).toDF("d1", "d2")
+    intercept[IllegalStateException] {
+      DedupClusters.clusters(path, "d1", "d2", maxIters = 6).collect()
+    }
+    val doubled = DedupClusters
+      .clusters(path, "d1", "d2", maxIters = 6, pathDoubling = true)
+      .collect()
+    assert(doubled.forall(_.getLong(1) == 1L))
+  }
+
   test("strict mode throws when a component's diameter exceeds maxIters") {
     // a path graph 1-2-3-...-8 needs ~log2(diameter) doubling rounds to
     // fully propagate label 1 to vertex 8; maxIters = 1 cannot converge
