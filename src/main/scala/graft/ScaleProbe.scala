@@ -48,7 +48,15 @@ object ScaleProbe {
     */
   private val DefaultQueries = Seq(
     "q_dedup_clusters",
-    "q_graph_common_neighbors",
+    // r8: the probe measures the CAPPED production path — the uncapped
+    // entry stays in the registry as the oracle anchor, but its in×in
+    // wedge arm is Σ in-deg² by construction and the ×20 duplication
+    // probe densifies co-purchase degrees far past useful (123.7 s /
+    // ratio 2.40 measured in r7, the probe's only superlinear row).
+    // q_graph_common_neighbors_capped is the same trichotomy with hub
+    // centers (deg > 32) pruned pre-shuffle; pristine answers identical
+    // (SearchOpsSpec pin).
+    "q_graph_common_neighbors_capped",
     "q_graph_triangles",
     "q_market_basket",
     "q_embed_pca",
@@ -69,7 +77,16 @@ object ScaleProbe {
     "q_bpe_merges",
     "q_curation_dsir",
     "q_text_ppl_buckets",
-    "q_mix_epochs")
+    "q_mix_epochs",
+    // r8 (verdict ask #6): the ANN BUILD tier gets a timing signal —
+    // these two are bench=false (driver-coordinated Lloyd/codebook
+    // iterations make min-of-2 JIT-noisy for the band gate), but index
+    // construction cost at 1× vs ×N is exactly what a 100 TB embedding
+    // corpus needs measured: the model state is bounded (K=16 centroids,
+    // 8×16 codewords), so build time should scale with the assignment
+    // scans, i.e. sublinearly here.
+    "q_sim_ann_ivf",
+    "q_sim_ann_pq")
 
   private def num(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

@@ -30,11 +30,23 @@ object WeightedAvg extends Aggregator[(Double, Double), WavgBuf, Double] {
   }
   override def merge(a: WavgBuf, b: WavgBuf): WavgBuf =
     WavgBuf(a.sumPwMicros + b.sumPwMicros, a.sumWMicros + b.sumWMicros)
+  /** Micros → double by SPLIT reconstruction (r8): integer part via one
+    * correctly-rounded long→double, fraction exactly, one IEEE add — the
+    * same three steps the oracle's `CAST(floor(S) AS DOUBLE) +
+    * CAST(S - floor(S) AS DOUBLE)` performs, so the doubles are identical
+    * across engines even when the scaled sum exceeds 2^64 and DuckDB's
+    * direct int128→double would double-round (the r7 ×10 probe measured
+    * wavg 2 ulp off through `BigDecimal.doubleValue`, whose single
+    * rounding DIFFERS from the oracle-side two-step exactly there).
+    * floorDiv/floorMod mirror SQL floor() on negatives.
+    */
+  private def splitToDouble(micros: Long): Double =
+    Math.floorDiv(micros, 1000000L).toDouble +
+      Math.floorMod(micros, 1000000L).toDouble / 1e6
+
   override def finish(b: WavgBuf): Double =
     if (b.sumWMicros == 0L) Double.NaN
-    else
-      java.math.BigDecimal.valueOf(b.sumPwMicros, 6).doubleValue() /
-        java.math.BigDecimal.valueOf(b.sumWMicros, 6).doubleValue()
+    else splitToDouble(b.sumPwMicros) / splitToDouble(b.sumWMicros)
   override def bufferEncoder: Encoder[WavgBuf] = Encoders.product[WavgBuf]
   override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
 }

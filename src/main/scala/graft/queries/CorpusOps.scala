@@ -1233,17 +1233,26 @@ object CorpusOps {
       .groupBy(col("tok").as("w1"))
       .agg(count(lit(1)).as("c1"))
     val vocab = uni.agg(count(lit(1)).as("v"))
+    // Per-TERM micro quantization (r8, closes the r7 ×10 ln-ulp boundary):
+    // lp = round6(ln(cbg+1)) − round6(ln(c1+V)), so ln only ever takes
+    // INTEGER arguments. Java's Math.log and DuckDB's libm ln differ in
+    // the last ulp, and rounding ln(num/den) onto the 1e-6 grid put 30 of
+    // 50k ×10 docs one grid unit apart — each doc sums ~200 distinct
+    // rational ratios, any of which can straddle a .5-micro boundary.
+    // With integer-only arguments the boundary surface shrinks to the few
+    // thousand DISTINCT counts in the model (P[any ln(k)·1e6 within an
+    // ulp of .5] ≈ 1e-8 per distinct k), and the per-term difference from
+    // the ratio formulation is ≤ 1 micro — the oracle carries the same
+    // two-term form, so the quantized semantics stay exactly twinned.
     val scored = bi
       .join(cbg, Seq("bg"), "left")
       .join(uni, Seq("w1"), "left")
       .crossJoin(broadcast(vocab))
       .select(
         col("doc_id"),
-        round(
-          log(
-            (coalesce(col("cbg"), lit(0L)) + 1.0) /
-              (coalesce(col("c1"), lit(0L)) + col("v"))) * 1e6,
-          0).cast("long").as("lp_micro"))
+        (round(log(coalesce(col("cbg"), lit(0L)) + 1.0) * 1e6, 0).cast("long") -
+          round(log((coalesce(col("c1"), lit(0L)) + col("v")).cast("double")) * 1e6, 0)
+            .cast("long")).as("lp_micro"))
     scored
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_micro")).as("lp_sum"))
@@ -1252,7 +1261,14 @@ object CorpusOps {
         col("doc_id"),
         col("split"),
         col("n_bigrams"),
-        round(-(col("lp_sum").cast("double") / 1e6) / col("n_bigrams"), 6).as("nll"))
+        // NO final round (r8): lp_sum and n_bigrams are exact integers in
+        // both engines, so cast + two IEEE divisions give bit-identical
+        // doubles — while round(x, 6) on the quotient can land EXACTLY on
+        // a .5 grid tie (lp_sum/1e7 with n_bigrams = 10 is a 7-decimal
+        // rational), where Spark's BigDecimal HALF_UP of the binary
+        // double and DuckDB's round() resolve differently (observed:
+        // 1 doc at sf0.1 after the per-term requantization).
+        (-(col("lp_sum").cast("double") / 1e6) / col("n_bigrams")).as("nll"))
       .orderBy("doc_id")
   }
 
@@ -2145,10 +2161,11 @@ object CorpusOps {
               |vv AS (SELECT count(1) AS v FROM uni),
               |scored AS (
               | SELECT b.doc_id AS doc_id,
-              |  CAST(round(ln((coalesce(cbg.cbg, 0) + 1.0) / (coalesce(uni.c1, 0) + vv.v)) * 1e6, 0) AS BIGINT) AS lp
+              |  CAST(round(ln(coalesce(cbg.cbg, 0) + 1.0) * 1e6, 0) AS BIGINT)
+              |   - CAST(round(ln(CAST(coalesce(uni.c1, 0) + vv.v AS DOUBLE)) * 1e6, 0) AS BIGINT) AS lp
               | FROM bi b LEFT JOIN cbg USING (bg) LEFT JOIN uni USING (w1) CROSS JOIN vv)
               |SELECT s.doc_id AS doc_id, sp.split, count(1) AS n_bigrams,
-              | round(-(CAST(sum(s.lp) AS DOUBLE) / 1e6) / count(1), 6) AS nll
+              | -(CAST(sum(s.lp) AS DOUBLE) / 1e6) / count(1) AS nll
               |FROM scored s JOIN sp ON s.doc_id = sp.doc_id
               |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin)),
     "q_topk_approx" -> Q(

@@ -2562,6 +2562,11 @@ object LlmOps {
              | CAST(320 + (doc_id % 4) * 160 AS INT) AS width,
              | CAST(240 + (doc_id % 4) * 120 AS INT) AS height
              |FROM documents ORDER BY doc_id""".stripMargin)),
+    // Oracle r8: candidate pairs come from the same 4×16-bit pigeonhole
+    // the engine uses (hamming ≤ 3 over 64 bits ⟹ at least one of four
+    // 16-bit segments is EQUAL, so the seg-value equi-join provably
+    // covers every output pair) — the r7 all-pairs formulation needed
+    // > 75 GB of DuckDB spill at ×10 and timed out of the certification.
     "q_multimodal_phash" -> Q(
       qMultimodalPhash,
       Some("""WITH g AS (
@@ -2583,10 +2588,15 @@ object LlmOps {
              | SELECT doc_id, idx // 16 AS seg,
              |  CAST(sum(b * (1 << (idx % 16))) AS BIGINT) AS seg_val
              | FROM bits GROUP BY doc_id, idx // 16),
+             |cand AS (
+             | SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+             | FROM segs a JOIN segs b
+             |  ON a.seg = b.seg AND a.seg_val = b.seg_val AND a.doc_id < b.doc_id),
              |p AS (
-             | SELECT a.doc_id AS d1, b.doc_id AS d2,
-             |  bit_count(xor(a.seg_val, b.seg_val)) AS hd
-             | FROM segs a JOIN segs b ON a.seg = b.seg AND a.doc_id < b.doc_id)
+             | SELECT c.d1, c.d2, bit_count(xor(a.seg_val, b.seg_val)) AS hd
+             | FROM cand c
+             | JOIN segs a ON a.doc_id = c.d1
+             | JOIN segs b ON b.doc_id = c.d2 AND b.seg = a.seg)
              |SELECT d1, d2, CAST(sum(hd) AS INT) AS hamming
              |FROM p GROUP BY d1, d2 HAVING sum(hd) <= 3
              |ORDER BY d1, d2""".stripMargin)),

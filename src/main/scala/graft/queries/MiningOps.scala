@@ -83,8 +83,15 @@ object MiningOps {
       .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
       .agg(count(lit(1)).as("support"))
       .where(col("support") >= 3)
-      .join(broadcast(partCnt.select(col("p").as("p1"), col("cnt").as("c1"))), "p1")
-      .join(broadcast(partCnt.select(col("p").as("p2"), col("cnt").as("c2"))), "p2")
+      // no broadcast hint on partCnt: |parts| rows is broadcastable at
+      // bench scale but a driver OOM at TPC-H-100TB part counts (~20 B
+      // rows) — let AQE pick broadcast-vs-shuffle from the measured size
+      // (the support ≥ 3 filter has already shrunk the probe side, so
+      // AQE broadcasts it locally; at 100 TB it flips to a shuffle join
+      // on the same plan). The 1-row nOrders broadcast stays — it is
+      // size-bounded by construction.
+      .join(partCnt.select(col("p").as("p1"), col("cnt").as("c1")), "p1")
+      .join(partCnt.select(col("p").as("p2"), col("cnt").as("c2")), "p2")
       .crossJoin(broadcast(nOrders))
       .select(
         col("p1"),

@@ -398,25 +398,31 @@ object Relational {
     // so the cast is exact) keep the product precision ≤38 on both engines;
     // the oracle uses DECIMAL(19,3) to force DuckDB onto int128.
     def d(c: Column) = c.cast("decimal(18,3)")
+    // Split-cast (r8, closes the r7 ×10 1-ulp boundary): the decimal sums
+    // are exact on both engines, but DIRECT decimal→double of a large sum
+    // is engine-dependent once the scaled integer passes 2^64 — DuckDB's
+    // int128→double reconstructs from its two 64-bit words (two
+    // roundings) while Spark's BigDecimal.doubleValue rounds once; the r7
+    // probe measured covar_qp exactly one 1e-6 grid unit apart at 10×
+    // sf0.1 (syy ≈ 6e16, scaled 6e22 > 2^64). Casting floor and fraction
+    // SEPARATELY stays in the singly-rounded regime on both engines: the
+    // integer part converts in one rounding while |floor(S)| < 2^63
+    // (good past sf100 here), the fraction's scaled int < 10^6 converts
+    // via an exact double and one correctly-rounded ÷1e6, and the final
+    // IEEE add is deterministic — so the reconstructed doubles are
+    // IDENTICAL across engines (validated empirically against DuckDB,
+    // 2026-08-14, including >2^64 scaled values). The oracle carries the
+    // same floor/frac/add sequence.
+    def dd(c: Column) = floor(c).cast("double") + (c - floor(c)).cast("double")
     val n = count(col("l_quantity")).cast("double")
-    val sx = dsum(col("l_quantity"))
-    val sxx = sum(d(col("l_quantity")) * d(col("l_quantity"))).cast("double")
-    val sy = dsum(col("l_extendedprice"))
-    val syy = sum(d(col("l_extendedprice")) * d(col("l_extendedprice"))).cast("double")
-    val sxy = sum(d(col("l_quantity")) * d(col("l_extendedprice"))).cast("double")
+    val sx = dd(sum(col("l_quantity").cast("decimal(18,6)")))
+    val sxx = dd(sum(d(col("l_quantity")) * d(col("l_quantity"))))
+    val sy = dd(sum(col("l_extendedprice").cast("decimal(18,6)")))
+    val syy = dd(sum(d(col("l_extendedprice")) * d(col("l_extendedprice"))))
+    val sxy = dd(sum(d(col("l_quantity")) * d(col("l_extendedprice"))))
     val varQ = (sxx - sx * sx / n) / (n - 1)
     val varP = (syy - sy * sy / n) / (n - 1)
     val cov = (sxy - sx * sy / n) / (n - 1)
-    // The decimal sums are exact on both engines, but casting a >2^53
-    // scaled decimal to double is 1-ulp engine-dependent (Spark: correctly
-    // rounded BigDecimal; DuckDB: int128→double then ÷10^scale — two
-    // roundings). Scale-aware rounding puts the comparison grid ~6 orders
-    // of magnitude above that noise AT FIXTURE SCALES; the r7 ×10 probe
-    // measured the boundary empirically — covar_qp lands exactly one
-    // 1e-6 grid unit apart at 10× sf0.1 (syy ≈ 6e16 > 2^53), the
-    // predicted failure mode, not a semantic divergence. A deployment
-    // needing 6-decimal covariances past sf1 sums in DECIMAL(38,6)
-    // end-to-end and accepts the ~2× agg cost.
     Tables
       .lineitem(spark, sfDir)
       .groupBy(col("l_returnflag"))
@@ -1146,14 +1152,22 @@ object Relational {
              |ORDER BY p_partkey""".stripMargin)),
     "q_agg_stats" -> Q(
       qAggStats,
-      Some("""WITH s AS (SELECT l_returnflag,
-             |  CAST(count(l_quantity) AS DOUBLE) AS n,
-             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
-             |  CAST(sum(CAST(l_quantity AS DECIMAL(19,3)) * CAST(l_quantity AS DECIMAL(19,3))) AS DOUBLE) AS sxx,
-             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
-             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(19,3)) * CAST(l_extendedprice AS DECIMAL(19,3))) AS DOUBLE) AS syy,
-             |  CAST(sum(CAST(l_quantity AS DECIMAL(19,3)) * CAST(l_extendedprice AS DECIMAL(19,3))) AS DOUBLE) AS sxy
-             | FROM lineitem GROUP BY l_returnflag)
+      Some("""WITH r AS (SELECT l_returnflag,
+             |  count(l_quantity) AS cn,
+             |  sum(CAST(l_quantity AS DECIMAL(18,6))) AS dsx,
+             |  sum(CAST(l_quantity AS DECIMAL(19,3)) * CAST(l_quantity AS DECIMAL(19,3))) AS dsxx,
+             |  sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS dsy,
+             |  sum(CAST(l_extendedprice AS DECIMAL(19,3)) * CAST(l_extendedprice AS DECIMAL(19,3))) AS dsyy,
+             |  sum(CAST(l_quantity AS DECIMAL(19,3)) * CAST(l_extendedprice AS DECIMAL(19,3))) AS dsxy
+             | FROM lineitem GROUP BY l_returnflag),
+             |s AS (SELECT l_returnflag,
+             |  CAST(cn AS DOUBLE) AS n,
+             |  CAST(floor(dsx) AS DOUBLE) + CAST(dsx - floor(dsx) AS DOUBLE) AS sx,
+             |  CAST(floor(dsxx) AS DOUBLE) + CAST(dsxx - floor(dsxx) AS DOUBLE) AS sxx,
+             |  CAST(floor(dsy) AS DOUBLE) + CAST(dsy - floor(dsy) AS DOUBLE) AS sy,
+             |  CAST(floor(dsyy) AS DOUBLE) + CAST(dsyy - floor(dsyy) AS DOUBLE) AS syy,
+             |  CAST(floor(dsxy) AS DOUBLE) + CAST(dsxy - floor(dsxy) AS DOUBLE) AS sxy
+             | FROM r)
              |SELECT l_returnflag,
              | round((sxx - sx * sx / n) / (n - 1), 9) AS var_qty,
              | round(sqrt((sxx - sx * sx / n) / (n - 1)), 9) AS std_qty,
@@ -1460,10 +1474,14 @@ object Relational {
              |FROM part ORDER BY p_partkey""".stripMargin)),
     "q_udf_wavg" -> Q(
       qUdfWavg,
-      Some("""SELECT l_returnflag,
-             | CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,6))) AS DOUBLE)
-             |   / CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS wavg_price
-             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+      Some("""WITH s AS (SELECT l_returnflag,
+             |  sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,6))) AS sp,
+             |  sum(CAST(l_quantity AS DECIMAL(18,6))) AS sq
+             | FROM lineitem GROUP BY l_returnflag)
+             |SELECT l_returnflag,
+             | (CAST(floor(sp) AS DOUBLE) + CAST(sp - floor(sp) AS DOUBLE))
+             |   / (CAST(floor(sq) AS DOUBLE) + CAST(sq - floor(sq) AS DOUBLE)) AS wavg_price
+             |FROM s ORDER BY l_returnflag""".stripMargin)),
     "q_udtf_bigrams" -> Q(
       qUdtfBigrams,
       Some("""WITH toks AS (

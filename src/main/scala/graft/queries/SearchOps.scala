@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Search, tokenizer-induction, graph, and operational-diagnostic
@@ -242,7 +242,7 @@ object SearchOps {
     * in ≥ 2 orders, canonical (u < v). ONE definition — a threshold or
     * column change here changes both analyses together.
     */
-  private def coPurchaseEdges(
+  private[queries] def coPurchaseEdges(
       spark: SparkSession,
       sfDir: String,
       materialize: Boolean = true): DataFrame = {
@@ -357,8 +357,35 @@ object SearchOps {
     * recounts naively — counts are orientation-invariant, so the hash
     * match proves the case trichotomy sound.
     */
-  def qGraphCommonNeighbors(spark: SparkSession, sfDir: String): DataFrame = {
-    val edges = coPurchaseEdges(spark, sfDir)
+  def qGraphCommonNeighbors(spark: SparkSession, sfDir: String): DataFrame =
+    commonNeighbors(coPurchaseEdges(spark, sfDir), centerDegCap = None)
+
+  /** The production-scale variant (round-7 verdict lead ask): identical
+    * trichotomy, but wedge CENTERS with degree > 32 contribute nothing —
+    * i.e. `n_common` counts only common neighbors of degree ≤ 32. This is
+    * the `q_dedup_near_capped` move applied to wedges: an over-popular
+    * common neighbor (a part in thousands of baskets) carries near-zero
+    * link-prediction signal exactly like an over-popular LSH band (the
+    * Adamic-Adar 1/log(deg) weighting takes the same limit), so dropping
+    * hub centers bounds the one Σ in-deg² arm at C(cap,2)·|V| — linear in
+    * nodes — while the kept arms stay √m-bounded. The cap is SEMANTIC
+    * (the oracle replicates it, so hash-match holds at any scale) and
+    * inert on pristine fixtures (max co-purchase degree: 13 at sf0.01,
+    * 6 at sf0.1 — measured 2026-08-14), so capped ≡ uncapped there
+    * (pinned in SearchOpsSpec); only densified/skewed data trips it.
+    * Endpoint degrees in the Jaccard denominator stay UNCAPPED — the cap
+    * only prunes which wedges are counted, so surviving pairs report a
+    * (lower-bound) Jaccard against true neighborhood sizes.
+    */
+  def qGraphCommonNeighborsCapped(spark: SparkSession, sfDir: String): DataFrame =
+    commonNeighbors(coPurchaseEdges(spark, sfDir), centerDegCap = Some(CenterDegCap))
+
+  /** Center-degree cap for [[qGraphCommonNeighborsCapped]] — must match
+    * the constant inlined in its DuckDB oracle below.
+    */
+  val CenterDegCap = 32
+
+  private[queries] def commonNeighbors(edges: DataFrame, centerDegCap: Option[Int]): DataFrame = {
     val okey = edges
       .select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy("node")
@@ -372,22 +399,39 @@ object SearchOps {
         when(col("ku.okey") < col("kv.okey"), col("v")).otherwise(col("u")).as("d"),
         least(col("ku.okey"), col("kv.okey")).as("skey"),
         greatest(col("ku.okey"), col("kv.okey")).as("dkey"))
+    // The rank key packs (degree, id) as deg·1e8 + id with id < 1e8, so
+    // "center degree ≤ cap" is ONE comparison on the key the wedge rows
+    // already carry — no extra column widens the shuffle. Applied BEFORE
+    // each pair join (on the build/probe inputs, not the join output), it
+    // prunes hub centers pre-shuffle: capped wedge candidates never
+    // materialize.
+    def centerOk(key: Column): Column = centerDegCap match {
+      case Some(cap) => key < lit((cap + 1L) * 100000000L)
+      case None => lit(true)
+    }
     // center lowest-ranked: unordered pairs of s's out-neighbors
     val wLow = oriented
+      .where(centerOk(col("skey")))
       .as("e1")
-      .join(oriented.as("e2"), col("e1.s") === col("e2.s") && col("e1.dkey") < col("e2.dkey"))
+      .join(
+        oriented.where(centerOk(col("skey"))).as("e2"),
+        col("e1.s") === col("e2.s") && col("e1.dkey") < col("e2.dkey"))
       .select(col("e1.d").as("p"), col("e2.d").as("q"))
     // center middle-ranked: an in-neighbor × an out-neighbor of the center
     // (endpoint ranks straddle the center's, so each such wedge lands in
     // this arm exactly once — no ordering predicate needed)
     val wMid = oriented
+      .where(centerOk(col("dkey")))
       .as("e1")
-      .join(oriented.as("e2"), col("e1.d") === col("e2.s"))
+      .join(oriented.where(centerOk(col("skey"))).as("e2"), col("e1.d") === col("e2.s"))
       .select(col("e1.s").as("p"), col("e2.d").as("q"))
     // center highest-ranked: unordered pairs of d's in-neighbors
     val wHigh = oriented
+      .where(centerOk(col("dkey")))
       .as("e1")
-      .join(oriented.as("e2"), col("e1.d") === col("e2.d") && col("e1.skey") < col("e2.skey"))
+      .join(
+        oriented.where(centerOk(col("dkey"))).as("e2"),
+        col("e1.d") === col("e2.d") && col("e1.skey") < col("e2.skey"))
       .select(col("e1.s").as("p"), col("e2.s").as("q"))
     val deg = okey.select(col("node").as("u"), col("deg"))
     val inter = wLow
@@ -580,6 +624,26 @@ object SearchOps {
              |inter AS (
              | SELECT x.u AS a, y.u AS b, count(1) AS n_common
              | FROM adj x JOIN adj y ON x.v = y.v AND x.u < y.u
+             | GROUP BY 1, 2)
+             |SELECT a, b, n_common,
+             | round(CAST(n_common AS DOUBLE) / (da.deg + db.deg - n_common), 6) AS jaccard
+             |FROM inter JOIN deg da ON a = da.u JOIN deg db ON b = db.u
+             |ORDER BY jaccard DESC, a, b LIMIT 20""".stripMargin)),
+    // The production scale path: same semantics except wedge centers with
+    // degree > 32 are excluded from n_common (the cap is replicated in the
+    // oracle's `dc.deg <= 32` join, so the hash match certifies the capped
+    // semantics at any scale). Endpoint degrees stay uncapped.
+    "q_graph_common_neighbors_capped" -> Q(
+      qGraphCommonNeighborsCapped,
+      Some("""WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+             |e AS (SELECT a.p AS u, b.p AS v FROM it a JOIN it b ON a.o = b.o AND a.p < b.p
+             |      GROUP BY 1, 2 HAVING count(1) >= 2),
+             |adj AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+             |deg AS (SELECT u, count(1) AS deg FROM adj GROUP BY u),
+             |inter AS (
+             | SELECT x.u AS a, y.u AS b, count(1) AS n_common
+             | FROM adj x JOIN adj y ON x.v = y.v AND x.u < y.u
+             | JOIN deg dc ON x.v = dc.u AND dc.deg <= 32
              | GROUP BY 1, 2)
              |SELECT a, b, n_common,
              | round(CAST(n_common AS DOUBLE) / (da.deg + db.deg - n_common), 6) AS jaccard

@@ -228,11 +228,25 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("lambdafunction"), p)
   }
 
-  test("market basket: pair agg is partial; lift sides broadcast; no nested loop") {
-    val p = plan(graft.queries.MiningOps.qMarketBasket(spark, sf001))
+  test("market basket: pair agg is partial; lift joins are AQE-sized equi-joins") {
+    // r8: the partCnt broadcast HINT is gone (|parts| rows would be a
+    // driver OOM at TPC-H-100TB scale); AQE now sizes the lift joins at
+    // runtime. Pin (a) the pair agg still map-side-combines, (b) the
+    // lift joins stay equi-joins under an adaptive root (so the runtime
+    // flip to broadcast is available), (c) the only nested loop is the
+    // 1-row n_orders cross join.
+    val df = graft.queries.MiningOps.qMarketBasket(spark, sf001)
+    val p = plan(df)
     assert(p.contains("partial_count"), p)
-    assert(p.contains("BroadcastHashJoin"), p)
-    assert(!p.contains("BroadcastNestedLoopJoin") || p.contains("n_orders"), p)
+    assert(p.contains("AdaptiveSparkPlan"), p)
+    // execute, then read the final adaptive plan: at this scale AQE must
+    // have picked broadcast for the shrunk pair side or tiny partCnt
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString
+    assert(fin.contains("BroadcastHashJoin"), fin)
+    assert(
+      !fin.contains("BroadcastNestedLoopJoin") || fin.contains("n_orders"),
+      fin)
   }
 
   test("TPC-H Q1 is one scan with pushed date filter and map-side combine") {

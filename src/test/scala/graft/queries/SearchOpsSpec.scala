@@ -219,6 +219,54 @@ class SearchOpsSpec extends SparkSuite {
     assert(top.getDouble(3) == expect)
   }
 
+  test("q_graph_common_neighbors_capped: identical to uncapped on the pristine graph") {
+    // At the driver-verified scales the co-purchase degrees max out far
+    // below the cap (13 at sf0.01, 6 at sf0.1 — measured 2026-08-14), so
+    // the cap must be inert there: the capped entry is the same answer
+    // until data densifies. (sf0.001 is NOT pristine for this purpose:
+    // 200 parts concentrate degrees up to 51, so the cap binds — the
+    // law-level identity for that graph is pinned below with cap 64.)
+    val sf01 = "/root/testdata/sf0.01"
+    val capped = SearchOps.qGraphCommonNeighborsCapped(spark, sf01).collect()
+    val uncapped = SearchOps.qGraphCommonNeighbors(spark, sf01).collect()
+    assert(capped.map(_.toSeq).toSeq == uncapped.map(_.toSeq).toSeq)
+  }
+
+  test("common-neighbor cap law: cap ≥ max degree is the identity") {
+    // The sf0.001 graph (max degree 51) under cap 64: nothing is pruned,
+    // so capped ≡ uncapped — the cap is a pure hub cutoff, not a
+    // different algorithm.
+    val edges = SearchOps.coPurchaseEdges(spark, sf001)
+    val capped = SearchOps.commonNeighbors(edges, Some(64)).collect()
+    val uncapped = SearchOps.commonNeighbors(edges, None).collect()
+    assert(capped.map(_.toSeq).toSeq == uncapped.map(_.toSeq).toSeq)
+  }
+
+  test("common-neighbor cap: hub centers above the cap stop contributing") {
+    // A star: hub 1000 joined to leaves 1..40 (deg(hub) = 40 > 32), plus
+    // one over-the-top edge 1-2 so a non-hub wedge survives. Uncapped,
+    // every leaf pair shares the hub (C(40,2) pairs); capped at 32, the
+    // hub's wedges vanish and only centers of degree ≤ 32 count — here
+    // the wedges centered at leaves 1 and 2 (deg 2 each).
+    val leaves = (1L to 40L)
+    val edges = (leaves.map(l => (1000L, l)) :+ (1L, 2L)).toDF("u", "v")
+    val un = SearchOps.commonNeighbors(edges, None).collect()
+    val cap = SearchOps.commonNeighbors(edges, Some(32)).collect()
+    // uncapped: leaf pairs abound (top-20 of 780 hub pairs)
+    assert(un.length == 20)
+    // capped: hub-centered wedges gone. Surviving intersections: centers
+    // 1 and 2 each give the pair (1000, other-leaf)... precisely, wedges
+    // centered at 1: (1000,2); centered at 2: (1000,1). n_common = 1 each.
+    val capPairs = cap.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(capPairs == Set((2L, 1000L, 1L), (1L, 1000L, 1L)))
+    // and the Jaccard denominators use UNCAPPED endpoint degrees:
+    // deg(1000)=40, deg(1)=deg(2)=2, union = 2+40-1 = 41
+    cap.foreach { r =>
+      assert(r.getDouble(3) == BigDecimal(1.0 / 41)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
   // ---------------------------------------------------------- skew report
 
   test("q_dq_skew: top key is the true max, share and x-avg re-derive") {
