@@ -30,8 +30,10 @@ object Explain {
     def build() =
       if (name == "entry") SparkEntry.entry(spark)
       else SparkEntry.queries(name)(spark, sfDir)
-    val df0 = build()
-    if (args.contains("--plan")) df0.explain("formatted")
+    // build df0 only when --plan asked for it: construction is the
+    // dominant cost for eager-checkpoint / driver-coordinated queries,
+    // so an unconditional extra build roughly doubled tool wall time
+    if (args.contains("--plan")) build().explain("formatted")
     val t0 = System.nanoTime()
     if (args.contains("--count")) println(s"ROWS=${build().count()}")
     else build().write.format("noop").mode("overwrite").save()

@@ -21,7 +21,9 @@ import org.apache.spark.sql.functions._
   * must survive (co-purchase edge support multiplies, dedup text groups
   * carry factor× identical members, per-customer order counts multiply).
   *
-  * Usage: ScaleProbe <srcSfDir> <workDir> <factor> [query...]
+  * Usage: ScaleProbe <srcSfDir> <workDir> <factor> [--organic] [query...]
+  * (`--organic` switches to the organic-growth synthesis documented at
+  * [[organicKeys]]; default is the re-keyed duplication mode.)
   * Env: SPARK_GRAFT_CPUS, SPARK_GRAFT_SCALEPROBE_OUT (JSON out path).
   */
 object ScaleProbe {
@@ -39,6 +41,33 @@ object ScaleProbe {
     "embeddings" -> Seq("vec_id"))
 
   private val dims = Seq("customer", "supplier", "part", "nation", "region")
+
+  /** ORGANIC growth mode (round-7 verdict ask #2): the duplication mode
+    * above re-keys facts only, so every dim key fans out factor× and
+    * every doc body repeats factor× — deliberate density/skew stress,
+    * but it also densifies THRESHOLDED structure by construction
+    * (co-purchase support multiplies → the graph gains edges
+    * quadratically; identical doc copies multiply near-dup candidate
+    * pairs), which conflates "the plan is superlinear" with "the data
+    * got denser". Organic mode instead grows the world the way a real
+    * corpus grows — NEW keys, NEW text, dims scaled too: every copy
+    * shifts ALL entity keys (facts AND dims, so each copy joins its own
+    * dim rows and per-key densities stay constant), rewrites document
+    * tokens onto a per-copy vocabulary (`tok` → `tok_i`: genuinely new
+    * content — zipf shape preserved per copy, zero cross-copy shingle
+    * collisions), and rotates embedding vectors per copy (norms and
+    * within-copy geometry preserved, cross-copy cosines decorrelated).
+    * nation/region stay 1× — real growth doesn't add nations.
+    */
+  private val organicKeys: Map[String, Seq[String]] = Map(
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "customer" -> Seq("c_custkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "events" -> Seq("event_id", "user_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
 
   /** The probe set: the bench's most expensive plans plus the families
     * the round-6 verdict names as prime suspects for nonlinear movement
@@ -91,10 +120,46 @@ object ScaleProbe {
   private def num(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
-  private def inflate(spark: SparkSession, srcDir: String, workDir: String, factor: Int): Unit = {
-    val marker = new java.io.File(workDir, s"_INFLATED_x$factor")
+  /** Per-copy content synthesis for organic mode; identity for copy 0 so
+    * the 1× slice of organic data IS the pristine fixture.
+    */
+  private def organicContent(d: DataFrame, t: String, i: Int): DataFrame =
+    if (i == 0) d
+    else
+      t match {
+        case "documents" =>
+          // per-copy vocabulary: every token gains a copy suffix — new
+          // text with the same zipf/length structure, disjoint shingles
+          d.withColumn(
+            "text",
+            array_join(
+              transform(
+                split(col("text"), " "),
+                x => when(length(x) > 0, concat(x, lit(s"_$i"))).otherwise(x)),
+              " "))
+            .withColumn("n_chars", length(col("text")))
+        case "embeddings" =>
+          // rotate the vector by i mod dim: norm and within-copy geometry
+          // preserved, cross-copy cosines decorrelated
+          d.withColumn(
+            "embedding",
+            expr(
+              s"concat(slice(embedding, (($i % size(embedding)) + 1), " +
+                s"size(embedding) - ($i % size(embedding))), " +
+                s"slice(embedding, 1, $i % size(embedding)))"))
+        case _ => d
+      }
+
+  private def inflate(
+      spark: SparkSession,
+      srcDir: String,
+      workDir: String,
+      factor: Int,
+      organic: Boolean): Unit = {
+    val mode = if (organic) "organic" else "dup"
+    val marker = new java.io.File(workDir, s"_INFLATED_x${factor}_$mode")
     if (marker.exists()) {
-      System.err.println(s"[scaleprobe] reusing inflated data at $workDir (x$factor)")
+      System.err.println(s"[scaleprobe] reusing inflated data at $workDir (x$factor $mode)")
       return
     }
     val wd = new java.io.File(workDir)
@@ -102,19 +167,22 @@ object ScaleProbe {
     wd.mkdirs()
     (factKeys.keys.toSeq.sorted ++ dims).foreach { t =>
       val raw = spark.read.parquet(s"$srcDir/$t.parquet")
-      val keys = factKeys.getOrElse(t, Nil)
+      val keys =
+        if (organic) organicKeys.getOrElse(t, Nil) else factKeys.getOrElse(t, Nil)
       val out =
         if (keys.isEmpty) raw
         else
           (0 until factor)
             .map { i =>
-              keys.foldLeft(raw) { (d, k) =>
+              val shifted = keys.foldLeft(raw) { (d, k) =>
                 d.withColumn(k, (col(k) + lit(i * Off)).cast(raw.schema(k).dataType))
               }
+              organicContent(shifted, t, if (organic) i else 0)
             }
             .reduce(_.unionByName(_))
       out.write.mode("overwrite").parquet(s"$workDir/$t.parquet")
-      System.err.println(s"[scaleprobe] inflated $t" + (if (keys.isEmpty) " (dim, 1x)" else s" x$factor"))
+      System.err.println(
+        s"[scaleprobe] inflated $t" + (if (keys.isEmpty) " (dim, 1x)" else s" x$factor $mode"))
     }
     marker.createNewFile(): Unit
   }
@@ -130,9 +198,11 @@ object ScaleProbe {
   }
 
   def main(args: Array[String]): Unit = {
-    val Array(srcDir, workDir, factorS) = args.take(3)
+    val organic = args.contains("--organic")
+    val pos = args.filterNot(_ == "--organic")
+    val Array(srcDir, workDir, factorS) = pos.take(3)
     val factor = factorS.toInt
-    val queries = if (args.length > 3) args.drop(3).toSeq else DefaultQueries
+    val queries = if (pos.length > 3) pos.drop(3).toSeq else DefaultQueries
     val cpus = sys.env.getOrElse(
       "SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
@@ -149,7 +219,7 @@ object ScaleProbe {
     // infrastructure warmup (codegen compiler, parquet reader, noop sink)
     spark.range(0, 1000000, 1, 8).selectExpr("sum(id * 2) as s")
       .write.format("noop").mode("overwrite").save()
-    inflate(spark, srcDir, workDir, factor)
+    inflate(spark, srcDir, workDir, factor, organic)
     val reg = Registry.all.toMap
     var base = Vector.empty[(String, Double)]
     var scaled = Vector.empty[(String, Double)]
@@ -173,7 +243,8 @@ object ScaleProbe {
     def obj(xs: Vector[(String, Double)]): String =
       xs.map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
     val json =
-      s"""{"factor":$factor,"src":"$srcDir","cpus":$cpus,"base_sec":${obj(base)},""" +
+      s"""{"factor":$factor,"mode":"${if (organic) "organic" else "dup"}",""" +
+        s""""src":"$srcDir","cpus":$cpus,"base_sec":${obj(base)},""" +
         s""""scaled_sec":${obj(scaled)},"failed":${failed
             .map("\"" + _ + "\"")
             .mkString("[", ",", "]")}}"""

@@ -144,18 +144,38 @@ object SearchOps {
     * Scala BPE; the oracle unrolls the same rounds as CTE pairs (the
     * `q_embed_pca` / IVF unrolled-iteration precedent).
     *
+    * SELF-PAIRS (a == b) ARE EXCLUDED from merge selection (r8): for a
+    * self-pair over an odd run of ≥ 5 (`a a a a a`), non-overlapping
+    * string replace pairs occurrences 1-2 and 4-5 (`[aa, a, aa]`) where
+    * greedy left-to-right pairs 1-2 and 3-4 (`[aa, aa, a]`) — no fixed
+    * number of replace passes reproduces the greedy result, so a
+    * self-pair winning a round would silently diverge from the pinned
+    * greedy semantics (the oracle's replace shares the exact flaw, so
+    * certification would NOT catch it). The exclusion is carried
+    * identically in the engine (`a =!= b` filter), the oracle
+    * (`WHERE a <> b`), and the spec's reference trainer; the run-of-5
+    * divergence itself is pinned in SearchOpsSpec.
+    *
     * Words are restricted to `^[a-z]+$` so symbols are single-byte and
     * the char-split / `replace` semantics are engine-portable by
     * construction (no grapheme-vs-codepoint ambiguity).
     */
-  def qBpeMerges(spark: SparkSession, sfDir: String): DataFrame = {
+  def qBpeMerges(spark: SparkSession, sfDir: String): DataFrame =
+    bpeMerges(
+      Tables
+        .documents(spark, sfDir)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .where(col("tok").rlike("^[a-z]+$"))
+        .groupBy("tok")
+        .agg(count(lit(1)).as("freq")))
+
+  /** Core trainer over a (tok, freq) word table — factored out so specs
+    * can drive synthetic corpora (the self-pair run-of-5 pin).
+    */
+  private[queries] def bpeMerges(words: DataFrame): DataFrame = {
+    val spark = words.sparkSession
     import spark.implicits._
-    val s0 = Tables
-      .documents(spark, sfDir)
-      .select(explode(split(col("text"), " ")).as("tok"))
-      .where(col("tok").rlike("^[a-z]+$"))
-      .groupBy("tok")
-      .agg(count(lit(1)).as("freq"))
+    val s0 = words
       .select(
         concat(
           lit(" "),
@@ -178,15 +198,17 @@ object SearchOps {
             col("freq"))
           .groupBy(col("pr.0").as("a"), col("pr.1").as("b"))
           .agg(sum("freq").as("n"))
+          .where(col("a") =!= col("b")) // self-pair exclusion, see scaladoc
           .orderBy(col("n").desc, col("a"), col("b"))
           .limit(1)
           .collect()
           .headOption
         top match {
           case None =>
-            // no adjacent pair left (degenerate corpus: every word a
-            // single symbol) — stop with the merges found; the oracle's
-            // empty t_r CTEs contribute no rows in the same rounds
+            // no mergeable (distinct-symbol) pair left — degenerate
+            // corpus or only self-pairs remain; stop with the merges
+            // found, and the oracle's empty t_r CTEs contribute no rows
+            // in the same rounds
             exhausted = true
           case Some(row) =>
             val (a, b, n) = (row.getString(0), row.getString(1), row.getLong(2))
@@ -215,7 +237,7 @@ object SearchOps {
          | FROM (SELECT unnest(list_zip(l[:-2], l[2:])) AS prs, freq
          |       FROM (SELECT string_split(trim(seq), ' ') AS l, freq FROM s${r - 1}))
          | GROUP BY a, b),
-         |t$r AS (SELECT a, b, n FROM p$r ORDER BY n DESC, a, b LIMIT 1),
+         |t$r AS (SELECT a, b, n FROM p$r WHERE a <> b ORDER BY n DESC, a, b LIMIT 1),
          |s$r AS (
          | SELECT replace(replace(seq, ' '||a||' '||b||' ', ' '||a||b||' '),
          |                ' '||a||' '||b||' ', ' '||a||b||' ') AS seq, freq

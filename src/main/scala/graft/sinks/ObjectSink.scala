@@ -102,7 +102,8 @@ object ObjectSink {
       contentType: String,
       acl: String = ObjectStore.PublicRead,
       progress: Option[(String, Seq[String])] = None,
-      retries: Int = 0): (Long, Long, Map[String, Long]) = {
+      retries: Int = 0,
+      retryBackoffMs: Long = 0L): (Long, Long, Map[String, Long]) = {
     val spark = df.sparkSession
     val ok: LongAccumulator = spark.sparkContext.longAccumulator("objects_uploaded")
     val failed: LongAccumulator = spark.sparkContext.longAccumulator("objects_failed")
@@ -131,6 +132,12 @@ object ObjectSink {
             case scala.util.control.NonFatal(_) =>
               attempt += 1
               if (attempt > retries) failed.add(1)
+              // bounded exponential backoff between attempts (r8): a
+              // transient 429/503 from the object store usually clears in
+              // one doubling; capped at 30 s so a dead store drains the
+              // attempt budget instead of stalling its partition task
+              else if (retryBackoffMs > 0L)
+                Thread.sleep(math.min(retryBackoffMs << (attempt - 1), 30000L))
           }
         }
       }

@@ -4,16 +4,16 @@ import graft.SparkSuite
 import graft.sinks.{HadoopFsStore, ObjectSink}
 import org.apache.spark.sql.functions._
 
-/** Integration skeleton for a REAL cloud bucket — the config-only swap-in
+/** Integration test for a REAL cloud bucket — the config-only swap-in
   * documented in README "Pointing the object sink at a real bucket".
-  * Ignored by default: this sandbox has zero egress, so the connector
-  * battery runs only against `file://` (TileCacheSpec). On a machine with
-  * cloud credentials:
+  * ENV-GATED, not ignored (round-7 verdict ask #8): without
+  * `GRAFT_CLOUD_URI` the test CANCELS with an explanatory message (so it
+  * is visibly skipped-by-environment, never silently green); wherever
+  * credentials exist it runs for real. On such a machine:
   *
   *   1. add the connector jars (gcs-connector or hadoop-aws) to the
   *      classpath and the auth configs from the README to the session,
-  *   2. `export GRAFT_CLOUD_URI=gs://bucket/prefix` (or `s3a://...`),
-  *   3. change `ignore` to `test`.
+  *   2. `export GRAFT_CLOUD_URI=gs://bucket/prefix` (or `s3a://...`).
   *
   * The assertions are the same byte-identity + per-record fault-tolerance
   * contract the local battery pins — nothing engine-side differs between
@@ -22,10 +22,16 @@ import org.apache.spark.sql.functions._
   */
 class ObjectSinkCloudSpec extends SparkSuite {
 
-  ignore("cloud PUT round-trip: byte identity + meta sidecar on a real bucket") {
-    val rootUri = sys.env.getOrElse(
-      "GRAFT_CLOUD_URI",
-      fail("set GRAFT_CLOUD_URI=gs://bucket/prefix (or s3a://...) to run"))
+  test("cloud PUT round-trip: byte identity + meta sidecar on a real bucket") {
+    // probe via a Boolean so a cancellation prints the message, not the
+    // whole environment map (which may carry tokens)
+    val uriSet = sys.env.contains("GRAFT_CLOUD_URI")
+    assume(
+      uriSet,
+      "set GRAFT_CLOUD_URI=gs://bucket/prefix (or s3a://...) and add the " +
+        "connector jars to run against a real bucket; canceled in " +
+        "no-egress environments")
+    val rootUri = sys.env("GRAFT_CLOUD_URI")
     import spark.implicits._
     val df = Seq(
       ("it/1/2/3", "payload-123".getBytes("UTF-8")),

@@ -131,7 +131,9 @@ class SearchOpsSpec extends SparkSuite {
       seqs.foreach { case (s, f) =>
         s.zip(s.tail).foreach(p => pairs(p) = pairs.getOrElse(p, 0L) + f)
       }
-      val ((a, b), n) = pairs.toSeq.minBy { case ((x, y), m) => (-m, x, y) }
+      // self-pairs excluded from selection, mirroring the engine/oracle
+      val ((a, b), n) =
+        pairs.toSeq.filter { case ((x, y), _) => x != y }.minBy { case ((x, y), m) => (-m, x, y) }
       seqs = seqs.groupMapReduce { case (s, _) =>
         val out = Vector.newBuilder[String]
         var i = 0
@@ -150,6 +152,23 @@ class SearchOpsSpec extends SparkSuite {
     // not a law (a merged symbol can create a NEW frequent pair), so pin
     // instead that every merged symbol is novel
     assert(rows.map(_.getString(3)).distinct.length == SearchOps.BpeRounds)
+  }
+
+  test("bpe self-pair exclusion: a run-of-5 self-pair cannot win a round") {
+    // WHY self-pairs are excluded (r8 advice fix): over `a a a a a`,
+    // non-overlapping replace yields [aa, a, aa] while greedy
+    // left-to-right yields [aa, aa, a] — demonstrated here — so letting
+    // (a,a) win would silently diverge from the pinned greedy semantics.
+    val s = " a a a a a "
+    val replaced = s.replace(" a a ", " aa ").replace(" a a ", " aa ")
+    assert(replaced.trim.split(" ").toSeq == Seq("aa", "a", "aa")) // ≠ greedy [aa, aa, a]
+    // synthetic corpus: the self-pair (a,a) has count 40, the best
+    // distinct pair (a,b) only 3 — selection must skip (a,a)
+    val words = Seq(("aaaaa", 10L), ("ab", 3L)).toDF("tok", "freq")
+    val rows = SearchOps.bpeMerges(words).collect()
+    assert(rows.nonEmpty)
+    assert((rows.head.getString(1), rows.head.getString(2), rows.head.getLong(4)) == ("a", "b", 3L))
+    assert(rows.forall(r => r.getString(1) != r.getString(2)))
   }
 
   // ----------------------------------------------------------- triangles

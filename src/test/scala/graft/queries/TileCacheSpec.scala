@@ -125,6 +125,18 @@ class TileCacheSpec extends SparkSuite {
     val (okRetry, failedRetry, _) =
       ObjectSink.write(df, new FlakyStore, "object_key", "content", "text/plain", retries = 2)
     assert(okRetry == 2 && failedRetry == 1) // flaky recovers on retry, dead still counted
+    // with exponential backoff (r8): same counts, and wall time shows the
+    // between-attempt sleeps actually happened (dead/3 burns 2 retries:
+    // 20 ms + 40 ms; flaky/2 one: 20 ms — ≥ 60 ms total, far above the
+    // no-backoff run's microseconds)
+    FlakyStore.seen.clear()
+    val t0 = System.nanoTime()
+    val (okB, failedB, _) = ObjectSink.write(
+      df, new FlakyStore, "object_key", "content", "text/plain",
+      retries = 2, retryBackoffMs = 20L)
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    assert(okB == 2 && failedB == 1)
+    assert(elapsedMs >= 60.0, s"backoff sleeps missing: $elapsedMs ms")
   }
 
   test("delta sync uploads only new and changed tiles (incremental ETL)") {

@@ -1,14 +1,22 @@
 #!/bin/bash
 # Per-query timeout wrapper around check.py, for engine-inflated scale
 # runs where a single mis-scaled oracle must not hang the whole pass.
-# Usage: tools/check_batch.sh <sfDir> <verifyOutDir> [timeoutSec]
+# Usage: tools/check_batch.sh <sfDir> <verifyOutDir> [timeoutSec] [excludeCsv]
+# excludeCsv: comma-separated names DELIBERATELY left out of this
+# certification (e.g. quadratic oracle twins at scale) — reported as
+# "excluded (declared)" and exempt from the skip gate below; anything
+# else missing its Spark output still fails the run.
 set -uo pipefail
 cd "$(dirname "$0")/.."
-SF="$1"; OUT="$2"; TMO="${3:-240}"
+SF="$1"; OUT="$2"; TMO="${3:-240}"; EXCL=",${4:-},"
 NAMES=$(python3 -c "import json;print(' '.join(sorted(json.load(open('$OUT/oracle_sql.json')))))")
-pass=0; fail=0; tmo=0
+pass=0; fail=0; tmo=0; skipped=0; excluded=0
 for n in $NAMES; do
-  [ -d "$OUT/$n" ] || continue
+  case "$EXCL" in *",$n,"*) excluded=$((excluded+1)); echo "EXCLUDED $n (declared)"; continue;; esac
+  # an oracle entry with no Spark output directory is a SKIP, not a free
+  # pass: count it and fail the certification below (a run where Verify
+  # produced nothing must not read as green)
+  if [ ! -d "$OUT/$n" ]; then skipped=$((skipped+1)); echo "SKIP $n (no spark output)"; continue; fi
   if out=$(timeout "$TMO" python3 tools/check.py "$SF" "$OUT" "$n" 2>&1); then
     if echo "$out" | grep -q "^PASS"; then pass=$((pass+1)); else
       fail=$((fail+1)); echo "$out" | grep -v "^== "; fi
@@ -18,9 +26,10 @@ for n in $NAMES; do
     else fail=$((fail+1)); echo "FAIL $n (rc=$rc)"; echo "$out" | tail -2; fi
   fi
 done
-echo "== $pass pass, $fail fail, $tmo timeout"
-# exit 1 on any mismatch, 2 when timeouts (or zero attempts) leave the
-# certification incomplete — an all-timeout run must NOT read as a pass
+echo "== $pass pass, $fail fail, $tmo timeout, $skipped skipped, $excluded excluded"
+# exit 1 on any mismatch, 2 when timeouts/skips (or zero attempts) leave
+# the certification incomplete — an all-timeout or outputs-missing run
+# must NOT read as a pass
 if [ "$fail" != 0 ]; then exit 1; fi
-if [ "$tmo" != 0 ] || [ "$pass" = 0 ]; then exit 2; fi
+if [ "$tmo" != 0 ] || [ "$skipped" != 0 ] || [ "$pass" = 0 ]; then exit 2; fi
 exit 0

@@ -2,11 +2,15 @@
 # Scale-probe runner (round-6 verdict ask #3). MUST NOT run concurrently
 # with sbt (CPU steal — same rule as Bench): copies compiled classes to a
 # scratch classpath and runs plain java with the build.sbt JVM flags.
-# Usage: tools/scaleprobe.sh [factor] [workdir]
+# Usage: tools/scaleprobe.sh [factor] [workdir] [extra ScaleProbe args...]
+# (pass --organic as an extra arg for the organic-growth mode; set
+# SCALEPROBE_OUT to redirect the JSON artifact, default SCALEPROBE.json)
 set -euo pipefail
 cd "$(dirname "$0")/.."
 FACTOR="${1:-20}"
 WORK="${2:-/tmp/graft_scaleprobe}"
+shift $(( $# > 2 ? 2 : $# ))
+EXTRA=("$@")
 CP=/tmp/scaleprobecp
 rm -rf "$CP" && cp -r target/scala-2.13/classes "$CP"
 ADDOPENS=""
@@ -17,8 +21,8 @@ for p in java.base/java.lang java.base/java.lang.invoke java.base/java.lang.refl
          java.base/sun.util.calendar; do
   ADDOPENS="$ADDOPENS --add-opens $p=ALL-UNNAMED"
 done
-SPARK_GRAFT_SCALEPROBE_OUT="$PWD/SCALEPROBE.json" \
+SPARK_GRAFT_SCALEPROBE_OUT="${SCALEPROBE_OUT:-$PWD/SCALEPROBE.json}" \
 exec java $ADDOPENS -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -Xmx64g -XX:ReservedCodeCacheSize=1g \
   -XX:PerMethodRecompilationCutoff=-1 -XX:PerBytecodeRecompilationCutoff=-1 \
-  -cp "$CP:/opt/spark/jars/*" graft.ScaleProbe /root/testdata/sf0.1 "$WORK" "$FACTOR"
+  -cp "$CP:/opt/spark/jars/*" graft.ScaleProbe /root/testdata/sf0.1 "$WORK" "$FACTOR" ${EXTRA[@]+"${EXTRA[@]}"}
