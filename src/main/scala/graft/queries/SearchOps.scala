@@ -407,7 +407,11 @@ object SearchOps {
     */
   val CenterDegCap = 32
 
-  private[queries] def commonNeighbors(edges: DataFrame, centerDegCap: Option[Int]): DataFrame = {
+  /** Degree-orientation scaffold shared by the common-neighbor scorers:
+    * per-node (deg, rank key) and the low-rank → high-rank directed edge
+    * list carrying both endpoint keys.
+    */
+  private def orientEdges(edges: DataFrame): (DataFrame, DataFrame) = {
     val okey = edges
       .select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy("node")
@@ -421,6 +425,11 @@ object SearchOps {
         when(col("ku.okey") < col("kv.okey"), col("v")).otherwise(col("u")).as("d"),
         least(col("ku.okey"), col("kv.okey")).as("skey"),
         greatest(col("ku.okey"), col("kv.okey")).as("dkey"))
+    (okey, oriented)
+  }
+
+  private[queries] def commonNeighbors(edges: DataFrame, centerDegCap: Option[Int]): DataFrame = {
+    val (okey, oriented) = orientEdges(edges)
     // The rank key packs (degree, id) as deg·1e8 + id with id < 1e8, so
     // "center degree ≤ cap" is ONE comparison on the key the wedge rows
     // already carry — no extra column widens the shuffle. Applied BEFORE
@@ -474,6 +483,69 @@ object SearchOps {
             (col("da.deg") + col("db.deg") - col("n_common")),
           6).as("jaccard"))
       .orderBy(col("jaccard").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
+  /** Adamic-Adar link prediction over the co-purchase graph (r8): for
+    * part pairs sharing a neighbor, `Σ_c 1/ln(deg(c))` over common
+    * neighbors `c` of degree ≤ [[CenterDegCap]] — the standard
+    * hub-discounted scorer whose 1/ln weighting is the continuous form
+    * of the cap's hub cutoff (both say: popular common neighbors carry
+    * no signal). Same degree-oriented wedge trichotomy as
+    * [[qGraphCommonNeighbors]], with each arm carrying its CENTER's rank
+    * key (one extra LONG through the shuffle) so the weight is computed
+    * post-union as `round6(1e6/ln(deg))` from `deg = ⌊key/1e8⌋`.
+    *
+    * Cross-engine float discipline (see q_text_bigram_nll): ln takes
+    * only INTEGER arguments (31 distinct degrees under the cap), each
+    * weight is quantized to micro LONGs per term, the pair score is an
+    * exact integer sum, and the output double is one IEEE division of
+    * exact integers — bit-identical across engines by construction.
+    */
+  def qGraphAdamicAdar(spark: SparkSession, sfDir: String): DataFrame =
+    adamicAdar(coPurchaseEdges(spark, sfDir), CenterDegCap)
+
+  private[queries] def adamicAdar(edges: DataFrame, cap: Int): DataFrame = {
+    val (_, oriented) = orientEdges(edges)
+    val lim = lit((cap + 1L) * 100000000L)
+    val wLow = oriented
+      .where(col("skey") < lim)
+      .as("e1")
+      .join(
+        oriented.where(col("skey") < lim).as("e2"),
+        col("e1.s") === col("e2.s") && col("e1.dkey") < col("e2.dkey"))
+      .select(col("e1.d").as("p"), col("e2.d").as("q"), col("e1.skey").as("ckey"))
+    val wMid = oriented
+      .where(col("dkey") < lim)
+      .as("e1")
+      .join(oriented.where(col("skey") < lim).as("e2"), col("e1.d") === col("e2.s"))
+      .select(col("e1.s").as("p"), col("e2.d").as("q"), col("e1.dkey").as("ckey"))
+    val wHigh = oriented
+      .where(col("dkey") < lim)
+      .as("e1")
+      .join(
+        oriented.where(col("dkey") < lim).as("e2"),
+        col("e1.d") === col("e2.d") && col("e1.skey") < col("e2.skey"))
+      .select(col("e1.s").as("p"), col("e2.s").as("q"), col("e1.dkey").as("ckey"))
+    // wedge centers have ≥ 2 neighbors by construction, so ln(deg) > 0
+    val weighted = wLow
+      .union(wMid)
+      .union(wHigh)
+      .select(
+        least(col("p"), col("q")).as("a"),
+        greatest(col("p"), col("q")).as("b"),
+        round(lit(1e6) / log(floor(col("ckey") / lit(100000000L)).cast("double")), 0)
+          .cast("long")
+          .as("w_micro"))
+    weighted
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("n_common"), sum(col("w_micro")).as("aa_micro"))
+      .select(
+        col("a"),
+        col("b"),
+        col("n_common"),
+        (col("aa_micro").cast("double") / 1e6).as("adamic_adar"))
+      .orderBy(col("adamic_adar").desc, col("a"), col("b"))
       .limit(20)
   }
 
@@ -671,6 +743,24 @@ object SearchOps {
              | round(CAST(n_common AS DOUBLE) / (da.deg + db.deg - n_common), 6) AS jaccard
              |FROM inter JOIN deg da ON a = da.u JOIN deg db ON b = db.u
              |ORDER BY jaccard DESC, a, b LIMIT 20""".stripMargin)),
+    // ln only over integer degrees, per-term micro quantization, exact
+    // integer pair sums — the float-parity discipline that makes the
+    // hash match hold at any scale (same cap join as the capped entry).
+    "q_graph_adamic_adar" -> Q(
+      qGraphAdamicAdar,
+      Some("""WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+             |e AS (SELECT a.p AS u, b.p AS v FROM it a JOIN it b ON a.o = b.o AND a.p < b.p
+             |      GROUP BY 1, 2 HAVING count(1) >= 2),
+             |adj AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+             |deg AS (SELECT u, count(1) AS deg FROM adj GROUP BY u),
+             |inter AS (
+             | SELECT x.u AS a, y.u AS b, count(1) AS n_common,
+             |  sum(CAST(round(1e6 / ln(CAST(dc.deg AS DOUBLE)), 0) AS BIGINT)) AS aa_micro
+             | FROM adj x JOIN adj y ON x.v = y.v AND x.u < y.u
+             | JOIN deg dc ON x.v = dc.u AND dc.deg <= 32
+             | GROUP BY 1, 2)
+             |SELECT a, b, n_common, CAST(aa_micro AS DOUBLE) / 1e6 AS adamic_adar
+             |FROM inter ORDER BY adamic_adar DESC, a, b LIMIT 20""".stripMargin)),
     "q_dq_skew" -> Q(
       qDqSkew,
       Some("""WITH c AS (SELECT user_id, count(1) AS cnt FROM events GROUP BY user_id),

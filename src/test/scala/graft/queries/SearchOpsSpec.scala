@@ -286,6 +286,41 @@ class SearchOpsSpec extends SparkSuite {
     }
   }
 
+  test("q_graph_adamic_adar: top pair recomputed from adjacency lists") {
+    val rows = SearchOps.qGraphAdamicAdar(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val scores = rows.map(_.getDouble(3))
+    assert(scores.zip(scores.tail).forall { case (x, y) => x >= y })
+    // brute-force the top pair: common neighbors of degree ≤ 32, each
+    // contributing round(1e6 / ln(deg)) micros — the exact engine grid
+    val items = graft.Tables
+      .lineitem(spark, sf001)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val edges = items
+      .as("x")
+      .join(items.as("y"), col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .groupBy(col("x.p").as("u"), col("y.p").as("v"))
+      .agg(count(lit(1)).as("s"))
+      .where(col("s") >= 2)
+      .select("u", "v")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nbrs = (edges ++ edges.map(_.swap))
+      .groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val top = rows.head
+    val (a, b) = (top.getLong(0), top.getLong(1))
+    val common = (nbrs(a) & nbrs(b)).filter(c => nbrs(c).size <= 32)
+    assert(top.getLong(2) == common.size.toLong)
+    val aaMicro = common.toSeq.map { c =>
+      BigDecimal(1e6 / math.log(nbrs(c).size.toDouble))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP)
+        .toLong
+    }.sum
+    assert(top.getDouble(3) == aaMicro.toDouble / 1e6)
+  }
+
   // ---------------------------------------------------------- skew report
 
   test("q_dq_skew: top key is the true max, share and x-avg re-derive") {
