@@ -1244,15 +1244,26 @@ object CorpusOps {
     // ulp of .5] ≈ 1e-8 per distinct k), and the per-term difference from
     // the ratio formulation is ≤ 1 micro — the oracle carries the same
     // two-term form, so the quantized semantics stay exactly twinned.
-    val scored = bi
-      .join(cbg, Seq("bg"), "left")
-      .join(uni, Seq("w1"), "left")
+    //
+    // The ln+round terms live on the MODEL tables (per distinct bigram /
+    // unigram), not the token stream: the stream join carries only
+    // precomputed micro LONGs, so the per-row hot path is two long adds —
+    // and at 100 TB the transcendental work stays |model|-sized.
+    def lpMicro(c: Column) = round(log(c.cast("double")) * 1e6, 0).cast("long")
+    val cbgL = cbg.select(col("bg"), lpMicro(col("cbg") + lit(1L)).as("lp_num"))
+    val uniL = uni
       .crossJoin(broadcast(vocab))
+      .select(col("w1"), lpMicro(col("c1") + col("v")).as("lp_den"))
+    // unseen-w1 denominator ln(0 + V), a 1-row constant
+    val vlp = vocab.select(lpMicro(col("v")).as("vlp"))
+    val scored = bi
+      .join(cbgL, Seq("bg"), "left")
+      .join(uniL, Seq("w1"), "left")
+      .crossJoin(broadcast(vlp))
       .select(
         col("doc_id"),
-        (round(log(coalesce(col("cbg"), lit(0L)) + 1.0) * 1e6, 0).cast("long") -
-          round(log((coalesce(col("c1"), lit(0L)) + col("v")).cast("double")) * 1e6, 0)
-            .cast("long")).as("lp_micro"))
+        (coalesce(col("lp_num"), lit(0L)) - coalesce(col("lp_den"), col("vlp")))
+          .as("lp_micro"))
     scored
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_micro")).as("lp_sum"))
