@@ -1294,18 +1294,14 @@ object CorpusOps {
     * exact-count oracle applies; the approximate regime's overestimate
     * guarantee is pinned in SpaceSavingSpec with capacity 4.
     */
-  def qTopkApprox(spark: SparkSession, sfDir: String): DataFrame = {
-    val ss = udaf(new graft.functions.SpaceSaving(256))
-    Tables
-      .documents(spark, sfDir)
-      .select(explode(split(col("text"), " ")).as("tok"))
-      .where(col("tok") =!= "")
-      .agg(ss(col("tok")).as("sk"))
-      .select(explode(col("sk")).as("e"))
-      .select(col("e.tok").as("tok"), col("e.est").as("cnt"))
+  def qTopkApprox(spark: SparkSession, sfDir: String): DataFrame =
+    // ONE sketch construction shared with the streaming surface
+    // (Streams.topkTokens / s_stream_topk) — the r7 s_stream_hll
+    // precedent: the streaming state and the batch sketch cannot drift.
+    graft.streaming.Streams
+      .topkTokens(Tables.documents(spark, sfDir))
       .orderBy(col("cnt").desc, col("tok").asc)
       .limit(20)
-  }
 
   /** Skew-safe join as a first-class query: the events fact side joins
     * the customer dimension through [[graft.operators.SaltedJoin]] —

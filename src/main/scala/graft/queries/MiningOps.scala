@@ -470,6 +470,83 @@ object MiningOps {
       .where(col("l_distinct") < 2)
       .orderBy("c_nationkey", "c_mktsegment")
 
+  /** t-closeness audit — completes the privacy triple (k-anonymity =
+    * class size, l-diversity = distinct sensitive values, t-closeness =
+    * DISTRIBUTION distance): per quasi-identifier class
+    * (nation, segment), the Earth Mover's Distance between the class's
+    * account-balance distribution and the global one, over 10 ordered
+    * balance buckets. For ordered unit-spaced buckets
+    * `EMD = (1/(B−1)) · Σ_j |Σ_{i≤j}(q_i − p_i)|`.
+    *
+    * Cross-engine exactness: the cumulative differences are computed by
+    * integer CROSS-MULTIPLICATION (`n_cj·N − g_j·n_c` — no per-class
+    * division), summed exactly as LONGs, and the single output division
+    * `Σ|D_j| / ((B−1)·n_c·N)` is one IEEE op on exact integers — the
+    * emitted doubles are bit-identical across engines with no rounding
+    * grid at all. |products| ≤ n_c·N < 2^53 through sf100.
+    *
+    * Scale shape: one bucket-count aggregation, a 10-row broadcast
+    * (global histogram), and a per-class window over EXACTLY 10 dense
+    * rows (classes × buckets materialized by cross join) — the window
+    * partition is constant-bounded, so no skew at any corpus size.
+    */
+  def qPrivacyTcloseness(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables
+      .customer(spark, sfDir)
+      .select(
+        col("c_nationkey"),
+        col("c_mktsegment"),
+        least(
+          greatest(floor((col("c_acctbal") + lit(1000.0)) / lit(1100.0)), lit(0L)),
+          lit(9L)).as("bucket"))
+    val byClassBucket = cust
+      .groupBy("c_nationkey", "c_mktsegment", "bucket")
+      .agg(count(lit(1)).as("n_cj"))
+    val globalBucket = cust.groupBy("bucket").agg(count(lit(1)).as("g_j"))
+    val totals = cust
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("n_c"))
+    val n = cust.agg(count(lit(1)).as("n_total"))
+    // densify: every class × every bucket 0..9, missing counts = 0
+    val buckets = spark.range(0, 10).select(col("id").as("bucket"))
+    val dense = totals
+      .crossJoin(broadcast(buckets))
+      .join(byClassBucket, Seq("c_nationkey", "c_mktsegment", "bucket"), "left")
+      .join(broadcast(globalBucket), Seq("bucket"))
+      .crossJoin(broadcast(n))
+      .select(
+        col("c_nationkey"),
+        col("c_mktsegment"),
+        col("n_c"),
+        col("n_total"),
+        col("bucket"),
+        (coalesce(col("n_cj"), lit(0L)) * col("n_total") - col("g_j") * col("n_c"))
+          .as("d_j"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("c_nationkey", "c_mktsegment")
+      .orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    dense
+      .select(
+        col("c_nationkey"),
+        col("c_mktsegment"),
+        col("n_c"),
+        col("n_total"),
+        col("bucket"),
+        sum(col("d_j")).over(w).as("cum_d"))
+      .where(col("bucket") < 9) // EMD sums the B−1 interior prefixes
+      .groupBy("c_nationkey", "c_mktsegment", "n_c", "n_total")
+      .agg(sum(abs(col("cum_d"))).as("num"))
+      .select(
+        col("c_nationkey"),
+        col("c_mktsegment"),
+        col("n_c").as("class_size"),
+        (col("num").cast("double") / (lit(9L) * col("n_c") * col("n_total")).cast("double"))
+          .as("t_closeness"))
+      .orderBy(col("t_closeness").desc, col("c_nationkey"), col("c_mktsegment"))
+      .limit(20)
+  }
+
   // ------------------------------------------------------------ table diff
 
   /** Row-level table diff (reconciliation read): ADDED / REMOVED /
@@ -1037,6 +1114,39 @@ object MiningOps {
              |FROM customer GROUP BY c_nationkey, c_mktsegment
              |HAVING count(DISTINCT CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'nonneg' END) < 2
              |ORDER BY c_nationkey, c_mktsegment""".stripMargin)),
+    // EMD via integer cross-multiplication (no per-class division, no
+    // rounding grid): the one output division is an IEEE op on exact
+    // longs, so the doubles hash-match at any scale by construction.
+    "q_privacy_tcloseness" -> Q(
+      qPrivacyTcloseness,
+      Some("""WITH cust AS (
+             | SELECT c_nationkey, c_mktsegment,
+             |  least(greatest(CAST(floor((c_acctbal + 1000.0) / 1100.0) AS BIGINT), 0), 9) AS bucket
+             | FROM customer),
+             |cb AS (SELECT c_nationkey, c_mktsegment, bucket, count(1) AS n_cj
+             |       FROM cust GROUP BY 1, 2, 3),
+             |gb AS (SELECT bucket, count(1) AS g_j FROM cust GROUP BY 1),
+             |tot AS (SELECT c_nationkey, c_mktsegment, count(1) AS n_c FROM cust GROUP BY 1, 2),
+             |nn AS (SELECT count(1) AS n_total FROM cust),
+             |dense AS (
+             | SELECT t.c_nationkey, t.c_mktsegment, t.n_c, nn.n_total, b.bucket,
+             |  coalesce(cb.n_cj, 0) * nn.n_total - gb.g_j * t.n_c AS d_j
+             | FROM tot t
+             | CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS bucket) b
+             | LEFT JOIN cb ON cb.c_nationkey = t.c_nationkey
+             |  AND cb.c_mktsegment = t.c_mktsegment AND cb.bucket = b.bucket
+             | JOIN gb ON gb.bucket = b.bucket
+             | CROSS JOIN nn),
+             |cum AS (
+             | SELECT c_nationkey, c_mktsegment, n_c, n_total, bucket,
+             |  sum(d_j) OVER (PARTITION BY c_nationkey, c_mktsegment ORDER BY bucket
+             |                 ROWS UNBOUNDED PRECEDING) AS cum_d
+             | FROM dense)
+             |SELECT c_nationkey, c_mktsegment, n_c AS class_size,
+             | CAST(sum(abs(cum_d)) AS DOUBLE) / CAST(9 * n_c * n_total AS DOUBLE) AS t_closeness
+             |FROM cum WHERE bucket < 9
+             |GROUP BY c_nationkey, c_mktsegment, n_c, n_total
+             |ORDER BY t_closeness DESC, c_nationkey, c_mktsegment LIMIT 20""".stripMargin)),
     "q_table_diff" -> Q(
       qTableDiff,
       Some("""WITH v1 AS (

@@ -101,6 +101,17 @@ object StreamingQueries {
       .hllRegisters(Tables.events(spark, sfDir))
       .orderBy("event_type", "j")
 
+  /** Batch twin of the streaming Space-Saving heavy hitters (see
+    * [[graft.streaming.Streams.topkTokens]]): one shared sketch
+    * construction, exact while capacity (256) ≥ vocabulary (31) — so the
+    * exact-count oracle certifies the streaming state's readout.
+    */
+  def topkTokens(spark: SparkSession, sfDir: String): DataFrame =
+    Streams
+      .topkTokens(Tables.documents(spark, sfDir))
+      .orderBy(col("cnt").desc, col("tok").asc)
+      .limit(20)
+
   /** Batch twin of the windowed exact-uniques metric. */
   def windowDistinct(spark: SparkSession, sfDir: String): DataFrame =
     Streams
@@ -136,6 +147,17 @@ object StreamingQueries {
     "s_stream_hll" -> Q(
       hllRegisters,
       Some(StreamingQueries.HllRegsSql + "\nORDER BY event_type, j")),
+    // bench=false: shares q_topk_approx's sketch construction (benching
+    // both would double-count it); the streaming surface is what this
+    // entry adds, proven in StreamingSpec.
+    "s_stream_topk" -> Q(
+      topkTokens,
+      bench = false,
+      oracle = Some("""WITH toks AS (
+             | SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+             | FROM documents),
+             |c AS (SELECT tok, count(1) AS cnt FROM toks GROUP BY 1)
+             |SELECT tok, cnt FROM c ORDER BY cnt DESC, tok LIMIT 20""".stripMargin)),
     "s_stream_window_distinct" -> Q(
       windowDistinct,
       Some(s"""SELECT time_bucket(INTERVAL '5 minutes', ts) AS ws,

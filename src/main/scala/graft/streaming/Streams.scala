@@ -238,6 +238,28 @@ object Streams {
       .agg(max(col("rho")).as("m_rho"))
   }
 
+  /** Streaming Space-Saving heavy hitters over the token stream — the
+    * `q_topk_approx` sketch maintained incrementally (the heavy-hitter
+    * sibling of [[hllRegisters]]'s distinct-count sketch). The streaming
+    * aggregation state IS the ≤256-counter sketch: bounded memory over
+    * an unbounded stream with NO watermark (approximate whole-stream
+    * top-k is exactly what a sketch buys), and the Space-Saving merge is
+    * the UDAF's own partial-merge, so micro-batch state composes the
+    * same way partitions do in batch — estimates are monotone across
+    * triggers. ONE construction serves batch (the driver's oracle twin,
+    * exact while capacity ≥ vocabulary) and `readStream` (StreamingSpec
+    * feeds chunks and pins convergence to the batch sketch).
+    */
+  def topkTokens(docs: DataFrame): DataFrame = {
+    val ss = udaf(new graft.functions.SpaceSaving(256))
+    docs
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .where(col("tok") =!= "")
+      .agg(ss(col("tok")).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.tok").as("tok"), col("e.est").as("cnt"))
+  }
+
   /** Exact windowed unique users per 5-minute tumbling window — the
     * exact-uniques streaming metric (its batch/extreme-scale twins are
     * `q_events_wau`, `q_agg_bitmap_distinct`, `q_agg_hll_merge`). Two

@@ -68,6 +68,49 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming space-saving top-k: estimates monotone, converges to exact batch counts") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val df = mem.toDF().toDF("text")
+    val q = Streams
+      .topkTokens(df)
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("topk_stream")
+      .start()
+    try {
+      val texts = Tables
+        .documents(spark, sf001)
+        .select("text")
+        .as[String]
+        .collect()
+        .toIndexedSeq
+      val (c1, rest) = texts.splitAt(texts.length / 3)
+      mem.addData(c1)
+      q.processAllAvailable()
+      val after1 = spark.table("topk_stream").as[(String, Long)].collect().toMap
+      assert(after1.nonEmpty)
+      mem.addData(rest)
+      q.processAllAvailable()
+      val fin = spark.table("topk_stream").as[(String, Long)].collect().toMap
+      // Space-Saving estimates never shrink as the stream grows
+      after1.foreach { case (t, e) => assert(fin.getOrElse(t, 0L) >= e, t) }
+      // capacity (256) ≥ vocabulary: the final streaming state IS the
+      // exact count table — the same property the batch oracle certifies
+      val batch = Tables
+        .documents(spark, sf001)
+        .select(explode(split($"text", " ")).as("tok"))
+        .where($"tok" =!= "")
+        .groupBy("tok")
+        .count()
+        .as[(String, Long)]
+        .collect()
+        .toMap
+      assert(fin == batch)
+    } finally q.stop()
+  }
+
   test("streaming tumbling (complete mode) equals batch") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
