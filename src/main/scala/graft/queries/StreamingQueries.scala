@@ -112,6 +112,17 @@ object StreamingQueries {
       .orderBy(col("cnt").desc, col("tok").asc)
       .limit(20)
 
+  /** Batch twin of the stateful streaming EWMA (see
+    * [[graft.streaming.Streams.ewmaStateful]]): the same ring-buffer
+    * function over all events per key at once — bit-identical to the
+    * `q_events_ewma` lag-window formulation, which is the oracle.
+    */
+  def ewma(spark: SparkSession, sfDir: String): DataFrame =
+    Streams
+      .ewmaStateful(Tables.events(spark, sfDir), streaming = false)
+      .toDF()
+      .orderBy("event_id")
+
   /** Batch twin of the windowed exact-uniques metric. */
   def windowDistinct(spark: SparkSession, sfDir: String): DataFrame =
     Streams
@@ -147,6 +158,28 @@ object StreamingQueries {
     "s_stream_hll" -> Q(
       hllRegisters,
       Some(StreamingQueries.HllRegsSql + "\nORDER BY event_type, j")),
+    // per-event stateful feature enrichment — the ring-buffer state
+    // class; oracle = the q_events_ewma lag-window formulation, so the
+    // hash match proves the stateful recurrence ≡ the window definition
+    "s_stream_ewma" -> Q(
+      ewma,
+      Some(s"""WITH v AS (
+              | SELECT event_id, user_id, ts,
+              |  CAST(round(value * 1e6, 0) AS BIGINT) AS vfp
+              | FROM $EV),
+              |l AS (
+              | SELECT event_id, user_id, vfp,
+              |  lag(vfp, 1) OVER w AS l1, lag(vfp, 2) OVER w AS l2,
+              |  lag(vfp, 3) OVER w AS l3, lag(vfp, 4) OVER w AS l4
+              | FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+              |SELECT event_id, user_id,
+              | round(CAST(vfp * 16 + coalesce(l1, 0) * 8 + coalesce(l2, 0) * 4 +
+              |            coalesce(l3, 0) * 2 + coalesce(l4, 0) * 1 AS DOUBLE) /
+              |       (16 + CASE WHEN l1 IS NOT NULL THEN 8 ELSE 0 END
+              |           + CASE WHEN l2 IS NOT NULL THEN 4 ELSE 0 END
+              |           + CASE WHEN l3 IS NOT NULL THEN 2 ELSE 0 END
+              |           + CASE WHEN l4 IS NOT NULL THEN 1 ELSE 0 END) / 1e6, 6) AS ewma_value
+              |FROM l ORDER BY event_id""".stripMargin)),
     // bench=false: shares q_topk_approx's sketch construction (benching
     // both would double-count it); the streaming surface is what this
     // entry adds, proven in StreamingSpec.

@@ -238,6 +238,58 @@ object Streams {
       .agg(max(col("rho")).as("m_rho"))
   }
 
+  /** Per-event decayed rolling feature maintained as keyed state — the
+    * `q_events_ewma` truncated EWMA (weights 16:8:4:2:1 over the last 5
+    * events, α = 1/2) computed incrementally: the state is a ≤4-value
+    * fixed-point ring buffer per user, and every event emits its feature
+    * row in append mode. This is the streaming FEATURE-ENGINEERING shape
+    * (per-event enrichment from bounded per-key history) beside the
+    * window (tumbling/sliding), session, and sketch (hll/topk) state
+    * classes. Arithmetic replicates the batch lag-window bit-for-bit:
+    * the same HALF_UP micro quantization (`BigDecimal.valueOf`, Spark's
+    * own double-round algorithm), exact integer numerator/denominator,
+    * one double division, scale-6 round — so streaming output ≡ the
+    * batch twin row-for-row (StreamingSpec feeds chronological chunks).
+    * In-batch disorder is sorted per key exactly like
+    * [[sessionizeStateful]]; a production deployment adds a watermark to
+    * bound disorder across triggers (late events would see a truncated
+    * ring, exactly as they would in any online feature store).
+    */
+  def ewmaStateful(events: DataFrame, streaming: Boolean): Dataset[EwmaRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def round0(x: Double): Long =
+      java.math.BigDecimal.valueOf(x).setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    def round6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    def micros(t: java.sql.Timestamp): Long = {
+      val i = t.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    val wts = Seq(8L, 4L, 2L, 1L)
+    def fn(
+        uid: Long,
+        it: Iterator[(Long, java.sql.Timestamp, Long, Double)],
+        state: GroupState[EwmaState]): Iterator[EwmaRow] = {
+      val evs = it.toArray.sortBy(e => (micros(e._2), e._1))
+      var ring = state.getOption.map(_.ring).getOrElse(List.empty[Long])
+      val out = evs.map { case (eid, _, _, v) =>
+        val vfp = round0(v * 1e6)
+        val num = ring.zip(wts).foldLeft(vfp * 16L) { case (a, (x, w)) => a + x * w }
+        val den = ring.zip(wts).foldLeft(16L) { case (a, (_, w)) => a + w }
+        ring = (vfp :: ring).take(4)
+        EwmaRow(eid, uid, round6(num.toDouble / den / 1e6))
+      }
+      if (streaming) state.update(EwmaState(ring)) else state.remove()
+      out.iterator
+    }
+    events
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      .as[(Long, java.sql.Timestamp, Long, Double)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[EwmaState, EwmaRow](OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** Streaming Space-Saving heavy hitters over the token stream — the
     * `q_topk_approx` sketch maintained incrementally (the heavy-hitter
     * sibling of [[hllRegisters]]'s distinct-count sketch). The streaming
@@ -409,6 +461,14 @@ case class SessionState(
     lastMicros: Long,
     n_events: Long,
     sumMicros: Long)
+
+/** Keyed state of [[Streams.ewmaStateful]]: the user's last ≤4 event
+  * values as 1e-6 fixed-point longs, newest first.
+  */
+case class EwmaState(ring: List[Long])
+
+/** Per-event output of [[Streams.ewmaStateful]]. */
+case class EwmaRow(event_id: Long, user_id: Long, ewma_value: Double)
 
 /** Closed-session output of [[Streams.sessionizeStateful]]. */
 case class SessionRow(

@@ -249,6 +249,29 @@ class PlanSpec extends SparkSuite {
       fin)
   }
 
+  test("adamic-adar: equi-joins only, top-20 is TakeOrdered") {
+    val p = plan(graft.queries.SearchOps.qGraphAdamicAdar(spark, sf001))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("t-closeness: global histogram broadcast, partial agg, bounded crosses only") {
+    val p = plan(graft.queries.MiningOps.qPrivacyTcloseness(spark, sf001))
+    // the 10-row bucket frame and 1-row total are the only nested-loop
+    // sides — both size-bounded broadcasts by construction
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("streaming topk sketch partial-aggregates: only sketches cross the shuffle") {
+    val p = plan(graft.queries.StreamingQueries.topkTokens(spark, sf001))
+    // SpaceSaving is an ObjectHashAggregate with a map-side partial fold
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial_spacesaving") || p.contains("partial_"), p)
+  }
+
   test("TPC-H Q1 is one scan with pushed date filter and map-side combine") {
     val p = plan(graft.queries.MiningOps.qTpchQ1(spark, sf001))
     assert(p.contains("partial_sum"), p)

@@ -68,6 +68,39 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stateful streaming EWMA equals the batch lag-window, fed in chunks") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Streams
+      .ewmaStateful(df, streaming = true)
+      .toDF()
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("ewma_stream")
+      .start()
+    try {
+      // chunk at (ts, event_id) boundaries so each key's events arrive
+      // in order ACROSS triggers (within a trigger the state fn sorts)
+      val all = eventTuples.sortBy(t => (t._2.getTime, t._1)).toIndexedSeq
+      val (c1, rest) = all.splitAt(all.length / 3)
+      val (c2, c3) = rest.splitAt(rest.length / 3)
+      Seq(c1, c2, c3).foreach { c => mem.addData(c); q.processAllAvailable() }
+      val got = spark
+        .table("ewma_stream")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1)
+      val want = graft.queries.StreamingQueries
+        .ewma(spark, sf001)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(got.length == want.length)
+      assert(got.toSeq == want.toSeq) // ring state carried across triggers exactly
+    } finally q.stop()
+  }
+
   test("streaming space-saving top-k: estimates monotone, converges to exact batch counts") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[String]
