@@ -128,25 +128,42 @@ object ScaleProbe {
     else
       t match {
         case "documents" =>
-          // per-copy vocabulary: every token gains a copy suffix — new
-          // text with the same zipf/length structure, disjoint shingles
+          // per-copy vocabulary: every token gains a LETTER-ONLY copy
+          // suffix ("q" + base-26 of i, digit 'a' = 0 — injective per
+          // copy) — new text with the same zipf/length structure and
+          // disjoint shingles. Letters only, because word-filtered
+          // consumers (q_bpe_merges restricts to ^[a-z]+$) must see the
+          // new vocabulary: a `_i` suffix made the BPE probe silently
+          // train on the 1× word table (r8 review finding).
+          val sfx = {
+            var n = i
+            val sb = new StringBuilder("q")
+            while (n > 0) { sb.append(('a' + n % 26).toChar); n /= 26 }
+            sb.toString
+          }
           d.withColumn(
             "text",
             array_join(
               transform(
                 split(col("text"), " "),
-                x => when(length(x) > 0, concat(x, lit(s"_$i"))).otherwise(x)),
+                x => when(length(x) > 0, concat(x, lit(sfx))).otherwise(x)),
               " "))
             .withColumn("n_chars", length(col("text")))
         case "embeddings" =>
-          // rotate the vector by i mod dim: norm and within-copy geometry
-          // preserved, cross-copy cosines decorrelated
+          // rotate the vector by 1 + (i−1) mod (dim−1): never the
+          // identity (a plain `i mod dim` rotation silently reproduced
+          // copy-0 vectors whenever i hit a multiple of dim — exactly
+          // the duplicate structure organic mode exists to avoid), norm
+          // and within-copy geometry preserved, cross-copy cosines
+          // decorrelated. Distinct rotations exist for dim−1 copies;
+          // inflate() enforces factor ≤ 63 in organic mode (64-dim
+          // fixtures) so no two copies share a rotation.
           d.withColumn(
             "embedding",
             expr(
-              s"concat(slice(embedding, (($i % size(embedding)) + 1), " +
-                s"size(embedding) - ($i % size(embedding))), " +
-                s"slice(embedding, 1, $i % size(embedding)))"))
+              s"concat(slice(embedding, (1 + (($i - 1) % (size(embedding) - 1))) + 1, " +
+                s"size(embedding) - (1 + (($i - 1) % (size(embedding) - 1)))), " +
+                s"slice(embedding, 1, 1 + (($i - 1) % (size(embedding) - 1))))"))
         case _ => d
       }
 
@@ -156,6 +173,9 @@ object ScaleProbe {
       workDir: String,
       factor: Int,
       organic: Boolean): Unit = {
+    require(
+      !organic || factor <= 63,
+      "organic mode guarantees distinct embedding rotations only up to factor 63 (dim-1)")
     val mode = if (organic) "organic" else "dup"
     val marker = new java.io.File(workDir, s"_INFLATED_x${factor}_$mode")
     if (marker.exists()) {

@@ -499,20 +499,28 @@ object MiningOps {
         least(
           greatest(floor((col("c_acctbal") + lit(1000.0)) / lit(1100.0)), lit(0L)),
           lit(9L)).as("bucket"))
+    // ONE scan + ONE aggregation; the global histogram, class totals,
+    // and grand total all roll up from the (class, bucket) counts
+    // (checkpointed: |classes|·10 rows read from four plan positions —
+    // the §4 house rule, and the fix for the r8 review's 4-scan finding)
     val byClassBucket = cust
       .groupBy("c_nationkey", "c_mktsegment", "bucket")
       .agg(count(lit(1)).as("n_cj"))
-    val globalBucket = cust.groupBy("bucket").agg(count(lit(1)).as("g_j"))
-    val totals = cust
+      .localCheckpoint()
+    val globalBucket = byClassBucket.groupBy("bucket").agg(sum(col("n_cj")).as("g_j"))
+    val totals = byClassBucket
       .groupBy("c_nationkey", "c_mktsegment")
-      .agg(count(lit(1)).as("n_c"))
-    val n = cust.agg(count(lit(1)).as("n_total"))
-    // densify: every class × every bucket 0..9, missing counts = 0
+      .agg(sum(col("n_cj")).as("n_c"))
+    val n = byClassBucket.agg(sum(col("n_cj")).as("n_total"))
+    // densify: every class × every bucket 0..9, missing counts = 0 —
+    // including buckets EMPTY GLOBALLY (left join + coalesce on g_j: an
+    // inner join dropped their |cum_d| terms and underestimated EMD,
+    // r8 review finding)
     val buckets = spark.range(0, 10).select(col("id").as("bucket"))
     val dense = totals
       .crossJoin(broadcast(buckets))
       .join(byClassBucket, Seq("c_nationkey", "c_mktsegment", "bucket"), "left")
-      .join(broadcast(globalBucket), Seq("bucket"))
+      .join(broadcast(globalBucket), Seq("bucket"), "left")
       .crossJoin(broadcast(n))
       .select(
         col("c_nationkey"),
@@ -520,7 +528,8 @@ object MiningOps {
         col("n_c"),
         col("n_total"),
         col("bucket"),
-        (coalesce(col("n_cj"), lit(0L)) * col("n_total") - col("g_j") * col("n_c"))
+        (coalesce(col("n_cj"), lit(0L)) * col("n_total") -
+          coalesce(col("g_j"), lit(0L)) * col("n_c"))
           .as("d_j"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("c_nationkey", "c_mktsegment")
@@ -1125,17 +1134,18 @@ object MiningOps {
              | FROM customer),
              |cb AS (SELECT c_nationkey, c_mktsegment, bucket, count(1) AS n_cj
              |       FROM cust GROUP BY 1, 2, 3),
-             |gb AS (SELECT bucket, count(1) AS g_j FROM cust GROUP BY 1),
-             |tot AS (SELECT c_nationkey, c_mktsegment, count(1) AS n_c FROM cust GROUP BY 1, 2),
-             |nn AS (SELECT count(1) AS n_total FROM cust),
+             |gb AS (SELECT bucket, CAST(sum(n_cj) AS BIGINT) AS g_j FROM cb GROUP BY 1),
+             |tot AS (SELECT c_nationkey, c_mktsegment, CAST(sum(n_cj) AS BIGINT) AS n_c
+             |        FROM cb GROUP BY 1, 2),
+             |nn AS (SELECT CAST(sum(n_cj) AS BIGINT) AS n_total FROM cb),
              |dense AS (
              | SELECT t.c_nationkey, t.c_mktsegment, t.n_c, nn.n_total, b.bucket,
-             |  coalesce(cb.n_cj, 0) * nn.n_total - gb.g_j * t.n_c AS d_j
+             |  coalesce(cb.n_cj, 0) * nn.n_total - coalesce(gb.g_j, 0) * t.n_c AS d_j
              | FROM tot t
              | CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS bucket) b
              | LEFT JOIN cb ON cb.c_nationkey = t.c_nationkey
              |  AND cb.c_mktsegment = t.c_mktsegment AND cb.bucket = b.bucket
-             | JOIN gb ON gb.bucket = b.bucket
+             | LEFT JOIN gb ON gb.bucket = b.bucket
              | CROSS JOIN nn),
              |cum AS (
              | SELECT c_nationkey, c_mktsegment, n_c, n_total, bucket,

@@ -428,14 +428,17 @@ object SearchOps {
     (okey, oriented)
   }
 
-  private[queries] def commonNeighbors(edges: DataFrame, centerDegCap: Option[Int]): DataFrame = {
-    val (okey, oriented) = orientEdges(edges)
-    // The rank key packs (degree, id) as deg·1e8 + id with id < 1e8, so
-    // "center degree ≤ cap" is ONE comparison on the key the wedge rows
-    // already carry — no extra column widens the shuffle. Applied BEFORE
-    // each pair join (on the build/probe inputs, not the join output), it
-    // prunes hub centers pre-shuffle: capped wedge candidates never
-    // materialize.
+  /** The degree-oriented wedge trichotomy, shared by every
+    * common-neighbor scorer (ONE definition — the r8 review's
+    * divergence-risk fix): emits each wedge exactly once as
+    * (p, q, ckey), where ckey is the CENTER's rank key (deg·1e8 + id).
+    * The cap filter is ONE comparison on that key, applied BEFORE each
+    * pair join (on the build/probe inputs, not the join output), so hub
+    * centers are pruned pre-shuffle and capped wedge candidates never
+    * materialize. Scorers that don't need the center drop ckey in their
+    * projection before the pair aggregation — it never widens a shuffle.
+    */
+  private def wedges(oriented: DataFrame, centerDegCap: Option[Int]): DataFrame = {
     def centerOk(key: Column): Column = centerDegCap match {
       case Some(cap) => key < lit((cap + 1L) * 100000000L)
       case None => lit(true)
@@ -447,7 +450,7 @@ object SearchOps {
       .join(
         oriented.where(centerOk(col("skey"))).as("e2"),
         col("e1.s") === col("e2.s") && col("e1.dkey") < col("e2.dkey"))
-      .select(col("e1.d").as("p"), col("e2.d").as("q"))
+      .select(col("e1.d").as("p"), col("e2.d").as("q"), col("e1.skey").as("ckey"))
     // center middle-ranked: an in-neighbor × an out-neighbor of the center
     // (endpoint ranks straddle the center's, so each such wedge lands in
     // this arm exactly once — no ordering predicate needed)
@@ -455,7 +458,7 @@ object SearchOps {
       .where(centerOk(col("dkey")))
       .as("e1")
       .join(oriented.where(centerOk(col("skey"))).as("e2"), col("e1.d") === col("e2.s"))
-      .select(col("e1.s").as("p"), col("e2.d").as("q"))
+      .select(col("e1.s").as("p"), col("e2.d").as("q"), col("e1.dkey").as("ckey"))
     // center highest-ranked: unordered pairs of d's in-neighbors
     val wHigh = oriented
       .where(centerOk(col("dkey")))
@@ -463,11 +466,14 @@ object SearchOps {
       .join(
         oriented.where(centerOk(col("dkey"))).as("e2"),
         col("e1.d") === col("e2.d") && col("e1.skey") < col("e2.skey"))
-      .select(col("e1.s").as("p"), col("e2.s").as("q"))
+      .select(col("e1.s").as("p"), col("e2.s").as("q"), col("e1.dkey").as("ckey"))
+    wLow.union(wMid).union(wHigh)
+  }
+
+  private[queries] def commonNeighbors(edges: DataFrame, centerDegCap: Option[Int]): DataFrame = {
+    val (okey, oriented) = orientEdges(edges)
     val deg = okey.select(col("node").as("u"), col("deg"))
-    val inter = wLow
-      .union(wMid)
-      .union(wHigh)
+    val inter = wedges(oriented, centerDegCap)
       .select(least(col("p"), col("q")).as("a"), greatest(col("p"), col("q")).as("b"))
       .groupBy("a", "b")
       .agg(count(lit(1)).as("n_common"))
@@ -507,30 +513,8 @@ object SearchOps {
 
   private[queries] def adamicAdar(edges: DataFrame, cap: Int): DataFrame = {
     val (_, oriented) = orientEdges(edges)
-    val lim = lit((cap + 1L) * 100000000L)
-    val wLow = oriented
-      .where(col("skey") < lim)
-      .as("e1")
-      .join(
-        oriented.where(col("skey") < lim).as("e2"),
-        col("e1.s") === col("e2.s") && col("e1.dkey") < col("e2.dkey"))
-      .select(col("e1.d").as("p"), col("e2.d").as("q"), col("e1.skey").as("ckey"))
-    val wMid = oriented
-      .where(col("dkey") < lim)
-      .as("e1")
-      .join(oriented.where(col("skey") < lim).as("e2"), col("e1.d") === col("e2.s"))
-      .select(col("e1.s").as("p"), col("e2.d").as("q"), col("e1.dkey").as("ckey"))
-    val wHigh = oriented
-      .where(col("dkey") < lim)
-      .as("e1")
-      .join(
-        oriented.where(col("dkey") < lim).as("e2"),
-        col("e1.d") === col("e2.d") && col("e1.skey") < col("e2.skey"))
-      .select(col("e1.s").as("p"), col("e2.s").as("q"), col("e1.dkey").as("ckey"))
     // wedge centers have ≥ 2 neighbors by construction, so ln(deg) > 0
-    val weighted = wLow
-      .union(wMid)
-      .union(wHigh)
+    val weighted = wedges(oriented, Some(cap))
       .select(
         least(col("p"), col("q")).as("a"),
         greatest(col("p"), col("q")).as("b"),

@@ -135,9 +135,16 @@ object ObjectSink {
               // bounded exponential backoff between attempts (r8): a
               // transient 429/503 from the object store usually clears in
               // one doubling; capped at 30 s so a dead store drains the
-              // attempt budget instead of stalling its partition task
+              // attempt budget instead of stalling its partition task.
+              // Both operands clamped BEFORE the shift: an unclamped
+              // `base << (attempt-1)` wraps negative past ~60 attempts
+              // and Thread.sleep(negative) would throw out of the retry
+              // loop and fail the whole task (r8 review finding).
               else if (retryBackoffMs > 0L)
-                Thread.sleep(math.min(retryBackoffMs << (attempt - 1), 30000L))
+                Thread.sleep(
+                  math.min(
+                    math.min(retryBackoffMs, 30000L) << math.min(attempt - 1, 20),
+                    30000L))
           }
         }
       }
