@@ -166,6 +166,53 @@ object QualityOps {
     * value range or row count, which is what makes the single ordered
     * pass safe at any corpus size.
     */
+  /** Benford first-digit drift report (r8) — the classic fraud/anomaly
+    * screen for naturally-occurring amounts: observed first-significant-
+    * digit shares of `o_totalprice` against Benford's law
+    * `P(d) = log10(1 + 1/d)`, as exact ppm integers.
+    *
+    * Engine-exact by construction: prices quantize to integer CENTS
+    * (the house HALF_UP micro pattern), the first digit comes from the
+    * INTEGER's decimal string (`substring(cast(n AS string), 1, 1)` —
+    * integer→string is identical across engines, no log10 on data), the
+    * Benford expectations are nine spec CONSTANTS (`round(log10(1+1/d)
+    * ·1e6)`, precomputed — no runtime transcendental at all), and every
+    * emitted column is an exact integer. Digits absent from the data
+    * still report (LEFT join from the 9-row constant frame).
+    *
+    * Scale shape: one scan → 9-group partial agg; the constant frame
+    * and 1-row total broadcast. Nothing else moves.
+    */
+  def qDqBenford(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val benford = Seq(
+      (1, 301030L), (2, 176091L), (3, 124939L), (4, 96910L), (5, 79181L),
+      (6, 66947L), (7, 57992L), (8, 51153L), (9, 45757L))
+      .toDF("digit", "benford_ppm")
+    val counts = Tables
+      .orders(spark, sfDir)
+      .select(
+        substring(round(col("o_totalprice") * 100).cast("long").cast("string"), 1, 1)
+          .cast("int")
+          .as("digit"))
+      .groupBy("digit")
+      .agg(count(lit(1)).as("n_obs"))
+    val total = counts.agg(sum("n_obs").as("total"))
+    broadcast(benford)
+      .join(counts, Seq("digit"), "left")
+      .crossJoin(broadcast(total))
+      .select(
+        col("digit"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        round(coalesce(col("n_obs"), lit(0L)) * lit(1e6) / col("total"), 0)
+          .cast("long")
+          .as("share_ppm"),
+        col("benford_ppm"),
+        (round(coalesce(col("n_obs"), lit(0L)) * lit(1e6) / col("total"), 0).cast("long") -
+          col("benford_ppm")).as("delta_ppm"))
+      .orderBy("digit")
+  }
+
   def qDqKs(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables
       .events(spark, sfDir)
@@ -505,6 +552,25 @@ object QualityOps {
              | round(CAST(q_fp AS DOUBLE) / z, 6) AS q_share,
              | round(CAST(q_fp AS DOUBLE) / z / p, 6) AS boost
              |FROM wt, z ORDER BY lang""".stripMargin)),
+    // nine spec constants, integer cents, string-of-integer digit — no
+    // transcendental touches data, so the ppm table is engine-exact
+    "q_dq_benford" -> Q(
+      qDqBenford,
+      Some("""WITH b AS (
+             | SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939), (4, 96910),
+             |  (5, 79181), (6, 66947), (7, 57992), (8, 51153), (9, 45757))
+             |  AS t(digit, benford_ppm)),
+             |c AS (
+             | SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+             |  count(1) AS n_obs
+             | FROM orders GROUP BY 1),
+             |tt AS (SELECT sum(n_obs) AS total FROM c)
+             |SELECT b.digit, coalesce(c.n_obs, 0) AS n_obs,
+             | CAST(round(coalesce(c.n_obs, 0) * 1e6 / tt.total, 0) AS BIGINT) AS share_ppm,
+             | CAST(b.benford_ppm AS BIGINT) AS benford_ppm,
+             | CAST(round(coalesce(c.n_obs, 0) * 1e6 / tt.total, 0) AS BIGINT) - b.benford_ppm AS delta_ppm
+             |FROM b LEFT JOIN c ON b.digit = c.digit CROSS JOIN tt
+             |ORDER BY b.digit""".stripMargin)),
     "q_dq_ks" -> Q(
       qDqKs,
       Some("""WITH ev AS (

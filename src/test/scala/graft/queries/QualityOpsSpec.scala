@@ -52,6 +52,34 @@ class QualityOpsSpec extends SparkSuite {
     assert(ordered.zip(ordered.tail).forall { case (a, b) => a >= b })
   }
 
+  test("q_dq_benford: shares recompute exactly; always 9 digit rows") {
+    val rows = QualityOps.qDqBenford(spark, sf001).collect()
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 9))
+    // recompute from first principles: first digit of the cents integer
+    val digits = graft.Tables
+      .orders(spark, sf001)
+      .select(org.apache.spark.sql.functions.col("o_totalprice"))
+      .collect()
+      .map { r =>
+        val cents = BigDecimal(r.getDouble(0) * 100)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP)
+          .toLong
+        cents.toString.head.asDigit
+      }
+    val total = digits.length.toLong
+    val byDigit = digits.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    rows.foreach { r =>
+      val (d, nObs, share, benford, delta) =
+        (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nObs == byDigit.getOrElse(d, 0L))
+      assert(share == math.round(nObs * 1e6 / total))
+      assert(delta == share - benford)
+      assert(benford == math.round(math.log10(1.0 + 1.0 / d) * 1e6))
+    }
+    // Benford constants are a probability distribution on the ppm grid
+    assert(math.abs(rows.map(_.getLong(3)).sum - 1000000L) <= 5)
+  }
+
   test("q_dq_ks: statistic equals an exact local recount") {
     val row = QualityOps.qDqKs(spark, sf001).collect().head
     val (n1, n2) = (row.getLong(0), row.getLong(1))
