@@ -395,6 +395,61 @@ object MiningOps {
       .orderBy("event_id")
   }
 
+  /** Holt linear-trend smoothing over the daily event series (r8) — the
+    * FORECASTING member of the time-series family (beside `q_events_
+    * seasonality`'s decomposition, `q_events_ewma`'s decayed feature,
+    * `q_dq_drift`'s PSI, `q_events_anomaly`'s z-scores): per event_type,
+    * level/trend state over the ordered daily counts with α = β = 1/2,
+    * emitting the final state and the 1/2/3-step-ahead forecasts.
+    *
+    * Engine-exact recurrence: daily counts scale to 1e-6 fixed point,
+    * and each dyadic smoothing step is `⌊(x + 1) / 2⌋` — half-up toward
+    * +∞, implemented as `Math.floorDiv(x + 1, 2)` here and
+    * `floor((x + 1) / 2.0)` in the oracle's recursive CTE (exact while
+    * |x| < 2^53, i.e. forever for daily counts). State stays integer
+    * end-to-end; the output doubles are single IEEE divisions of exact
+    * longs. Forecasts are linear extrapolation `l + k·b` — exact longs.
+    *
+    * Scale shape: the corpus-scale work is ONE (type, day) count
+    * aggregation; the recurrence runs per key over a CALENDAR-bounded
+    * group (≤ |days| rows regardless of corpus size) via typed
+    * `flatMapGroups` — the same bounded-group justification as
+    * sessionization, with |types| groups running partition-parallel.
+    */
+  def qEventsHolt(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .select(col("event_type"), col("day"), col("y"))
+      .as[(String, java.sql.Date, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (et, it) =>
+        val ys = it.toArray.sortBy(_._2.getTime).map(_._3 * 1000000L)
+        if (ys.isEmpty) Iterator.empty
+        else {
+          var l = ys.head
+          var b = 0L
+          ys.drop(1).foreach { y =>
+            val lNew = Math.floorDiv(y + l + b + 1L, 2L)
+            b = Math.floorDiv((lNew - l) + b + 1L, 2L)
+            l = lNew
+          }
+          Iterator.single((
+            et,
+            ys.length.toLong,
+            l.toDouble / 1e6,
+            b.toDouble / 1e6,
+            (l + b).toDouble / 1e6,
+            (l + 2 * b).toDouble / 1e6,
+            (l + 3 * b).toDouble / 1e6))
+        }
+      }
+      .toDF("event_type", "n_days", "level", "trend", "fc1", "fc2", "fc3")
+      .orderBy("event_type")
+  }
+
   // ------------------------------------------------------ distribution drift
 
   /** Population-stability drift report (PSI) between order cohorts: the
@@ -1078,6 +1133,34 @@ object MiningOps {
            |       ((n * sxx - sx * sx) * (n * syy - sy * sy)), 9) AS r2
            |FROM s ORDER BY l_returnflag""".stripMargin
       }),
+    // the ⌊(x+1)/2⌋ dyadic halving is identical on both sides (floorDiv
+    // vs floor((x+1)/2.0) — exact below 2^53), so the sequential state
+    // replays bit-for-bit through the recursive CTE
+    "q_events_holt" -> Q(
+      qEventsHolt,
+      Some(s"""WITH RECURSIVE d0 AS (
+              | SELECT event_type, CAST(ts AS DATE) AS day, count(1) * 1000000 AS y
+              | FROM $EVT GROUP BY 1, 2),
+              |d AS (SELECT event_type, y,
+              |      row_number() OVER (PARTITION BY event_type ORDER BY day) AS r
+              |      FROM d0),
+              |rec(event_type, r, l, b) AS (
+              | SELECT event_type, CAST(1 AS BIGINT), CAST(y AS BIGINT), CAST(0 AS BIGINT)
+              | FROM d WHERE r = 1
+              | UNION ALL
+              | SELECT d.event_type, CAST(d.r AS BIGINT),
+              |  CAST(floor((d.y + rec.l + rec.b + 1) / 2.0) AS BIGINT),
+              |  CAST(floor((CAST(floor((d.y + rec.l + rec.b + 1) / 2.0) AS BIGINT)
+              |              - rec.l + rec.b + 1) / 2.0) AS BIGINT)
+              | FROM rec JOIN d ON d.event_type = rec.event_type AND d.r = rec.r + 1),
+              |fin AS (SELECT event_type, max(r) AS n_days FROM rec GROUP BY 1)
+              |SELECT rec.event_type, CAST(fin.n_days AS BIGINT) AS n_days,
+              | CAST(l AS DOUBLE) / 1e6 AS level, CAST(b AS DOUBLE) / 1e6 AS trend,
+              | CAST(l + b AS DOUBLE) / 1e6 AS fc1,
+              | CAST(l + 2 * b AS DOUBLE) / 1e6 AS fc2,
+              | CAST(l + 3 * b AS DOUBLE) / 1e6 AS fc3
+              |FROM rec JOIN fin ON rec.event_type = fin.event_type AND rec.r = fin.n_days
+              |ORDER BY rec.event_type""".stripMargin)),
     "q_events_ewma" -> Q(
       qEventsEwma,
       Some(s"""WITH v AS (

@@ -278,6 +278,40 @@ class MiningOpsSpec extends SparkSuite {
 
   // ---------------------------------------------------------- seasonality
 
+  test("q_events_holt: recurrence replays locally; forecasts extrapolate the trend") {
+    val rows = MiningOps.qEventsHolt(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    // recompute one event type's Holt state from its daily counts
+    val et = rows.head.getString(0)
+    val daily = graft.Tables
+      .events(spark, sf001)
+      .where(org.apache.spark.sql.functions.col("event_type") === et)
+      .groupBy(org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.col("ts")).as("day"))
+      .count()
+      .collect()
+      .map(r => r.getDate(0).getTime -> r.getLong(1))
+      .sortBy(_._1)
+      .map(_._2 * 1000000L)
+    var l = daily.head
+    var b = 0L
+    daily.drop(1).foreach { y =>
+      val lNew = Math.floorDiv(y + l + b + 1L, 2L)
+      b = Math.floorDiv((lNew - l) + b + 1L, 2L)
+      l = lNew
+    }
+    val r0 = rows.head
+    assert(r0.getLong(1) == daily.length.toLong)
+    assert(r0.getDouble(2) == l.toDouble / 1e6)
+    assert(r0.getDouble(3) == b.toDouble / 1e6)
+    // forecasts are exact linear extrapolation of (level, trend)
+    rows.foreach { r =>
+      val (lv, tr) = (r.getDouble(2), r.getDouble(3))
+      assert(math.abs(r.getDouble(4) - (lv + tr)) < 1e-9)
+      assert(math.abs(r.getDouble(6) - (lv + 3 * tr)) < 1e-9)
+    }
+  }
+
   test("q_events_seasonality: totals close, chi2 >= 0, uniform data scores 0") {
     val rows = MiningOps.qEventsSeasonality(spark, sf001).collect()
     assert(rows.nonEmpty)
