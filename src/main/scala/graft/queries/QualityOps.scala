@@ -189,6 +189,9 @@ object QualityOps {
       (1, 301030L), (2, 176091L), (3, 124939L), (4, 96910L), (5, 79181L),
       (6, 66947L), (7, 57992L), (8, 51153L), (9, 45757L))
       .toDF("digit", "benford_ppm")
+    // checkpoint the ≤9-row count table (§4 rule): it feeds both the
+    // join and the grand total, and an uncheckpointed subtree would
+    // re-scan orders once per reference
     val counts = Tables
       .orders(spark, sfDir)
       .select(
@@ -197,9 +200,10 @@ object QualityOps {
           .as("digit"))
       .groupBy("digit")
       .agg(count(lit(1)).as("n_obs"))
+      .localCheckpoint()
     val total = counts.agg(sum("n_obs").as("total"))
-    broadcast(benford)
-      .join(counts, Seq("digit"), "left")
+    benford
+      .join(broadcast(counts), Seq("digit"), "left")
       .crossJoin(broadcast(total))
       .select(
         col("digit"),

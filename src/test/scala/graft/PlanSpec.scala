@@ -275,6 +275,21 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("partial_spacesaving"), p)
   }
 
+  test("benford: checkpointed 9-row counts join broadcast; no re-scan of orders") {
+    val p = plan(graft.queries.QualityOps.qDqBenford(spark, sf001))
+    // the digit-count table is checkpointed (orders scanned exactly once,
+    // at materialization), so the visible plan is joins over ≤9-row
+    // inputs with the count side broadcast — and NO parquet scan at all
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Scan parquet"), p)
+  }
+
+  test("holt: daily counts partial-aggregate before the bounded per-key recurrence") {
+    val p = plan(graft.queries.MiningOps.qEventsHolt(spark, sf001))
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("Window"), p) // the recurrence is typed state, not a window sort
+  }
+
   test("TPC-H Q1 is one scan with pushed date filter and map-side combine") {
     val p = plan(graft.queries.MiningOps.qTpchQ1(spark, sf001))
     assert(p.contains("partial_sum"), p)
