@@ -32,13 +32,15 @@ object CorpusOps {
        |sp AS (SELECT doc_id, CASE WHEN ((doc_id % 2147483648) * 40503) % 100 < 80 THEN 'train'
        |        WHEN ((doc_id % 2147483648) * 40503) % 100 < 90 THEN 'val' ELSE 'test' END AS split FROM documents),
        |tr AS (SELECT tok, count(1) AS cnt FROM toks JOIN sp USING (doc_id) WHERE split = 'train' GROUP BY 1),
+       |trl AS (SELECT tok, CAST(round(ln(cnt + 1.0) * 1e6, 0) AS BIGINT) AS lp_num FROM tr),
        |nv AS (SELECT CAST(sum(cnt) AS BIGINT) AS n, count(1) AS v FROM tr),
+       |dl AS (SELECT CAST(round(ln(CAST(n + v AS DOUBLE)) * 1e6, 0) AS BIGINT) AS lp_den FROM nv),
        |scored AS (
        | SELECT t.doc_id AS doc_id,
-       |  CAST(round(ln((coalesce(tr.cnt, 0) + 1.0) / (nv.n + nv.v)) * 1e6, 0) AS BIGINT) AS lp_micro
-       | FROM toks t LEFT JOIN tr ON t.tok = tr.tok CROSS JOIN nv)
+       |  coalesce(trl.lp_num, 0) - dl.lp_den AS lp_micro
+       | FROM toks t LEFT JOIN trl ON t.tok = trl.tok CROSS JOIN dl)
        |SELECT s.doc_id AS doc_id, sp.split, count(1) AS n_toks,
-       | round(-(CAST(sum(s.lp_micro) AS DOUBLE) / 1e6) / count(1), 6) AS nll
+       | -(CAST(sum(s.lp_micro) AS DOUBLE) / 1e6) / count(1) AS nll
        |FROM scored s JOIN sp ON s.doc_id = sp.doc_id
        |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
   private val EV = LlmOps.EV
@@ -1137,14 +1139,23 @@ object CorpusOps {
       .groupBy(col("tok"))
       .agg(count(lit(1)).as("cnt"))
     val nv = counts.agg(sum(col("cnt")).as("n"), count(lit(1)).as("v"))
+    // Per-TERM micro quantization with INTEGER-only ln arguments and NO
+    // final round — the q_text_bigram_nll discipline (r8), applied here
+    // after the organic ×20 certification caught 18/100k docs one grid
+    // unit off in the ratio formulation (libm-vs-Math.log last-ulp at
+    // the 1e-6 boundary). lp = round6(ln(cnt+1)) − round6(ln(n+V)): the
+    // numerator term lives on the MODEL table (per distinct token), the
+    // denominator is ONE corpus constant, and the final nll is raw IEEE
+    // division of exact integers — bit-identical across engines.
+    def lpMicro(c: Column) = round(log(c.cast("double")) * 1e6, 0).cast("long")
+    val cntL = counts.select(col("tok"), lpMicro(col("cnt") + lit(1L)).as("lp_num"))
+    val denL = nv.select(lpMicro(col("n") + col("v")).as("lp_den"))
     val scored = toks
-      .join(counts, Seq("tok"), "left")
-      .crossJoin(broadcast(nv))
+      .join(cntL, Seq("tok"), "left")
+      .crossJoin(broadcast(denL))
       .select(
         col("doc_id"),
-        round(log((coalesce(col("cnt"), lit(0L)) + 1.0) / (col("n") + col("v"))) * 1e6, 0)
-          .cast("long")
-          .as("lp_micro"))
+        (coalesce(col("lp_num"), lit(0L)) - col("lp_den")).as("lp_micro"))
     scored
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_toks"), sum(col("lp_micro")).as("lp_sum"))
@@ -1153,12 +1164,7 @@ object CorpusOps {
         col("doc_id"),
         col("split"),
         col("n_toks"),
-        // 6 decimals, not 9: Java and C libm ln() can differ in the last
-        // ulp, so ~1e-6-quantized log-probs rarely flip by one unit at
-        // corpus scale; a flip moves the per-doc mean by ~1e-6/n_toks —
-        // far below the 5e-7 grain of 6-decimal rounding, while at 9
-        // decimals it surfaced as a hash mismatch at sf0.1
-        round(-(col("lp_sum").cast("double") / 1e6) / col("n_toks"), 6).as("nll"))
+        (-(col("lp_sum").cast("double") / 1e6) / col("n_toks")).as("nll"))
       .orderBy("doc_id")
   }
 
