@@ -450,6 +450,163 @@ object MiningOps {
       .orderBy("event_type")
   }
 
+  // ------------------------------------------- autocorrelation (ACF)
+
+  /** Autocorrelation function (lags 1–7) of the per-type daily event
+    * series — the diagnostics member of the time-series family: ACF is
+    * how an analyst decides whether `q_events_holt` needs a seasonal
+    * term and what period `q_events_seasonality` should test.
+    *
+    * Integer-exact throughout: with daily counts y_t, n days and
+    * S = Σy, the deviation d_t = y_t·n − S is an exact LONG (the 1/n
+    * factors of (y_t − ȳ) cancel in the ACF ratio), so
+    * r_k = Σ d_t·d_{t+k} / Σ d_t² needs one IEEE division of exact
+    * integers. Bound: |d| ≤ y_max·n; at ×1000 today's fixture that is
+    * ~2e8, d² ~4e16, × 30 days ~1.2e18 < 2^63 — certifiable far past
+    * the probe scales.
+    *
+    * Scale shape: corpus-scale work is the ONE (type, day) count agg;
+    * the lag windows run over calendar-bounded groups (≤ |days| rows
+    * per type regardless of corpus size).
+    */
+  def qEventsAutocorr(spark: SparkSession, sfDir: String): DataFrame = {
+    val maxLag = 7
+    val wp = Window.partitionBy("event_type")
+    val wo = Window.partitionBy("event_type").orderBy("day")
+    val daily = Tables
+      .events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+    val dev = daily
+      .select(
+        col("event_type"),
+        col("day"),
+        (col("y") * count(lit(1)).over(wp) - sum(col("y")).over(wp)).as("d"))
+    val lagged = dev.select(
+      col("event_type") +: col("d") +:
+        (1 to maxLag).map(k => lag(col("d"), k).over(wo).as(s"d$k")): _*)
+    val aggCols =
+      sum(col("d") * col("d")).as("den") +:
+        (1 to maxLag).map(k => sum(col("d") * col(s"d$k")).as(s"num$k"))
+    val stacked = (1 to maxLag).map(k => s"$k, num$k").mkString(", ")
+    lagged
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"), aggCols: _*)
+      .selectExpr(
+        "event_type",
+        "n_days",
+        "den",
+        s"stack($maxLag, $stacked) AS (lag, num)")
+      .select(
+        col("event_type"),
+        col("lag").cast("int").as("lag"),
+        col("n_days"),
+        (col("num").cast("double") / col("den").cast("double")).as("acf"))
+      .orderBy("event_type", "lag")
+  }
+
+  // --------------------------------------------- changepoint (CUSUM)
+
+  /** CUSUM changepoint detection over the per-type daily series: the
+    * split day t* maximizing |Σ_{i≤t}(y_i − ȳ)| — the classic
+    * at-which-day-did-the-level-shift readout, reported with the means
+    * on each side of the split.
+    *
+    * Same exact-integer discipline as `q_events_autocorr`: the n-scaled
+    * cumulative deviation c_t = n·Σ_{i≤t} y_i − t·S is an exact LONG, so
+    * the argmax (ties → earliest day) is engine-exact; the emitted
+    * cusum / means are single IEEE divisions of exact integers. t = n is
+    * excluded (c_n ≡ 0 and the right side would be empty).
+    */
+  def qEventsChangepoint(spark: SparkSession, sfDir: String): DataFrame = {
+    val wp = Window.partitionBy("event_type")
+    val wo = Window.partitionBy("event_type").orderBy("day")
+    val daily = Tables
+      .events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+    val cum = daily
+      .select(
+        col("event_type"),
+        col("day"),
+        count(lit(1)).over(wp).as("n"),
+        sum(col("y")).over(wp).as("s"),
+        row_number().over(wo).as("t"),
+        sum(col("y")).over(wo).as("cumy"))
+      .select(
+        col("event_type"),
+        col("day"),
+        col("n"),
+        col("s"),
+        col("t"),
+        col("cumy"),
+        (col("cumy") * col("n") - col("t") * col("s")).as("c"))
+      .where(col("t") < col("n"))
+    val pick = Window
+      .partitionBy("event_type")
+      .orderBy(abs(col("c")).desc, col("day").asc)
+    cum
+      .withColumn("rn", row_number().over(pick))
+      .where(col("rn") === 1)
+      .select(
+        col("event_type"),
+        col("n").as("n_days"),
+        col("day").as("split_day"),
+        (col("c").cast("double") / col("n").cast("double")).as("cusum"),
+        (col("cumy").cast("double") / col("t").cast("double")).as("mean_before"),
+        ((col("s") - col("cumy")).cast("double") /
+          (col("n") - col("t")).cast("double")).as("mean_after"))
+      .orderBy("event_type")
+  }
+
+  // -------------------------------------------- forecast backtesting
+
+  /** Holdout backtest of the Holt forecaster (`q_events_holt`): train
+    * the same dyadic level/trend recurrence on all but the LAST 3 days
+    * per event_type, forecast those 3, and report MAE / worst absolute
+    * error — the evaluation loop that makes a forecasting operator
+    * usable (a forecast without a backtest number is a guess).
+    *
+    * Exactness inherits from `qEventsHolt`: state is integer 1e-6 fixed
+    * point, forecasts are exact longs, |err| sums are exact, and the
+    * final /3 /1e6 are IEEE divisions both engines execute identically.
+    */
+  def qEventsForecastEval(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val holdout = 3
+    Tables
+      .events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .select(col("event_type"), col("day"), col("y"))
+      .as[(String, java.sql.Date, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (et, it) =>
+        val ys = it.toArray.sortBy(_._2.getTime).map(_._3 * 1000000L)
+        if (ys.length <= holdout + 1) Iterator.empty
+        else {
+          val train = ys.dropRight(holdout)
+          var l = train.head
+          var b = 0L
+          train.drop(1).foreach { y =>
+            val lNew = Math.floorDiv(y + l + b + 1L, 2L)
+            b = Math.floorDiv((lNew - l) + b + 1L, 2L)
+            l = lNew
+          }
+          val errs = (1 to holdout).map { k =>
+            Math.abs(l + k * b - ys(train.length + k - 1))
+          }
+          Iterator.single((
+            et,
+            train.length.toLong,
+            errs.sum.toDouble / holdout / 1e6,
+            errs.max.toDouble / 1e6))
+        }
+      }
+      .toDF("event_type", "n_train", "mae", "max_abs_err")
+      .orderBy("event_type")
+  }
+
   // ------------------------------------------------------ distribution drift
 
   /** Population-stability drift report (PSI) between order cohorts: the
@@ -1161,6 +1318,100 @@ object MiningOps {
               | CAST(l + 3 * b AS DOUBLE) / 1e6 AS fc3
               |FROM rec JOIN fin ON rec.event_type = fin.event_type AND rec.r = fin.n_days
               |ORDER BY rec.event_type""".stripMargin)),
+    // deviations are n-scaled exact longs (the 1/n cancels in the
+    // ratio), so both engines divide the SAME two integers; DuckDB's
+    // HUGEINT sums are forced through BIGINT before the double cast to
+    // avoid the int128→double double-rounding class (q_agg_stats ×10)
+    "q_events_autocorr" -> Q(
+      qEventsAutocorr,
+      Some {
+        val lagCols = (1 to 7).map(k => s"lag(d, $k) OVER wo AS d$k").mkString(", ")
+        val numCols = (1 to 7)
+          .map(k => s"CAST(sum(d * d$k) AS BIGINT) AS num$k")
+          .mkString(", ")
+        val unions = (1 to 7)
+          .map(k => s"SELECT event_type, $k AS lag, n_days, den, num$k AS num FROM a")
+          .mkString("\n UNION ALL ")
+        s"""WITH daily AS (
+           | SELECT event_type, CAST(ts AS DATE) AS day, count(1) AS y
+           | FROM $EVT GROUP BY 1, 2),
+           |dev AS (
+           | SELECT event_type, day,
+           |  y * (count(1) OVER wp) - (sum(y) OVER wp) AS d
+           | FROM daily WINDOW wp AS (PARTITION BY event_type)),
+           |lagged AS (
+           | SELECT event_type, d, $lagCols
+           | FROM dev WINDOW wo AS (PARTITION BY event_type ORDER BY day)),
+           |a AS (
+           | SELECT event_type, count(1) AS n_days,
+           |  CAST(sum(d * d) AS BIGINT) AS den, $numCols
+           | FROM lagged GROUP BY 1)
+           |SELECT event_type, CAST(lag AS INT) AS lag, n_days,
+           | CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS acf
+           |FROM ($unions)
+           |ORDER BY event_type, lag""".stripMargin
+      }),
+    // the argmax over exact n-scaled cumulative deviations is
+    // tie-broken on day, so the pick is engine-deterministic
+    "q_events_changepoint" -> Q(
+      qEventsChangepoint,
+      Some(s"""WITH daily AS (
+              | SELECT event_type, CAST(ts AS DATE) AS day, count(1) AS y
+              | FROM $EVT GROUP BY 1, 2),
+              |cum AS (
+              | SELECT event_type, day,
+              |  count(1) OVER wp AS n, sum(y) OVER wp AS s,
+              |  row_number() OVER wo AS t, sum(y) OVER wo AS cumy
+              | FROM daily
+              | WINDOW wp AS (PARTITION BY event_type),
+              |        wo AS (PARTITION BY event_type ORDER BY day
+              |               ROWS UNBOUNDED PRECEDING)),
+              |c AS (
+              | SELECT event_type, day, n, s, t, cumy,
+              |  CAST(cumy * n - t * s AS BIGINT) AS c
+              | FROM cum WHERE t < n),
+              |pick AS (
+              | SELECT *, row_number() OVER (PARTITION BY event_type
+              |           ORDER BY abs(c) DESC, day ASC) AS rn
+              | FROM c)
+              |SELECT event_type, n AS n_days, day AS split_day,
+              | CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS cusum,
+              | CAST(cumy AS DOUBLE) / CAST(t AS DOUBLE) AS mean_before,
+              | CAST(s - cumy AS DOUBLE) / CAST(n - t AS DOUBLE) AS mean_after
+              |FROM pick WHERE rn = 1 ORDER BY event_type""".stripMargin)),
+    // same dyadic recurrence as q_events_holt, truncated 3 days early;
+    // the recursive CTE stops at n_train and the holdout rows join back
+    "q_events_forecast_eval" -> Q(
+      qEventsForecastEval,
+      Some(s"""WITH RECURSIVE d0 AS (
+              | SELECT event_type, CAST(ts AS DATE) AS day, count(1) * 1000000 AS y
+              | FROM $EVT GROUP BY 1, 2),
+              |d AS (SELECT event_type, y,
+              |      row_number() OVER (PARTITION BY event_type ORDER BY day) AS r,
+              |      count(1) OVER (PARTITION BY event_type) - 3 AS nt
+              |      FROM d0),
+              |rec(event_type, r, l, b) AS (
+              | SELECT event_type, CAST(1 AS BIGINT), CAST(y AS BIGINT), CAST(0 AS BIGINT)
+              | FROM d WHERE r = 1 AND nt > 1
+              | UNION ALL
+              | SELECT d.event_type, CAST(d.r AS BIGINT),
+              |  CAST(floor((d.y + rec.l + rec.b + 1) / 2.0) AS BIGINT),
+              |  CAST(floor((CAST(floor((d.y + rec.l + rec.b + 1) / 2.0) AS BIGINT)
+              |              - rec.l + rec.b + 1) / 2.0) AS BIGINT)
+              | FROM rec JOIN d ON d.event_type = rec.event_type AND d.r = rec.r + 1
+              |                AND d.r <= d.nt),
+              |fin AS (
+              | SELECT rec.event_type, rec.l, rec.b, d.nt
+              | FROM rec JOIN (SELECT DISTINCT event_type, nt FROM d) d
+              |   ON d.event_type = rec.event_type AND rec.r = d.nt),
+              |err AS (
+              | SELECT fin.event_type, fin.nt,
+              |  abs(fin.l + (d.r - fin.nt) * fin.b - d.y) AS ae
+              | FROM fin JOIN d ON d.event_type = fin.event_type AND d.r > fin.nt)
+              |SELECT event_type, CAST(nt AS BIGINT) AS n_train,
+              | CAST(CAST(sum(ae) AS BIGINT) AS DOUBLE) / 3 / 1e6 AS mae,
+              | CAST(max(ae) AS DOUBLE) / 1e6 AS max_abs_err
+              |FROM err GROUP BY 1, 2 ORDER BY event_type""".stripMargin)),
     "q_events_ewma" -> Q(
       qEventsEwma,
       Some(s"""WITH v AS (

@@ -312,6 +312,75 @@ class MiningOpsSpec extends SparkSuite {
     }
   }
 
+  test("q_events_autocorr: lag-0 identity, bounds, local recompute") {
+    val rows = MiningOps.qEventsAutocorr(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    // |r_k| <= 1 (Cauchy-Schwarz on the deviation vectors)
+    rows.foreach(r => assert(math.abs(r.getDouble(3)) <= 1.0 + 1e-12))
+    // full local recompute of one type's ACF from the daily counts
+    val et = rows.head.getString(0)
+    val ys = graft.Tables
+      .events(spark, sf001)
+      .where(col("event_type") === et)
+      .groupBy(to_date(col("ts")).as("day"))
+      .count()
+      .collect()
+      .map(r => r.getDate(0).getTime -> r.getLong(1))
+      .sortBy(_._1)
+      .map(_._2)
+    val n = ys.length.toLong
+    val s = ys.sum
+    val d = ys.map(_ * n - s)
+    val den = d.map(x => x * x).sum
+    val byLag = rows.filter(_.getString(0) == et).map(r => r.getInt(1) -> r.getDouble(3)).toMap
+    (1 to 7).foreach { k =>
+      val num = d.dropRight(k).zip(d.drop(k)).map { case (a, b) => a * b }.sum
+      assert(byLag(k) == num.toDouble / den.toDouble, s"lag $k")
+    }
+  }
+
+  test("q_events_changepoint: split maximizes |cusum|, means bracket the level shift") {
+    val rows = MiningOps.qEventsChangepoint(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val et = rows.head.getString(0)
+    val ys = graft.Tables
+      .events(spark, sf001)
+      .where(col("event_type") === et)
+      .groupBy(to_date(col("ts")).as("day"))
+      .count()
+      .collect()
+      .map(r => r.getDate(0).getTime -> r.getLong(1))
+      .sortBy(_._1)
+    val n = ys.length.toLong
+    val s = ys.map(_._2).sum
+    // local argmax over the same n-scaled cumulative deviations
+    val cums = ys.map(_._2).scanLeft(0L)(_ + _).drop(1).zipWithIndex.dropRight(1).map {
+      case (cumy, i) => (cumy * n - (i + 1) * s, i + 1, cumy)
+    }
+    val best = cums.maxBy(c => (math.abs(c._1), -c._2))
+    val r0 = rows.head
+    assert(r0.getLong(1) == n)
+    assert(r0.getDouble(3) == best._1.toDouble / n.toDouble)
+    assert(r0.getDouble(4) == best._3.toDouble / best._2.toDouble)
+    assert(r0.getDouble(5) == (s - best._3).toDouble / (n - best._2).toDouble)
+  }
+
+  test("q_events_forecast_eval: mae <= max err, train length = n - 3, holt state agrees") {
+    val evalRows = MiningOps.qEventsForecastEval(spark, sf001).collect()
+    val holt = MiningOps
+      .qEventsHolt(spark, sf001)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    assert(evalRows.nonEmpty)
+    evalRows.foreach { r =>
+      assert(r.getLong(1) == holt(r.getString(0)) - 3) // trained on all but holdout
+      assert(r.getDouble(2) >= 0.0)
+      assert(r.getDouble(2) <= r.getDouble(3) + 1e-12) // mean |e| <= max |e|
+      assert(r.getDouble(3) >= r.getDouble(2))
+    }
+  }
+
   test("q_events_seasonality: totals close, chi2 >= 0, uniform data scores 0") {
     val rows = MiningOps.qEventsSeasonality(spark, sf001).collect()
     assert(rows.nonEmpty)
