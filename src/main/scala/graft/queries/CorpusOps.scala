@@ -562,6 +562,71 @@ object CorpusOps {
       .orderBy("doc_id", "rk")
   }
 
+  // ------------------------------------------------------------ Zipf slope
+
+  /** Zipf rank-frequency fit over the token distribution: least-squares
+    * slope/intercept/r² of ln(freq) against ln(rank) for the top-1000
+    * head (the conventional fit range), plus the corpus totals. The
+    * canonical corpus-health readout — natural text sits near slope −1;
+    * a flat slope flags boilerplate/duplication, a cliff flags a
+    * truncated vocabulary. Complements `q_text_langdist` (what
+    * languages) and `q_topk_approx` (which tokens) with the
+    * distribution-SHAPE summary.
+    *
+    * Exactness: ln takes only INTEGER arguments (rank 1..1000, integer
+    * frequencies — the `q_text_unigram_nll` discipline), quantized per
+    * term to 1e-6 micro LONGs; the five regression sums are exact
+    * integers (|Σy²| ≤ 1000·(ln(2^63)·1e6)² ≈ 1.9e18 < 2^63 at ANY
+    * corpus size), and the final slope arithmetic is the
+    * `q_agg_linreg` double sequence both engines share.
+    *
+    * Scale shape: one token-count shuffle (the same agg every corpus
+    * stat rides), a TakeOrdered top-1000 (never a global sort), and a
+    * 1000-row local window — corpus-size-independent beyond the count.
+    */
+  def qTextZipf(spark: SparkSession, sfDir: String): DataFrame = {
+    val head = 1000
+    val counts = LlmOps
+      .docTokens(Tables.documents(spark, sfDir))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("freq"))
+    val tot = counts.agg(
+      count(lit(1)).as("n_vocab"),
+      sum(col("freq")).as("n_tokens"))
+    val top = counts.orderBy(col("freq").desc, col("tok").asc).limit(head)
+    val ranked = top.withColumn(
+      "rank",
+      row_number().over(Window.orderBy(col("freq").desc, col("tok").asc)))
+    val xy = ranked.select(
+      round(log(col("rank").cast("double")) * 1e6).cast("long").as("x"),
+      round(log(col("freq").cast("double")) * 1e6).cast("long").as("y"))
+    val s = xy.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sxl"),
+      sum(col("y")).as("syl"),
+      sum(col("x") * col("y")).as("sxyl"),
+      sum(col("x") * col("x")).as("sxxl"),
+      sum(col("y") * col("y")).as("syyl"))
+    val n = col("n").cast("double")
+    val sx = col("sxl").cast("double")
+    val sy = col("syl").cast("double")
+    val sxy = col("sxyl").cast("double")
+    val sxx = col("sxxl").cast("double")
+    val syy = col("syyl").cast("double")
+    val covn = n * sxy - sx * sy
+    val varxn = n * sxx - sx * sx
+    val varyn = n * syy - sy * sy
+    val slope = covn / varxn
+    s.crossJoin(broadcast(tot))
+      .select(
+        col("n").as("n_head"),
+        col("n_vocab"),
+        col("n_tokens"),
+        round(slope, 9).as("slope"),
+        round((sy - slope * sx) / n / 1e6, 9).as("intercept"),
+        round((covn * covn) / (varxn * varyn), 9).as("r2"))
+  }
+
   // ----------------------------------------------------------------- funnel
 
   /** Ordered-funnel analysis (view → click → purchase): per user, the
@@ -1858,6 +1923,37 @@ object CorpusOps {
              |SELECT d1, d2, CAST(levenshtein(t1, t2) AS INT) AS dist
              |FROM cand WHERE levenshtein(t1, t2) * 5 <= mx
              |ORDER BY d1, d2""".stripMargin)),
+    // ln takes only integer arguments (rank, freq), per-term micro
+    // quantization; regression sums are exact BIGINTs at any corpus
+    // size, final arithmetic is the shared q_agg_linreg double sequence
+    "q_text_zipf" -> Q(
+      qTextZipf,
+      Some("""WITH toks AS (
+             | SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+             | FROM documents),
+             |c AS (SELECT tok, count(1) AS freq FROM toks GROUP BY 1),
+             |tot AS (SELECT count(1) AS n_vocab, CAST(sum(freq) AS BIGINT) AS n_tokens FROM c),
+             |top AS (SELECT freq, row_number() OVER (ORDER BY freq DESC, tok ASC) AS rank
+             |        FROM c ORDER BY freq DESC, tok ASC LIMIT 1000),
+             |xy AS (
+             | SELECT CAST(round(ln(CAST(rank AS DOUBLE)) * 1e6, 0) AS BIGINT) AS x,
+             |  CAST(round(ln(CAST(freq AS DOUBLE)) * 1e6, 0) AS BIGINT) AS y
+             | FROM top),
+             |s AS (
+             | SELECT CAST(count(1) AS DOUBLE) AS n,
+             |  CAST(CAST(sum(x) AS BIGINT) AS DOUBLE) AS sx,
+             |  CAST(CAST(sum(y) AS BIGINT) AS DOUBLE) AS sy,
+             |  CAST(CAST(sum(x * y) AS BIGINT) AS DOUBLE) AS sxy,
+             |  CAST(CAST(sum(x * x) AS BIGINT) AS DOUBLE) AS sxx,
+             |  CAST(CAST(sum(y * y) AS BIGINT) AS DOUBLE) AS syy,
+             |  count(1) AS n_head
+             | FROM xy)
+             |SELECT n_head, tot.n_vocab, tot.n_tokens,
+             | round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS slope,
+             | round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n / 1e6, 9) AS intercept,
+             | round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+             |       ((n * sxx - sx * sx) * (n * syy - sy * sy)), 9) AS r2
+             |FROM s CROSS JOIN tot""".stripMargin)),
     "q_text_tfidf" -> Q(
       qTextTfidf,
       Some("""WITH toks AS (

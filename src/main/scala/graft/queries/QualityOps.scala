@@ -437,6 +437,72 @@ object QualityOps {
       .orderBy("source", "bin")
   }
 
+  // ------------------------------------------------- robust outliers (MAD)
+
+  /** Median-absolute-deviation outlier audit per nation over customer
+    * balances — the ROBUST member of the dq family (z-scores
+    * (`q_events_anomaly`) break when the outliers themselves inflate the
+    * stddev; median/MAD don't). Per nation: lower median of the cent
+    * balances, MAD = lower median of |x − med|, and the count of rows
+    * beyond 3·MAD.
+    *
+    * Exactness: balances become cents (exact LONGs), and both medians
+    * are POSITION picks (row_number = ⌊(n+1)/2⌋ over the sorted values —
+    * the lower median, deterministic under ties because equal values
+    * occupy the tied positions). No float enters until the final /100
+    * displays dollars. The oracle replays the identical picks.
+    *
+    * Scale shape: three hash shuffles on the group key; the per-group
+    * sorts are nation-bounded here. At unbounded group sizes the
+    * position pick generalizes to two-pass selection or a KLL sketch —
+    * the audit REPORT shape (per-group median/MAD/outlier-count) is
+    * what this entry pins.
+    */
+  def qDqOutlierMad(spark: SparkSession, sfDir: String): DataFrame = {
+    val cts = Tables
+      .customer(spark, sfDir)
+      .select(
+        col("c_nationkey"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_c"))
+    val wp = Window.partitionBy("c_nationkey")
+    val wv = Window.partitionBy("c_nationkey").orderBy(col("bal_c").asc)
+    val med = cts
+      .select(
+        col("c_nationkey"),
+        col("bal_c"),
+        row_number().over(wv).as("rn"),
+        count(lit(1)).over(wp).as("n"))
+      .where(col("rn") === floor((col("n") + 1) / 2))
+      .select(col("c_nationkey"), col("bal_c").as("med_c"), col("n"))
+    val dev = cts
+      .join(med, "c_nationkey")
+      .select(
+        col("c_nationkey"),
+        col("n"),
+        col("med_c"),
+        abs(col("bal_c") - col("med_c")).as("ad"))
+    val wa = Window.partitionBy("c_nationkey").orderBy(col("ad").asc)
+    val mad = dev
+      .withColumn("rn", row_number().over(wa))
+      .where(col("rn") === floor((col("n") + 1) / 2))
+      .select(col("c_nationkey"), col("ad").as("mad_c"))
+    dev
+      .join(mad, "c_nationkey")
+      .groupBy("c_nationkey")
+      .agg(
+        max(col("n")).as("n"),
+        max(col("med_c")).as("med_c"),
+        max(col("mad_c")).as("mad_c"),
+        sum(when(col("ad") > lit(3) * col("mad_c"), 1L).otherwise(0L)).as("n_outliers"))
+      .select(
+        col("c_nationkey"),
+        col("n"),
+        (col("med_c").cast("double") / 100).as("median_bal"),
+        (col("mad_c").cast("double") / 100).as("mad"),
+        col("n_outliers"))
+      .orderBy("c_nationkey")
+  }
+
   // ------------------------------------------------------------- registry
 
   private val DOCS_T = LlmOps.DOCS_T
@@ -575,6 +641,31 @@ object QualityOps {
              | CAST(round(coalesce(c.n_obs, 0) * 1e6 / tt.total, 0) AS BIGINT) - b.benford_ppm AS delta_ppm
              |FROM b LEFT JOIN c ON b.digit = c.digit CROSS JOIN tt
              |ORDER BY b.digit""".stripMargin)),
+    // both medians are POSITION picks over exact cents, so the report
+    // is engine-deterministic end-to-end (ties occupy tied positions)
+    "q_dq_outlier_mad" -> Q(
+      qDqOutlierMad,
+      Some("""WITH cts AS (
+             | SELECT c_nationkey, CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_c
+             | FROM customer),
+             |r AS (
+             | SELECT c_nationkey, bal_c,
+             |  row_number() OVER (PARTITION BY c_nationkey ORDER BY bal_c ASC) AS rn,
+             |  count(1) OVER (PARTITION BY c_nationkey) AS n
+             | FROM cts),
+             |med AS (SELECT c_nationkey, bal_c AS med_c, n FROM r WHERE rn = (n + 1) // 2),
+             |dev AS (
+             | SELECT c.c_nationkey, m.n, m.med_c, abs(c.bal_c - m.med_c) AS ad
+             | FROM cts c JOIN med m ON c.c_nationkey = m.c_nationkey),
+             |r2 AS (SELECT *, row_number() OVER (PARTITION BY c_nationkey ORDER BY ad ASC) AS rn
+             |       FROM dev),
+             |mad AS (SELECT c_nationkey, ad AS mad_c FROM r2 WHERE rn = (n + 1) // 2)
+             |SELECT d.c_nationkey, d.n AS n,
+             | CAST(d.med_c AS DOUBLE) / 100 AS median_bal,
+             | CAST(m.mad_c AS DOUBLE) / 100 AS mad,
+             | CAST(sum(CASE WHEN d.ad > 3 * m.mad_c THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+             |FROM dev d JOIN mad m ON d.c_nationkey = m.c_nationkey
+             |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin)),
     "q_dq_ks" -> Q(
       qDqKs,
       Some("""WITH ev AS (

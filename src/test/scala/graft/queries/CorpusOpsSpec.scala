@@ -598,4 +598,37 @@ class CorpusOpsSpec extends SparkSuite {
       .sum
     assert(lastPerCohort == total)
   }
+
+  test("q_text_zipf: totals close over the corpus; fit recomputed locally") {
+    val r = CorpusOps.qTextZipf(spark, sf001).collect().head
+    // corpus totals close over a direct recount
+    val toks = graft.Tables
+      .documents(spark, sf001)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .where(col("tok") =!= "")
+    val freqs = toks
+      .groupBy("tok")
+      .count()
+      .collect()
+      .map(x => x.getString(0) -> x.getLong(1))
+    assert(r.getLong(1) == freqs.length.toLong) // n_vocab
+    assert(r.getLong(2) == freqs.map(_._2).sum) // n_tokens
+    assert(r.getLong(0) == math.min(1000L, freqs.length.toLong)) // head size
+    // local least-squares over the same quantized points
+    val top = freqs.sortBy { case (t, f) => (-f, t) }.take(1000).map(_._2)
+    val x = top.indices.map(i => math.round(math.log((i + 1).toDouble) * 1e6))
+    val y = top.map(f => math.round(math.log(f.toDouble) * 1e6))
+    val n = x.length.toDouble
+    val (sx, sy) = (x.sum.toDouble, y.sum.toDouble)
+    val sxy = x.zip(y).map { case (a, b) => a * b }.sum.toDouble
+    val sxx = x.map(a => a * a).sum.toDouble
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(r.getDouble(3) == math.rint(slope * 1e9) / 1e9 ||
+      math.abs(r.getDouble(3) - slope) < 1e-9)
+    // slope negative by construction (rank up ⇒ freq non-increasing);
+    // r² in (0,1] — the 31-token synthetic vocab is near-flat, so no
+    // natural-text r² floor is assumed here
+    assert(r.getDouble(3) < 0.0)
+    assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0)
+  }
 }

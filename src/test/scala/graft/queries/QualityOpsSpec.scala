@@ -240,4 +240,30 @@ class QualityOpsSpec extends SparkSuite {
       assert(rs.map(_.getLong(1)).min == 0L)
     }
   }
+
+  test("q_dq_outlier_mad: one nation's median/MAD/outliers recomputed locally") {
+    val rows = QualityOps.qDqOutlierMad(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val nk = rows.head.getInt(0)
+    val cents = graft.Tables
+      .customer(spark, sf001)
+      .where(col("c_nationkey") === nk)
+      .select(round(col("c_acctbal") * 100).cast("long"))
+      .as[Long]
+      .collect()
+      .sorted
+    val n = cents.length
+    val med = cents((n + 1) / 2 - 1) // lower median, 1-based pick
+    val ads = cents.map(x => math.abs(x - med)).sorted
+    val mad = ads((n + 1) / 2 - 1)
+    val nOut = ads.count(_ > 3 * mad)
+    val r0 = rows.head
+    assert(r0.getLong(1) == n.toLong)
+    assert(r0.getDouble(2) == med.toDouble / 100)
+    assert(r0.getDouble(3) == mad.toDouble / 100)
+    assert(r0.getLong(4) == nOut.toLong)
+    // outliers never exceed the group (tiny sf0.001 nations CAN be
+    // mostly "outliers" when 3·MAD is narrow — no minority law here)
+    rows.foreach(r => assert(r.getLong(4) >= 0L && r.getLong(4) <= r.getLong(1)))
+  }
 }
