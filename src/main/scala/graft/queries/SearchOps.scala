@@ -318,6 +318,97 @@ object SearchOps {
       .agg(count(lit(1)).as("n_nodes"), max(col("id")).as("max_node"))
       .orderBy(col("n_nodes").desc, col("component"))
 
+  // ------------------------------------------------- bounded-hop BFS
+
+  /** Multi-hop reach profile: single-source BFS over the co-purchase
+    * graph from the minimum node id (deterministic seed), bounded at 4
+    * hops by CONTRACT — per hop, node count and id range, plus one
+    * `hops = -1` row for the never-reached remainder. The
+    * "what's within k recommendation steps" readout.
+    *
+    * Scale shape: each hop is ONE equi-join (frontier ⋈ adjacency) plus
+    * a fused min-distance aggregation — the [[graft.operators.
+    * DedupClusters]] propagation shape with distance instead of label,
+    * and a FIXED round budget instead of convergence (the contract pins
+    * hop ≤ 4, so the oracle unrolls exactly; the production unbounded
+    * variant is `q_graph_cc`'s strict loop). Per-round eager
+    * checkpoints truncate lineage; state is (id, dist) — 12 B/node.
+    */
+  def qGraphBfsHops(spark: SparkSession, sfDir: String): DataFrame = {
+    val hops = 4
+    val e = coPurchaseEdges(spark, sfDir)
+    val adj = e
+      .select(col("u").as("a"), col("v").as("b"))
+      .unionByName(e.select(col("v").as("a"), col("u").as("b")))
+    // the global min node id always appears on the u side of its edges
+    var dist = e
+      .agg(min(col("u")).as("id"))
+      .select(col("id"), lit(0).as("d"))
+      .localCheckpoint()
+    (1 to hops).foreach { _ =>
+      val next = dist
+        .join(adj, dist("id") === adj("a"))
+        .select(col("b").as("id"), (col("d") + 1).as("d"))
+      dist = dist
+        .unionByName(next)
+        .groupBy("id")
+        .agg(min(col("d")).as("d"))
+        .localCheckpoint()
+    }
+    val unreached = adj
+      .select(col("a").as("id"))
+      .distinct()
+      .join(dist, Seq("id"), "left_anti")
+      .agg(count(lit(1)).as("n_nodes"), min("id").as("min_node"), max("id").as("max_node"))
+      .select(lit(-1).as("hops"), col("n_nodes"), col("min_node"), col("max_node"))
+    dist
+      .groupBy(col("d").as("hops"))
+      .agg(count(lit(1)).as("n_nodes"), min("id").as("min_node"), max("id").as("max_node"))
+      .unionByName(unreached)
+      .orderBy("hops")
+  }
+
+  // ------------------------------------------------------ k-core peel
+
+  /** k-core peel profile (k = 3, 4 rounds by CONTRACT): each round
+    * drops nodes of degree < 3 and induces the surviving subgraph,
+    * reporting nodes/edges per round — the standard "dense core vs
+    * peripheral fluff" decomposition used to find the communities worth
+    * mining (`q_graph_triangles`' support lives almost entirely inside
+    * the core). Fixed rounds make the semantics engine-exact at ANY
+    * scale (the oracle unrolls 4 induced-subgraph steps); convergence
+    * on a given graph is observable in the output (two equal
+    * consecutive rows) rather than assumed — the unbounded production
+    * loop is the `DedupClusters` strict pattern.
+    *
+    * Scale shape: per round, one degree aggregation + two semi-joins
+    * (u-keep, v-keep) — all equi-joins on node ids; eager checkpoints
+    * bound lineage; edges only shrink.
+    */
+  def qGraphKcore(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = 3
+    val rounds = 4
+    var edges = coPurchaseEdges(spark, sfDir)
+    val perRound = (1 to rounds).map { r =>
+      val deg = edges
+        .select(col("u").as("id"))
+        .unionByName(edges.select(col("v").as("id")))
+        .groupBy("id")
+        .agg(count(lit(1)).as("deg"))
+      val keep = deg.where(col("deg") >= k).select("id").localCheckpoint()
+      edges = edges
+        .join(keep.withColumnRenamed("id", "u"), Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("id", "v"), Seq("v"), "left_semi")
+        .select("u", "v")
+        .localCheckpoint()
+      keep
+        .agg(count(lit(1)).as("n_nodes"))
+        .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
+        .select(lit(r).as("round"), col("n_nodes"), col("n_edges"))
+    }
+    perRound.reduce(_ unionByName _).orderBy("round")
+  }
+
   // ------------------------------------------------- triangle counting
 
   /** Per-node triangle membership counts (top 20) over the co-purchase
@@ -681,6 +772,60 @@ object SearchOps {
              |lab AS (SELECT id, min(r) AS label FROM reach GROUP BY id)
              |SELECT label AS component, count(1) AS n_nodes, max(id) AS max_node
              |FROM lab GROUP BY label ORDER BY n_nodes DESC, component""".stripMargin)),
+    // hop budget is CONTRACT (4), so the oracle unrolls exactly; each
+    // unrolled round is the engine's frontier-join + min-dist agg
+    "q_graph_bfs_hops" -> Q(
+      qGraphBfsHops,
+      Some {
+        val rounds = (1 to 4)
+          .map { r =>
+            s"""r$r AS (SELECT id, min(d) AS d FROM (
+               | SELECT id, d FROM r${r - 1}
+               | UNION ALL
+               | SELECT adj.b AS id, p.d + 1 AS d FROM r${r - 1} p JOIN adj ON adj.a = p.id)
+               | GROUP BY id)""".stripMargin
+          }
+          .mkString(",\n")
+        s"""WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+           |e AS (SELECT a.p AS u, b.p AS v FROM it a JOIN it b ON a.o = b.o AND a.p < b.p
+           |      GROUP BY 1, 2 HAVING count(1) >= 2),
+           |adj AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v AS a, u AS b FROM e),
+           |r0 AS (SELECT min(u) AS id, 0 AS d FROM e),
+           |$rounds,
+           |reach AS (SELECT CAST(d AS INT) AS hops, count(1) AS n_nodes,
+           |          min(id) AS min_node, max(id) AS max_node FROM r4 GROUP BY 1),
+           |unr AS (SELECT -1 AS hops, count(1) AS n_nodes,
+           |        min(id) AS min_node, max(id) AS max_node
+           |        FROM (SELECT DISTINCT a AS id FROM adj)
+           |        WHERE id NOT IN (SELECT id FROM r4))
+           |SELECT * FROM reach UNION ALL SELECT * FROM unr ORDER BY hops""".stripMargin
+      }),
+    // round budget is CONTRACT (4 peels at k = 3): the oracle unrolls
+    // degree-filter + induced-subgraph four times; convergence shows in
+    // the output as equal consecutive rows rather than being assumed
+    "q_graph_kcore" -> Q(
+      qGraphKcore,
+      Some {
+        val rounds = (1 to 4)
+          .map { r =>
+            s"""a${r - 1} AS (SELECT u, v FROM e${r - 1}
+               |  UNION ALL SELECT v AS u, u AS v FROM e${r - 1}),
+               |k$r AS (SELECT u AS id FROM a${r - 1} GROUP BY 1 HAVING count(1) >= 3),
+               |e$r AS (SELECT u, v FROM e${r - 1}
+               |  WHERE u IN (SELECT id FROM k$r) AND v IN (SELECT id FROM k$r))""".stripMargin
+          }
+          .mkString(",\n")
+        val heads = (1 to 4)
+          .map(r => s"SELECT $r AS round, (SELECT count(1) FROM k$r) AS n_nodes, " +
+            s"(SELECT count(1) FROM e$r) AS n_edges")
+          .mkString("\n UNION ALL ")
+        s"""WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+           |e0 AS (SELECT a.p AS u, b.p AS v FROM it a JOIN it b ON a.o = b.o AND a.p < b.p
+           |      GROUP BY 1, 2 HAVING count(1) >= 2),
+           |$rounds
+           |$heads
+           |ORDER BY round""".stripMargin
+      }),
     "q_graph_triangles" -> Q(
       qGraphTriangles,
       Some("""WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
