@@ -115,7 +115,21 @@ object ScaleProbe {
     // 8×16 codewords), so build time should scale with the assignment
     // scans, i.e. sublinearly here.
     "q_sim_ann_ivf",
-    "q_sim_ann_pq")
+    "q_sim_ann_pq",
+    // r9 (verdict asks #2/#5): the round-8 additions get probe rows.
+    // The two graph loops are per-round equi-join + fused agg + eager
+    // checkpoint (the DedupClusters shape that measured 0.06-0.13);
+    // the time-series family runs sequential per-key recurrences via
+    // flatMapGroups over CALENDAR-bounded groups — correct at any
+    // volume only while the (type, day) agg dominates, which is
+    // exactly what the ratio should confirm (factor× rows, SAME day
+    // grid ⇒ group sizes constant).
+    "q_graph_bfs_hops",
+    "q_graph_kcore",
+    "q_events_autocorr",
+    "q_events_changepoint",
+    "q_events_forecast_eval",
+    "q_events_holt")
 
   private def num(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

@@ -622,9 +622,13 @@ object CorpusOps {
         col("n").as("n_head"),
         col("n_vocab"),
         col("n_tokens"),
-        round(slope, 9).as("slope"),
-        round((sy - slope * sx) / n / 1e6, 9).as("intercept"),
-        round((covn * covn) / (varxn * varyn), 9).as("r2"))
+        // raw shared double sequence, NO final round: the inputs are
+        // exact integers, so the IEEE result is bit-identical across
+        // engines, while a final round(…, 9) can disagree on boundary
+        // doubles (the q_text_unigram_nll ln-ulp lesson from round 8)
+        slope.as("slope"),
+        ((sy - slope * sx) / n / 1e6).as("intercept"),
+        ((covn * covn) / (varxn * varyn)).as("r2"))
   }
 
   // ----------------------------------------------------------------- funnel
@@ -1949,10 +1953,10 @@ object CorpusOps {
              |  count(1) AS n_head
              | FROM xy)
              |SELECT n_head, tot.n_vocab, tot.n_tokens,
-             | round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS slope,
-             | round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n / 1e6, 9) AS intercept,
-             | round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
-             |       ((n * sxx - sx * sx) * (n * syy - sy * sy)), 9) AS r2
+             | (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+             | (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n / 1e6 AS intercept,
+             | ((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+             |       ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
              |FROM s CROSS JOIN tot""".stripMargin)),
     "q_text_tfidf" -> Q(
       qTextTfidf,

@@ -463,7 +463,12 @@ object MiningOps {
     * r_k = Σ d_t·d_{t+k} / Σ d_t² needs one IEEE division of exact
     * integers. Bound: |d| ≤ y_max·n; at ×1000 today's fixture that is
     * ~2e8, d² ~4e16, × 30 days ~1.2e18 < 2^63 — certifiable far past
-    * the probe scales.
+    * the probe scales. BEYOND that bound the engines diverge in
+    * FAILURE MODE, not just value: Spark's LONG multiply wraps
+    * silently while DuckDB's BIGINT multiply is checked and aborts —
+    * so past ~1.2e18 the oracle fails loudly and the engine would
+    * need the same guard (swap `d * d` for a DECIMAL(38,0) product,
+    * at ~2× agg cost) before trusting the output.
     *
     * Scale shape: corpus-scale work is the ONE (type, day) count agg;
     * the lag windows run over calendar-bounded groups (≤ |days| rows
@@ -516,7 +521,12 @@ object MiningOps {
     * cumulative deviation c_t = n·Σ_{i≤t} y_i − t·S is an exact LONG, so
     * the argmax (ties → earliest day) is engine-exact; the emitted
     * cusum / means are single IEEE divisions of exact integers. t = n is
-    * excluded (c_n ≡ 0 and the right side would be empty).
+    * excluded (c_n ≡ 0 and the right side would be empty). Same
+    * out-of-bound caveat as `q_events_autocorr`: past |cumy·n| ~ 2^63
+    * Spark's LONG product wraps silently where DuckDB's checked BIGINT
+    * multiply aborts — the exactness claim (and the parity) holds only
+    * inside the documented bound; a DECIMAL(38,0) product is the loud
+    * failure-mode swap if the daily volumes ever approach it.
     */
   def qEventsChangepoint(spark: SparkSession, sfDir: String): DataFrame = {
     val wp = Window.partitionBy("event_type")

@@ -339,6 +339,31 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("BFS round is one equi-join + partial min agg — no nested loop") {
+    // the EXACT per-round plan qGraphBfsHops loops over (bfsRound is the
+    // shared builder): frontier ⋈ adjacency must stay a hash-partitionable
+    // equi-join and the min-dist agg must combine map-side, at every hop
+    val e = graft.queries.SearchOps.coPurchaseEdges(spark, sf001, materialize = false)
+    val adj = e
+      .select(col("u").as("a"), col("v").as("b"))
+      .unionByName(e.select(col("v").as("a"), col("u").as("b")))
+    val dist = e.agg(min(col("u")).as("id")).select(col("id"), lit(0).as("d"))
+    val p = plan(graft.queries.SearchOps.bfsRound(dist, adj))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_min"), p) // map-side combine on the dist agg
+  }
+
+  test("k-core round: partial-agg degree count, semi equi-joins only") {
+    val e = graft.queries.SearchOps.coPurchaseEdges(spark, sf001, materialize = false)
+    val (_, induced) = graft.queries.SearchOps.kcoreRound(e, 3)
+    val p = plan(induced)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("LeftSemi"), p) // survivor filtering is semi-join shaped
+    assert(p.contains("partial_count"), p) // degree agg combines map-side
+  }
+
   test("common neighbors wedge join is degree-oriented (skey/dkey), equi-joins only") {
     val p = plan(graft.queries.SearchOps.qGraphCommonNeighbors(spark, sf001))
     // the orientation rank keys must survive into the physical join

@@ -394,4 +394,109 @@ class SearchOpsSpec extends SparkSuite {
     }
     assert(png == null || !png.crcOk)
   }
+
+  // --------------------------------------------------- bounded-hop BFS
+
+  test("q_graph_bfs_hops: equals a local BFS from the min node, hop 0 is the global min") {
+    val rows = SearchOps.qGraphBfsHops(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    // independent edge list (the q_graph_cc recount) + local queue BFS
+    val items = graft.Tables
+      .lineitem(spark, sf001)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val edges = items
+      .as("a")
+      .join(items.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+      .agg(count(lit(1)).as("s"))
+      .where(col("s") >= 2)
+      .select("u", "v")
+      .as[(Long, Long)]
+      .collect()
+    val adj = (edges ++ edges.map(_.swap))
+      .groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2) }
+    val seed = edges.map(_._1).min
+    val dist = scala.collection.mutable.Map(seed -> 0)
+    var frontier = Set(seed)
+    (1 to 4).foreach { h =>
+      frontier = frontier
+        .flatMap(n => adj.getOrElse(n, Array.empty[Long]))
+        .filterNot(dist.contains(_))
+      frontier.foreach(dist(_) = h)
+    }
+    val reached = dist.toSeq
+      .groupBy(_._2)
+      .map { case (h, ns) =>
+        (h, ns.size.toLong, Option(ns.map(_._1).min), Option(ns.map(_._1).max))
+      }
+    val unreached = adj.keySet -- dist.keySet
+    // the -1 remainder row is always emitted; on a fully-reached graph its
+    // min/max are NULL (sf0.001's co-purchase graph IS fully reached in 4)
+    val want = (reached.toSeq :+
+      ((-1, unreached.size.toLong, unreached.minOption, unreached.maxOption))).sortBy(_._1)
+    val got = rows.map { r =>
+      (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))
+    }.toSeq
+    assert(got == want)
+    // hop 0 is exactly the global min node id, alone
+    val h0 = got.find(_._1 == 0).get
+    assert(h0 == ((0, 1L, Some(seed), Some(seed))))
+  }
+
+  test("q_graph_bfs_hops: an empty co-purchase graph yields only the hops=-1 row") {
+    // single (order, part) line → zero co-purchase pairs → empty edge set;
+    // pins the null-seed guard (no bogus hops=0 row from min(u)=NULL)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bfs_empty").toString
+    spark
+      .range(1)
+      .select(lit(1L).as("l_orderkey"), lit(42L).as("l_partkey"))
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/lineitem.parquet")
+    val rows = SearchOps.qGraphBfsHops(spark, dir).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getInt(0) == -1 && rows.head.getLong(1) == 0L)
+    assert(rows.head.isNullAt(2) && rows.head.isNullAt(3))
+  }
+
+  // ----------------------------------------------------- k-core peel
+
+  test("q_graph_kcore: equals a local 4-round peel; node/edge counts never grow") {
+    val rows = SearchOps.qGraphKcore(spark, sf001).collect()
+    assert(rows.length == 4)
+    val items = graft.Tables
+      .lineitem(spark, sf001)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    var edges = items
+      .as("a")
+      .join(items.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+      .agg(count(lit(1)).as("s"))
+      .where(col("s") >= 2)
+      .select("u", "v")
+      .as[(Long, Long)]
+      .collect()
+      .toSeq
+    val want = (1 to 4).map { r =>
+      val deg = (edges.map(_._1) ++ edges.map(_._2)).groupBy(identity).map {
+        case (k, vs) => k -> vs.size
+      }
+      val keep = deg.filter(_._2 >= 3).keySet
+      edges = edges.filter { case (u, v) => keep(u) && keep(v) }
+      (r, keep.size.toLong, edges.size.toLong)
+    }
+    val got = rows.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+    // peel monotonicity: the surviving core only shrinks round to round
+    val ns = got.map(_._2)
+    val es = got.map(_._3)
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+    assert(es.zip(es.tail).forall { case (a, b) => a >= b })
+  }
 }

@@ -27,6 +27,16 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
+    # Disk hygiene (round-8 postmortem): the x10/x20 certification oracles
+    # spill — uncapped, an in-memory DuckDB left ~80 GB of
+    # duckdb_temp_storage-*.tmp in .tmp/ and filled the disk, zeroing the
+    # round's driver artifacts. Pin the spill location and hard-cap it;
+    # an oracle that needs more than 20 GB of spill at cert scale is a
+    # mis-scaled oracle and should die loudly here, not kill the next run.
+    spill = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".tmp", "duckdb_spill")
+    os.makedirs(spill, exist_ok=True)
+    con.execute(f"SET temp_directory='{spill}'")
+    con.execute("SET max_temp_directory_size='20GB'")
     for t in TABLES:
         # fixture tables are single files; engine-inflated scale data
         # (ScaleProbe) writes Spark parquet DIRECTORIES of the same name

@@ -21,8 +21,13 @@ for p in java.base/java.lang java.base/java.lang.invoke java.base/java.lang.refl
          java.base/sun.util.calendar; do
   ADDOPENS="$ADDOPENS --add-opens $p=ALL-UNNAMED"
 done
+# Round-8 postmortem: leftover spill from cert tooling filled the disk and
+# zeroed the round. No exec — the trap must fire even when the JVM is
+# killed or dies, cleaning DuckDB spill (from any oracle step sharing the
+# .tmp) and the inflated scratch data.
+trap 'rm -rf .tmp/duckdb_spill .tmp/duckdb_temp_storage* "$CP"' EXIT
 SPARK_GRAFT_SCALEPROBE_OUT="${SCALEPROBE_OUT:-$PWD/SCALEPROBE.json}" \
-exec java $ADDOPENS -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+java $ADDOPENS -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -Xmx64g -XX:ReservedCodeCacheSize=1g \
   -XX:PerMethodRecompilationCutoff=-1 -XX:PerBytecodeRecompilationCutoff=-1 \
   -cp "$CP:/opt/spark/jars/*" graft.ScaleProbe /root/testdata/sf0.1 "$WORK" "$FACTOR" ${EXTRA[@]+"${EXTRA[@]}"}
