@@ -1554,6 +1554,104 @@ object CorpusOps {
         max(struct(col("cnt"), -col("l_quantity"))).getField("cnt").as("n_mode"))
       .orderBy("l_returnflag")
 
+  // ------------------------------------------- exact median (radix selection)
+
+  /** Distributed EXACT per-group median via iterative radix selection
+    * (r9, round-8 verdict ask #8 — "the one genuinely absent batch
+    * member": an exact quantile path that survives groups too large to
+    * sort). Lower median (position ⌊(n+1)/2⌋ — the `q_dq_outlier_mad`
+    * convention) of `l_extendedprice` cents per return flag.
+    *
+    * The algorithm (classic distributed selection): keep per group a
+    * live value range [lo, hi] and a target rank k. Each pass buckets
+    * the in-range values into ≤ [[MedianRadixB]] equal integer steps
+    * with ONE partial-count aggregation, collects the ≤ |groups|·B
+    * bucket counts (bounded model state — the IVF-centroid precedent,
+    * never data), walks the cumulative histogram to the bucket holding
+    * rank k, and narrows [lo, hi] to that bucket. Step width shrinks
+    * ×B per pass, so passes = ⌈log_B(range)⌉ — 3 scans for cent-valued
+    * prices at B = 1024, ≤ 7 for ANY 64-bit domain (hard bound,
+    * throws beyond it rather than looping). Compare the alternatives
+    * at 100 TB: a per-group sort window shuffles EVERY row wide
+    * (`q_dq_outlier_mad`'s shape — fine for nation-bounded groups,
+    * fatal for billion-row groups); a KLL/GK sketch
+    * (`q_agg_quantile_sketch`) is one pass but approximate. This is
+    * the exact-AND-unsorted tier: the full table never shuffles — each
+    * pass moves only (group, bucket) pairs into a ≤ B-row-per-group
+    * agg, and the broadcast state frame is |groups| rows.
+    *
+    * Exactness: cents are exact LONGs (house `round(×100)` pattern,
+    * `q_dq_benford` precedent); bucket index `(v − lo) div step` is
+    * exact integer math; the final lo = hi value IS a data value, and
+    * the oracle's position pick replays it bit-for-bit. Grouping-key
+    * cardinality must be driver-bounded (here 3; the contract all
+    * bounded-model-state entries share).
+    */
+  def qAggMedianRadix(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val vals = Tables
+      .lineitem(spark, sfDir)
+      .select(
+        col("l_returnflag").as("grp"),
+        round(col("l_extendedprice") * 100).cast("long").as("v"))
+      .localCheckpoint() // scanned once per pass — materialize the cents once
+    val init = vals
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"), min("v").as("mn"), max("v").as("mx"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // state: group -> (lo, hi, k) with k the 1-based rank inside [lo, hi]
+    var state = init.map { case (g, (n, mn, mx)) => g -> ((mn, mx, (n + 1) / 2)) }
+    var pass = 0
+    while (state.values.exists { case (lo, hi, _) => lo < hi }) {
+      pass += 1
+      if (pass > MedianRadixMaxPasses)
+        throw new IllegalStateException(
+          s"radix selection did not pin the median in $MedianRadixMaxPasses passes " +
+            "(impossible for a 64-bit domain — state corruption)")
+      val live = state.collect {
+        case (g, (lo, hi, k)) if lo < hi =>
+          (g, lo, hi, (hi - lo + 1 + MedianRadixB - 1) / MedianRadixB, k)
+      }.toSeq
+      val stDf = live.map { case (g, lo, hi, step, _) => (g, lo, hi, step) }
+        .toDF("grp", "lo", "hi", "step")
+      val counts = vals
+        .join(broadcast(stDf), "grp")
+        .where(col("v") >= col("lo") && col("v") <= col("hi"))
+        .groupBy(col("grp"), expr("(v - lo) div step").as("bkt"))
+        .agg(count(lit(1)).as("c"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1)
+      state = state ++ live.map { case (g, lo, _, step, k) =>
+        val buckets = counts(g).map { case (_, b, c) => (b, c) }.sortBy(_._1)
+        var cum = 0L
+        var picked = -1L
+        var cumBefore = 0L
+        buckets.foreach { case (b, c) =>
+          if (picked < 0) {
+            if (cum + c >= k) { picked = b; cumBefore = cum }
+            else cum += c
+          }
+        }
+        val newLo = lo + picked * step
+        val newHi = math.min(state(g)._2, newLo + step - 1)
+        g -> ((newLo, newHi, k - cumBefore))
+      }
+    }
+    state.toSeq
+      .map { case (g, (lo, _, _)) => (g, init(g)._1, lo, lo.toDouble / 100.0) }
+      .toDF("grp", "n_rows", "median_cents", "median")
+      .orderBy("grp")
+  }
+
+  /** Radix fan-out per selection pass and the 64-bit pass bound
+    * (1024^7 = 2^70 > 2^64 — the loop CANNOT legitimately exceed it).
+    */
+  val MedianRadixB = 1024L
+  val MedianRadixMaxPasses = 7
+
   // ------------------------------------------------------------ bitwise fns
 
   /** Bitwise function battery (and/or/xor, shifts, popcount) — the bit
@@ -2287,6 +2385,22 @@ object CorpusOps {
               | SELECT unnest(toks) AS tok FROM $DOCS_T),
               |c AS (SELECT tok, count(1) AS cnt FROM toks GROUP BY 1)
               |SELECT tok, cnt FROM c ORDER BY cnt DESC, tok LIMIT 20""".stripMargin)),
+    // the oracle's window position pick replays the lower median the
+    // radix loop pins; cents from the certified round(x*100,0) pattern
+    "q_agg_median_radix" -> Q(
+      qAggMedianRadix,
+      Some("""WITH c AS (
+             | SELECT l_returnflag AS grp,
+             |  CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS v
+             | FROM lineitem),
+             |n AS (SELECT grp, count(1) AS n_rows FROM c GROUP BY grp),
+             |r AS (SELECT grp, v,
+             |       row_number() OVER (PARTITION BY grp ORDER BY v) AS rn
+             |      FROM c)
+             |SELECT r.grp AS grp, n.n_rows, r.v AS median_cents,
+             | CAST(r.v AS DOUBLE) / 100 AS median
+             |FROM r JOIN n USING (grp)
+             |WHERE rn = (n_rows + 1) // 2 ORDER BY grp""".stripMargin)),
     "q_agg_mode" -> Q(
       qAggMode,
       Some("""WITH c AS (

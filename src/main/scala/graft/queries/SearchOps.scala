@@ -367,6 +367,13 @@ object SearchOps {
     (1 to hops).foreach { _ =>
       dist = bfsRound(dist, adj).localCheckpoint()
     }
+    bfsProfile(dist, adj)
+  }
+
+  /** The shared readout of both BFS variants: per-hop node count + id
+    * range, plus the `hops = -1` never-reached remainder row.
+    */
+  private def bfsProfile(dist: DataFrame, adj: DataFrame): DataFrame = {
     val unreached = adj
       .select(col("a").as("id"))
       .distinct()
@@ -379,6 +386,76 @@ object SearchOps {
       .unionByName(unreached)
       .orderBy("hops")
   }
+
+  /** UNBOUNDED single-source BFS (r9, round-8 verdict ask #8): the
+    * strict-convergence variant of [[qGraphBfsHops]] — the same
+    * frontier ⋈ adjacency + fused min-distance round, iterated until a
+    * FIXED POINT with the `DedupClusters` discipline (change detection
+    * fused into the round's one aggregation, eager checkpoint per
+    * round, THROWS after [[BfsMaxRounds]] rounds instead of silently
+    * reporting a partial reach profile). Where the 4-hop entry answers
+    * "what's within k steps", this one answers "the complete eccentric
+    * reach of the seed" — per-hop profile out to the graph's actual
+    * diameter, plus the remainder row for other components.
+    *
+    * Scale shape: identical per-round plan to the bounded entry
+    * (PlanSpec pins it via the shared [[bfsRound]] builder); rounds =
+    * seed eccentricity (13 on the pristine co-purchase graph,
+    * SHRINKING under densification). Distance is a min-semiring label,
+    * so convergence detection is exact: a round changes nothing iff
+    * no node's distance decreased and no new node appeared — the fused
+    * `chg` flag below. The oracle unrolls [[BfsOracleRounds]]
+    * materialized rounds with a convergence POISON (0 rows unless the
+    * last two rounds agree), so budget mismatch fails loudly, never
+    * silently.
+    */
+  def qGraphBfsFull(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = coPurchaseEdges(spark, sfDir)
+    val adj = e
+      .select(col("u").as("a"), col("v").as("b"))
+      .unionByName(e.select(col("v").as("a"), col("u").as("b")))
+      .localCheckpoint() // referenced every round — materialize once
+    var dist = e
+      .agg(min(col("u")).as("id"))
+      .select(col("id"), lit(0).as("d"))
+      .where(col("id").isNotNull)
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < BfsMaxRounds) {
+      val msgs = dist
+        .join(adj, dist("id") === adj("a"))
+        .select(col("b").as("id"), (col("d") + 1).as("d"), lit(false).as("own"))
+      // one aggregation computes the relaxed distance AND whether it
+      // changed: the node's previous distance is its unique own=true
+      // row; a brand-new node has none (coalesce → MaxValue → chg)
+      val next = dist
+        .withColumn("own", lit(true))
+        .unionByName(msgs)
+        .groupBy("id")
+        .agg(
+          min(col("d")).as("d"),
+          (min(col("d")) <
+            coalesce(max(when(col("own"), col("d"))), lit(Int.MaxValue))).as("chg"))
+        .localCheckpoint()
+      converged = next.where(col("chg")).isEmpty
+      dist = next.select("id", "d")
+      i += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"BFS did not reach a fixed point in $BfsMaxRounds rounds; " +
+          "the reach profile would be partial")
+    bfsProfile(dist, adj)
+  }
+
+  /** Strict round budget of [[qGraphBfsFull]] (throw, never a partial
+    * answer) and the oracle's unroll depth. Oracle < engine so an
+    * engine run that NEEDS more than the oracle models fails the
+    * compare loudly rather than certifying a deeper reach untested.
+    */
+  val BfsMaxRounds = 32
+  val BfsOracleRounds = 24
 
   // ------------------------------------------------------ k-core peel
 
@@ -853,6 +930,43 @@ object SearchOps {
            |        FROM (SELECT DISTINCT a AS id FROM adj)
            |        WHERE id NOT IN (SELECT id FROM r4))
            |SELECT * FROM reach UNION ALL SELECT * FROM unr ORDER BY hops""".stripMargin
+      }),
+    // Unbounded strict-convergence BFS: the oracle unrolls
+    // BfsOracleRounds MATERIALIZED min-dist rounds (inlined CTEs would
+    // re-derive exponentially — the q_graph_cc lesson) and poisons the
+    // output to 0 rows unless the last two rounds agree, so an engine
+    // run needing deeper rounds than the oracle models fails LOUDLY.
+    "q_graph_bfs_full" -> Q(
+      qGraphBfsFull,
+      Some {
+        val n = BfsOracleRounds
+        val rounds = (1 to n)
+          .map { r =>
+            s"""r$r AS MATERIALIZED (SELECT id, min(d) AS d FROM (
+               | SELECT id, d FROM r${r - 1}
+               | UNION ALL
+               | SELECT adj.b AS id, p.d + 1 AS d FROM r${r - 1} p JOIN adj ON adj.a = p.id)
+               | GROUP BY id)""".stripMargin
+          }
+          .mkString(",\n")
+        s"""WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+           |e AS (SELECT a.p AS u, b.p AS v FROM it a JOIN it b ON a.o = b.o AND a.p < b.p
+           |      GROUP BY 1, 2 HAVING count(1) >= 2),
+           |adj AS MATERIALIZED (SELECT u AS a, v AS b FROM e UNION ALL SELECT v AS a, u AS b FROM e),
+           |r0 AS (SELECT * FROM (SELECT min(u) AS id, 0 AS d FROM e) WHERE id IS NOT NULL),
+           |$rounds,
+           |chk AS (SELECT (SELECT count(1) FROM r$n) -
+           |        (SELECT count(1) FROM r$n x JOIN r${n - 1} y ON x.id = y.id
+           |         AND x.d = y.d) AS nbad),
+           |reach AS (SELECT CAST(d AS INT) AS hops, count(1) AS n_nodes,
+           |          min(id) AS min_node, max(id) AS max_node FROM r$n GROUP BY 1),
+           |unr AS (SELECT -1 AS hops, count(1) AS n_nodes,
+           |        min(id) AS min_node, max(id) AS max_node
+           |        FROM (SELECT DISTINCT a AS id FROM adj)
+           |        WHERE id NOT IN (SELECT id FROM r$n))
+           |SELECT hops, n_nodes, min_node, max_node
+           |FROM (SELECT * FROM reach UNION ALL SELECT * FROM unr), chk
+           |WHERE chk.nbad = 0 ORDER BY hops""".stripMargin
       }),
     // round budget is CONTRACT (4 peels at k = 3): the oracle unrolls
     // degree-filter + induced-subgraph four times; convergence shows in

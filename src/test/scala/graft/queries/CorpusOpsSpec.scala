@@ -631,4 +631,30 @@ class CorpusOpsSpec extends SparkSuite {
     assert(r.getDouble(3) < 0.0)
     assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0)
   }
+
+  // ----------------------------------------------- exact median (radix)
+
+  test("q_agg_median_radix: equals the sorted position pick, per group") {
+    val rows = CorpusOps.qAggMedianRadix(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val cents = graft.Tables
+      .lineitem(spark, sf001)
+      .select(
+        col("l_returnflag").as("grp"),
+        round(col("l_extendedprice") * 100).cast("long").as("v"))
+      .as[(String, Long)]
+      .collect()
+      .groupBy(_._1)
+      .map { case (g, vs) => g -> vs.map(_._2).sorted }
+    assert(rows.map(_.getString(0)).toSet == cents.keySet)
+    rows.foreach { r =>
+      val (g, n, med) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val sorted = cents(g)
+      assert(n == sorted.length.toLong, s"group $g count")
+      val want = sorted(((n + 1) / 2 - 1).toInt) // lower median, 1-based pick
+      assert(med == want, s"group $g median")
+      assert(r.getDouble(3) == med.toDouble / 100.0)
+      assert(sorted.contains(med)) // the median IS a data value, never interpolated
+    }
+  }
 }

@@ -464,6 +464,62 @@ class SearchOpsSpec extends SparkSuite {
     assert(rows.head.isNullAt(2) && rows.head.isNullAt(3))
   }
 
+  test("q_graph_bfs_full: equals an unbounded local BFS; agrees with the 4-hop entry on hops<=4") {
+    val rows = SearchOps.qGraphBfsFull(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val items = graft.Tables
+      .lineitem(spark, sf001)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val edges = items
+      .as("a")
+      .join(items.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+      .agg(count(lit(1)).as("s"))
+      .where(col("s") >= 2)
+      .select("u", "v")
+      .as[(Long, Long)]
+      .collect()
+    val adj = (edges ++ edges.map(_.swap))
+      .groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2) }
+    val seed = edges.map(_._1).min
+    val dist = scala.collection.mutable.Map(seed -> 0)
+    var frontier = Set(seed)
+    var h = 0
+    while (frontier.nonEmpty) {
+      h += 1
+      frontier = frontier
+        .flatMap(n => adj.getOrElse(n, Array.empty[Long]))
+        .filterNot(dist.contains(_))
+      frontier.foreach(dist(_) = h)
+    }
+    val reached = dist.toSeq
+      .groupBy(_._2)
+      .map { case (hp, ns) =>
+        (hp, ns.size.toLong, Option(ns.map(_._1).min), Option(ns.map(_._1).max))
+      }
+    val unreached = adj.keySet -- dist.keySet
+    val want = (reached.toSeq :+
+      ((-1, unreached.size.toLong, unreached.minOption, unreached.maxOption))).sortBy(_._1)
+    val got = rows.map { r =>
+      (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))
+    }.toSeq
+    assert(got == want)
+    // fixed-point distances never differ from the bounded entry inside
+    // its 4-hop contract (min-dist <= 4 is already final there)
+    val bounded = SearchOps
+      .qGraphBfsHops(spark, sf001)
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+      .toMap
+    got.filter(r => r._1 >= 0 && r._1 <= 4).foreach { case (hp, n, _, _) =>
+      assert(bounded(hp) == n, s"hop $hp")
+    }
+  }
+
   // ----------------------------------------------------- k-core peel
 
   test("q_graph_kcore: equals a local 4-round peel; node/edge counts never grow") {
