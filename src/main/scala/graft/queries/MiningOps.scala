@@ -236,6 +236,98 @@ object MiningOps {
          |GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice
          |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin)
 
+  /** TPC-H Q10 shape (returned-item revenue): which customers returned
+    * the most revenue in a quarter — the classic churn-triage report.
+    * Adapted to the synthetic schema (no comment/address/phone columns;
+    * `c_mktsegment` stands in for the contact detail).
+    *
+    * Scale shape: the only big⋈big is orders⋈lineitem on the orderkey —
+    * both sides pre-filtered (quarter window pushed to the orders scan,
+    * `l_returnflag = 'R'` pushed to the lineitem scan, both visible as
+    * PushedFilters), so the shuffle carries a quarter of one flag's
+    * traffic. customer is a dim only at test SF; at 100 TB it shuffles
+    * on c_custkey like the fact side, which is the correct plan (AQE
+    * broadcasts it while it fits — no hard-coded hint that would OOM the
+    * driver at real |customer|). nation (25 rows) is an explicit
+    * broadcast. Revenue sums are
+    * exact cent LONGs; top-20 is a TakeOrdered k-merge, no global sort.
+    */
+  def qTpchQ10(spark: SparkSession, sfDir: String): DataFrame = {
+    val lo = lit("1996-10-01").cast("timestamp")
+    val hi = lit("1997-01-01").cast("timestamp")
+    val nat = Tables.nation(spark, sfDir).select(col("n_nationkey"), col("n_name"))
+    Tables
+      .orders(spark, sfDir)
+      .where(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .join(
+        Tables.lineitem(spark, sfDir).where(col("l_returnflag") === "R"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(
+        Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(
+        col("c_custkey"),
+        col("c_name"),
+        col("c_acctbal"),
+        col("n_name"),
+        col("c_mktsegment"),
+        cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("disc_c"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name", "c_mktsegment")
+      .agg((sum(col("disc_c")).cast("double") / 100.0).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
+  /** TPC-H Q7 shape (volume shipping): bilateral trade between two
+    * nations by ship year — the two-sided dimension-filter join whose
+    * selectivity lives on BOTH fact arms (supplier's nation via
+    * lineitem, customer's nation via orders).
+    *
+    * Scale shape: supplier and customer each pre-join their 25-row
+    * nation dim (broadcast) and keep only the two nations of interest —
+    * so the fact-side shuffles carry ~2/25 of the key space before the
+    * orders⋈lineitem orderkey join. The year extraction groups 2×2×2
+    * cells; the final cross-nation predicate (the TPC-H FRANCE↔GERMANY
+    * pair maps to NATION_10↔NATION_12 here — both populated at every
+    * fixture SF) applies post-join on two small strings. Sums exact cents.
+    */
+  def qTpchQ7(spark: SparkSession, sfDir: String): DataFrame = {
+    val natPair = Tables
+      .nation(spark, sfDir)
+      .where(col("n_name").isin("NATION_10", "NATION_12"))
+      .select(col("n_nationkey"), col("n_name"))
+    val supp = Tables
+      .supplier(spark, sfDir)
+      .join(broadcast(natPair), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables
+      .customer(spark, sfDir)
+      .join(broadcast(natPair), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    Tables
+      .lineitem(spark, sfDir)
+      .where(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(
+        Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .where(
+        (col("supp_nation") === "NATION_10" && col("cust_nation") === "NATION_12") ||
+          (col("supp_nation") === "NATION_12" && col("cust_nation") === "NATION_10"))
+      .select(
+        col("supp_nation"),
+        col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"),
+        cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("disc_c"))
+      .groupBy("supp_nation", "cust_nation", "l_year")
+      .agg((sum(col("disc_c")).cast("double") / 100.0).as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
   // -------------------------------------------------------- embed outlier
 
   /** Per-label centroid cosine outliers: the 20 vectors least aligned
@@ -1653,6 +1745,36 @@ object MiningOps {
              | AND c_custkey = o_custkey AND l_orderkey = o_orderkey
              |GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice
              |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin)),
+    "q_tpch_q10" -> Q(
+      qTpchQ10,
+      Some("""SELECT c_custkey, c_name, c_acctbal, n_name, c_mktsegment,
+             | CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON l_orderkey = o_orderkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+             | AND o_orderdate < TIMESTAMP '1997-01-01'
+             | AND l_returnflag = 'R'
+             |GROUP BY c_custkey, c_name, c_acctbal, n_name, c_mktsegment
+             |ORDER BY revenue DESC, c_custkey ASC
+             |LIMIT 20""".stripMargin)),
+    "q_tpch_q7" -> Q(
+      qTpchQ7,
+      Some("""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+             | CAST(year(l_shipdate) AS INT) AS l_year,
+             | CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+             |FROM lineitem
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation sn ON s_nationkey = sn.n_nationkey
+             |JOIN nation cn ON c_nationkey = cn.n_nationkey
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             | AND l_shipdate < TIMESTAMP '1998-01-01'
+             | AND ((sn.n_name = 'NATION_10' AND cn.n_name = 'NATION_12') OR
+             |      (sn.n_name = 'NATION_12' AND cn.n_name = 'NATION_10'))
+             |GROUP BY 1, 2, 3
+             |ORDER BY 1, 2, 3""".stripMargin)),
     "q_events_attribution" -> Q(
       qEventsAttribution,
       Some(s"""WITH ev AS $EVT,

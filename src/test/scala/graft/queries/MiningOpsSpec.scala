@@ -85,6 +85,44 @@ class MiningOpsSpec extends SparkSuite {
     assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
   }
 
+  test("q_tpch_q10: top-20 returned revenue; winner matches a direct recompute") {
+    val rows = MiningOps.qTpchQ10(spark, sf001).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val revs = rows.map(_.getDouble(5))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
+    // direct per-customer recompute of the winner's revenue (exact cents)
+    val winner = rows.head.getLong(0)
+    val want = graft.Tables
+      .orders(spark, sf001)
+      .where(
+        col("o_orderdate") >= lit("1996-10-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp") &&
+          col("o_custkey") === winner)
+      .join(
+        graft.Tables.lineitem(spark, sf001).where(col("l_returnflag") === "R"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast("long").as("c"))
+      .agg(sum("c")).head.getLong(0)
+    assert(rows.head.getDouble(5) == want.toDouble / 100.0)
+  }
+
+  test("q_tpch_q7: only the two nation pairs, both directions, years gated") {
+    val rows = MiningOps.qTpchQ7(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val pairs = rows.map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs.subsetOf(Set(("NATION_10", "NATION_12"), ("NATION_12", "NATION_10"))))
+    rows.foreach { r =>
+      val y = r.getInt(2)
+      assert(y == 1996 || y == 1997)
+      assert(r.getDouble(3) >= 0.0)
+    }
+    // sorted by (supp, cust, year)
+    val keys = rows.map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    assert(keys.sameElements(keys.sorted))
+  }
+
   // -------------------------------------------------------- embed outlier
 
   test("q_embed_outlier: 20 ascending-cosine rows, stable across partitionings") {
