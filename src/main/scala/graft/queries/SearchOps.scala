@@ -513,6 +513,75 @@ object SearchOps {
     perRound.reduce(_ unionByName _).orderBy("round")
   }
 
+  // -------------------------------------------- label propagation (LPA)
+
+  /** One synchronous label-propagation round: each node adopts the most
+    * frequent label among its neighbors AND itself (the self-vote damps
+    * the 2-cycle oscillation plain synchronous LPA is prone to), ties
+    * broken to the SMALLEST label — fully deterministic, no RNG. The
+    * argmax is one fused aggregation: `max(struct(cnt, -lab))` picks
+    * highest count then (via the negated label) lowest label. Exposed so
+    * PlanSpec can pin the per-round plan: one equi-join + two partial
+    * aggregations, no window, no nested loop.
+    */
+  private[graft] def lpaRound(labels: DataFrame, adj: DataFrame): DataFrame = {
+    val msgs = labels
+      .join(adj, labels("id") === adj("a"))
+      .select(col("b").as("id"), col("lab"))
+    labels
+      .unionByName(msgs)
+      .groupBy("id", "lab")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("id")
+      .agg(max(struct(col("cnt"), (-col("lab")).as("neg"))).as("w"))
+      .select(col("id"), (-col("w.neg")).as("lab"))
+  }
+
+  /** Community detection by deterministic synchronous label propagation
+    * (Raghavan et al. 2007, made engine-exact): 4 rounds by CONTRACT
+    * over the co-purchase graph, self-vote + min-label tie-break (no
+    * randomness — the published algorithm's random visit order is what
+    * keeps it out of most SQL engines; the synchronous deterministic
+    * variant is oracle-replayable). Output: per-round community profile
+    * (count, largest size, Σ-label checksum over nodes), round 0 = the
+    * all-singletons baseline. Convergence on a given graph is observable
+    * as equal consecutive rows (the `q_graph_kcore` readout idea);
+    * community QUALITY differences vs modularity methods are inherent to
+    * LPA, not to this implementation.
+    *
+    * Scale shape: per round one adjacency equi-join + two partial-agg
+    * shuffles ((id,lab) vote count, then per-id argmax) — the
+    * `DedupClusters` propagation family with a frequency semiring
+    * instead of min; labels checkpoint per round (12 B/node state);
+    * the profile readout adds one label-keyed agg per round on a
+    * |V|-row frame. Fixed rounds ⇒ the oracle unrolls exactly.
+    */
+  def qGraphLabelProp(spark: SparkSession, sfDir: String): DataFrame = {
+    val rounds = 4
+    val e = coPurchaseEdges(spark, sfDir)
+    val adj = e
+      .select(col("u").as("a"), col("v").as("b"))
+      .unionByName(e.select(col("v").as("a"), col("u").as("b")))
+      .localCheckpoint()
+    var labels = adj
+      .select(col("a").as("id"))
+      .distinct()
+      .select(col("id"), col("id").as("lab"))
+      .localCheckpoint()
+    val profile = (0 to rounds).map { r =>
+      if (r > 0) labels = lpaRound(labels, adj).localCheckpoint()
+      labels
+        .groupBy("lab")
+        .agg(count(lit(1)).as("sz"))
+        .agg(
+          count(lit(1)).as("n_comm"),
+          max(col("sz")).as("largest"),
+          sum(col("lab") * col("sz")).as("checksum"))
+        .select(lit(r).as("round"), col("n_comm"), col("largest"), col("checksum"))
+    }
+    profile.reduce(_ unionByName _).orderBy("round")
+  }
+
   // ------------------------------------------------- triangle counting
 
   /** Per-node triangle membership counts (top 20) over the co-purchase
@@ -990,6 +1059,38 @@ object SearchOps {
         s"""WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
            |e0 AS (SELECT a.p AS u, b.p AS v FROM it a JOIN it b ON a.o = b.o AND a.p < b.p
            |      GROUP BY 1, 2 HAVING count(1) >= 2),
+           |$rounds
+           |$heads
+           |ORDER BY round""".stripMargin
+      }),
+    "q_graph_label_prop" -> Q(
+      qGraphLabelProp,
+      Some {
+        val rounds = (1 to 4)
+          .map { r =>
+            s"""l$r AS MATERIALIZED (
+               | SELECT id, lab FROM (
+               |  SELECT id, lab,
+               |   row_number() OVER (PARTITION BY id ORDER BY cnt DESC, lab ASC) AS rn
+               |  FROM (SELECT id, lab, count(1) AS cnt FROM (
+               |    SELECT id, lab FROM l${r - 1}
+               |    UNION ALL
+               |    SELECT adj.b AS id, p.lab FROM l${r - 1} p JOIN adj ON adj.a = p.id)
+               |   GROUP BY id, lab))
+               | WHERE rn = 1)""".stripMargin
+          }
+          .mkString(",\n")
+        val heads = (0 to 4)
+          .map(r =>
+            s"""SELECT $r AS round, count(1) AS n_comm, max(sz) AS largest,
+               | CAST(sum(lab * sz) AS BIGINT) AS checksum
+               |FROM (SELECT lab, count(1) AS sz FROM l$r GROUP BY lab)""".stripMargin)
+          .mkString("\n UNION ALL ")
+        s"""WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+           |e AS (SELECT a.p AS u, b.p AS v FROM it a JOIN it b ON a.o = b.o AND a.p < b.p
+           |      GROUP BY 1, 2 HAVING count(1) >= 2),
+           |adj AS MATERIALIZED (SELECT u AS a, v AS b FROM e UNION ALL SELECT v AS a, u AS b FROM e),
+           |l0 AS MATERIALIZED (SELECT DISTINCT a AS id, a AS lab FROM adj),
            |$rounds
            |$heads
            |ORDER BY round""".stripMargin

@@ -364,6 +364,20 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("partial_count"), p) // degree agg combines map-side
   }
 
+  test("LPA round: one equi-join, fused vote/argmax partial aggs, no window") {
+    val e = graft.queries.SearchOps.coPurchaseEdges(spark, sf001, materialize = false)
+    val adj = e
+      .select(col("u").as("a"), col("v").as("b"))
+      .unionByName(e.select(col("v").as("a"), col("u").as("b")))
+    val labels = adj.select(col("a").as("id")).distinct().select(col("id"), col("id").as("lab"))
+    val p = plan(graft.queries.SearchOps.lpaRound(labels, adj))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p) // argmax is max(struct), not row_number
+    assert(p.contains("partial_count"), p) // vote count combines map-side
+    assert(p.contains("partial_max"), p) // argmax combines map-side
+  }
+
   test("common neighbors wedge join is degree-oriented (skey/dkey), equi-joins only") {
     val p = plan(graft.queries.SearchOps.qGraphCommonNeighbors(spark, sf001))
     // the orientation rank keys must survive into the physical join

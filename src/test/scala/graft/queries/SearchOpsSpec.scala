@@ -522,6 +522,51 @@ class SearchOpsSpec extends SparkSuite {
 
   // ----------------------------------------------------- k-core peel
 
+  test("q_graph_label_prop: equals a local deterministic LPA; communities only merge") {
+    val rows = SearchOps.qGraphLabelProp(spark, sf001).collect()
+    assert(rows.length == 5)
+    val items = graft.Tables
+      .lineitem(spark, sf001)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val edges = items
+      .as("a")
+      .join(items.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+      .agg(count(lit(1)).as("s"))
+      .where(col("s") >= 2)
+      .select("u", "v")
+      .as[(Long, Long)]
+      .collect()
+    val adj = (edges ++ edges.map(_.swap))
+      .groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2) }
+    var lab: Map[Long, Long] = adj.keySet.map(n => n -> n).toMap
+    def profile(r: Int): (Int, Long, Long, Long) = {
+      val sizes = lab.values.groupBy(identity).map { case (_, vs) => vs.size }
+      ( r,
+        sizes.size.toLong,
+        sizes.max.toLong,
+        lab.values.sum)
+    }
+    val want = Seq(profile(0)) ++ (1 to 4).map { r =>
+      lab = adj.keys.map { n =>
+        // self-vote + neighbor votes; argmax by (count desc, label asc)
+        val votes = (lab(n) +: adj(n).map(lab)).groupBy(identity)
+          .map { case (l, vs) => (l, vs.size) }
+        n -> votes.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }.toMap
+      profile(r)
+    }
+    val got = rows.map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want)
+    // round 0 is the all-singletons baseline
+    assert(got.head._2 == adj.size.toLong && got.head._3 == 1L)
+    // propagation only coarsens: community count never increases
+    val ncs = got.map(_._2)
+    assert(ncs.zip(ncs.tail).forall { case (a, b) => a >= b })
+  }
+
   test("q_graph_kcore: equals a local 4-round peel; node/edge counts never grow") {
     val rows = SearchOps.qGraphKcore(spark, sf001).collect()
     assert(rows.length == 4)
