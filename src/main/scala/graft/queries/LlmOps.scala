@@ -1641,6 +1641,46 @@ object LlmOps {
       .select(col("doc_id"), col("lang"), col("n_chars"))
       .orderBy("doc_id")
 
+  /** Micro-quantized ln(2^40): the A-ES key constant, pinned as an
+    * integer LITERAL (= round(1e6·40·ln 2)) rather than computed — a
+    * 1-ulp cross-engine disagreement on a shared `ln` constant would
+    * shift every key by a w-dependent amount and could flip rank-20
+    * boundaries at scale.
+    */
+  private val EsLnCapMicro = 27725887L
+
+  /** Weighted sampling without replacement, top-20 by n_chars weight —
+    * the Efraimidis–Spirakis A-ES scheme made deterministic: each row
+    * draws u ∈ (0,1] from a 40-bit md5 of its doc_id (reproducible
+    * across engines/runs/partitionings — the same reason `df.sample()`
+    * is banned from this family) and wins by largest u^(1/w), i.e.
+    * SMALLEST −ln(u)/w. A-ES is the standard one-pass distributed
+    * weighted sample: P(row in top-k) matches sequential weighted
+    * draws without replacement, and the key is computable per-row with
+    * no global state.
+    *
+    * Cross-engine float discipline: with h ∈ [1, 2^40] integer,
+    * −ln(u) = ln(2^40) − ln(h); `ln` takes only INTEGER arguments
+    * (micro-quantized, the q_text_zipf pattern), the cap is the pinned
+    * [[EsLnCapMicro]] literal, and the key is ONE IEEE division of two
+    * exact integers — bit-identical across engines. Scale shape:
+    * stateless per-row key at the scan + TakeOrdered k-merge; zero
+    * shuffles.
+    */
+  def qSampleWeighted(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 10), 16, 10)
+      .cast("long") + lit(1L)
+    Tables
+      .documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        col("n_chars").as("weight"),
+        ((lit(EsLnCapMicro) - round(log(h) * 1e6).cast("long")).cast("double") /
+          col("n_chars")).as("es_key"))
+      .orderBy(col("es_key").asc, col("doc_id").asc)
+      .limit(20)
+  }
+
   /** Deterministic train/val/test assignment (80/10/10) keyed on doc_id
     * (the standard split-by-document rule: a document must never straddle
     * splits). Multiplicative-hash mod keeps both engines in exact integer
@@ -2464,6 +2504,14 @@ object LlmOps {
       qSampleHash,
       Some("""SELECT doc_id, lang, n_chars FROM documents
              |WHERE substr(md5(text), 1, 2) < '1a' ORDER BY doc_id""".stripMargin)),
+    "q_sample_weighted" -> Q(
+      qSampleWeighted,
+      Some("""SELECT doc_id, n_chars AS weight,
+             | CAST(27725887 - CAST(round(ln(h) * 1e6, 0) AS BIGINT) AS DOUBLE) / n_chars AS es_key
+             |FROM (SELECT doc_id, n_chars,
+             |       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 10))::UBIGINT + 1 AS BIGINT) AS h
+             |      FROM documents)
+             |ORDER BY es_key ASC, doc_id ASC LIMIT 20""".stripMargin)),
     "q_split_assign" -> Q(
       qSplitAssign,
       Some("""SELECT doc_id,

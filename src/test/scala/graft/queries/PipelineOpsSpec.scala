@@ -11,6 +11,39 @@ import org.apache.spark.sql.functions._
   */
 class PipelineOpsSpec extends SparkSuite {
 
+  test("q_sample_weighted: equals a local A-ES recompute; keys strictly ordered") {
+    val rows = LlmOps.qSampleWeighted(spark, sf001).collect()
+    assert(rows.length == 20)
+    // independent local recompute of every doc's A-ES key
+    val docs = graft.Tables
+      .documents(spark, sf001)
+      .select("doc_id", "n_chars")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest
+        .getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x")
+        .mkString
+    val want = docs
+      .map { case (id, w) =>
+        val h = java.lang.Long.parseLong(md5hex(id.toString).substring(0, 10), 16) + 1L
+        val lnq = BigDecimal(math.log(h.toDouble) * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP)
+          .toLong
+        (id, w, (27725887L - lnq).toDouble / w)
+      }
+      .sortBy { case (id, _, k) => (k, id) }
+      .take(20)
+      .toSeq
+    val got = rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == want)
+    val keys = got.map(_._3)
+    assert(keys.zip(keys.tail).forall { case (a, b) => a <= b })
+    assert(keys.forall(_ >= 0.0)) // h <= 2^40 so the capped ln never goes negative
+  }
+
   test("repetition metrics match a hand computation of one document") {
     import spark.implicits._
     val doc0 = graft.Tables
