@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -507,6 +507,58 @@ object QualityOps {
 
   private val DOCS_T = LlmOps.DOCS_T
 
+  /** Mutual information between two categorical columns (market segment
+    * × customer nation) — the "are these dimensions independent?"
+    * readout a feature-selection or leakage audit starts from: MI ≈ 0
+    * says segment carries no nation signal; the normalized NMI
+    * (MI / √(H_seg·H_nat)) makes the number comparable across column
+    * pairs with different cardinalities.
+    *
+    * Exactness: one (seg, nation) count shuffle builds the contingency
+    * table; every ln takes an INTEGER argument (N·n_ij, n_i, n_j, N —
+    * micro-quantized, the NLL discipline), so the MI and entropy
+    * numerators are exact LONG sums over ≤ |seg|·|nation| cells; the
+    * emitted doubles are short identical IEEE sequences on those exact
+    * integers. Scale shape: corpus-scale work is the ONE cell count agg
+    * (partial map-side); everything after runs on the ~125-row
+    * contingency frame (checkpointed — it feeds three marginal aggs).
+    */
+  def qStatsMutualInfo(spark: SparkSession, sfDir: String): DataFrame = {
+    def lnq(c: Column): Column = round(log(c) * 1e6).cast("long")
+    val nat = Tables.nation(spark, sfDir).select(col("n_nationkey"), col("n_name"))
+    val cells = Tables
+      .customer(spark, sfDir)
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_mktsegment").as("seg"), col("n_name").as("nat"))
+      .agg(count(lit(1)).as("nij"))
+      .localCheckpoint() // ~125 rows, feeds four downstream aggs
+    val segM = cells.groupBy("seg").agg(sum("nij").as("ni"))
+    val natM = cells.groupBy("nat").agg(sum("nij").as("nj"))
+    val tot = cells.agg(sum("nij").as("n"))
+    val mi = cells
+      .join(segM, "seg")
+      .join(natM, "nat")
+      .crossJoin(broadcast(tot))
+      .select(
+        (col("nij") *
+          (lnq(col("n") * col("nij")) - lnq(col("ni")) - lnq(col("nj")))).as("t"))
+      .agg(sum("t").as("mi_micro"))
+    val hSeg = segM.agg(sum(col("ni") * lnq(col("ni"))).as("s_seg"))
+    val hNat = natM.agg(sum(col("nj") * lnq(col("nj"))).as("s_nat"))
+    tot
+      .crossJoin(mi)
+      .crossJoin(hSeg)
+      .crossJoin(hNat)
+      .select(
+        col("n").as("n_customers"),
+        (col("mi_micro").cast("double") / col("n") / 1e6).as("mi_nats"),
+        ((col("n") * lnq(col("n")) - col("s_seg")).cast("double") / col("n") / 1e6)
+          .as("h_segment"),
+        ((col("n") * lnq(col("n")) - col("s_nat")).cast("double") / col("n") / 1e6)
+          .as("h_nation"))
+      .withColumn("nmi", col("mi_nats") / sqrt(col("h_segment") * col("h_nation")))
+  }
+
   val all: Seq[(String, Q)] = Seq(
     "q_text_gopher" -> Q(
       qTextGopher,
@@ -624,6 +676,31 @@ object QualityOps {
              |FROM wt, z ORDER BY lang""".stripMargin)),
     // nine spec constants, integer cents, string-of-integer digit — no
     // transcendental touches data, so the ppm table is engine-exact
+    "q_stats_mutual_info" -> Q(
+      qStatsMutualInfo,
+      Some("""WITH cells AS (
+             | SELECT c_mktsegment AS seg, n_name AS nat, count(1) AS nij
+             | FROM customer JOIN nation ON c_nationkey = n_nationkey
+             | GROUP BY 1, 2),
+             |sm AS (SELECT seg, CAST(sum(nij) AS BIGINT) AS ni FROM cells GROUP BY 1),
+             |nm AS (SELECT nat, CAST(sum(nij) AS BIGINT) AS nj FROM cells GROUP BY 1),
+             |t AS (SELECT CAST(sum(nij) AS BIGINT) AS n FROM cells),
+             |mi AS (
+             | SELECT CAST(sum(nij * (CAST(round(ln(n * nij) * 1e6, 0) AS BIGINT)
+             |                        - CAST(round(ln(ni) * 1e6, 0) AS BIGINT)
+             |                        - CAST(round(ln(nj) * 1e6, 0) AS BIGINT))) AS BIGINT) AS mi_micro
+             | FROM cells JOIN sm USING (seg) JOIN nm USING (nat), t),
+             |hs AS (SELECT CAST(sum(ni * CAST(round(ln(ni) * 1e6, 0) AS BIGINT)) AS BIGINT) AS s_seg FROM sm),
+             |hn AS (SELECT CAST(sum(nj * CAST(round(ln(nj) * 1e6, 0) AS BIGINT)) AS BIGINT) AS s_nat FROM nm),
+             |base AS (
+             | SELECT n AS n_customers,
+             |  CAST(mi_micro AS DOUBLE) / n / 1e6 AS mi_nats,
+             |  CAST(n * CAST(round(ln(n) * 1e6, 0) AS BIGINT) - s_seg AS DOUBLE) / n / 1e6 AS h_segment,
+             |  CAST(n * CAST(round(ln(n) * 1e6, 0) AS BIGINT) - s_nat AS DOUBLE) / n / 1e6 AS h_nation
+             | FROM t, mi, hs, hn)
+             |SELECT n_customers, mi_nats, h_segment, h_nation,
+             | mi_nats / sqrt(h_segment * h_nation) AS nmi
+             |FROM base""".stripMargin)),
     "q_dq_benford" -> Q(
       qDqBenford,
       Some("""WITH b AS (

@@ -11,6 +11,44 @@ import org.apache.spark.sql.functions._
 class QualityOpsSpec extends SparkSuite {
   import spark.implicits._
 
+  test("q_stats_mutual_info: equals a local contingency recompute; information laws hold") {
+    val rows = QualityOps.qStatsMutualInfo(spark, sf001).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    // local recompute with the same integer-ln micro quantization
+    val cells = graft.Tables
+      .customer(spark, sf001)
+      .join(
+        graft.Tables.nation(spark, sf001),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_mktsegment", "n_name")
+      .count()
+      .as[(String, String, Long)]
+      .collect()
+    def lnq(x: Long): Long =
+      BigDecimal(math.log(x.toDouble) * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val n = cells.map(_._3).sum
+    val ni = cells.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum }
+    val nj = cells.groupBy(_._2).map { case (k, v) => k -> v.map(_._3).sum }
+    val miMicro = cells.map { case (s, t, c) =>
+      c * (lnq(n * c) - lnq(ni(s)) - lnq(nj(t)))
+    }.sum
+    val hSeg = (n * lnq(n) - ni.values.map(v => v * lnq(v)).sum).toDouble / n / 1e6
+    val hNat = (n * lnq(n) - nj.values.map(v => v * lnq(v)).sum).toDouble / n / 1e6
+    assert(r.getLong(0) == n)
+    assert(r.getDouble(1) == miMicro.toDouble / n / 1e6)
+    assert(r.getDouble(2) == hSeg)
+    assert(r.getDouble(3) == hNat)
+    assert(r.getDouble(4) == r.getDouble(1) / math.sqrt(hSeg * hNat))
+    // information laws: 0 <= MI <= min(H); NMI in [0, 1] (up to the 1e-6
+    // ln grid, whose per-cell error can push MI a hair below zero on
+    // near-independent columns — allow the grid's slack)
+    val slack = 1e-4
+    assert(r.getDouble(1) >= -slack)
+    assert(r.getDouble(1) <= math.min(hSeg, hNat) + slack)
+    assert(r.getDouble(4) <= 1.0 + slack)
+  }
+
   test("q_text_gopher: verdict is the AND of its rules; one doc recomputed raw") {
     val rows = QualityOps.qTextGopher(spark, sf001).collect()
     assert(rows.length == 500)
