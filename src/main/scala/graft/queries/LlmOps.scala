@@ -1071,6 +1071,87 @@ object LlmOps {
       .limit(10)
   }
 
+  /** ANN recall@10 evaluation harness — the measurement loop that makes
+    * an ANN index deployable (the `q_dedup_near_eval` idea applied to
+    * similarity search): for a 5-query batch, run BOTH the exact
+    * brute-force top-10 and the banded multi-probe LSH top-10
+    * ([[qSimAnn]]'s radius-2 probe ball, generalized to a query batch),
+    * and report per query the candidate count and recall@10 =
+    * |ANN ∩ exact| / 10. Recall near 1 with a small candidate fraction
+    * is the go/no-go for replacing the exact path; a recall drop after
+    * re-hashing or re-banding is the regression this entry catches.
+    *
+    * Scale shape: the query side (5 vectors, then 5×137×8 probe keys)
+    * broadcasts; the corpus-scale work is one banded-index semi-lookup
+    * plus one exact-scan rerank — the exact arm IS the expensive truth
+    * twin, which is the point of an eval harness (run on a sampled
+    * query set, not per-query in production). Ranks use the shared
+    * fixed-point cosine, so both engines agree bit-for-bit; recall is
+    * one IEEE division of exact integers.
+    *
+    * On THIS synthetic corpus the measured recall is low (0–0.3) and
+    * that is the harness working, not failing: the corpus's best pairs
+    * sit near the random-cosine floor (see [[qSimAnn]]'s probe-ball
+    * note), and LSH fundamentally cannot rank a query's random-level
+    * neighbors — there is no locality to be sensitive to. The
+    * planted-near-duplicate spec proves the other side: an actual
+    * near-dup neighbor is recalled.
+    */
+  def qAnnRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = 10
+    val nQ = 5
+    val e = Tables.embeddings(spark, sfDir)
+    val data = e.where(col("vec_id") >= nQ)
+    val q = e
+      .where(col("vec_id") < nQ)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
+    val sims = data
+      .crossJoin(broadcast(q))
+      .select(col("q_id"), col("vec_id"), cosSim(col("embedding"), col("q_emb")).as("sim"))
+    val exact = sims
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select("q_id", "vec_id")
+    val masks = spark
+      .range(1 << 16)
+      .select(col("id").cast("int").as("mask"))
+      .where(bit_count(col("mask")) <= 2)
+    val probes = withSigs(e.where(col("vec_id") < nQ))
+      .select(col("vec_id").as("q_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("q_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .crossJoin(masks)
+      .select(col("q_id"), col("band"), col("key").bitwiseXOR(col("mask")).as("key"))
+    val cand = bandedIndex(data)
+      .join(broadcast(probes), Seq("band", "key"))
+      .select("q_id", "vec_id")
+      .distinct()
+      .localCheckpoint() // feeds both the rerank and the candidate count
+    // the ANN arm reranks ONLY the candidate subset (the production plan
+    // shape) — not a filtered copy of the exact scan
+    val ann = cand
+      .join(data.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(q), "q_id")
+      .select(col("q_id"), col("vec_id"), cosSim(col("embedding"), col("q_emb")).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select("q_id", "vec_id")
+    val hits = ann
+      .join(exact, Seq("q_id", "vec_id"), "left_semi")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("n_hit"))
+    val nc = cand.groupBy("q_id").agg(count(lit(1)).as("n_candidates"))
+    q.select("q_id")
+      .join(nc, Seq("q_id"), "left")
+      .join(hits, Seq("q_id"), "left")
+      .select(
+        col("q_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / k).as("recall"))
+      .orderBy("q_id")
+  }
+
   /** ANN via IVF (inverted file): k-means-lite centroids (deterministic
     * init from vec_id 1..K, two Lloyd iterations with exact decimal-mean
     * centroid updates), every vector assigned to its nearest centroid,
@@ -2313,6 +2394,42 @@ object LlmOps {
               | SELECT DISTINCT k.vec_id FROM pkeys k JOIN qk ON k.band = qk.band
               | WHERE k.vec_id <> 0 AND bit_count(xor(k.key, qk.qkey)) <= 2),
               |$ANN_RERANK_TAIL""".stripMargin)),
+    "q_ann_recall" -> Q(
+      qAnnRecall,
+      Some(s"""WITH ${planeKeysCte(128, 16)},
+              |qk AS (SELECT vec_id AS q_id, band, key AS qkey FROM pkeys WHERE vec_id < 5),
+              |cand AS (
+              | SELECT DISTINCT qk.q_id, k.vec_id FROM pkeys k JOIN qk ON k.band = qk.band
+              | WHERE k.vec_id >= 5 AND bit_count(xor(k.key, qk.qkey)) <= 2),
+              |qv AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+              |un AS (
+              | SELECT qv.q_id, e.vec_id, unnest(e.embedding) AS x, unnest(qv.q_emb) AS y
+              | FROM embeddings e, qv WHERE e.vec_id >= 5),
+              |s AS (
+              | SELECT q_id, vec_id,
+              |  CAST(CAST(sum(CAST(round(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1e12, 0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12 AS dot,
+              |  CAST(CAST(sum(CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12, 0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12 AS ne,
+              |  CAST(CAST(sum(CAST(round(CAST(y AS DOUBLE) * CAST(y AS DOUBLE) * 1e12, 0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12 AS nq
+              | FROM un GROUP BY q_id, vec_id),
+              |ex AS (
+              | SELECT q_id, vec_id FROM (
+              |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+              |    ORDER BY dot / (sqrt(ne) * sqrt(nq)) DESC, vec_id ASC) AS rk FROM s)
+              | WHERE rk <= 10),
+              |ann AS (
+              | SELECT q_id, vec_id FROM (
+              |  SELECT s.q_id, s.vec_id, row_number() OVER (PARTITION BY s.q_id
+              |    ORDER BY dot / (sqrt(ne) * sqrt(nq)) DESC, s.vec_id ASC) AS rk
+              |  FROM s JOIN cand ON s.q_id = cand.q_id AND s.vec_id = cand.vec_id)
+              | WHERE rk <= 10),
+              |h AS (SELECT q_id, count(1) AS n_hit FROM ann JOIN ex USING (q_id, vec_id) GROUP BY 1),
+              |nc AS (SELECT q_id, count(1) AS n_candidates FROM cand GROUP BY 1)
+              |SELECT q.q_id, coalesce(nc.n_candidates, 0) AS n_candidates,
+              | coalesce(h.n_hit, 0) AS n_hit,
+              | CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 10 AS recall
+              |FROM (SELECT q_id FROM qv) q
+              |LEFT JOIN nc USING (q_id) LEFT JOIN h USING (q_id)
+              |ORDER BY q_id""".stripMargin)),
     // bench=false: the run is dominated by the IVF BUILD (k-means
     // training = 6+ jobs with driver-side model updates) — index
     // construction, not per-query cost; q_sim_ann is the benched ANN.

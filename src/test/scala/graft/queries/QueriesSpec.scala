@@ -163,6 +163,40 @@ class QueriesSpec extends SparkSuite {
     assert(annCand.size == math.min(10, brute.size))
   }
 
+  test("q_ann_recall: metric laws hold; a planted near-duplicate is recalled") {
+    // metric-law pass on the real fixture (low recall here is the
+    // documented random-cosine-floor property, not a harness bug)
+    val rows = LlmOps.qAnnRecall(spark, sf001).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (nc, nh, rec) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(nh <= math.min(nc, 10L))
+      assert(rec == nh.toDouble / 10)
+    }
+    // planted fixture: queries 0-4 are EXACT copies of data vectors 5-9 —
+    // identical signatures land in the same buckets, cosine 1 ranks
+    // first in both arms, so every query must recall its plant
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_recall").toString
+    val vecs = (5L until 60L).map { id =>
+      (id, Array.fill(64)(rnd.nextFloat() * 2f - 1f), (id % 3).toInt)
+    }
+    val planted = ((0L until 5L).map(q => (q, vecs(q.toInt)._2, vecs(q.toInt)._3)) ++ vecs).toSeq
+    planted
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val pr = LlmOps.qAnnRecall(spark, dir).collect()
+    assert(pr.length == 5)
+    pr.foreach { r =>
+      assert(r.getLong(1) >= 1L) // the identical-signature plant is a candidate
+      assert(r.getLong(2) >= 1L) // and it is recalled in the top 10
+    }
+  }
+
   test("q_dedup_exact keeps one representative per distinct text") {
     val docs = Tables.documents(spark, sf001).count()
     val out = LlmOps.qDedupExact(spark, sf001)
