@@ -138,6 +138,18 @@ object StreamingQueries {
       .toDF()
       .orderBy("user_id", "session_id")
 
+  /** Batch twin of the stateful streaming funnel (see
+    * [[graft.streaming.Streams.funnelStateful]]): the same advance-only
+    * state function over all events per user at once. The oracle chains
+    * three first-match window picks under the identical strict
+    * (ts, event_id) order key.
+    */
+  def funnel(spark: SparkSession, sfDir: String): DataFrame =
+    Streams
+      .funnelStateful(Tables.events(spark, sfDir), streaming = false)
+      .toDF()
+      .orderBy("user_id", "stage")
+
   val all: Seq[(String, Q)] = Seq(
     "s_stream_tumbling" -> Q(
       tumbling,
@@ -180,6 +192,34 @@ object StreamingQueries {
               |           + CASE WHEN l3 IS NOT NULL THEN 2 ELSE 0 END
               |           + CASE WHEN l4 IS NOT NULL THEN 1 ELSE 0 END) / 1e6, 6) AS ewma_value
               |FROM l ORDER BY event_id""".stripMargin)),
+    "s_stream_funnel" -> Q(
+      funnel,
+      Some(s"""WITH ev AS (SELECT event_id, ts, user_id, event_type FROM $EV),
+              |v AS (
+              | SELECT user_id, event_id, ts FROM (
+              |  SELECT user_id, event_id, ts,
+              |   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+              |  FROM ev WHERE event_type = 'view') WHERE rn = 1),
+              |c AS (
+              | SELECT user_id, event_id, ts FROM (
+              |  SELECT e.user_id, e.event_id, e.ts,
+              |   row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
+              |  FROM ev e JOIN v ON e.user_id = v.user_id
+              |  WHERE e.event_type = 'click'
+              |   AND (e.ts > v.ts OR (e.ts = v.ts AND e.event_id > v.event_id)))
+              | WHERE rn = 1),
+              |p AS (
+              | SELECT user_id, event_id FROM (
+              |  SELECT e.user_id, e.event_id,
+              |   row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
+              |  FROM ev e JOIN c ON e.user_id = c.user_id
+              |  WHERE e.event_type = 'purchase'
+              |   AND (e.ts > c.ts OR (e.ts = c.ts AND e.event_id > c.event_id)))
+              | WHERE rn = 1)
+              |SELECT user_id, CAST(1 AS INT) AS stage, event_id FROM v
+              |UNION ALL SELECT user_id, CAST(2 AS INT), event_id FROM c
+              |UNION ALL SELECT user_id, CAST(3 AS INT), event_id FROM p
+              |ORDER BY user_id, stage""".stripMargin)),
     // bench=false: shares q_topk_approx's sketch construction (benching
     // both would double-count it); the streaming surface is what this
     // entry adds, proven in StreamingSpec.

@@ -438,6 +438,63 @@ object Streams {
         col("purchase_ts"))
   }
 
+  /** Stateful streaming funnel: per user, emit a row each time the
+    * view → click → purchase funnel ADVANCES — stage 1 on the user's
+    * first view, stage 2 on the first click strictly after that view,
+    * stage 3 on the first purchase strictly after that click. The
+    * online form of `q_events_funnel`'s conversion report: the emitted
+    * stream is the per-user conversion log a dashboard tails, and
+    * COUNTing stages reproduces the batch funnel totals.
+    *
+    * Semantics are pinned to the event-time order key (ts, event_id):
+    * "after" is a strict tuple comparison, so simultaneous-timestamp
+    * events resolve deterministically. State per user is 3 longs
+    * (stage, last-advance order key) — bounded for any stream length;
+    * a user who completes the funnel stops updating state. Within a
+    * trigger the state fn sorts its slice by the order key; ACROSS
+    * triggers events must arrive key-ordered per user (the same
+    * online-semantics caveat [[ewmaStateful]] documents: a late view
+    * cannot retroactively un-advance a funnel an online system already
+    * acted on).
+    */
+  def funnelStateful(events: DataFrame, streaming: Boolean): Dataset[FunnelRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def micros(t: java.sql.Timestamp): Long = {
+      val i = t.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    def fn(
+        uid: Long,
+        it: Iterator[(Long, java.sql.Timestamp, String)],
+        state: GroupState[FunnelState]): Iterator[FunnelRow] = {
+      val evs = it.toArray.sortBy(e => (micros(e._2), e._1))
+      var s = state.getOption.getOrElse(FunnelState(0, 0L, 0L))
+      val wanted = Map(0 -> "view", 1 -> "click", 2 -> "purchase")
+      val out = Vector.newBuilder[FunnelRow]
+      evs.foreach { case (eid, ts, typ) =>
+        val us = micros(ts)
+        val after = s.stage == 0 ||
+          us > s.lastUs || (us == s.lastUs && eid > s.lastId)
+        if (s.stage < 3 && wanted(s.stage) == typ && after) {
+          s = FunnelState(s.stage + 1, us, eid)
+          out += FunnelRow(uid, s.stage, eid)
+        }
+      }
+      if (streaming) state.update(s) else state.remove()
+      out.result().iterator
+    }
+    events
+      .select(col("event_id"), col("ts"), col("event_type"), col("user_id"))
+      .as[(Long, java.sql.Timestamp, String, Long)]
+      .groupByKey(_._4)
+      .flatMapGroupsWithState[FunnelState, FunnelRow](
+        OutputMode.Append,
+        GroupStateTimeout.NoTimeout) { (uid, it, st) =>
+        fn(uid, it.map(t => (t._1, t._2, t._3)), st)
+      }
+  }
+
   /** Per-user session windows, 30-minute gap. Session end = last event +
     * gap (Spark session_window semantics).
     */
@@ -469,6 +526,14 @@ case class EwmaState(ring: List[Long])
 
 /** Per-event output of [[Streams.ewmaStateful]]. */
 case class EwmaRow(event_id: Long, user_id: Long, ewma_value: Double)
+
+/** Keyed state of [[Streams.funnelStateful]]: funnel stage reached plus
+  * the (micros, event_id) order key of the advancing event.
+  */
+case class FunnelState(stage: Int, lastUs: Long, lastId: Long)
+
+/** Funnel-advance output of [[Streams.funnelStateful]]. */
+case class FunnelRow(user_id: Long, stage: Int, event_id: Long)
 
 /** Closed-session output of [[Streams.sessionizeStateful]]. */
 case class SessionRow(

@@ -101,6 +101,41 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stateful streaming funnel equals batch, fed in chunks; stages advance once") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Streams
+      .funnelStateful(df, streaming = true)
+      .toDF()
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("funnel_stream")
+      .start()
+    try {
+      val all = eventTuples.sortBy(t => (t._2.getTime, t._1)).toIndexedSeq
+      val (c1, rest) = all.splitAt(all.length / 3)
+      val (c2, c3) = rest.splitAt(rest.length / 3)
+      Seq(c1, c2, c3).foreach { c => mem.addData(c); q.processAllAvailable() }
+      val got = spark
+        .table("funnel_stream")
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._2))
+      val want = graft.queries.StreamingQueries
+        .funnel(spark, sf001)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      assert(got.toSeq == want.toSeq) // funnel state carried across triggers exactly
+      // laws: per user stages are distinct and gapless from 1
+      got.groupBy(_._1).foreach { case (_, rs) =>
+        val stages = rs.map(_._2).sorted
+        assert(stages.sameElements(1 to stages.length))
+      }
+    } finally q.stop()
+  }
+
   test("streaming space-saving top-k: estimates monotone, converges to exact batch counts") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[String]
