@@ -559,6 +559,38 @@ object QualityOps {
       .withColumn("nmi", col("mi_nats") / sqrt(col("h_segment") * col("h_nation")))
   }
 
+  /** Per-column completeness/cardinality profile of the events table —
+    * the standard data-quality gate (the Deequ/GE "profile" check) a
+    * pipeline runs before trusting an ingest batch: row count, null
+    * count, exact distinct count, and the completeness ratio per column.
+    * A schema-shaped drop (a column suddenly 40% null, a key column's
+    * cardinality collapsing) shows here before any downstream join
+    * silently inner-joins the rows away.
+    *
+    * Scale shape: ONE aggregation pass computes all 18 aggregates (the
+    * multi-distinct expands to a grouping-id union internally — the
+    * honest exact cost; at 100 TB swap the distincts for the HLL sketch
+    * of `q_agg_approx`, same readout shape) and the per-column unpivot
+    * runs on the single result row. Counts are exact longs; the ratio
+    * is one IEEE division per column.
+    */
+  def qDqCompleteness(spark: SparkSession, sfDir: String): DataFrame = {
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val aggs = count(lit(1)).as("n") +: cols.flatMap(c =>
+      Seq(count(col(c)).as(s"c_$c"), countDistinct(col(c)).as(s"d_$c")))
+    val one = Tables.events(spark, sfDir).agg(aggs.head, aggs.tail: _*)
+    val stacked = cols
+      .map(c =>
+        one.select(
+          lit(c).as("column_name"),
+          col("n").as("n_rows"),
+          (col("n") - col(s"c_$c")).as("n_null"),
+          col(s"d_$c").as("n_distinct"),
+          (col(s"c_$c").cast("double") / col("n")).as("completeness")))
+      .reduce(_ unionByName _)
+    stacked.orderBy("column_name")
+  }
+
   val all: Seq[(String, Q)] = Seq(
     "q_text_gopher" -> Q(
       qTextGopher,
@@ -676,6 +708,22 @@ object QualityOps {
              |FROM wt, z ORDER BY lang""".stripMargin)),
     // nine spec constants, integer cents, string-of-integer digit — no
     // transcendental touches data, so the ppm table is engine-exact
+    "q_dq_completeness" -> Q(
+      qDqCompleteness,
+      Some {
+        val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+        val aggs = cols
+          .map(c => s"count($c) AS c_$c, count(DISTINCT $c) AS d_$c")
+          .mkString(", ")
+        val heads = cols
+          .map(c =>
+            s"""SELECT '$c' AS column_name, n AS n_rows, n - c_$c AS n_null,
+               | d_$c AS n_distinct, CAST(c_$c AS DOUBLE) / n AS completeness FROM s""".stripMargin)
+          .mkString("\n UNION ALL ")
+        s"""WITH s AS (SELECT count(1) AS n, $aggs FROM ${LlmOps.EV})
+           |$heads
+           |ORDER BY column_name""".stripMargin
+      }),
     "q_stats_mutual_info" -> Q(
       qStatsMutualInfo,
       Some("""WITH cells AS (

@@ -11,6 +11,41 @@ import org.apache.spark.sql.functions._
 class QualityOpsSpec extends SparkSuite {
   import spark.implicits._
 
+  test("q_dq_completeness: crafted nulls are counted; laws hold on the fixture") {
+    // real fixture: 6 columns, each row's laws hold
+    val rows = QualityOps.qDqCompleteness(spark, sf001).collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("event_id", "event_type", "props", "ts", "user_id", "value"))
+    rows.foreach { r =>
+      val (n, nn, nd, comp) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(nn >= 0 && nd <= n - nn)
+      assert(comp == (n - nn).toDouble / n)
+    }
+    // crafted fixture: 2 null values + 1 null props in 5 rows, 3 distinct users
+    val dir = java.nio.file.Files.createTempDirectory("graft_dqc").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    Seq(
+      (1L, t0, 10L, "view", Some(1.0), Some("{}")),
+      (2L, t0, 10L, "click", None, Some("{}")),
+      (3L, t0, 11L, "view", None, None),
+      (4L, t0, 12L, "view", Some(2.0), Some("{}")),
+      (5L, t0, 12L, "purchase", Some(2.0), Some("{}")))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/events.parquet")
+    val got = QualityOps
+      .qDqCompleteness(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(got("value") == ((5L, 2L, 2L, 0.6))) // 2 nulls, distinct {1.0, 2.0}
+    assert(got("props") == ((5L, 1L, 1L, 0.8)))
+    assert(got("user_id") == ((5L, 0L, 3L, 1.0)))
+    assert(got("ts") == ((5L, 0L, 1L, 1.0)))
+  }
+
   test("q_stats_mutual_info: equals a local contingency recompute; information laws hold") {
     val rows = QualityOps.qStatsMutualInfo(spark, sf001).collect()
     assert(rows.length == 1)
