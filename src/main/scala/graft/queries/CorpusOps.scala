@@ -1128,6 +1128,46 @@ object CorpusOps {
       .where(col("class_size") < 5)
       .orderBy("lang", "source")
 
+  /** Laplace-mechanism noised counts per nation (ε = 0.5, sensitivity 1)
+    * — the differential-privacy release shape next to the k-anon /
+    * l-diversity / t-closeness suppression family: noised = count +
+    * Lap(1/ε) via the inverse CDF, noise = −(1/ε)·sgn(u−½)·ln(1−2|u−½|).
+    *
+    * The draw is DETERMINISTIC (a 40-bit md5 of the release cell's key)
+    * so the two-engine verification can replay it; a production DP
+    * release MUST swap in fresh physical randomness per release — the
+    * mechanism, sensitivity accounting, and exact-arithmetic plumbing
+    * are the real artifact here (the multimodal-stub precedent), and
+    * `n_true` is emitted only for the verification readout (a real
+    * release publishes `noised` alone).
+    *
+    * Exactness: with h ∈ [0, 2^40) integer, 1−2|u−½| = m/2^40 where
+    * m = 2^40 − 2|h − 2^39| is an INTEGER, so ln(m/2^40) = ln(m) −
+    * ln(2^40) takes an integer argument against the pinned
+    * [[graft.queries.LlmOps]] A-ES cap constant (27725887 micro-nats =
+    * round(1e6·40·ln 2)); ε = ½ doubles the integer noise; the noised
+    * value is one IEEE division of exact longs. m = 0 (h = 0, the
+    * infinite-tail inverse-CDF edge, p = 2⁻⁴⁰) clamps to 1. Scale
+    * shape: one count agg + per-row arithmetic on the |nations| frame.
+    */
+  def qPrivacyDpCount(spark: SparkSession, sfDir: String): DataFrame = {
+    val nat = Tables.nation(spark, sfDir).select(col("n_nationkey"), col("n_name"))
+    val h = conv(substring(md5(col("n_name").cast("binary")), 1, 10), 16, 10).cast("long")
+    val m = greatest(lit(1L), lit(1L << 40) - lit(2L) * abs(h - lit(1L << 39)))
+    val sgn = when(h >= lit(1L << 39), lit(1L)).otherwise(lit(-1L))
+    val noiseMicro = sgn * lit(2L) * (lit(27725887L) - round(log(m) * 1e6).cast("long"))
+    Tables
+      .customer(spark, sfDir)
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_true"))
+      .select(
+        col("n_name"),
+        col("n_true"),
+        ((col("n_true") * lit(1000000L) + noiseMicro).cast("double") / 1e6).as("noised"))
+      .orderBy("n_name")
+  }
+
   // ------------------------------------------------------------- CDC latest
 
   /** CDC latest-wins compaction (the MERGE/upsert read shape): a change
@@ -2237,6 +2277,24 @@ object CorpusOps {
              |                          ((y | (y << 1)) & 1431655765) AS y FROM s3)
              |SELECT o_orderkey, x * 2 + y AS zval FROM s4
              |ORDER BY zval, o_orderkey""".stripMargin)),
+    "q_privacy_dp_count" -> Q(
+      qPrivacyDpCount,
+      Some("""WITH c AS (
+             | SELECT n_name, count(1) AS n_true
+             | FROM customer JOIN nation ON c_nationkey = n_nationkey
+             | GROUP BY 1),
+             |d AS (
+             | SELECT n_name, n_true,
+             |  CAST(('0x' || substr(md5(n_name), 1, 10))::UBIGINT AS BIGINT) AS h
+             | FROM c),
+             |nz AS (
+             | SELECT n_name, n_true,
+             |  CASE WHEN h >= 549755813888 THEN 1 ELSE -1 END *
+             |  2 * (27725887 - CAST(round(ln(greatest(1, 1099511627776 - 2 * abs(h - 549755813888))) * 1e6, 0) AS BIGINT)) AS noise_micro
+             | FROM d)
+             |SELECT n_name, n_true,
+             | CAST(n_true * 1000000 + noise_micro AS DOUBLE) / 1e6 AS noised
+             |FROM nz ORDER BY n_name""".stripMargin)),
     "q_privacy_kanon" -> Q(
       qPrivacyKanon,
       Some("""SELECT lang, source, count(1) AS class_size

@@ -9,6 +9,30 @@ import org.apache.spark.sql.functions._
 class CorpusOpsSpec extends SparkSuite {
   import spark.implicits._
 
+  test("q_privacy_dp_count: noise equals the local inverse-CDF recompute per cell") {
+    val rows = CorpusOps.qPrivacyDpCount(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    def md5hex(s: String): String =
+      java.security.MessageDigest
+        .getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x")
+        .mkString
+    rows.foreach { r =>
+      val (name, nTrue, noised) = (r.getString(0), r.getLong(1), r.getDouble(2))
+      val h = java.lang.Long.parseLong(md5hex(name).substring(0, 10), 16)
+      val m = math.max(1L, (1L << 40) - 2L * math.abs(h - (1L << 39)))
+      val lnq = BigDecimal(math.log(m.toDouble) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP)
+        .toLong
+      val sgn = if (h >= (1L << 39)) 1L else -1L
+      val noiseMicro = sgn * 2L * (27725887L - lnq)
+      assert(noised == (nTrue * 1000000L + noiseMicro).toDouble / 1e6)
+      // Laplace law: the noise magnitude is 2*(-ln(1-2|u-1/2|)) >= 0
+      assert(sgn * noiseMicro >= 0L)
+    }
+  }
+
   // ------------------------------------------------------------ VecMean
 
   test("VecMean centroid is the exact fixed-point mean, any partitioning") {
