@@ -542,6 +542,77 @@ object MiningOps {
       .orderBy("event_type")
   }
 
+  /** Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013) of
+    * the per-type daily event series to 10 points — the standard
+    * shape-preserving reduction a dashboard applies before plotting a
+    * multi-year series (peaks and cliffs survive; a naive every-Nth or
+    * per-bucket mean flattens them). First/last points always kept; the
+    * 8 middle buckets each keep the point maximizing the triangle area
+    * with the PREVIOUS selected point and the NEXT bucket's centroid —
+    * a sequential recurrence, so the per-type flatMapGroups (the
+    * `q_events_holt` calendar-bounded-group pattern) is the right
+    * distribution shape, not a window.
+    *
+    * Exactness: x = day rank, y = daily count, both integers; the
+    * next-bucket centroid is rational with denominator m (bucket size),
+    * so the triangle comparison is scaled by m into pure LONG
+    * arithmetic — |(aₓm − Cₓ)(b_y − a_y) − (aₓ − bₓ)(C_y − a_y·m)| —
+    * and the argmax (ties → earliest day) is engine-exact with no
+    * float anywhere. n ≤ 10 emits the whole series. The oracle unrolls
+    * the 8 bucket selections as MATERIALIZED row_number picks over the
+    * identical scaled-area expression.
+    *
+    * Scale shape: corpus-scale work is the ONE (type, day) count agg;
+    * the recurrence runs over calendar-bounded groups (≤ |days| rows
+    * per type at ANY corpus size — the q_events_autocorr bound note).
+    */
+  def qTimeLttb(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val k = 10
+    Tables
+      .events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .as[(String, java.sql.Date, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (et, it) =>
+        val pts = it.toArray
+          .sortBy(_._2.getTime)
+          .zipWithIndex
+          .map { case ((_, d, y), i) => (i, d, y) }
+        val n = pts.length
+        val sel: Seq[(Int, java.sql.Date, Long)] =
+          if (n <= k) pts.toSeq
+          else {
+            val buf = scala.collection.mutable.ArrayBuffer(pts(0))
+            var a = pts(0)
+            (0 until k - 2).foreach { i =>
+              val lo = 1 + i * (n - 2) / (k - 2)
+              val hi = 1 + (i + 1) * (n - 2) / (k - 2)
+              val (cxS, cyS, m) =
+                if (i < k - 3) {
+                  val nlo = 1 + (i + 1) * (n - 2) / (k - 2)
+                  val nhi = 1 + (i + 2) * (n - 2) / (k - 2)
+                  val nb = pts.slice(nlo, nhi)
+                  (nb.map(_._1.toLong).sum, nb.map(_._3).sum, nb.length.toLong)
+                } else (pts(n - 1)._1.toLong, pts(n - 1)._3, 1L)
+              val best = pts.slice(lo, hi).maxBy { p =>
+                val area = ((a._1 * m - cxS) * (p._3 - a._3) -
+                  (a._1 - p._1.toLong) * (cyS - a._3 * m)).abs
+                (area, -p._1.toLong) // ties -> earliest day
+              }
+              buf += best
+              a = best
+            }
+            buf += pts(n - 1)
+            buf.toSeq
+          }
+        sel.zipWithIndex.map { case ((_, d, y), b) => (et, b, d, y) }.iterator
+      }
+      .toDF("event_type", "bucket", "day", "y")
+      .orderBy("event_type", "bucket")
+  }
+
   // ------------------------------------------- autocorrelation (ACF)
 
   /** Autocorrelation function (lags 1–7) of the per-type daily event
@@ -1395,6 +1466,69 @@ object MiningOps {
     // the ⌊(x+1)/2⌋ dyadic halving is identical on both sides (floorDiv
     // vs floor((x+1)/2.0) — exact below 2^53), so the sequential state
     // replays bit-for-bit through the recursive CTE
+    "q_time_lttb" -> Q(
+      qTimeLttb,
+      Some {
+        val K = 8 // middle buckets; first/last pinned
+        val steps = (1 to K)
+          .map { i =>
+            val cm =
+              if (i < K)
+                s"""cm$i AS MATERIALIZED (
+                   | SELECT p.event_type, sum(p.rn) AS cx, sum(p.y) AS cy, count(1) AS m
+                   | FROM pts p JOIN cnt ON p.event_type = cnt.event_type
+                   | WHERE cnt.n > 10 AND p.rn >= 1 + $i * (cnt.n - 2) // 8
+                   |   AND p.rn < 1 + ${i + 1} * (cnt.n - 2) // 8
+                   | GROUP BY 1)""".stripMargin
+              else
+                s"""cm$i AS MATERIALIZED (
+                   | SELECT p.event_type, CAST(p.rn AS BIGINT) AS cx, p.y AS cy,
+                   |  CAST(1 AS BIGINT) AS m
+                   | FROM pts p JOIN cnt ON p.event_type = cnt.event_type
+                   | WHERE cnt.n > 10 AND p.rn = cnt.n - 1)""".stripMargin
+            val sel =
+              s"""s$i AS MATERIALIZED (
+                 | SELECT event_type, rn, day, y FROM (
+                 |  SELECT p.event_type, p.rn, p.day, p.y,
+                 |   row_number() OVER (PARTITION BY p.event_type ORDER BY
+                 |    abs((s${i - 1}.rn * cm$i.m - cm$i.cx) * (p.y - s${i - 1}.y) -
+                 |        (s${i - 1}.rn - p.rn) * (cm$i.cy - s${i - 1}.y * cm$i.m)) DESC,
+                 |    p.rn ASC) AS rk
+                 |  FROM pts p
+                 |  JOIN cnt ON p.event_type = cnt.event_type
+                 |  JOIN s${i - 1} ON p.event_type = s${i - 1}.event_type
+                 |  JOIN cm$i ON p.event_type = cm$i.event_type
+                 |  WHERE cnt.n > 10 AND p.rn >= 1 + ${i - 1} * (cnt.n - 2) // 8
+                 |    AND p.rn < 1 + $i * (cnt.n - 2) // 8)
+                 | WHERE rk = 1)""".stripMargin
+            cm + ",\n" + sel
+          }
+          .mkString(",\n")
+        val heads = (1 to K)
+          .map(i => s"SELECT event_type, $i AS bucket, day, y FROM s$i")
+          .mkString("\n UNION ALL ")
+        s"""WITH d0 AS (
+           | SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(1) AS BIGINT) AS y
+           | FROM $EVT GROUP BY 1, 2),
+           |pts AS MATERIALIZED (SELECT event_type, day, y,
+           |  row_number() OVER (PARTITION BY event_type ORDER BY day) - 1 AS rn FROM d0),
+           |cnt AS MATERIALIZED (SELECT event_type, count(1) AS n FROM pts GROUP BY 1),
+           |s0 AS (SELECT p.event_type, p.rn, p.day, p.y FROM pts p
+           |       JOIN cnt ON p.event_type = cnt.event_type WHERE cnt.n > 10 AND p.rn = 0),
+           |$steps,
+           |big AS (
+           | SELECT event_type, 0 AS bucket, day, y FROM s0
+           | UNION ALL $heads
+           | UNION ALL SELECT p.event_type, 9, p.day, p.y FROM pts p
+           |   JOIN cnt ON p.event_type = cnt.event_type WHERE cnt.n > 10 AND p.rn = cnt.n - 1),
+           |small AS (
+           | SELECT p.event_type, p.rn AS bucket, p.day, p.y FROM pts p
+           | JOIN cnt ON p.event_type = cnt.event_type WHERE cnt.n <= 10)
+           |SELECT event_type, CAST(bucket AS INT) AS bucket, day, y FROM big
+           |UNION ALL
+           |SELECT event_type, CAST(bucket AS INT) AS bucket, day, y FROM small
+           |ORDER BY event_type, bucket""".stripMargin
+      }),
     "q_events_holt" -> Q(
       qEventsHolt,
       Some(s"""WITH RECURSIVE d0 AS (

@@ -123,6 +123,55 @@ class MiningOpsSpec extends SparkSuite {
     assert(keys.sameElements(keys.sorted))
   }
 
+  test("q_time_lttb: equals a local LTTB recompute; endpoints pinned, days increase") {
+    val rows = MiningOps.qTimeLttb(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    // independent local recompute per event type
+    val daily = graft.Tables
+      .events(spark, sf001)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .as[(String, java.sql.Date, Long)]
+      .collect()
+    val want = daily.groupBy(_._1).toSeq.flatMap { case (et, g) =>
+      val pts = g.sortBy(_._2.getTime).zipWithIndex.map { case ((_, d, y), i) => (i, d, y) }
+      val n = pts.length
+      val sel =
+        if (n <= 10) pts.toSeq
+        else {
+          var a = pts(0)
+          val mid = (0 until 8).map { i =>
+            val lo = 1 + i * (n - 2) / 8
+            val hi = 1 + (i + 1) * (n - 2) / 8
+            val (cx, cy, m) =
+              if (i < 7) {
+                val nb = pts.slice(1 + (i + 1) * (n - 2) / 8, 1 + (i + 2) * (n - 2) / 8)
+                (nb.map(_._1.toLong).sum, nb.map(_._3).sum, nb.length.toLong)
+              } else (pts(n - 1)._1.toLong, pts(n - 1)._3, 1L)
+            val best = pts.slice(lo, hi).maxBy { p =>
+              val area = ((a._1 * m - cx) * (p._3 - a._3) -
+                (a._1 - p._1.toLong) * (cy - a._3 * m)).abs
+              (area, -p._1.toLong)
+            }
+            a = best
+            best
+          }
+          pts(0) +: mid :+ pts(n - 1)
+        }
+      sel.zipWithIndex.map { case ((_, d, y), b) => (et, b, d.toString, y) }
+    }.sortBy(t => (t._1, t._2))
+    val got = rows.map(r =>
+      (r.getString(0), r.getInt(1), r.getDate(2).toString, r.getLong(3))).toSeq
+    assert(got == want)
+    // laws: bucket 0 is the series start, the last bucket its end, days increase
+    got.groupBy(_._1).foreach { case (et, rs) =>
+      val series = daily.filter(_._1 == et).map(_._2.toString).sorted
+      assert(rs.head._3 == series.head && rs.last._3 == series.last)
+      val ds = rs.sortBy(_._2).map(_._3)
+      assert(ds.zip(ds.tail).forall { case (x, y) => x < y })
+    }
+  }
+
   // -------------------------------------------------------- embed outlier
 
   test("q_embed_outlier: 20 ascending-cosine rows, stable across partitionings") {
