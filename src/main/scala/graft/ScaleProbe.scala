@@ -129,7 +129,21 @@ object ScaleProbe {
     "q_events_autocorr",
     "q_events_changepoint",
     "q_events_forecast_eval",
-    "q_events_holt")
+    "q_events_holt",
+    // r9 additions: the new iterative tier (synchronous LPA rounds,
+    // unbounded strict-convergence BFS, radix-selection median — all
+    // per-round equi-join/agg + bounded driver state), the two new
+    // TPC-H multi-join shapes, and the three moderate fan-out analytics
+    // entries (pairwise contingency MI, brute-force-vs-LSH recall eval
+    // over a broadcast query panel, stratified A-ES top-k).
+    "q_graph_label_prop",
+    "q_graph_bfs_full",
+    "q_agg_median_radix",
+    "q_tpch_q7",
+    "q_tpch_q10",
+    "q_stats_mutual_info",
+    "q_ann_recall",
+    "q_sample_weighted")
 
   private def num(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

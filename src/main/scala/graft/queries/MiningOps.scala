@@ -328,6 +328,39 @@ object MiningOps {
       .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
   }
 
+  /** TPC-H Q4 shape (order-priority checking): orders in a quarter that
+    * have at least one LATE line, counted by priority — the canonical
+    * EXISTS-correlated-subquery → left-semi-join shape. The fixture
+    * carries no commit/receipt dates, so "late" is adapted to
+    * `l_shipdate > o_orderdate + 60 days` (same class: a per-line date
+    * predicate correlated with the parent order's date); the plan shape
+    * — the thing Q4 exists to exercise — is unchanged.
+    *
+    * Scale shape: the date gate prunes orders BEFORE the semi join (one
+    * quarter ≈ 1/26 of the fixture's date span); the semi join shuffles
+    * only (orderkey, shipdate) pairs from lineitem, never whole rows,
+    * dedups per order by construction (left semi), and the result agg
+    * is 5 cells. No correlated per-row subquery survives into the plan.
+    */
+  def qTpchQ4(spark: SparkSession, sfDir: String): DataFrame = {
+    val lines = Tables
+      .lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    Tables
+      .orders(spark, sfDir)
+      .where(
+        col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+      .join(
+        lines,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
   // -------------------------------------------------------- embed outlier
 
   /** Per-label centroid cosine outliers: the 20 vectors least aligned
@@ -1909,6 +1942,16 @@ object MiningOps {
              |      (sn.n_name = 'NATION_12' AND cn.n_name = 'NATION_10'))
              |GROUP BY 1, 2, 3
              |ORDER BY 1, 2, 3""".stripMargin)),
+    "q_tpch_q4" -> Q(
+      qTpchQ4,
+      Some("""SELECT o_orderpriority, count(1) AS order_count
+             |FROM orders o
+             |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+             |  AND o_orderdate < TIMESTAMP '1996-10-01'
+             |  AND EXISTS (SELECT 1 FROM lineitem l
+             |              WHERE l.l_orderkey = o.o_orderkey
+             |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
     "q_events_attribution" -> Q(
       qEventsAttribution,
       Some(s"""WITH ev AS $EVT,

@@ -591,6 +591,56 @@ object QualityOps {
     stacked.orderBy("column_name")
   }
 
+  /** Referential-integrity audit across the star schema's FK edges plus
+    * the events→customer identity edge: per relationship, total child
+    * rows, rows whose FK resolves to no parent, and how many DISTINCT
+    * orphan keys those rows collapse to (the triage number — one bad
+    * upstream key vs a systematic range shift read very differently).
+    * The orphan COUNT being nonzero is the gate a pipeline trips before
+    * an inner join silently drops the rows.
+    *
+    * Scale shape: each relation aggregates the child side to (fk, cnt)
+    * FIRST — the join that decides orphan-hood runs on distinct keys
+    * (bounded by parent cardinality + true orphan keys), never on fact
+    * rows; the parent side joins as a distinct key column (Spark prunes
+    * the scan to that one column). Five independent single-shuffle
+    * audits; the final union is 5 rows. No broadcast hint — at TPC-H
+    * scale customer/orders parents are fact-sized, AQE picks per-side.
+    */
+  def qDqReferential(spark: SparkSession, sfDir: String): DataFrame = {
+    def audit(
+        relation: String,
+        child: DataFrame,
+        fk: String,
+        parent: DataFrame,
+        pk: String): DataFrame =
+      child
+        .where(col(fk).isNotNull)
+        .groupBy(col(fk).as("k"))
+        .agg(count(lit(1)).as("cnt"))
+        .join(parent.select(col(pk).as("pk")).distinct(), col("k") === col("pk"), "left")
+        .agg(
+          sum("cnt").as("child_rows"),
+          sum(when(col("pk").isNull, col("cnt")).otherwise(lit(0L))).as("orphan_rows"),
+          count(when(col("pk").isNull, lit(1))).as("orphan_keys"))
+        .select(
+          lit(relation).as("relation"),
+          col("child_rows"),
+          col("orphan_rows"),
+          col("orphan_keys"))
+    val li = Tables.lineitem(spark, sfDir)
+    val orders = Tables.orders(spark, sfDir)
+    val cust = Tables.customer(spark, sfDir)
+    Seq(
+      audit("events.user_id->customer", Tables.events(spark, sfDir), "user_id", cust, "c_custkey"),
+      audit("lineitem.l_orderkey->orders", li, "l_orderkey", orders, "o_orderkey"),
+      audit("lineitem.l_partkey->part", li, "l_partkey", Tables.part(spark, sfDir), "p_partkey"),
+      audit("lineitem.l_suppkey->supplier", li, "l_suppkey", Tables.supplier(spark, sfDir), "s_suppkey"),
+      audit("orders.o_custkey->customer", orders, "o_custkey", cust, "c_custkey"))
+      .reduce(_ unionByName _)
+      .orderBy("relation")
+  }
+
   val all: Seq[(String, Q)] = Seq(
     "q_text_gopher" -> Q(
       qTextGopher,
@@ -723,6 +773,24 @@ object QualityOps {
         s"""WITH s AS (SELECT count(1) AS n, $aggs FROM ${LlmOps.EV})
            |$heads
            |ORDER BY column_name""".stripMargin
+      }),
+    "q_dq_referential" -> Q(
+      qDqReferential,
+      Some {
+        def one(rel: String, child: String, fk: String, parent: String, pk: String) =
+          s"""SELECT '$rel' AS relation, sum(cnt) AS child_rows,
+             | sum(CASE WHEN p.pk IS NULL THEN cnt ELSE 0 END) AS orphan_rows,
+             | count(CASE WHEN p.pk IS NULL THEN 1 END) AS orphan_keys
+             |FROM (SELECT $fk AS k, count(1) AS cnt FROM $child
+             |      WHERE $fk IS NOT NULL GROUP BY 1) c
+             |LEFT JOIN (SELECT DISTINCT $pk AS pk FROM $parent) p ON c.k = p.pk""".stripMargin
+        Seq(
+          one("events.user_id->customer", "events", "user_id", "customer", "c_custkey"),
+          one("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+          one("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+          one("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+          one("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"))
+          .mkString("", "\nUNION ALL\n", "\nORDER BY relation")
       }),
     "q_stats_mutual_info" -> Q(
       qStatsMutualInfo,

@@ -582,6 +582,29 @@ object SearchOps {
     profile.reduce(_ unionByName _).orderBy("round")
   }
 
+  // ---------------------------------------------- degree distribution
+
+  /** Degree distribution of the co-purchase graph: degree → node count,
+    * the first-look structural readout (a heavy tail here is what makes
+    * the capped wedge variants necessary; this query is how you SEE the
+    * tail before choosing a cap).
+    *
+    * Scale shape: explode each edge into its two endpoints (2|E| rows of
+    * one LONG), one count shuffle keyed by node, one count shuffle keyed
+    * by degree (output rows = distinct degrees, a few dozen at any
+    * scale). The edge list is the single-reference case, so no
+    * materialization (`materialize = false`) — the whole plan is one
+    * linear pass over the edge derivation.
+    */
+  def qGraphDegreeDist(spark: SparkSession, sfDir: String): DataFrame =
+    coPurchaseEdges(spark, sfDir, materialize = false)
+      .select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy("node")
+      .agg(count(lit(1)).as("degree"))
+      .groupBy("degree")
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy("degree")
+
   // ------------------------------------------------- triangle counting
 
   /** Per-node triangle membership counts (top 20) over the co-purchase
@@ -1095,6 +1118,16 @@ object SearchOps {
            |$heads
            |ORDER BY round""".stripMargin
       }),
+    "q_graph_degree_dist" -> Q(
+      qGraphDegreeDist,
+      Some("""WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+             |e AS (SELECT a.p AS u, b.p AS v FROM it a JOIN it b ON a.o = b.o AND a.p < b.p
+             |      GROUP BY 1, 2 HAVING count(1) >= 2),
+             |deg AS (SELECT node, count(1) AS degree
+             |        FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+             |        GROUP BY node)
+             |SELECT degree, count(1) AS n_nodes FROM deg
+             |GROUP BY degree ORDER BY degree""".stripMargin)),
     "q_graph_triangles" -> Q(
       qGraphTriangles,
       Some("""WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

@@ -123,6 +123,42 @@ class MiningOpsSpec extends SparkSuite {
     assert(keys.sameElements(keys.sorted))
   }
 
+  test("q_tpch_q4: per-priority count equals a local EXISTS recompute") {
+    val rows = MiningOps.qTpchQ4(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    // local recompute: orders in the quarter with >= 1 late line
+    // (timestamps as epoch seconds — session TZ is UTC)
+    val lateOrders = graft.Tables
+      .lineitem(spark, sf001)
+      .select(col("l_orderkey").as("k"), col("l_shipdate").cast("timestamp_ltz").cast("long").as("s"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .view
+      .mapValues(_.map(_.getLong(1)).max)
+      .toMap
+    val want = graft.Tables
+      .orders(spark, sf001)
+      .select(
+        col("o_orderkey"),
+        col("o_orderdate").cast("timestamp_ltz").cast("long").as("s"),
+        col("o_orderpriority"))
+      .collect()
+      .filter { r =>
+        val od = r.getLong(1)
+        val q0 = java.time.Instant.parse("1996-07-01T00:00:00Z").getEpochSecond
+        val q1 = java.time.Instant.parse("1996-10-01T00:00:00Z").getEpochSecond
+        od >= q0 && od < q1 &&
+        lateOrders.getOrElse(r.getLong(0), Long.MinValue) > od + 60L * 86400L
+      }
+      .groupBy(_.getString(2))
+      .view
+      .mapValues(_.length.toLong)
+      .toMap
+    assert(rows.map(r => r.getString(0) -> r.getLong(1)).toMap == want)
+    val names = rows.map(_.getString(0))
+    assert(names.sameElements(names.sorted))
+  }
+
   test("q_time_lttb: equals a local LTTB recompute; endpoints pinned, days increase") {
     val rows = MiningOps.qTimeLttb(spark, sf001).collect()
     assert(rows.nonEmpty)

@@ -339,4 +339,26 @@ class QualityOpsSpec extends SparkSuite {
     // mostly "outliers" when 3·MAD is narrow — no minority law here)
     rows.foreach(r => assert(r.getLong(4) >= 0L && r.getLong(4) <= r.getLong(1)))
   }
+
+  test("q_dq_referential: five relations; counts close; events edge recomputed") {
+    val rows = QualityOps.qDqReferential(spark, sf001).collect()
+    assert(rows.length == 5)
+    val names = rows.map(_.getString(0))
+    assert(names.sameElements(names.sorted))
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0L && r.getLong(2) <= r.getLong(1)) // orphan_rows ≤ child_rows
+      assert(r.getLong(3) <= r.getLong(2)) // distinct keys ≤ orphan rows
+    }
+    // star-schema edges are FK-consistent in the fixture
+    rows.filter(_.getString(0).startsWith("lineitem")).foreach(r => assert(r.getLong(2) == 0L))
+    // the events identity edge recomputed locally
+    val custKeys = graft.Tables.customer(spark, sf001)
+      .select("c_custkey").as[Long].collect().toSet
+    val evUsers = graft.Tables.events(spark, sf001)
+      .where(col("user_id").isNotNull).select("user_id").as[Long].collect()
+    val evRow = rows.find(_.getString(0) == "events.user_id->customer").get
+    assert(evRow.getLong(1) == evUsers.length.toLong)
+    assert(evRow.getLong(2) == evUsers.count(u => !custKeys.contains(u)).toLong)
+    assert(evRow.getLong(3) == evUsers.filter(u => !custKeys.contains(u)).distinct.length.toLong)
+  }
 }

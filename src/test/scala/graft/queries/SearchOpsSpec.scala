@@ -600,4 +600,33 @@ class SearchOpsSpec extends SparkSuite {
     assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
     assert(es.zip(es.tail).forall { case (a, b) => a >= b })
   }
+
+  test("q_graph_degree_dist: equals a local recount; closes to 2|E| and |V|") {
+    val rows = SearchOps.qGraphDegreeDist(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val items = graft.Tables
+      .lineitem(spark, sf001)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val edges = items
+      .as("a")
+      .join(items.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+      .agg(count(lit(1)).as("s"))
+      .where(col("s") >= 2)
+      .select("u", "v")
+      .as[(Long, Long)]
+      .collect()
+      .toSeq
+    val deg = (edges.map(_._1) ++ edges.map(_._2)).groupBy(identity).map {
+      case (k, vs) => k -> vs.size.toLong
+    }
+    val want = deg.values.groupBy(identity).map { case (d, ns) => d -> ns.size.toLong }
+    assert(rows.map(r => r.getLong(0) -> r.getLong(1)).toMap == want)
+    // closure laws: Σ degree·n_nodes = 2|E|, Σ n_nodes = |V|
+    assert(rows.map(r => r.getLong(0) * r.getLong(1)).sum == 2L * edges.size)
+    assert(rows.map(_.getLong(1)).sum == deg.size.toLong)
+    val ds = rows.map(_.getLong(0))
+    assert(ds.sameElements(ds.sorted))
+  }
 }
