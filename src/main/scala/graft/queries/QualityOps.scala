@@ -567,7 +567,8 @@ object QualityOps {
     * cardinality collapsing) shows here before any downstream join
     * silently inner-joins the rows away.
     *
-    * Scale shape: ONE aggregation pass computes all 18 aggregates (the
+    * Scale shape: ONE aggregation pass computes all 13 aggregates —
+    * 1 row count + 6 columns x (count, countDistinct) — (the
     * multi-distinct expands to a grouping-id union internally — the
     * honest exact cost; at 100 TB swap the distincts for the HLL sketch
     * of `q_agg_approx`, same readout shape) and the per-column unpivot
@@ -778,8 +779,8 @@ object QualityOps {
       qDqReferential,
       Some {
         def one(rel: String, child: String, fk: String, parent: String, pk: String) =
-          s"""SELECT '$rel' AS relation, sum(cnt) AS child_rows,
-             | sum(CASE WHEN p.pk IS NULL THEN cnt ELSE 0 END) AS orphan_rows,
+          s"""SELECT '$rel' AS relation, CAST(sum(cnt) AS BIGINT) AS child_rows,
+             | CAST(sum(CASE WHEN p.pk IS NULL THEN cnt ELSE 0 END) AS BIGINT) AS orphan_rows,
              | count(CASE WHEN p.pk IS NULL THEN 1 END) AS orphan_keys
              |FROM (SELECT $fk AS k, count(1) AS cnt FROM $child
              |      WHERE $fk IS NOT NULL GROUP BY 1) c

@@ -263,11 +263,37 @@ object SearchOps {
   /** Shared edge set of the two graph queries: part pairs co-purchased
     * in ≥ 2 orders, canonical (u < v). ONE definition — a threshold or
     * column change here changes both analyses together.
+    *
+    * The MATERIALIZED form is cached per (session, sfDir) for the life
+    * of the JVM (round-9 verdict #3): within one Bench/Verify run the
+    * ten graph queries each referenced the edge list and each paid the
+    * per-order C(n,2) self-join + localCheckpoint independently
+    * (~1-1.5 s x 10 of pure re-derivation). The edge set is a pure
+    * deterministic function of (sfDir) — caching the checkpointed frame
+    * changes no query's semantics or oracle hash, only removes repeated
+    * derivation. `materialize = false` callers also reuse a cached copy
+    * when one exists (strictly cheaper than re-deriving the raw plan)
+    * but never populate the cache themselves.
     */
+  private val edgeCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   private[graft] def coPurchaseEdges(
       spark: SparkSession,
       sfDir: String,
       materialize: Boolean = true): DataFrame = {
+    val key = (spark, sfDir)
+    val cached = edgeCache.get(key)
+    if (cached != null) return cached
+    if (materialize)
+      return edgeCache.computeIfAbsent(key, _ => coPurchaseEdgesPlan(spark, sfDir, true))
+    coPurchaseEdgesPlan(spark, sfDir, false)
+  }
+
+  private def coPurchaseEdgesPlan(
+      spark: SparkSession,
+      sfDir: String,
+      materialize: Boolean): DataFrame = {
     val items = Tables
       .lineitem(spark, sfDir)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))

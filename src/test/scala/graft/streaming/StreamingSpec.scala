@@ -612,6 +612,78 @@ class StreamingSpec extends SparkSuite {
     streamedDf.unpersist()
   }
 
+  test("checkpointed funnel restart: mid-funnel AND completed state survive (r10)") {
+    // kill-and-resume for the funnel (round-9 verdict ask #4): the
+    // flatMapGroupsWithState funnel query is stopped mid-stream and
+    // restarted from its checkpoint as a NEW query. Three state classes
+    // cross the restart, each with a distinct failure signature if state
+    // were lost:
+    //  - user 7 is MID-FUNNEL (stage 1): their post-restart click+purchase
+    //    must advance 2→3. Lost state would leave stage 0, where a click
+    //    matches nothing — u7 would emit NO post-restart rows.
+    //  - user 8 is COMPLETED (stage 3): their post-restart view must emit
+    //    NOTHING. Lost state would restart the funnel and emit stage 1.
+    //  - user 9 is at stage 1: a second view must not re-advance. Lost
+    //    state would emit a duplicate stage-1 row.
+    val root = java.nio.file.Files.createTempDirectory("graft_funnel_resume")
+    val srcDir = root.resolve("src").toString
+    val outDir = root.resolve("out").toString
+    val ckpt = root.resolve("ckpt").toString
+    val schema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE"
+    val t0 = java.sql.Timestamp.valueOf("2024-06-01 10:00:00").getTime
+    def at(minutes: Long) = new java.sql.Timestamp(t0 + minutes * 60000L)
+    def writeFile(rows: Seq[(Long, java.sql.Timestamp, Long, String, Double)]): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("append").json(srcDir)
+    // parquet FILE sink + checkpoint = the exactly-once restart shape
+    // (same rationale as the sessionize restart test above)
+    def startQuery() =
+      Streams
+        .funnelStateful(spark.readStream.schema(schema).json(srcDir), streaming = true)
+        .toDF()
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .option("path", outDir)
+        .format("parquet")
+        .start()
+    writeFile(Seq(
+      (1L, at(0), 7L, "view", 1.0),
+      (2L, at(1), 8L, "view", 1.0),
+      (3L, at(2), 8L, "click", 1.0),
+      (4L, at(3), 8L, "purchase", 1.0),
+      (5L, at(4), 9L, "view", 1.0)))
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop()
+    // more events land while the query is DOWN
+    writeFile(Seq(
+      (6L, at(10), 7L, "click", 1.0),
+      (7L, at(11), 7L, "purchase", 1.0),
+      (8L, at(12), 8L, "view", 1.0),
+      (9L, at(13), 9L, "view", 1.0)))
+    val q2 = startQuery()
+    try q2.processAllAvailable()
+    finally q2.stop()
+    val streamed = spark.read.parquet(outDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(
+      streamed == Seq(
+        (7L, 1, 1L), (7L, 2, 6L), (7L, 3, 7L),
+        (8L, 1, 2L), (8L, 2, 3L), (8L, 3, 4L),
+        (9L, 1, 5L)),
+      streamed.mkString("; "))
+    // cross-check vs the uninterrupted batch run over the union of files
+    val batch = Streams
+      .funnelStateful(spark.read.schema(schema).json(srcDir), streaming = false)
+      .toDF()
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+  }
+
   test("stateful sessionize continues session ids after a timeout-closed session") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]

@@ -33,7 +33,12 @@ def main():
     # round's driver artifacts. Pin the spill location and hard-cap it;
     # an oracle that needs more than 20 GB of spill at cert scale is a
     # mis-scaled oracle and should die loudly here, not kill the next run.
-    spill = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".tmp", "duckdb_spill")
+    # Per-run subdirectory (GRAFT_SPILL_DIR, set by check_batch.sh /
+    # scaleprobe.sh to a $$-suffixed path): concurrent cert + probe runs
+    # must not share a spill dir, or whichever exits first deletes the
+    # other's live spill mid-oracle.
+    spill = os.environ.get("GRAFT_SPILL_DIR") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", ".tmp", "duckdb_spill")
     os.makedirs(spill, exist_ok=True)
     con.execute(f"SET temp_directory='{spill}'")
     con.execute("SET max_temp_directory_size='20GB'")

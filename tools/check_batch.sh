@@ -10,9 +10,11 @@ set -uo pipefail
 cd "$(dirname "$0")/.."
 # Round-8 postmortem: DuckDB spill left behind by killed/timed-out oracle
 # processes filled the disk (~80 GB) and zeroed the round's driver run.
-# check.py now pins spill under .tmp/duckdb_spill with a 20 GB cap; this
-# trap guarantees nothing survives the certification either way.
-trap 'rm -rf .tmp/duckdb_spill .tmp/duckdb_temp_storage*' EXIT
+# check.py pins spill (20 GB cap) under a PER-RUN subdirectory so a
+# concurrent cert + scale probe cannot delete each other's live spill;
+# the trap removes only THIS run's directory.
+export GRAFT_SPILL_DIR="$PWD/.tmp/duckdb_spill.$$"
+trap 'rm -rf "$GRAFT_SPILL_DIR" .tmp/duckdb_temp_storage*' EXIT
 SF="$1"; OUT="$2"; TMO="${3:-240}"; EXCL=",${4:-},"
 NAMES=$(python3 -c "import json;print(' '.join(sorted(json.load(open('$OUT/oracle_sql.json')))))")
 pass=0; fail=0; tmo=0; skipped=0; excluded=0

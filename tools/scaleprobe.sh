@@ -11,8 +11,8 @@ FACTOR="${1:-20}"
 WORK="${2:-/tmp/graft_scaleprobe}"
 shift $(( $# > 2 ? 2 : $# ))
 EXTRA=("$@")
-CP=/tmp/scaleprobecp
-rm -rf "$CP" && cp -r target/scala-2.13/classes "$CP"
+CP=$(mktemp -d /tmp/scaleprobecp.XXXXXX)
+cp -r target/scala-2.13/classes/. "$CP"
 ADDOPENS=""
 for p in java.base/java.lang java.base/java.lang.invoke java.base/java.lang.reflect \
          java.base/java.io java.base/java.net java.base/java.nio java.base/java.util \
@@ -25,7 +25,10 @@ done
 # zeroed the round. No exec — the trap must fire even when the JVM is
 # killed or dies, cleaning DuckDB spill (from any oracle step sharing the
 # .tmp) and the inflated scratch data.
-trap 'rm -rf .tmp/duckdb_spill .tmp/duckdb_temp_storage* "$CP"' EXIT
+# Per-run spill subdir: concurrent cert runs must not delete each
+# other's live spill (each run's trap removes only its own dir).
+export GRAFT_SPILL_DIR="$PWD/.tmp/duckdb_spill.$$"
+trap 'rm -rf "$GRAFT_SPILL_DIR" .tmp/duckdb_temp_storage* "$CP"' EXIT
 SPARK_GRAFT_SCALEPROBE_OUT="${SCALEPROBE_OUT:-$PWD/SCALEPROBE.json}" \
 java $ADDOPENS -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -Xmx64g -XX:ReservedCodeCacheSize=1g \
