@@ -724,6 +724,81 @@ object LlmOps {
     bandPairs(bands.join(ok, Seq("band", "band_key")))
   }
 
+  /** Incremental (batch-vs-corpus) NEAR-dup — the daily-ingest shape for
+    * MinHash that [[qDedupIncremental]] covers for exact dup (round-9
+    * verdict ask #5): a new batch (sources src10–src19) is probed against
+    * the PERSISTED band index of the existing corpus (src0–src9) — the
+    * DISTINCT (band, band_key, doc_id) frame `q_dedup_near` already
+    * builds — instead of re-running dedup over corpus ∪ batch.
+    *
+    * Pipeline: batch-side MinHash signatures (map-side kernel, no token
+    * shuffle) → band-equality join against the index (ids + 32-byte band
+    * tuples only — document bodies never shuffle) → exact-Jaccard rerank
+    * on hashed 3-shingles over CANDIDATES only → (batch_doc, corpus_dup)
+    * pairs at jaccard ≥ 0.5. The [[CapBucket]] guard from
+    * `q_dedup_near_capped` applies on the INDEX side (the big side at
+    * 100 TB): an over-popular band key in the corpus is boilerplate the
+    * batch would match thousands of times for no information.
+    *
+    * Scale shape: index = 4 rows × (8 B id + 32 B tuple) per corpus doc —
+    * at 100 TB this is the persisted index, not a rescan; per ingest the
+    * work is batch-size signatures + one key-equality shuffle + a rerank
+    * linear in candidate count. Nothing touches corpus text except the
+    * shingle sets of matched candidates.
+    */
+  def qDedupNearIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    nearIncrementalCore(
+      d.where(length(col("source")) === 4),
+      d.where(length(col("source")) === 5))
+  }
+
+  /** Core of [[qDedupNearIncremental]] over pre-split corpus/batch
+    * (doc_id, text) frames — package-private so the spec can plant a
+    * batch near-copy and an over-cap corpus bucket directly.
+    */
+  private[queries] def nearIncrementalCore(corpusDocs: DataFrame, batchDocs: DataFrame): DataFrame = {
+    val idx = minhashBands(corpusDocs).select("doc_id", "band", "band_key")
+    val ok = idx
+      .groupBy("band", "band_key")
+      .agg(count(lit(1)).as("bn"))
+      .where(col("bn") <= CapBucket)
+      .select("band", "band_key")
+    val cand = minhashBands(batchDocs)
+      .select(col("doc_id").as("batch_doc"), col("band"), col("band_key"))
+      .join(
+        idx.join(ok, Seq("band", "band_key")).withColumnRenamed("doc_id", "corpus_dup"),
+        Seq("band", "band_key"))
+      .select("batch_doc", "corpus_dup")
+      .distinct()
+    def sh(docs: DataFrame, id: String) = docs.select(
+      col("doc_id").as(id),
+      explode(graft.functions.Shingles3Hashed.of(col("text"))).as("sh"))
+    val shB = sh(batchDocs, "batch_doc")
+    // only corpus docs some candidate matched are ever re-shingled — the
+    // rerank's corpus-side scan is linear in CANDIDATES, not corpus size
+    val shC = sh(
+      corpusDocs.join(
+        cand.select(col("corpus_dup").as("doc_id")).distinct(),
+        Seq("doc_id"),
+        "left_semi"),
+      "corpus_dup")
+    val common = cand
+      .join(shB, Seq("batch_doc"))
+      .join(shC, Seq("corpus_dup", "sh"))
+      .groupBy("batch_doc", "corpus_dup")
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(shB.groupBy("batch_doc").agg(count(lit(1)).cast("int").as("n1")), "batch_doc")
+      .join(shC.groupBy("corpus_dup").agg(count(lit(1)).cast("int").as("n2")), "corpus_dup")
+      .withColumn(
+        "jaccard",
+        col("common").cast("double") / (col("n1") + col("n2") - col("common")).cast("double"))
+      .where(col("jaccard") >= 0.5)
+      .select("batch_doc", "corpus_dup", "common", "jaccard")
+      .orderBy("batch_doc", "corpus_dup")
+  }
+
   // ---------------------------------------------------------------- SimHash
 
   /** (doc_id, simhash) via the [[graft.functions.SimHash64]] kernel — one
@@ -2162,6 +2237,55 @@ object LlmOps {
              |      WHEN doc_id > first_id THEN 'drop_batch_dup'
              |      ELSE 'ingest' END AS status
              |FROM m ORDER BY doc_id""".stripMargin)),
+    // Oracle replays the whole incremental pipeline: MINHASH_CAND's
+    // signature CTEs (mh_cand itself is never referenced, so the
+    // uncapped pair join never executes), bands unpivoted to rows and
+    // split corpus/batch by source-name length, the corpus-side bucket
+    // cap, the band-equality probe, then the exact-Jaccard rerank on the
+    // hashed shingle lists (list_intersect == the engine's distinct-hash
+    // equi-join count).
+    "q_dedup_near_incremental" -> Q(
+      qDedupNearIncremental,
+      Some {
+        val bandRows = (0 until NumHashes / BandSize)
+          .map { b =>
+            val ks = (0 until BandSize)
+              .map(j => s"m${b * BandSize + j} AS k$j")
+              .mkString(", ")
+            s"SELECT doc_id, $b AS band, $ks FROM mh_sig"
+          }
+          .mkString("\n  UNION ALL ")
+        val keyEq = (0 until BandSize).map(j => s"a.k$j = b.k$j").mkString(" AND ")
+        val keyCols = (0 until BandSize).map(j => s"k$j").mkString(", ")
+        s"""WITH $MINHASH_CAND,
+           |bandrows AS (
+           |  $bandRows),
+           |side AS (SELECT doc_id, length(source) AS slen FROM documents),
+           |cidx AS (SELECT br.* FROM bandrows br JOIN side USING (doc_id) WHERE slen = 4),
+           |bbat AS (SELECT br.* FROM bandrows br JOIN side USING (doc_id) WHERE slen = 5),
+           |okb AS (
+           | SELECT band, $keyCols FROM cidx
+           | GROUP BY band, $keyCols HAVING count(1) <= $CapBucket),
+           |cand AS (
+           | SELECT DISTINCT a.doc_id AS batch_doc, b.doc_id AS corpus_dup
+           | FROM bbat a
+           | JOIN (SELECT c.* FROM cidx c JOIN okb USING (band, $keyCols)) b
+           |  ON a.band = b.band AND $keyEq),
+           |hs AS (
+           |${shingleHashList("mh_docs")}),
+           |sc AS (
+           | SELECT batch_doc, corpus_dup,
+           |  len(list_intersect(ha.hs, hb.hs)) AS common,
+           |  len(ha.hs) AS n1, len(hb.hs) AS n2
+           | FROM cand
+           | JOIN hs ha ON ha.doc_id = batch_doc
+           | JOIN hs hb ON hb.doc_id = corpus_dup)
+           |SELECT batch_doc, corpus_dup, CAST(common AS BIGINT) AS common,
+           | CAST(common AS DOUBLE) / CAST(n1 + n2 - common AS DOUBLE) AS jaccard
+           |FROM sc
+           |WHERE CAST(common AS DOUBLE) / CAST(n1 + n2 - common AS DOUBLE) >= 0.5
+           |ORDER BY batch_doc, corpus_dup""".stripMargin
+      }),
     "q_dedup_substring" -> Q(
       qDedupSubstring,
       Some("""WITH docs AS (

@@ -69,6 +69,35 @@ class QueriesSpec extends SparkSuite {
     assert(uncapped.contains((100L, 101L)))
   }
 
+  test("incremental near-dup: batch probe finds its corpus twin, over-cap index buckets drop (r10)") {
+    import spark.implicits._
+    // corpus: 20 identical template docs (over CapBucket=16 in every
+    // band → the index must drop those buckets) + one organic doc.
+    val template = "the quick brown fox jumps over the lazy dog again and again in this template body"
+    val organic = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
+    val corpus = ((1L to 20L).map(i => (i, template)) :+ (100L, organic))
+      .toDF("doc_id", "text")
+    // batch: a near-copy of the organic corpus doc (must surface), a
+    // template copy (must NOT — its index buckets are capped away), and
+    // an unrelated doc (no candidate at all).
+    val batch = Seq(
+      (1000L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu omicron"),
+      (1001L, template),
+      (1002L, "completely unrelated text about tile caches and parquet footers"))
+      .toDF("doc_id", "text")
+    val got = LlmOps
+      .nearIncrementalCore(corpus, batch)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(got == Set((1000L, 100L)), got.mkString(", "))
+    // jaccard of the surfaced pair is the exact shingle Jaccard: 14
+    // tokens → 12 3-shingles per side, only the last shingle differs →
+    // common = 11, union = 13
+    val row = LlmOps.nearIncrementalCore(corpus, batch).collect()(0)
+    assert(row.getLong(2) == 11L && row.getDouble(3) == 11.0 / 13.0, row.toString)
+  }
+
   test("ngram capped == ngram exact when no shingle exceeds the df cap") {
     // 50 docs at sf0.001 — no shingle can reach df > 50, so the capped
     // variant must reproduce the exact variant bit-for-bit.
