@@ -659,37 +659,95 @@ object MiningOps {
     * r_k = Σ d_t·d_{t+k} / Σ d_t² needs one IEEE division of exact
     * integers. Bound: |d| ≤ y_max·n; at ×1000 today's fixture that is
     * ~2e8, d² ~4e16, × 30 days ~1.2e18 < 2^63 — certifiable far past
-    * the probe scales. BEYOND that bound the engines diverge in
-    * FAILURE MODE, not just value: Spark's LONG multiply wraps
-    * silently while DuckDB's BIGINT multiply is checked and aborts —
-    * so past ~1.2e18 the oracle fails loudly and the engine would
-    * need the same guard (swap `d * d` for a DECIMAL(38,0) product,
-    * at ~2× agg cost) before trusting the output.
+    * the probe scales. BEYOND that bound the engine now fails LOUDLY,
+    * matching the oracle's failure mode (round-9 ADVICE, closed r10):
+    * every LONG product/difference goes through checked arithmetic
+    * (`try_multiply`/`try_subtract` + null-poison → `raise_error`) and
+    * a per-group canary guards the product SUMS, so a series beyond
+    * the bound throws instead of silently wrapping — spec-pinned with
+    * a crafted overflow fixture.
     *
     * Scale shape: corpus-scale work is the ONE (type, day) count agg;
     * the lag windows run over calendar-bounded groups (≤ |days| rows
     * per type regardless of corpus size).
     */
-  def qEventsAutocorr(spark: SparkSession, sfDir: String): DataFrame = {
+  def qEventsAutocorr(spark: SparkSession, sfDir: String): DataFrame =
+    autocorrCore(
+      Tables
+        .events(spark, sfDir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("y")))
+
+  /** LONG multiply that fails LOUDLY on overflow (round-9 ADVICE,
+    * carried): `try_multiply` nulls on wrap, and the null — distinguished
+    * from a genuinely-NULL operand — poisons into `raise_error`, so the
+    * engine aborts exactly where the DuckDB oracle's checked BIGINT
+    * multiply does, instead of silently wrapping past the documented
+    * exactness bound. Codegen'd end to end; the per-row cost is one
+    * overflow-checked multiply (Math.multiplyExact shape).
+    */
+  private def checkedMul(a: Column, b: Column, site: String): Column =
+    when(a.isNull || b.isNull, lit(null).cast("long"))
+      .otherwise(
+        coalesce(
+          try_multiply(a, b),
+          raise_error(format_string(
+            s"$site: LONG product overflow (%s * %s) — beyond the documented " +
+              "exactness bound; see the query scaladoc",
+            a,
+            b)).cast("long")))
+
+  /** Checked LONG subtract, same null-poison discipline as [[checkedMul]]. */
+  private def checkedSub(a: Column, b: Column, site: String): Column =
+    when(a.isNull || b.isNull, lit(null).cast("long"))
+      .otherwise(
+        coalesce(
+          try_subtract(a, b),
+          raise_error(format_string(
+            s"$site: LONG difference overflow (%s - %s) — beyond the documented " +
+              "exactness bound; see the query scaladoc",
+            a,
+            b)).cast("long")))
+
+  /** ACF core over a (event_type, day, y) daily frame — package-private
+    * so the overflow spec can drive it over a crafted series. Every LONG
+    * product/difference is checked ([[checkedMul]]/[[checkedSub]]), and
+    * a per-group canary (n_days · max d² < 2^62, computed in doubles)
+    * guards the SUMS of in-range products (|Σ d·d_k| ≤ n·max d² by
+    * Cauchy-Schwarz) — so past the bound the engine now throws where it
+    * previously wrapped.
+    */
+  private[queries] def autocorrCore(daily: DataFrame): DataFrame = {
     val maxLag = 7
     val wp = Window.partitionBy("event_type")
     val wo = Window.partitionBy("event_type").orderBy("day")
-    val daily = Tables
-      .events(spark, sfDir)
-      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(count(lit(1)).as("y"))
+    val site = "q_events_autocorr"
     val dev = daily
       .select(
         col("event_type"),
         col("day"),
-        (col("y") * count(lit(1)).over(wp) - sum(col("y")).over(wp)).as("d"))
+        checkedSub(
+          checkedMul(col("y"), count(lit(1)).over(wp), site),
+          sum(col("y")).over(wp),
+          site).as("d"))
     val lagged = dev.select(
       col("event_type") +: col("d") +:
         (1 to maxLag).map(k => lag(col("d"), k).over(wo).as(s"d$k")): _*)
     val aggCols =
-      sum(col("d") * col("d")).as("den") +:
-        (1 to maxLag).map(k => sum(col("d") * col(s"d$k")).as(s"num$k"))
+      sum(checkedMul(col("d"), col("d"), site)).as("den") +:
+        max(checkedMul(col("d"), col("d"), site)).as("_maxdd") +:
+        (1 to maxLag).map(k => sum(checkedMul(col("d"), col(s"d$k"), site)).as(s"num$k"))
     val stacked = (1 to maxLag).map(k => s"$k, num$k").mkString(", ")
+    // sum-wrap canary (the fsum pattern): each product is in range, but a
+    // group's SUM of them could still wrap; the bound is computed in
+    // doubles (cannot itself wrap) and throws instead of corrupting
+    val canary = coalesce(
+      assert_true(
+        col("n_days").cast("double") * col("_maxdd").cast("double") <
+          lit(4.611686018427388e18), // 2^62
+        lit(s"$site sum-overflow canary: n_days * max(d^2) >= 2^62 — " +
+          "the ACF sums may have wrapped; see the query scaladoc")).cast("double"),
+      lit(0.0))
     lagged
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_days"), aggCols: _*)
@@ -697,12 +755,13 @@ object MiningOps {
         "event_type",
         "n_days",
         "den",
+        "_maxdd",
         s"stack($maxLag, $stacked) AS (lag, num)")
       .select(
         col("event_type"),
         col("lag").cast("int").as("lag"),
         col("n_days"),
-        (col("num").cast("double") / col("den").cast("double")).as("acf"))
+        (col("num").cast("double") / col("den").cast("double") + canary).as("acf"))
       .orderBy("event_type", "lag")
   }
 
@@ -718,19 +777,28 @@ object MiningOps {
     * the argmax (ties → earliest day) is engine-exact; the emitted
     * cusum / means are single IEEE divisions of exact integers. t = n is
     * excluded (c_n ≡ 0 and the right side would be empty). Same
-    * out-of-bound caveat as `q_events_autocorr`: past |cumy·n| ~ 2^63
-    * Spark's LONG product wraps silently where DuckDB's checked BIGINT
-    * multiply aborts — the exactness claim (and the parity) holds only
-    * inside the documented bound; a DECIMAL(38,0) product is the loud
-    * failure-mode swap if the daily volumes ever approach it.
+    * out-of-bound behavior as `q_events_autocorr` (round-9 ADVICE,
+    * closed r10): past |cumy·n| ~ 2^63 the checked products/difference
+    * (`try_multiply`/`try_subtract` + null-poison → `raise_error`)
+    * throw exactly where DuckDB's checked BIGINT multiply aborts —
+    * loud, engine-matching failure instead of a silent wrap;
+    * spec-pinned with a crafted overflow fixture.
     */
-  def qEventsChangepoint(spark: SparkSession, sfDir: String): DataFrame = {
+  def qEventsChangepoint(spark: SparkSession, sfDir: String): DataFrame =
+    changepointCore(
+      Tables
+        .events(spark, sfDir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("y")))
+
+  /** CUSUM core over a (event_type, day, y) daily frame — package-private
+    * so the overflow spec can drive it over a crafted series; all LONG
+    * products/differences checked (see [[autocorrCore]]).
+    */
+  private[queries] def changepointCore(daily: DataFrame): DataFrame = {
     val wp = Window.partitionBy("event_type")
     val wo = Window.partitionBy("event_type").orderBy("day")
-    val daily = Tables
-      .events(spark, sfDir)
-      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(count(lit(1)).as("y"))
+    val site = "q_events_changepoint"
     val cum = daily
       .select(
         col("event_type"),
@@ -746,7 +814,10 @@ object MiningOps {
         col("s"),
         col("t"),
         col("cumy"),
-        (col("cumy") * col("n") - col("t") * col("s")).as("c"))
+        checkedSub(
+          checkedMul(col("cumy"), col("n"), site),
+          checkedMul(col("t"), col("s"), site),
+          site).as("c"))
       .where(col("t") < col("n"))
     val pick = Window
       .partitionBy("event_type")

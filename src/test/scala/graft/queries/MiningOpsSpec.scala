@@ -462,6 +462,49 @@ class MiningOpsSpec extends SparkSuite {
     }
   }
 
+  test("autocorr/changepoint throw loudly past the LONG exactness bound (r10)") {
+    import java.sql.Date
+    // Crafted daily series whose deviations overflow the d*d product:
+    // y2*n = 6e18 and S ~ 2e18 are in range, but d2 ~ 4e18 makes
+    // d2^2 ~ 1.6e37 >> 2^63. Pre-r10 this wrapped silently (engine
+    // drifting from the aborting DuckDB oracle); now it must throw.
+    val daily = Seq(
+      ("a", Date.valueOf("2024-01-01"), 1000000000000000L),
+      ("a", Date.valueOf("2024-01-02"), 2000000000000000000L),
+      ("a", Date.valueOf("2024-01-03"), 3000000000000000L))
+      .toDF("event_type", "day", "y")
+    def fullMsg(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).flatMap(c => Option(c.getMessage)).mkString("\n")
+    val eAcf = intercept[Exception] {
+      MiningOps.autocorrCore(daily).collect()
+    }
+    assert(fullMsg(eAcf).contains("overflow"), fullMsg(eAcf))
+    // changepoint: overflow must hit a SURVIVING row (t < n): with
+    // y = 2e18 each, cumy at t=2 is 4e18 and cumy*n = 1.2e19 > 2^63
+    // (S = 6e18 itself stays in range)
+    val dailyCp = Seq(
+      ("a", Date.valueOf("2024-01-01"), 2000000000000000000L),
+      ("a", Date.valueOf("2024-01-02"), 2000000000000000000L),
+      ("a", Date.valueOf("2024-01-03"), 2000000000000000000L))
+      .toDF("event_type", "day", "y")
+    val eCp = intercept[Exception] {
+      MiningOps.changepointCore(dailyCp).collect()
+    }
+    assert(fullMsg(eCp).contains("overflow"), fullMsg(eCp))
+    // and a well-inside-bound series still computes exactly (the guard
+    // costs a checked multiply, not a semantics change)
+    val ok = Seq(
+      ("a", Date.valueOf("2024-01-01"), 10L),
+      ("a", Date.valueOf("2024-01-02"), 30L),
+      ("a", Date.valueOf("2024-01-03"), 20L))
+      .toDF("event_type", "day", "y")
+    // d = (-30, 30, 0); den = 1800; num1 = -30*30 + 30*0 = -900
+    val acf1 = MiningOps.autocorrCore(ok).collect().find(_.getInt(1) == 1).get.getDouble(3)
+    assert(acf1 == -0.5, acf1.toString)
+    val cp = MiningOps.changepointCore(ok).collect()(0)
+    assert(cp.getDate(2) == Date.valueOf("2024-01-01"), cp.toString)
+  }
+
   test("q_events_changepoint: split maximizes |cusum|, means bracket the level shift") {
     val rows = MiningOps.qEventsChangepoint(spark, sf001).collect()
     assert(rows.nonEmpty)
