@@ -862,7 +862,7 @@ object LlmOps {
     * every similarity query so quantization and operation order can't
     * drift between them (the oracles all replay this exact form).
     */
-  private def cosSim(a: Column, b: Column): Column =
+  private[queries] def cosSim(a: Column, b: Column): Column =
     dotDec(a, b) / (sqrt(dotDec(a, a)) * sqrt(dotDec(b, b)))
 
   private def dotDec(a: Column, b: Column): Column =
@@ -1022,6 +1022,65 @@ object LlmOps {
           6).as("mean_err"))
       .orderBy("vec_id")
   }
+
+  /** Binary (1-bit) embedding quantization — the extreme memory rung
+    * beside [[qEmbedQuantize]]'s int8 (32× compression: a 100 TB float32
+    * store is ~3 TB of sign bits + one scalar per vector; hamming over
+    * the packed signature is the cheapest possible first-pass distance,
+    * the signature being exactly the `q_sim_ann` hyperplane idea with
+    * axis-aligned planes). Per vector: bit_j = (x_j > 0) for the first
+    * 64 dims, packed into two 32-bit halves (sig_hi, sig_lo — split
+    * rather than one 64-bit word so bit 63 never touches the LONG sign
+    * bit in either engine), the 1-bit dequant scalar scale = mean |x|
+    * (x̂_j = ±scale), and the reconstruction error mean ||x_j| − scale|
+    * the int8 twin also reports.
+    *
+    * Scale shape: ONE map-side pass (array HOFs, no explode, no
+    * shuffle until the presentation sort, which an index build drops).
+    * Float→double exact; |x| sums and errors quantize to 1e-9 fixed
+    * point so every aggregate is order-independent LONG math; scale and
+    * the mean replay as the identical IEEE division sequence in the
+    * oracle. Fixture dims = 64; at wider vectors the signature is the
+    * documented first-64-dims prefix (the standard multi-word layout
+    * packs ⌈d/64⌉ words; one word keeps the schema scalar).
+    */
+  def qEmbedQuantizeBinary(spark: SparkSession, sfDir: String): DataFrame =
+    Tables
+      .embeddings(spark, sfDir)
+      .select(
+        col("vec_id"),
+        col("label"),
+        transform(col("embedding"), v => v.cast("double")).as("x"),
+        size(col("embedding")).cast("long").as("n_dims"))
+      .withColumn(
+        "abs_fp",
+        expr("aggregate(transform(x, v -> cast(round(abs(v) * 1e9) as bigint)), 0L, (a, b) -> a + b)"))
+      .withColumn("scale", col("abs_fp").cast("double") / col("n_dims") / lit(1e9))
+      .withColumn(
+        "n_pos",
+        expr("aggregate(transform(x, v -> IF(v > 0D, 1L, 0L)), 0L, (a, b) -> a + b)"))
+      .withColumn(
+        "sig_lo",
+        expr("aggregate(transform(x, (v, i) -> IF(v > 0D AND i < 32, shiftleft(1L, i), 0L)), " +
+          "0L, (a, b) -> a + b)"))
+      .withColumn(
+        "sig_hi",
+        expr("aggregate(transform(x, (v, i) -> IF(v > 0D AND i >= 32 AND i < 64, " +
+          "shiftleft(1L, i - 32), 0L)), 0L, (a, b) -> a + b)"))
+      .withColumn(
+        "err_fp",
+        expr("aggregate(transform(x, v -> cast(round(abs(abs(v) - scale) * 1e9) as bigint)), " +
+          "0L, (a, b) -> a + b)"))
+      .select(
+        col("vec_id"),
+        col("label"),
+        col("n_dims"),
+        col("n_pos"),
+        col("sig_hi"),
+        col("sig_lo"),
+        round(col("scale"), 6).as("scale"),
+        round(col("err_fp").cast("double") / col("n_dims") / 1e9, 6).as("mean_err"))
+      .orderBy("vec_id")
 
   /** Batched exact k-NN join — the multi-query form of [[qSimTopk]]: a
     * small query SET (vec_ids 0–9) broadcasts once, the corpus scan
@@ -2476,6 +2535,28 @@ object LlmOps {
              | FROM un GROUP BY vec_id)
              |SELECT vec_id, label, dot / (sqrt(ne) * sqrt(nq)) AS sim FROM s
              |ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin)),
+    "q_embed_quantize_binary" -> Q(
+      qEmbedQuantizeBinary,
+      Some("""WITH un AS (
+             | SELECT vec_id, label, g AS i, CAST(embedding[g] AS DOUBLE) AS v
+             | FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS g) s),
+             |a AS (
+             | SELECT vec_id, any_value(label) AS label, count(1) AS n,
+             |  sum(CAST(round(abs(v) * 1e9, 0) AS BIGINT)) AS abs_fp,
+             |  sum(CASE WHEN v > 0 THEN 1 ELSE 0 END) AS n_pos,
+             |  sum(CASE WHEN v > 0 AND i <= 32 THEN (1::BIGINT << (i - 1)) ELSE 0 END) AS sig_lo,
+             |  sum(CASE WHEN v > 0 AND i > 32 AND i <= 64 THEN (1::BIGINT << (i - 33)) ELSE 0 END) AS sig_hi
+             | FROM un GROUP BY vec_id),
+             |sc AS (SELECT *, CAST(abs_fp AS DOUBLE) / n / 1e9 AS scale FROM a),
+             |er AS (
+             | SELECT un.vec_id, sum(CAST(round(abs(abs(v) - scale) * 1e9, 0) AS BIGINT)) AS err_fp
+             | FROM un JOIN sc USING (vec_id) GROUP BY un.vec_id)
+             |SELECT sc.vec_id, sc.label, CAST(n AS BIGINT) AS n_dims,
+             | CAST(n_pos AS BIGINT) AS n_pos, CAST(sig_hi AS BIGINT) AS sig_hi,
+             | CAST(sig_lo AS BIGINT) AS sig_lo, round(scale, 6) AS scale,
+             | round(CAST(err_fp AS DOUBLE) / n / 1e9, 6) AS mean_err
+             |FROM sc JOIN er ON sc.vec_id = er.vec_id
+             |ORDER BY sc.vec_id""".stripMargin)),
     "q_embed_quantize" -> Q(
       qEmbedQuantize,
       Some("""WITH un AS (

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Search, tokenizer-induction, graph, and operational-diagnostic
@@ -59,7 +60,15 @@ object SearchOps {
     * LONGs (partition-order-proof); idf is ln quantized to the same
     * grain.
     */
-  def qTextBm25(spark: SparkSession, sfDir: String): DataFrame = {
+  def qTextBm25(spark: SparkSession, sfDir: String): DataFrame =
+    bm25Scores(spark, sfDir)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+
+  /** Scored (doc_id, bm25) frame pre-top-k — shared by [[qTextBm25]] and
+    * the hybrid-retrieval fusion so the lexical leg cannot drift.
+    */
+  private def bm25Scores(spark: SparkSession, sfDir: String): DataFrame = {
     val tok = Tables
       .documents(spark, sfDir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
@@ -87,8 +96,64 @@ object SearchOps {
       .select(col("doc_id"), round(idf6 * weight * lit(1e6)).cast("long").as("fp"))
       .groupBy("doc_id")
       .agg((sum("fp").cast("double") / lit(1e6)).as("bm25"))
+  }
+
+  /** RRF constant (Cormack et al. 2009's standard k = 60). */
+  private val RrfK = 60
+
+  /** Hybrid retrieval with reciprocal-rank fusion — the production
+    * retrieval shape neither leg covers alone: the LEXICAL leg (BM25
+    * top-20 for the standing term query, [[bm25Scores]]) catches exact
+    * keyword matches, the SEMANTIC leg (exact cosine top-20 against
+    * doc 0's embedding — the query document's vector; vec_id ≡ doc_id
+    * in the fixtures) catches paraphrases, and RRF fuses the two rank
+    * lists without any score normalization: score(d) = Σ_legs
+    * 1/(k + rank_leg(d)), k = 60. Doc 0 (the query document itself) is
+    * excluded from both legs. A rank of 0 in the output means "absent
+    * from that leg's top-20" (contributes nothing) — a sentinel, not a
+    * rank, kept NULL-free so the two engines' int64 schemas agree.
+    *
+    * Float discipline: each leg's rank is an exact integer; each RRF
+    * contribution is round(1e6/(60+rank)) as a LONG, the fused score
+    * one exact-long sum ÷ 1e6 — bit-identical across engines. Scale
+    * shape: both legs end in TakeOrdered top-20 (k-merge, no global
+    * sort); the rank windows and the full-outer fusion run on ≤ 20
+    * rows per leg; corpus-scale work is exactly one BM25 pass + one
+    * broadcast-query cosine scan.
+    */
+  def qSearchHybridRrf(spark: SparkSession, sfDir: String): DataFrame = {
+    val lexTop = bm25Scores(spark, sfDir)
+      .where(col("doc_id") =!= 0L)
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(20)
+    val lex = lexTop.withColumn(
+      "lex_rank",
+      row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.where(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    val semTop = e
+      .where(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"), LlmOps.cosSim(col("embedding"), col("q_emb")).as("sim"))
+      .orderBy(col("sim").desc, col("doc_id"))
+      .limit(20)
+    val sem = semTop.withColumn(
+      "sem_rank",
+      row_number().over(Window.orderBy(col("sim").desc, col("doc_id"))).cast("long"))
+    def contrib(r: Column) =
+      when(r === 0L, lit(0L)).otherwise(round(lit(1e6) / (lit(RrfK) + r)).cast("long"))
+    lex
+      .select("doc_id", "lex_rank")
+      .join(sem.select("doc_id", "sem_rank"), Seq("doc_id"), "full_outer")
+      .na.fill(0L, Seq("lex_rank", "sem_rank"))
+      .withColumn("rrf_fp", contrib(col("lex_rank")) + contrib(col("sem_rank")))
+      .select(
+        col("doc_id"),
+        col("lex_rank"),
+        col("sem_rank"),
+        (col("rrf_fp").cast("double") / 1e6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(10)
   }
 
   // ---------------------------------------------------- BPE pair counts
@@ -973,6 +1038,53 @@ object SearchOps {
              | FROM tf JOIN df USING (tok) JOIN dl ON tf.doc_id = dl.doc_id, st)
              |SELECT doc_id, CAST(sum(fp) AS DOUBLE) / 1e6 AS bm25
              |FROM c GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin)),
+    // Oracle replays BOTH legs verbatim (the q_text_bm25 CTEs for the
+    // lexical leg, the q_sim_topk fixed-point cosine for the semantic
+    // leg), ranks each top-20, and fuses with the same exact-long RRF
+    // contributions; rank 0 = absent-from-leg sentinel on both sides.
+    "q_search_hybrid_rrf" -> Q(
+      qSearchHybridRrf,
+      Some("""WITH tok AS (
+             | SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+             | FROM documents),
+             |dl AS (SELECT doc_id, count(1) AS dl FROM tok GROUP BY doc_id),
+             |st AS (SELECT count(1) AS n, CAST(sum(dl) AS DOUBLE) / count(1) AS avgdl FROM dl),
+             |tf AS (SELECT doc_id, tok, count(1) AS tf FROM tok
+             |       WHERE tok IN ('data', 'vector', 'stream') GROUP BY doc_id, tok),
+             |df AS (SELECT tok, count(1) AS df FROM tf GROUP BY tok),
+             |c AS (
+             | SELECT tf.doc_id,
+             |  CAST(round(round(ln(1 + (n - df + 0.5) / (df + 0.5)), 6) *
+             |   (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * (dl.dl / avgdl)))) * 1e6, 0) AS BIGINT) AS fp
+             | FROM tf JOIN df USING (tok) JOIN dl ON tf.doc_id = dl.doc_id, st),
+             |bm AS (
+             | SELECT doc_id, CAST(sum(fp) AS DOUBLE) / 1e6 AS bm25
+             | FROM c WHERE doc_id <> 0 GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20),
+             |lex AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank FROM bm),
+             |qv AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+             |un AS (
+             | SELECT e.vec_id, unnest(e.embedding) AS x, unnest(qv.q_emb) AS y
+             | FROM embeddings e, qv WHERE e.vec_id <> 0),
+             |s AS (
+             | SELECT vec_id,
+             |  CAST(CAST(sum(CAST(round(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1e12, 0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12 AS dot,
+             |  CAST(CAST(sum(CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12, 0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12 AS ne,
+             |  CAST(CAST(sum(CAST(round(CAST(y AS DOUBLE) * CAST(y AS DOUBLE) * 1e12, 0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12 AS nq
+             | FROM un GROUP BY vec_id),
+             |sims AS (
+             | SELECT vec_id AS doc_id, dot / (sqrt(ne) * sqrt(nq)) AS sim FROM s
+             | ORDER BY sim DESC, doc_id LIMIT 20),
+             |sem AS (SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id) AS sem_rank FROM sims),
+             |f AS (
+             | SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+             |  COALESCE(lex_rank, 0) AS lex_rank, COALESCE(sem_rank, 0) AS sem_rank
+             | FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+             |SELECT doc_id, lex_rank, sem_rank,
+             | CAST((CASE WHEN lex_rank = 0 THEN 0
+             |            ELSE CAST(round(1e6 / (60 + lex_rank), 0) AS BIGINT) END +
+             |       CASE WHEN sem_rank = 0 THEN 0
+             |            ELSE CAST(round(1e6 / (60 + sem_rank), 0) AS BIGINT) END) AS DOUBLE) / 1e6 AS rrf
+             |FROM f ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin)),
     "q_vocab_pairs" -> Q(
       qVocabPairs,
       Some("""WITH l AS (SELECT string_split(text, ' ') AS t FROM documents),

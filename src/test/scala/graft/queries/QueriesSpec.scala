@@ -69,6 +69,56 @@ class QueriesSpec extends SparkSuite {
     assert(uncapped.contains((100L, 101L)))
   }
 
+  test("micro-quantized ln args stay far from the .5 rounding boundary (r10, ADVICE)") {
+    // q_sample_weighted / q_privacy_dp_count / q_stats_mutual_info all
+    // compute round(ln(integer)·1e6) live on BOTH engines; JVM Math.log
+    // and DuckDB's libm ln are each within 1 ulp but not identically
+    // rounded, so a value within ~1 ulp of a .5 micro-grid boundary
+    // could round to different LONGs and break the bit-identical parity
+    // claim. This pins the actual fixture argument sets > 1e-6 away
+    // from every boundary (~270 ulps at the 2.7e7 magnitude; measured
+    // minimum 2.1e-4), making the accepted q_text_zipf-pattern risk an
+    // ASSERTED margin instead of a hope. A future fixture refresh that
+    // lands a value on the knife edge fails here, not as a driver hash
+    // mismatch.
+    def minDist(df: org.apache.spark.sql.DataFrame): Double =
+      df.agg(min(abs(col("x") - floor(col("x")) - lit(0.5)))).head().getDouble(0)
+    val dirs = Seq(sf001, "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+      .filter(d => new java.io.File(d).isDirectory)
+    assert(dirs.nonEmpty)
+    dirs.foreach { dir =>
+      // A-ES draw: ln(h), h = 40-bit md5(doc_id) + 1 — one per document
+      val h = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 10), 16, 10)
+        .cast("long") + lit(1L)
+      val es = Tables.documents(spark, dir).select((log(h) * 1e6).as("x"))
+      assert(minDist(es) > 1e-6, s"q_sample_weighted ln(h) margin at $dir")
+      // Laplace inverse-CDF: ln(m), m from the 40-bit md5 of n_name
+      val hn = conv(substring(md5(col("n_name").cast("binary")), 1, 10), 16, 10).cast("long")
+      val m = greatest(lit(1L), lit(1L << 40) - lit(2L) * abs(hn - lit(1L << 39)))
+      val dp = Tables.nation(spark, dir).select((log(m) * 1e6).as("x"))
+      assert(minDist(dp) > 1e-6, s"q_privacy_dp_count ln(m) margin at $dir")
+      // mutual info: ln over {n·nij, ni, nj, n} of the (seg, nation)
+      // contingency — the exact argument multiset the query quantizes
+      val nat = Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name"))
+      val cells = Tables
+        .customer(spark, dir)
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_mktsegment").as("seg"), col("n_name").as("nat"))
+        .agg(count(lit(1)).as("nij"))
+      val segM = cells.groupBy("seg").agg(sum("nij").as("ni"))
+      val natM = cells.groupBy("nat").agg(sum("nij").as("nj"))
+      val tot = cells.agg(sum("nij").as("n"))
+      val mi = cells
+        .join(segM, "seg")
+        .join(natM, "nat")
+        .crossJoin(broadcast(tot))
+        .select(explode(array(col("n") * col("nij"), col("ni"), col("nj"), col("n"))).as("v"))
+        .distinct()
+        .select((log(col("v")) * 1e6).as("x"))
+      assert(minDist(mi) > 1e-6, s"q_stats_mutual_info ln margin at $dir")
+    }
+  }
+
   test("incremental near-dup: batch probe finds its corpus twin, over-cap index buckets drop (r10)") {
     import spark.implicits._
     // corpus: 20 identical template docs (over CapBucket=16 in every
@@ -96,6 +146,57 @@ class QueriesSpec extends SparkSuite {
     // common = 11, union = 13
     val row = LlmOps.nearIncrementalCore(corpus, batch).collect()(0)
     assert(row.getLong(2) == 11L && row.getDouble(3) == 11.0 / 13.0, row.toString)
+  }
+
+  test("hybrid RRF: fused score is exactly the rank-reciprocal sum; both-legs docs outrank (r10)") {
+    val rows = SearchOps.qSearchHybridRrf(spark, sf001).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    rows.foreach { r =>
+      val (doc, lexR, semR, rrf) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(doc != 0L) // the query document is excluded from both legs
+      assert(lexR >= 0 && lexR <= 20 && semR >= 0 && semR <= 20)
+      assert(lexR > 0 || semR > 0) // a fused row came from at least one leg
+      def c(k: Long) = if (k == 0) 0L else math.round(1e6 / (60 + k))
+      assert(rrf == (c(lexR) + c(semR)).toDouble / 1e6, r.toString)
+    }
+    // output is rrf-descending with doc_id tiebreak
+    val keys = rows.map(r => (-r.getDouble(3), r.getLong(0))).toSeq
+    assert(keys == keys.sorted)
+  }
+
+  test("binary quantization: sign bits, popcount, and error recompute exactly (r10)") {
+    val got = LlmOps.qEmbedQuantizeBinary(spark, sf001).collect()
+    val raw = graft.Tables
+      .embeddings(spark, sf001)
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .toMap
+    assert(got.length == raw.size)
+    got.foreach { r =>
+      val x = raw(r.getLong(0)).map(_.toDouble)
+      val pos = x.map(_ > 0)
+      // n_pos equals the popcount of the packed signature (dims = 64)
+      val sigHi = r.getLong(4)
+      val sigLo = r.getLong(5)
+      assert(r.getLong(3) == pos.count(identity).toLong)
+      assert(java.lang.Long.bitCount(sigHi) + java.lang.Long.bitCount(sigLo) == r.getLong(3))
+      // every bit matches its dimension's sign
+      (0 until 32).foreach { i =>
+        assert(((sigLo >> i) & 1L) == (if (pos(i)) 1L else 0L), s"lo bit $i of ${r.getLong(0)}")
+        assert(((sigHi >> i) & 1L) == (if (pos(i + 32)) 1L else 0L), s"hi bit $i of ${r.getLong(0)}")
+      }
+      // halves never touch bits >= 32 (bit 63 stays clear of the LONG sign)
+      assert((sigHi >>> 32) == 0L && (sigLo >>> 32) == 0L)
+      // scale and mean reconstruction error replay the fixed-point path
+      val absFp = x.map(v => math.round(math.abs(v) * 1e9)).sum
+      val scale = absFp.toDouble / x.length / 1e9
+      val scaleR = BigDecimal(scale).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(6) == scaleR, s"scale of ${r.getLong(0)}")
+      val errFp = x.map(v => math.round(math.abs(math.abs(v) - scale) * 1e9)).sum
+      val meanErr = BigDecimal(errFp.toDouble / x.length / 1e9)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(7) == meanErr, s"mean_err of ${r.getLong(0)}")
+    }
   }
 
   test("ngram capped == ngram exact when no shingle exceeds the df cap") {
