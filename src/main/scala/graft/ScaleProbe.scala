@@ -143,7 +143,23 @@ object ScaleProbe {
     "q_tpch_q10",
     "q_stats_mutual_info",
     "q_ann_recall",
-    "q_sample_weighted")
+    "q_sample_weighted",
+    // r10 (verdict ask #2): every round-9 entry gets a probe row — the
+    // remaining seven are single-shuffle/top-k shapes expected ≤ linear
+    // (here for the EVIDENCE, not suspicion) — plus the three r10
+    // additions: the incremental band-index probe (candidate volume is
+    // the thing to watch under duplication growth), the two-leg RRF
+    // fusion (both legs TakeOrdered), and the map-side 1-bit quantizer.
+    "q_tpch_q4",
+    "s_stream_funnel",
+    "q_privacy_dp_count",
+    "q_time_lttb",
+    "q_dq_completeness",
+    "q_dq_referential",
+    "q_graph_degree_dist",
+    "q_dedup_near_incremental",
+    "q_search_hybrid_rrf",
+    "q_embed_quantize_binary")
 
   private def num(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
