@@ -159,7 +159,28 @@ object ScaleProbe {
     "q_graph_degree_dist",
     "q_dedup_near_incremental",
     "q_search_hybrid_rrf",
-    "q_embed_quantize_binary")
+    "q_embed_quantize_binary",
+    // r10 widening: BPE merge APPLICATION (word-table regime like
+    // q_bpe_merges — counts multiply, vocab stays put), the prefix-dim
+    // retrieval eval (two broadcast-query scans), the online anomaly
+    // detector (per-type sequential recurrence — factor× group sizes,
+    // the flatMapGroups shape whose ratio must stay ~linear), and the
+    // three new TPC-H shapes (pushdown scan-agg, conditional-agg join
+    // ratio, disjunctive-predicate join).
+    "q_bpe_encode",
+    "q_embed_matryoshka",
+    "s_stream_anomaly",
+    "q_tpch_q6",
+    "q_tpch_q14",
+    "q_tpch_q19",
+    // r10 TPC-H breadth batch 2: late-line conditional agg (q12), the
+    // outer-join double aggregation (q13), argmax-over-aggregate (q15),
+    // decorrelated per-part average (q17), scalar-avg + anti join (q22).
+    "q_tpch_q12",
+    "q_tpch_q13",
+    "q_tpch_q15",
+    "q_tpch_q17",
+    "q_tpch_q22")
 
   private def num(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

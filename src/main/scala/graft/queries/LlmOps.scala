@@ -1286,6 +1286,60 @@ object LlmOps {
       .orderBy("q_id")
   }
 
+  /** Matryoshka (prefix-dimension) retrieval eval: rank by cosine over
+    * only the FIRST [[MrlPrefixDims]] of the 64 embedding dims, and score
+    * recall@10 against the full-dimension exact ranking — the evaluation
+    * that justifies MRL-style truncation (Kusupati et al. 2022 shape:
+    * nested prefixes of one embedding carry most of the signal, so a
+    * 4× narrower scan serves the candidate pass). The quantization rung
+    * next to `q_embed_quantize` (int8) and `q_embed_quantize_binary`
+    * (1-bit): those shrink per-dim precision, this shrinks the number of
+    * dims — at 100 TB a prefix scan reads ¼ of the vector bytes with NO
+    * index build at all, and reranking the prefix top-k with full
+    * vectors restores exactness where it matters.
+    *
+    * Scale shape: both arms are the `q_sim_knn_batch` plan — the 5-query
+    * set broadcast, one linear corpus scan each (prefix arm on
+    * `slice(embedding, 1, 16)`, a pure projection), per-query top-10 via
+    * window rank over the tiny (5 × N) sim frame. Cosines are exact
+    * fixed-point [[graft.functions.ScaledDot]] LONGs, so both engines
+    * rank identical doubles (`vec_id` tiebreak).
+    */
+  val MrlPrefixDims = 16
+
+  def qEmbedMatryoshka(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = 10
+    val nQ = 5
+    val e = Tables.embeddings(spark, sfDir)
+    val data = e.where(col("vec_id") >= nQ)
+    val q = e
+      .where(col("vec_id") < nQ)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
+    def topK(sim: Column) = data
+      .crossJoin(broadcast(q))
+      .select(col("q_id"), col("vec_id"), sim.as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select("q_id", "vec_id")
+    val full = topK(cosSim(col("embedding"), col("q_emb")))
+    val prefix = topK(
+      cosSim(
+        slice(col("embedding"), 1, MrlPrefixDims),
+        slice(col("q_emb"), 1, MrlPrefixDims)))
+    val hits = prefix
+      .join(full, Seq("q_id", "vec_id"), "left_semi")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("n_hit"))
+    q.select("q_id")
+      .join(hits, Seq("q_id"), "left")
+      .select(
+        col("q_id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / k).as("recall"))
+      .orderBy("q_id")
+  }
+
   /** ANN via IVF (inverted file): k-means-lite centroids (deterministic
     * init from vec_id 1..K, two Lloyd iterations with exact decimal-mean
     * centroid updates), every vector assigned to its nearest centroid,
@@ -2635,6 +2689,42 @@ object LlmOps {
               |FROM (SELECT q_id FROM qv) q
               |LEFT JOIN nc USING (q_id) LEFT JOIN h USING (q_id)
               |ORDER BY q_id""".stripMargin)),
+    "q_embed_matryoshka" -> Q(
+      qEmbedMatryoshka,
+      Some("""WITH qv AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+             |unf AS (
+             | SELECT qv.q_id, e.vec_id, unnest(e.embedding) AS x, unnest(qv.q_emb) AS y
+             | FROM embeddings e, qv WHERE e.vec_id >= 5),
+             |unp AS (
+             | SELECT qv.q_id, e.vec_id, unnest(e.embedding[1:16]) AS x, unnest(qv.q_emb[1:16]) AS y
+             | FROM embeddings e, qv WHERE e.vec_id >= 5),
+             |sf AS (
+             | SELECT q_id, vec_id,
+             |  CAST(CAST(sum(CAST(round(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1e12, 0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12 AS dot,
+             |  CAST(CAST(sum(CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12, 0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12 AS ne,
+             |  CAST(CAST(sum(CAST(round(CAST(y AS DOUBLE) * CAST(y AS DOUBLE) * 1e12, 0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12 AS nq
+             | FROM unf GROUP BY q_id, vec_id),
+             |sp AS (
+             | SELECT q_id, vec_id,
+             |  CAST(CAST(sum(CAST(round(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1e12, 0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12 AS dot,
+             |  CAST(CAST(sum(CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12, 0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12 AS ne,
+             |  CAST(CAST(sum(CAST(round(CAST(y AS DOUBLE) * CAST(y AS DOUBLE) * 1e12, 0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12 AS nq
+             | FROM unp GROUP BY q_id, vec_id),
+             |ex AS (
+             | SELECT q_id, vec_id FROM (
+             |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+             |    ORDER BY dot / (sqrt(ne) * sqrt(nq)) DESC, vec_id ASC) AS rk FROM sf)
+             | WHERE rk <= 10),
+             |pre AS (
+             | SELECT q_id, vec_id FROM (
+             |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+             |    ORDER BY dot / (sqrt(ne) * sqrt(nq)) DESC, vec_id ASC) AS rk FROM sp)
+             | WHERE rk <= 10),
+             |h AS (SELECT q_id, count(1) AS n_hit FROM pre JOIN ex USING (q_id, vec_id) GROUP BY 1)
+             |SELECT q.q_id, coalesce(h.n_hit, 0) AS n_hit,
+             | CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 10 AS recall
+             |FROM (SELECT q_id FROM qv) q LEFT JOIN h USING (q_id)
+             |ORDER BY q_id""".stripMargin)),
     // bench=false: the run is dominated by the IVF BUILD (k-means
     // training = 6+ jobs with driver-side model updates) — index
     // construction, not per-query cost; q_sim_ann is the benched ANN.

@@ -361,6 +361,290 @@ object MiningOps {
       .orderBy("o_orderpriority")
   }
 
+  // ------------------------------------------------------------- TPC-H Q6
+
+  /** TPC-H Q6 (forecasting revenue change): single-table filter +
+    * aggregate — the canonical predicate-pushdown showcase. All three
+    * predicates (ship-date year window, discount band, quantity cap)
+    * reach the parquet scan as PushedFilters; the surviving rows fold
+    * into one 2-column partial agg, so the whole query is a scan-side
+    * map-combine with a 1-row exchange — the plan that saturates I/O at
+    * 100 TB with zero shuffle traffic.
+    *
+    * The discount band compares `round(l_discount * 100)` as an exact
+    * integer (the data's discounts are whole percents): a raw DOUBLE
+    * `BETWEEN 0.05 AND 0.07` would hinge on whether each engine's
+    * binary double for 0.05/0.07 brackets the stored value — an
+    * engine-portability trap Q6 is famous for. Revenue addends quantize
+    * to cents before summing ([[cents]] — order-independent LONG sum).
+    */
+  def qTpchQ6(spark: SparkSession, sfDir: String): DataFrame =
+    Tables
+      .lineitem(spark, sfDir)
+      .where(
+        col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          round(col("l_discount") * 100).cast("long").between(5L, 7L) &&
+          col("l_quantity") < 24.0)
+      .agg(
+        (sum(cents(col("l_extendedprice") * col("l_discount"))).cast("double") / 100.0)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  // ------------------------------------------------------------ TPC-H Q14
+
+  /** TPC-H Q14 (promotion effect): share of one month's revenue earned
+    * by promo parts. Adapted to the synthetic schema: `p_type` is a
+    * 6-value class column, so the predicate is equality to 'PROMO'
+    * (upstream TPC-H uses `LIKE 'PROMO%'` over composed type strings).
+    *
+    * Scale shape: the month window is pushed to the lineitem scan, so
+    * the orderkey-free join sees ~1/24 of the fact table; part joins on
+    * `l_partkey` — a dim at test SF (AQE broadcasts it), a co-shuffle at
+    * real |part|, either way one shuffle. Both the promo and total
+    * revenue sums ride the SAME aggregation (a conditional addend, not
+    * two scans); the ratio is one driver-side division of two exact cent
+    * LONGs, rounded to 1e-6 so both engines compare identical doubles.
+    */
+  def qTpchQ14(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+    Tables
+      .lineitem(spark, sfDir)
+      .where(
+        col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+      .join(
+        Tables.part(spark, sfDir).select(col("p_partkey"), col("p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0L))).as("promo_c"),
+        sum(rev).as("total_c"))
+      .select(
+        round(lit(100.0) * col("promo_c").cast("double") / col("total_c").cast("double"), 6)
+          .as("promo_revenue_pct"),
+        (col("promo_c").cast("double") / 100.0).as("promo_revenue"),
+        (col("total_c").cast("double") / 100.0).as("total_revenue"))
+  }
+
+  // ------------------------------------------------------------ TPC-H Q19
+
+  /** TPC-H Q19 (discounted revenue, disjunctive predicates): three
+    * brand/size/quantity condition arms OR'd together — the classic
+    * stress of predicate normalization across a join. Adapted to the
+    * synthetic schema (no container/shipmode columns): each arm pairs a
+    * brand equality with a size range on the part side and a quantity
+    * range on the lineitem side.
+    *
+    * Scale shape: Catalyst extracts the common join key (`l_partkey =
+    * p_partkey`) from the disjunction so the join stays an equi-join
+    * (never a nested-loop), and pushes the part-side arm disjunction
+    * (brand IN + size ≤ 15 bounds) down to the part scan. Quantity
+    * comparisons are exact (integer-valued doubles 1..50); revenue sums
+    * are exact cent LONGs.
+    */
+  def qTpchQ19(spark: SparkSession, sfDir: String): DataFrame = {
+    val arm1 = col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+      col("l_quantity").between(1.0, 11.0)
+    val arm2 = col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+      col("l_quantity").between(10.0, 20.0)
+    val arm3 = col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+      col("l_quantity").between(20.0, 30.0)
+    Tables
+      .lineitem(spark, sfDir)
+      .join(
+        Tables.part(spark, sfDir).select(col("p_partkey"), col("p_brand"), col("p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .where(arm1 || arm2 || arm3)
+      .agg(
+        (sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .cast("double") / 100.0).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  // ------------------------------------------------------------ TPC-H Q12
+
+  /** TPC-H Q12 (shipping-priority audit): for each line class, how many
+    * LATE lines belonged to critical- vs non-critical-priority orders.
+    * Adapted to the synthetic schema (no l_shipmode / commit / receipt
+    * dates): the class column is `l_returnflag` (3 values standing in
+    * for the two audited ship modes) and "late" is the `q_tpch_q4`
+    * adaptation `l_shipdate > o_orderdate + 60 days` — the same
+    * correlated-date-predicate class as upstream's receipt>commit.
+    *
+    * Scale shape: the ship-year window prunes the lineitem scan
+    * (PushedFilters) BEFORE the only big⋈big shuffle (orderkey); orders
+    * contributes just (orderkey, orderdate, priority); the critical /
+    * non-critical split rides ONE conditional aggregation.
+    */
+  def qTpchQ12(spark: SparkSession, sfDir: String): DataFrame = {
+    val critical = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables
+      .lineitem(spark, sfDir)
+      .where(
+        col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_shipdate"))
+      .join(
+        Tables
+          .orders(spark, sfDir)
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .where(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(critical, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(critical, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+
+  // ------------------------------------------------------------ TPC-H Q13
+
+  /** TPC-H Q13 (customer order-count distribution): histogram of
+    * orders-per-customer INCLUDING the zero bucket — the left-outer-join
+    * + double-aggregation shape (and the only TPC-H query built on an
+    * outer join). The upstream `o_comment NOT LIKE '%special%requests%'`
+    * exclusion becomes `o_orderpriority <> '1-URGENT'` (a predicate ON
+    * THE JOIN, not a pre-filter — the distinction Q13 exists to test:
+    * excluded-order customers must still appear, in the 0 bucket).
+    *
+    * Scale shape: first agg shuffles (custkey) with map-side partial
+    * counts; the second shuffles |distinct counts| rows (tiny). The
+    * left join is a co-shuffle at real |customer|; no row explodes.
+    */
+  def qTpchQ13(spark: SparkSession, sfDir: String): DataFrame =
+    Tables
+      .customer(spark, sfDir)
+      .select(col("c_custkey"))
+      .join(
+        Tables
+          .orders(spark, sfDir)
+          .where(col("o_orderpriority") =!= "1-URGENT")
+          .select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"),
+        "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  // ------------------------------------------------------------ TPC-H Q15
+
+  /** TPC-H Q15 (top supplier): revenue per supplier over one quarter,
+    * keep the supplier(s) achieving the MAX — the scalar-subquery-over-
+    * an-aggregate shape (upstream phrases it as a view used twice).
+    *
+    * Scale shape: ONE quarter-pruned lineitem pass partial-aggs to
+    * |suppliers| rows; the max is a 1-row aggregate of that frame
+    * cross-joined back (broadcast — never a second fact scan), and the
+    * winner filter compares EXACT cent LONGs, so ties and equality are
+    * deterministic on both engines (a double-rounded max could disagree
+    * in the last ulp). Supplier names resolve dim-side after the
+    * filter (≤ a handful of rows).
+    */
+  def qTpchQ15(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = Tables
+      .lineitem(spark, sfDir)
+      .where(
+        col("l_shipdate") >= lit("1997-10-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("total_c"))
+    rev
+      .crossJoin(broadcast(rev.agg(max(col("total_c")).as("max_c"))))
+      .where(col("total_c") === col("max_c"))
+      .join(
+        Tables.supplier(spark, sfDir).select(col("s_suppkey"), col("s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(
+        col("s_suppkey"),
+        col("s_name"),
+        (col("total_c").cast("double") / 100.0).as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  // ------------------------------------------------------------ TPC-H Q17
+
+  /** TPC-H Q17 (small-quantity-order revenue): yearly revenue lost if
+    * sub-fifth-of-average-quantity orders of one brand were dropped —
+    * the correlated-aggregate-subquery decorrelation showcase (per-part
+    * AVG joined back to the probing fact rows).
+    *
+    * Exactness: `q < 0.2 * avg(q)` never divides — quantities quantize
+    * to hundredth LONGs and the gate cross-multiplies to
+    * `5 * qc * n < sum_qc` (exact integer compare; a double avg's last
+    * ulp could flip a boundary row on one engine). The final `/ 7.0` is
+    * one IEEE division of an exact cent sum — identical on both.
+    *
+    * Scale shape: the brand gate resolves on the part dim FIRST
+    * (broadcast at dim size), so BOTH the per-part average and the
+    * probe see only the brand's slice of the fact (~1/|brands|); the
+    * avg frame re-joins on partkey (dim-sized, broadcast). No window,
+    * no second full scan.
+    */
+  def qTpchQ17(spark: SparkSession, sfDir: String): DataFrame = {
+    val brandParts = Tables
+      .part(spark, sfDir)
+      .where(col("p_brand") === "Brand#23")
+      .select(col("p_partkey"))
+    val brandLines = Tables
+      .lineitem(spark, sfDir)
+      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+      .select(
+        col("l_partkey"),
+        cents(col("l_quantity")).as("qc"),
+        cents(col("l_extendedprice")).as("epc"))
+    val perPart = brandLines
+      .groupBy(col("l_partkey").as("pk"))
+      .agg(count(lit(1)).as("n"), sum(col("qc")).as("sum_qc"))
+    brandLines
+      .join(broadcast(perPart), col("l_partkey") === col("pk"))
+      .where(lit(5L) * col("qc") * col("n") < col("sum_qc"))
+      .agg(
+        round(sum(col("epc")).cast("double") / 100.0 / 7.0, 6).as("avg_yearly"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  // ------------------------------------------------------------ TPC-H Q22
+
+  /** TPC-H Q22 (global-sales opportunity): well-funded customers gone
+    * QUIET — above-average account balance but no orders since 2000 —
+    * grouped by nation (standing in for upstream's phone country
+    * code, a column this schema lacks; "no orders at all" is relaxed to
+    * "no orders since 2000" because the synthetic data gives every
+    * customer history). The shape under test: scalar-average subquery + anti
+    * join.
+    *
+    * Exactness: `c_acctbal > avg(positive acctbal)` cross-multiplies to
+    * `bal_c * N > S` over exact cent LONGs — no division, no boundary
+    * ulps. Scale shape: the (S, N) pair is a 1-row broadcast; the anti
+    * join shuffles only (custkey) against date-pruned orders
+    * (PushedFilters); output is |nations| rows.
+    */
+  def qTpchQ22(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables
+      .customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_nationkey"), cents(col("c_acctbal")).as("bal_c"))
+    val avgRef = cust
+      .where(col("bal_c") > 0L)
+      .agg(sum(col("bal_c")).as("s_pos"), count(lit(1)).as("n_pos"))
+    cust
+      .crossJoin(broadcast(avgRef))
+      .where(col("bal_c") * col("n_pos") > col("s_pos"))
+      .join(
+        Tables
+          .orders(spark, sfDir)
+          .where(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"),
+        "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(
+        count(lit(1)).as("numcust"),
+        (sum(col("bal_c")).cast("double") / 100.0).as("totacctbal"))
+      .orderBy("c_nationkey")
+  }
+
   // -------------------------------------------------------- embed outlier
 
   /** Per-label centroid cosine outliers: the 20 vectors least aligned
@@ -2023,6 +2307,112 @@ object MiningOps {
              |              WHERE l.l_orderkey = o.o_orderkey
              |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+    "q_tpch_q6" -> Q(
+      qTpchQ6,
+      Some("""SELECT
+             | CAST(sum(CAST(round(l_extendedprice * l_discount * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
+             | count(1) AS n_items
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             |  AND l_shipdate < TIMESTAMP '1998-01-01'
+             |  AND CAST(round(l_discount * 100, 0) AS BIGINT) BETWEEN 5 AND 7
+             |  AND l_quantity < 24.0""".stripMargin)),
+    "q_tpch_q14" -> Q(
+      qTpchQ14,
+      Some("""WITH a AS (
+             | SELECT
+             |  sum(CASE WHEN p_type = 'PROMO'
+             |      THEN CAST(round(l_extendedprice * (1.0 - l_discount) * 100, 0) AS BIGINT)
+             |      ELSE 0 END) AS promo_c,
+             |  sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100, 0) AS BIGINT)) AS total_c
+             | FROM lineitem JOIN part ON l_partkey = p_partkey
+             | WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+             |   AND l_shipdate < TIMESTAMP '1997-10-01')
+             |SELECT
+             | round(100.0 * CAST(promo_c AS DOUBLE) / CAST(total_c AS DOUBLE), 6) AS promo_revenue_pct,
+             | CAST(promo_c AS DOUBLE) / 100.0 AS promo_revenue,
+             | CAST(total_c AS DOUBLE) / 100.0 AS total_revenue
+             |FROM a""".stripMargin)),
+    "q_tpch_q19" -> Q(
+      qTpchQ19,
+      Some("""SELECT
+             | CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
+             | count(1) AS n_items
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+             |       AND l_quantity BETWEEN 1.0 AND 11.0)
+             |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+             |       AND l_quantity BETWEEN 10.0 AND 20.0)
+             |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+             |       AND l_quantity BETWEEN 20.0 AND 30.0)""".stripMargin)),
+    "q_tpch_q12" -> Q(
+      qTpchQ12,
+      Some("""SELECT l_returnflag,
+             | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             |               THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             |               THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             |  AND l_shipdate < TIMESTAMP '1998-01-01'
+             |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+    "q_tpch_q13" -> Q(
+      qTpchQ13,
+      Some("""SELECT c_count, count(1) AS custdist
+             |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+             |      FROM customer LEFT JOIN orders
+             |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+             |      GROUP BY c_custkey)
+             |GROUP BY c_count
+             |ORDER BY custdist DESC, c_count DESC""".stripMargin)),
+    "q_tpch_q15" -> Q(
+      qTpchQ15,
+      Some("""WITH rev AS (
+             | SELECT l_suppkey,
+             |  sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100, 0) AS BIGINT)) AS total_c
+             | FROM lineitem
+             | WHERE l_shipdate >= TIMESTAMP '1997-10-01'
+             |   AND l_shipdate < TIMESTAMP '1998-01-01'
+             | GROUP BY l_suppkey)
+             |SELECT s_suppkey, s_name,
+             | CAST(total_c AS DOUBLE) / 100.0 AS total_revenue
+             |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+             |WHERE total_c = (SELECT max(total_c) FROM rev)
+             |ORDER BY s_suppkey""".stripMargin)),
+    "q_tpch_q17" -> Q(
+      qTpchQ17,
+      Some("""WITH bl AS (
+             | SELECT l_partkey,
+             |  CAST(round(l_quantity * 100, 0) AS BIGINT) AS qc,
+             |  CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS epc
+             | FROM lineitem JOIN part ON l_partkey = p_partkey
+             | WHERE p_brand = 'Brand#23'),
+             |pp AS (
+             | SELECT l_partkey AS pk, count(1) AS n, sum(qc) AS sum_qc
+             | FROM bl GROUP BY 1)
+             |SELECT
+             | round(CAST(sum(epc) AS DOUBLE) / 100.0 / 7.0, 6) AS avg_yearly,
+             | count(1) AS n_lines
+             |FROM bl JOIN pp ON l_partkey = pk
+             |WHERE 5 * qc * n < sum_qc""".stripMargin)),
+    "q_tpch_q22" -> Q(
+      qTpchQ22,
+      Some("""WITH cust AS (
+             | SELECT c_custkey, c_nationkey,
+             |  CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_c
+             | FROM customer),
+             |avgref AS (
+             | SELECT CAST(sum(bal_c) AS BIGINT) AS s_pos, count(1) AS n_pos
+             | FROM cust WHERE bal_c > 0)
+             |SELECT c_nationkey, count(1) AS numcust,
+             | CAST(CAST(sum(bal_c) AS BIGINT) AS DOUBLE) / 100.0 AS totacctbal
+             |FROM cust, avgref
+             |WHERE bal_c * n_pos > s_pos
+             |  AND NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey
+             |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+             |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
     "q_events_attribution" -> Q(
       qEventsAttribution,
       Some(s"""WITH ev AS $EVT,

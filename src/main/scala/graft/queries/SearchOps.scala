@@ -325,6 +325,96 @@ object SearchOps {
        |ORDER BY round""".stripMargin
   }
 
+  // --------------------------------------------------- BPE encode (apply)
+
+  /** Apply the [[BpeRounds]]-round learned merge table to ENCODE the
+    * corpus — the other half of a tokenizer's life (`q_bpe_merges`
+    * trains it; this is what every downstream token count / packing /
+    * costing job runs). Output: the top-40 tokens of the encoded corpus
+    * with weighted occurrence count (`n` — occurrences × word frequency)
+    * and vocabulary support (`n_words` — distinct words containing the
+    * token).
+    *
+    * Scale shape: training reuses [[bpeMerges]] verbatim (its ≤ 4-row
+    * merge table is bounded driver model state — the IVF/PQ house
+    * pattern); encoding then runs on the WORD-FREQUENCY table, not the
+    * token stream, so the expensive half is the same single token-explode
+    * word count the trainer starts from, and the merge application is a
+    * constant-depth chain of `replace` column expressions (4 merges × 2
+    * passes) inside one codegen'd projection over |vocab| rows. The
+    * final token agg is map-side combined (token vocabulary ≪ corpus).
+    * Greedy left-to-right equivalence of the double-replace is the same
+    * spec-pinned argument as the trainer's (self-pairs excluded there).
+    */
+  def qBpeEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    val words = Tables
+      .documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .where(col("tok").rlike("^[a-z]+$"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("freq"))
+      .cache() // read by the trainer (4 bounded rounds) and the encoder
+    try {
+      val merges = bpeMerges(words)
+        .select("lhs", "rhs")
+        .collect() // ≤ BpeRounds rows: bounded model state, never data
+        .map(r => (r.getString(0), r.getString(1)))
+      val seq0 = concat(
+        lit(" "),
+        concat_ws(" ", array_remove(split(col("tok"), ""), "")),
+        lit(" "))
+      val encoded = merges.foldLeft(seq0) { case (s, (a, b)) =>
+        call_function(
+          "replace",
+          call_function("replace", s, lit(s" $a $b "), lit(s" $a$b ")),
+          lit(s" $a $b "),
+          lit(s" $a$b "))
+      }
+      words
+        .select(col("tok"), col("freq"), split(trim(encoded), " ").as("toks"))
+        .select(col("tok"), col("freq"), explode(col("toks")).as("token"))
+        .groupBy("token")
+        .agg(sum("freq").as("n"), countDistinct(col("tok")).as("n_words"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(40)
+    } finally words.unpersist(false)
+  }
+
+  /** Generated oracle: the [[bpeOracle]] CTE chain re-derives the same
+    * merge rounds, but the sequence frames carry `tok` through so the
+    * final explode can count vocabulary support per token.
+    */
+  private def bpeEncodeOracle: String = {
+    val rounds = (1 to BpeRounds).map { r =>
+      s"""p$r AS (
+         | SELECT prs[1] AS a, prs[2] AS b, sum(freq) AS n
+         | FROM (SELECT unnest(list_zip(l[:-2], l[2:])) AS prs, freq
+         |       FROM (SELECT string_split(trim(seq), ' ') AS l, freq FROM s${r - 1}))
+         | GROUP BY a, b),
+         |t$r AS (SELECT a, b FROM p$r WHERE a <> b ORDER BY n DESC, a, b LIMIT 1),
+         |s$r AS (
+         | SELECT tok,
+         |  CASE WHEN a IS NULL THEN seq
+         |       ELSE replace(replace(seq, ' '||a||' '||b||' ', ' '||a||b||' '),
+         |                    ' '||a||' '||b||' ', ' '||a||b||' ') END AS seq,
+         |  freq
+         | FROM s${r - 1} LEFT JOIN t$r ON 1 = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH words AS (
+       | SELECT tok, count(1) AS freq
+       | FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+       | WHERE regexp_matches(tok, '^[a-z]+$$')
+       | GROUP BY tok),
+       |s0 AS (
+       | SELECT tok, ' ' || array_to_string(string_split(tok, ''), ' ') || ' ' AS seq, freq
+       | FROM words),
+       |$rounds
+       |SELECT token, CAST(sum(freq) AS BIGINT) AS n,
+       | CAST(count(DISTINCT tok) AS BIGINT) AS n_words
+       |FROM (SELECT tok, freq, unnest(string_split(trim(seq), ' ')) AS token FROM s$BpeRounds)
+       |GROUP BY token ORDER BY n DESC, token LIMIT 40""".stripMargin
+  }
+
   /** Shared edge set of the two graph queries: part pairs co-purchased
     * in ≥ 2 orders, canonical (u < v). ONE definition — a threshold or
     * column change here changes both analyses together.
@@ -1093,6 +1183,7 @@ object SearchOps {
              |SELECT a, b, count(1) AS n
              |FROM p GROUP BY a, b ORDER BY n DESC, a, b LIMIT 50""".stripMargin)),
     "q_bpe_merges" -> Q(qBpeMerges, Some(bpeOracle)),
+    "q_bpe_encode" -> Q(qBpeEncode, Some(bpeEncodeOracle)),
     // Min-label propagation UNROLLED (10 rounds of propagate-then-
     // pointer-jump — covers diameter ≤ 2^10; the co-purchase graph is
     // diameter 13 and densification only shrinks it), replacing the

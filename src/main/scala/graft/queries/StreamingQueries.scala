@@ -150,6 +150,19 @@ object StreamingQueries {
       .toDF()
       .orderBy("user_id", "stage")
 
+  /** Batch twin of the stateful streaming anomaly detector (see
+    * [[graft.streaming.Streams.anomalyStateful]]): the same running
+    * (n, Σv, Σv²) state function over all events per type at once. The
+    * oracle replays the state as exact-integer window sums over the
+    * identical (ts, event_id) order — `ROWS … AND 1 PRECEDING` IS the
+    * history-to-date the online detector holds when each event arrives.
+    */
+  def anomaly(spark: SparkSession, sfDir: String): DataFrame =
+    Streams
+      .anomalyStateful(Tables.events(spark, sfDir), streaming = false)
+      .toDF()
+      .orderBy("event_id")
+
   val all: Seq[(String, Q)] = Seq(
     "s_stream_tumbling" -> Q(
       tumbling,
@@ -220,6 +233,31 @@ object StreamingQueries {
               |UNION ALL SELECT user_id, CAST(2 AS INT), event_id FROM c
               |UNION ALL SELECT user_id, CAST(3 AS INT), event_id FROM p
               |ORDER BY user_id, stage""".stripMargin)),
+    "s_stream_anomaly" -> Q(
+      anomaly,
+      Some(s"""WITH e AS (
+              | SELECT event_id, ts, event_type,
+              |  CAST(round(value * 1e3, 0) AS BIGINT) AS vfp
+              | FROM $EV),
+              |c AS (
+              | SELECT event_id, event_type, vfp,
+              |  count(1) OVER w AS n,
+              |  CAST(sum(vfp) OVER w AS BIGINT) AS s,
+              |  CAST(sum(vfp * vfp) OVER w AS BIGINT) AS ss
+              | FROM e
+              | WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+              |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+              |z AS (
+              | SELECT event_id, event_type, CAST(n AS BIGINT) AS n_prev,
+              |  round((CAST(vfp AS DOUBLE) - CAST(s AS DOUBLE) / n) /
+              |        sqrt(CAST(ss AS DOUBLE) / n -
+              |             (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)), 6) AS z
+              | FROM c
+              | WHERE n >= 30
+              |   AND CAST(ss AS DOUBLE) / n -
+              |       (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n) > 0)
+              |SELECT event_id, event_type, n_prev, z FROM z
+              |WHERE abs(z) >= 1.5 ORDER BY event_id""".stripMargin)),
     // bench=false: shares q_topk_approx's sketch construction (benching
     // both would double-count it); the streaming surface is what this
     // entry adds, proven in StreamingSpec.

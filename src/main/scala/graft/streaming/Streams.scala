@@ -495,6 +495,74 @@ object Streams {
       }
   }
 
+  /** Stateful streaming anomaly detector: per event type, maintain the
+    * RUNNING (count, Σv, Σv²) of all prior events' values and flag each
+    * arriving event whose z-score against that history-to-date clears
+    * the threshold — the online form of `q_events_anomaly` (which scores
+    * against the WHOLE series retrospectively; an online monitor only
+    * has the past). Warmup: no verdicts until 30 prior events.
+    *
+    * Determinism discipline: values quantize to 1e-3 fixed-point LONGs,
+    * so the running sums are exact integers in any arrival grouping and
+    * the oracle's window replay (`sum(vfp) OVER (… ROWS … 1 PRECEDING)`)
+    * reproduces the state bit-for-bit; mean/variance/z then derive from
+    * identical integers by identical IEEE steps on both engines, and z
+    * rounds to 1e-6 before the threshold compare. Σv² uses
+    * `Math.multiplyExact`/`addExact` (the `q_events_autocorr` checked-
+    * arithmetic discipline): beyond ~10¹³ rows per key the LONG would
+    * wrap — the engine throws loudly instead, matching the oracle's
+    * abort. At production scale the key would be (event_type, shard) or
+    * per-entity, which both raises parallelism and defers the bound.
+    *
+    * State per key is 3 longs — bounded for any stream length. Within a
+    * trigger the slice sorts by (ts, event_id); across triggers events
+    * must arrive key-ordered (the [[ewmaStateful]] online caveat).
+    */
+  def anomalyStateful(events: DataFrame, streaming: Boolean): Dataset[AnomalyRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def round0(x: Double): Long =
+      java.math.BigDecimal.valueOf(x).setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    def round6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    def micros(t: java.sql.Timestamp): Long = {
+      val i = t.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    def fn(
+        typ: String,
+        it: Iterator[(Long, java.sql.Timestamp, String, Double)],
+        state: GroupState[AnomalyState]): Iterator[AnomalyRow] = {
+      val evs = it.toArray.sortBy(e => (micros(e._2), e._1))
+      var s = state.getOption.getOrElse(AnomalyState(0L, 0L, 0L))
+      val out = Vector.newBuilder[AnomalyRow]
+      evs.foreach { case (eid, _, _, v) =>
+        val vfp = round0(v * 1e3)
+        if (s.n >= 30L) {
+          val m = s.s.toDouble / s.n
+          val variance = s.ss.toDouble / s.n - m * m
+          if (variance > 0) {
+            val z = round6((vfp.toDouble - m) / math.sqrt(variance))
+            if (math.abs(z) >= 1.5) out += AnomalyRow(eid, typ, s.n, z)
+          }
+        }
+        s = AnomalyState(
+          s.n + 1L,
+          Math.addExact(s.s, vfp),
+          Math.addExact(s.ss, Math.multiplyExact(vfp, vfp)))
+      }
+      if (streaming) state.update(s) else state.remove()
+      out.result().iterator
+    }
+    events
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      .as[(Long, java.sql.Timestamp, String, Double)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[AnomalyState, AnomalyRow](
+        OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** Per-user session windows, 30-minute gap. Session end = last event +
     * gap (Spark session_window semantics).
     */
@@ -534,6 +602,14 @@ case class FunnelState(stage: Int, lastUs: Long, lastId: Long)
 
 /** Funnel-advance output of [[Streams.funnelStateful]]. */
 case class FunnelRow(user_id: Long, stage: Int, event_id: Long)
+
+/** Keyed state of [[Streams.anomalyStateful]]: running count / Σv / Σv²
+  * of the key's prior values as 1e-3 fixed-point longs.
+  */
+case class AnomalyState(n: Long, s: Long, ss: Long)
+
+/** Flagged-event output of [[Streams.anomalyStateful]]. */
+case class AnomalyRow(event_id: Long, event_type: String, n_prev: Long, z: Double)
 
 /** Closed-session output of [[Streams.sessionizeStateful]]. */
 case class SessionRow(

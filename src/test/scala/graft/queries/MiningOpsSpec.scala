@@ -159,6 +159,216 @@ class MiningOpsSpec extends SparkSuite {
     assert(names.sameElements(names.sorted))
   }
 
+  test("q_tpch_q6: revenue equals a local cents recompute of the filtered scan") {
+    val rows = MiningOps.qTpchQ6(spark, sf001).collect()
+    assert(rows.length == 1)
+    val (rev, n) = (rows.head.getDouble(0), rows.head.getLong(1))
+    // independent local recompute with the same exact-integer gates
+    val lines = graft.Tables
+      .lineitem(spark, sf001)
+      .select(
+        col("l_shipdate").cast("timestamp_ltz").cast("long").as("s"),
+        col("l_discount"),
+        col("l_quantity"),
+        col("l_extendedprice"))
+      .as[(Long, Double, Double, Double)]
+      .collect()
+    val y0 = java.time.Instant.parse("1997-01-01T00:00:00Z").getEpochSecond
+    val y1 = java.time.Instant.parse("1998-01-01T00:00:00Z").getEpochSecond
+    def r0(x: Double) =
+      java.math.BigDecimal.valueOf(x).setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    val kept = lines.filter { case (s, d, q, _) =>
+      s >= y0 && s < y1 && { val dc = r0(d * 100); dc >= 5 && dc <= 7 } && q < 24.0
+    }
+    assert(n == kept.length.toLong && n > 0)
+    assert(rev == kept.map { case (_, d, _, ep) => r0(ep * d * 100) }.sum.toDouble / 100.0)
+  }
+
+  test("q_tpch_q14: promo share is a consistent ratio of the two exact sums") {
+    val rows = MiningOps.qTpchQ14(spark, sf001).collect()
+    assert(rows.length == 1)
+    val (pct, promo, total) = (rows.head.getDouble(0), rows.head.getDouble(1), rows.head.getDouble(2))
+    assert(total > 0.0 && promo >= 0.0 && promo <= total)
+    assert(pct >= 0.0 && pct <= 100.0)
+    // the ratio re-derives from the published components (both are exact
+    // cent sums scaled back, so reconstructing the cents is lossless)
+    val pc = math.round(promo * 100)
+    val tc = math.round(total * 100)
+    val want = java.math.BigDecimal
+      .valueOf(100.0 * pc.toDouble / tc.toDouble)
+      .setScale(6, java.math.RoundingMode.HALF_UP)
+      .doubleValue
+    assert(pct == want)
+    // promo is a real slice of this data (p_type = 'PROMO' exists)
+    assert(promo > 0.0)
+  }
+
+  test("q_tpch_q19: row count equals a local recompute of the disjunction") {
+    val rows = MiningOps.qTpchQ19(spark, sf001).collect()
+    assert(rows.length == 1)
+    val (rev, n) = (rows.head.getDouble(0), rows.head.getLong(1))
+    val parts = graft.Tables
+      .part(spark, sf001)
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      .as[(Long, String, Int)]
+      .collect()
+      .map(p => p._1 -> (p._2, p._3))
+      .toMap
+    val kept = graft.Tables
+      .lineitem(spark, sf001)
+      .select(col("l_partkey"), col("l_quantity"))
+      .as[(Long, Double)]
+      .collect()
+      .filter { case (pk, q) =>
+        parts.get(pk).exists { case (b, s) =>
+          (b == "Brand#12" && s >= 1 && s <= 5 && q >= 1.0 && q <= 11.0) ||
+          (b == "Brand#23" && s >= 1 && s <= 10 && q >= 10.0 && q <= 20.0) ||
+          (b == "Brand#3" && s >= 1 && s <= 15 && q >= 20.0 && q <= 30.0)
+        }
+      }
+    assert(n == kept.length.toLong && n > 0)
+    assert(rev > 0.0)
+  }
+
+  test("q_tpch_q12: counts close to a local late-line recompute; split is a partition") {
+    val rows = MiningOps.qTpchQ12(spark, sf001).collect()
+    assert(rows.nonEmpty && rows.length <= 3) // ≤ |returnflag|
+    // local recompute of the late gate + priority split
+    val orders = graft.Tables
+      .orders(spark, sf001)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .as[(Long, java.sql.Timestamp, String)]
+      .collect()
+      .map(o => o._1 -> (o._2.getTime, o._3))
+      .toMap
+    val y0 = java.sql.Timestamp.valueOf("1997-01-01 00:00:00").getTime
+    val y1 = java.sql.Timestamp.valueOf("1998-01-01 00:00:00").getTime
+    val want = graft.Tables
+      .lineitem(spark, sf001)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_shipdate"))
+      .as[(Long, String, java.sql.Timestamp)]
+      .collect()
+      .flatMap { case (ok, rf, sd) =>
+        val s = sd.getTime
+        orders.get(ok).collect {
+          case (od, pri) if s >= y0 && s < y1 && s > od + 60L * 86400000L =>
+            (rf, pri == "1-URGENT" || pri == "2-HIGH")
+        }
+      }
+      .groupBy(_._1)
+      .map { case (rf, g) => rf -> (g.count(_._2).toLong, g.count(!_._2).toLong) }
+    rows.foreach { r =>
+      val (hi, lo) = want(r.getString(0))
+      assert(r.getLong(1) == hi && r.getLong(2) == lo)
+    }
+    assert(rows.map(_.getString(0)).toSeq == rows.map(_.getString(0)).toSeq.sorted)
+  }
+
+  test("q_tpch_q13: histogram closes to |customer|; excluded orders still count as 0") {
+    val rows = MiningOps.qTpchQ13(spark, sf001).collect()
+    val nCust = graft.Tables.customer(spark, sf001).count()
+    assert(rows.map(_.getLong(1)).sum == nCust) // every customer in exactly one bucket
+    // weighted total = number of non-URGENT orders (the join predicate)
+    val nKept = graft.Tables
+      .orders(spark, sf001)
+      .where(col("o_orderpriority") =!= "1-URGENT")
+      .count()
+    assert(rows.map(r => r.getLong(0) * r.getLong(1)).sum == nKept)
+    // sorted by custdist desc then c_count desc
+    val key = rows.map(r => (-r.getLong(1), -r.getLong(0))).toSeq
+    assert(key == key.sorted)
+  }
+
+  test("q_tpch_q15: winner's exact cent revenue is the max over all suppliers") {
+    val rows = MiningOps.qTpchQ15(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val perSupp = graft.Tables
+      .lineitem(spark, sf001)
+      .where(
+        col("l_shipdate") >= lit("1997-10-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+      .as[(Long, Double, Double)]
+      .collect()
+      .groupBy(_._1)
+      .map { case (sk, g) =>
+        sk -> g.map { case (_, ep, d) =>
+          java.math.BigDecimal
+            .valueOf(ep * (1.0 - d) * 100)
+            .setScale(0, java.math.RoundingMode.HALF_UP)
+            .longValue
+        }.sum
+      }
+    val maxC = perSupp.values.max
+    val winners = perSupp.filter(_._2 == maxC).keys.toSeq.sorted
+    assert(rows.map(_.getLong(0)).toSeq == winners)
+    rows.foreach(r => assert(r.getDouble(2) == maxC.toDouble / 100.0))
+  }
+
+  test("q_tpch_q17: the quantity gate is the exact cross-multiplied fifth-of-average") {
+    val rows = MiningOps.qTpchQ17(spark, sf001).collect()
+    assert(rows.length == 1)
+    val (avgY, n) = (rows.head.getDouble(0), rows.head.getLong(1))
+    // local recompute: per-part (n, sum_qc) over Brand#23 lines, then the gate
+    val brand = graft.Tables
+      .part(spark, sf001)
+      .where(col("p_brand") === "Brand#23")
+      .select(col("p_partkey"))
+      .as[Long]
+      .collect()
+      .toSet
+    def r0(x: Double) =
+      java.math.BigDecimal.valueOf(x).setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    val lines = graft.Tables
+      .lineitem(spark, sf001)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .as[(Long, Double, Double)]
+      .collect()
+      .filter(l => brand.contains(l._1))
+      .map { case (pk, q, ep) => (pk, r0(q * 100), r0(ep * 100)) }
+    val pp = lines.groupBy(_._1).map { case (pk, g) => pk -> (g.length.toLong, g.map(_._2).sum) }
+    val kept = lines.filter { case (pk, qc, _) =>
+      val (cnt, sq) = pp(pk); 5L * qc * cnt < sq
+    }
+    assert(n == kept.length.toLong && n > 0)
+    val want = java.math.BigDecimal
+      .valueOf(kept.map(_._3).sum.toDouble / 100.0 / 7.0)
+      .setScale(6, java.math.RoundingMode.HALF_UP)
+      .doubleValue
+    assert(avgY == want)
+  }
+
+  test("q_tpch_q22: members are above-average balances with no 2000+ orders") {
+    val rows = MiningOps.qTpchQ22(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    def r0(x: Double) =
+      java.math.BigDecimal.valueOf(x).setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    val cust = graft.Tables
+      .customer(spark, sf001)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      .as[(Long, Int, Double)]
+      .collect()
+      .map { case (ck, nk, b) => (ck, nk, r0(b * 100)) }
+    val pos = cust.filter(_._3 > 0L)
+    val (s, cnt) = (pos.map(_._3).sum, pos.length.toLong)
+    val recent = graft.Tables
+      .orders(spark, sf001)
+      .where(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+      .as[Long]
+      .collect()
+      .toSet
+    val want = cust
+      .filter(c => c._3 * cnt > s && !recent.contains(c._1))
+      .groupBy(_._2)
+      .map { case (nk, g) => nk -> (g.length.toLong, g.map(_._3).sum) }
+    assert(rows.map(_.getInt(0)).toSet == want.keySet)
+    rows.foreach { r =>
+      val (nc, bal) = want(r.getInt(0))
+      assert(r.getLong(1) == nc && r.getDouble(2) == bal.toDouble / 100.0)
+    }
+  }
+
   test("q_time_lttb: equals a local LTTB recompute; endpoints pinned, days increase") {
     val rows = MiningOps.qTimeLttb(spark, sf001).collect()
     assert(rows.nonEmpty)

@@ -327,6 +327,41 @@ class QueriesSpec extends SparkSuite {
     }
   }
 
+  test("q_embed_matryoshka: metric laws; prefix-determined fixture scores perfect recall") {
+    // metric laws on the real fixture (random embeddings spread signal
+    // across all 64 dims, so prefix recall is genuinely < 1 here — the
+    // degradation the eval exists to measure)
+    val rows = LlmOps.qEmbedMatryoshka(spark, sf001).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (nh, rec) = (r.getLong(1), r.getDouble(2))
+      assert(nh >= 0L && nh <= 10L)
+      assert(rec == nh.toDouble / 10)
+    }
+    // planted fixture: every vector is zero beyond dim 16, so the prefix
+    // cosine IS the full cosine — the two rankings coincide and every
+    // query must score recall 1.0
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val dir = java.nio.file.Files.createTempDirectory("graft_mrl").toString
+    val vecs = (0L until 40L).map { id =>
+      val v = Array.fill(64)(0f)
+      (0 until LlmOps.MrlPrefixDims).foreach(i => v(i) = rnd.nextFloat() * 2f - 1f)
+      (id, v, (id % 3).toInt)
+    }
+    vecs.toDF("vec_id", "embedding", "label")
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val pr = LlmOps.qEmbedMatryoshka(spark, dir).collect()
+    assert(pr.length == 5)
+    pr.foreach { r =>
+      assert(r.getLong(1) == 10L)
+      assert(r.getDouble(2) == 1.0)
+    }
+  }
+
   test("q_dedup_exact keeps one representative per distinct text") {
     val docs = Tables.documents(spark, sf001).count()
     val out = LlmOps.qDedupExact(spark, sf001)

@@ -154,6 +154,68 @@ class SearchOpsSpec extends SparkSuite {
     assert(rows.map(_.getString(3)).distinct.length == SearchOps.BpeRounds)
   }
 
+  test("q_bpe_encode: equals a from-scratch greedy merge application") {
+    // reference: train (reusing the proven-greedy loop shape), then
+    // ENCODE every word by applying the merges in priority order,
+    // each greedily left-to-right — the semantics the engine's chained
+    // double-replace must reproduce
+    val words: Map[String, Long] = graft.Tables
+      .documents(spark, sf001)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .where(col("tok").rlike("^[a-z]+$"))
+      .groupBy("tok")
+      .count()
+      .as[(String, Long)]
+      .collect()
+      .toMap
+    def applyMerge(s: Vector[String], a: String, b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < s.length) {
+        if (i + 1 < s.length && s(i) == a && s(i + 1) == b) { out += a + b; i += 2 }
+        else { out += s(i); i += 1 }
+      }
+      out.result()
+    }
+    // train from scratch (the merges themselves are pinned equal to the
+    // engine's by the q_bpe_merges test above)
+    var seqs: Map[Vector[String], Long] =
+      words.groupMapReduce { case (w, _) => w.toVector.map(_.toString) }(_._2)(_ + _)
+    val merges = (1 to SearchOps.BpeRounds).map { _ =>
+      val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+      seqs.foreach { case (s, f) =>
+        s.zip(s.tail).foreach(p => pairs(p) = pairs.getOrElse(p, 0L) + f)
+      }
+      val ((a, b), _) =
+        pairs.toSeq.filter { case ((x, y), _) => x != y }.minBy { case ((x, y), m) => (-m, x, y) }
+      seqs = seqs.groupMapReduce { case (s, _) => applyMerge(s, a, b) } { case (_, f) => f }(_ + _)
+      (a, b)
+    }
+    // encode every distinct word, tally weighted occurrences + support
+    val n = scala.collection.mutable.Map.empty[String, Long]
+    val support = scala.collection.mutable.Map.empty[String, Set[String]]
+    words.foreach { case (w, f) =>
+      val enc = merges.foldLeft(w.toVector.map(_.toString)) { case (s, (a, b)) =>
+        applyMerge(s, a, b)
+      }
+      enc.foreach { t =>
+        n(t) = n.getOrElse(t, 0L) + f
+        support(t) = support.getOrElse(t, Set.empty) + w
+      }
+    }
+    val want = n.toSeq
+      .map { case (t, c) => (t, c, support(t).size.toLong) }
+      .sortBy { case (t, c, _) => (-c, t) }
+      .take(40)
+    val got = SearchOps
+      .qBpeEncode(spark, sf001)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == want)
+    // non-vacuous: at least one MERGED (multi-char) token must rank
+    assert(got.exists(_._1.length > 1))
+  }
+
   test("bpe self-pair exclusion: a run-of-5 self-pair cannot win a round") {
     // WHY self-pairs are excluded (r8 advice fix): over `a a a a a`,
     // non-overlapping replace yields [aa, a, aa] while greedy

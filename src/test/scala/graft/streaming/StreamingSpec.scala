@@ -136,6 +136,44 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stateful streaming anomaly equals batch running z-score, fed in chunks") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Streams
+      .anomalyStateful(df, streaming = true)
+      .toDF()
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("anomaly_stream")
+      .start()
+    try {
+      // chunk at (ts, event_id) boundaries so each key's events arrive
+      // in order ACROSS triggers (within a trigger the state fn sorts)
+      val all = eventTuples.sortBy(t => (t._2.getTime, t._1)).toIndexedSeq
+      val (c1, rest) = all.splitAt(all.length / 3)
+      val (c2, c3) = rest.splitAt(rest.length / 3)
+      Seq(c1, c2, c3).foreach { c => mem.addData(c); q.processAllAvailable() }
+      val got = spark
+        .table("anomaly_stream")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(_._1)
+      val want = graft.queries.StreamingQueries
+        .anomaly(spark, sf001)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      assert(got.nonEmpty) // threshold must fire on this fixture
+      assert(got.toSeq == want.toSeq) // (n, Σv, Σv²) carried across triggers exactly
+      // law: a verdict only after the 30-event warmup of ITS key
+      got.foreach { case (_, _, nPrev, z) =>
+        assert(nPrev >= 30L)
+        assert(math.abs(z) >= 1.5)
+      }
+    } finally q.stop()
+  }
+
   test("streaming space-saving top-k: estimates monotone, converges to exact batch counts") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[String]
