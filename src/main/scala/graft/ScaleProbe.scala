@@ -180,7 +180,13 @@ object ScaleProbe {
     "q_tpch_q13",
     "q_tpch_q15",
     "q_tpch_q17",
-    "q_tpch_q22")
+    "q_tpch_q22",
+    // r10 LLM-pipeline batch 2: the leakage matrix (capped-band regime
+    // like q_dedup_near_capped), the per-lang fertility readout (map-side
+    // kernel + tiny agg), and the decimal-summed per-dim whitening pass.
+    "q_dedup_cross_source",
+    "q_tokenizer_fertility",
+    "q_embed_whitening")
 
   private def num(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

@@ -65,6 +65,60 @@ object CorpusOps {
       .orderBy("label", "pos")
   }
 
+  // ------------------------------------------------------- embed whitening
+
+  /** Per-dimension whitening statistics over the embedding corpus — the
+    * affine (shift = mean, scale = std) table a standardization /
+    * whitening preprocessing step applies before PCA, k-means, or
+    * quantization (a dimension with 10× the variance of the rest
+    * dominates every unscaled distance; this readout is where that
+    * shows). Output: one row per dimension with n, mean, std (population
+    * form, the whitening convention), min, max.
+    *
+    * Exactness: elements quantize to 1e-6 fixed-point LONGs at the scan;
+    * Σv and Σv² accumulate as DECIMAL(38,0) — exact integers in any
+    * partitioning or row count (a LONG Σv² would wrap near 2.7e7 rows
+    * per dim at this value range; decimal does not). mean/var/std then
+    * derive by identical IEEE steps from identical integers on both
+    * engines, rounded 1e-6 only at the readout. min/max of float→double
+    * casts are exact.
+    *
+    * Scale shape: posexplode fans each vector to 64 (dim, vq) rows, but
+    * partial aggregation collapses every partition to ≤ 64 rows before
+    * the only shuffle (64-key hash) — the wire carries |partitions|×64
+    * decimal triples, never elements. One pass, no window, no driver
+    * state.
+    */
+  def qEmbedWhitening(spark: SparkSession, sfDir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    Tables
+      .embeddings(spark, sfDir)
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(
+        col("dim"),
+        col("v").cast("double").as("vd"),
+        round(col("v").cast("double") * 1e6).cast("long").as("vq"))
+      .groupBy("dim")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("vq").cast(dec)).as("s"),
+        sum((col("vq") * col("vq")).cast(dec)).as("ss"),
+        min(col("vd")).as("min_v"),
+        max(col("vd")).as("max_v"))
+      .select(
+        col("dim"),
+        col("n"),
+        round(col("s").cast("double") / col("n") / 1e6, 6).as("mean"),
+        round(
+          sqrt(
+            col("ss").cast("double") / col("n") -
+              (col("s").cast("double") / col("n")) * (col("s").cast("double") / col("n"))) / 1e6,
+          6).as("std"),
+        col("min_v"),
+        col("max_v"))
+      .orderBy("dim")
+  }
+
   // ------------------------------------------------------- sequence packing
 
   /** Context-window packing (GPT-style pretraining batching): concatenate
@@ -1954,6 +2008,25 @@ object CorpusOps {
              |SELECT label, pos,
              | CAST(sum(CAST(round(CAST(v AS DOUBLE) * 1e6, 0) AS BIGINT)) AS DOUBLE) / 1e6 / count(1) AS mean_val
              |FROM un GROUP BY label, pos ORDER BY label, pos""".stripMargin)),
+    "q_embed_whitening" -> Q(
+      qEmbedWhitening,
+      Some("""WITH un AS (
+             | SELECT CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+             |  CAST(unnest(embedding) AS DOUBLE) AS vd
+             | FROM embeddings),
+             |q AS (
+             | SELECT dim, vd, CAST(round(vd * 1e6, 0) AS BIGINT) AS vq FROM un),
+             |a AS (
+             | SELECT dim, count(1) AS n,
+             |  sum(vq) AS s, sum(vq * vq) AS ss,
+             |  min(vd) AS min_v, max(vd) AS max_v
+             | FROM q GROUP BY dim)
+             |SELECT dim, CAST(n AS BIGINT) AS n,
+             | round(CAST(s AS DOUBLE) / n / 1e6, 6) AS mean,
+             | round(sqrt(CAST(ss AS DOUBLE) / n -
+             |            (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) / 1e6, 6) AS std,
+             | min_v, max_v
+             |FROM a ORDER BY dim""".stripMargin)),
     "q_pack_sequences" -> Q(
       qPackSequences,
       Some(s"""WITH d AS (

@@ -799,6 +799,47 @@ object LlmOps {
       .orderBy("batch_doc", "corpus_dup")
   }
 
+  // ------------------------------------------------------ cross-source leakage
+
+  /** Cross-source near-dup LEAKAGE MATRIX: for every source pair, how
+    * many near-dup pairs (banded MinHash candidates at est_sim ≥ 0.5)
+    * connect them — the train/eval contamination audit run before any
+    * split is trusted (a benchmark source sharing near-dups with a
+    * training source invalidates the eval), and the redundancy input to
+    * mix design beside `q_source_vocab_overlap`'s vocabulary view.
+    *
+    * Scale shape: identical to `q_dedup_near_capped` (the production
+    * guard — over-popular band buckets dropped BEFORE the pair join, so
+    * candidate volume stays linear); the source labels then ride a
+    * doc-id join (ids + short strings only, bodies never shuffle) and
+    * the matrix aggregation is ≤ |sources|² rows. est_sim values are
+    * dyadic rationals (k/16), so their sum — and the 1e-6-rounded mean —
+    * is exact in any aggregation order on both engines.
+    */
+  def qDedupCrossSource(spark: SparkSession, sfDir: String): DataFrame =
+    crossSourceCore(Tables.documents(spark, sfDir))
+
+  /** Core of [[qDedupCrossSource]] over any (doc_id, text, source) frame —
+    * package-private so the spec can plant cross- and within-source
+    * near-dups (and an over-cap cluster) directly.
+    */
+  private[queries] def crossSourceCore(docs: DataFrame): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    cappedPairsCore(docs)
+      .where(col("est_sim") >= 0.5)
+      .join(src.select(col("doc_id").as("d1"), col("source").as("s1")), "d1")
+      .join(src.select(col("doc_id").as("d2"), col("source").as("s2")), "d2")
+      .select(
+        least(col("s1"), col("s2")).as("src_a"),
+        greatest(col("s1"), col("s2")).as("src_b"),
+        col("est_sim"))
+      .groupBy("src_a", "src_b")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        round(sum(col("est_sim")) / count(lit(1)), 6).as("avg_sim"))
+      .orderBy("src_a", "src_b")
+  }
+
   // ---------------------------------------------------------------- SimHash
 
   /** (doc_id, simhash) via the [[graft.functions.SimHash64]] kernel — one
@@ -1647,6 +1688,41 @@ object LlmOps {
         col("p.n_bpe").as("n_bpe"))
       .orderBy("doc_id")
 
+  /** Tokenizer fertility per language — the tokenizer-efficiency eval
+    * (Rust 2021 multilingual-fertility shape): subword-tokens-per-word
+    * and bytes-per-subword over the corpus, by language. A language with
+    * fertility ≫ 1.5 against a tokenizer is under-served by its vocab
+    * (more compute per word, shorter effective context); this table is
+    * the evidence a vocab rebalance acts on. Words = whitespace tokens,
+    * subwords = the BPE-ish regex classes — both from the single-pass
+    * [[graft.functions.TextProfile]] codegen kernel (parity with the
+    * oracle's `len(toks)` / `regexp_extract_all` pinned by
+    * `q_text_tokens`).
+    *
+    * Scale shape: ONE map-side kernel pass over documents → |langs|-row
+    * partial agg; no shuffle carries text. Sums are exact longs; the two
+    * ratios divide once in IEEE and round 1e-6 — identical on both
+    * engines.
+    */
+  def qTokenizerFertility(spark: SparkSession, sfDir: String): DataFrame =
+    profiled(spark, sfDir)
+      .select(
+        col("lang"),
+        col("p.n_tokens").cast("long").as("ws"),
+        col("p.n_bpe").cast("long").as("bpe"),
+        octet_length(col("text")).cast("long").as("nb"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("n_words"),
+        sum(col("bpe")).as("n_subtokens"),
+        sum(col("nb")).as("n_bytes"),
+        round(sum(col("bpe")).cast("double") / sum(col("ws")).cast("double"), 6)
+          .as("fertility"),
+        round(sum(col("nb")).cast("double") / sum(col("bpe")).cast("double"), 6)
+          .as("bytes_per_subtok"))
+      .orderBy("lang")
+
   /** Winnowing-lite document fingerprint: polynomial rolling hash per
     * token (mod 1e9+7), then min over 4-token windows — as the codegen'd
     * [[graft.functions.TextFingerprint]] kernel; the oracle replays the
@@ -2470,6 +2546,48 @@ object LlmOps {
            |JOIN mh_sig sb ON p.d2 = sb.doc_id
            |ORDER BY p.d1, p.d2""".stripMargin
       }),
+    "q_dedup_cross_source" -> Q(
+      qDedupCrossSource,
+      Some {
+        val bandRows = (0 until NumHashes / BandSize)
+          .map { b =>
+            val ks = (0 until BandSize)
+              .map(j => s"m${b * BandSize + j} AS k${j}")
+              .mkString(", ")
+            s"SELECT doc_id, $b AS band, $ks FROM mh_sig"
+          }
+          .mkString("\n  UNION ALL ")
+        val keyEq = (0 until BandSize).map(j => s"a.k$j = b.k$j").mkString(" AND ")
+        val keyCols = (0 until BandSize).map(j => s"k$j").mkString(", ")
+        val nmatch = (0 until NumHashes).map(k => s"CAST(sa.m$k = sb.m$k AS INT)").mkString(" + ")
+        s"""WITH $MINHASH_CAND,
+           |bandrows AS (
+           |  $bandRows),
+           |okb AS (
+           | SELECT band, $keyCols FROM bandrows
+           | GROUP BY band, $keyCols HAVING count(1) <= $CapBucket),
+           |cpairs AS (
+           | SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+           | FROM (SELECT br.* FROM bandrows br JOIN okb USING (band, $keyCols)) a
+           | JOIN (SELECT br.* FROM bandrows br JOIN okb USING (band, $keyCols)) b
+           |  ON a.band = b.band AND $keyEq AND a.doc_id < b.doc_id),
+           |sims AS (
+           | SELECT p.d1, p.d2, CAST($nmatch AS DOUBLE) / $NumHashes AS est_sim
+           | FROM cpairs p
+           | JOIN mh_sig sa ON p.d1 = sa.doc_id
+           | JOIN mh_sig sb ON p.d2 = sb.doc_id),
+           |lab AS (
+           | SELECT least(da.source, db.source) AS src_a,
+           |  greatest(da.source, db.source) AS src_b, est_sim
+           | FROM sims
+           | JOIN documents da ON da.doc_id = d1
+           | JOIN documents db ON db.doc_id = d2
+           | WHERE est_sim >= 0.5)
+           |SELECT src_a, src_b, count(1) AS n_pairs,
+           | round(sum(est_sim) / count(1), 6) AS avg_sim
+           |FROM lab GROUP BY src_a, src_b
+           |ORDER BY src_a, src_b""".stripMargin
+      }),
     // same pairs CTE as q_dedup_ngram_capped, then connected components as
     // a recursive reachability fixpoint (UNION dedups, so it terminates):
     // label = min reachable vertex — exactly DedupClusters' fixpoint.
@@ -2808,6 +2926,17 @@ object LlmOps {
       Some(s"""SELECT doc_id, CAST(len(toks) AS INT) AS n_ws,
               | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS n_bpe
               |FROM $DOCS_T ORDER BY doc_id""".stripMargin)),
+    "q_tokenizer_fertility" -> Q(
+      qTokenizerFertility,
+      Some(s"""SELECT lang, count(1) AS n_docs,
+              | CAST(sum(len(toks)) AS BIGINT) AS n_words,
+              | CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS n_subtokens,
+              | CAST(sum(strlen(text)) AS BIGINT) AS n_bytes,
+              | round(CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS DOUBLE) /
+              |       CAST(sum(len(toks)) AS DOUBLE), 6) AS fertility,
+              | round(CAST(sum(strlen(text)) AS DOUBLE) /
+              |       CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS DOUBLE), 6) AS bytes_per_subtok
+              |FROM $DOCS_T GROUP BY lang ORDER BY lang""".stripMargin)),
     "q_text_fingerprint" -> Q(
       qTextFingerprint,
       Some(s"""SELECT doc_id,

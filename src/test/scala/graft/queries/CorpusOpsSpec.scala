@@ -71,6 +71,38 @@ class CorpusOpsSpec extends SparkSuite {
     }
   }
 
+  test("q_embed_whitening: 64 dims; dim-0 stats replay the fixed-point chain exactly") {
+    val rows = CorpusOps.qEmbedWhitening(spark, sf001).collect()
+    assert(rows.length == 64)
+    assert(rows.map(_.getInt(0)).toSeq == (0 until 64))
+    rows.foreach { r =>
+      assert(r.getDouble(3) >= 0.0) // std
+      assert(r.getDouble(4) <= r.getDouble(2) && r.getDouble(2) <= r.getDouble(5)) // min<=mean<=max
+    }
+    // local replay for dim 0 with the identical integer + IEEE sequence
+    def r0(x: Double) =
+      java.math.BigDecimal.valueOf(x).setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    def r6(x: Double) =
+      java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val v0 = graft.Tables
+      .embeddings(spark, sf001)
+      .select(element_at(col("embedding"), 1).cast("double"))
+      .as[Double]
+      .collect()
+    val vq = v0.map(v => r0(v * 1e6))
+    val n = vq.length.toLong
+    val s = vq.map(BigInt(_)).sum
+    val ss = vq.map(q => BigInt(q) * BigInt(q)).sum
+    val sD = s.toDouble; val ssD = ss.toDouble
+    val mean = r6(sD / n / 1e6)
+    val std = r6(math.sqrt(ssD / n - (sD / n) * (sD / n)) / 1e6)
+    val d0 = rows.head
+    assert(d0.getLong(1) == n)
+    assert(d0.getDouble(2) == mean, s"mean ${d0.getDouble(2)} vs $mean")
+    assert(d0.getDouble(3) == std, s"std ${d0.getDouble(3)} vs $std")
+    assert(d0.getDouble(4) == v0.min && d0.getDouble(5) == v0.max)
+  }
+
   // ------------------------------------------------------------- packing
 
   test("q_pack_sequences: pack ids contiguous, token accounting closes") {

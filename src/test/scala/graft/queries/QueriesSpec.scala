@@ -69,6 +69,65 @@ class QueriesSpec extends SparkSuite {
     assert(uncapped.contains((100L, 101L)))
   }
 
+  test("cross-source leakage: cross pair counted once, within-source kept, cap honored") {
+    import spark.implicits._
+    val template = "the quick brown fox jumps over the lazy dog again and again in this template body"
+    val nearA = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
+    val nearB = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu omicron"
+    val docs = (
+      // over-cap template cluster spanning sources: must NOT appear
+      (1L to 20L).map(i => (i, template, if (i % 2 == 0) "srcA" else "srcB")) ++
+        Seq(
+          (100L, nearA, "srcA"), (101L, nearB, "srcB"), // cross-source near-dup
+          (110L, nearA, "srcC"), (111L, nearB, "srcC"), // within-source near-dup
+          (200L, "completely unrelated text about tile caches", "srcA"))
+    ).toDF("doc_id", "text", "source")
+    val rows = LlmOps.crossSourceCore(docs).collect()
+    val m = rows.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // canonical ordering: src_a <= src_b on every row
+    rows.foreach(r => assert(r.getString(0) <= r.getString(1)))
+    // template cluster is over CapBucket in every band → contributes nothing
+    // cross pair: the A/B near-dup (plus the C/C one does not pollute it)
+    assert(m.get(("srcA", "srcB")).exists(_ >= 1L))
+    assert(m.get(("srcC", "srcC")).exists(_ >= 1L))
+    // est_sim means are in (0, 1]
+    rows.foreach { r =>
+      assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
+    }
+    // 100↔110 are identical texts in different sources (nearA twice) —
+    // the (srcA, srcC) cell must exist with full similarity
+    assert(m.get(("srcA", "srcC")).exists(_ >= 1L))
+  }
+
+  test("tokenizer fertility: per-lang sums recompute from the raw strings") {
+    import spark.implicits._
+    val rows = LlmOps.qTokenizerFertility(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val re = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]".r
+    val local = Tables
+      .documents(spark, sf001)
+      .select(col("lang"), col("text"))
+      .as[(String, String)]
+      .collect()
+      .groupBy(_._1)
+      .map { case (lang, g) =>
+        val ws = g.map(_._2.split(" ").count(_.nonEmpty).toLong).sum
+        val bpe = g.map(d => re.findAllIn(d._2).size.toLong).sum
+        val nb = g.map(_._2.getBytes("UTF-8").length.toLong).sum
+        lang -> (g.length.toLong, ws, bpe, nb)
+      }
+    rows.foreach { r =>
+      val (nd, ws, bpe, nb) = local(r.getString(0))
+      assert(r.getLong(1) == nd && r.getLong(2) == ws && r.getLong(3) == bpe && r.getLong(4) == nb)
+      val fert = java.math.BigDecimal
+        .valueOf(bpe.toDouble / ws.toDouble)
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+        .doubleValue
+      assert(r.getDouble(5) == fert)
+    }
+    assert(rows.map(_.getString(0)).toSeq == rows.map(_.getString(0)).toSeq.sorted)
+  }
+
   test("micro-quantized ln args stay far from the .5 rounding boundary (r10, ADVICE)") {
     // q_sample_weighted / q_privacy_dp_count / q_stats_mutual_info all
     // compute round(ln(integer)·1e6) live on BOTH engines; JVM Math.log
