@@ -186,7 +186,17 @@ object ScaleProbe {
     // kernel + tiny agg), and the decimal-summed per-dim whitening pass.
     "q_dedup_cross_source",
     "q_tokenizer_fertility",
-    "q_embed_whitening")
+    "q_embed_whitening",
+    // r10 TPC-H breadth batch 3: the conditional-share star join (q8),
+    // the distinct-reduction + anti join (q16), and the decorrelated
+    // only-late-supplier aggregation (q21 — multi-distinct per order).
+    "q_tpch_q8",
+    "q_tpch_q16",
+    "q_tpch_q21",
+    // r10: the bucketed-layout join — probes the write+join path (the
+    // write is the dominant, linear cost; the join itself is
+    // exchange-free by construction).
+    "q_join_bucketed")
 
   private def num(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

@@ -645,6 +645,150 @@ object MiningOps {
       .orderBy("c_nationkey")
   }
 
+  // ------------------------------------------------------------- TPC-H Q8
+
+  /** TPC-H Q8 (national market share): one supplier nation's share of
+    * EUROPE's ECONOMY-part import revenue, per year — the
+    * share-of-conditional-sum shape over the full star join. Adapted:
+    * `p_type = 'ECONOMY'` equality (6-value class column) and
+    * NATION_8 ∈ EUROPE as the measured nation.
+    *
+    * Scale shape: part (type-filtered) and the EUROPE customer/nation
+    * chain resolve dim-side; the fact-side work is the date-pruned
+    * orders ⋈ lineitem orderkey shuffle. Numerator and denominator ride
+    * ONE conditional aggregation per year cell; the share is one
+    * division of exact cent LONGs rounded 1e-6.
+    */
+  def qTpchQ8(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+    val euroNat = Tables
+      .nation(spark, sfDir)
+      .join(
+        Tables.region(spark, sfDir).where(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val euroCust = Tables
+      .customer(spark, sfDir)
+      .join(broadcast(euroNat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val suppNat = Tables
+      .supplier(spark, sfDir)
+      .join(
+        broadcast(Tables.nation(spark, sfDir).select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    Tables
+      .lineitem(spark, sfDir)
+      .join(
+        broadcast(
+          Tables
+            .part(spark, sfDir)
+            .where(col("p_type") === "ECONOMY")
+            .select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(
+        Tables
+          .orders(spark, sfDir)
+          .where(
+            col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(euroCust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(suppNat), col("l_suppkey") === col("s_suppkey"))
+      .select(
+        year(col("o_orderdate")).as("o_year"),
+        rev.as("rev_c"),
+        when(col("supp_nation") === "NATION_8", rev).otherwise(lit(0L)).as("nat_c"))
+      .groupBy("o_year")
+      .agg(
+        round(sum(col("nat_c")).cast("double") / sum(col("rev_c")).cast("double"), 6)
+          .as("mkt_share"),
+        (sum(col("nat_c")).cast("double") / 100.0).as("nation_revenue"),
+        (sum(col("rev_c")).cast("double") / 100.0).as("total_revenue"))
+      .orderBy("o_year")
+  }
+
+  // ------------------------------------------------------------ TPC-H Q16
+
+  /** TPC-H Q16 (part/supplier relationship): distinct supplier counts
+    * per (brand, type, size) cell over filtered parts, EXCLUDING a
+    * deny-listed supplier set. Adapted: lineitem is the part↔supplier
+    * relation (this schema has no partsupp), the deny list is
+    * `s_acctbal < 0` (standing in for the complaints LIKE), the brand
+    * exclusion `<> 'Brand#1'`, type exclusion `<> 'PROMO'`, and the
+    * upstream 8-value size IN-list.
+    *
+    * Scale shape: all three part predicates push to the part scan; the
+    * deny list is a tiny broadcast ANTI join on l_suppkey; the DISTINCT
+    * (brand, type, size, suppkey) reduction partial-aggs map-side before
+    * one shuffle; the final count-distinct rides the already-distinct
+    * frame (no expand).
+    */
+  def qTpchQ16(spark: SparkSession, sfDir: String): DataFrame = {
+    val parts = Tables
+      .part(spark, sfDir)
+      .where(
+        col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    val deny = Tables
+      .supplier(spark, sfDir)
+      .where(col("s_acctbal") < 0.0)
+      .select(col("s_suppkey"))
+    Tables
+      .lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(deny), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), col("p_type"), col("p_size"), col("l_suppkey"))
+      .distinct()
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(count(lit(1)).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  // ------------------------------------------------------------ TPC-H Q21
+
+  /** TPC-H Q21 (suppliers who kept orders waiting): suppliers that were
+    * the ONLY late supplier in a multi-supplier order, ranked by how
+    * often — the double-correlated EXISTS / NOT EXISTS stress. Adapted:
+    * "late" is the `l_shipdate > o_orderdate + 60d` gate (no
+    * commit/receipt dates), and the o_orderstatus filter is dropped (the
+    * per-order supplier-count conditions carry the semantics).
+    *
+    * Decorrelation: instead of per-row EXISTS probes, ONE orderkey-
+    * grouped aggregation computes (distinct suppliers, distinct late
+    * suppliers, MIN late supplier) — `ns ≥ 2 AND nlate = 1` then
+    * reproduces "some other supplier shipped, no other supplier was
+    * late", and the min IS the culprit (unique when nlate = 1). One
+    * fact-side orderkey shuffle total; supplier names resolve on the
+    * ≤|supplier|-row rollup; TakeOrdered 20.
+    */
+  def qTpchQ21(spark: SparkSession, sfDir: String): DataFrame = {
+    val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY")
+    Tables
+      .lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(
+        Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("ns"),
+        countDistinct(when(late, col("l_suppkey"))).as("nlate"),
+        min(when(late, col("l_suppkey"))).as("culprit"))
+      .where(col("ns") >= 2 && col("nlate") === 1)
+      .groupBy(col("culprit"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(
+        Tables.supplier(spark, sfDir).select(col("s_suppkey"), col("s_name")),
+        col("culprit") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
   // -------------------------------------------------------- embed outlier
 
   /** Per-label centroid cosine outliers: the 20 vectors least aligned
@@ -2345,6 +2489,56 @@ object MiningOps {
              |       AND l_quantity BETWEEN 10.0 AND 20.0)
              |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
              |       AND l_quantity BETWEEN 20.0 AND 30.0)""".stripMargin)),
+    "q_tpch_q8" -> Q(
+      qTpchQ8,
+      Some("""WITH base AS (
+             | SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             |  CAST(round(l_extendedprice * (1.0 - l_discount) * 100, 0) AS BIGINT) AS rev_c,
+             |  n2.n_name AS supp_nation
+             | FROM lineitem
+             | JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+             | JOIN orders ON l_orderkey = o_orderkey
+             | JOIN customer ON o_custkey = c_custkey
+             | JOIN nation n1 ON c_nationkey = n1.n_nationkey
+             | JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+             | JOIN supplier ON l_suppkey = s_suppkey
+             | JOIN nation n2 ON s_nationkey = n2.n_nationkey
+             | WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+             |   AND o_orderdate < TIMESTAMP '1998-01-01')
+             |SELECT o_year,
+             | round(CAST(sum(CASE WHEN supp_nation = 'NATION_8' THEN rev_c ELSE 0 END) AS DOUBLE) /
+             |       CAST(sum(rev_c) AS DOUBLE), 6) AS mkt_share,
+             | CAST(sum(CASE WHEN supp_nation = 'NATION_8' THEN rev_c ELSE 0 END) AS DOUBLE) / 100.0 AS nation_revenue,
+             | CAST(sum(rev_c) AS DOUBLE) / 100.0 AS total_revenue
+             |FROM base GROUP BY o_year ORDER BY o_year""".stripMargin)),
+    "q_tpch_q16" -> Q(
+      qTpchQ16,
+      Some("""SELECT p_brand, p_type, p_size, count(1) AS supplier_cnt
+             |FROM (
+             | SELECT DISTINCT p_brand, p_type, p_size, l_suppkey
+             | FROM lineitem
+             | JOIN part ON l_partkey = p_partkey
+             | WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+             |   AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+             |   AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0))
+             |GROUP BY p_brand, p_type, p_size
+             |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)),
+    "q_tpch_q21" -> Q(
+      qTpchQ21,
+      Some("""WITH per AS (
+             | SELECT l_orderkey,
+             |  count(DISTINCT l_suppkey) AS ns,
+             |  count(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+             |                      THEN l_suppkey END) AS nlate,
+             |  min(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+             |           THEN l_suppkey END) AS culprit
+             | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             | GROUP BY l_orderkey)
+             |SELECT s_suppkey, s_name, count(1) AS numwait
+             |FROM per JOIN supplier ON culprit = s_suppkey
+             |WHERE ns >= 2 AND nlate = 1
+             |GROUP BY s_suppkey, s_name
+             |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin)),
     "q_tpch_q12" -> Q(
       qTpchQ12,
       Some("""SELECT l_returnflag,

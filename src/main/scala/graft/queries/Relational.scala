@@ -288,6 +288,70 @@ object Relational {
       .orderBy("nk")
   }
 
+  /** Distinct tag per (JVM, bucket write) so two engine processes (e.g.
+    * a Verify and a Bench sharing /tmp) never write the same external
+    * table path; the catalog entry memoizes per session so the shuffle
+    * is paid once per process.
+    */
+  private val bucketNonce: String =
+    java.util.UUID.randomUUID().toString.take(8)
+
+  /** Co-located (bucketed) big⋈big join — the 100 TB strategy the rest of
+    * the join battery's broadcast/co-shuffle plans can't reach: pay the
+    * orderkey shuffle ONCE at write time (`bucketBy(16, key)` + in-bucket
+    * sort), then every subsequent join on that key is exchange-free —
+    * the scans come up pre-partitioned and pre-sorted, so the SortMerge
+    * join consumes them directly (PlanSpec pins zero `Exchange
+    * hashpartitioning` on either join key and `SelectedBucketsCount` on
+    * the scans). At fixture scale the write is one extra pass; at real
+    * scale it amortizes over every downstream orderkey join — the same
+    * contract as a Hive/Iceberg bucketed table layout.
+    *
+    * First call per process materializes both bucketed tables under a
+    * nonce'd /tmp path (overwrite mode — leftover dirs from a previous
+    * run never collide); subsequent calls reuse the session catalog.
+    * Output: per-priority line counts + exact-cent revenue over the
+    * joined tables — value-identical to the plain join the oracle runs.
+    */
+  def qJoinBucketed(spark: SparkSession, sfDir: String): DataFrame = {
+    val tag = sfDir.replaceAll("[^0-9A-Za-z]", "_")
+    val (lt, ot) = (s"lineitem_bkt_$tag", s"orders_bkt_$tag")
+    Relational.synchronized {
+      if (!spark.catalog.tableExists(lt)) {
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_buckets_$bucketNonce"
+        Tables
+          .lineitem(spark, sfDir)
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+          .write
+          .mode("overwrite")
+          .option("path", s"$base/$lt")
+          .bucketBy(16, "l_orderkey")
+          .sortBy("l_orderkey")
+          .format("parquet")
+          .saveAsTable(lt)
+        Tables
+          .orders(spark, sfDir)
+          .select(col("o_orderkey"), col("o_orderpriority"))
+          .write
+          .mode("overwrite")
+          .option("path", s"$base/$ot")
+          .bucketBy(16, "o_orderkey")
+          .sortBy("o_orderkey")
+          .format("parquet")
+          .saveAsTable(ot)
+      }
+    }
+    spark
+      .table(lt)
+      .join(spark.table(ot), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        (sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100).cast("long"))
+          .cast("double") / 100.0).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
   // ----------------------------------------------------------- subqueries
 
   /** Uncorrelated scalar subquery through the SQL front door: orders above
@@ -1137,6 +1201,12 @@ object Relational {
              |SELECT nk, count(1) AS n_pairs
              |FROM a JOIN b ON nk IS NOT DISTINCT FROM bk
              |GROUP BY nk ORDER BY nk""".stripMargin)),
+    "q_join_bucketed" -> Q(
+      qJoinBucketed,
+      Some("""SELECT o_orderpriority, count(1) AS n_lines,
+             | CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
     "q_subq_scalar" -> Q(
       qSubqScalar,
       Some("""SELECT o_orderkey, o_totalprice FROM orders

@@ -310,6 +310,52 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
   }
 
+  test("TPC-H Q6 is one scan, all predicates pushed, no join and no shuffle-heavy op") {
+    val p = plan(graft.queries.MiningOps.qTpchQ6(spark, sf001))
+    // all three scan-supported predicates reach the parquet reader (the
+    // PushedFilters metadata string is elided at 100 chars, so the date
+    // bound is asserted there and the quantity bound on the Filter node)
+    assert(p.contains("PushedFilters") && p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    assert(p.contains("l_quantity") && p.contains("< 24.0)"), p)
+    assert(p.split("Scan parquet").length == 2, p) // exactly one scan
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_sum"), p) // map-side combine before the 1-row exchange
+  }
+
+  test("TPC-H Q16: deny list rides a broadcast anti join; part predicates pushed") {
+    val p = plan(graft.queries.MiningOps.qTpchQ16(spark, sf001))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    // the size IN-list survives as a scan-side filter (Filter node text;
+    // the PushedFilters metadata string is elided at 100 chars)
+    assert(p.contains("IN (1,5,10,15,20,25,30,35)"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("TPC-H Q21 decorrelates to one grouped aggregation — no per-row subquery join") {
+    val p = plan(graft.queries.MiningOps.qTpchQ21(spark, sf001))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // one lineitem scan + one orders scan + one supplier scan — the EXISTS
+    // pair must NOT re-scan the fact
+    assert(p.split("Scan parquet").length == 4, p)
+  }
+
+  test("bucketed join: both scans come up pre-bucketed — no exchange on either join key") {
+    // disable the broadcast path for the pin: at fixture scale AQE would
+    // broadcast the tiny orders side, hiding exactly the property under
+    // test (at real |orders| there is no broadcast escape hatch — the
+    // bucketed layout is what removes the exchange)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prior = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val p = plan(graft.queries.Relational.qJoinBucketed(spark, sf001))
+      assert(p.contains("SortMergeJoin"), p)
+      assert(p.contains("SelectedBucketsCount"), p) // bucketed scan metadata
+      assert(!p.contains("Exchange hashpartitioning(l_orderkey"), p)
+      assert(!p.contains("Exchange hashpartitioning(o_orderkey"), p)
+    } finally spark.conf.set(key, prior)
+  }
+
   test("embed outlier: centroids broadcast back; shortlist is TakeOrdered") {
     val p = plan(graft.queries.MiningOps.qEmbedOutlier(spark, sf001))
     assert(p.contains("TakeOrderedAndProject"), p)

@@ -369,6 +369,97 @@ class MiningOpsSpec extends SparkSuite {
     }
   }
 
+  test("q_tpch_q8: share re-derives from its own components; years gated") {
+    val rows = MiningOps.qTpchQ8(spark, sf001).collect()
+    assert(rows.nonEmpty && rows.length <= 2)
+    rows.foreach { r =>
+      val y = r.getInt(0)
+      assert(y == 1996 || y == 1997)
+      val (share, natRev, totRev) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(natRev >= 0.0 && natRev <= totRev && totRev > 0.0)
+      // both components are exact cent sums scaled back: reconstruct
+      val nc = math.round(natRev * 100); val tc = math.round(totRev * 100)
+      val want = java.math.BigDecimal
+        .valueOf(nc.toDouble / tc.toDouble)
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+        .doubleValue
+      assert(share == want)
+    }
+    assert(rows.map(_.getInt(0)).toSeq == rows.map(_.getInt(0)).toSeq.sorted)
+  }
+
+  test("q_tpch_q16: cells recompute from a local distinct set; deny list excluded") {
+    val rows = MiningOps.qTpchQ16(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val deny = graft.Tables
+      .supplier(spark, sf001)
+      .where(col("s_acctbal") < 0.0)
+      .select(col("s_suppkey"))
+      .as[Long]
+      .collect()
+      .toSet
+    val sizes = Set(1, 5, 10, 15, 20, 25, 30, 35)
+    val parts = graft.Tables
+      .part(spark, sf001)
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+      .as[(Long, String, String, Int)]
+      .collect()
+      .filter(p => p._2 != "Brand#1" && p._3 != "PROMO" && sizes.contains(p._4))
+      .map(p => p._1 -> (p._2, p._3, p._4))
+      .toMap
+    val want = graft.Tables
+      .lineitem(spark, sf001)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .as[(Long, Long)]
+      .collect()
+      .filter { case (pk, sk) => !deny.contains(sk) && parts.contains(pk) }
+      .map { case (pk, sk) => (parts(pk), sk) }
+      .distinct
+      .groupBy(_._1)
+      .map { case (cell, g) => cell -> g.length.toLong }
+    assert(rows.length == want.size)
+    rows.foreach { r =>
+      assert(want((r.getString(0), r.getString(1), r.getInt(2))) == r.getLong(3))
+    }
+    // sorted: supplier_cnt desc then cell ascending
+    val key = rows.map(r => (-r.getLong(3), r.getString(0), r.getString(1), r.getInt(2))).toSeq
+    assert(key == key.sorted)
+  }
+
+  test("q_tpch_q21: numwait equals a local only-late-supplier recompute") {
+    val rows = MiningOps.qTpchQ21(spark, sf001).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val od = graft.Tables
+      .orders(spark, sf001)
+      .select(col("o_orderkey"), col("o_orderdate").cast("timestamp_ltz").cast("long"))
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+    val want = graft.Tables
+      .lineitem(spark, sf001)
+      .select(
+        col("l_orderkey"),
+        col("l_suppkey"),
+        col("l_shipdate").cast("timestamp_ltz").cast("long"))
+      .as[(Long, Long, Long)]
+      .collect()
+      .groupBy(_._1)
+      .flatMap { case (ok, ls) =>
+        val suppliers = ls.map(_._2).distinct
+        val lateS = ls.filter(l => l._3 > od(ok) + 60L * 86400L).map(_._2).distinct
+        if (suppliers.length >= 2 && lateS.length == 1) Some(lateS.head) else None
+      }
+      .groupBy(identity)
+      .map { case (sk, g) => sk -> g.size.toLong }
+    rows.foreach(r => assert(want(r.getLong(0)) == r.getLong(2)))
+    // top-20 by (numwait desc, name): verify the cut is the true top
+    val cut = rows.map(_.getLong(2)).min
+    val above = want.values.count(_ > cut)
+    assert(above <= rows.count(_.getLong(2) > cut))
+    val nw = rows.map(_.getLong(2)).toSeq
+    assert(nw == nw.sorted.reverse)
+  }
+
   test("q_time_lttb: equals a local LTTB recompute; endpoints pinned, days increase") {
     val rows = MiningOps.qTimeLttb(spark, sf001).collect()
     assert(rows.nonEmpty)

@@ -722,6 +722,74 @@ class StreamingSpec extends SparkSuite {
     assert(streamed == batch, s"streamed=$streamed batch=$batch")
   }
 
+  test("checkpointed anomaly restart: running moments survive a stop/start (r10)") {
+    // kill-and-resume for the online z-score detector: state is the
+    // running (n, Σv, Σv²) per event type. Two state classes cross the
+    // restart, each with a distinct failure signature if state were lost:
+    //  - type "m" is PAST WARMUP (35 events) with a pre-restart alert;
+    //    its post-restart outlier must alert with n_prev = 35 (the full
+    //    history). Lost state would leave n = 1 < 30 — no alert at all.
+    //  - type "k" is MID-WARMUP (25 events < 30); its post-restart
+    //    normals push the count across the threshold and the outlier
+    //    must alert with n_prev = 30 — proving the COUNT accumulated
+    //    across the restart rather than restarting from 0.
+    val root = java.nio.file.Files.createTempDirectory("graft_anom_resume")
+    val srcDir = root.resolve("src").toString
+    val outDir = root.resolve("out").toString
+    val ckpt = root.resolve("ckpt").toString
+    val schema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE"
+    val t0 = java.sql.Timestamp.valueOf("2024-06-01 10:00:00").getTime
+    def at(minutes: Long) = new java.sql.Timestamp(t0 + minutes * 60000L)
+    def writeFile(rows: Seq[(Long, java.sql.Timestamp, Long, String, Double)]): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("append").json(srcDir)
+    def startQuery() =
+      Streams
+        .anomalyStateful(spark.readStream.schema(schema).json(srcDir), streaming = true)
+        .toDF()
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .option("path", outDir)
+        .format("parquet")
+        .start()
+    // alternating 9/11 gives exact fixed-point mean 10, variance 1 —
+    // value 20 is a z = 10 outlier
+    def alt(i: Int): Double = if (i % 2 == 0) 9.0 else 11.0
+    var id = 0L
+    def next(): Long = { id += 1; id }
+    val preM = (0 until 34).map(i => (next(), at(i), 1L, "m", alt(i))) :+
+      ((next(), at(40), 1L, "m", 20.0)) // alert #1: n_prev = 34
+    val preK = (0 until 25).map(i => (next(), at(i), 2L, "k", alt(i)))
+    writeFile(preM ++ preK)
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop()
+    // while DOWN: m gets one more outlier; k crosses warmup then spikes
+    val postM = Seq((next(), at(50), 1L, "m", 20.0)) // alert #2: n_prev = 35
+    val postK = (0 until 5).map(i => (next(), at(30 + i), 2L, "k", alt(i + 1))) :+
+      ((next(), at(40), 2L, "k", 20.0)) // alert: n_prev = 30
+    writeFile(postM ++ postK)
+    val q2 = startQuery()
+    try q2.processAllAvailable()
+    finally q2.stop()
+    val streamed = spark.read.parquet(outDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    val mAlerts = streamed.filter(_._2 == "m").map(t => t._3)
+    val kAlerts = streamed.filter(_._2 == "k").map(t => t._3)
+    assert(mAlerts == Seq(34L, 35L), s"m=$mAlerts")
+    assert(kAlerts == Seq(30L), s"k=$kAlerts")
+    // cross-check vs the uninterrupted batch run over the union of files
+    val batch = Streams
+      .anomalyStateful(spark.read.schema(schema).json(srcDir), streaming = false)
+      .toDF()
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+  }
+
   test("stateful sessionize continues session ids after a timeout-closed session") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
