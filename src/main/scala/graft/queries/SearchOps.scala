@@ -1229,19 +1229,24 @@ object SearchOps {
     "q_graph_bfs_hops" -> Q(
       qGraphBfsHops,
       Some {
+        // MATERIALIZED rounds (r10): each r$r is referenced twice by the
+        // next round — inlined, the frontier chain re-derives the edge
+        // join 2^4 times and spills past the cert disk cap on
+        // x10-densified graphs (the q_graph_bfs_full formulation,
+        // back-ported to the bounded-hops sibling)
         val rounds = (1 to 4)
           .map { r =>
-            s"""r$r AS (SELECT id, min(d) AS d FROM (
+            s"""r$r AS MATERIALIZED (SELECT id, min(d) AS d FROM (
                | SELECT id, d FROM r${r - 1}
                | UNION ALL
                | SELECT adj.b AS id, p.d + 1 AS d FROM r${r - 1} p JOIN adj ON adj.a = p.id)
                | GROUP BY id)""".stripMargin
           }
           .mkString(",\n")
-        s"""WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-           |e AS (SELECT a.p AS u, b.p AS v FROM it a JOIN it b ON a.o = b.o AND a.p < b.p
+        s"""WITH it AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+           |e AS MATERIALIZED (SELECT a.p AS u, b.p AS v FROM it a JOIN it b ON a.o = b.o AND a.p < b.p
            |      GROUP BY 1, 2 HAVING count(1) >= 2),
-           |adj AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v AS a, u AS b FROM e),
+           |adj AS MATERIALIZED (SELECT u AS a, v AS b FROM e UNION ALL SELECT v AS a, u AS b FROM e),
            |r0 AS (SELECT * FROM (SELECT min(u) AS id, 0 AS d FROM e) WHERE id IS NOT NULL),
            |$rounds,
            |reach AS (SELECT CAST(d AS INT) AS hops, count(1) AS n_nodes,
@@ -1295,12 +1300,17 @@ object SearchOps {
     "q_graph_kcore" -> Q(
       qGraphKcore,
       Some {
+        // every CTE is MATERIALIZED: each e$r is referenced three times
+        // by its round (twice via a, once by the next e) — inlined, the
+        // edge-derivation chain re-evaluates exponentially and spills
+        // past the cert disk cap on x10-densified graphs (the
+        // q_graph_cc / q_graph_bfs_full lesson, applied r10)
         val rounds = (1 to 4)
           .map { r =>
-            s"""a${r - 1} AS (SELECT u, v FROM e${r - 1}
+            s"""a${r - 1} AS MATERIALIZED (SELECT u, v FROM e${r - 1}
                |  UNION ALL SELECT v AS u, u AS v FROM e${r - 1}),
-               |k$r AS (SELECT u AS id FROM a${r - 1} GROUP BY 1 HAVING count(1) >= 3),
-               |e$r AS (SELECT u, v FROM e${r - 1}
+               |k$r AS MATERIALIZED (SELECT u AS id FROM a${r - 1} GROUP BY 1 HAVING count(1) >= 3),
+               |e$r AS MATERIALIZED (SELECT u, v FROM e${r - 1}
                |  WHERE u IN (SELECT id FROM k$r) AND v IN (SELECT id FROM k$r))""".stripMargin
           }
           .mkString(",\n")
@@ -1308,8 +1318,8 @@ object SearchOps {
           .map(r => s"SELECT $r AS round, (SELECT count(1) FROM k$r) AS n_nodes, " +
             s"(SELECT count(1) FROM e$r) AS n_edges")
           .mkString("\n UNION ALL ")
-        s"""WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-           |e0 AS (SELECT a.p AS u, b.p AS v FROM it a JOIN it b ON a.o = b.o AND a.p < b.p
+        s"""WITH it AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+           |e0 AS MATERIALIZED (SELECT a.p AS u, b.p AS v FROM it a JOIN it b ON a.o = b.o AND a.p < b.p
            |      GROUP BY 1, 2 HAVING count(1) >= 2),
            |$rounds
            |$heads
