@@ -741,6 +741,62 @@ object CorpusOps {
       .orderBy("cohort", "day_offset")
   }
 
+  /** Kaplan-Meier survival curve over user lifetimes — the
+    * churn-analysis readout next to [[qEventsRetention]]'s cohort
+    * matrix: each user's lifetime is the whole days between their
+    * first and last event; day t reports the at-risk count n_t, the
+    * churn count d_t, the discrete hazard d_t/n_t, and the KM survival
+    * estimate S(t) = Π_{s≤t}(1 − d_s/n_s) in LOG domain. (All observed
+    * lifetimes are treated as churn events — the fixture has no
+    * censoring column; with one, censored users would leave the risk
+    * set without a d_t contribution.)
+    *
+    * Cross-engine float discipline (the `q_stats_mutual_info` pattern):
+    * ln(1 − d/n) = ln(n−d) − ln(n) takes only INTEGER arguments, each
+    * micro-quantized to a LONG before the cumulative window sum, so the
+    * log-survival is an exact integer sum and the emitted double is one
+    * IEEE division; the hazard is one IEEE division of exact longs. No
+    * exp() — consumers exponentiate at read time (the final week, where
+    * the risk set churns to zero, reports NULL log-survival: S = 0 has
+    * no finite log).
+    *
+    * Scale shape: corpus-scale work is the ONE user-keyed min/max agg;
+    * the day fold and both windows run on the ≤ |days| aggregate frame
+    * (dozens of rows — the single-partition window is on the model
+    * frame, never on data).
+    */
+  def qEventsSurvival(spark: SparkSession, sfDir: String): DataFrame = {
+    def lnq(c: Column): Column = round(log(c) * 1e6).cast("long")
+    val churn = Tables
+      .events(spark, sfDir)
+      .groupBy("user_id")
+      .agg(min(to_date(col("ts"))).as("first_d"), max(to_date(col("ts"))).as("last_d"))
+      .select(datediff(col("last_d"), col("first_d")).as("day"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_churn"))
+    val wPrev = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    val tot = churn.agg(sum("n_churn").as("n_total"))
+    churn
+      .crossJoin(broadcast(tot))
+      .withColumn("n_risk", col("n_total") - coalesce(sum("n_churn").over(wPrev), lit(0L)))
+      .withColumn(
+        "ln_term",
+        when(
+          col("n_risk") > col("n_churn"),
+          lnq(col("n_risk") - col("n_churn")) - lnq(col("n_risk"))))
+      .withColumn(
+        "log_surv",
+        when(col("ln_term").isNotNull, sum("ln_term").over(wCum).cast("double") / 1e6))
+      .select(
+        col("day"),
+        col("n_risk"),
+        col("n_churn"),
+        (col("n_churn").cast("double") / col("n_risk")).as("hazard"),
+        col("log_surv"))
+      .orderBy("day")
+  }
+
   /** Cumulative cohort value (LTV curve): users cohorted by first-event
     * day, purchase value accumulated per (cohort, day offset) — the
     * money sibling of `q_events_retention`'s activity matrix, and the
@@ -1278,6 +1334,40 @@ object CorpusOps {
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_rows"), sum(col("dig")).as("checksum"))
       .orderBy("bucket")
+
+  /** JSONL round-trip integrity: write the documents table as
+    * newline-delimited JSON (the interchange format every corpus
+    * pipeline ingests from), read it back with the explicit schema (no
+    * inference job), and emit the SAME bucketed content checksum as
+    * [[qTableChecksum]] over the re-read rows. The oracle computes that
+    * checksum from the ORIGINAL parquet — equality proves the
+    * write→escape→parse cycle is lossless for every row (unicode text,
+    * embedded quotes/newlines, negative-free bigints) — the check a
+    * format migration runs before trusting an exported corpus.
+    *
+    * Scale shape: a partitioned distributed write + a parallel scan —
+    * no collect, no coalesce(1); the checksum is the one 32-bucket
+    * partial agg. The export lands in a per-run temp directory removed
+    * on JVM exit (the frame reads it lazily, so removal cannot precede
+    * the action).
+    */
+  def qIoJsonlRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl_rt_")
+    val dir = tmp.toString
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(tmp.toFile)
+    }))
+    docs.write.mode("overwrite").json(dir)
+    val back = spark.read.schema(docs.schema).json(dir)
+    checksumCore(
+      back,
+      col("doc_id"),
+      Seq(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars")))
+  }
 
   // -------------------------------------------------- unigram LM quality score
 
@@ -2450,6 +2540,29 @@ object CorpusOps {
               |SELECT a.cohort, a.day_offset, a.n_active, s.cohort_size
               |FROM act a JOIN sizes s USING (cohort)
               |ORDER BY cohort, day_offset""".stripMargin)),
+    "q_events_survival" -> Q(
+      qEventsSurvival,
+      Some(s"""WITH life AS (
+              | SELECT CAST(datediff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE))) AS INT) AS day
+              | FROM $EV GROUP BY user_id),
+              |churn AS (SELECT day, count(1) AS n_churn FROM life GROUP BY day),
+              |t AS (SELECT CAST(sum(n_churn) AS BIGINT) AS n_total FROM churn),
+              |risk AS (
+              | SELECT day, n_churn,
+              |  n_total - coalesce(CAST(sum(n_churn) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS n_risk
+              | FROM churn, t),
+              |terms AS (
+              | SELECT day, n_risk, n_churn,
+              |  CASE WHEN n_risk > n_churn THEN
+              |   CAST(round(ln(n_risk - n_churn) * 1e6, 0) AS BIGINT) - CAST(round(ln(n_risk) * 1e6, 0) AS BIGINT)
+              |  END AS ln_term
+              | FROM risk)
+              |SELECT day, n_risk, n_churn,
+              | CAST(n_churn AS DOUBLE) / n_risk AS hazard,
+              | CASE WHEN ln_term IS NOT NULL THEN
+              |  CAST(sum(ln_term) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 1e6
+              | END AS log_surv
+              |FROM terms ORDER BY day""".stripMargin)),
     "q_events_funnel" -> Q(
       qEventsFunnel,
       Some(s"""WITH f AS (
@@ -2472,6 +2585,11 @@ object CorpusOps {
       Some("""SELECT o_orderkey % 32 AS bucket, count(1) AS n_rows,
              | CAST(sum(CAST(('0x' || substr(md5(concat_ws('|', o_orderkey, o_custkey, o_orderstatus, o_orderpriority)), 1, 15))::BIGINT % 1000000007 AS BIGINT)) AS BIGINT) AS checksum
              |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+    "q_io_jsonl_roundtrip" -> Q(
+      qIoJsonlRoundtrip,
+      Some("""SELECT doc_id % 32 AS bucket, count(1) AS n_rows,
+             | CAST(sum(CAST(('0x' || substr(md5(concat_ws('|', doc_id, text, lang, source, n_chars)), 1, 15))::BIGINT % 1000000007 AS BIGINT)) AS BIGINT) AS checksum
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
     "q_text_unigram_nll" -> Q(qTextUnigramNll, Some(UnigramNllSql)),
     "q_text_ppl_buckets" -> Q(
       qTextPplBuckets,

@@ -203,7 +203,13 @@ object LlmOps {
     * fixed-point probe distance over the final centroids, and the
     * `q_sim_topk` rerank tail over the probed clusters' members.
     */
-  private def ivfOracle: String = {
+  /** The IVF build CTE chain (ue corpus explode, c0 id-ordered seeds,
+    * two unrolled Lloyd rounds a1/c1/a2/c2, final assignment a3) shared
+    * by the `q_sim_ann_ivf` and `q_ann_recall_ivf` oracles — only the
+    * corpus predicate and seed id range differ (single-query index:
+    * corpus ≠ 0, seeds 1..16; recall eval: corpus ≥ 5, seeds 5..20).
+    */
+  private def ivfBuildCtes(corpusWhere: String, seedLo: Int, seedHi: Int): String = {
     def assign(name: String, cents: String): String =
       s"""$name AS (
          | SELECT vec_id, cid FROM (
@@ -221,18 +227,22 @@ object LlmOps {
          | SELECT a.cid, ue.i,
          |  CAST(CAST(CAST(sum(CAST(ue.x AS DECIMAL(18,6))) AS DOUBLE) / count(ue.x) AS FLOAT) AS DOUBLE) AS c
          | FROM $assignName a JOIN ue USING (vec_id) GROUP BY 1, 2)""".stripMargin
-    s"""WITH ue AS (
+    s"""ue AS (
        | SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS i,
        |  CAST(unnest(embedding) AS DOUBLE) AS x
-       | FROM embeddings WHERE vec_id <> 0),
+       | FROM embeddings WHERE $corpusWhere),
        |c0 AS (
        | SELECT CAST(dense_rank() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, i, x AS c
-       | FROM ue WHERE vec_id BETWEEN 1 AND 16),
+       | FROM ue WHERE vec_id BETWEEN $seedLo AND $seedHi),
        |${assign("a1", "c0")},
        |${update("c1", "a1")},
        |${assign("a2", "c1")},
        |${update("c2", "a2")},
-       |${assign("a3", "c2")},
+       |${assign("a3", "c2")}""".stripMargin
+  }
+
+  private def ivfOracle: String = {
+    s"""WITH ${ivfBuildCtes("vec_id <> 0", 1, 16)},
        |qe AS (
        | SELECT CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS i,
        |  CAST(unnest(embedding) AS DOUBLE) AS x
@@ -244,6 +254,58 @@ object LlmOps {
        |sel AS (SELECT vec_id FROM a3 JOIN probes USING (cid)),
        |$ANN_RERANK_TAIL""".stripMargin
   }
+
+  /** DuckDB twin of `q_ann_recall_ivf`: the [[ivfBuildCtes]] chain over
+    * the query-free corpus (vec_id ≥ 5, seeds 5..20), per-QUERY probe
+    * distances (pd grouped by q_id, row_number top-4 per query), the
+    * probed members as (q_id, vec_id) candidates, and the
+    * `q_ann_recall` recall tail (exact top-10 vs candidate-restricted
+    * top-10, both over the same exact fixed-point cosine frame).
+    */
+  private def annRecallIvfOracle: String =
+    s"""WITH ${ivfBuildCtes("vec_id >= 5", 5, 20)},
+       |qe AS (
+       | SELECT vec_id AS q_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS i,
+       |  CAST(unnest(embedding) AS DOUBLE) AS x
+       | FROM embeddings WHERE vec_id < 5),
+       |pd AS (
+       | SELECT qe.q_id, c.cid, sum(CAST(round((c.c - qe.x) * (c.c - qe.x) * 1e12, 0) AS BIGINT)) AS d
+       | FROM c2 c JOIN qe USING (i) GROUP BY 1, 2),
+       |probes AS (
+       | SELECT q_id, cid FROM (
+       |  SELECT q_id, cid, row_number() OVER (PARTITION BY q_id ORDER BY d, cid) AS rk
+       |  FROM pd)
+       | WHERE rk <= 4),
+       |sel AS (SELECT p.q_id, a.vec_id FROM a3 a JOIN probes p USING (cid)),
+       |qv AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+       |un AS (
+       | SELECT qv.q_id, e.vec_id, unnest(e.embedding) AS x, unnest(qv.q_emb) AS y
+       | FROM embeddings e, qv WHERE e.vec_id >= 5),
+       |s AS (
+       | SELECT q_id, vec_id,
+       |  CAST(CAST(sum(CAST(round(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1e12, 0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12 AS dot,
+       |  CAST(CAST(sum(CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12, 0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12 AS ne,
+       |  CAST(CAST(sum(CAST(round(CAST(y AS DOUBLE) * CAST(y AS DOUBLE) * 1e12, 0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12 AS nq
+       | FROM un GROUP BY q_id, vec_id),
+       |ex AS (
+       | SELECT q_id, vec_id FROM (
+       |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY dot / (sqrt(ne) * sqrt(nq)) DESC, vec_id ASC) AS rk FROM s)
+       | WHERE rk <= 10),
+       |ann AS (
+       | SELECT q_id, vec_id FROM (
+       |  SELECT s.q_id, s.vec_id, row_number() OVER (PARTITION BY s.q_id
+       |    ORDER BY dot / (sqrt(ne) * sqrt(nq)) DESC, s.vec_id ASC) AS rk
+       |  FROM s JOIN sel ON s.q_id = sel.q_id AND s.vec_id = sel.vec_id)
+       | WHERE rk <= 10),
+       |h AS (SELECT q_id, count(1) AS n_hit FROM ann JOIN ex USING (q_id, vec_id) GROUP BY 1),
+       |nc AS (SELECT q_id, count(1) AS n_candidates FROM sel GROUP BY 1)
+       |SELECT q.q_id, coalesce(nc.n_candidates, 0) AS n_candidates,
+       | coalesce(h.n_hit, 0) AS n_hit,
+       | CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 10 AS recall
+       |FROM (SELECT q_id FROM qv) q
+       |LEFT JOIN nc USING (q_id) LEFT JOIN h USING (q_id)
+       |ORDER BY q_id""".stripMargin
 
   /** DuckDB twin of `q_sim_ann_pq`'s whole codebook build + ADC scan +
     * rerank. The "8 nested k-means" turn out to be ONE k-means with the
@@ -1327,6 +1389,91 @@ object LlmOps {
       .orderBy("q_id")
   }
 
+  /** ANN recall@10 for the IVF index — [[qAnnRecall]]'s harness applied
+    * to the second index family: the IVF centroids/assignments build
+    * over the CORPUS (queries excluded, exactly like [[qSimAnnIvf]]'s
+    * persisted-index rule), each of the 5 eval queries probes its
+    * NProbe=4 nearest centroids, and the probed clusters' members are
+    * reranked exactly against the brute-force top-10. Together with the
+    * banded-LSH recall row this completes the recall-vs-candidate-count
+    * matrix an index choice is made from: LSH probes a hamming ball
+    * (candidate count varies per query), IVF scans a fixed cluster
+    * fraction (≈ NProbe/K of the corpus) — the harness shows which buys
+    * more recall per candidate on THIS corpus.
+    *
+    * Scale shape: identical to the pieces it composes — the build is
+    * [[ivfTrain]]'s two bounded Lloyd rounds, probes are driver-side
+    * model math (nQ×K fixed-point distances), candidates flow through
+    * one broadcast (q_id, cid) join against the assignment frame, and
+    * only the exact truth arm scans all pairs (the harness's job; run
+    * sampled in production).
+    */
+  def qAnnRecallIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = 10
+    val nQ = 5
+    val K = 16
+    val NProbe = 4
+    val e = Tables.embeddings(spark, sfDir)
+    val data = e.where(col("vec_id") >= nQ)
+    val q = e
+      .where(col("vec_id") < nQ)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
+    val sims = data
+      .crossJoin(broadcast(q))
+      .select(col("q_id"), col("vec_id"), cosSim(col("embedding"), col("q_emb")).as("sim"))
+    val exact = sims
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select("q_id", "vec_id")
+    // corpus-only IVF index; seeds are the first K corpus ids (nQ..nQ+K-1)
+    val cents = ivfTrain(spark, e, data, seedLo = nQ, k = K)
+    val assigned = ivfAssign(spark, data, cents)
+    // per-query probe set: driver-side fixed-point distances over nQ×K
+    // model cells (same arithmetic the generated oracle's pd CTE replays)
+    import spark.implicits._
+    val probePairs = e
+      .where(col("vec_id") < nQ)
+      .select("vec_id", "embedding")
+      .orderBy("vec_id")
+      .collect()
+      .toIndexedSeq
+      .flatMap { r =>
+        val qid = r.getLong(0)
+        val qv = r.getSeq[Float](1)
+        cents
+          .sortBy(c => (ivfProbeDist(c._2, qv), c._1))
+          .take(NProbe)
+          .map(c => (qid, c._1))
+      }
+    val probeDf = probePairs.toDF("q_id", "cid")
+    val cand = assigned
+      .join(broadcast(probeDf), "cid")
+      .select("q_id", "vec_id")
+      .localCheckpoint() // feeds both the rerank and the candidate count
+    val ann = cand
+      .join(data.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(q), "q_id")
+      .select(col("q_id"), col("vec_id"), cosSim(col("embedding"), col("q_emb")).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select("q_id", "vec_id")
+    val hits = ann
+      .join(exact, Seq("q_id", "vec_id"), "left_semi")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("n_hit"))
+    val nc = cand.groupBy("q_id").agg(count(lit(1)).as("n_candidates"))
+    q.select("q_id")
+      .join(nc, Seq("q_id"), "left")
+      .join(hits, Seq("q_id"), "left")
+      .select(
+        col("q_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / k).as("recall"))
+      .orderBy("q_id")
+  }
+
   /** Matryoshka (prefix-dimension) retrieval eval: rank by cosine over
     * only the FIRST [[MrlPrefixDims]] of the 64 embedding dims, and score
     * recall@10 against the full-dimension exact ranking — the evaluation
@@ -1426,29 +1573,28 @@ object LlmOps {
       Tables.embeddings(spark, sfDir),
       Seq(0 -> Seq.fill(64)(0.1f), 1 -> Seq.fill(64)(-0.1f)))
 
-  def qSimAnnIvf(spark: SparkSession, sfDir: String): DataFrame = {
-    val K = 16
-    val NProbe = 4
-    val e = Tables.embeddings(spark, sfDir)
-    // the index (centroids + assignments) is built over the CORPUS only:
-    // a persisted IVF index cannot depend on the query vector — letting
-    // vec_id 0 train the centroids made probed-cluster contents shift
-    // with the query (the PQ twin always excluded it)
-    val corpus = e.where(col("vec_id") =!= 0)
-
-    def assignTo(cents: Seq[(Int, Seq[Float])]): DataFrame = ivfAssign(spark, corpus, cents)
-
-    // deterministic seed + 2 Lloyd iterations; exact decimal means keep
-    // the centroids identical across partitionings
+  /** Deterministic IVF centroid build over `corpus`: seeds are the
+    * vectors with `vec_id` in `[seedLo, seedLo + K)` (in id order), then
+    * 2 Lloyd iterations of [[ivfAssign]] + exact decimal means (davg
+    * contract, `.toFloat` model state) — identical across partitionings,
+    * so the generated oracle replays the build bit-for-bit. Driver state
+    * is K×dim floats (bounded model state, not data).
+    */
+  private def ivfTrain(
+      spark: SparkSession,
+      e: DataFrame,
+      corpus: DataFrame,
+      seedLo: Int,
+      k: Int): Seq[(Int, Seq[Float])] = {
     var cents: Seq[(Int, Seq[Float])] = e
-      .where(col("vec_id").between(1, K))
+      .where(col("vec_id").between(seedLo, seedLo + k - 1))
       .orderBy("vec_id")
       .collect()
       .toIndexedSeq
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Float](r.fieldIndex("embedding"))) }
     (1 to 2).foreach { _ =>
-      val assigned = assignTo(cents)
+      val assigned = ivfAssign(spark, corpus, cents)
       cents = assigned
         .join(corpus, "vec_id")
         .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
@@ -1464,6 +1610,35 @@ object LlmOps {
         .toSeq
         .sortBy(_._1)
     }
+    cents
+  }
+
+  /** The fixed-point squared-distance of a query vector to a centroid —
+    * the driver-side probe-selection arithmetic shared by the IVF
+    * entries (scaled-round-sum, so ordering is summation-order-
+    * independent and SQL-replayable).
+    */
+  private def ivfProbeDist(c: Seq[Float], qVec: Seq[Float]): Long =
+    c.zip(qVec).map { case (a, b) =>
+      val d = a.toDouble - b.toDouble
+      graft.functions.ScaledDot.roundHalfAway(d * d * 1e12)
+    }.sum
+
+  def qSimAnnIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val K = 16
+    val NProbe = 4
+    val e = Tables.embeddings(spark, sfDir)
+    // the index (centroids + assignments) is built over the CORPUS only:
+    // a persisted IVF index cannot depend on the query vector — letting
+    // vec_id 0 train the centroids made probed-cluster contents shift
+    // with the query (the PQ twin always excluded it)
+    val corpus = e.where(col("vec_id") =!= 0)
+
+    def assignTo(cents: Seq[(Int, Seq[Float])]): DataFrame = ivfAssign(spark, corpus, cents)
+
+    // deterministic seed + 2 Lloyd iterations; exact decimal means keep
+    // the centroids identical across partitionings
+    val cents = ivfTrain(spark, e, corpus, seedLo = 1, k = K)
 
     // probe the NProbe nearest centroids to the query vector (driver-side
     // model math over K candidates) — scaled-round-sum fixed point, so the
@@ -1471,12 +1646,8 @@ object LlmOps {
     // `pd` CTE replays it exactly (plain double sums would tie the result
     // to Scala's left-fold order, which SQL cannot promise)
     val qVec = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
-    def dist(c: Seq[Float]): Long =
-      c.zip(qVec).map { case (a, b) =>
-        val d = a.toDouble - b.toDouble
-        graft.functions.ScaledDot.roundHalfAway(d * d * 1e12)
-      }.sum
-    val probes = cents.sortBy(c => (dist(c._2), c._1)).take(NProbe).map(_._1)
+    val probes =
+      cents.sortBy(c => (ivfProbeDist(c._2, qVec), c._1)).take(NProbe).map(_._1)
 
     val assigned = assignTo(cents).where(col("cid").isin(probes: _*))
     val q = e.where(col("vec_id") === 0).select(col("embedding").as("q_emb"))
@@ -1687,6 +1858,50 @@ object LlmOps {
         col("p.n_tokens").as("n_ws"),
         col("p.n_bpe").as("n_bpe"))
       .orderBy("doc_id")
+
+  /** Sliding-window token chunking parameters: window of
+    * [[ChunkWin]] whitespace tokens, stride [[ChunkStride]] (25%
+    * overlap) — the RAG / context-window preprocessing constants; both
+    * are inlined in the DuckDB oracle below.
+    */
+  val ChunkWin = 32
+  val ChunkStride = 24
+
+  /** Fixed-size token-window chunking with overlap — the 1:N explode
+    * every retrieval/pretraining pipeline runs before embedding or
+    * packing: each document splits into windows of [[ChunkWin]]
+    * whitespace tokens starting every [[ChunkStride]] tokens (the final
+    * window is the partial tail), emitting per chunk its index, start
+    * offset, token count, and an md5 content id (the dedup/cache key a
+    * chunk store uses). Zero-token documents produce no chunks.
+    *
+    * Scale shape: pure map-side generate — split, `sequence()` over the
+    * window starts, one `posexplode`, `slice` + md5 per chunk; no
+    * shuffle anywhere (the output explodes rows ~n/stride-fold, which is
+    * the operator's own output size, not join waste). At 100 TB this
+    * runs as one whole-stage-codegen pass over the text scan, and the
+    * chunk rows stream straight into the next stage's partitioning.
+    */
+  def qTextChunk(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = filter(split(col("text"), " "), t => t =!= lit(""))
+    Tables
+      .documents(spark, sfDir)
+      .select(col("doc_id"), toks.as("toks"))
+      .where(size(col("toks")) > 0)
+      .select(
+        col("doc_id"),
+        col("toks"),
+        posexplode(sequence(lit(1), size(col("toks")), lit(ChunkStride)))
+          .as(Seq("chunk_idx", "start_tok")))
+      .select(
+        col("doc_id"),
+        col("chunk_idx"),
+        col("start_tok"),
+        least(lit(ChunkWin), size(col("toks")) - col("start_tok") + 1).as("n_toks"),
+        md5(concat_ws(" ", slice(col("toks"), col("start_tok"), lit(ChunkWin))).cast("binary"))
+          .as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+  }
 
   /** Tokenizer fertility per language — the tokenizer-efficiency eval
     * (Rust 2021 multilingual-fertility shape): subword-tokens-per-word
@@ -2807,6 +3022,7 @@ object LlmOps {
               |FROM (SELECT q_id FROM qv) q
               |LEFT JOIN nc USING (q_id) LEFT JOIN h USING (q_id)
               |ORDER BY q_id""".stripMargin)),
+    "q_ann_recall_ivf" -> Q(qAnnRecallIvf, Some(annRecallIvfOracle)),
     "q_embed_matryoshka" -> Q(
       qEmbedMatryoshka,
       Some("""WITH qv AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
@@ -2926,6 +3142,16 @@ object LlmOps {
       Some(s"""SELECT doc_id, CAST(len(toks) AS INT) AS n_ws,
               | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS n_bpe
               |FROM $DOCS_T ORDER BY doc_id""".stripMargin)),
+    "q_text_chunk" -> Q(
+      qTextChunk,
+      Some(s"""SELECT doc_id, CAST((start_tok - 1) // 24 AS INT) AS chunk_idx,
+              | CAST(start_tok AS INT) AS start_tok,
+              | CAST(least(32, n - start_tok + 1) AS INT) AS n_toks,
+              | md5(array_to_string(list_slice(toks, start_tok, least(start_tok + 31, n)), ' ')) AS chunk_md5
+              |FROM (SELECT doc_id, toks, len(toks) AS n,
+              |      unnest(generate_series(1, len(toks), 24)) AS start_tok
+              |      FROM $DOCS_T WHERE len(toks) > 0)
+              |ORDER BY doc_id, chunk_idx""".stripMargin)),
     "q_tokenizer_fertility" -> Q(
       qTokenizerFertility,
       Some(s"""SELECT lang, count(1) AS n_docs,

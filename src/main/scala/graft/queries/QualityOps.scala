@@ -559,6 +559,65 @@ object QualityOps {
       .withColumn("nmi", col("mi_nats") / sqrt(col("h_segment") * col("h_nation")))
   }
 
+  /** Pearson chi-squared independence test between two categorical event
+    * dimensions (event_type × a fixed value bucket) — the classical
+    * "does this feature depend on that one?" gate next to
+    * [[qStatsMutualInfo]]'s information-theoretic readout: chi² near its
+    * dof says independent; Cramér's V normalizes the statistic to [0,1]
+    * so it compares across tables of different size/cardinality.
+    *
+    * Exactness discipline: observed counts and both marginals are exact
+    * LONGs from one contingency aggregation; each cell's expected count
+    * is `(rt·ct) AS DOUBLE / n` — the long product stays ≪ 2^53 (≤ 30
+    * cells over event counts), so the double is exact before its one
+    * division, and the per-cell term `(o−e)²/e` is the identical short
+    * IEEE sequence on both engines. The cell terms sum through
+    * [[Tables.dsum]]'s DECIMAL(18,6) quantization, so partial-aggregate
+    * order cannot perturb chi². Cramér's V is one more identical IEEE
+    * sqrt/division chain on exact inputs.
+    *
+    * Scale shape: corpus-scale work is the ONE (type, bucket) cell count
+    * (map-side partial agg); marginals, total, and the chi² fold all run
+    * on the ≤ 30-row contingency frame (checkpointed — it feeds three
+    * downstream aggs and the final join).
+    */
+  def qStatsChi2(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = Tables
+      .events(spark, sfDir)
+      .where(col("value").isNotNull)
+      .select(
+        col("event_type").as("et"),
+        least(floor(col("value") / 50.0), lit(5.0)).cast("int").as("vb"))
+      .groupBy("et", "vb")
+      .agg(count(lit(1)).as("o"))
+      .localCheckpoint() // ≤ 30 rows; feeds marginals, total, and the fold
+    val rowM = cells.groupBy("et").agg(sum("o").as("rt"))
+    val colM = cells.groupBy("vb").agg(sum("o").as("ct"))
+    val tot = cells.agg(
+      sum("o").as("n"),
+      countDistinct("et").as("r"),
+      countDistinct("vb").as("c"),
+      count(lit(1)).as("n_cells"))
+    val e = (col("rt") * col("ct")).cast("double") / col("n")
+    val diff = col("o").cast("double") - e
+    cells
+      .join(rowM, "et")
+      .join(colM, "vb")
+      .crossJoin(broadcast(tot))
+      .agg(
+        first(col("n")).as("n_rows"),
+        first(col("n_cells")).as("n_cells"),
+        first((col("r") - 1) * (col("c") - 1)).as("dof"),
+        first(least(col("r") - 1, col("c") - 1)).as("min_dim"),
+        Tables.dsum(diff * diff / e).as("chi2"))
+      .select(
+        col("n_rows"),
+        col("n_cells"),
+        col("dof"),
+        col("chi2"),
+        sqrt(col("chi2") / (col("n_rows") * col("min_dim")).cast("double")).as("cramers_v"))
+  }
+
   /** Per-column completeness/cardinality profile of the events table —
     * the standard data-quality gate (the Deequ/GE "profile" check) a
     * pipeline runs before trusting an ingest batch: row count, null
@@ -818,6 +877,25 @@ object QualityOps {
              |SELECT n_customers, mi_nats, h_segment, h_nation,
              | mi_nats / sqrt(h_segment * h_nation) AS nmi
              |FROM base""".stripMargin)),
+    "q_stats_chi2" -> Q(
+      qStatsChi2,
+      Some("""WITH cells AS (
+             | SELECT event_type AS et, CAST(least(floor(value / 50.0), 5.0) AS INT) AS vb, count(1) AS o
+             | FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+             |rm AS (SELECT et, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+             |cm AS (SELECT vb, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+             |t AS (SELECT CAST(sum(o) AS BIGINT) AS n, count(DISTINCT et) AS r,
+             |             count(DISTINCT vb) AS c, count(1) AS n_cells FROM cells)
+             |SELECT n AS n_rows, n_cells, CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+             | CAST(sum(CAST((CAST(o AS DOUBLE) - CAST(rt * ct AS DOUBLE) / n)
+             |              * (CAST(o AS DOUBLE) - CAST(rt * ct AS DOUBLE) / n)
+             |              / (CAST(rt * ct AS DOUBLE) / n) AS DECIMAL(18,6))) AS DOUBLE) AS chi2,
+             | sqrt(CAST(sum(CAST((CAST(o AS DOUBLE) - CAST(rt * ct AS DOUBLE) / n)
+             |              * (CAST(o AS DOUBLE) - CAST(rt * ct AS DOUBLE) / n)
+             |              / (CAST(rt * ct AS DOUBLE) / n) AS DECIMAL(18,6))) AS DOUBLE)
+             |      / CAST(n * least(r - 1, c - 1) AS DOUBLE)) AS cramers_v
+             |FROM cells JOIN rm USING (et) JOIN cm USING (vb), t
+             |GROUP BY n, n_cells, r, c""".stripMargin)),
     "q_dq_benford" -> Q(
       qDqBenford,
       Some("""WITH b AS (

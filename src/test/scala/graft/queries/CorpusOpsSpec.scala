@@ -9,6 +9,56 @@ import org.apache.spark.sql.functions._
 class CorpusOpsSpec extends SparkSuite {
   import spark.implicits._
 
+  test("q_events_survival: KM laws hold and the curve recomputes from local lifetimes") {
+    val rows = CorpusOps.qEventsSurvival(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    // local lifetime recompute
+    val lifetimes = graft.Tables
+      .events(spark, sf001)
+      .groupBy("user_id")
+      .agg(min(to_date(col("ts"))).as("f"), max(to_date(col("ts"))).as("l"))
+      .select(datediff(col("l"), col("f")))
+      .as[Int]
+      .collect()
+    val d = lifetimes.groupBy(identity).map { case (k, g) => k -> g.length.toLong }
+    val total = lifetimes.length.toLong
+    assert(rows.map(_.getLong(2)).sum == total) // every user churns exactly once
+    var cum = 0L
+    var lnMicro = 0L
+    rows.foreach { r =>
+      val (day, nRisk, nChurn) = (r.getInt(0), r.getLong(1), r.getLong(2))
+      assert(nChurn == d(day))
+      assert(nRisk == total - cum) // risk set = everyone not yet churned
+      assert(r.getDouble(3) == nChurn.toDouble / nRisk)
+      if (nRisk > nChurn) {
+        lnMicro += math.round(math.log((nRisk - nChurn).toDouble) * 1e6) -
+          math.round(math.log(nRisk.toDouble) * 1e6)
+        assert(r.getDouble(4) == lnMicro.toDouble / 1e6)
+        assert(r.getDouble(4) <= 0.0) // log of a probability
+      } else assert(r.isNullAt(4)) // extinction week: S = 0 has no finite log
+      cum += nChurn
+    }
+    // weeks strictly increasing; at-risk strictly decreasing
+    assert(rows.map(_.getInt(0)).toSeq == rows.map(_.getInt(0)).toSeq.sorted)
+    val risks = rows.map(_.getLong(1)).toSeq
+    assert(risks.zip(risks.tail).forall { case (a, b) => a > b })
+  }
+
+  test("q_io_jsonl_roundtrip: checksum equals the one computed straight off the parquet") {
+    val rt = CorpusOps.qIoJsonlRoundtrip(spark, sf001).collect()
+    val direct = CorpusOps
+      .checksumCore(
+        graft.Tables.documents(spark, sf001),
+        col("doc_id"),
+        Seq(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars")))
+      .collect()
+    assert(rt.length == direct.length && rt.length == 32)
+    rt.zip(direct).foreach { case (a, b) =>
+      assert(a.getLong(0) == b.getLong(0) && a.getLong(1) == b.getLong(1) &&
+        a.getLong(2) == b.getLong(2))
+    }
+  }
+
   test("q_privacy_dp_count: noise equals the local inverse-CDF recompute per cell") {
     val rows = CorpusOps.qPrivacyDpCount(spark, sf001).collect()
     assert(rows.nonEmpty)

@@ -11,6 +11,38 @@ import org.apache.spark.sql.functions._
 class QualityOpsSpec extends SparkSuite {
   import spark.implicits._
 
+  test("q_stats_chi2: statistic recomputes exactly from a local contingency table") {
+    val r = QualityOps.qStatsChi2(spark, sf001).collect()
+    assert(r.length == 1)
+    val row = r.head
+    // local recompute from the raw events
+    val cells = graft.Tables
+      .events(spark, sf001)
+      .where(col("value").isNotNull)
+      .select(
+        col("event_type"),
+        least(floor(col("value") / 50.0), lit(5.0)).cast("int").as("vb"))
+      .as[(String, Int)]
+      .collect()
+      .groupBy(identity)
+      .map { case (k, g) => (k, g.length.toLong) }
+    val n = cells.values.sum
+    val rt = cells.groupBy(_._1._1).map { case (k, g) => k -> g.values.sum }
+    val ct = cells.groupBy(_._1._2).map { case (k, g) => k -> g.values.sum }
+    val chi2 = cells.map { case ((et, vb), o) =>
+      val e = (rt(et) * ct(vb)).toDouble / n
+      val d = o.toDouble - e
+      BigDecimal.decimal(d * d / e).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }.sum.toDouble
+    assert(row.getLong(0) == n)
+    assert(row.getLong(1) == cells.size.toLong)
+    assert(row.getLong(2) == (rt.size - 1).toLong * (ct.size - 1))
+    assert(row.getDouble(3) == chi2)
+    val v = math.sqrt(chi2 / (n * math.min(rt.size - 1, ct.size - 1)).toDouble)
+    assert(row.getDouble(4) == v)
+    assert(v >= 0.0 && v <= 1.0)
+  }
+
   test("q_dq_completeness: crafted nulls are counted; laws hold on the fixture") {
     // real fixture: 6 columns, each row's laws hold
     val rows = QualityOps.qDqCompleteness(spark, sf001).collect()

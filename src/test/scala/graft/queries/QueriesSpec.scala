@@ -99,6 +99,51 @@ class QueriesSpec extends SparkSuite {
     assert(m.get(("srcA", "srcC")).exists(_ >= 1L))
   }
 
+  test("q_text_chunk: windows recompute from the raw strings; coverage and overlap laws") {
+    import org.apache.spark.sql.Row
+    import spark.implicits._
+    val rows = LlmOps.qTextChunk(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    def md5hex(s: String): String =
+      java.security.MessageDigest
+        .getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x")
+        .mkString
+    val texts = Tables
+      .documents(spark, sf001)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .collect()
+      .toMap
+    val byDoc = rows.groupBy(_.getLong(0))
+    texts.foreach { case (id, text) =>
+      val toks = text.split(" ").filter(_.nonEmpty)
+      val expected = (1 to toks.length by LlmOps.ChunkStride).zipWithIndex.map {
+        case (start, idx) =>
+          val win = toks.slice(start - 1, start - 1 + LlmOps.ChunkWin)
+          Row(id, idx, start, win.length, md5hex(win.mkString(" ")))
+      }
+      val got = byDoc.getOrElse(id, Array.empty[Row]).sortBy(_.getInt(1)).toSeq
+      assert(got.size == expected.size, s"doc $id chunk count")
+      got.zip(expected).foreach { case (g, e) =>
+        assert(
+          g.getInt(1) == e.getInt(1) && g.getInt(2) == e.getInt(2) &&
+            g.getInt(3) == e.getInt(3) && g.getString(4) == e.getString(4),
+          s"doc $id chunk ${e.getInt(1)}")
+      }
+      // coverage law: consecutive starts differ by the stride, so with
+      // win > stride every token index is inside at least one window
+      if (toks.nonEmpty) {
+        val starts = got.map(_.getInt(2))
+        assert(starts.head == 1)
+        assert(starts.zip(starts.tail).forall { case (a, b) => b - a == LlmOps.ChunkStride })
+        val lastEnd = starts.last + got.last.getInt(3) - 1
+        assert(lastEnd == toks.length)
+      }
+    }
+  }
+
   test("tokenizer fertility: per-lang sums recompute from the raw strings") {
     import spark.implicits._
     val rows = LlmOps.qTokenizerFertility(spark, sf001).collect()
@@ -383,6 +428,41 @@ class QueriesSpec extends SparkSuite {
     pr.foreach { r =>
       assert(r.getLong(1) >= 1L) // the identical-signature plant is a candidate
       assert(r.getLong(2) >= 1L) // and it is recalled in the top 10
+    }
+  }
+
+  test("q_ann_recall_ivf: metric laws hold; a planted exact copy is recalled") {
+    // metric-law pass on the real fixture; candidate counts are cluster
+    // sizes (≈ NProbe/K of the corpus), not a hamming ball
+    val rows = LlmOps.qAnnRecallIvf(spark, sf001).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (nc, nh, rec) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(nc >= 1L) // probe-4 of 16 clusters always selects members
+      assert(nh <= math.min(nc, 10L))
+      assert(rec == nh.toDouble / 10)
+    }
+    // planted fixture: queries 0-4 are EXACT copies of corpus vectors
+    // 5-9 — a query's centroid ranking is its copy's, so the copy's own
+    // cluster is always probed, cosine 1 ranks first in both arms
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_recall_ivf").toString
+    val vecs = (5L until 60L).map { id =>
+      (id, Array.fill(64)(rnd.nextFloat() * 2f - 1f), (id % 3).toInt)
+    }
+    val planted = ((0L until 5L).map(q => (q, vecs(q.toInt)._2, vecs(q.toInt)._3)) ++ vecs).toSeq
+    planted
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val pr = LlmOps.qAnnRecallIvf(spark, dir).collect()
+    assert(pr.length == 5)
+    pr.foreach { r =>
+      assert(r.getLong(1) >= 1L) // the copy's own cluster is probed
+      assert(r.getLong(2) >= 1L) // and the copy is recalled in the top 10
     }
   }
 

@@ -5,9 +5,14 @@ Reads a file (or stdin) containing Bench stdout, finds the final summary
 JSON line(s), and fails loudly unless ALL of:
   - at least one parseable summary line exists (tail-truncation guard);
   - "failed" is empty (a broken query must fail the round, not deflate it);
-  - total is within the healthy band (default <= 160 s at sf0.1 — the
-    documented JIT-state variance band for the full battery is ~104-129 s,
-    and the margin absorbs attempt-2 reruns without masking a regression);
+  - total is within the healthy band: max(--max-total, 0.8 s x benched
+    entries) at sf0.1. The historical fixed 160 s encoded ~0.8 s/query at
+    the round-4 registry size (~200 benched); scaling the cap with the
+    benched count keeps that per-query allowance as the registry grows
+    (r10: 239 benched -> 191 s cap) while the per-query cap below still
+    catches individual regressions. The documented JIT-state variance
+    band for the full battery is ~104-129 s at 200 entries; the margin
+    absorbs attempt-2 reruns without masking a regression;
   - no single query exceeds the per-query cap (default 6 s — above every
     healthy steady state; the heaviest plans measure ~2.4-3 s at sf0.1).
 
@@ -77,12 +82,24 @@ def main():
     failed = compact.get("failed", [])
     bad = []
 
+    # The fixed 160 s default encoded ~0.8 s/query of allowance when the
+    # benched registry was ~200 entries (round 4); a fixed total over a
+    # GROWING registry would penalize adding operators, while a pure
+    # per-query mean would let one 100x regression hide in the average.
+    # So the effective cap is the larger of the explicit --max-total and
+    # 0.8 s x benched-entry count — the same per-query allowance at any
+    # registry size — and the --max-query per-query cap still catches
+    # individual regressions.
+    n_benched = compact.get("n") or len(compact.get("queries", {}))
+    max_total = max(args.max_total, 0.8 * n_benched) if n_benched else args.max_total
+
     if rc not in (None, 0):
         bad.append(f"bench rc={rc}")
     if failed:
         bad.append(f"failed queries: {failed}")
-    if total > args.max_total:
-        bad.append(f"total {total:.1f} s > band max {args.max_total:.1f} s")
+    if total > max_total:
+        bad.append(f"total {total:.1f} s > band max {max_total:.1f} s"
+                   f" (max(--max-total {args.max_total:.0f}, 0.8 x {n_benched} benched))")
     if full:
         slow = {q: s for q, s in full["queries"].items() if s > args.max_query}
         if slow:
