@@ -196,7 +196,27 @@ object ScaleProbe {
     // r10: the bucketed-layout join — probes the write+join path (the
     // write is the dominant, linear cost; the join itself is
     // exchange-free by construction).
-    "q_join_bucketed")
+    "q_join_bucketed",
+    // r10 batch 3: the chi-squared contingency fold (one cell-count agg,
+    // everything else on the ≤30-row model frame), the KM survival curve
+    // (one user-keyed min/max agg + day-grid windows — factor× users,
+    // SAME day grid), the JSONL export→reimport checksum (write+scan,
+    // linear by construction — the thing to confirm is the WRITE path),
+    // the sliding token-window chunker (map-side 1:N explode — output
+    // grows with input, ratio must stay ~1), and the IVF recall eval
+    // (bounded Lloyd build + probed-cluster rerank + the exact truth
+    // arm, which is the harness's own linear-scan cost).
+    "q_stats_chi2",
+    "q_events_survival",
+    "q_io_jsonl_roundtrip",
+    "q_text_chunk",
+    "q_ann_recall_ivf",
+    // same rationale as q_ann_recall_ivf: bounded codebook build + ADC
+    // code scan + fixed-50 rerank; the exact truth arm is the linear cost
+    "q_ann_recall_pq",
+    // two map-side conditional aggs (global max + per-type) — here for
+    // the evidence row, expected ≤ linear
+    "q_dq_freshness")
 
   private def num(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

@@ -262,6 +262,44 @@ object LlmOps {
     * `q_ann_recall` recall tail (exact top-10 vs candidate-restricted
     * top-10, both over the same exact fixed-point cosine frame).
     */
+  /** The batch recall readout shared by the IVF/PQ recall-eval oracles:
+    * expects a `sel(q_id, vec_id)` candidate CTE, computes the exact
+    * fixed-point cosine frame over queries 0-4 × corpus ≥ 5, ranks both
+    * arms, and emits (q_id, n_candidates, n_hit, recall) — textually
+    * the `q_ann_recall` oracle tail so the three harnesses cannot
+    * drift.
+    */
+  private val ANN_RECALL_TAIL =
+    """qv AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+      |un AS (
+      | SELECT qv.q_id, e.vec_id, unnest(e.embedding) AS x, unnest(qv.q_emb) AS y
+      | FROM embeddings e, qv WHERE e.vec_id >= 5),
+      |s AS (
+      | SELECT q_id, vec_id,
+      |  CAST(CAST(sum(CAST(round(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1e12, 0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12 AS dot,
+      |  CAST(CAST(sum(CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12, 0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12 AS ne,
+      |  CAST(CAST(sum(CAST(round(CAST(y AS DOUBLE) * CAST(y AS DOUBLE) * 1e12, 0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12 AS nq
+      | FROM un GROUP BY q_id, vec_id),
+      |ex AS (
+      | SELECT q_id, vec_id FROM (
+      |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+      |    ORDER BY dot / (sqrt(ne) * sqrt(nq)) DESC, vec_id ASC) AS rk FROM s)
+      | WHERE rk <= 10),
+      |ann AS (
+      | SELECT q_id, vec_id FROM (
+      |  SELECT s.q_id, s.vec_id, row_number() OVER (PARTITION BY s.q_id
+      |    ORDER BY dot / (sqrt(ne) * sqrt(nq)) DESC, s.vec_id ASC) AS rk
+      |  FROM s JOIN sel ON s.q_id = sel.q_id AND s.vec_id = sel.vec_id)
+      | WHERE rk <= 10),
+      |h AS (SELECT q_id, count(1) AS n_hit FROM ann JOIN ex USING (q_id, vec_id) GROUP BY 1),
+      |nc AS (SELECT q_id, count(1) AS n_candidates FROM sel GROUP BY 1)
+      |SELECT q.q_id, coalesce(nc.n_candidates, 0) AS n_candidates,
+      | coalesce(h.n_hit, 0) AS n_hit,
+      | CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 10 AS recall
+      |FROM (SELECT q_id FROM qv) q
+      |LEFT JOIN nc USING (q_id) LEFT JOIN h USING (q_id)
+      |ORDER BY q_id""".stripMargin
+
   private def annRecallIvfOracle: String =
     s"""WITH ${ivfBuildCtes("vec_id >= 5", 5, 20)},
        |qe AS (
@@ -277,35 +315,41 @@ object LlmOps {
        |  FROM pd)
        | WHERE rk <= 4),
        |sel AS (SELECT p.q_id, a.vec_id FROM a3 a JOIN probes p USING (cid)),
-       |qv AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
-       |un AS (
-       | SELECT qv.q_id, e.vec_id, unnest(e.embedding) AS x, unnest(qv.q_emb) AS y
-       | FROM embeddings e, qv WHERE e.vec_id >= 5),
-       |s AS (
-       | SELECT q_id, vec_id,
-       |  CAST(CAST(sum(CAST(round(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1e12, 0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12 AS dot,
-       |  CAST(CAST(sum(CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12, 0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12 AS ne,
-       |  CAST(CAST(sum(CAST(round(CAST(y AS DOUBLE) * CAST(y AS DOUBLE) * 1e12, 0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12 AS nq
-       | FROM un GROUP BY q_id, vec_id),
-       |ex AS (
+       |$ANN_RECALL_TAIL""".stripMargin
+
+  /** DuckDB twin of `q_ann_recall_pq`: the [[pqOracle]] build chain over
+    * the query-free corpus (vec_id ≥ 5, seeds 5..20 → codes 0..15),
+    * per-QUERY LUTs (que/lut grouped by q_id), per-(q_id, vec_id) ADC
+    * sums, top-50 per query as the candidate set, and the shared
+    * [[ANN_RECALL_TAIL]].
+    */
+  private def annRecallPqOracle: String =
+    s"""WITH ${pqBuildCtes("vec_id >= 5", 5, 20)},
+       |que AS (
+       | SELECT vec_id AS q_id,
+       |  CAST((generate_subscripts(embedding, 1) - 1) // 8 AS INT) AS m,
+       |  CAST((generate_subscripts(embedding, 1) - 1) % 8 AS INT) AS pos,
+       |  CAST(unnest(embedding) AS DOUBLE) AS x
+       | FROM embeddings WHERE vec_id < 5),
+       |lut AS (
+       | SELECT q.q_id, c.m, c.code,
+       |  CAST(round(list_reduce(
+       |   list_prepend(CAST(0.0 AS DOUBLE),
+       |    list(CAST(CAST(q.x - c.c AS FLOAT) AS DOUBLE) * CAST(CAST(q.x - c.c AS FLOAT) AS DOUBLE)
+       |         ORDER BY c.pos)),
+       |   (a, b) -> a + b) * 1e6, 0) AS BIGINT) AS d_micro
+       | FROM cb2 c JOIN que q ON q.m = c.m AND q.pos = c.pos
+       | GROUP BY 1, 2, 3),
+       |adc AS (
+       | SELECT l.q_id, a.vec_id, sum(l.d_micro) AS adc
+       | FROM a3 a JOIN lut l ON a.m = l.m AND a.code = l.code
+       | GROUP BY 1, 2),
+       |sel AS (
        | SELECT q_id, vec_id FROM (
-       |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
-       |    ORDER BY dot / (sqrt(ne) * sqrt(nq)) DESC, vec_id ASC) AS rk FROM s)
-       | WHERE rk <= 10),
-       |ann AS (
-       | SELECT q_id, vec_id FROM (
-       |  SELECT s.q_id, s.vec_id, row_number() OVER (PARTITION BY s.q_id
-       |    ORDER BY dot / (sqrt(ne) * sqrt(nq)) DESC, s.vec_id ASC) AS rk
-       |  FROM s JOIN sel ON s.q_id = sel.q_id AND s.vec_id = sel.vec_id)
-       | WHERE rk <= 10),
-       |h AS (SELECT q_id, count(1) AS n_hit FROM ann JOIN ex USING (q_id, vec_id) GROUP BY 1),
-       |nc AS (SELECT q_id, count(1) AS n_candidates FROM sel GROUP BY 1)
-       |SELECT q.q_id, coalesce(nc.n_candidates, 0) AS n_candidates,
-       | coalesce(h.n_hit, 0) AS n_hit,
-       | CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 10 AS recall
-       |FROM (SELECT q_id FROM qv) q
-       |LEFT JOIN nc USING (q_id) LEFT JOIN h USING (q_id)
-       |ORDER BY q_id""".stripMargin
+       |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY adc ASC, vec_id ASC) AS rk
+       |  FROM adc)
+       | WHERE rk <= 50),
+       |$ANN_RECALL_TAIL""".stripMargin
 
   /** DuckDB twin of `q_sim_ann_pq`'s whole codebook build + ADC scan +
     * rerank. The "8 nested k-means" turn out to be ONE k-means with the
@@ -329,7 +373,13 @@ object LlmOps {
     *   - ADC partial sums are LONG (order-independent), top-50 with
     *     vec_id tiebreak, and the shared [[ANN_RERANK_TAIL]].
     */
-  private def pqOracle: String = {
+  /** The PQ codebook build CTE chain (ue/sue corpus subvector explode,
+    * cb0 id-ordered seed slices, two unrolled Lloyd rounds
+    * a1/cb1/a2/cb2, final code assignment a3) shared by the
+    * `q_sim_ann_pq` and `q_ann_recall_pq` oracles — only the corpus
+    * predicate and seed id range differ.
+    */
+  private def pqBuildCtes(corpusWhere: String, seedLo: Int, seedHi: Int): String = {
     def assign(name: String, cents: String): String =
       s"""$name AS (
          | SELECT vec_id, m, code FROM (
@@ -349,20 +399,24 @@ object LlmOps {
          |  CAST(CAST(CAST(sum(CAST(s.x AS DECIMAL(18,6))) AS DOUBLE) / count(s.x) AS FLOAT) AS DOUBLE) AS c
          | FROM $assignName a JOIN sue s ON a.vec_id = s.vec_id AND a.m = s.m
          | GROUP BY 1, 2, 3)""".stripMargin
-    s"""WITH ue AS (
+    s"""ue AS (
        | SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS i,
        |  CAST(unnest(embedding) AS DOUBLE) AS x
-       | FROM embeddings WHERE vec_id <> 0),
+       | FROM embeddings WHERE $corpusWhere),
        |sue AS (SELECT vec_id, CAST(i // 8 AS INT) AS m, CAST(i % 8 AS INT) AS pos, x FROM ue),
        |cb0 AS (
-       | SELECT CAST(i // 8 AS INT) AS m, CAST(vec_id - 1 AS INT) AS code,
+       | SELECT CAST(i // 8 AS INT) AS m, CAST(vec_id - $seedLo AS INT) AS code,
        |  CAST(i % 8 AS INT) AS pos, x AS c
-       | FROM ue WHERE vec_id BETWEEN 1 AND 16),
+       | FROM ue WHERE vec_id BETWEEN $seedLo AND $seedHi),
        |${assign("a1", "cb0")},
        |${update("cb1", "a1")},
        |${assign("a2", "cb1")},
        |${update("cb2", "a2")},
-       |${assign("a3", "cb2")},
+       |${assign("a3", "cb2")}""".stripMargin
+  }
+
+  private def pqOracle: String = {
+    s"""WITH ${pqBuildCtes("vec_id <> 0", 1, 16)},
        |que AS (
        | SELECT CAST((generate_subscripts(embedding, 1) - 1) // 8 AS INT) AS m,
        |  CAST((generate_subscripts(embedding, 1) - 1) % 8 AS INT) AS pos,
@@ -1474,6 +1528,88 @@ object LlmOps {
       .orderBy("q_id")
   }
 
+  /** ANN recall@10 for the PQ index — the harness applied to the third
+    * index family, completing the recall-vs-candidate-count matrix
+    * (LSH hamming ball / IVF cluster probe / PQ ADC top-50): the
+    * codebook trains over the query-free corpus, each eval query's
+    * 8×16 distance LUT broadcasts, the ADC code scan keeps the 50 best
+    * compressed distances per query, and those candidates rerank
+    * exactly against the brute-force top-10. PQ's candidate count is
+    * FIXED (50) by construction — the matrix row that shows what a
+    * constant-budget candidate set buys vs LSH's variable ball and
+    * IVF's cluster fraction.
+    *
+    * Scale shape: the build is [[pqTrain]]'s bounded Lloyd rounds; the
+    * per-query LUTs are nQ×8×16 driver-side cells broadcast as one tiny
+    * frame; the ADC scan is one broadcast join + (q_id, vec_id) partial
+    * agg over 4-bit codes (never embeddings); only the exact truth arm
+    * scans all pairs (the harness's job, sampled in production).
+    */
+  def qAnnRecallPq(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val k = 10
+    val nQ = 5
+    val e = Tables.embeddings(spark, sfDir)
+    val data = e.where(col("vec_id") >= nQ)
+    val q = e
+      .where(col("vec_id") < nQ)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
+    val sims = data
+      .crossJoin(broadcast(q))
+      .select(col("q_id"), col("vec_id"), cosSim(col("embedding"), col("q_emb")).as("sim"))
+    val exact = sims
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select("q_id", "vec_id")
+    // corpus-only codebook; seeds are the first PqK corpus ids (nQ..nQ+15)
+    val sv = pqSubvectorsFrom(data)
+    val codebook = pqTrain(spark, e, sv, seedLo = nQ)
+    // per-query LUTs: nQ×PqM×PqK driver-side cells, broadcast as one frame
+    val lut = e
+      .where(col("vec_id") < nQ)
+      .select("vec_id", "embedding")
+      .orderBy("vec_id")
+      .collect()
+      .toIndexedSeq
+      .flatMap { r =>
+        val qid = r.getLong(0)
+        val qv = r.getSeq[Float](1)
+        codebook.map { case (m, code, cw) => (qid, m, code, pqLutMicro(qv, m, cw)) }
+      }
+      .toDF("q_id", "m", "code", "d_micro")
+    val wAdc = Window.partitionBy("q_id").orderBy(col("adc").asc, col("vec_id").asc)
+    val cand = pqAssign(sv, codebook.toDF("m", "code", "cw"))
+      .join(broadcast(lut), Seq("m", "code"))
+      .groupBy("q_id", "vec_id")
+      .agg(sum(col("d_micro")).as("adc"))
+      .withColumn("rk", row_number().over(wAdc))
+      .where(col("rk") <= 50)
+      .select("q_id", "vec_id")
+      .localCheckpoint() // feeds both the rerank and the candidate count
+    val ann = cand
+      .join(data.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(q), "q_id")
+      .select(col("q_id"), col("vec_id"), cosSim(col("embedding"), col("q_emb")).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select("q_id", "vec_id")
+    val hits = ann
+      .join(exact, Seq("q_id", "vec_id"), "left_semi")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("n_hit"))
+    val nc = cand.groupBy("q_id").agg(count(lit(1)).as("n_candidates"))
+    q.select("q_id")
+      .join(nc, Seq("q_id"), "left")
+      .join(hits, Seq("q_id"), "left")
+      .select(
+        col("q_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / k).as("recall"))
+      .orderBy("q_id")
+  }
+
   /** Matryoshka (prefix-dimension) retrieval eval: rank by cosine over
     * only the FIRST [[MrlPrefixDims]] of the 64 embedding dims, and score
     * recall@10 against the full-dimension exact ranking — the evaluation
@@ -1672,7 +1808,13 @@ object LlmOps {
     * 64-dim embedding splits into [[PqM]] contiguous 8-dim slices.
     */
   private def pqSubvectors(e: DataFrame): DataFrame =
-    e.where(col("vec_id") =!= 0)
+    pqSubvectorsFrom(e.where(col("vec_id") =!= 0))
+
+  /** The subvector explode over an arbitrary corpus frame (the recall
+    * eval excludes the query batch instead of just vec 0).
+    */
+  private def pqSubvectorsFrom(corpus: DataFrame): DataFrame =
+    corpus
       .select(
         col("vec_id"),
         explode(sequence(lit(0), lit(PqM - 1))).as("m"),
@@ -1720,25 +1862,30 @@ object LlmOps {
     * plus LUT/ADC/rerank; PqSpec additionally pins determinism,
     * code-range, and rerank recall vs the exact top-k.
     */
-  def qSimAnnPq(spark: SparkSession, sfDir: String): DataFrame = {
+  /** PQ codebook training shared by [[qSimAnnPq]] and
+    * [[qAnnRecallPq]]: deterministic init (codeword c of subspace m =
+    * seed vector (seedLo+c)'s m-th slice, in id order), two Lloyd
+    * rounds of [[pqAssign]] + exact decimal means (davg contract,
+    * `.toFloat` model state). Driver state is PqM×PqK×PqSub floats.
+    */
+  private def pqTrain(
+      spark: SparkSession,
+      e: DataFrame,
+      sv: DataFrame,
+      seedLo: Int): Seq[(Int, Int, Seq[Float])] = {
     import spark.implicits._
-    val e = Tables.embeddings(spark, sfDir)
-    val sv = pqSubvectors(e)
-
-    // deterministic init: codeword c of subspace m = vec (c+1)'s m-th slice
     var codebook: Seq[(Int, Int, Seq[Float])] = e
-      .where(col("vec_id").between(1, PqK))
+      .where(col("vec_id").between(seedLo, seedLo + PqK - 1))
       .orderBy("vec_id")
       .collect()
       .toIndexedSeq
       .flatMap { r =>
-        val code = r.getLong(r.fieldIndex("vec_id")).toInt - 1
+        val code = r.getLong(r.fieldIndex("vec_id")).toInt - seedLo
         val emb = r.getSeq[Float](r.fieldIndex("embedding"))
         (0 until PqM).map(m => (m, code, emb.slice(m * PqSub, (m + 1) * PqSub)))
       }
-    def cbDf = codebook.toDF("m", "code", "cw")
     (1 to 2).foreach { _ =>
-      codebook = pqAssign(sv, cbDf)
+      codebook = pqAssign(sv, codebook.toDF("m", "code", "cw"))
         .join(sv, Seq("vec_id", "m"))
         .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
         .groupBy("m", "code", "pos")
@@ -1753,17 +1900,35 @@ object LlmOps {
         .toSeq
         .sortBy(t => (t._1, t._2))
     }
+    codebook
+  }
+
+  /** The driver-side PQ distance LUT row for one (query, codeword)
+    * cell: the query's m-th slice vs the codeword, float subtraction →
+    * double square, summed in pos order, 1e-6 fixed point (the ADC sum
+    * of 8 of these is then a LONG — merge-order-independent, so the
+    * top-50 cut can't flip with partitioning; same rule as lp_micro).
+    */
+  private def pqLutMicro(qEmb: Seq[Float], m: Int, cw: Seq[Float]): Long = {
+    val qs = qEmb.slice(m * PqSub, (m + 1) * PqSub)
+    val d = qs.zip(cw).map { case (a, b) => (a - b).toDouble * (a - b) }.sum
+    math.round(d * 1e6)
+  }
+
+  def qSimAnnPq(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sfDir)
+    val sv = pqSubvectors(e)
+
+    // deterministic init: codeword c of subspace m = vec (c+1)'s m-th slice
+    val codebook = pqTrain(spark, e, sv, seedLo = 1)
+    def cbDf = codebook.toDF("m", "code", "cw")
 
     // query LUT: distance from the query's m-th slice to every codeword
     // (8×16 driver-side evaluations — bounded model math, like IVF probes)
     val qEmb = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
-    // LUT distances quantized to 1e-6 fixed point: the per-vector ADC sum
-    // of 8 of them is then a LONG sum — merge-order-independent, so the
-    // top-50 cut can't flip with partitioning (same rule as lp_micro)
     val lut = codebook.map { case (m, code, cw) =>
-      val qs = qEmb.slice(m * PqSub, (m + 1) * PqSub)
-      val d = qs.zip(cw).map { case (a, b) => (a - b).toDouble * (a - b) }.sum
-      (m, code, math.round(d * 1e6))
+      (m, code, pqLutMicro(qEmb, m, cw))
     }.toDF("m", "code", "d_micro")
 
     // ADC scan over codes + exact rerank of the top 50
@@ -3023,6 +3188,7 @@ object LlmOps {
               |LEFT JOIN nc USING (q_id) LEFT JOIN h USING (q_id)
               |ORDER BY q_id""".stripMargin)),
     "q_ann_recall_ivf" -> Q(qAnnRecallIvf, Some(annRecallIvfOracle)),
+    "q_ann_recall_pq" -> Q(qAnnRecallPq, Some(annRecallPqOracle)),
     "q_embed_matryoshka" -> Q(
       qEmbedMatryoshka,
       Some("""WITH qv AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),

@@ -651,6 +651,41 @@ object QualityOps {
     stacked.orderBy("column_name")
   }
 
+  /** Per-stream freshness audit — the data-latency gate beside
+    * [[qDqCompleteness]]'s shape gate: for each event type, its row
+    * count, last-seen timestamp, staleness lag behind the table's
+    * global high-water mark (whole seconds), and how many rows arrived
+    * in the trailing day — the readout that catches one silently
+    * stalled upstream producer (its lag grows while the others' stay
+    * ~0) before a downstream join starts quietly under-counting it.
+    *
+    * Exactness: lags are integer micros subtracted then integer-divided
+    * to seconds (no float time math); counts exact longs. Scale shape:
+    * one 1-row global max agg (ts column only — scan prunes to it) +
+    * one per-type conditional agg against the broadcast high-water
+    * mark; both map-side partial, |event types| output rows.
+    */
+  def qDqFreshness(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val hwm = ev.agg(max(col("ts")).as("hwm"))
+    ev.crossJoin(broadcast(hwm))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        max(col("ts")).as("last_ts"),
+        first(col("hwm")).as("hwm"),
+        sum(
+          when(col("ts") >= col("hwm") - expr("INTERVAL 1 DAY"), 1L)
+            .otherwise(0L)).as("n_last_day"))
+      .select(
+        col("event_type"),
+        col("n_rows"),
+        col("last_ts"),
+        expr("(unix_micros(hwm) - unix_micros(last_ts)) div 1000000").as("lag_s"),
+        col("n_last_day"))
+      .orderBy("event_type")
+  }
+
   /** Referential-integrity audit across the star schema's FK edges plus
     * the events→customer identity edge: per relationship, total child
     * rows, rows whose FK resolves to no parent, and how many DISTINCT
@@ -896,6 +931,14 @@ object QualityOps {
              |      / CAST(n * least(r - 1, c - 1) AS DOUBLE)) AS cramers_v
              |FROM cells JOIN rm USING (et) JOIN cm USING (vb), t
              |GROUP BY n, n_cells, r, c""".stripMargin)),
+    "q_dq_freshness" -> Q(
+      qDqFreshness,
+      Some(s"""WITH h AS (SELECT max(ts) AS hwm FROM ${LlmOps.EV})
+              |SELECT event_type, count(1) AS n_rows, max(ts) AS last_ts,
+              | (epoch_us(h.hwm) - epoch_us(max(ts))) // 1000000 AS lag_s,
+              | CAST(sum(CASE WHEN ts >= h.hwm - INTERVAL 1 DAY THEN 1 ELSE 0 END) AS BIGINT) AS n_last_day
+              |FROM ${LlmOps.EV}, h
+              |GROUP BY event_type, h.hwm ORDER BY event_type""".stripMargin)),
     "q_dq_benford" -> Q(
       qDqBenford,
       Some("""WITH b AS (

@@ -11,6 +11,29 @@ import org.apache.spark.sql.functions._
 class QualityOpsSpec extends SparkSuite {
   import spark.implicits._
 
+  test("q_dq_freshness: lags and trailing-day counts recompute from raw timestamps") {
+    val rows = QualityOps.qDqFreshness(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val ev = graft.Tables
+      .events(spark, sf001)
+      .select(col("event_type"), unix_micros(col("ts")))
+      .as[(String, Long)]
+      .collect()
+    val hwm = ev.map(_._2).max
+    val byType = ev.groupBy(_._1)
+    assert(rows.map(_.getString(0)).toSeq == byType.keySet.toSeq.sorted)
+    rows.foreach { r =>
+      val g = byType(r.getString(0)).map(_._2)
+      assert(r.getLong(1) == g.length.toLong)
+      val last = g.max
+      assert(r.getLong(3) == (hwm - last) / 1000000L)
+      assert(r.getLong(3) >= 0L)
+      assert(r.getLong(4) == g.count(_ >= hwm - 86400000000L).toLong)
+    }
+    // at least one stream IS the high-water mark (lag 0)
+    assert(rows.exists(_.getLong(3) == 0L))
+  }
+
   test("q_stats_chi2: statistic recomputes exactly from a local contingency table") {
     val r = QualityOps.qStatsChi2(spark, sf001).collect()
     assert(r.length == 1)

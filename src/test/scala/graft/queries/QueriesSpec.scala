@@ -466,6 +466,42 @@ class QueriesSpec extends SparkSuite {
     }
   }
 
+  test("q_ann_recall_pq: metric laws hold; a planted exact copy is recalled") {
+    // metric-law pass on the real fixture; the PQ candidate budget is a
+    // FIXED 50 per query (or the whole corpus if smaller)
+    val rows = LlmOps.qAnnRecallPq(spark, sf001).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (nc, nh, rec) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(nc >= 1L && nc <= 50L)
+      assert(nh <= math.min(nc, 10L))
+      assert(rec == nh.toDouble / 10)
+    }
+    // planted fixture: queries 0-4 are EXACT copies of corpus vectors
+    // 5-9 — a copy's codes are the query's own nearest codes, so its
+    // ADC distance is the minimum possible and it survives the top-50;
+    // cosine 1 then ranks it first in both arms
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_recall_pq").toString
+    val vecs = (5L until 60L).map { id =>
+      (id, Array.fill(64)(rnd.nextFloat() * 2f - 1f), (id % 3).toInt)
+    }
+    val planted = ((0L until 5L).map(q => (q, vecs(q.toInt)._2, vecs(q.toInt)._3)) ++ vecs).toSeq
+    planted
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val pr = LlmOps.qAnnRecallPq(spark, dir).collect()
+    assert(pr.length == 5)
+    pr.foreach { r =>
+      assert(r.getLong(1) >= 1L)
+      assert(r.getLong(2) >= 1L) // the exact copy is recalled in the top 10
+    }
+  }
+
   test("q_embed_matryoshka: metric laws; prefix-determined fixture scores perfect recall") {
     // metric laws on the real fixture (random embeddings spread signal
     // across all 64 dims, so prefix recall is genuinely < 1 here — the
