@@ -216,7 +216,11 @@ object ScaleProbe {
     "q_ann_recall_pq",
     // two map-side conditional aggs (global max + per-type) — here for
     // the evidence row, expected ≤ linear
-    "q_dq_freshness")
+    "q_dq_freshness",
+    // windowed sketch agg: per-window state bounded by value dynamic
+    // range, windows bounded by the calendar — factor× rows, SAME
+    // window grid, so the ratio must stay ~linear
+    "s_stream_quantile")
 
   private def num(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

@@ -129,6 +129,19 @@ object StreamingQueries {
       .windowDistinct(Tables.events(spark, sfDir), withWatermark = false)
       .orderBy("ws")
 
+  /** Batch twin of the windowed quantile sketch (see
+    * [[graft.streaming.Streams.quantileSketch]]): the log-histogram
+    * state is a pure function of each window's value multiset and
+    * merges exactly, so incremental maintenance and the one-pass batch
+    * produce identical sketches — the oracle replays the whole
+    * histogram → nearest-rank → geometric-midpoint readout per window
+    * (the `q_agg_quantile_sketch` SQL with the window as the group).
+    */
+  def quantileSketch(spark: SparkSession, sfDir: String): DataFrame =
+    Streams
+      .quantileSketch(Tables.events(spark, sfDir), withWatermark = false)
+      .orderBy("ws")
+
   /** Batch run of the flatMapGroupsWithState sessionizer (custom-state
     * API surface); bit-identical to `q_events_sessionize`'s oracle.
     */
@@ -275,6 +288,37 @@ object StreamingQueries {
               | time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes' AS we,
               | count(DISTINCT user_id) AS n_users
               |FROM $EV GROUP BY 1, 2 ORDER BY ws""".stripMargin)),
+    "s_stream_quantile" -> Q(
+      quantileSketch,
+      Some(s"""WITH v AS (
+              | SELECT time_bucket(INTERVAL '5 minutes', ts) AS ws,
+              |  CASE WHEN NOT (value > 0.0) THEN -2147483648
+              |       ELSE CAST(floor(ln(value) / ln(1.02)) AS INT) END AS bin
+              | FROM $EV WHERE NOT isnan(value)),
+              |h AS (SELECT ws, bin, count(1) AS c FROM v GROUP BY 1, 2),
+              |t AS (SELECT ws, sum(c) AS total FROM h GROUP BY 1),
+              |cum AS (
+              | SELECT ws, bin, c,
+              |  sum(c) OVER (PARTITION BY ws ORDER BY bin
+              |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS acc
+              | FROM h),
+              |pick AS (
+              | SELECT c.ws, q.q,
+              |  min(CASE WHEN c.bin = -2147483648 THEN 0.0
+              |           ELSE exp((c.bin + 0.5) * ln(1.02)) END) AS val
+              | FROM cum c
+              | JOIN t ON c.ws = t.ws
+              | CROSS JOIN (SELECT unnest([0.5, 0.95, 0.99]) AS q) q
+              | WHERE c.acc >= greatest(1, CAST(ceil(q.q * t.total) AS BIGINT))
+              |   AND c.acc - c.c < greatest(1, CAST(ceil(q.q * t.total) AS BIGINT))
+              | GROUP BY 1, 2)
+              |SELECT p.ws, p.ws + INTERVAL '5 minutes' AS we,
+              | CAST(t.total AS BIGINT) AS n,
+              | round(max(CASE WHEN p.q = 0.5 THEN p.val END), 4) AS p50,
+              | round(max(CASE WHEN p.q = 0.95 THEN p.val END), 4) AS p95,
+              | round(max(CASE WHEN p.q = 0.99 THEN p.val END), 4) AS p99
+              |FROM pick p JOIN t ON p.ws = t.ws
+              |GROUP BY p.ws, t.total ORDER BY p.ws""".stripMargin)),
     "s_stream_sliding" -> Q(
       sliding,
       Some(s"""WITH ex AS (

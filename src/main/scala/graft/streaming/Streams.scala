@@ -336,6 +336,32 @@ object Streams {
       .select(col("win.start").as("ws"), col("win.end").as("we"), col("n_users"))
   }
 
+  /** Windowed mergeable quantiles — the streaming latency/price-tail
+    * dashboard metric: per 5-minute tumbling window, p50/p95/p99 of the
+    * event value via the [[graft.functions.LogHistQuantile]]
+    * log-histogram sketch. The sketch state is a pure function of the
+    * window's value multiset and merges exactly (element-wise bucket
+    * addition), so the incremental streaming aggregation and the batch
+    * twin produce IDENTICAL results — the same replayability argument as
+    * `s_stream_hll`'s registers, applied to quantiles. State per window
+    * is bounded by the value DYNAMIC RANGE (~hundreds of buckets), not
+    * by row count, and the watermark evicts closed windows.
+    */
+  def quantileSketch(events: DataFrame, withWatermark: Boolean): DataFrame = {
+    val src = if (withWatermark) events.withWatermark("ts", "10 minutes") else events
+    val qsk = udaf(new graft.functions.LogHistQuantile(Seq(0.5, 0.95, 0.99)))
+    src
+      .groupBy(window(col("ts"), "5 minutes"))
+      .agg(count(lit(1)).as("n"), qsk(col("value")).as("qv"))
+      .select(
+        col("window.start").as("ws"),
+        col("window.end").as("we"),
+        col("n"),
+        round(element_at(col("qv"), 1), 4).as("p50"),
+        round(element_at(col("qv"), 2), 4).as("p95"),
+        round(element_at(col("qv"), 3), 4).as("p99"))
+  }
+
   /** Streaming exact dedup by event_id within the watermark horizon —
     * the ingestion-side guard an at-least-once source needs (retried
     * sends, replayed offsets). State boundedness needs the RIGHT

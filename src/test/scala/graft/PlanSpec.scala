@@ -477,6 +477,41 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("token chunking is scan -> generate, no shuffle anywhere (r10)") {
+    val p = plan(graft.queries.LlmOps.qTextChunk(spark, sf001))
+    // pure map-side 1:N explode: the ONLY exchange allowed is the final
+    // presentation sort's range partitioning — no hash shuffle, no window
+    assert(!p.contains("hashpartitioning"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("Generate"), p) // the posexplode over window starts
+  }
+
+  test("chi-squared: one cell-count shuffle; marginals/fold on the model frame (r10)") {
+    val p = plan(graft.queries.QualityOps.qStatsChi2(spark, sf001))
+    // corpus-scale work is the single (et, vb) partial agg; downstream
+    // joins run on the checkpointed ≤30-row contingency frame
+    assert(p.contains("partial_count") || p.contains("partial_"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // exactly one events scan feeds the statistic (the checkpoint caps lineage)
+    assert("Scan ExistingRDD".r.findAllIn(p).size >= 1 || p.contains("LocalTableScan") ||
+      "FileScan parquet".r.findAllIn(p).size <= 1, p)
+  }
+
+  test("freshness audit: conditional aggs partial-aggregate; hwm broadcasts (r10)") {
+    val p = plan(graft.queries.QualityOps.qDqFreshness(spark, sf001))
+    assert(p.contains("partial_"), p) // map-side combine on both aggs
+    assert(p.contains("Broadcast"), p) // the 1-row high-water mark
+    assert(!p.contains("Window"), p)
+  }
+
+  test("KM survival: one user-keyed agg shuffle; windows only on the day frame (r10)") {
+    val p = plan(graft.queries.CorpusOps.qEventsSurvival(spark, sf001))
+    assert(p.contains("partial_"), p) // per-user min/max partial agg
+    // the single-partition window is explicitly on the ≤|days| model
+    // frame — the user-keyed corpus agg must NOT flow into it unshuffled
+    assert(p.contains("hashpartitioning(user_id"), p)
+  }
+
   test("corr matrix sums are fixed-point longs, partial-aggregated — no decimal buffers") {
     val df = graft.queries.CorpusOps.qAggCorrMatrix(spark, sf001)
     val p = plan(df)

@@ -242,6 +242,38 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming windowed quantile sketch equals batch, fed in chunks (r10)") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val df = mem
+      .toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Streams
+      .quantileSketch(df, withWatermark = false)
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("quantile_complete")
+      .start()
+    try {
+      // two chunks: the second trigger MERGES sketch state into windows
+      // the first already opened — exact equality below proves the
+      // log-histogram's merge ≡ one-pass property end to end
+      val evs = eventTuples.toIndexedSeq
+      val (a, b) = evs.splitAt(evs.length / 2)
+      mem.addData(a)
+      q.processAllAvailable()
+      mem.addData(b)
+      q.processAllAvailable()
+      val streamed = spark.table("quantile_complete")
+      val batch = Streams.quantileSketch(
+        Tables.events(spark, sf001).select("event_id", "ts", "user_id", "event_type", "value"),
+        withWatermark = false)
+      assert(streamed.exceptAll(batch).count() == 0)
+      assert(batch.exceptAll(streamed).count() == 0)
+    } finally q.stop()
+  }
+
   test("streaming tumbling with watermark emits finalized windows (append mode)") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
