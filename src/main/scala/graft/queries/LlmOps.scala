@@ -193,21 +193,17 @@ object LlmOps {
       |SELECT vec_id, label, dot / (sqrt(ne) * sqrt(nq)) AS sim FROM s
       |ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin
 
-  /** DuckDB twin of `q_sim_ann_ivf`'s whole IVF build + probe + rerank,
-    * with the 2 Lloyd iterations unrolled as CTE pairs (assignment a_n,
-    * float-rounded decimal-mean centroids c_n) — the `q_embed_pca`
-    * unrolled-power-iteration precedent. Every arithmetic step replays
-    * the engine exactly: the 1e12 scaled-round-sum dot in the L2
-    * assignment distance (same `vv - 2·vc + cc` association), HALF_UP
-    * DECIMAL(18,6) means CAST to FLOAT (the Seq[Float] model state), the
-    * fixed-point probe distance over the final centroids, and the
-    * `q_sim_topk` rerank tail over the probed clusters' members.
-    */
   /** The IVF build CTE chain (ue corpus explode, c0 id-ordered seeds,
     * two unrolled Lloyd rounds a1/c1/a2/c2, final assignment a3) shared
     * by the `q_sim_ann_ivf` and `q_ann_recall_ivf` oracles — only the
     * corpus predicate and seed id range differ (single-query index:
     * corpus ≠ 0, seeds 1..16; recall eval: corpus ≥ 5, seeds 5..20).
+    * The 2 Lloyd iterations are unrolled as CTE pairs (assignment a_n,
+    * float-rounded decimal-mean centroids c_n) — the `q_embed_pca`
+    * unrolled-power-iteration precedent. Every arithmetic step replays
+    * the engine exactly: the 1e12 scaled-round-sum dot in the L2
+    * assignment distance (same `vv - 2·vc + cc` association), HALF_UP
+    * DECIMAL(18,6) means CAST to FLOAT (the Seq[Float] model state).
     */
   private def ivfBuildCtes(corpusWhere: String, seedLo: Int, seedHi: Int): String = {
     def assign(name: String, cents: String): String =
@@ -241,6 +237,11 @@ object LlmOps {
        |${assign("a3", "c2")}""".stripMargin
   }
 
+  /** DuckDB twin of `q_sim_ann_ivf`: [[ivfBuildCtes]] + the
+    * single-query probe tail (fixed-point probe distance over the final
+    * centroids, top-4 clusters, the `q_sim_topk` rerank over their
+    * members via [[ANN_RERANK_TAIL]]).
+    */
   private def ivfOracle: String = {
     s"""WITH ${ivfBuildCtes("vec_id <> 0", 1, 16)},
        |qe AS (
@@ -255,19 +256,12 @@ object LlmOps {
        |$ANN_RERANK_TAIL""".stripMargin
   }
 
-  /** DuckDB twin of `q_ann_recall_ivf`: the [[ivfBuildCtes]] chain over
-    * the query-free corpus (vec_id ≥ 5, seeds 5..20), per-QUERY probe
-    * distances (pd grouped by q_id, row_number top-4 per query), the
-    * probed members as (q_id, vec_id) candidates, and the
-    * `q_ann_recall` recall tail (exact top-10 vs candidate-restricted
-    * top-10, both over the same exact fixed-point cosine frame).
-    */
-  /** The batch recall readout shared by the IVF/PQ recall-eval oracles:
-    * expects a `sel(q_id, vec_id)` candidate CTE, computes the exact
-    * fixed-point cosine frame over queries 0-4 × corpus ≥ 5, ranks both
-    * arms, and emits (q_id, n_candidates, n_hit, recall) — textually
-    * the `q_ann_recall` oracle tail so the three harnesses cannot
-    * drift.
+  /** The batch recall readout shared by the LSH/IVF/PQ recall-eval
+    * oracles: expects a `sel(q_id, vec_id)` candidate CTE, computes the
+    * exact fixed-point cosine frame over queries 0-4 × corpus ≥ 5,
+    * ranks both arms, and emits (q_id, n_candidates, n_hit, recall) —
+    * ONE text for all three harnesses so the recall matrix's rows
+    * cannot drift.
     */
   private val ANN_RECALL_TAIL =
     """qv AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
@@ -300,6 +294,12 @@ object LlmOps {
       |LEFT JOIN nc USING (q_id) LEFT JOIN h USING (q_id)
       |ORDER BY q_id""".stripMargin
 
+  /** DuckDB twin of `q_ann_recall_ivf`: the [[ivfBuildCtes]] chain over
+    * the query-free corpus (vec_id ≥ 5, seeds 5..20), per-QUERY probe
+    * distances (pd grouped by q_id, row_number top-4 per query), the
+    * probed members as (q_id, vec_id) candidates, and the shared
+    * [[ANN_RECALL_TAIL]].
+    */
   private def annRecallIvfOracle: String =
     s"""WITH ${ivfBuildCtes("vec_id >= 5", 5, 20)},
        |qe AS (
@@ -351,33 +351,22 @@ object LlmOps {
        | WHERE rk <= 50),
        |$ANN_RECALL_TAIL""".stripMargin
 
-  /** DuckDB twin of `q_sim_ann_pq`'s whole codebook build + ADC scan +
-    * rerank. The "8 nested k-means" turn out to be ONE k-means with the
-    * subspace index `m` as an extra GROUP BY key — subvector rows are
-    * (vec_id, m, pos, x), so each Lloyd round is a single
-    * assignment/update CTE pair exactly like [[ivfOracle]]'s, unrolled
-    * a1..a3/cb1..cb2. Per-step parity with the engine:
+  /** The PQ codebook build CTE chain (ue/sue corpus subvector explode,
+    * cb0 id-ordered seed slices, two unrolled Lloyd rounds
+    * a1/cb1/a2/cb2, final code assignment a3) shared by the
+    * `q_sim_ann_pq` and `q_ann_recall_pq` oracles — only the corpus
+    * predicate and seed id range differ. The "8 nested k-means" turn
+    * out to be ONE k-means with the subspace index `m` as an extra
+    * GROUP BY key — subvector rows are (vec_id, m, pos, x), so each
+    * Lloyd round is a single assignment/update CTE pair exactly like
+    * [[ivfBuildCtes]]'s. Per-step parity with the engine:
     *   - assignment distance replays `sqDist` EXACTLY as the engine
     *     associates it: (La + Lb) as exact BIGINT sum cast to DOUBLE,
     *     minus 2.0 × Lab — all three the 1e12 scaled-round-sum dots;
     *     `min_by(code, struct(d, code))` twins as row_number ORDER BY
     *     d, code;
     *   - codeword means are the davg contract (DECIMAL(18,6) sum /
-    *     count) with the driver's `.toFloat` as CAST to FLOAT;
-    *   - the query LUT replays the driver's float math: (q − c) is a
-    *     FLOAT subtraction (two floats' difference is exact in DOUBLE,
-    *     so CAST(x−c AS FLOAT) ≡ Float `-`), squared in DOUBLE, summed
-    *     in pos order via list_reduce (double addition is
-    *     order-sensitive; SUM() order is not guaranteed), then
-    *     round(d·1e6) — half-away ≡ Math.round for the non-negative d;
-    *   - ADC partial sums are LONG (order-independent), top-50 with
-    *     vec_id tiebreak, and the shared [[ANN_RERANK_TAIL]].
-    */
-  /** The PQ codebook build CTE chain (ue/sue corpus subvector explode,
-    * cb0 id-ordered seed slices, two unrolled Lloyd rounds
-    * a1/cb1/a2/cb2, final code assignment a3) shared by the
-    * `q_sim_ann_pq` and `q_ann_recall_pq` oracles — only the corpus
-    * predicate and seed id range differ.
+    *     count) with the driver's `.toFloat` as CAST to FLOAT.
     */
   private def pqBuildCtes(corpusWhere: String, seedLo: Int, seedHi: Int): String = {
     def assign(name: String, cents: String): String =
@@ -415,6 +404,16 @@ object LlmOps {
        |${assign("a3", "cb2")}""".stripMargin
   }
 
+  /** DuckDB twin of `q_sim_ann_pq`: [[pqBuildCtes]] + the single-query
+    * LUT/ADC/rerank tail. The query LUT replays the driver's float
+    * math: (q − c) is a FLOAT subtraction (two floats' difference is
+    * exact in DOUBLE, so CAST(x−c AS FLOAT) ≡ Float `-`), squared in
+    * DOUBLE, summed in pos order via list_reduce (double addition is
+    * order-sensitive; SUM() order is not guaranteed), then
+    * round(d·1e6) — half-away ≡ Math.round for the non-negative d. ADC
+    * partial sums are LONG (order-independent), top-50 with vec_id
+    * tiebreak, then the shared [[ANN_RERANK_TAIL]].
+    */
   private def pqOracle: String = {
     s"""WITH ${pqBuildCtes("vec_id <> 0", 1, 16)},
        |que AS (
@@ -1388,38 +1387,23 @@ object LlmOps {
     * planted-near-duplicate spec proves the other side: an actual
     * near-dup neighbor is recalled.
     */
-  def qAnnRecall(spark: SparkSession, sfDir: String): DataFrame = {
-    val k = 10
-    val nQ = 5
-    val e = Tables.embeddings(spark, sfDir)
-    val data = e.where(col("vec_id") >= nQ)
-    val q = e
-      .where(col("vec_id") < nQ)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+  /** The shared recall@10 readout of the three ANN eval harnesses
+    * (LSH/IVF/PQ) — the Scala twin of the oracles' [[ANN_RECALL_TAIL]],
+    * ONE definition so the matrix rows cannot drift: exact brute-force
+    * top-k per query, candidate-restricted rerank (the production plan
+    * shape — not a filtered copy of the exact scan), per-query hit
+    * count, candidate count, and recall. `cand` must already be
+    * materialized by the caller (localCheckpoint) — it feeds both the
+    * rerank and the candidate count.
+    */
+  private def recallReadout(data: DataFrame, q: DataFrame, cand: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
-    val sims = data
+    val exact = data
       .crossJoin(broadcast(q))
       .select(col("q_id"), col("vec_id"), cosSim(col("embedding"), col("q_emb")).as("sim"))
-    val exact = sims
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= k)
       .select("q_id", "vec_id")
-    val masks = spark
-      .range(1 << 16)
-      .select(col("id").cast("int").as("mask"))
-      .where(bit_count(col("mask")) <= 2)
-    val probes = withSigs(e.where(col("vec_id") < nQ))
-      .select(col("vec_id").as("q_id"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("q_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-      .crossJoin(masks)
-      .select(col("q_id"), col("band"), col("key").bitwiseXOR(col("mask")).as("key"))
-    val cand = bandedIndex(data)
-      .join(broadcast(probes), Seq("band", "key"))
-      .select("q_id", "vec_id")
-      .distinct()
-      .localCheckpoint() // feeds both the rerank and the candidate count
-    // the ANN arm reranks ONLY the candidate subset (the production plan
-    // shape) — not a filtered copy of the exact scan
     val ann = cand
       .join(data.select(col("vec_id"), col("embedding")), "vec_id")
       .join(broadcast(q), "q_id")
@@ -1443,6 +1427,30 @@ object LlmOps {
       .orderBy("q_id")
   }
 
+  def qAnnRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val nQ = 5
+    val e = Tables.embeddings(spark, sfDir)
+    val data = e.where(col("vec_id") >= nQ)
+    val q = e
+      .where(col("vec_id") < nQ)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val masks = spark
+      .range(1 << 16)
+      .select(col("id").cast("int").as("mask"))
+      .where(bit_count(col("mask")) <= 2)
+    val probes = withSigs(e.where(col("vec_id") < nQ))
+      .select(col("vec_id").as("q_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("q_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .crossJoin(masks)
+      .select(col("q_id"), col("band"), col("key").bitwiseXOR(col("mask")).as("key"))
+    val cand = bandedIndex(data)
+      .join(broadcast(probes), Seq("band", "key"))
+      .select("q_id", "vec_id")
+      .distinct()
+      .localCheckpoint() // feeds both the rerank and the candidate count
+    recallReadout(data, q, cand, k = 10)
+  }
+
   /** ANN recall@10 for the IVF index — [[qAnnRecall]]'s harness applied
     * to the second index family: the IVF centroids/assignments build
     * over the CORPUS (queries excluded, exactly like [[qSimAnnIvf]]'s
@@ -1463,7 +1471,6 @@ object LlmOps {
     * sampled in production).
     */
   def qAnnRecallIvf(spark: SparkSession, sfDir: String): DataFrame = {
-    val k = 10
     val nQ = 5
     val K = 16
     val NProbe = 4
@@ -1472,14 +1479,6 @@ object LlmOps {
     val q = e
       .where(col("vec_id") < nQ)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
-    val sims = data
-      .crossJoin(broadcast(q))
-      .select(col("q_id"), col("vec_id"), cosSim(col("embedding"), col("q_emb")).as("sim"))
-    val exact = sims
-      .withColumn("rk", row_number().over(w))
-      .where(col("rk") <= k)
-      .select("q_id", "vec_id")
     // corpus-only IVF index; seeds are the first K corpus ids (nQ..nQ+K-1)
     val cents = ivfTrain(spark, e, data, seedLo = nQ, k = K)
     val assigned = ivfAssign(spark, data, cents)
@@ -1505,27 +1504,7 @@ object LlmOps {
       .join(broadcast(probeDf), "cid")
       .select("q_id", "vec_id")
       .localCheckpoint() // feeds both the rerank and the candidate count
-    val ann = cand
-      .join(data.select(col("vec_id"), col("embedding")), "vec_id")
-      .join(broadcast(q), "q_id")
-      .select(col("q_id"), col("vec_id"), cosSim(col("embedding"), col("q_emb")).as("sim"))
-      .withColumn("rk", row_number().over(w))
-      .where(col("rk") <= k)
-      .select("q_id", "vec_id")
-    val hits = ann
-      .join(exact, Seq("q_id", "vec_id"), "left_semi")
-      .groupBy("q_id")
-      .agg(count(lit(1)).as("n_hit"))
-    val nc = cand.groupBy("q_id").agg(count(lit(1)).as("n_candidates"))
-    q.select("q_id")
-      .join(nc, Seq("q_id"), "left")
-      .join(hits, Seq("q_id"), "left")
-      .select(
-        col("q_id"),
-        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
-        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-        (coalesce(col("n_hit"), lit(0L)).cast("double") / k).as("recall"))
-      .orderBy("q_id")
+    recallReadout(data, q, cand, k = 10)
   }
 
   /** ANN recall@10 for the PQ index — the harness applied to the third
@@ -1547,21 +1526,12 @@ object LlmOps {
     */
   def qAnnRecallPq(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val k = 10
     val nQ = 5
     val e = Tables.embeddings(spark, sfDir)
     val data = e.where(col("vec_id") >= nQ)
     val q = e
       .where(col("vec_id") < nQ)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)
-    val sims = data
-      .crossJoin(broadcast(q))
-      .select(col("q_id"), col("vec_id"), cosSim(col("embedding"), col("q_emb")).as("sim"))
-    val exact = sims
-      .withColumn("rk", row_number().over(w))
-      .where(col("rk") <= k)
-      .select("q_id", "vec_id")
     // corpus-only codebook; seeds are the first PqK corpus ids (nQ..nQ+15)
     val sv = pqSubvectorsFrom(data)
     val codebook = pqTrain(spark, e, sv, seedLo = nQ)
@@ -1587,27 +1557,7 @@ object LlmOps {
       .where(col("rk") <= 50)
       .select("q_id", "vec_id")
       .localCheckpoint() // feeds both the rerank and the candidate count
-    val ann = cand
-      .join(data.select(col("vec_id"), col("embedding")), "vec_id")
-      .join(broadcast(q), "q_id")
-      .select(col("q_id"), col("vec_id"), cosSim(col("embedding"), col("q_emb")).as("sim"))
-      .withColumn("rk", row_number().over(w))
-      .where(col("rk") <= k)
-      .select("q_id", "vec_id")
-    val hits = ann
-      .join(exact, Seq("q_id", "vec_id"), "left_semi")
-      .groupBy("q_id")
-      .agg(count(lit(1)).as("n_hit"))
-    val nc = cand.groupBy("q_id").agg(count(lit(1)).as("n_candidates"))
-    q.select("q_id")
-      .join(nc, Seq("q_id"), "left")
-      .join(hits, Seq("q_id"), "left")
-      .select(
-        col("q_id"),
-        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
-        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-        (coalesce(col("n_hit"), lit(0L)).cast("double") / k).as("recall"))
-      .orderBy("q_id")
+    recallReadout(data, q, cand, k = 10)
   }
 
   /** Matryoshka (prefix-dimension) retrieval eval: rank by cosine over
@@ -1840,28 +1790,6 @@ object LlmOps {
       .groupBy("vec_id", "m")
       .agg(min_by(col("code"), struct(col("d"), col("code"))).as("code"))
 
-  /** ANN via product quantization — the fourth rung of the vector-search
-    * ladder (brute force → banded LSH → IVF → PQ), the standard
-    * billion-scale memory trade: each vector compresses to [[PqM]]
-    * 4-bit codes (32 bits vs 256 bytes — 64×), queries scan CODES with
-    * an additive lookup table, and only the ADC top-50 see their full
-    * embeddings again for the exact rerank.
-    *
-    * Scale shapes, in order: codebook training is [[PqM]] parallel
-    * k-means-lite problems (deterministic init from vec_ids 1..16, two
-    * Lloyd rounds, exact decimal means — at 100 TB you train on a
-    * `q_sample_hash`-style sample and encode the full corpus map-side);
-    * the trained codebook and the query's distance LUT are bounded model
-    * state (8×16 codewords / 128 doubles) broadcast like the IVF
-    * centroids; ADC scoring is a broadcast join + one partial-agg
-    * shuffle of (vec_id, partial sums) — NO higher-order functions on
-    * the hot path (the LUT lookup is a join, not an `aggregate` lambda —
-    * §6's cliff); rerank joins embeddings back by id for the top-50
-    * only. Fully oracle-checked: [[pqOracle]] replays the entire build
-    * (the 8 "nested" k-means are one grouped k-means with `m` as a key)
-    * plus LUT/ADC/rerank; PqSpec additionally pins determinism,
-    * code-range, and rerank recall vs the exact top-k.
-    */
   /** PQ codebook training shared by [[qSimAnnPq]] and
     * [[qAnnRecallPq]]: deterministic init (codeword c of subspace m =
     * seed vector (seedLo+c)'s m-th slice, in id order), two Lloyd
@@ -1915,6 +1843,29 @@ object LlmOps {
     math.round(d * 1e6)
   }
 
+  /** ANN via product quantization — the fourth rung of the vector-search
+    * ladder (brute force → banded LSH → IVF → PQ), the standard
+    * billion-scale memory trade: each vector compresses to [[PqM]]
+    * 4-bit codes (32 bits vs 256 bytes — 64×), queries scan CODES with
+    * an additive lookup table, and only the ADC top-50 see their full
+    * embeddings again for the exact rerank.
+    *
+    * Scale shapes, in order: codebook training is [[PqM]] parallel
+    * k-means-lite problems ([[pqTrain]]: deterministic init from
+    * vec_ids 1..16, two Lloyd rounds, exact decimal means — at 100 TB
+    * you train on a `q_sample_hash`-style sample and encode the full
+    * corpus map-side); the trained codebook and the query's distance
+    * LUT are bounded model state (8×16 codewords / 128 doubles)
+    * broadcast like the IVF centroids; ADC scoring is a broadcast join
+    * + one partial-agg shuffle of (vec_id, partial sums) — NO
+    * higher-order functions on the hot path (the LUT lookup is a join,
+    * not an `aggregate` lambda — §6's cliff); rerank joins embeddings
+    * back by id for the top-50 only. Fully oracle-checked:
+    * [[pqOracle]] replays the entire build (the 8 "nested" k-means are
+    * one grouped k-means with `m` as a key) plus LUT/ADC/rerank;
+    * PqSpec additionally pins determinism, code-range, and rerank
+    * recall vs the exact top-k.
+    */
   def qSimAnnPq(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val e = Tables.embeddings(spark, sfDir)
@@ -3155,38 +3106,10 @@ object LlmOps {
       qAnnRecall,
       Some(s"""WITH ${planeKeysCte(128, 16)},
               |qk AS (SELECT vec_id AS q_id, band, key AS qkey FROM pkeys WHERE vec_id < 5),
-              |cand AS (
+              |sel AS (
               | SELECT DISTINCT qk.q_id, k.vec_id FROM pkeys k JOIN qk ON k.band = qk.band
               | WHERE k.vec_id >= 5 AND bit_count(xor(k.key, qk.qkey)) <= 2),
-              |qv AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
-              |un AS (
-              | SELECT qv.q_id, e.vec_id, unnest(e.embedding) AS x, unnest(qv.q_emb) AS y
-              | FROM embeddings e, qv WHERE e.vec_id >= 5),
-              |s AS (
-              | SELECT q_id, vec_id,
-              |  CAST(CAST(sum(CAST(round(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1e12, 0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12 AS dot,
-              |  CAST(CAST(sum(CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12, 0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12 AS ne,
-              |  CAST(CAST(sum(CAST(round(CAST(y AS DOUBLE) * CAST(y AS DOUBLE) * 1e12, 0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12 AS nq
-              | FROM un GROUP BY q_id, vec_id),
-              |ex AS (
-              | SELECT q_id, vec_id FROM (
-              |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
-              |    ORDER BY dot / (sqrt(ne) * sqrt(nq)) DESC, vec_id ASC) AS rk FROM s)
-              | WHERE rk <= 10),
-              |ann AS (
-              | SELECT q_id, vec_id FROM (
-              |  SELECT s.q_id, s.vec_id, row_number() OVER (PARTITION BY s.q_id
-              |    ORDER BY dot / (sqrt(ne) * sqrt(nq)) DESC, s.vec_id ASC) AS rk
-              |  FROM s JOIN cand ON s.q_id = cand.q_id AND s.vec_id = cand.vec_id)
-              | WHERE rk <= 10),
-              |h AS (SELECT q_id, count(1) AS n_hit FROM ann JOIN ex USING (q_id, vec_id) GROUP BY 1),
-              |nc AS (SELECT q_id, count(1) AS n_candidates FROM cand GROUP BY 1)
-              |SELECT q.q_id, coalesce(nc.n_candidates, 0) AS n_candidates,
-              | coalesce(h.n_hit, 0) AS n_hit,
-              | CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 10 AS recall
-              |FROM (SELECT q_id FROM qv) q
-              |LEFT JOIN nc USING (q_id) LEFT JOIN h USING (q_id)
-              |ORDER BY q_id""".stripMargin)),
+              |$ANN_RECALL_TAIL""".stripMargin)),
     "q_ann_recall_ivf" -> Q(qAnnRecallIvf, Some(annRecallIvfOracle)),
     "q_ann_recall_pq" -> Q(qAnnRecallPq, Some(annRecallPqOracle)),
     "q_embed_matryoshka" -> Q(

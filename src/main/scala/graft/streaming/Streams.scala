@@ -351,6 +351,12 @@ object Streams {
     val src = if (withWatermark) events.withWatermark("ts", "10 minutes") else events
     val qsk = udaf(new graft.functions.LogHistQuantile(Seq(0.5, 0.95, 0.99)))
     src
+      // NULL/NaN values leave both the sketch AND the window's n — the
+      // oracle's `WHERE NOT isnan(value)` (NULL-dropping in SQL) does the
+      // same, so the two engines' totals cannot diverge on dirty data
+      // (the primitive-Double UDAF would otherwise coerce NULL to 0.0
+      // into the underflow bucket while count(1) still counted the row)
+      .where(col("value").isNotNull && !isnan(col("value")))
       .groupBy(window(col("ts"), "5 minutes"))
       .agg(count(lit(1)).as("n"), qsk(col("value")).as("qv"))
       .select(

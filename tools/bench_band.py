@@ -5,8 +5,9 @@ Reads a file (or stdin) containing Bench stdout, finds the final summary
 JSON line(s), and fails loudly unless ALL of:
   - at least one parseable summary line exists (tail-truncation guard);
   - "failed" is empty (a broken query must fail the round, not deflate it);
-  - total is within the healthy band: max(--max-total, 0.8 s x benched
-    entries) at sf0.1. The historical fixed 160 s encoded ~0.8 s/query at
+  - total is within the healthy band: max(160, 0.8 s x benched entries)
+    at sf0.1 by default; an EXPLICIT --max-total is honored verbatim
+    (tighten or loosen). The historical fixed 160 s encoded ~0.8 s/query at
     the round-4 registry size (~200 benched); scaling the cap with the
     benched count keeps that per-query allowance as the registry grows
     (r10: 239 benched -> 191 s cap) while the per-query cap below still
@@ -28,7 +29,10 @@ import sys
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("file")
-    ap.add_argument("--max-total", type=float, default=160.0)
+    # None = not passed: the registry-scaled default applies. An EXPLICIT
+    # --max-total is honored verbatim (never silently loosened) so an
+    # operator can tighten the gate while bisecting a regression.
+    ap.add_argument("--max-total", type=float, default=None)
     ap.add_argument("--max-query", type=float, default=6.0)
     args = ap.parse_args()
 
@@ -91,15 +95,19 @@ def main():
     # registry size — and the --max-query per-query cap still catches
     # individual regressions.
     n_benched = compact.get("n") or len(compact.get("queries", {}))
-    max_total = max(args.max_total, 0.8 * n_benched) if n_benched else args.max_total
+    if args.max_total is not None:
+        max_total, cap_src = args.max_total, "explicit --max-total"
+    elif n_benched:
+        max_total, cap_src = max(160.0, 0.8 * n_benched), f"max(160, 0.8 x {n_benched} benched)"
+    else:
+        max_total, cap_src = 160.0, "default 160"
 
     if rc not in (None, 0):
         bad.append(f"bench rc={rc}")
     if failed:
         bad.append(f"failed queries: {failed}")
     if total > max_total:
-        bad.append(f"total {total:.1f} s > band max {max_total:.1f} s"
-                   f" (max(--max-total {args.max_total:.0f}, 0.8 x {n_benched} benched))")
+        bad.append(f"total {total:.1f} s > band max {max_total:.1f} s ({cap_src})")
     if full:
         slow = {q: s for q, s in full["queries"].items() if s > args.max_query}
         if slow:
