@@ -133,6 +133,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }))
     ext.injectFunction(
       (
+        FunctionIdentifier("nfc_normalize"),
+        info("nfc_normalize", "nfc_normalize(text) - Unicode NFC canonical composition"),
+        (args: Seq[Expression]) => functions.NfcNormalize(one(args, "nfc_normalize"))))
+    ext.injectFunction(
+      (
         FunctionIdentifier("deflate_len"),
         info("deflate_len", "deflate_len(text) - raw-DEFLATE length of the UTF-8 bytes"),
         (args: Seq[Expression]) => functions.DeflateLen(one(args, "deflate_len"))))

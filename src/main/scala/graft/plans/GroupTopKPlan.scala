@@ -37,10 +37,12 @@ import org.apache.spark.sql.types.IntegerType
   * sort is n·log n against the heap's n·log k).
   *
   * Semantics match the window formulation exactly: rank by `orderCol`
-  * DESC (nulls last) then `tieCol` ASC (nulls first) — Spark's default
-  * null ordering for those directions — rank column is INT like
-  * `row_number`. Exact row-for-row parity with the window form (and the
-  * DuckDB oracle) is pinned by `q_topk_group_native`.
+  * DESC (nulls last) — or ASC (nulls first) when `orderAsc` is set, the
+  * bottom-k shape of ascending metrics like distances — then `tieCol`
+  * ASC (nulls first); both are Spark's default null orderings for those
+  * directions. Rank column is INT like `row_number`. Exact row-for-row
+  * parity with the window form (and the DuckDB oracle) is pinned by
+  * `q_topk_group_native` (DESC) and GroupTopKSpec's ASC parity test.
   */
 case class GroupTopKPlan(
     child: LogicalPlan,
@@ -48,7 +50,8 @@ case class GroupTopKPlan(
     orderCol: Attribute,
     tieCol: Attribute,
     k: Int,
-    rankAttr: Attribute)
+    rankAttr: Attribute,
+    orderAsc: Boolean = false)
     extends UnaryNode {
 
   override def output: Seq[Attribute] = child.output :+ rankAttr
@@ -64,8 +67,8 @@ case class GroupTopKPlan(
   */
 object GroupTopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case GroupTopKPlan(c, g, o, t, k, r) =>
-      GroupTopKExec(g, o, t, k, r, planLater(c)) :: Nil
+    case GroupTopKPlan(c, g, o, t, k, r, asc) =>
+      GroupTopKExec(g, o, t, k, r, planLater(c), asc) :: Nil
     case _ => Nil
   }
 }
@@ -76,7 +79,8 @@ case class GroupTopKExec(
     tieCol: Attribute,
     k: Int,
     rankAttr: Attribute,
-    child: SparkPlan)
+    child: SparkPlan,
+    orderAsc: Boolean = false)
     extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output :+ rankAttr
@@ -103,15 +107,18 @@ case class GroupTopKExec(
     val childAttrs = child.output
     val rank = rankAttr
     val kk = k
+    val asc = orderAsc
     child.execute().mapPartitions { it =>
-      // negative = ranks earlier: orderCol DESC nulls last, tieCol ASC
-      // nulls first (Spark's defaults for those directions)
+      // negative = ranks earlier: orderCol DESC nulls last (or ASC
+      // nulls first when `asc`), tieCol ASC nulls first — Spark's
+      // default null ordering for each direction
       val rankCmp = new java.util.Comparator[Entry] {
         override def compare(a: Entry, b: Entry): Int = {
           val p =
             if (a.ov == null && b.ov == null) 0
-            else if (a.ov == null) 1
-            else if (b.ov == null) -1
+            else if (a.ov == null) { if (asc) -1 else 1 }
+            else if (b.ov == null) { if (asc) 1 else -1 }
+            else if (asc) ordOrd.compare(a.ov, b.ov)
             else -ordOrd.compare(a.ov, b.ov)
           if (p != 0) p
           else if (a.tv == null && b.tv == null) 0
@@ -179,7 +186,8 @@ case class GroupTopKExec(
 
 /** Public builder: `GroupTopK.topk(customer, "c_mktsegment", "c_acctbal",
   * "c_custkey", 5, "rn")` → child columns plus the INT rank, top 5 rows
-  * per segment by balance (desc, custkey tiebreak).
+  * per segment by balance (desc, custkey tiebreak). `orderAsc = true`
+  * ranks ascending instead — the bottom-k form for distance metrics.
   */
 object GroupTopK {
   def topk(
@@ -188,7 +196,8 @@ object GroupTopK {
       orderCol: String,
       tieCol: String,
       k: Int,
-      rankName: String): DataFrame = {
+      rankName: String,
+      orderAsc: Boolean = false): DataFrame = {
     require(k > 0, "k must be positive")
     val spark = df.sparkSession
     if (!spark.experimental.extraStrategies.contains(GroupTopKStrategy))
@@ -202,6 +211,6 @@ object GroupTopK {
     val rank = AttributeReference(rankName, IntegerType, nullable = false)()
     Bridge.dataset(
       spark,
-      GroupTopKPlan(p, attr(groupCol), attr(orderCol), attr(tieCol), k, rank))
+      GroupTopKPlan(p, attr(groupCol), attr(orderCol), attr(tieCol), k, rank, orderAsc))
   }
 }

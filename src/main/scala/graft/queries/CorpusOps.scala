@@ -774,6 +774,10 @@ object CorpusOps {
       .select(datediff(col("last_d"), col("first_d")).as("day"))
       .groupBy("day")
       .agg(count(lit(1)).as("n_churn"))
+      // ≤ |days| rows; materialize so the corpus-scale user-keyed agg
+      // runs ONCE even though both `tot` and the main chain consume it
+      // (mirrors qStatsChi2's cells checkpoint)
+      .localCheckpoint()
     val wPrev = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
     val wCum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     val tot = churn.agg(sum("n_churn").as("n_total"))
@@ -1354,11 +1358,15 @@ object CorpusOps {
   /** One export dir per source sfDir, reused (mode=overwrite) across
     * re-invocations — bench's min-of-2 and the scale probes re-run the
     * query in one JVM, and a fresh dir per call would pile complete
-    * JSONL copies of the corpus in /tmp until exit. Re-using the dir is
-    * safe for previously returned frames: the refreshed content is
-    * identical per sfDir, so a stale frame lazily re-reads the same
-    * rows. ONE shutdown hook (registered lazily with the first entry)
-    * drains the map at JVM exit.
+    * JSONL copies of the corpus in /tmp until exit. Caveat: each call
+    * RETURNS A FRESH frame resolved against the refreshed dir, and
+    * mode(overwrite) replaces the old UUID-named part files — a frame
+    * returned by an EARLIER call for the same sfDir whose file index
+    * already listed the old files would throw FileNotFoundException on
+    * a later action, so callers must not retain frames across
+    * re-invocations (bench/probe re-runs call the entry afresh, which
+    * is the supported pattern). ONE shutdown hook (registered lazily
+    * with the first entry) drains the map at JVM exit.
     */
   private val jsonlExportDirs =
     new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]

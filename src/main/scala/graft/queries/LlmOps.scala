@@ -749,7 +749,7 @@ object LlmOps {
     * anyway; the candidate sets are identical to the oracle's by
     * construction.
     */
-  private[queries] def minhashBands(docs: DataFrame): DataFrame = {
+  private[graft] def minhashBands(docs: DataFrame): DataFrame = {
     val sigs = docs
       .select(col("doc_id"), graft.functions.MinHash16.of(col("text")).as("sig"))
       .where(col("sig").isNotNull)
@@ -761,6 +761,41 @@ object LlmOps {
           struct(
             (b * BandSize until (b + 1) * BandSize).map(j => element_at(col("sig"), j + 1)): _*)
         }: _*)).as(Seq("band", "band_key")))
+  }
+
+  /** Shared oracle CTE chain for the incremental/streaming near-dup
+    * guard: MinHash signatures → per-side band rows (corpus slen=4,
+    * batch slen=5) → capped corpus index → DISTINCT candidate pairs.
+    * Ends with the `cand` CTE so `q_dedup_near_incremental` appends the
+    * Jaccard rerank and `s_stream_dedup_near` reads `cand` directly —
+    * one definition, no drift between the two oracles (mirrors the
+    * Scala side sharing [[cappedBandIndex]]).
+    */
+  private[queries] lazy val NearIncCandSql: String = {
+    val bandRows = (0 until NumHashes / BandSize)
+      .map { b =>
+        val ks = (0 until BandSize)
+          .map(j => s"m${b * BandSize + j} AS k$j")
+          .mkString(", ")
+        s"SELECT doc_id, $b AS band, $ks FROM mh_sig"
+      }
+      .mkString("\n  UNION ALL ")
+    val keyEq = (0 until BandSize).map(j => s"a.k$j = b.k$j").mkString(" AND ")
+    val keyCols = (0 until BandSize).map(j => s"k$j").mkString(", ")
+    s"""WITH $MINHASH_CAND,
+       |bandrows AS (
+       |  $bandRows),
+       |side AS (SELECT doc_id, length(source) AS slen FROM documents),
+       |cidx AS (SELECT br.* FROM bandrows br JOIN side USING (doc_id) WHERE slen = 4),
+       |bbat AS (SELECT br.* FROM bandrows br JOIN side USING (doc_id) WHERE slen = 5),
+       |okb AS (
+       | SELECT band, $keyCols FROM cidx
+       | GROUP BY band, $keyCols HAVING count(1) <= $CapBucket),
+       |cand AS (
+       | SELECT DISTINCT a.doc_id AS batch_doc, b.doc_id AS corpus_dup
+       | FROM bbat a
+       | JOIN (SELECT c.* FROM cidx c JOIN okb USING (band, $keyCols)) b
+       |  ON a.band = b.band AND $keyEq)""".stripMargin
   }
 
   /** Candidate pairs + estimated similarity from a band frame. est_sim
@@ -872,18 +907,28 @@ object LlmOps {
     * (doc_id, text) frames — package-private so the spec can plant a
     * batch near-copy and an over-cap corpus bucket directly.
     */
-  private[queries] def nearIncrementalCore(corpusDocs: DataFrame, batchDocs: DataFrame): DataFrame = {
+  /** The persisted-index side of the incremental/streaming near-dup
+    * guard: DISTINCT-per-doc (band, band_key, corpus_dup) rows of the
+    * corpus band index with over-popular buckets (> [[CapBucket]] docs)
+    * dropped — boilerplate a batch would match thousands of times for no
+    * information. Shared by [[nearIncrementalCore]] and the streaming
+    * form ([[graft.streaming.Streams.nearDupCandidates]]) so the index
+    * semantics cannot drift between them.
+    */
+  private[graft] def cappedBandIndex(corpusDocs: DataFrame): DataFrame = {
     val idx = minhashBands(corpusDocs).select("doc_id", "band", "band_key")
     val ok = idx
       .groupBy("band", "band_key")
       .agg(count(lit(1)).as("bn"))
       .where(col("bn") <= CapBucket)
       .select("band", "band_key")
+    idx.join(ok, Seq("band", "band_key")).withColumnRenamed("doc_id", "corpus_dup")
+  }
+
+  private[queries] def nearIncrementalCore(corpusDocs: DataFrame, batchDocs: DataFrame): DataFrame = {
     val cand = minhashBands(batchDocs)
       .select(col("doc_id").as("batch_doc"), col("band"), col("band_key"))
-      .join(
-        idx.join(ok, Seq("band", "band_key")).withColumnRenamed("doc_id", "corpus_dup"),
-        Seq("band", "band_key"))
+      .join(cappedBandIndex(corpusDocs), Seq("band", "band_key"))
       .select("batch_doc", "corpus_dup")
       .distinct()
     def sh(docs: DataFrame, id: String) = docs.select(
@@ -1525,13 +1570,33 @@ object LlmOps {
     * scans all pairs (the harness's job, sampled in production).
     */
   def qAnnRecallPq(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
     val nQ = 5
     val e = Tables.embeddings(spark, sfDir)
     val data = e.where(col("vec_id") >= nQ)
     val q = e
       .where(col("vec_id") < nQ)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    // feeds both the rerank and the candidate count
+    val cand = pqAdcCandidates(spark, sfDir).localCheckpoint()
+    recallReadout(data, q, cand, k = 10)
+  }
+
+  /** The ADC candidate stage of [[qAnnRecallPq]], pre-checkpoint —
+    * package-visible so PlanSpec can pin its physical shape: the
+    * ascending-distance top-50 ranks through the native bounded-heap
+    * [[graft.plans.GroupTopK]] (ASC form — one hash exchange + 50-slot
+    * heaps) instead of a WindowExec FULL sort of the (nQ×N) distance
+    * frame across only nQ partitions — the parallelism collapse the r10
+    * verdict flagged. SQL/window users writing the equivalent
+    * `row_number() OVER (ORDER BY adc ASC, vec_id ASC)` shape get the
+    * same operator via the generalized WindowTopKRule in
+    * extension-configured sessions (pinned in ExtensionsSpec).
+    */
+  private[graft] def pqAdcCandidates(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val nQ = 5
+    val e = Tables.embeddings(spark, sfDir)
+    val data = e.where(col("vec_id") >= nQ)
     // corpus-only codebook; seeds are the first PqK corpus ids (nQ..nQ+15)
     val sv = pqSubvectorsFrom(data)
     val codebook = pqTrain(spark, e, sv, seedLo = nQ)
@@ -1548,16 +1613,13 @@ object LlmOps {
         codebook.map { case (m, code, cw) => (qid, m, code, pqLutMicro(qv, m, cw)) }
       }
       .toDF("q_id", "m", "code", "d_micro")
-    val wAdc = Window.partitionBy("q_id").orderBy(col("adc").asc, col("vec_id").asc)
-    val cand = pqAssign(sv, codebook.toDF("m", "code", "cw"))
+    val adc = pqAssign(sv, codebook.toDF("m", "code", "cw"))
       .join(broadcast(lut), Seq("m", "code"))
       .groupBy("q_id", "vec_id")
       .agg(sum(col("d_micro")).as("adc"))
-      .withColumn("rk", row_number().over(wAdc))
-      .where(col("rk") <= 50)
+    graft.plans.GroupTopK
+      .topk(adc, "q_id", "adc", "vec_id", 50, "rk", orderAsc = true)
       .select("q_id", "vec_id")
-      .localCheckpoint() // feeds both the rerank and the candidate count
-    recallReadout(data, q, cand, k = 10)
   }
 
   /** Matryoshka (prefix-dimension) retrieval eval: rank by cosine over
@@ -2140,6 +2202,47 @@ object LlmOps {
         topFrac.as("top_tok_frac"),
         dupFrac.as("dup_frac"),
         (topFrac > 0.125 || dupFrac > 0.3).as("repetitive"))
+      .orderBy("doc_id")
+  }
+
+  /** Unicode normalization / encoding-repair audit — the standard FIRST
+    * stage of a web-corpus pipeline (before dedup/quality gates, whose
+    * hashes assume canonical codepoints): per document, the NFC repair
+    * deltas plus the three classic encoding-damage counters —
+    *
+    *   - `n_cp_raw` / `n_cp_nfc` / `nfc_delta` / `is_nfc`: codepoint
+    *     length before/after NFC ([[graft.functions.NfcNormalize]], the
+    *     codegen kernel — é as e+U+0301 composes to one codepoint, so a
+    *     nonzero delta marks decomposed text to re-write;
+    *   - `n_ctrl`: C0 control chars (minus \t\n\r) + DEL — binary
+    *     garbage that leaked into a text column;
+    *   - `n_repl`: U+FFFD replacement chars — a lossy upstream decode;
+    *   - `n_mojibake`: UTF-8-read-as-Latin-1 double-encoding signatures
+    *     (Ã followed by a continuation-byte-mapped codepoint, the 'Ã©'
+    *     pattern) — text to route through an encoding-repair pass.
+    *
+    * Scale shape: stateless per-row projection at the scan — the NFC
+    * kernel short-circuits on already-normalized text (the overwhelming
+    * case) via an allocation-free `isNormalized` scan, and the counters
+    * are builtin codegen regexes; no shuffle before the presentation
+    * sort. Crafted-damage cases (decomposed accents, mojibake, control
+    * bytes) are pinned in NfcNormalizeSpec; the fixtures are clean, so
+    * the oracle certifies the audit's zero/identity readings row-by-row.
+    */
+  def qTextNormalize(spark: SparkSession, sfDir: String): DataFrame = {
+    def nfc = graft.functions.NfcNormalize.of(col("text"))
+    Tables
+      .documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_cp_raw"),
+        length(nfc).as("n_cp_nfc"),
+        (length(col("text")) - length(nfc)).as("nfc_delta"),
+        (nfc === col("text")).as("is_nfc"),
+        regexp_count(col("text"), lit("[\\x{00}-\\x{08}\\x{0B}\\x{0C}\\x{0E}-\\x{1F}\\x{7F}]"))
+          .as("n_ctrl"),
+        regexp_count(col("text"), lit("\\x{FFFD}")).as("n_repl"),
+        regexp_count(col("text"), lit("\\x{C3}[\\x{80}-\\x{BF}]")).as("n_mojibake"))
       .orderBy("doc_id")
   }
 
@@ -2767,30 +2870,7 @@ object LlmOps {
     "q_dedup_near_incremental" -> Q(
       qDedupNearIncremental,
       Some {
-        val bandRows = (0 until NumHashes / BandSize)
-          .map { b =>
-            val ks = (0 until BandSize)
-              .map(j => s"m${b * BandSize + j} AS k$j")
-              .mkString(", ")
-            s"SELECT doc_id, $b AS band, $ks FROM mh_sig"
-          }
-          .mkString("\n  UNION ALL ")
-        val keyEq = (0 until BandSize).map(j => s"a.k$j = b.k$j").mkString(" AND ")
-        val keyCols = (0 until BandSize).map(j => s"k$j").mkString(", ")
-        s"""WITH $MINHASH_CAND,
-           |bandrows AS (
-           |  $bandRows),
-           |side AS (SELECT doc_id, length(source) AS slen FROM documents),
-           |cidx AS (SELECT br.* FROM bandrows br JOIN side USING (doc_id) WHERE slen = 4),
-           |bbat AS (SELECT br.* FROM bandrows br JOIN side USING (doc_id) WHERE slen = 5),
-           |okb AS (
-           | SELECT band, $keyCols FROM cidx
-           | GROUP BY band, $keyCols HAVING count(1) <= $CapBucket),
-           |cand AS (
-           | SELECT DISTINCT a.doc_id AS batch_doc, b.doc_id AS corpus_dup
-           | FROM bbat a
-           | JOIN (SELECT c.* FROM cidx c JOIN okb USING (band, $keyCols)) b
-           |  ON a.band = b.band AND $keyEq),
+        s"""$NearIncCandSql,
            |hs AS (
            |${shingleHashList("mh_docs")}),
            |sc AS (
@@ -3189,6 +3269,17 @@ object LlmOps {
               | CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
               |   / nullif(CAST(len(toks) AS INT), 0) AS avg_tok_len
               |FROM $DOCS_T ORDER BY doc_id""".stripMargin)),
+    "q_text_normalize" -> Q(
+      qTextNormalize,
+      Some("""SELECT doc_id,
+             | CAST(length(text) AS INT) AS n_cp_raw,
+             | CAST(length(nfc_normalize(text)) AS INT) AS n_cp_nfc,
+             | CAST(length(text) - length(nfc_normalize(text)) AS INT) AS nfc_delta,
+             | nfc_normalize(text) = text AS is_nfc,
+             | CAST(len(regexp_extract_all(text, '[\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}\x{7F}]')) AS INT) AS n_ctrl,
+             | CAST(len(regexp_extract_all(text, '\x{FFFD}')) AS INT) AS n_repl,
+             | CAST(len(regexp_extract_all(text, '\x{C3}[\x{80}-\x{BF}]')) AS INT) AS n_mojibake
+             |FROM documents ORDER BY doc_id""".stripMargin)),
     "q_text_langdist" -> Q(
       qTextLangdist,
       Some("""SELECT lang, count(1) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
@@ -3233,12 +3324,12 @@ object LlmOps {
               |FROM $DOCS_T ORDER BY doc_id""".stripMargin)),
     "q_text_chunk" -> Q(
       qTextChunk,
-      Some(s"""SELECT doc_id, CAST((start_tok - 1) // 24 AS INT) AS chunk_idx,
+      Some(s"""SELECT doc_id, CAST((start_tok - 1) // $ChunkStride AS INT) AS chunk_idx,
               | CAST(start_tok AS INT) AS start_tok,
-              | CAST(least(32, n - start_tok + 1) AS INT) AS n_toks,
-              | md5(array_to_string(list_slice(toks, start_tok, least(start_tok + 31, n)), ' ')) AS chunk_md5
+              | CAST(least($ChunkWin, n - start_tok + 1) AS INT) AS n_toks,
+              | md5(array_to_string(list_slice(toks, start_tok, least(start_tok + ${ChunkWin - 1}, n)), ' ')) AS chunk_md5
               |FROM (SELECT doc_id, toks, len(toks) AS n,
-              |      unnest(generate_series(1, len(toks), 24)) AS start_tok
+              |      unnest(generate_series(1, len(toks), $ChunkStride)) AS start_tok
               |      FROM $DOCS_T WHERE len(toks) > 0)
               |ORDER BY doc_id, chunk_idx""".stripMargin)),
     "q_tokenizer_fertility" -> Q(

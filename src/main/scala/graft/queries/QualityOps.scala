@@ -615,7 +615,13 @@ object QualityOps {
         col("n_cells"),
         col("dof"),
         col("chi2"),
-        sqrt(col("chi2") / (col("n_rows") * col("min_dim")).cast("double")).as("cramers_v"))
+        // min_dim = 0 (single row or column category) makes V a 0/0;
+        // emit NULL rather than NaN, mirroring the survival query's
+        // NULL log_surv convention for S = 0
+        when(
+          col("min_dim") > 0,
+          sqrt(col("chi2") / (col("n_rows") * col("min_dim")).cast("double")))
+          .as("cramers_v"))
   }
 
   /** Per-column completeness/cardinality profile of the events table —
@@ -925,10 +931,11 @@ object QualityOps {
              | CAST(sum(CAST((CAST(o AS DOUBLE) - CAST(rt * ct AS DOUBLE) / n)
              |              * (CAST(o AS DOUBLE) - CAST(rt * ct AS DOUBLE) / n)
              |              / (CAST(rt * ct AS DOUBLE) / n) AS DECIMAL(18,6))) AS DOUBLE) AS chi2,
-             | sqrt(CAST(sum(CAST((CAST(o AS DOUBLE) - CAST(rt * ct AS DOUBLE) / n)
+             | CASE WHEN least(r - 1, c - 1) > 0 THEN
+             |   sqrt(CAST(sum(CAST((CAST(o AS DOUBLE) - CAST(rt * ct AS DOUBLE) / n)
              |              * (CAST(o AS DOUBLE) - CAST(rt * ct AS DOUBLE) / n)
              |              / (CAST(rt * ct AS DOUBLE) / n) AS DECIMAL(18,6))) AS DOUBLE)
-             |      / CAST(n * least(r - 1, c - 1) AS DOUBLE)) AS cramers_v
+             |      / CAST(n * least(r - 1, c - 1) AS DOUBLE)) END AS cramers_v
              |FROM cells JOIN rm USING (et) JOIN cm USING (vb), t
              |GROUP BY n, n_cells, r, c""".stripMargin)),
     "q_dq_freshness" -> Q(

@@ -176,6 +176,23 @@ object StreamingQueries {
       .toDF()
       .orderBy("event_id")
 
+  /** Batch twin of the streaming near-dup ingest guard (see
+    * [[graft.streaming.Streams.nearDupCandidates]]): the "new batch"
+    * sources (src10–src19, slen=5) probe the capped band index of the
+    * existing corpus (src0–src9, slen=4) — the same split and the same
+    * index builder as `q_dedup_near_incremental`, truncated at the
+    * candidate stage (the rerank is the batch layer's job). The oracle
+    * reads the shared `cand` CTE of [[LlmOps.NearIncCandSql]] directly.
+    */
+  def dedupNear(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    Streams
+      .nearDupCandidates(
+        d.where(length(col("source")) === 5),
+        LlmOps.cappedBandIndex(d.where(length(col("source")) === 4)))
+      .orderBy("batch_doc", "corpus_dup")
+  }
+
   val all: Seq[(String, Q)] = Seq(
     "s_stream_tumbling" -> Q(
       tumbling,
@@ -347,6 +364,11 @@ object StreamingQueries {
     "s_stream_dedup" -> Q(
       dedup,
       Some(s"SELECT DISTINCT event_id FROM $EV ORDER BY event_id")),
+    "s_stream_dedup_near" -> Q(
+      dedupNear,
+      Some(s"""${LlmOps.NearIncCandSql}
+              |SELECT batch_doc, corpus_dup FROM cand
+              |ORDER BY batch_doc, corpus_dup""".stripMargin)),
     "s_stream_join" -> Q(
       join,
       Some(s"""SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,

@@ -164,6 +164,35 @@ object Streams {
         col("c_mktsegment"),
         col("c_acctbal"))
 
+  /** Streaming near-dup ingest guard (r10 verdict ask #5) — the
+    * stream-static form of `q_dedup_near_incremental`'s candidate stage:
+    * each micro-batch of (doc_id, text) documents is MinHash16-banded
+    * map-side (the codegen kernel — stateless per-row, no token
+    * shuffle), probed by band equality against the PERSISTED capped
+    * corpus band index ([[graft.queries.LlmOps.cappedBandIndex]] — the
+    * SAME builder as the batch form, so the CapBucket guard and index
+    * semantics cannot drift), and emitted as DISTINCT
+    * (batch_doc, corpus_dup) candidate pairs.
+    *
+    * Streaming semantics: the band projection is stateless, the join is
+    * stream-static (no watermark state, index re-read per micro-batch —
+    * at 100 TB the index is the persisted table, batch reads are the
+    * daily ingest), and `dropDuplicates` keys only the 16-byte id pair,
+    * so state is candidate-count-sized, not corpus-sized. Append mode.
+    * The exact-Jaccard rerank stays in the batch layer (it re-shingles
+    * matched corpus docs — a per-candidate batch job, not per-event
+    * streaming state). Same definition serves batch (the driver's
+    * oracle twin `s_stream_dedup_near`); StreamingSpec proves chunk-fed
+    * equivalence.
+    */
+  def nearDupCandidates(batchDocs: DataFrame, corpusIndex: DataFrame): DataFrame =
+    graft.queries.LlmOps
+      .minhashBands(batchDocs)
+      .select(col("doc_id").as("batch_doc"), col("band"), col("band_key"))
+      .join(corpusIndex, Seq("band", "band_key"))
+      .select("batch_doc", "corpus_dup")
+      .dropDuplicates("batch_doc", "corpus_dup")
+
   /** Stream → object store: each micro-batch of (key, content) rows is
     * written through [[graft.sinks.ObjectSink]] via `foreachBatch` — the
     * production pattern for sinks Spark has no native streaming writer

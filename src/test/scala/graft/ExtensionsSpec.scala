@@ -160,6 +160,34 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(df.collect().toSeq == viaWindow.toSeq)
   }
 
+  test("ASC-first window top-k (bottom-k by distance) rewrites to GroupTopK, same rows") {
+    // the recall harnesses' candidate shape: rank by ascending metric
+    // (a distance), tiebreak ascending — r11 generalization of the rule
+    val sf = "/root/testdata/sf0.001"
+    ext.read.parquet(s"$sf/customer.parquet").createOrReplaceTempView("cust_asc")
+    val sql = """SELECT * FROM (
+                | SELECT c_mktsegment, c_custkey, c_acctbal,
+                |  row_number() OVER (PARTITION BY c_mktsegment
+                |                     ORDER BY c_acctbal ASC, c_custkey ASC) AS rn
+                | FROM cust_asc)
+                |WHERE rn <= 5 ORDER BY c_mktsegment, rn""".stripMargin
+    val df = ext.sql(sql)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GroupTopK"), plan)
+    assert(!plan.contains("Window"), plan)
+    val viaWindow = graft.SparkSuite.spark
+      .read.parquet(s"$sf/customer.parquet")
+      .selectExpr(
+        "c_mktsegment",
+        "c_custkey",
+        "c_acctbal",
+        "row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC) AS rn")
+      .where("rn <= 5")
+      .orderBy("c_mktsegment", "rn")
+      .collect()
+    assert(df.collect().toSeq == viaWindow.toSeq)
+  }
+
   test("window shapes GroupTopK can't express stay on WindowExec") {
     val sf = "/root/testdata/sf0.001"
     ext.read.parquet(s"$sf/customer.parquet").createOrReplaceTempView("cust_ext2")

@@ -492,9 +492,23 @@ class PlanSpec extends SparkSuite {
     // joins run on the checkpointed ≤30-row contingency frame
     assert(p.contains("partial_count") || p.contains("partial_"), p)
     assert(!p.contains("CartesianProduct"), p)
-    // exactly one events scan feeds the statistic (the checkpoint caps lineage)
-    assert("Scan ExistingRDD".r.findAllIn(p).size >= 1 || p.contains("LocalTableScan") ||
-      "FileScan parquet".r.findAllIn(p).size <= 1, p)
+    // exactly one events scan feeds the statistic: the checkpoint caps
+    // lineage, so marginals/total/fold re-read the ≤30-row RDD, never
+    // the parquet (a second FileScan would mean the corpus agg re-runs)
+    assert("FileScan parquet".r.findAllIn(p).size <= 1, p)
+  }
+
+  test("PQ recall harness candidate stage: bounded-heap GroupTopK, no Sort, no Window (r11)") {
+    // the r10 verdict's plan gap: the ascending-distance ADC top-50 fell
+    // back to a WindowExec full sort of the (nQ×N) distance frame over
+    // only nQ=5 partitions; it must now rank through the native heap
+    // (ASC form) — no Window, and no Sort touching the adc distance
+    // column (the only Sort left is pqAssign's group-local SortAggregate
+    // for min_by over struct, which never sees the distance frame)
+    val p = plan(graft.queries.LlmOps.pqAdcCandidates(spark, sf001))
+    assert(p.contains("GroupTopK"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Sort [adc") && !p.contains("Sort [q_id"), p)
   }
 
   test("freshness audit: conditional aggs partial-aggregate; hwm broadcasts (r10)") {
@@ -504,12 +518,14 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Window"), p)
   }
 
-  test("KM survival: one user-keyed agg shuffle; windows only on the day frame (r10)") {
+  test("KM survival: churn frame checkpointed; corpus agg runs once (r11)") {
     val p = plan(graft.queries.CorpusOps.qEventsSurvival(spark, sf001))
-    assert(p.contains("partial_"), p) // per-user min/max partial agg
-    // the single-partition window is explicitly on the ≤|days| model
-    // frame — the user-keyed corpus agg must NOT flow into it unshuffled
-    assert(p.contains("hashpartitioning(user_id"), p)
+    // the ≤|days| churn frame is localCheckpointed before `tot` and the
+    // main chain both consume it, so the user-keyed corpus min/max agg
+    // (and the events scan) execute ONCE — the returned plan reads the
+    // materialized RDD, never the parquet
+    assert("FileScan parquet".r.findAllIn(p).size == 0, p)
+    assert(p.contains("Scan ExistingRDD"), p)
   }
 
   test("corr matrix sums are fixed-point longs, partial-aggregated — no decimal buffers") {

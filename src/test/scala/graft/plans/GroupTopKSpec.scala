@@ -82,6 +82,50 @@ class GroupTopKSpec extends SparkSuite {
     assert(got.toSeq == win.toSeq)
   }
 
+  test("ASC order (bottom-k): row-for-row parity with the ascending window form") {
+    val df = graft.Tables
+      .customer(spark, sf001)
+      .select("c_mktsegment", "c_custkey", "c_acctbal")
+    val native = GroupTopK
+      .topk(df, "c_mktsegment", "c_acctbal", "c_custkey", 5, "rn", orderAsc = true)
+      .orderBy("c_mktsegment", "rn")
+      .collect()
+    val w =
+      Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    val window = df
+      .select(
+        col("c_mktsegment"),
+        col("c_custkey"),
+        col("c_acctbal"),
+        row_number().over(w).as("rn"))
+      .where(col("rn") <= 5)
+      .orderBy("c_mktsegment", "rn")
+      .collect()
+    assert(native.toSeq == window.toSeq)
+  }
+
+  test("ASC order: null order values rank FIRST (asc nulls-first, like the window form)") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L, Some(1.0)),
+      ("a", 2L, None),
+      ("a", 3L, Some(2.0))
+    ).toDF("g", "id", "v")
+    val got = GroupTopK
+      .topk(df, "g", "v", "id", 3, "rn", orderAsc = true)
+      .orderBy("rn")
+      .collect()
+      .map(r => (r.getLong(1), r.getInt(3)))
+    assert(got.toSeq == Seq((2L, 1), (1L, 2), (3L, 3)))
+    val w = Window.partitionBy("g").orderBy(col("v").asc, col("id").asc)
+    val win = df
+      .select(col("id"), row_number().over(w).as("rn"))
+      .orderBy("rn")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(got.toSeq == win.toSeq)
+  }
+
   test("string group keys survive UnsafeRow buffer reuse (varying-width rows)") {
     // a VARYING-width payload column before the key makes each
     // deserialized UnsafeRow lay the group string out at a different

@@ -470,6 +470,50 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-static near-dup guard: chunk-fed candidates equal the batch twin (r11)") {
+    implicit val ctx = spark.sqlContext
+    // static side: the persisted capped corpus band index (src0-src9);
+    // stream side: the new-batch docs (src10-src19) fed in three chunks —
+    // the daily-ingest shape of q_dedup_near_incremental as a stream
+    val d = Tables.documents(spark, sf001)
+    val corpusIdx = graft.queries.LlmOps
+      .cappedBandIndex(d.where(length(col("source")) === 4))
+      .localCheckpoint() // static frames re-evaluate per micro-batch; pin it
+    val batchDocs = d
+      .where(length(col("source")) === 5)
+      .select("doc_id", "text")
+      .as[(Long, String)]
+      .collect()
+      .sortBy(_._1)
+      .toIndexedSeq
+    val mem = MemoryStream[(Long, String)]
+    val df = mem.toDF().toDF("doc_id", "text")
+    val q = Streams
+      .nearDupCandidates(df, corpusIdx)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("neardup_append")
+      .start()
+    try {
+      val (c1, rest) = batchDocs.splitAt(batchDocs.length / 3)
+      val (c2, c3) = rest.splitAt(rest.length / 3)
+      mem.addData(c1); q.processAllAvailable()
+      mem.addData(c2); q.processAllAvailable()
+      mem.addData(c3); q.processAllAvailable()
+      val streamed = spark.table("neardup_append")
+      val batch = graft.queries.StreamingQueries.dedupNear(spark, sf001)
+      assert(batch.count() > 0, "fixture must produce at least one candidate pair")
+      assert(streamed.exceptAll(batch).count() == 0)
+      assert(batch.exceptAll(streamed).count() == 0)
+      // dropDuplicates state holds only id pairs: re-feeding a chunk adds
+      // NO new output rows (the at-least-once ingest re-delivery case)
+      val before = streamed.count()
+      mem.addData(c1); q.processAllAvailable()
+      assert(spark.table("neardup_append").count() == before)
+    } finally q.stop()
+  }
+
   test("stream-static enrichment join equals the batch join") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]

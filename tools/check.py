@@ -37,8 +37,18 @@ def main():
     # scaleprobe.sh to a $$-suffixed path): concurrent cert + probe runs
     # must not share a spill dir, or whichever exits first deletes the
     # other's live spill mid-oracle.
-    spill = os.environ.get("GRAFT_SPILL_DIR") or os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "..", ".tmp", "duckdb_spill")
+    # Default spill dir is per-PID (owner-only cleanup on exit): a bare
+    # `check.py` run concurrent with a cert/probe script must not share —
+    # or delete — another process's live spill. Scripts that set
+    # GRAFT_SPILL_DIR own that directory's lifecycle via their own traps.
+    spill = os.environ.get("GRAFT_SPILL_DIR")
+    if not spill:
+        spill = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "..", ".tmp",
+            f"duckdb_spill.{os.getpid()}")
+        import atexit
+        import shutil
+        atexit.register(shutil.rmtree, spill, True)
     os.makedirs(spill, exist_ok=True)
     con.execute(f"SET temp_directory='{spill}'")
     con.execute("SET max_temp_directory_size='20GB'")

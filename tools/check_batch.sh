@@ -13,8 +13,10 @@ cd "$(dirname "$0")/.."
 # check.py pins spill (20 GB cap) under a PER-RUN subdirectory so a
 # concurrent cert + scale probe cannot delete each other's live spill;
 # the trap removes only THIS run's directory.
+# Owner-only trap: remove THIS run's spill dir and nothing else — a
+# shared glob here would delete a concurrent run's live spill mid-oracle.
 export GRAFT_SPILL_DIR="$PWD/.tmp/duckdb_spill.$$"
-trap 'rm -rf "$GRAFT_SPILL_DIR" .tmp/duckdb_temp_storage*' EXIT
+trap 'rm -rf "$GRAFT_SPILL_DIR"' EXIT
 SF="$1"; OUT="$2"; TMO="${3:-240}"; EXCL=",${4:-},"
 NAMES=$(python3 -c "import json;print(' '.join(sorted(json.load(open('$OUT/oracle_sql.json')))))")
 pass=0; fail=0; tmo=0; skipped=0; excluded=0
@@ -33,6 +35,11 @@ for n in $NAMES; do
     else fail=$((fail+1)); echo "FAIL $n (rc=$rc)"; echo "$out" | tail -2; fi
   fi
 done
+# ln-ulp parity guard (r10 verdict ask #2): the entries keying on
+# round(ln(integer)*1e6) must have NO argument near a .5 rounding
+# boundary at THIS data scale — exposure grows with corpus size, so the
+# x10/x20 certifications exercise it on the inflated data.
+if ! python3 tools/ln_guard.py "$SF"; then fail=$((fail+1)); echo "FAIL ln_guard"; fi
 echo "== $pass pass, $fail fail, $tmo timeout, $skipped skipped, $excluded excluded"
 # exit 1 on any mismatch, 2 when timeouts/skips (or zero attempts) leave
 # the certification incomplete — an all-timeout or outputs-missing run

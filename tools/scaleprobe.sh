@@ -27,8 +27,10 @@ done
 # .tmp) and the inflated scratch data.
 # Per-run spill subdir: concurrent cert runs must not delete each
 # other's live spill (each run's trap removes only its own dir).
+# Owner-only trap: this run's spill dir and scratch classpath ONLY — a
+# shared glob here would delete a concurrent run's live spill mid-oracle.
 export GRAFT_SPILL_DIR="$PWD/.tmp/duckdb_spill.$$"
-trap 'rm -rf "$GRAFT_SPILL_DIR" .tmp/duckdb_temp_storage* "$CP"' EXIT
+trap 'rm -rf "$GRAFT_SPILL_DIR" "$CP"' EXIT
 SPARK_GRAFT_SCALEPROBE_OUT="${SCALEPROBE_OUT:-$PWD/SCALEPROBE.json}" \
 java $ADDOPENS -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -Xmx64g -XX:ReservedCodeCacheSize=1g \
