@@ -28,21 +28,31 @@ import org.apache.spark.sql.types.IntegerType
   * away all but k rows per group. This operator keeps one bounded
   * binary heap of k rows per group instead: O(n log k) comparisons, heap
   * memory k × groups-per-partition regardless of row count, and NO sort
-  * requirement on its input (EnsureRequirements inserts only the hash
-  * distribution on the group key — same single shuffle as the window
-  * form, minus the sort). At 100 TB the difference is sorting every
-  * partition of a fact table vs streaming it once through k-slot heaps;
-  * measured 1.7–2× faster than WindowExec already at 20M rows × 2000
-  * groups, k=5, local[8] (the gap grows with rows-per-group since the
-  * sort is n·log n against the heap's n·log k).
+  * requirement on its input. Since r11 it plans as a TWO-PHASE pair like
+  * partial aggregation (and Spark's own WindowGroupLimit):
+  * [[GroupTopKPartialExec]] runs the same heaps map-side BEFORE the
+  * exchange, so at most k × groups rows per input partition cross the
+  * shuffle — against a fact table that is the difference between
+  * shuffling the table and shuffling kilobytes — then the final
+  * [[GroupTopKExec]] merges survivors and assigns ranks. At 100 TB the
+  * map-side phase is also what keeps a low-cardinality group key (the
+  * recall harnesses' nQ=5 queries) from collapsing parallelism: the
+  * heavy scan runs in every input partition; only ≤ k·|groups|·|parts|
+  * id-sized rows land on the 5 reducers. Measured 1.7–2× faster than
+  * WindowExec already at 20M rows × 2000 groups, k=5, local[8] (the gap
+  * grows with rows-per-group since the sort is n·log n against the
+  * heap's n·log k).
   *
   * Semantics match the window formulation exactly: rank by `orderCol`
   * DESC (nulls last) — or ASC (nulls first) when `orderAsc` is set, the
   * bottom-k shape of ascending metrics like distances — then `tieCol`
   * ASC (nulls first); both are Spark's default null orderings for those
-  * directions. Rank column is INT like `row_number`. Exact row-for-row
-  * parity with the window form (and the DuckDB oracle) is pinned by
-  * `q_topk_group_native` (DESC) and GroupTopKSpec's ASC parity test.
+  * directions. Rank column is INT like `row_number`. (As with
+  * `row_number`, the emitted row set is deterministic only when
+  * (orderCol, tieCol) is a per-group key — every registry user ties on
+  * a unique id.) Exact row-for-row parity with the window form (and the
+  * DuckDB oracle) is pinned by `q_topk_group_native` (DESC) and
+  * GroupTopKSpec's ASC parity test.
   */
 case class GroupTopKPlan(
     child: LogicalPlan,
@@ -61,16 +71,132 @@ case class GroupTopKPlan(
     copy(child = newChild)
 }
 
-/** Planner rule: GroupTopKPlan → GroupTopKExec (registered via
-  * `spark.experimental.extraStrategies` by [[GroupTopK.topk]], and via
-  * `GraftExtensions` for extension-configured sessions).
+/** Planner rule: GroupTopKPlan → GroupTopKExec over GroupTopKPartialExec
+  * (registered via `spark.experimental.extraStrategies` by
+  * [[GroupTopK.topk]], and via `GraftExtensions` for extension-configured
+  * sessions). EnsureRequirements inserts the single hash exchange
+  * BETWEEN the two phases — the partial runs on raw input partitions.
   */
 object GroupTopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case GroupTopKPlan(c, g, o, t, k, r, asc) =>
-      GroupTopKExec(g, o, t, k, r, planLater(c), asc) :: Nil
+      GroupTopKExec(g, o, t, k, r, GroupTopKPartialExec(g, o, t, k, planLater(c), asc), asc) :: Nil
     case _ => Nil
   }
+}
+
+/** The shared bounded-heap pass: fold a partition's rows into one
+  * k-slot binary heap per group key. Both phases run exactly this —
+  * the partial emits the surviving rows, the final ranks them.
+  */
+private[plans] object GroupTopKHeap {
+
+  /** Heap entry: evaluated (order, tie) plus a COPY of the input row
+    * (unsafe rows from the child iterator are reused buffers).
+    */
+  final class Entry(val ov: Any, val tv: Any, val row: InternalRow)
+
+  /** negative = ranks earlier: orderCol DESC nulls last (or ASC nulls
+    * first when `asc`), tieCol ASC nulls first — Spark's default null
+    * ordering for each direction.
+    */
+  def comparator(
+      ordOrd: Ordering[Any],
+      tieOrd: Ordering[Any],
+      asc: Boolean): java.util.Comparator[Entry] =
+    new java.util.Comparator[Entry] {
+      override def compare(a: Entry, b: Entry): Int = {
+        val p =
+          if (a.ov == null && b.ov == null) 0
+          else if (a.ov == null) { if (asc) -1 else 1 }
+          else if (b.ov == null) { if (asc) 1 else -1 }
+          else if (asc) ordOrd.compare(a.ov, b.ov)
+          else -ordOrd.compare(a.ov, b.ov)
+        if (p != 0) p
+        else if (a.tv == null && b.tv == null) 0
+        else if (a.tv == null) -1
+        else if (b.tv == null) 1
+        else tieOrd.compare(a.tv, b.tv)
+      }
+    }
+
+  def fold(
+      it: Iterator[InternalRow],
+      gk: Expression,
+      oc: Expression,
+      tc: Expression,
+      k: Int,
+      rankCmp: java.util.Comparator[Entry]): java.util.HashMap[Any, java.util.PriorityQueue[Entry]] = {
+    val worstFirst = rankCmp.reversed()
+    val heaps = new java.util.HashMap[Any, java.util.PriorityQueue[Entry]]()
+    while (it.hasNext) {
+      val row = it.next()
+      // eval'd values from a reused UnsafeRow may be buffer-backed
+      // (UTF8String, nested rows): anything RETAINED — the map key and
+      // the heap's (ov, tv) — must be deep-copied or it silently
+      // mutates when the iterator advances. The comparison-only probe
+      // entry below is safe uncopied.
+      val g = InternalRow.copyValue(gk.eval(row))
+      var pq = heaps.get(g)
+      if (pq == null) {
+        pq = new java.util.PriorityQueue[Entry](k + 1, worstFirst)
+        heaps.put(g, pq)
+      }
+      val ov = oc.eval(row)
+      val tv = tc.eval(row)
+      if (pq.size() < k) {
+        pq.add(new Entry(InternalRow.copyValue(ov), InternalRow.copyValue(tv), row.copy()))
+      } else {
+        // replace the current worst only if this row ranks before it
+        val worst = pq.peek()
+        if (rankCmp.compare(new Entry(ov, tv, null), worst) < 0) {
+          pq.poll()
+          pq.add(new Entry(InternalRow.copyValue(ov), InternalRow.copyValue(tv), row.copy()))
+        }
+      }
+    }
+    heaps
+  }
+}
+
+/** Map-side phase: per input partition, keep only each group's k best
+  * rows (same comparator as the final) and emit them UNRANKED in child
+  * schema — a pure row filter, so the exchange above it moves at most
+  * k × groups rows per partition. Correct because the global top-k of a
+  * union is contained in the union of per-part top-k's.
+  */
+case class GroupTopKPartialExec(
+    groupKey: Attribute,
+    orderCol: Attribute,
+    tieCol: Attribute,
+    k: Int,
+    child: SparkPlan,
+    orderAsc: Boolean = false)
+    extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val gk = BindReferences.bindReference(groupKey: Expression, child.output)
+    val oc = BindReferences.bindReference(orderCol: Expression, child.output)
+    val tc = BindReferences.bindReference(tieCol: Expression, child.output)
+    val ordOrd = TypeUtils.getInterpretedOrdering(orderCol.dataType).asInstanceOf[Ordering[Any]]
+    val tieOrd = TypeUtils.getInterpretedOrdering(tieCol.dataType).asInstanceOf[Ordering[Any]]
+    val kk = k
+    val asc = orderAsc
+    child.execute().mapPartitions { it =>
+      val rankCmp = GroupTopKHeap.comparator(ordOrd, tieOrd, asc)
+      val heaps = GroupTopKHeap.fold(it, gk, oc, tc, kk, rankCmp)
+      // survivors only; order within the partition is irrelevant (the
+      // final phase re-heaps), so no sort here
+      import scala.jdk.CollectionConverters._
+      heaps.values().iterator().asScala.flatMap(_.iterator().asScala.map(_.row))
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): GroupTopKPartialExec =
+    copy(child = newChild)
 }
 
 case class GroupTopKExec(
@@ -92,11 +218,6 @@ case class GroupTopKExec(
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(Seq(groupKey)) :: Nil
 
-  /** Heap entry: evaluated (order, tie) plus a COPY of the input row
-    * (unsafe rows from the child iterator are reused buffers).
-    */
-  private final class Entry(val ov: Any, val tv: Any, val row: InternalRow)
-
   override protected def doExecute(): RDD[InternalRow] = {
     val gk = BindReferences.bindReference(groupKey: Expression, child.output)
     val oc = BindReferences.bindReference(orderCol: Expression, child.output)
@@ -109,62 +230,18 @@ case class GroupTopKExec(
     val kk = k
     val asc = orderAsc
     child.execute().mapPartitions { it =>
-      // negative = ranks earlier: orderCol DESC nulls last (or ASC
-      // nulls first when `asc`), tieCol ASC nulls first — Spark's
-      // default null ordering for each direction
-      val rankCmp = new java.util.Comparator[Entry] {
-        override def compare(a: Entry, b: Entry): Int = {
-          val p =
-            if (a.ov == null && b.ov == null) 0
-            else if (a.ov == null) { if (asc) -1 else 1 }
-            else if (b.ov == null) { if (asc) 1 else -1 }
-            else if (asc) ordOrd.compare(a.ov, b.ov)
-            else -ordOrd.compare(a.ov, b.ov)
-          if (p != 0) p
-          else if (a.tv == null && b.tv == null) 0
-          else if (a.tv == null) -1
-          else if (b.tv == null) 1
-          else tieOrd.compare(a.tv, b.tv)
-        }
-      }
-      val worstFirst = rankCmp.reversed()
-      val heaps = new java.util.HashMap[Any, java.util.PriorityQueue[Entry]]()
-      while (it.hasNext) {
-        val row = it.next()
-        // eval'd values from a reused UnsafeRow may be buffer-backed
-        // (UTF8String, nested rows): anything RETAINED — the map key and
-        // the heap's (ov, tv) — must be deep-copied or it silently
-        // mutates when the iterator advances. The comparison-only probe
-        // entry below is safe uncopied.
-        val g = InternalRow.copyValue(gk.eval(row))
-        var pq = heaps.get(g)
-        if (pq == null) {
-          pq = new java.util.PriorityQueue[Entry](kk + 1, worstFirst)
-          heaps.put(g, pq)
-        }
-        val ov = oc.eval(row)
-        val tv = tc.eval(row)
-        if (pq.size() < kk) {
-          pq.add(new Entry(InternalRow.copyValue(ov), InternalRow.copyValue(tv), row.copy()))
-        } else {
-          // replace the current worst only if this row ranks before it
-          val worst = pq.peek()
-          if (rankCmp.compare(new Entry(ov, tv, null), worst) < 0) {
-            pq.poll()
-            pq.add(new Entry(InternalRow.copyValue(ov), InternalRow.copyValue(tv), row.copy()))
-          }
-        }
-      }
+      val rankCmp = GroupTopKHeap.comparator(ordOrd, tieOrd, asc)
+      val heaps = GroupTopKHeap.fold(it, gk, oc, tc, kk, rankCmp)
       val proj = UnsafeProjection.create(outputAttrs, childAttrs :+ rank)
       val joined = new JoinedRow
       val rankRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
       val groups = heaps.values().iterator()
       new Iterator[InternalRow] {
-        private var cur: Array[Entry] = Array.empty
+        private var cur: Array[GroupTopKHeap.Entry] = Array.empty
         private var i = 0
         override def hasNext: Boolean = {
           while (i >= cur.length && groups.hasNext) {
-            cur = groups.next().toArray(Array.empty[Entry])
+            cur = groups.next().toArray(Array.empty[GroupTopKHeap.Entry])
             java.util.Arrays.sort(cur, rankCmp)
             i = 0
           }

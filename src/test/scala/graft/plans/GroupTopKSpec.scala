@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   */
 class GroupTopKSpec extends SparkSuite {
 
-  test("plan has one hash exchange, no Sort, no Window below the operator") {
+  test("plan is two-phase: partial heap BELOW the one hash exchange, no Sort, no Window") {
     val df = GroupTopK.topk(
       graft.Tables.customer(spark, sf001).select("c_mktsegment", "c_custkey", "c_acctbal"),
       "c_mktsegment",
@@ -24,6 +24,39 @@ class GroupTopKSpec extends SparkSuite {
     assert(p.contains("Exchange hashpartitioning(c_mktsegment"), p)
     assert(!p.contains("Sort "), p)
     assert(!p.contains("Window"), p)
+    // r11: the map-side partial phase must sit UNDER the exchange (the
+    // shuffle moves at most k x groups rows per input partition — the
+    // partial-aggregation shape), the ranking final ABOVE it
+    val iFinal = p.indexOf("GroupTopK ")
+    val iEx = p.indexOf("Exchange hashpartitioning(c_mktsegment")
+    val iPartial = p.indexOf("GroupTopKPartial")
+    assert(iFinal >= 0 && iEx > iFinal && iPartial > iEx, p)
+  }
+
+  test("partial phase truly bounds the shuffle: exchange input rows = k x groups x parts cap") {
+    // 8 input partitions x 5 groups x k=3 caps the exchange at <= 120
+    // rows regardless of the 40k input rows; read the shuffle records
+    // metric off the executed plan to prove the map-side cut happened
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = spark
+      .range(40000)
+      .repartition(8)
+      .select(
+        concat(lit("g"), (col("id") % 5).cast("string")).as("g"),
+        col("id").as("tie"),
+        ((col("id") * 37) % 9973).cast("double").as("v"))
+    val topk = GroupTopK.topk(df, "g", "v", "tie", 3, "rn")
+    assert(topk.count() == 15)
+    val executed = topk.queryExecution.executedPlan
+    val fin = executed match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    val shuffles = fin.collect { case s: ShuffleExchangeLike => s }
+    assert(shuffles.nonEmpty, fin.toString)
+    val written = shuffles.map(_.metrics("shuffleRecordsWritten").value).sum
+    assert(written <= 8L * 5 * 3, s"shuffle moved $written rows; partial phase not cutting")
   }
 
   test("row-for-row parity with the window row_number formulation") {
