@@ -38,31 +38,35 @@ import org.apache.spark.sql.types.IntegerType
   * map-side phase is also what keeps a low-cardinality group key (the
   * recall harnesses' nQ=5 queries) from collapsing parallelism: the
   * heavy scan runs in every input partition; only ≤ k·|groups|·|parts|
-  * id-sized rows land on the 5 reducers. Measured 1.7–2× faster than
+  * id-sized rows land on the reducers. Measured 1.7–2× faster than
   * WindowExec already at 20M rows × 2000 groups, k=5, local[8] (the gap
   * grows with rows-per-group since the sort is n·log n against the
   * heap's n·log k).
   *
-  * Semantics match the window formulation exactly: rank by `orderCol`
-  * DESC (nulls last) — or ASC (nulls first) when `orderAsc` is set, the
-  * bottom-k shape of ascending metrics like distances — then `tieCol`
-  * ASC (nulls first); both are Spark's default null orderings for those
-  * directions. Rank column is INT like `row_number`. (As with
-  * `row_number`, the emitted row set is deterministic only when
-  * (orderCol, tieCol) is a per-group key — every registry user ties on
-  * a unique id.) Exact row-for-row parity with the window form (and the
-  * DuckDB oracle) is pinned by `q_topk_group_native` (DESC) and
-  * GroupTopKSpec's ASC parity test.
+  * Semantics match the window formulation exactly: group by one OR MORE
+  * key attributes (r11: `PARTITION BY a, b` — the per-(source, lang)
+  * shape), rank by `orderCol` DESC (nulls last) — or ASC (nulls first)
+  * when `orderAsc` is set, the bottom-k shape of ascending metrics like
+  * distances — then `tieCol` ASC (nulls first); both are Spark's
+  * default null orderings for those directions. Rank column is INT like
+  * `row_number`. (As with `row_number`, the emitted row set is
+  * deterministic only when (orderCol, tieCol) is a per-group key —
+  * every registry user ties on a unique id.) Exact row-for-row parity
+  * with the window form (and the DuckDB oracle) is pinned by
+  * `q_topk_group_native` (DESC) and GroupTopKSpec's ASC and multi-key
+  * parity tests.
   */
 case class GroupTopKPlan(
     child: LogicalPlan,
-    groupKey: Attribute,
+    groupKeys: Seq[Attribute],
     orderCol: Attribute,
     tieCol: Attribute,
     k: Int,
     rankAttr: Attribute,
     orderAsc: Boolean = false)
     extends UnaryNode {
+
+  require(groupKeys.nonEmpty, "GroupTopK needs at least one group key")
 
   override def output: Seq[Attribute] = child.output :+ rankAttr
   override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
@@ -87,7 +91,10 @@ object GroupTopKStrategy extends SparkStrategy {
 
 /** The shared bounded-heap pass: fold a partition's rows into one
   * k-slot binary heap per group key. Both phases run exactly this —
-  * the partial emits the surviving rows, the final ranks them.
+  * the partial emits the surviving rows, the final ranks them. Group
+  * keys are projected to an UnsafeRow (copied — the projection reuses
+  * its buffer) so single- and multi-key grouping share one hash-map
+  * path with value-based equals/hashCode.
   */
 private[plans] object GroupTopKHeap {
 
@@ -122,13 +129,13 @@ private[plans] object GroupTopKHeap {
 
   def fold(
       it: Iterator[InternalRow],
-      gk: Expression,
+      gk: UnsafeProjection,
       oc: Expression,
       tc: Expression,
       k: Int,
-      rankCmp: java.util.Comparator[Entry]): java.util.HashMap[Any, java.util.PriorityQueue[Entry]] = {
+      rankCmp: java.util.Comparator[Entry]): java.util.HashMap[InternalRow, java.util.PriorityQueue[Entry]] = {
     val worstFirst = rankCmp.reversed()
-    val heaps = new java.util.HashMap[Any, java.util.PriorityQueue[Entry]]()
+    val heaps = new java.util.HashMap[InternalRow, java.util.PriorityQueue[Entry]]()
     while (it.hasNext) {
       val row = it.next()
       // eval'd values from a reused UnsafeRow may be buffer-backed
@@ -136,11 +143,11 @@ private[plans] object GroupTopKHeap {
       // the heap's (ov, tv) — must be deep-copied or it silently
       // mutates when the iterator advances. The comparison-only probe
       // entry below is safe uncopied.
-      val g = InternalRow.copyValue(gk.eval(row))
+      val g = gk(row)
       var pq = heaps.get(g)
       if (pq == null) {
         pq = new java.util.PriorityQueue[Entry](k + 1, worstFirst)
-        heaps.put(g, pq)
+        heaps.put(g.copy(), pq)
       }
       val ov = oc.eval(row)
       val tv = tc.eval(row)
@@ -166,7 +173,7 @@ private[plans] object GroupTopKHeap {
   * union is contained in the union of per-part top-k's.
   */
 case class GroupTopKPartialExec(
-    groupKey: Attribute,
+    groupKeys: Seq[Attribute],
     orderCol: Attribute,
     tieCol: Attribute,
     k: Int,
@@ -178,14 +185,16 @@ case class GroupTopKPartialExec(
   override def outputPartitioning: Partitioning = child.outputPartitioning
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val gk = BindReferences.bindReference(groupKey: Expression, child.output)
+    val gks = groupKeys
     val oc = BindReferences.bindReference(orderCol: Expression, child.output)
     val tc = BindReferences.bindReference(tieCol: Expression, child.output)
     val ordOrd = TypeUtils.getInterpretedOrdering(orderCol.dataType).asInstanceOf[Ordering[Any]]
     val tieOrd = TypeUtils.getInterpretedOrdering(tieCol.dataType).asInstanceOf[Ordering[Any]]
+    val childAttrs = child.output
     val kk = k
     val asc = orderAsc
     child.execute().mapPartitions { it =>
+      val gk = UnsafeProjection.create(gks, childAttrs)
       val rankCmp = GroupTopKHeap.comparator(ordOrd, tieOrd, asc)
       val heaps = GroupTopKHeap.fold(it, gk, oc, tc, kk, rankCmp)
       // survivors only; order within the partition is irrelevant (the
@@ -200,7 +209,7 @@ case class GroupTopKPartialExec(
 }
 
 case class GroupTopKExec(
-    groupKey: Attribute,
+    groupKeys: Seq[Attribute],
     orderCol: Attribute,
     tieCol: Attribute,
     k: Int,
@@ -213,13 +222,13 @@ case class GroupTopKExec(
   override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
   override def outputPartitioning: Partitioning = child.outputPartitioning
 
-  // the whole point: a hash distribution on the group key and NOTHING
+  // the whole point: a hash distribution on the group keys and NOTHING
   // else — no requiredChildOrdering, so no partition-wide sort is planned
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(Seq(groupKey)) :: Nil
+    ClusteredDistribution(groupKeys) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val gk = BindReferences.bindReference(groupKey: Expression, child.output)
+    val gks = groupKeys
     val oc = BindReferences.bindReference(orderCol: Expression, child.output)
     val tc = BindReferences.bindReference(tieCol: Expression, child.output)
     val ordOrd = TypeUtils.getInterpretedOrdering(orderCol.dataType).asInstanceOf[Ordering[Any]]
@@ -230,6 +239,7 @@ case class GroupTopKExec(
     val kk = k
     val asc = orderAsc
     child.execute().mapPartitions { it =>
+      val gk = UnsafeProjection.create(gks, childAttrs)
       val rankCmp = GroupTopKHeap.comparator(ordOrd, tieOrd, asc)
       val heaps = GroupTopKHeap.fold(it, gk, oc, tc, kk, rankCmp)
       val proj = UnsafeProjection.create(outputAttrs, childAttrs :+ rank)
@@ -264,7 +274,8 @@ case class GroupTopKExec(
 /** Public builder: `GroupTopK.topk(customer, "c_mktsegment", "c_acctbal",
   * "c_custkey", 5, "rn")` → child columns plus the INT rank, top 5 rows
   * per segment by balance (desc, custkey tiebreak). `orderAsc = true`
-  * ranks ascending instead — the bottom-k form for distance metrics.
+  * ranks ascending instead — the bottom-k form for distance metrics;
+  * the Seq overload groups by a composite key (`PARTITION BY a, b`).
   */
 object GroupTopK {
   def topk(
@@ -274,8 +285,19 @@ object GroupTopK {
       tieCol: String,
       k: Int,
       rankName: String,
+      orderAsc: Boolean = false): DataFrame =
+    topkMulti(df, Seq(groupCol), orderCol, tieCol, k, rankName, orderAsc)
+
+  def topkMulti(
+      df: DataFrame,
+      groupCols: Seq[String],
+      orderCol: String,
+      tieCol: String,
+      k: Int,
+      rankName: String,
       orderAsc: Boolean = false): DataFrame = {
     require(k > 0, "k must be positive")
+    require(groupCols.nonEmpty, "at least one group column")
     val spark = df.sparkSession
     if (!spark.experimental.extraStrategies.contains(GroupTopKStrategy))
       spark.experimental.extraStrategies =
@@ -288,6 +310,6 @@ object GroupTopK {
     val rank = AttributeReference(rankName, IntegerType, nullable = false)()
     Bridge.dataset(
       spark,
-      GroupTopKPlan(p, attr(groupCol), attr(orderCol), attr(tieCol), k, rank, orderAsc))
+      GroupTopKPlan(p, groupCols.map(attr), attr(orderCol), attr(tieCol), k, rank, orderAsc))
   }
 }

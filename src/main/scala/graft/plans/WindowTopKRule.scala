@@ -20,18 +20,20 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * Matching is deliberately strict, like [[HofToKernelRule]]: a Filter
   * whose condition is exactly `rn <= IntLiteral` (or `rn < lit`,
   * `lit >= rn`, `lit > rn`) over a Window computing exactly ONE window
-  * expression — `row_number()` partitioned by a single attribute and
-  * ordered by (attr DESC, attr ASC) or (attr ASC, attr ASC) with
-  * Spark's default null ordering for each direction — optionally
-  * through a pass-through Project. The ASC-first form is the bottom-k
-  * shape of ascending metrics (nearest distances: the recall harnesses'
-  * ADC/IVF candidate top-50); without it those windows fell back to a
-  * full WindowExec partition sort over only nQ partitions — a
-  * parallelism collapse the bounded heap sidesteps. Anything else (rank
-  * with ties, multi-key partitions, expressions in the sort) stays on
-  * WindowExec. Spark's own InferWindowGroupLimit may have wrapped the
-  * window's child in a WindowGroupLimit pre-filter by the time this rule
-  * runs; it is subsumed by the rewrite and unwrapped.
+  * expression — `row_number()` partitioned by one or more plain
+  * attributes (r11: multi-key `PARTITION BY a, b` — the
+  * per-(source, lang) shape) and ordered by (attr DESC, attr ASC) or
+  * (attr ASC, attr ASC) with Spark's default null ordering for each
+  * direction — optionally through a pass-through Project. The
+  * ASC-first form is the bottom-k shape of ascending metrics (nearest
+  * distances: the recall harnesses' ADC candidate top-50); without it
+  * those windows fell back to a full WindowExec partition sort over
+  * only nQ partitions — a parallelism collapse the bounded heap
+  * sidesteps. Anything else (rank with ties, expressions in the
+  * partition or sort) stays on WindowExec. Spark's own
+  * InferWindowGroupLimit may have wrapped the window's child in a
+  * WindowGroupLimit pre-filter by the time this rule runs; it is
+  * subsumed by the rewrite and unwrapped.
   */
 object WindowTopKRule extends Rule[LogicalPlan] {
 
@@ -47,35 +49,36 @@ object WindowTopKRule extends Rule[LogicalPlan] {
   }
 
   /** The single row_number window alias of a Window node, with its
-    * (group, order, tie) attributes and the order direction (true =
+    * (groups, order, tie) attributes and the order direction (true =
     * ASC-first) — None unless the shape is one GroupTopK implements.
     */
-  private def topkWindow(w: Window): Option[(Alias, Attribute, Attribute, Attribute, Boolean)] =
+  private def topkWindow(
+      w: Window): Option[(Alias, Seq[Attribute], Attribute, Attribute, Boolean)] =
     w.windowExpressions match {
       case Seq(
             a @ Alias(
               WindowExpression(
                 _: RowNumber,
                 WindowSpecDefinition(
-                  Seq(g: Attribute),
+                  gs,
                   Seq(
                     SortOrder(v: Attribute, Descending, NullsLast, _),
                     SortOrder(t: Attribute, Ascending, NullsFirst, _)),
                   _)),
-              _)) =>
-        Some((a, g, v, t, false))
+              _)) if gs.nonEmpty && gs.forall(_.isInstanceOf[Attribute]) =>
+        Some((a, gs.map(_.asInstanceOf[Attribute]), v, t, false))
       case Seq(
             a @ Alias(
               WindowExpression(
                 _: RowNumber,
                 WindowSpecDefinition(
-                  Seq(g: Attribute),
+                  gs,
                   Seq(
                     SortOrder(v: Attribute, Ascending, NullsFirst, _),
                     SortOrder(t: Attribute, Ascending, NullsFirst, _)),
                   _)),
-              _)) =>
-        Some((a, g, v, t, true))
+              _)) if gs.nonEmpty && gs.forall(_.isInstanceOf[Attribute]) =>
+        Some((a, gs.map(_.asInstanceOf[Attribute]), v, t, true))
       case _ => None
     }
 
@@ -93,10 +96,10 @@ object WindowTopKRule extends Rule[LogicalPlan] {
       wrap: LogicalPlan => LogicalPlan): Option[LogicalPlan] =
     for {
       (rnRef, k) <- rankBound(cond)
-      (alias, g, v, t, asc) <- topkWindow(w)
+      (alias, gs, v, t, asc) <- topkWindow(w)
       if rnRef.exprId == alias.exprId && k > 0
     } yield {
-      val topk = GroupTopKPlan(unwrapGroupLimit(w.child), g, v, t, k, alias.toAttribute, asc)
+      val topk = GroupTopKPlan(unwrapGroupLimit(w.child), gs, v, t, k, alias.toAttribute, asc)
       // keep the Filter node: it is now trivially true, but preserving it
       // keeps this rewrite purely local (no one above can tell)
       Filter(cond, wrap(topk))

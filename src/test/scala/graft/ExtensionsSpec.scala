@@ -188,6 +188,34 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(df.collect().toSeq == viaWindow.toSeq)
   }
 
+  test("multi-key window top-k (PARTITION BY a, b) rewrites to GroupTopK, same rows") {
+    // r11: composite group keys — the per-(source, lang) shape
+    val sf = "/root/testdata/sf0.001"
+    ext.read.parquet(s"$sf/customer.parquet").createOrReplaceTempView("cust_multi")
+    val sql = """SELECT * FROM (
+                | SELECT c_mktsegment, c_nationkey, c_custkey, c_acctbal,
+                |  row_number() OVER (PARTITION BY c_mktsegment, c_nationkey
+                |                     ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+                | FROM cust_multi)
+                |WHERE rn <= 3 ORDER BY c_mktsegment, c_nationkey, rn""".stripMargin
+    val df = ext.sql(sql)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GroupTopK"), plan)
+    assert(!plan.contains("Window"), plan)
+    val viaWindow = graft.SparkSuite.spark
+      .read.parquet(s"$sf/customer.parquet")
+      .selectExpr(
+        "c_mktsegment",
+        "c_nationkey",
+        "c_custkey",
+        "c_acctbal",
+        "row_number() OVER (PARTITION BY c_mktsegment, c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC) AS rn")
+      .where("rn <= 3")
+      .orderBy("c_mktsegment", "c_nationkey", "rn")
+      .collect()
+    assert(df.collect().toSeq == viaWindow.toSeq)
+  }
+
   test("window shapes GroupTopK can't express stay on WindowExec") {
     val sf = "/root/testdata/sf0.001"
     ext.read.parquet(s"$sf/customer.parquet").createOrReplaceTempView("cust_ext2")
@@ -197,12 +225,37 @@ class ExtensionsSpec extends AnyFunSuite {
                 |   ORDER BY c_acctbal DESC, c_custkey ASC) AS rn FROM cust_ext2)
                 |WHERE rn <= 5""".stripMargin)
     assert(rank.queryExecution.executedPlan.toString.contains("Window"))
-    // multi-key partition spec is out of the strict match too
-    val multi = ext.sql("""SELECT * FROM (
-                | SELECT c_mktsegment, row_number() OVER (PARTITION BY c_mktsegment, c_nationkey
-                |   ORDER BY c_acctbal DESC, c_custkey ASC) AS rn FROM cust_ext2)
+    // non-default null ordering is out of the strict match (the heap
+    // comparator implements exactly Spark's default per direction)
+    val nullsFirst = ext.sql("""SELECT * FROM (
+                | SELECT c_mktsegment, row_number() OVER (PARTITION BY c_mktsegment
+                |   ORDER BY c_acctbal DESC NULLS FIRST, c_custkey ASC) AS rn FROM cust_ext2)
                 |WHERE rn <= 5""".stripMargin)
-    assert(multi.queryExecution.executedPlan.toString.contains("Window"))
+    assert(nullsFirst.queryExecution.executedPlan.toString.contains("Window"))
+  }
+
+  test("expression partition keys rewrite via the analyzer's extracted _w0 attribute, same rows") {
+    // ExtractWindowExpressions projects `c_nationkey % 5` into a _w0
+    // column BEFORE the optimizer runs, so the rule legitimately sees an
+    // attribute partition key and the rewrite fires — pin the parity
+    val sf = "/root/testdata/sf0.001"
+    ext.read.parquet(s"$sf/customer.parquet").createOrReplaceTempView("cust_expr")
+    val sql = """SELECT * FROM (
+                | SELECT c_mktsegment, c_custkey, row_number() OVER (PARTITION BY c_nationkey % 5
+                |   ORDER BY c_acctbal DESC, c_custkey ASC) AS rn FROM cust_expr)
+                |WHERE rn <= 5 ORDER BY c_custkey""".stripMargin
+    val df = ext.sql(sql)
+    assert(df.queryExecution.executedPlan.toString.contains("GroupTopK"))
+    val viaWindow = graft.SparkSuite.spark
+      .read.parquet(s"$sf/customer.parquet")
+      .selectExpr(
+        "c_mktsegment",
+        "c_custkey",
+        "row_number() OVER (PARTITION BY c_nationkey % 5 ORDER BY c_acctbal DESC, c_custkey ASC) AS rn")
+      .where("rn <= 5")
+      .orderBy("c_custkey")
+      .collect()
+    assert(df.collect().toSeq == viaWindow.toSeq)
   }
 
   test("round-4 kernels resolve as SQL functions: token_windows, plane_sig16/64") {

@@ -159,6 +159,30 @@ class GroupTopKSpec extends SparkSuite {
     assert(got.toSeq == win.toSeq)
   }
 
+  test("multi-key grouping: row-for-row parity with PARTITION BY a, b window (r11)") {
+    val df = graft.Tables
+      .customer(spark, sf001)
+      .select("c_mktsegment", "c_nationkey", "c_custkey", "c_acctbal")
+    val native = GroupTopK
+      .topkMulti(df, Seq("c_mktsegment", "c_nationkey"), "c_acctbal", "c_custkey", 3, "rn")
+      .orderBy("c_mktsegment", "c_nationkey", "rn")
+      .collect()
+    val w = Window
+      .partitionBy("c_mktsegment", "c_nationkey")
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    val window = df
+      .select(
+        col("c_mktsegment"),
+        col("c_nationkey"),
+        col("c_custkey"),
+        col("c_acctbal"),
+        row_number().over(w).as("rn"))
+      .where(col("rn") <= 3)
+      .orderBy("c_mktsegment", "c_nationkey", "rn")
+      .collect()
+    assert(native.length == window.length && native.toSeq == window.toSeq)
+  }
+
   test("string group keys survive UnsafeRow buffer reuse (varying-width rows)") {
     // a VARYING-width payload column before the key makes each
     // deserialized UnsafeRow lay the group string out at a different
