@@ -85,6 +85,9 @@ object Bench {
     val spark = SparkSession
       .builder()
       .master(s"local[$cpus]")
+      // extension tier ON, same as Verify: benched plans are the plans a
+      // production (extensions-configured) session runs
+      .withExtensions(new GraftExtensions())
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")

@@ -15,6 +15,9 @@ object Explain {
     val spark = SparkSession
       .builder()
       .master(s"local[$cpus]")
+      // extension tier ON, matching Verify/Bench: explained plans are
+      // the production plans
+      .withExtensions(new GraftExtensions())
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")

@@ -334,6 +334,9 @@ object ScaleProbe {
     val spark = SparkSession
       .builder()
       .master(s"local[$cpus]")
+      // extension tier ON, matching Verify/Bench: probed plans are the
+      // production plans
+      .withExtensions(new GraftExtensions())
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")

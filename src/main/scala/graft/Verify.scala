@@ -12,8 +12,15 @@ object Verify {
     val Array(sfDir, outDir) = args.take(2)
     val only = args.drop(2).toSet // optional: verify just these queries
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // r11: the production mains run with the extension tier ON (the
+    // spark.sql.extensions=graft.GraftExtensions configuration a user
+    // deploys) — injected kernels resolve in SQL and the optimizer
+    // rewrites (HofToKernelRule, WindowTopKRule) apply to every entry;
+    // the full oracle gate re-ran hash-identical under the rules, which
+    // is the strongest semantics-preservation evidence the rule tier has
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .withExtensions(new GraftExtensions())
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
