@@ -183,6 +183,46 @@ class GroupTopKSpec extends SparkSuite {
     assert(native.length == window.length && native.toSeq == window.toSeq)
   }
 
+  test("property: random frames (nulls, duplicate order values, skewed groups) match the window form, both directions") {
+    // 6 seeded random frames x both directions: the heap must agree with
+    // WindowExec on every generated distribution — including null order
+    // values, heavy order-value ties (broken by the unique id), single-row
+    // groups, and one group holding most rows
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260815L)
+    (1 to 6).foreach { trial =>
+      val n = 500 + rnd.nextInt(1500)
+      val nGroups = 1 + rnd.nextInt(12)
+      val nullFrac = rnd.nextDouble() * 0.2
+      val dupRange = 1 + rnd.nextInt(8) // tiny value range => many ties
+      val k = 1 + rnd.nextInt(7)
+      val rows = (0 until n).map { i =>
+        // skew: ~half the rows land in group 0
+        val g = if (rnd.nextBoolean()) 0 else rnd.nextInt(nGroups)
+        val v: Option[Double] =
+          if (rnd.nextDouble() < nullFrac) None else Some(rnd.nextInt(dupRange).toDouble)
+        (s"g$g", i.toLong, v)
+      }
+      val df = rows.toDF("g", "id", "v").repartition(7)
+      Seq(false, true).foreach { asc =>
+        val native = GroupTopK
+          .topk(df, "g", "v", "id", k, "rn", orderAsc = asc)
+          .orderBy("g", "rn")
+          .collect()
+        val order = if (asc) col("v").asc else col("v").desc
+        val w = Window.partitionBy("g").orderBy(order, col("id").asc)
+        val window = df
+          .select(col("g"), col("id"), col("v"), row_number().over(w).as("rn"))
+          .where(col("rn") <= k)
+          .orderBy("g", "rn")
+          .collect()
+        assert(
+          native.toSeq == window.toSeq,
+          s"trial $trial asc=$asc n=$n groups=$nGroups k=$k nullFrac=$nullFrac dupRange=$dupRange")
+      }
+    }
+  }
+
   test("string group keys survive UnsafeRow buffer reuse (varying-width rows)") {
     // a VARYING-width payload column before the key makes each
     // deserialized UnsafeRow lay the group string out at a different
