@@ -63,6 +63,43 @@ class AsOfJoinSpec extends SparkSuite {
     assert(p.contains("Sort "), p)
   }
 
+  test("property: random frames match a driver-side reference, across partitionings (r11)") {
+    // 5 seeded random (key, time) worlds x 2 partitionings, checked
+    // against an independent Scala reference (per left row: the max
+    // right time <= t within its key) — covers dense ties, keys missing
+    // on either side, and rows before any right row, at shapes the
+    // crafted fixtures don't enumerate
+    val rnd = new scala.util.Random(20260815L)
+    (1 to 5).foreach { trial =>
+      val nKeys = 1 + rnd.nextInt(8)
+      val nLeft = 50 + rnd.nextInt(300)
+      val nRight = 20 + rnd.nextInt(200)
+      // coarse time grid (0..40) forces frequent exact ties
+      val lefts = (0 until nLeft).map { i =>
+        (i.toLong, rnd.nextInt(nKeys + 2).toLong, ts(f"2024-01-01 00:${rnd.nextInt(41)}%02d:00"))
+      }
+      val rights = (0 until nRight).map { _ =>
+        (rnd.nextInt(nKeys).toLong, ts(f"2024-01-01 00:${rnd.nextInt(41)}%02d:00"))
+      }
+      val expected = lefts.map { case (id, k, t) =>
+        id -> rights.collect { case (rk, rt) if rk == k && !rt.after(t) => rt }.sorted.lastOption
+      }.toMap
+      val lDf = lefts.toDF("event_id", "k", "t")
+      val rDf = rights.toDF("rk", "rt")
+      for (parts <- Seq(3, 8)) {
+        val got = AsOfJoin
+          .asof(lDf.repartition(parts), "k", "t", rDf.repartition(parts), "rk", "rt", "m")
+          .collect()
+          .map(r => r.getLong(0) -> Option(r.getTimestamp(3)))
+          .toMap
+        assert(got.size == nLeft, s"trial $trial parts=$parts: row count")
+        expected.foreach { case (id, want) =>
+          assert(got(id) == want, s"trial $trial parts=$parts left row $id")
+        }
+      }
+    }
+  }
+
   test("string keys survive UnsafeRow buffer reuse on the right side") {
     // varying-width columns shift each deserialized row's string offsets;
     // the retained right-side key must be a deep copy or it mutates as
