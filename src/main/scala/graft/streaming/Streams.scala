@@ -179,6 +179,15 @@ object Streams {
     * at 100 TB the index is the persisted table, batch reads are the
     * daily ingest), and `dropDuplicates` keys only the 16-byte id pair,
     * so state is candidate-count-sized, not corpus-sized. Append mode.
+    * State lifetime contract: candidate-pair state has no watermark, so
+    * over an UNBOUNDED continuous stream it grows monotonically — the
+    * intended deployment is the ingest-guard shape (one bounded ingest
+    * per run: `Trigger.AvailableNow` or a per-batch restart), where
+    * state is bounded by that ingest's candidate count and the
+    * exactly-once re-delivery suppression pinned in StreamingSpec holds
+    * within the run. A truly continuous deployment should add an
+    * event-time watermark on an ingest-time column and accept
+    * re-emission across state expiry.
     * The exact-Jaccard rerank stays in the batch layer (it re-shingles
     * matched corpus docs — a per-candidate batch job, not per-event
     * streaming state). Same definition serves batch (the driver's

@@ -34,29 +34,39 @@ class GroupTopKSpec extends SparkSuite {
   }
 
   test("partial phase truly bounds the shuffle: exchange input rows = k x groups x parts cap") {
-    // 8 input partitions x 5 groups x k=3 caps the exchange at <= 120
-    // rows regardless of the 40k input rows; read the shuffle records
-    // metric off the executed plan to prove the map-side cut happened
+    // 8 input partitions x 5 groups x k=3 caps the GROUP-KEY exchange at
+    // <= 120 rows regardless of the 40k input rows. Metrics must be read
+    // from the SAME QueryExecution that ran (count() would build its own)
+    // and only from the exchange ABOVE the partial (the repartition(8)
+    // exchange legitimately moves all 40k rows); AQE is disabled for the
+    // query so the executed plan holds the live metric accumulators
+    // directly. The positive `written > 0` guard keeps this test from
+    // going vacuous if the metric wiring ever changes.
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    val df = spark
-      .range(40000)
-      .repartition(8)
-      .select(
-        concat(lit("g"), (col("id") % 5).cast("string")).as("g"),
-        col("id").as("tie"),
-        ((col("id") * 37) % 9973).cast("double").as("v"))
-    val topk = GroupTopK.topk(df, "g", "v", "tie", 3, "rn")
-    assert(topk.count() == 15)
-    val executed = topk.queryExecution.executedPlan
-    val fin = executed match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-      case other => other
-    }
-    val shuffles = fin.collect { case s: ShuffleExchangeLike => s }
-    assert(shuffles.nonEmpty, fin.toString)
-    val written = shuffles.map(_.metrics("shuffleRecordsWritten").value).sum
-    assert(written <= 8L * 5 * 3, s"shuffle moved $written rows; partial phase not cutting")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = spark
+        .range(40000)
+        .repartition(8)
+        .select(
+          concat(lit("g"), (col("id") % 5).cast("string")).as("g"),
+          col("id").as("tie"),
+          ((col("id") * 37) % 9973).cast("double").as("v"))
+      val topk = GroupTopK.topk(df, "g", "v", "tie", 3, "rn")
+      assert(topk.collect().length == 15) // executes topk.queryExecution itself
+      val fin = topk.queryExecution.executedPlan
+      val groupExchanges = fin.collect {
+        case s: ShuffleExchangeLike
+            if s.child.collectFirst { case p: GroupTopKPartialExec => p }.isDefined =>
+          s
+      }
+      assert(groupExchanges.nonEmpty, fin.toString)
+      val written = groupExchanges.map(_.metrics("shuffleRecordsWritten").value).sum
+      assert(
+        written > 0 && written <= 8L * 5 * 3,
+        s"group-key exchange moved $written rows; partial phase not cutting\n$fin")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
   test("row-for-row parity with the window row_number formulation") {

@@ -41,14 +41,27 @@ def main():
     # `check.py` run concurrent with a cert/probe script must not share —
     # or delete — another process's live spill. Scripts that set
     # GRAFT_SPILL_DIR own that directory's lifecycle via their own traps.
+    # atexit does not fire on SIGKILL, so ALSO sweep sibling per-PID dirs
+    # whose owning process is gone (safe: a live PID's dir is never
+    # touched) — killed runs cannot pile up 20 GB orphans.
     spill = os.environ.get("GRAFT_SPILL_DIR")
     if not spill:
-        spill = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "..", ".tmp",
-            f"duckdb_spill.{os.getpid()}")
         import atexit
+        import re
         import shutil
+        import signal
+        tmp_root = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "..", ".tmp")
+        if os.path.isdir(tmp_root):
+            for d in os.listdir(tmp_root):
+                m = re.fullmatch(r"duckdb_spill\.(\d+)", d)
+                if m and not os.path.exists(f"/proc/{m.group(1)}"):
+                    shutil.rmtree(os.path.join(tmp_root, d), True)
+        spill = os.path.join(tmp_root, f"duckdb_spill.{os.getpid()}")
         atexit.register(shutil.rmtree, spill, True)
+        # SIGTERM/SIGINT -> clean exit so atexit runs (timeout(1) sends TERM)
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            signal.signal(sig, lambda s, f: sys.exit(128 + s))
     os.makedirs(spill, exist_ok=True)
     con.execute(f"SET temp_directory='{spill}'")
     con.execute("SET max_temp_directory_size='20GB'")

@@ -38,8 +38,13 @@ done
 # ln-ulp parity guard (r10 verdict ask #2): the entries keying on
 # round(ln(integer)*1e6) must have NO argument near a .5 rounding
 # boundary at THIS data scale — exposure grows with corpus size, so the
-# x10/x20 certifications exercise it on the inflated data.
-if ! python3 tools/ln_guard.py "$SF"; then fail=$((fail+1)); echo "FAIL ln_guard"; fi
+# x10/x20 certifications exercise it on the inflated data. Same timeout
+# discipline as the oracles: a mis-scaled guard query must not hang the
+# pass (it inherits this run's GRAFT_SPILL_DIR, so its spill is capped
+# and cleaned by our trap).
+if ! timeout $((TMO * 3)) python3 tools/ln_guard.py "$SF"; then
+  fail=$((fail+1)); echo "FAIL ln_guard"
+fi
 echo "== $pass pass, $fail fail, $tmo timeout, $skipped skipped, $excluded excluded"
 # exit 1 on any mismatch, 2 when timeouts/skips (or zero attempts) leave
 # the certification incomplete — an all-timeout or outputs-missing run
