@@ -286,6 +286,24 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(desc.contains("sliding windows"), desc)
   }
 
+  test("nfc_normalize resolves in SQL and matches the Column API (r11)") {
+    // decomposed e+U+0301 composes; already-NFC text is identity
+    // (Spark's chr() is mod-256, so embed the combining accent directly)
+    val decomposed = "caf" + "e\u0301"
+    val viaSql = ext
+      .sql(s"SELECT nfc_normalize('$decomposed') AS a, nfc_normalize('plain') AS b")
+      .head()
+    assert(viaSql.getString(0) == "café" && viaSql.getString(0).length == 4)
+    assert(viaSql.getString(1) == "plain")
+    import ext.implicits._
+    val viaApi = Seq(decomposed)
+      .toDF("t")
+      .select(functions.NfcNormalize.of(org.apache.spark.sql.functions.col("t")))
+      .head()
+      .getString(0)
+    assert(viaSql.getString(0) == viaApi)
+  }
+
   test("deflate_len resolves in SQL and matches the Column API") {
     val viaSql = ext
       .sql("SELECT deflate_len('spam ham spam ham spam ham') AS z")
