@@ -19,6 +19,22 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.IntegerType
 
+/** Which window rank function the top-k bound applies to. `RowNum` is the
+  * original bounded-heap row_number shape (exactly k rows per group, ties
+  * broken by `tieCol`). `Rank` and `Dense` are the TIE-AWARE shapes
+  * (r12): all rows whose rank()/dense_rank() over the order value is ≤ k
+  * are kept — tied rows at the boundary all survive, so a group can emit
+  * MORE than k rows, exactly like the window form. They use a bounded
+  * ordered-bucket structure instead of the k-slot heap (see
+  * [[GroupTopKBuckets]]).
+  */
+sealed trait TopKMode extends Serializable
+object TopKMode {
+  case object RowNum extends TopKMode
+  case object Rank extends TopKMode
+  case object Dense extends TopKMode
+}
+
 /** Native per-group top-k — the second custom physical operator (beside
   * [[AsOfJoinPlan]]), for the one shape Spark's built-ins genuinely can't
   * plan well: `row_number() OVER (PARTITION BY g ORDER BY v DESC, id) <= k`.
@@ -63,7 +79,8 @@ case class GroupTopKPlan(
     tieCol: Attribute,
     k: Int,
     rankAttr: Attribute,
-    orderAsc: Boolean = false)
+    orderAsc: Boolean = false,
+    mode: TopKMode = TopKMode.RowNum)
     extends UnaryNode {
 
   require(groupKeys.nonEmpty, "GroupTopK needs at least one group key")
@@ -83,8 +100,16 @@ case class GroupTopKPlan(
   */
 object GroupTopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case GroupTopKPlan(c, g, o, t, k, r, asc) =>
-      GroupTopKExec(g, o, t, k, r, GroupTopKPartialExec(g, o, t, k, planLater(c), asc), asc) :: Nil
+    case GroupTopKPlan(c, g, o, t, k, r, asc, m) =>
+      GroupTopKExec(
+        g,
+        o,
+        t,
+        k,
+        r,
+        GroupTopKPartialExec(g, o, t, k, planLater(c), asc, m),
+        asc,
+        m) :: Nil
     case _ => Nil
   }
 }
@@ -166,10 +191,108 @@ private[plans] object GroupTopKHeap {
   }
 }
 
+/** The tie-aware fold for `Rank`/`Dense` modes: per group a bounded
+  * best-first TreeMap of value-buckets (key = the evaluated (order, tie)
+  * sort tuple via the same comparator as the heap path; for a
+  * single-column rank window the rule passes tieCol = orderCol, whose
+  * secondary compare is vacuous). All rows sharing a sort value land in
+  * one bucket and share a rank, exactly like rank()/dense_rank().
+  *
+  * Bounding — the part a naive implementation gets wrong:
+  *  - `Rank`: bucket b survives iff rows in strictly-better buckets < k
+  *    (its rank = that count + 1 ≤ k). After each insert the worst
+  *    bucket is pruned while `total − worstSize ≥ k`, so retained state
+  *    is ≤ k rows PLUS the boundary bucket's ties — the actual output.
+  *  - `Dense`: keep at most k distinct value buckets.
+  * Both phases run the same fold; the partial's union is a superset of
+  * the global answer because a row with global rank ≤ k has ≤ k−1
+  * strictly-better rows globally, hence ≤ k−1 in its own partition, so
+  * it survives its partition-local prune. The final's reassigned ranks
+  * equal the global ranks because every strictly-better row of a
+  * global-top-k row itself has global rank < k and therefore also
+  * survived its partial.
+  */
+private[plans] object GroupTopKBuckets {
+  import GroupTopKHeap.Entry
+
+  final class Buckets(cmp: java.util.Comparator[Entry]) {
+    val m = new java.util.TreeMap[Entry, java.util.ArrayList[InternalRow]](cmp)
+    var total = 0
+  }
+
+  /** Drop worst buckets whose rank can no longer be ≤ k: bucket rank =
+    * rows in strictly-better buckets + 1, so the worst bucket dies while
+    * `total − worstSize ≥ k`. Must run after EVERY insert — including
+    * appends to an existing better bucket, which add a strictly-better
+    * row to each worse bucket without touching bucket count.
+    */
+  private def pruneRank(b: Buckets, k: Int): Unit = {
+    var done = false
+    while (!done && b.m.size > 1) {
+      val worst = b.m.lastEntry()
+      if (b.total - worst.getValue.size >= k) {
+        b.m.pollLastEntry()
+        b.total -= worst.getValue.size
+      } else done = true
+    }
+  }
+
+  def fold(
+      it: Iterator[InternalRow],
+      gk: UnsafeProjection,
+      oc: Expression,
+      tc: Expression,
+      k: Int,
+      rankCmp: java.util.Comparator[Entry],
+      dense: Boolean): java.util.HashMap[InternalRow, Buckets] = {
+    val groups = new java.util.HashMap[InternalRow, Buckets]()
+    while (it.hasNext) {
+      val row = it.next()
+      val g = gk(row)
+      var b = groups.get(g)
+      if (b == null) {
+        b = new Buckets(rankCmp)
+        groups.put(g.copy(), b)
+      }
+      val ov = oc.eval(row)
+      val tv = tc.eval(row)
+      // comparison-only probe: uncopied values are safe (never retained)
+      val probe = new Entry(ov, tv, null)
+      val existing = b.m.get(probe)
+      if (existing != null) {
+        // appending never changes THIS bucket's rank, but in Rank mode it
+        // adds a strictly-better row to every WORSE bucket — re-prune
+        existing.add(row.copy())
+        b.total += 1
+        if (!dense) pruneRank(b, k)
+      } else {
+        // cheap reject: strictly worse than the worst kept value while the
+        // kept mass already fills k (Rank: ≥ k rows strictly better;
+        // Dense: already k distinct better values) — rank must exceed k
+        val reject = !b.m.isEmpty &&
+          rankCmp.compare(probe, b.m.lastKey()) > 0 &&
+          (if (dense) b.m.size >= k else b.total >= k)
+        if (!reject) {
+          val list = new java.util.ArrayList[InternalRow](4)
+          list.add(row.copy())
+          // retained key: deep-copy buffer-backed values (same rule as the heap)
+          b.m.put(new Entry(InternalRow.copyValue(ov), InternalRow.copyValue(tv), null), list)
+          b.total += 1
+          if (dense) {
+            while (b.m.size > k) b.total -= b.m.pollLastEntry().getValue.size
+          } else pruneRank(b, k)
+        }
+      }
+    }
+    groups
+  }
+}
+
 /** Map-side phase: per input partition, keep only each group's k best
   * rows (same comparator as the final) and emit them UNRANKED in child
   * schema — a pure row filter, so the exchange above it moves at most
-  * k × groups rows per partition. Correct because the global top-k of a
+  * k × groups rows per partition (tie-aware modes: plus boundary-bucket
+  * ties — the actual output size). Correct because the global top-k of a
   * union is contained in the union of per-part top-k's.
   */
 case class GroupTopKPartialExec(
@@ -178,7 +301,8 @@ case class GroupTopKPartialExec(
     tieCol: Attribute,
     k: Int,
     child: SparkPlan,
-    orderAsc: Boolean = false)
+    orderAsc: Boolean = false,
+    mode: TopKMode = TopKMode.RowNum)
     extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
@@ -193,14 +317,24 @@ case class GroupTopKPartialExec(
     val childAttrs = child.output
     val kk = k
     val asc = orderAsc
+    val m = mode
     child.execute().mapPartitions { it =>
       val gk = UnsafeProjection.create(gks, childAttrs)
       val rankCmp = GroupTopKHeap.comparator(ordOrd, tieOrd, asc)
-      val heaps = GroupTopKHeap.fold(it, gk, oc, tc, kk, rankCmp)
       // survivors only; order within the partition is irrelevant (the
-      // final phase re-heaps), so no sort here
+      // final phase re-folds), so no sort here
       import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap(_.iterator().asScala.map(_.row))
+      if (m == TopKMode.RowNum) {
+        val heaps = GroupTopKHeap.fold(it, gk, oc, tc, kk, rankCmp)
+        heaps.values().iterator().asScala.flatMap(_.iterator().asScala.map(_.row))
+      } else {
+        val groups = GroupTopKBuckets.fold(it, gk, oc, tc, kk, rankCmp, m == TopKMode.Dense)
+        groups
+          .values()
+          .iterator()
+          .asScala
+          .flatMap(_.m.values().iterator().asScala.flatMap(_.iterator().asScala))
+      }
     }
   }
 
@@ -215,7 +349,8 @@ case class GroupTopKExec(
     k: Int,
     rankAttr: Attribute,
     child: SparkPlan,
-    orderAsc: Boolean = false)
+    orderAsc: Boolean = false,
+    mode: TopKMode = TopKMode.RowNum)
     extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output :+ rankAttr
@@ -238,31 +373,58 @@ case class GroupTopKExec(
     val rank = rankAttr
     val kk = k
     val asc = orderAsc
+    val m = mode
     child.execute().mapPartitions { it =>
       val gk = UnsafeProjection.create(gks, childAttrs)
       val rankCmp = GroupTopKHeap.comparator(ordOrd, tieOrd, asc)
-      val heaps = GroupTopKHeap.fold(it, gk, oc, tc, kk, rankCmp)
       val proj = UnsafeProjection.create(outputAttrs, childAttrs :+ rank)
       val joined = new JoinedRow
       val rankRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
-      val groups = heaps.values().iterator()
-      new Iterator[InternalRow] {
-        private var cur: Array[GroupTopKHeap.Entry] = Array.empty
-        private var i = 0
-        override def hasNext: Boolean = {
-          while (i >= cur.length && groups.hasNext) {
-            cur = groups.next().toArray(Array.empty[GroupTopKHeap.Entry])
-            java.util.Arrays.sort(cur, rankCmp)
-            i = 0
+      if (m == TopKMode.RowNum) {
+        val heaps = GroupTopKHeap.fold(it, gk, oc, tc, kk, rankCmp)
+        val groups = heaps.values().iterator()
+        new Iterator[InternalRow] {
+          private var cur: Array[GroupTopKHeap.Entry] = Array.empty
+          private var i = 0
+          override def hasNext: Boolean = {
+            while (i >= cur.length && groups.hasNext) {
+              cur = groups.next().toArray(Array.empty[GroupTopKHeap.Entry])
+              java.util.Arrays.sort(cur, rankCmp)
+              i = 0
+            }
+            i < cur.length
           }
-          i < cur.length
+          override def next(): InternalRow = {
+            val e = cur(i)
+            i += 1
+            rankRow.update(0, i)
+            proj(joined(e.row, rankRow))
+          }
         }
-        override def next(): InternalRow = {
-          val e = cur(i)
-          i += 1
-          rankRow.update(0, i)
-          proj(joined(e.row, rankRow))
-        }
+      } else {
+        // tie-aware: buckets iterate best-first; a bucket's rows all get
+        // rank = (rows in strictly-better buckets) + 1 (Rank) or the
+        // 1-based bucket index (Dense) — exactly rank()/dense_rank()
+        val dense = m == TopKMode.Dense
+        import scala.jdk.CollectionConverters._
+        GroupTopKBuckets
+          .fold(it, gk, oc, tc, kk, rankCmp, dense)
+          .values()
+          .iterator()
+          .asScala
+          .flatMap { b =>
+            var cum = 0
+            var idx = 0
+            b.m.entrySet().iterator().asScala.flatMap { e =>
+              idx += 1
+              val r = if (dense) idx else cum + 1
+              cum += e.getValue.size
+              e.getValue.iterator().asScala.map { row =>
+                rankRow.update(0, r)
+                proj(joined(row, rankRow))
+              }
+            }
+          }
       }
     }
   }
@@ -295,7 +457,41 @@ object GroupTopK {
       tieCol: String,
       k: Int,
       rankName: String,
-      orderAsc: Boolean = false): DataFrame = {
+      orderAsc: Boolean = false): DataFrame =
+    build(df, groupCols, orderCol, tieCol, k, rankName, orderAsc, TopKMode.RowNum)
+
+  /** Tie-aware per-group top-k (r12): keep every row whose `rank()`
+    * (or `dense_rank()` when `dense`) over `orderCol` is ≤ k — boundary
+    * ties ALL survive, so a group can emit more than k rows, exactly
+    * like the window form it replaces.
+    */
+  def rankTopk(
+      df: DataFrame,
+      groupCols: Seq[String],
+      orderCol: String,
+      k: Int,
+      rankName: String,
+      orderAsc: Boolean = false,
+      dense: Boolean = false): DataFrame =
+    build(
+      df,
+      groupCols,
+      orderCol,
+      orderCol, // single-column rank: the tie compare is vacuous
+      k,
+      rankName,
+      orderAsc,
+      if (dense) TopKMode.Dense else TopKMode.Rank)
+
+  private def build(
+      df: DataFrame,
+      groupCols: Seq[String],
+      orderCol: String,
+      tieCol: String,
+      k: Int,
+      rankName: String,
+      orderAsc: Boolean,
+      mode: TopKMode): DataFrame = {
     require(k > 0, "k must be positive")
     require(groupCols.nonEmpty, "at least one group column")
     val spark = df.sparkSession
@@ -310,6 +506,6 @@ object GroupTopK {
     val rank = AttributeReference(rankName, IntegerType, nullable = false)()
     Bridge.dataset(
       spark,
-      GroupTopKPlan(p, groupCols.map(attr), attr(orderCol), attr(tieCol), k, rank, orderAsc))
+      GroupTopKPlan(p, groupCols.map(attr), attr(orderCol), attr(tieCol), k, rank, orderAsc, mode))
   }
 }

@@ -17,23 +17,33 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * WindowExec (row/rank parity pinned in GroupTopKSpec and by
   * `q_topk_group` hash-matching with the rule active).
   *
+  * r12: the TIE-AWARE top-k family rewrites too — `rank()` and
+  * `dense_rank()` with the same bound, over either ONE order column or
+  * the (order, tie) pair. Ties at the k boundary all survive (the
+  * bucket structure in [[GroupTopKBuckets]]), exactly matching the
+  * window form; score-ranked retrieval where ties are the common case
+  * no longer falls back to a partition-wide sort.
+  *
   * Matching is deliberately strict, like [[HofToKernelRule]]: a Filter
   * whose condition is exactly `rn <= IntLiteral` (or `rn < lit`,
   * `lit >= rn`, `lit > rn`) over a Window computing exactly ONE window
-  * expression — `row_number()` partitioned by one or more plain
-  * attributes (r11: multi-key `PARTITION BY a, b` — the
-  * per-(source, lang) shape) and ordered by (attr DESC, attr ASC) or
-  * (attr ASC, attr ASC) with Spark's default null ordering for each
-  * direction — optionally through a pass-through Project. The
-  * ASC-first form is the bottom-k shape of ascending metrics (nearest
-  * distances: the recall harnesses' ADC candidate top-50); without it
-  * those windows fell back to a full WindowExec partition sort over
-  * only nQ partitions — a parallelism collapse the bounded heap
-  * sidesteps. Anything else (rank with ties, expressions in the
-  * partition or sort) stays on WindowExec. Spark's own
-  * InferWindowGroupLimit may have wrapped the window's child in a
-  * WindowGroupLimit pre-filter by the time this rule runs; it is
-  * subsumed by the rewrite and unwrapped.
+  * expression — `row_number()`/`rank()`/`dense_rank()` partitioned by
+  * one or more plain attributes and ordered by (attr DESC, attr ASC) or
+  * (attr ASC, attr ASC) — rank/dense_rank also accept a single order
+  * attribute — with Spark's default null ordering for each direction —
+  * optionally through a pass-through Project. Analyzer-extracted
+  * expression keys legitimately match too: `PARTITION BY c_nationkey %
+  * 5` is projected to a `_w0` attribute by ExtractWindowExpressions
+  * BEFORE the optimizer runs, so the rule sees a plain attribute and
+  * rewrites (pinned in ExtensionsSpec). The ASC-first form is the
+  * bottom-k shape of ascending metrics (nearest distances: the recall
+  * harnesses' ADC candidate top-50); without it those windows fell back
+  * to a full WindowExec partition sort over only nQ partitions — a
+  * parallelism collapse the bounded heap sidesteps. Anything else
+  * (percent_rank/ntile, non-default null ordering, expressions in the
+  * sort) stays on WindowExec. Spark's own InferWindowGroupLimit may
+  * have wrapped the window's child in a WindowGroupLimit pre-filter by
+  * the time this rule runs; it is subsumed by the rewrite and unwrapped.
   */
 object WindowTopKRule extends Rule[LogicalPlan] {
 
@@ -48,37 +58,53 @@ object WindowTopKRule extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** The single row_number window alias of a Window node, with its
-    * (groups, order, tie) attributes and the order direction (true =
-    * ASC-first) — None unless the shape is one GroupTopK implements.
+  /** The window rank function, if it is one GroupTopK implements. */
+  private def rankFn(e: Expression): Option[TopKMode] = e match {
+    case _: RowNumber => Some(TopKMode.RowNum)
+    case _: Rank => Some(TopKMode.Rank)
+    case _: DenseRank => Some(TopKMode.Dense)
+    case _ => None
+  }
+
+  /** (order, tie, ascFirst) from the window ORDER BY, if the shape (and
+    * per-direction default null ordering) is one the operator
+    * implements. Tie-aware modes accept a single order column — the
+    * common rank() shape — by passing the order column as its own
+    * (vacuous) tiebreak; row_number NEEDS the explicit tiebreak for a
+    * deterministic row set, so the single-column form stays on
+    * WindowExec.
+    */
+  private def sortShape(
+      sos: Seq[SortOrder],
+      mode: TopKMode): Option[(Attribute, Attribute, Boolean)] = sos match {
+    case Seq(
+          SortOrder(v: Attribute, Descending, NullsLast, _),
+          SortOrder(t: Attribute, Ascending, NullsFirst, _)) =>
+      Some((v, t, false))
+    case Seq(
+          SortOrder(v: Attribute, Ascending, NullsFirst, _),
+          SortOrder(t: Attribute, Ascending, NullsFirst, _)) =>
+      Some((v, t, true))
+    case Seq(SortOrder(v: Attribute, Descending, NullsLast, _)) if mode != TopKMode.RowNum =>
+      Some((v, v, false))
+    case Seq(SortOrder(v: Attribute, Ascending, NullsFirst, _)) if mode != TopKMode.RowNum =>
+      Some((v, v, true))
+    case _ => None
+  }
+
+  /** The single rank-family window alias of a Window node, with its
+    * (groups, order, tie) attributes, order direction (true = ASC-first)
+    * and mode — None unless the shape is one GroupTopK implements.
     */
   private def topkWindow(
-      w: Window): Option[(Alias, Seq[Attribute], Attribute, Attribute, Boolean)] =
+      w: Window): Option[(Alias, Seq[Attribute], Attribute, Attribute, Boolean, TopKMode)] =
     w.windowExpressions match {
-      case Seq(
-            a @ Alias(
-              WindowExpression(
-                _: RowNumber,
-                WindowSpecDefinition(
-                  gs,
-                  Seq(
-                    SortOrder(v: Attribute, Descending, NullsLast, _),
-                    SortOrder(t: Attribute, Ascending, NullsFirst, _)),
-                  _)),
-              _)) if gs.nonEmpty && gs.forall(_.isInstanceOf[Attribute]) =>
-        Some((a, gs.map(_.asInstanceOf[Attribute]), v, t, false))
-      case Seq(
-            a @ Alias(
-              WindowExpression(
-                _: RowNumber,
-                WindowSpecDefinition(
-                  gs,
-                  Seq(
-                    SortOrder(v: Attribute, Ascending, NullsFirst, _),
-                    SortOrder(t: Attribute, Ascending, NullsFirst, _)),
-                  _)),
-              _)) if gs.nonEmpty && gs.forall(_.isInstanceOf[Attribute]) =>
-        Some((a, gs.map(_.asInstanceOf[Attribute]), v, t, true))
+      case Seq(a @ Alias(WindowExpression(fn, WindowSpecDefinition(gs, sos, _)), _))
+          if gs.nonEmpty && gs.forall(_.isInstanceOf[Attribute]) =>
+        for {
+          mode <- rankFn(fn)
+          (v, t, asc) <- sortShape(sos, mode)
+        } yield (a, gs.map(_.asInstanceOf[Attribute]), v, t, asc, mode)
       case _ => None
     }
 
@@ -96,10 +122,11 @@ object WindowTopKRule extends Rule[LogicalPlan] {
       wrap: LogicalPlan => LogicalPlan): Option[LogicalPlan] =
     for {
       (rnRef, k) <- rankBound(cond)
-      (alias, gs, v, t, asc) <- topkWindow(w)
+      (alias, gs, v, t, asc, mode) <- topkWindow(w)
       if rnRef.exprId == alias.exprId && k > 0
     } yield {
-      val topk = GroupTopKPlan(unwrapGroupLimit(w.child), gs, v, t, k, alias.toAttribute, asc)
+      val topk =
+        GroupTopKPlan(unwrapGroupLimit(w.child), gs, v, t, k, alias.toAttribute, asc, mode)
       // keep the Filter node: it is now trivially true, but preserving it
       // keeps this rewrite purely local (no one above can tell)
       Filter(cond, wrap(topk))

@@ -704,6 +704,53 @@ object Relational {
         "rn")
       .orderBy("c_mktsegment", "rn")
 
+  /** TIE-AWARE per-group top-k (r12): `rank() <= 3` per customer over
+    * order priority — ties at the boundary ALL survive, so a group can
+    * emit more than k rows (853 of ~1.5k customers at sf0.01 have a tie
+    * group straddling k — the score-ranked-retrieval common case).
+    * Written in the standard window form; under the extension tier
+    * ([[graft.plans.WindowTopKRule]], the Verify/Bench configuration)
+    * the plan is the native bounded-bucket GroupTopK — no partition
+    * sort, map-side partial below the one hash exchange — and the rows
+    * are pinned identical to WindowExec's in GroupTopKSpec /
+    * ExtensionsSpec. Scale: retained state per group is ≤ k rows plus
+    * the boundary bucket's ties (the actual output), regardless of
+    * group size.
+    */
+  def qTopkGroupTies(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderpriority").desc)
+    Tables
+      .orders(spark, sfDir)
+      .select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        col("o_orderpriority"),
+        rank().over(w).as("rnk"))
+      .where(col("rnk") <= 3)
+      .orderBy("o_custkey", "rnk", "o_orderkey")
+  }
+
+  /** `dense_rank() <= 3` per lineitem status over quantity — the
+    * top-k-DISTINCT-VALUES sibling of [[qTopkGroupTies]]: every row in
+    * the top 3 quantity values per status survives (~1.2k rows per
+    * (status, quantity) at sf0.01). Same extension-tier rewrite to the
+    * bucket-mode GroupTopK; Dense mode bounds state at k value buckets
+    * per group.
+    */
+  def qTopkGroupDense(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("l_linestatus").orderBy(col("l_quantity").desc)
+    Tables
+      .lineitem(spark, sfDir)
+      .select(
+        col("l_linestatus"),
+        col("l_orderkey"),
+        col("l_linenumber"),
+        col("l_quantity"),
+        dense_rank().over(w).as("rnk"))
+      .where(col("rnk") <= 3)
+      .orderBy("l_linestatus", "rnk", "l_orderkey", "l_linenumber")
+  }
+
   // -------------------------------------------------------------- set ops
 
   private def custYear(spark: SparkSession, sfDir: String, y: Int): DataFrame =
@@ -1380,6 +1427,20 @@ object Relational {
              |  CAST(row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC) AS INT) AS rn
              | FROM customer)
              |WHERE rn <= 5 ORDER BY c_mktsegment, rn""".stripMargin)),
+    "q_topk_group_ties" -> Q(
+      qTopkGroupTies,
+      Some("""SELECT * FROM (
+             | SELECT o_custkey, o_orderkey, o_orderpriority,
+             |  CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority DESC) AS INT) AS rnk
+             | FROM orders)
+             |WHERE rnk <= 3 ORDER BY o_custkey, rnk, o_orderkey""".stripMargin)),
+    "q_topk_group_dense" -> Q(
+      qTopkGroupDense,
+      Some("""SELECT * FROM (
+             | SELECT l_linestatus, l_orderkey, l_linenumber, l_quantity,
+             |  CAST(dense_rank() OVER (PARTITION BY l_linestatus ORDER BY l_quantity DESC) AS INT) AS rnk
+             | FROM lineitem)
+             |WHERE rnk <= 3 ORDER BY l_linestatus, rnk, l_orderkey, l_linenumber""".stripMargin)),
     "q_set_union" -> Q(
       qSetUnion,
       Some("""SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995

@@ -216,15 +216,82 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(df.collect().toSeq == viaWindow.toSeq)
   }
 
+  test("tie-aware rank() top-k rewrites to bucket-mode GroupTopK, same rows incl. boundary ties (r12)") {
+    // the score-ranked-retrieval common case: rank() with a tie group
+    // straddling k — every tied row must survive, like the window form
+    val sf = "/root/testdata/sf0.001"
+    ext.read.parquet(s"$sf/orders.parquet").createOrReplaceTempView("ord_rank")
+    val sql = """SELECT * FROM (
+                | SELECT o_custkey, o_orderkey, o_orderpriority,
+                |  rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority DESC) AS rnk
+                | FROM ord_rank)
+                |WHERE rnk <= 3 ORDER BY o_custkey, rnk, o_orderkey""".stripMargin
+    val df = ext.sql(sql)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GroupTopK"), plan)
+    assert(!plan.contains("Window"), plan)
+    val viaWindow = graft.SparkSuite.spark
+      .read.parquet(s"$sf/orders.parquet")
+      .selectExpr(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderpriority",
+        "rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority DESC) AS rnk")
+      .where("rnk <= 3")
+      .orderBy("o_custkey", "rnk", "o_orderkey")
+      .collect()
+    val got = df.collect()
+    assert(got.length == viaWindow.length && got.toSeq == viaWindow.toSeq)
+    // the fixture must actually exercise a tie group straddling k, or
+    // this test is vacuous (row_number would produce the same rows)
+    assert(
+      viaWindow.groupBy(_.getLong(0)).exists(_._2.length > 3),
+      "no customer with boundary ties at sf0.001 — pick a coarser order column")
+  }
+
+  test("dense_rank() top-k rewrites to bucket-mode GroupTopK, same rows (r12)") {
+    val sf = "/root/testdata/sf0.001"
+    ext.read.parquet(s"$sf/lineitem.parquet").createOrReplaceTempView("li_dense")
+    val sql = """SELECT * FROM (
+                | SELECT l_linestatus, l_orderkey, l_linenumber, l_quantity,
+                |  dense_rank() OVER (PARTITION BY l_linestatus ORDER BY l_quantity DESC) AS rnk
+                | FROM li_dense)
+                |WHERE rnk <= 3 ORDER BY l_linestatus, rnk, l_orderkey, l_linenumber""".stripMargin
+    val df = ext.sql(sql)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GroupTopK"), plan)
+    assert(!plan.contains("Window"), plan)
+    val viaWindow = graft.SparkSuite.spark
+      .read.parquet(s"$sf/lineitem.parquet")
+      .selectExpr(
+        "l_linestatus",
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "dense_rank() OVER (PARTITION BY l_linestatus ORDER BY l_quantity DESC) AS rnk")
+      .where("rnk <= 3")
+      .orderBy("l_linestatus", "rnk", "l_orderkey", "l_linenumber")
+      .collect()
+    val got = df.collect()
+    assert(got.length == viaWindow.length && got.toSeq == viaWindow.toSeq)
+  }
+
   test("window shapes GroupTopK can't express stay on WindowExec") {
     val sf = "/root/testdata/sf0.001"
     ext.read.parquet(s"$sf/customer.parquet").createOrReplaceTempView("cust_ext2")
-    // rank() has tie semantics a bounded heap of k rows can't reproduce
-    val rank = ext.sql("""SELECT * FROM (
-                | SELECT c_mktsegment, rank() OVER (PARTITION BY c_mktsegment
-                |   ORDER BY c_acctbal DESC, c_custkey ASC) AS rn FROM cust_ext2)
+    // percent_rank needs the full partition cardinality — not a top-k shape
+    val pctRank = ext.sql("""SELECT * FROM (
+                | SELECT c_mktsegment, percent_rank() OVER (PARTITION BY c_mktsegment
+                |   ORDER BY c_acctbal DESC, c_custkey ASC) AS pr FROM cust_ext2)
+                |WHERE pr <= 0.5""".stripMargin)
+    assert(pctRank.queryExecution.executedPlan.toString.contains("Window"))
+    // single-order-column row_number has a nondeterministic row set — the
+    // rewrite requires the explicit tiebreak (rank/dense_rank don't)
+    val noTie = ext.sql("""SELECT * FROM (
+                | SELECT c_mktsegment, row_number() OVER (PARTITION BY c_mktsegment
+                |   ORDER BY c_acctbal DESC) AS rn FROM cust_ext2)
                 |WHERE rn <= 5""".stripMargin)
-    assert(rank.queryExecution.executedPlan.toString.contains("Window"))
+    assert(noTie.queryExecution.executedPlan.toString.contains("Window"))
     // non-default null ordering is out of the strict match (the heap
     // comparator implements exactly Spark's default per direction)
     val nullsFirst = ext.sql("""SELECT * FROM (

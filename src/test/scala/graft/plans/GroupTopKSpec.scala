@@ -233,6 +233,148 @@ class GroupTopKSpec extends SparkSuite {
     }
   }
 
+  test("rank mode: row-for-row parity with the rank() window form incl. tie groups straddling k (r12)") {
+    val df = graft.Tables
+      .orders(spark, sf001)
+      .select("o_custkey", "o_orderkey", "o_orderpriority")
+    val native = GroupTopK
+      .rankTopk(df, Seq("o_custkey"), "o_orderpriority", 3, "rnk")
+      .orderBy("o_custkey", "rnk", "o_orderkey")
+      .collect()
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderpriority").desc)
+    val window = df
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderpriority"), rank().over(w).as("rnk"))
+      .where(col("rnk") <= 3)
+      .orderBy("o_custkey", "rnk", "o_orderkey")
+      .collect()
+    assert(native.length == window.length && native.toSeq == window.toSeq)
+    // a group with MORE than k rows proves boundary ties survive
+    assert(window.groupBy(_.getLong(0)).exists(_._2.length > 3), "fixture has no boundary ties")
+  }
+
+  test("dense mode: row-for-row parity with the dense_rank() window form (r12)") {
+    val df = graft.Tables
+      .lineitem(spark, sf001)
+      .select("l_linestatus", "l_orderkey", "l_linenumber", "l_quantity")
+    val native = GroupTopK
+      .rankTopk(df, Seq("l_linestatus"), "l_quantity", 3, "rnk", dense = true)
+      .orderBy("l_linestatus", "rnk", "l_orderkey", "l_linenumber")
+      .collect()
+    val w = Window.partitionBy("l_linestatus").orderBy(col("l_quantity").desc)
+    val window = df
+      .select(
+        col("l_linestatus"),
+        col("l_orderkey"),
+        col("l_linenumber"),
+        col("l_quantity"),
+        dense_rank().over(w).as("rnk"))
+      .where(col("rnk") <= 3)
+      .orderBy("l_linestatus", "rnk", "l_orderkey", "l_linenumber")
+      .collect()
+    assert(native.length == window.length && native.toSeq == window.toSeq)
+  }
+
+  test("rank mode: rank values jump over tie groups; nulls rank last (desc)") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L, Some(10.0)),
+      ("a", 2L, Some(10.0)), // rank 1 tie pair
+      ("a", 3L, Some(9.0)), //  rank 3 (jump over the tie)
+      ("a", 4L, Some(8.0)), //  rank 4 > k=3: dropped
+      ("a", 5L, None), //       null ranks last: dropped
+      ("b", 6L, None) //        group of only-null: rank 1 kept
+    ).toDF("g", "id", "v")
+    val got = GroupTopK
+      .rankTopk(df, Seq("g"), "v", 3, "rnk")
+      .orderBy("g", "rnk", "id")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(3)))
+    assert(got.toSeq == Seq(("a", 1L, 1), ("a", 2L, 1), ("a", 3L, 3), ("b", 6L, 1)))
+  }
+
+  test("dense mode: no rank jump; boundary value keeps ALL its rows") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L, 10.0),
+      ("a", 2L, 10.0),
+      ("a", 3L, 9.0),
+      ("a", 4L, 8.0),
+      ("a", 5L, 8.0), // 3rd distinct value: both rows kept at rank 3
+      ("a", 6L, 7.0) //  4th distinct value: dropped
+    ).toDF("g", "id", "v")
+    val got = GroupTopK
+      .rankTopk(df, Seq("g"), "v", 3, "rnk", dense = true)
+      .orderBy("rnk", "id")
+      .collect()
+      .map(r => (r.getLong(1), r.getInt(3)))
+    assert(got.toSeq == Seq((1L, 1), (2L, 1), (3L, 2), (4L, 3), (5L, 3)))
+  }
+
+  test("property: random tie-heavy frames match rank()/dense_rank() window forms, both directions") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260815L)
+    (1 to 5).foreach { trial =>
+      val n = 400 + rnd.nextInt(1200)
+      val nGroups = 1 + rnd.nextInt(10)
+      val nullFrac = rnd.nextDouble() * 0.2
+      val dupRange = 2 + rnd.nextInt(7) // tiny value range => many ties
+      val k = 1 + rnd.nextInt(5)
+      val rows = (0 until n).map { i =>
+        val g = if (rnd.nextBoolean()) 0 else rnd.nextInt(nGroups)
+        val v: Option[Double] =
+          if (rnd.nextDouble() < nullFrac) None else Some(rnd.nextInt(dupRange).toDouble)
+        (s"g$g", i.toLong, v)
+      }
+      val df = rows.toDF("g", "id", "v").repartition(7)
+      for (asc <- Seq(false, true); dense <- Seq(false, true)) {
+        val native = GroupTopK
+          .rankTopk(df, Seq("g"), "v", k, "rnk", orderAsc = asc, dense = dense)
+          .orderBy("g", "rnk", "id")
+          .collect()
+        val order = if (asc) col("v").asc else col("v").desc
+        val w = Window.partitionBy("g").orderBy(order)
+        val fn = if (dense) dense_rank() else rank()
+        val window = df
+          .select(col("g"), col("id"), col("v"), fn.over(w).as("rnk"))
+          .where(col("rnk") <= k)
+          .orderBy("g", "rnk", "id")
+          .collect()
+        assert(
+          native.toSeq == window.toSeq,
+          s"trial $trial asc=$asc dense=$dense n=$n groups=$nGroups k=$k dupRange=$dupRange")
+      }
+    }
+  }
+
+  test("rank mode partial phase bounds the shuffle like the heap (unique values)") {
+    // with unique order values rank == row_number, so the same
+    // k x groups x parts cap applies to the bucket fold's exchange
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = spark
+        .range(40000)
+        .repartition(8)
+        .select(
+          concat(lit("g"), (col("id") % 5).cast("string")).as("g"),
+          col("id").cast("double").as("v")) // unique values: rank == row_number
+      val topk = GroupTopK.rankTopk(df, Seq("g"), "v", 3, "rnk")
+      assert(topk.collect().length == 15)
+      val fin = topk.queryExecution.executedPlan
+      val groupExchanges = fin.collect {
+        case s: ShuffleExchangeLike
+            if s.child.collectFirst { case p: GroupTopKPartialExec => p }.isDefined =>
+          s
+      }
+      assert(groupExchanges.nonEmpty, fin.toString)
+      val written = groupExchanges.map(_.metrics("shuffleRecordsWritten").value).sum
+      assert(
+        written > 0 && written <= 8L * 5 * 3,
+        s"group-key exchange moved $written rows; bucket partial not cutting\n$fin")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("string group keys survive UnsafeRow buffer reuse (varying-width rows)") {
     // a VARYING-width payload column before the key makes each
     // deserialized UnsafeRow lay the group string out at a different

@@ -27,44 +27,12 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
-    # Disk hygiene (round-8 postmortem): the x10/x20 certification oracles
-    # spill — uncapped, an in-memory DuckDB left ~80 GB of
-    # duckdb_temp_storage-*.tmp in .tmp/ and filled the disk, zeroing the
-    # round's driver artifacts. Pin the spill location and hard-cap it;
-    # an oracle that needs more than 20 GB of spill at cert scale is a
-    # mis-scaled oracle and should die loudly here, not kill the next run.
-    # Per-run subdirectory (GRAFT_SPILL_DIR, set by check_batch.sh /
-    # scaleprobe.sh to a $$-suffixed path): concurrent cert + probe runs
-    # must not share a spill dir, or whichever exits first deletes the
-    # other's live spill mid-oracle.
-    # Default spill dir is per-PID (owner-only cleanup on exit): a bare
-    # `check.py` run concurrent with a cert/probe script must not share —
-    # or delete — another process's live spill. Scripts that set
-    # GRAFT_SPILL_DIR own that directory's lifecycle via their own traps.
-    # atexit does not fire on SIGKILL, so ALSO sweep sibling per-PID dirs
-    # whose owning process is gone (safe: a live PID's dir is never
-    # touched) — killed runs cannot pile up 20 GB orphans.
-    spill = os.environ.get("GRAFT_SPILL_DIR")
-    if not spill:
-        import atexit
-        import re
-        import shutil
-        import signal
-        tmp_root = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "..", ".tmp")
-        if os.path.isdir(tmp_root):
-            for d in os.listdir(tmp_root):
-                m = re.fullmatch(r"duckdb_spill\.(\d+)", d)
-                if m and not os.path.exists(f"/proc/{m.group(1)}"):
-                    shutil.rmtree(os.path.join(tmp_root, d), True)
-        spill = os.path.join(tmp_root, f"duckdb_spill.{os.getpid()}")
-        atexit.register(shutil.rmtree, spill, True)
-        # SIGTERM/SIGINT -> clean exit so atexit runs (timeout(1) sends TERM)
-        for sig in (signal.SIGTERM, signal.SIGINT):
-            signal.signal(sig, lambda s, f: sys.exit(128 + s))
-    os.makedirs(spill, exist_ok=True)
-    con.execute(f"SET temp_directory='{spill}'")
-    con.execute("SET max_temp_directory_size='20GB'")
+    # Disk hygiene (round-8 postmortem; r12: extracted to tools/spill.py,
+    # shared with ln_guard.py): per-PID capped spill dir with
+    # start-time-marked orphan sweep. Scripts that set GRAFT_SPILL_DIR own
+    # that directory's lifecycle via their own traps.
+    import spill as spill_mod
+    spill_mod.setup_spill(con)
     for t in TABLES:
         # fixture tables are single files; engine-inflated scale data
         # (ScaleProbe) writes Spark parquet DIRECTORIES of the same name

@@ -26,7 +26,7 @@ for n in $NAMES; do
   # pass: count it and fail the certification below (a run where Verify
   # produced nothing must not read as green)
   if [ ! -d "$OUT/$n" ]; then skipped=$((skipped+1)); echo "SKIP $n (no spark output)"; continue; fi
-  if out=$(timeout "$TMO" python3 tools/check.py "$SF" "$OUT" "$n" 2>&1); then
+  if out=$(timeout -k 10 "$TMO" python3 tools/check.py "$SF" "$OUT" "$n" 2>&1); then
     if echo "$out" | grep -q "^PASS"; then pass=$((pass+1)); else
       fail=$((fail+1)); echo "$out" | grep -v "^== "; fi
   else
@@ -41,8 +41,11 @@ done
 # x10/x20 certifications exercise it on the inflated data. Same timeout
 # discipline as the oracles: a mis-scaled guard query must not hang the
 # pass (it inherits this run's GRAFT_SPILL_DIR, so its spill is capped
-# and cleaned by our trap).
-if ! timeout $((TMO * 3)) python3 tools/ln_guard.py "$SF"; then
+# and cleaned by our trap). -k 10: Python only delivers TERM between
+# bytecodes, so a guard/oracle stuck inside a native duckdb execute
+# ignores the soft TERM — escalate to SIGKILL 10 s later (the trap and
+# sweep still clean the spill dir).
+if ! timeout -k 10 $((TMO * 3)) python3 tools/ln_guard.py "$SF"; then
   fail=$((fail+1)); echo "FAIL ln_guard"
 fi
 echo "== $pass pass, $fail fail, $tmo timeout, $skipped skipped, $excluded excluded"

@@ -128,31 +128,11 @@ def table_src(sf_dir: str, name: str) -> str:
 def main() -> int:
     sf_dir = sys.argv[1]
     con = duckdb.connect()
-    # Spill hygiene, same contract as check.py (round-8 postmortem): the
-    # entropy/bigram token-unnest replays spill at x10/x20 scale — pin the
-    # temp dir (the caller's GRAFT_SPILL_DIR when set, else a per-PID dir
-    # cleaned at exit) and hard-cap it so a mis-scaled guard query dies
-    # loudly instead of filling the disk.
-    spill = os.environ.get("GRAFT_SPILL_DIR")
-    if not spill:
-        import atexit
-        import re
-        import shutil
-        import signal
-        tmp_root = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "..", ".tmp")
-        if os.path.isdir(tmp_root):
-            for d in os.listdir(tmp_root):
-                m = re.fullmatch(r"duckdb_spill\.(\d+)", d)
-                if m and not os.path.exists(f"/proc/{m.group(1)}"):
-                    shutil.rmtree(os.path.join(tmp_root, d), True)
-        spill = os.path.join(tmp_root, f"duckdb_spill.{os.getpid()}")
-        atexit.register(shutil.rmtree, spill, True)
-        for sig in (signal.SIGTERM, signal.SIGINT):
-            signal.signal(sig, lambda s, f: sys.exit(128 + s))
-    os.makedirs(spill, exist_ok=True)
-    con.execute(f"SET temp_directory='{spill}'")
-    con.execute("SET max_temp_directory_size='20GB'")
+    # Spill hygiene, same contract as check.py (round-8 postmortem; r12:
+    # extracted to tools/spill.py — one copy, start-time-marked orphan
+    # sweep, no PID-recycle hazard).
+    import spill as spill_mod
+    spill_mod.setup_spill(con)
     srcs = {t: table_src(sf_dir, t)
             for t in ("documents", "nation", "customer", "events")}
     rc = 0
