@@ -72,13 +72,26 @@ object DedupClusters {
     // a union of two branches, which would execute the (possibly
     // expensive, uncached) upstream pairs plan twice; the checkpoint
     // then materializes the symmetric list once for the whole loop.
-    val sym = ckpt(
-      edges
-        .select(explode(array(
-          struct(col("a"), col("b")),
-          struct(col("b").as("a"), col("a").as("b")))).as("e"))
-        .select(col("e.a").as("a"), col("e.b").as("b"))
-        .distinct())
+    // r12: for long-path graphs (the pathDoubling callers), repartition
+    // by the JOIN key `a` before checkpointing — Dataset.checkpoint
+    // preserves outputPartitioning through LogicalRDD and labels come
+    // off their own checkpoint hash-partitioned by id (alias-propagated
+    // through the rename), so EVERY round's edges ⋈ labels join plans
+    // with ZERO exchange on either side: the 2|E| edge list, the loop's
+    // biggest frame, stops re-shuffling once per round (distinct() alone
+    // left it partitioned by (a, b), which satisfies nothing).
+    // ClusterSpec pins the exchange-free round join. Deliberately NOT
+    // applied to the dense small-diameter dedup graphs: their per-round
+    // frames are tiny and AQE's coalescing of the per-round exchange
+    // beats 32 fixed near-empty tasks (measured: q_dedup_clusters
+    // regressed ~25% pre-partitioned while q_graph_cc improved ~7%).
+    val symBase = edges
+      .select(explode(array(
+        struct(col("a"), col("b")),
+        struct(col("b").as("a"), col("a").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .distinct()
+    val sym = ckpt(if (pathDoubling) symBase.repartition(col("a")) else symBase)
     var labels = ckpt(
       sym
         .select(col("a").as("id"))

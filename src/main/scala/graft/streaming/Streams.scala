@@ -633,6 +633,118 @@ object Streams {
         GroupStateTimeout.NoTimeout)(fn)
   }
 
+  /** Sharded anomaly scan (r12 — the implementation of the
+    * [[anomalyStateful]] scaladoc's "(event_type, shard)" scale note):
+    * the SAME per-event running z-score, computed as a two-phase
+    * distributed prefix scan instead of one sequential pass per event
+    * type, so parallelism is the partition count, not the event-type
+    * cardinality (the stateful form collapses to \|types\| tasks — the
+    * consistently worst organic scale-probe ratio).
+    *
+    * Identical output by construction, not by luck: the running state
+    * (n, Σv, Σv²) is ADDITIVE over (ts, event_id)-contiguous slices, so
+    *   1. range-partition by the full order key (event_type, ts,
+    *      event_id) and sort within partitions — each partition is a
+    *      contiguous slice of each type's timeline (the
+    *      `q_orders_pareto` slicing pattern); one eager localCheckpoint
+    *      materializes the sorted slices for both passes;
+    *   2. pass A: per (partition, type) state TOTALS — ≤ parts × types
+    *      tiny rows to the driver;
+    *   3. exclusive prefix offsets per (partition, type) = the carry
+    *      (prior micro-batches' final state) + totals of earlier
+    *      partitions — exact LONG adds, associative, order-pinned;
+    *   4. pass B: each partition replays its slice from its offset
+    *      state — bit-identical arithmetic to the stateful fold
+    *      (same HALF_UP quantization, same checked Σ adds, same
+    *      IEEE mean/variance/z steps, scale-6 round).
+    * Equality with [[anomalyStateful]] on the fixture and carry
+    * composition across chronological chunks are pinned in
+    * StreamingSpec; the registry entry `s_stream_anomaly` runs this
+    * form (same DuckDB window-replay oracle — the hash match proves the
+    * offset algebra). The streaming deployment shape is foreachBatch:
+    * scan each micro-batch with the previous batch's `carry`, keep the
+    * returned carry (≤ \|types\| × 3 longs) for the next — the same
+    * chronological-arrival contract the stateful form documents.
+    *
+    * Returns the scored rows and the post-scan per-type state (the
+    * carry for the next chunk).
+    */
+  def anomalyScan(
+      events: DataFrame,
+      carry: Map[String, AnomalyState] = Map.empty): (Dataset[AnomalyRow], Map[String, AnomalyState]) = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def round0(x: Double): Long =
+      java.math.BigDecimal.valueOf(x).setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    def round6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    def step(s: AnomalyState, vfp: Long): AnomalyState =
+      AnomalyState(
+        s.n + 1L,
+        Math.addExact(s.s, vfp),
+        Math.addExact(s.ss, Math.multiplyExact(vfp, vfp)))
+    val zero = AnomalyState(0L, 0L, 0L)
+    // contiguous (type, time) slices, materialized ONCE for both passes
+    // (localCheckpoint also pins the partition indices the offset map is
+    // keyed by — re-deriving the plan could re-sample range boundaries)
+    val sliced = events
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      .repartitionByRange(col("event_type"), col("ts"), col("event_id"))
+      .sortWithinPartitions("event_type", "ts", "event_id")
+      .as[(Long, java.sql.Timestamp, String, Double)]
+      .localCheckpoint()
+    // pass A: per-(partition, type) totals — tiny (≤ parts × types)
+    val totals: Array[(Int, String, AnomalyState)] = sliced.rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        val acc = scala.collection.mutable.LinkedHashMap.empty[String, AnomalyState]
+        it.foreach { case (_, _, typ, v) =>
+          acc.update(typ, step(acc.getOrElse(typ, zero), round0(v * 1e3)))
+        }
+        acc.iterator.map { case (t, s) => (pid, t, s) }
+      }
+      .collect()
+    // exclusive prefix offsets (carry + earlier partitions), and the
+    // next chunk's carry (carry + ALL partitions) per type
+    def merge(a: AnomalyState, b: AnomalyState): AnomalyState =
+      AnomalyState(a.n + b.n, Math.addExact(a.s, b.s), Math.addExact(a.ss, b.ss))
+    val offsets = scala.collection.mutable.HashMap.empty[(Int, String), AnomalyState]
+    val nextCarry = scala.collection.mutable.HashMap.empty[String, AnomalyState]
+    carry.foreach { case (t, s) => nextCarry.update(t, s) }
+    totals.sortBy(_._1).foreach { case (pid, t, s) =>
+      val before = nextCarry.getOrElse(t, zero)
+      offsets.update((pid, t), before)
+      nextCarry.update(t, merge(before, s))
+    }
+    val bOff = spark.sparkContext.broadcast(offsets.toMap)
+    // pass B: replay each slice from its offset state — the exact
+    // stateful-fold arithmetic, per partition instead of per type
+    val scored = sliced
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var curType: String = null
+        var st: AnomalyState = zero
+        it.flatMap { case (eid, _, typ, v) =>
+          if (typ != curType) {
+            curType = typ
+            st = bOff.value.getOrElse((pid, typ), zero)
+          }
+          val vfp = round0(v * 1e3)
+          val out =
+            if (st.n >= 30L) {
+              val m = st.s.toDouble / st.n
+              val variance = st.ss.toDouble / st.n - m * m
+              if (variance > 0) {
+                val z = round6((vfp.toDouble - m) / math.sqrt(variance))
+                if (math.abs(z) >= 1.5) Some(AnomalyRow(eid, typ, st.n, z)) else None
+              } else None
+            } else None
+          st = step(st, vfp)
+          out
+        }
+      }
+    (scored, nextCarry.toMap)
+  }
+
   /** Per-user session windows, 30-minute gap. Session end = last event +
     * gap (Spark session_window semantics).
     */

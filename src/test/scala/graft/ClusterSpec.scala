@@ -118,6 +118,41 @@ class ClusterSpec extends SparkSuite {
     }
   }
 
+  test("round join plans exchange-free: edge list pre-partitioned on the join key (r12)") {
+    // mirrors the loop's exact frame construction (DedupClusters.scala
+    // sym/labels/msgs): sym checkpointed repartition(a), labels
+    // checkpointed keyed by id, the per-round edges ⋈ labels join must
+    // then need NO exchange on either side — Dataset.localCheckpoint
+    // preserves outputPartitioning through LogicalRDD and the id → a
+    // rename alias-propagates it. If this pin breaks, every propagation
+    // round silently re-shuffles the 2|E| edge list.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.functions._
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val edges = (0L until 2000L).map(i => (i, (i + 7) % 2000)).toDF("a", "b")
+      val sym = edges
+        .select(explode(array(
+          struct(col("a"), col("b")),
+          struct(col("b").as("a"), col("a").as("b")))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+        .distinct()
+        .repartition(col("a"))
+        .localCheckpoint()
+      val labels = sym
+        .select(col("a").as("id"))
+        .distinct()
+        .withColumn("label", col("id"))
+        .localCheckpoint()
+      val msgs = sym.join(labels.withColumnRenamed("id", "a"), "a")
+      val exchanges =
+        msgs.queryExecution.executedPlan.collect { case e: ShuffleExchangeLike => e }
+      assert(exchanges.isEmpty, msgs.queryExecution.executedPlan.toString)
+      assert(msgs.count() == sym.count()) // and the join itself is sane
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("summarize emits representative, size, and sorted members") {
     val df = DedupClusters
       .summarize(Seq((3L, 1L), (1L, 2L), (10L, 11L)).toDF("d1", "d2"), "d1", "d2")

@@ -174,6 +174,56 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("sharded anomaly scan equals the sequential stateful fold row-for-row (r12)") {
+    // the scan's range-sliced two-phase prefix must be output-identical
+    // to the one-task-per-type fold it replaces — including z DOUBLES
+    val scan = Streams
+      .anomalyScan(graft.Tables.events(spark, sf001))
+      ._1
+      .collect()
+      .map(r => (r.event_id, r.event_type, r.n_prev, r.z))
+      .sortBy(_._1)
+    val fold = Streams
+      .anomalyStateful(graft.Tables.events(spark, sf001), streaming = false)
+      .collect()
+      .map(r => (r.event_id, r.event_type, r.n_prev, r.z))
+      .sortBy(_._1)
+    assert(scan.nonEmpty && scan.toSeq == fold.toSeq)
+  }
+
+  test("anomaly scan carry composes across chronological chunks (the foreachBatch shape, r12)") {
+    import org.apache.spark.sql.functions.col
+    val ev = graft.Tables.events(spark, sf001)
+    val bounds = ev
+      .selectExpr("ts", "event_id")
+      .orderBy("ts", "event_id")
+      .collect()
+    val cut1 = bounds(bounds.length / 3)
+    val cut2 = bounds(2 * bounds.length / 3)
+    def upTo(c: org.apache.spark.sql.Row) =
+      col("ts") < c.getTimestamp(0) ||
+        (col("ts") === c.getTimestamp(0) && col("event_id") <= c.getLong(1))
+    val chunks = Seq(
+      ev.where(upTo(cut1)),
+      ev.where(!upTo(cut1) && upTo(cut2)),
+      ev.where(!upTo(cut2)))
+    var carry = Map.empty[String, graft.streaming.AnomalyState]
+    val pieces = chunks.map { c =>
+      val (rows, next) = Streams.anomalyScan(c, carry)
+      carry = next
+      rows.collect().map(r => (r.event_id, r.event_type, r.n_prev, r.z))
+    }
+    val whole = Streams
+      .anomalyScan(ev)
+      ._1
+      .collect()
+      .map(r => (r.event_id, r.event_type, r.n_prev, r.z))
+      .sortBy(_._1)
+    assert(pieces.flatten.sortBy(_._1).toSeq == whole.toSeq)
+    // and the final carry equals the whole-run carry (state composition)
+    assert(carry == Streams.anomalyScan(ev)._2)
+  }
+
   test("streaming space-saving top-k: estimates monotone, converges to exact batch counts") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[String]
