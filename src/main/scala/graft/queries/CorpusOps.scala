@@ -1368,24 +1368,64 @@ object CorpusOps {
     * is the supported pattern). ONE shutdown hook (registered lazily
     * with the first entry) drains the map at JVM exit.
     */
-  private val jsonlExportDirs =
+  private val ioExportDirs =
     new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]
-  private lazy val jsonlCleanupHook: Unit =
+  private lazy val ioCleanupHook: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
       }
-      jsonlExportDirs.values.forEach(p => rm(p.toFile))
+      ioExportDirs.values.forEach(p => rm(p.toFile))
     }))
+
+  private def ioExportDir(tag: String, sfDir: String): String = {
+    ioCleanupHook
+    ioExportDirs
+      .computeIfAbsent(
+        s"$tag:$sfDir",
+        _ => java.nio.file.Files.createTempDirectory(s"graft_${tag}_rt_"))
+      .toString
+  }
 
   def qIoJsonlRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    jsonlCleanupHook
-    val dir = jsonlExportDirs
-      .computeIfAbsent(sfDir, _ => java.nio.file.Files.createTempDirectory("graft_jsonl_rt_"))
-      .toString
+    val dir = ioExportDir("jsonl", sfDir)
     docs.write.mode("overwrite").json(dir)
     val back = spark.read.schema(docs.schema).json(dir)
+    checksumCore(
+      back,
+      col("doc_id"),
+      Seq(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars")))
+  }
+
+  /** CSV round-trip integrity (r12 — the CSV sibling of
+    * [[qIoJsonlRoundtrip]], closing the last test-only source format):
+    * write the documents table as RFC-4180-style CSV (quote-doubling via
+    * `escape = "` — the dialect every spreadsheet/warehouse importer
+    * reads), read it back with the explicit schema and `multiLine` (a
+    * quoted text field may legally carry newlines), and emit the same
+    * bucketed content checksum the oracle computes from the ORIGINAL
+    * parquet — equality proves the quote/escape/parse cycle is lossless
+    * for every row. Same scale shape as the JSONL twin: distributed
+    * write + parallel scan + one 32-bucket partial agg; per-sfDir export
+    * dir reused across re-invocations, removed at JVM exit. The
+    * PERMISSIVE corrupt-record path of the same reader is pinned in
+    * SourcesSpec.
+    */
+  def qIoCsvRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val dir = ioExportDir("csv", sfDir)
+    docs.write
+      .mode("overwrite")
+      .option("header", "true")
+      .option("escape", "\"")
+      .csv(dir)
+    val back = spark.read
+      .schema(docs.schema)
+      .option("header", "true")
+      .option("escape", "\"")
+      .option("multiLine", "true")
+      .csv(dir)
     checksumCore(
       back,
       col("doc_id"),
@@ -2610,6 +2650,11 @@ object CorpusOps {
              |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
     "q_io_jsonl_roundtrip" -> Q(
       qIoJsonlRoundtrip,
+      Some("""SELECT doc_id % 32 AS bucket, count(1) AS n_rows,
+             | CAST(sum(CAST(('0x' || substr(md5(concat_ws('|', doc_id, text, lang, source, n_chars)), 1, 15))::BIGINT % 1000000007 AS BIGINT)) AS BIGINT) AS checksum
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+    "q_io_csv_roundtrip" -> Q(
+      qIoCsvRoundtrip,
       Some("""SELECT doc_id % 32 AS bucket, count(1) AS n_rows,
              | CAST(sum(CAST(('0x' || substr(md5(concat_ws('|', doc_id, text, lang, source, n_chars)), 1, 15))::BIGINT % 1000000007 AS BIGINT)) AS BIGINT) AS checksum
              |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),

@@ -749,18 +749,26 @@ object LlmOps {
     * anyway; the candidate sets are identical to the oracle's by
     * construction.
     */
-  private[graft] def minhashBands(docs: DataFrame): DataFrame = {
+  /** @param passthrough extra input columns carried to the output
+    *                     unchanged (r12: the streaming watermarked guard
+    *                     needs its ingest-time column to survive the
+    *                     band projection).
+    */
+  private[graft] def minhashBands(
+      docs: DataFrame,
+      passthrough: Seq[String] = Nil): DataFrame = {
     val sigs = docs
-      .select(col("doc_id"), graft.functions.MinHash16.of(col("text")).as("sig"))
+      .select(
+        col("doc_id") +: graft.functions.MinHash16.of(col("text")).as("sig") +:
+          passthrough.map(col): _*)
       .where(col("sig").isNotNull)
     sigs.select(
-      col("doc_id"),
-      col("sig"),
-      posexplode(
-        array((0 until NumHashes / BandSize).map { b =>
-          struct(
-            (b * BandSize until (b + 1) * BandSize).map(j => element_at(col("sig"), j + 1)): _*)
-        }: _*)).as(Seq("band", "band_key")))
+      col("doc_id") +: col("sig") +:
+        (posexplode(
+          array((0 until NumHashes / BandSize).map { b =>
+            struct(
+              (b * BandSize until (b + 1) * BandSize).map(j => element_at(col("sig"), j + 1)): _*)
+          }: _*)).as(Seq("band", "band_key")) +: passthrough.map(col)): _*)
   }
 
   /** Shared oracle CTE chain for the incremental/streaming near-dup

@@ -185,9 +185,10 @@ object Streams {
     * per run: `Trigger.AvailableNow` or a per-batch restart), where
     * state is bounded by that ingest's candidate count and the
     * exactly-once re-delivery suppression pinned in StreamingSpec holds
-    * within the run. A truly continuous deployment should add an
-    * event-time watermark on an ingest-time column and accept
-    * re-emission across state expiry.
+    * within the run. A truly continuous deployment uses
+    * [[nearDupCandidatesWatermarked]] (r12): ingest-time watermark +
+    * `dropDuplicatesWithinWatermark`, state bounded by the delay
+    * window, re-emission accepted across state expiry.
     * The exact-Jaccard rerank stays in the batch layer (it re-shingles
     * matched corpus docs — a per-candidate batch job, not per-event
     * streaming state). Same definition serves batch (the driver's
@@ -201,6 +202,34 @@ object Streams {
       .join(corpusIndex, Seq("band", "band_key"))
       .select("batch_doc", "corpus_dup")
       .dropDuplicates("batch_doc", "corpus_dup")
+
+  /** Continuous-deployment form of [[nearDupCandidates]] (r12 — the
+    * watermarked variant the bounded-ingest contract note prescribes):
+    * `batchDocs` carries an INGEST-TIME column, the candidate-pair
+    * dedup runs `dropDuplicatesWithinWatermark`, and Spark evicts a
+    * pair's suppression state once the ingest-time watermark passes it
+    * by `delay` — state is bounded by the candidate rate × delay window
+    * instead of growing monotonically for the life of the query. The
+    * accepted trade (documented on the unwatermarked form): a duplicate
+    * re-delivered AFTER its state expired re-emits; within the window
+    * the exactly-once suppression holds. Both behaviors are pinned in
+    * StreamingSpec (suppression within the watermark, re-emission after
+    * eviction). The band projection and index probe are identical to
+    * the bounded-ingest form — only the dedup state lifetime differs.
+    */
+  def nearDupCandidatesWatermarked(
+      batchDocs: DataFrame,
+      corpusIndex: DataFrame,
+      tsCol: String = "ingest_ts",
+      delay: String = "30 minutes"): DataFrame =
+    graft.queries.LlmOps
+      .minhashBands(batchDocs, passthrough = Seq(tsCol))
+      .select(col("doc_id").as("batch_doc"), col("band"), col("band_key"), col(tsCol))
+      .withWatermark(tsCol, delay)
+      .join(corpusIndex, Seq("band", "band_key"))
+      .select(col("batch_doc"), col("corpus_dup"), col(tsCol))
+      .dropDuplicatesWithinWatermark("batch_doc", "corpus_dup")
+      .select("batch_doc", "corpus_dup")
 
   /** Stream → object store: each micro-batch of (key, content) rows is
     * written through [[graft.sinks.ObjectSink]] via `foreachBatch` — the

@@ -83,6 +83,57 @@ class SourcesSpec extends SparkSuite {
     } finally back.unpersist()
   }
 
+  test("CSV reader handles corrupt records in PERMISSIVE mode without failing the job (r12)") {
+    // the q_io_csv_roundtrip reader's degraded path: a malformed line
+    // (wrong arity / unparsable numeric) lands in _corrupt_record, the
+    // well-formed rows still parse — ingest survives a bad export line
+    val dir = tmp("graft_csv_corrupt")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "part-0.csv"),
+      "1,ok,7\nthis line is not,csv\n2,\"quoted, comma\",9\n3,bad-number,NOT_A_LONG\n".getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("v", StringType),
+      StructField("n", LongType),
+      StructField("_corrupt_record", StringType)))
+    val back = spark.read
+      .schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(dir)
+      .cache()
+    try {
+      assert(back.count() == 4)
+      assert(back.where(col("_corrupt_record").isNotNull).count() == 2)
+      // the quoted-comma row parses as ONE field, not two
+      assert(back.where(col("id") === 2L).select("v").head().getString(0) == "quoted, comma")
+      assert(back.where(col("n").isNotNull).count() == 2)
+    } finally back.unpersist()
+  }
+
+  test("CSV round-trip survives embedded quotes, commas, and newlines (the registry dialect, r12)") {
+    import spark.implicits._
+    val dir = tmp("graft_csv_rt_hard")
+    val rows = Seq(
+      (1L, "plain"),
+      (2L, "comma, inside"),
+      (3L, "quote \" inside"),
+      (4L, "newline\ninside"),
+      (5L, "both \"x\", and\nmore"))
+    val df = rows.toDF("id", "s")
+    df.write.mode("overwrite").option("header", "true").option("escape", "\"").csv(dir)
+    val back = spark.read
+      .schema(df.schema)
+      .option("header", "true")
+      .option("escape", "\"")
+      .option("multiLine", "true")
+      .csv(dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._1)
+    assert(back.toSeq == rows.sortBy(_._1))
+  }
+
   test("parquet schema evolution: mergeSchema unions column vintages") {
     // the lakehouse reality: yesterday's files lack the column added
     // today; a merged read must surface the union schema with NULLs for

@@ -564,6 +564,56 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("watermarked near-dup guard: suppression within the window, state evicted after (r12)") {
+    implicit val ctx = spark.sqlContext
+    // continuous-trigger deployment shape: candidate-pair dedup state is
+    // bounded by the watermark window — re-delivery WITHIN the window is
+    // suppressed, re-delivery AFTER eviction re-emits (the documented
+    // trade of nearDupCandidatesWatermarked)
+    val d = Tables.documents(spark, sf001)
+    val corpusIdx = graft.queries.LlmOps
+      .cappedBandIndex(d.where(length(col("source")) === 4))
+      .localCheckpoint()
+    val someDocs = d
+      .where(length(col("source")) === 5)
+      .select("doc_id", "text")
+      .as[(Long, String)]
+      .collect()
+      .sortBy(_._1)
+      .toIndexedSeq
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val df = mem.toDF().toDF("doc_id", "text", "ingest_ts")
+    val q = Streams
+      .nearDupCandidatesWatermarked(df, corpusIdx, "ingest_ts", "30 minutes")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("neardup_wm")
+      .start()
+    try {
+      // chunk 1 at t=0
+      mem.addData(someDocs.map(dc => (dc._1, dc._2, ts(0))))
+      q.processAllAvailable()
+      val base = spark.table("neardup_wm").count()
+      assert(base > 0, "fixture must produce candidate pairs")
+      // re-delivery at t=10 (inside the 30-min window): suppressed
+      mem.addData(someDocs.map(dc => (dc._1, dc._2, ts(10))))
+      q.processAllAvailable()
+      assert(spark.table("neardup_wm").count() == base, "within-watermark re-delivery must dedup")
+      // advance the watermark far past t=10 + 30min with a later doc,
+      // then re-deliver: state was evicted, pairs re-emit
+      mem.addData(Seq((someDocs.head._1, someDocs.head._2, ts(600))))
+      q.processAllAvailable()
+      val afterAdvance = spark.table("neardup_wm").count()
+      mem.addData(someDocs.map(dc => (dc._1, dc._2, ts(610))))
+      q.processAllAvailable()
+      assert(
+        spark.table("neardup_wm").count() > afterAdvance,
+        "post-eviction re-delivery must re-emit (state bounded by the window)")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment join equals the batch join") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
