@@ -22,7 +22,11 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * the (order, tie) pair. Ties at the k boundary all survive (the
   * bucket structure in [[GroupTopKBuckets]]), exactly matching the
   * window form; score-ranked retrieval where ties are the common case
-  * no longer falls back to a partition-wide sort.
+  * no longer falls back to a partition-wide sort. Low-NDV caveat: Dense
+  * mode retains every row of the top-k distinct order values in both
+  * phases, so over a very low-cardinality order column the map-side
+  * bound degrades to the output size (which is what the query asked
+  * for — but the rule has no NDV statistics to refuse the shape).
   *
   * Matching is deliberately strict, like [[HofToKernelRule]]: a Filter
   * whose condition is exactly `rn <= IntLiteral` (or `rn < lit`,

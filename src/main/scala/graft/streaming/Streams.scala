@@ -697,6 +697,12 @@ object Streams {
     *
     * Returns the scored rows and the post-scan per-type state (the
     * carry for the next chunk).
+    *
+    * Decision boundary: the scan is for FEW keys × MANY events (pass A
+    * collects ≤ partitions × types totals to the driver — negligible at
+    * 32 × 5, a hotspot at ~10k partitions × a high-cardinality key).
+    * Once the key column itself provides parallelism (per-user state:
+    * [[ewmaStateful]]), the keyed stateful fold is the right tool.
     */
   def anomalyScan(
       events: DataFrame,
@@ -750,10 +756,12 @@ object Streams {
     val scored = sliced
       .mapPartitions { it =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
+        var first = true // a null first type must still load its offset
         var curType: String = null
         var st: AnomalyState = zero
         it.flatMap { case (eid, _, typ, v) =>
-          if (typ != curType) {
+          if (first || typ != curType) {
+            first = false
             curType = typ
             st = bOff.value.getOrElse((pid, typ), zero)
           }

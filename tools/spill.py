@@ -46,6 +46,10 @@ def _proc_start_time(pid: str) -> str | None:
 
 
 def _sweep_orphans(tmp_root: str) -> None:
+    if not os.path.isdir("/proc"):
+        # no procfs (non-Linux): liveness is unknowable — never sweep,
+        # or a concurrent live run's spill could be deleted mid-oracle
+        return
     for d in os.listdir(tmp_root):
         m = re.fullmatch(r"duckdb_spill\.(\d+)", d)
         if not m or m.group(1) == str(os.getpid()):
