@@ -276,6 +276,43 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(got.length == viaWindow.length && got.toSeq == viaWindow.toSeq)
   }
 
+  test("two-sort-column rank() (ties on the (v, t) pair) rewrites to GroupTopK, same rows (r12)") {
+    // the (order, tie) bucket-key path: rank ties are on the FULL sort
+    // tuple, so rows duplicated on (priority, status) share a rank while
+    // a unique custkey would have made rank degenerate to row_number —
+    // order by two non-unique columns to keep real tie groups
+    val sf = "/root/testdata/sf0.001"
+    ext.read.parquet(s"$sf/orders.parquet").createOrReplaceTempView("ord_rank2")
+    val sql = """SELECT * FROM (
+                | SELECT o_custkey, o_orderkey, o_orderpriority, o_orderstatus,
+                |  rank() OVER (PARTITION BY o_custkey
+                |               ORDER BY o_orderpriority DESC, o_orderstatus ASC) AS rnk
+                | FROM ord_rank2)
+                |WHERE rnk <= 3 ORDER BY o_custkey, rnk, o_orderkey""".stripMargin
+    val df = ext.sql(sql)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GroupTopK"), plan)
+    assert(!plan.contains("Window"), plan)
+    val viaWindow = graft.SparkSuite.spark
+      .read.parquet(s"$sf/orders.parquet")
+      .selectExpr(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderpriority",
+        "o_orderstatus",
+        "rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority DESC, o_orderstatus ASC) AS rnk")
+      .where("rnk <= 3")
+      .orderBy("o_custkey", "rnk", "o_orderkey")
+      .collect()
+    val got = df.collect()
+    assert(got.length == viaWindow.length && got.toSeq == viaWindow.toSeq)
+    // tie groups on the PAIR must actually occur (rank must jump somewhere)
+    assert(viaWindow.exists(_.getInt(4) == 3) && viaWindow.exists(r => r.getInt(4) == 1))
+    assert(
+      viaWindow.groupBy(r => (r.getLong(0), r.getInt(4))).exists(_._2.length > 1),
+      "no (group, rank) tie pair at sf0.001 — the pair-key path is untested")
+  }
+
   test("window shapes GroupTopK can't express stay on WindowExec") {
     val sf = "/root/testdata/sf0.001"
     ext.read.parquet(s"$sf/customer.parquet").createOrReplaceTempView("cust_ext2")

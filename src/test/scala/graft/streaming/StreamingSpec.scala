@@ -191,6 +191,38 @@ class StreamingSpec extends SparkSuite {
     assert(scan.nonEmpty && scan.toSeq == fold.toSeq)
   }
 
+  test("property: random frames — anomaly scan equals the stateful fold across partitionings (r12)") {
+    // the offset algebra must hold for ANY slice boundaries: random
+    // value distributions, skewed type frequencies, and a different
+    // input partitioning per trial (range boundaries resample)
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260815L)
+    (1 to 3).foreach { trial =>
+      val n = 400 + rnd.nextInt(800)
+      val nTypes = 1 + rnd.nextInt(4)
+      val rows = (0 until n).map { i =>
+        val typ = s"t${if (rnd.nextBoolean()) 0 else rnd.nextInt(nTypes)}" // skew to t0
+        (i.toLong, new java.sql.Timestamp(1700000000000L + rnd.nextInt(100000) * 1000L),
+          typ, rnd.nextDouble() * 100 - 50)
+      }
+      val df = rows
+        .toDF("event_id", "ts", "event_type", "value")
+        .repartition(1 + rnd.nextInt(13))
+      val scan = Streams
+        .anomalyScan(df)
+        ._1
+        .collect()
+        .map(r => (r.event_id, r.event_type, r.n_prev, r.z))
+        .sortBy(_._1)
+      val fold = Streams
+        .anomalyStateful(df, streaming = false)
+        .collect()
+        .map(r => (r.event_id, r.event_type, r.n_prev, r.z))
+        .sortBy(_._1)
+      assert(scan.toSeq == fold.toSeq, s"trial $trial n=$n types=$nTypes")
+    }
+  }
+
   test("anomaly scan carry composes across chronological chunks (the foreachBatch shape, r12)") {
     import org.apache.spark.sql.functions.col
     val ev = graft.Tables.events(spark, sf001)
