@@ -313,6 +313,21 @@ class ExtensionsSpec extends AnyFunSuite {
       "no (group, rank) tie pair at sf0.001 — the pair-key path is untested")
   }
 
+  test("registry tie-aware entries plan GroupTopK under the extension tier (r12)") {
+    // the production (Verify/Bench) sessions run extensions-on, so the
+    // REGISTRY functions themselves — not just the SQL forms — must
+    // plan the native operator there
+    for (
+      fn <- Seq(
+        graft.queries.Relational.qTopkGroupTies _,
+        graft.queries.Relational.qTopkGroupDense _)
+    ) {
+      val p = fn(ext, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+      assert(p.contains("GroupTopK"), p)
+      assert(!p.contains("Window"), p)
+    }
+  }
+
   test("window shapes GroupTopK can't express stay on WindowExec") {
     val sf = "/root/testdata/sf0.001"
     ext.read.parquet(s"$sf/customer.parquet").createOrReplaceTempView("cust_ext2")

@@ -191,6 +191,19 @@ class StreamingSpec extends SparkSuite {
     assert(scan.nonEmpty && scan.toSeq == fold.toSeq)
   }
 
+  test("anomaly scan's pass B adds no shuffle: one range exchange total, inside the checkpoint (r12)") {
+    // the scan's only exchange is the range partition materialized by the
+    // localCheckpoint; the scoring pass must be a pure per-partition map
+    // over the checkpointed slices (LogicalRDD -> mapPartitions, no
+    // Exchange) — a shuffle here would break the slice-offset alignment
+    // AND the scale claim
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val (scored, _) = Streams.anomalyScan(graft.Tables.events(spark, sf001))
+    val exchanges =
+      scored.queryExecution.executedPlan.collect { case e: ShuffleExchangeLike => e }
+    assert(exchanges.isEmpty, scored.queryExecution.executedPlan.toString)
+  }
+
   test("property: random frames — anomaly scan equals the stateful fold across partitionings (r12)") {
     // the offset algebra must hold for ANY slice boundaries: random
     // value distributions, skewed type frequencies, and a different
