@@ -52,13 +52,18 @@ import org.apache.spark.sql.catalyst.rules.Rule
 object WindowTopKRule extends Rule[LogicalPlan] {
 
   /** (rankAttr exprId, k) from the filter condition, if it is a pure
-    * rank bound.
+    * rank bound. `rn = 1` (r12) is the ubiquitous argmax-per-group
+    * shape and is exactly top-1 — every rank function starts at 1, so
+    * equality at 1 ≡ `rn <= 1`; equality at any HIGHER literal selects
+    * a slice, not a prefix, and must not match.
     */
   private def rankBound(cond: Expression): Option[(Attribute, Int)] = cond match {
     case LessThanOrEqual(a: Attribute, Literal(k: Int, _)) => Some((a, k))
     case LessThan(a: Attribute, Literal(k: Int, _)) => Some((a, k - 1))
     case GreaterThanOrEqual(Literal(k: Int, _), a: Attribute) => Some((a, k))
     case GreaterThan(Literal(k: Int, _), a: Attribute) => Some((a, k - 1))
+    case EqualTo(a: Attribute, Literal(1, _)) => Some((a, 1))
+    case EqualTo(Literal(1, _), a: Attribute) => Some((a, 1))
     case _ => None
   }
 

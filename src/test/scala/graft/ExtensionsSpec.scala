@@ -313,6 +313,51 @@ class ExtensionsSpec extends AnyFunSuite {
       "no (group, rank) tie pair at sf0.001 — the pair-key path is untested")
   }
 
+  test("argmax-per-group (rn = 1) rewrites to GroupTopK for row_number AND rank (r12)") {
+    val sf = "/root/testdata/sf0.001"
+    ext.read.parquet(s"$sf/customer.parquet").createOrReplaceTempView("cust_argmax")
+    // row_number = 1: one best row per group
+    val rn = ext.sql("""SELECT * FROM (
+                | SELECT c_mktsegment, c_custkey, c_acctbal,
+                |  row_number() OVER (PARTITION BY c_mktsegment
+                |                     ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+                | FROM cust_argmax)
+                |WHERE rn = 1 ORDER BY c_mktsegment""".stripMargin)
+    assert(rn.queryExecution.executedPlan.toString.contains("GroupTopK"))
+    assert(!rn.queryExecution.executedPlan.toString.contains("Window"))
+    val rnWant = graft.SparkSuite.spark
+      .read.parquet(s"$sf/customer.parquet")
+      .selectExpr(
+        "c_mktsegment", "c_custkey", "c_acctbal",
+        "row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC) AS rn")
+      .where("rn = 1").orderBy("c_mktsegment").collect()
+    assert(rn.collect().toSeq == rnWant.toSeq)
+    // rank = 1: ALL rows tied at the best value
+    ext.read.parquet(s"$sf/orders.parquet").createOrReplaceTempView("ord_argmax")
+    val rk = ext.sql("""SELECT * FROM (
+                | SELECT o_custkey, o_orderkey, o_orderpriority,
+                |  rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority DESC) AS rnk
+                | FROM ord_argmax)
+                |WHERE rnk = 1 ORDER BY o_custkey, o_orderkey""".stripMargin)
+    assert(rk.queryExecution.executedPlan.toString.contains("GroupTopK"))
+    val rkWant = graft.SparkSuite.spark
+      .read.parquet(s"$sf/orders.parquet")
+      .selectExpr(
+        "o_custkey", "o_orderkey", "o_orderpriority",
+        "rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority DESC) AS rnk")
+      .where("rnk = 1").orderBy("o_custkey", "o_orderkey").collect()
+    val rkGot = rk.collect()
+    assert(rkGot.toSeq == rkWant.toSeq)
+    // the tie semantics must be exercised: some group keeps > 1 row
+    assert(rkWant.groupBy(_.getLong(0)).exists(_._2.length > 1))
+    // rn = 2 is a SLICE, not a prefix — must stay on WindowExec
+    val slice = ext.sql("""SELECT * FROM (
+                | SELECT c_mktsegment, row_number() OVER (PARTITION BY c_mktsegment
+                |   ORDER BY c_acctbal DESC, c_custkey ASC) AS rn FROM cust_argmax)
+                |WHERE rn = 2""".stripMargin)
+    assert(slice.queryExecution.executedPlan.toString.contains("Window"))
+  }
+
   test("registry tie-aware entries plan GroupTopK under the extension tier (r12)") {
     // the production (Verify/Bench) sessions run extensions-on, so the
     // REGISTRY functions themselves — not just the SQL forms — must
