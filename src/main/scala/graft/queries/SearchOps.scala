@@ -491,7 +491,15 @@ object SearchOps {
   def qGraphCc(spark: SparkSession, sfDir: String): DataFrame =
     graft.operators.DedupClusters
       .clusters(
-        coPurchaseEdges(spark, sfDir, materialize = false),
+        // materialize = true (r12): cc is the FIRST graph entry the
+        // registry runs, so with `false` it re-derived the per-order
+        // C(n,2) self-join on every invocation while populating nothing —
+        // every other graph query then built the cache cc never used.
+        // DedupClusters checkpoints the SYMMETRIZED list anyway; paying
+        // the one extra |E|-row materialization on the first call makes
+        // cc's re-runs (bench min-of-2, probes) and every LATER graph
+        // entry share one derivation, like the rest of the family.
+        coPurchaseEdges(spark, sfDir),
         "u",
         "v",
         pathDoubling = true)
