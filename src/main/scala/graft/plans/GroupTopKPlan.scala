@@ -71,6 +71,14 @@ object TopKMode {
   * with the window form (and the DuckDB oracle) is pinned by
   * `q_topk_group_native` (DESC) and GroupTopKSpec's ASC and multi-key
   * parity tests.
+  *
+  * r12 — TIE-AWARE modes: with [[TopKMode.Rank]]/[[TopKMode.Dense]] the
+  * same plan implements `rank()`/`dense_rank() <= k` — all boundary-tied
+  * rows survive (a group can emit MORE than k rows), ranks jump (Rank)
+  * or stay dense, and the k-slot heap is replaced by the bounded
+  * value-bucket structure in [[GroupTopKBuckets]]. Parity incl. tie
+  * groups straddling k pinned in GroupTopKSpec/ExtensionsSpec; oracle
+  * entries `q_topk_group_ties` / `q_topk_group_dense`.
   */
 case class GroupTopKPlan(
     child: LogicalPlan,

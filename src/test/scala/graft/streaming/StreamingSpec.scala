@@ -204,6 +204,47 @@ class StreamingSpec extends SparkSuite {
     assert(exchanges.isEmpty, scored.queryExecution.executedPlan.toString)
   }
 
+  test("anomaly scan deployed via foreachBatch: streamed micro-batches equal the whole-corpus scan (r12)") {
+    // the documented streaming shape END-TO-END: readStream -> foreachBatch
+    // scans each micro-batch with the previous batch's carry; the union of
+    // emitted rows must equal one whole-corpus scan
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val df = mem.toDF().toDF("event_id", "ts", "event_type", "value")
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Double)]
+    var carry = Map.empty[String, graft.streaming.AnomalyState]
+    val q = df.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val (rows, next) = Streams.anomalyScan(batch, carry)
+        emitted.synchronized {
+          emitted ++= rows.collect().map(r => (r.event_id, r.event_type, r.n_prev, r.z))
+        }
+        carry = next
+      }
+      .start()
+    try {
+      val all = graft.Tables
+        .events(spark, sf001)
+        .select("event_id", "ts", "event_type", "value")
+        .as[(Long, java.sql.Timestamp, String, Double)]
+        .collect()
+        .sortBy(t => (t._2.getTime, t._1))
+        .toIndexedSeq
+      val (c1, rest) = all.splitAt(all.length / 3)
+      val (c2, c3) = rest.splitAt(rest.length / 3)
+      Seq(c1, c2, c3).foreach { c => mem.addData(c); q.processAllAvailable() }
+      val whole = Streams
+        .anomalyScan(graft.Tables.events(spark, sf001))
+        ._1
+        .collect()
+        .map(r => (r.event_id, r.event_type, r.n_prev, r.z))
+        .sortBy(_._1)
+      assert(whole.nonEmpty)
+      assert(emitted.sortBy(_._1).toSeq == whole.toSeq)
+    } finally q.stop()
+  }
+
   test("property: random frames — anomaly scan equals the stateful fold across partitionings (r12)") {
     // the offset algebra must hold for ANY slice boundaries: random
     // value distributions, skewed type frequencies, and a different
