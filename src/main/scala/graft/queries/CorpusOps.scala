@@ -1412,6 +1412,26 @@ object CorpusOps {
     * PERMISSIVE corrupt-record path of the same reader is pinned in
     * SourcesSpec.
     */
+  /** ORC round-trip integrity (r12): the typed-columnar sibling of the
+    * CSV/JSONL twins — documents written as ORC (zlib default), read
+    * back with the explicit schema, same bucketed digest vs the
+    * original parquet. Completes the oracle-checked coverage of every
+    * batch file format this engine reads/writes (parquet is every
+    * query's scan; JSONL/CSV/ORC each have a round-trip entry); the
+    * filter-pushdown behavior of the same reader is pinned in
+    * SourcesSpec. Scale shape identical to the twins.
+    */
+  def qIoOrcRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val dir = ioExportDir("orc", sfDir)
+    docs.write.mode("overwrite").orc(dir)
+    val back = spark.read.schema(docs.schema).orc(dir)
+    checksumCore(
+      back,
+      col("doc_id"),
+      Seq(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars")))
+  }
+
   def qIoCsvRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val dir = ioExportDir("csv", sfDir)
@@ -2650,6 +2670,11 @@ object CorpusOps {
              |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
     "q_io_jsonl_roundtrip" -> Q(
       qIoJsonlRoundtrip,
+      Some("""SELECT doc_id % 32 AS bucket, count(1) AS n_rows,
+             | CAST(sum(CAST(('0x' || substr(md5(concat_ws('|', doc_id, text, lang, source, n_chars)), 1, 15))::BIGINT % 1000000007 AS BIGINT)) AS BIGINT) AS checksum
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+    "q_io_orc_roundtrip" -> Q(
+      qIoOrcRoundtrip,
       Some("""SELECT doc_id % 32 AS bucket, count(1) AS n_rows,
              | CAST(sum(CAST(('0x' || substr(md5(concat_ws('|', doc_id, text, lang, source, n_chars)), 1, 15))::BIGINT % 1000000007 AS BIGINT)) AS BIGINT) AS checksum
              |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
