@@ -346,6 +346,22 @@ class GroupTopKSpec extends SparkSuite {
     }
   }
 
+  test("rank mode plans two-phase like the heap: partial below the one hash exchange (r12)") {
+    val df = GroupTopK.rankTopk(
+      graft.Tables.orders(spark, sf001).select("o_custkey", "o_orderkey", "o_orderpriority"),
+      Seq("o_custkey"),
+      "o_orderpriority",
+      3,
+      "rnk")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("GroupTopK"), p)
+    assert(!p.contains("Sort ") && !p.contains("Window"), p)
+    val iFinal = p.indexOf("GroupTopK ")
+    val iEx = p.indexOf("Exchange hashpartitioning(o_custkey")
+    val iPartial = p.indexOf("GroupTopKPartial")
+    assert(iFinal >= 0 && iEx > iFinal && iPartial > iEx, p)
+  }
+
   test("rank mode partial phase bounds the shuffle like the heap (unique values)") {
     // with unique order values rank == row_number, so the same
     // k x groups x parts cap applies to the bucket fold's exchange
