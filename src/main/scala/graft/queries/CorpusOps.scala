@@ -1452,6 +1452,73 @@ object CorpusOps {
       Seq(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars")))
   }
 
+  /** XML round-trip integrity (r12 — the markup sibling, covering the
+    * fourth and last text/columnar format Spark 4 ships a native reader
+    * AND writer for): write the documents table as XML (`rowTag = doc`,
+    * entity-escaping `<`/`&`/quotes is the writer's job), read it back
+    * with the explicit schema, `ignoreSurroundingSpaces = false` (the
+    * reader default TRIMS leading/trailing value whitespace — a silent
+    * corruption for whitespace-significant corpora, so the registry
+    * dialect disables it), and emit the same bucketed digest the oracle
+    * computes from the ORIGINAL parquet. Same scale shape as the
+    * JSONL/CSV/ORC twins: distributed write + parallel scan + one
+    * 32-bucket partial agg; per-sfDir export dir reused across
+    * re-invocations, removed at JVM exit. The entity-escaping
+    * hard-content path (`<tag>`, `&amp;`, newlines, edge whitespace) is
+    * pinned in SourcesSpec.
+    */
+  def qIoXmlRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val dir = ioExportDir("xml", sfDir)
+    docs.write
+      .mode("overwrite")
+      .option("rootTag", "docs")
+      .option("rowTag", "doc")
+      .xml(dir)
+    val back = spark.read
+      .schema(docs.schema)
+      .option("rowTag", "doc")
+      .option("ignoreSurroundingSpaces", "false")
+      .xml(dir)
+    checksumCore(
+      back,
+      col("doc_id"),
+      Seq(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars")))
+  }
+
+  /** Partitioned-layout write + partition-pruned read-back (r12): write
+    * the documents table hive-partitioned by `lang` (`lang=en/…`
+    * directories — THE layout decision that turns a 100 TB corpus scan
+    * into a per-language scan), read it back filtered to two languages,
+    * and emit the bucketed digest; the oracle computes the same digest
+    * from the ORIGINAL parquet under the same predicate. Equality proves
+    * (a) the partition column round-trips through directory names and
+    * (b) the filtered read misses nothing. The SCALE property — that the
+    * filter prunes at the DIRECTORY level, so non-matching partitions
+    * are never opened (listing-time pruning, not row-level filtering) —
+    * is pinned in SourcesSpec via `inputFiles`: every file the filtered
+    * scan touches lives under a matching `lang=` directory.
+    *
+    * Scale shape: the write is one shuffle-free partitioned export
+    * (append-only directory fan-out); the read is a pruned parallel scan
+    * + one 32-bucket partial agg. At 1000 executors the pruning is the
+    * whole point: a two-of-five-language query reads ~2/5 of the bytes
+    * and the other 3/5 are never listed past the top level.
+    */
+  def qIoPartitionedPrune(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val dir = ioExportDir("part", sfDir)
+    docs.write.mode("overwrite").partitionBy("lang").parquet(dir)
+    val back = spark.read
+      .schema(docs.schema)
+      .parquet(dir)
+      .where(col("lang").isin("en", "zh"))
+    checksumCore(
+      back,
+      col("doc_id"),
+      Seq(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars")))
+  }
+
   // -------------------------------------------------- unigram LM quality score
 
   /** Model-based quality scoring: Laplace-smoothed unigram
@@ -2683,6 +2750,16 @@ object CorpusOps {
       Some("""SELECT doc_id % 32 AS bucket, count(1) AS n_rows,
              | CAST(sum(CAST(('0x' || substr(md5(concat_ws('|', doc_id, text, lang, source, n_chars)), 1, 15))::BIGINT % 1000000007 AS BIGINT)) AS BIGINT) AS checksum
              |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+    "q_io_xml_roundtrip" -> Q(
+      qIoXmlRoundtrip,
+      Some("""SELECT doc_id % 32 AS bucket, count(1) AS n_rows,
+             | CAST(sum(CAST(('0x' || substr(md5(concat_ws('|', doc_id, text, lang, source, n_chars)), 1, 15))::BIGINT % 1000000007 AS BIGINT)) AS BIGINT) AS checksum
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+    "q_io_partitioned_prune" -> Q(
+      qIoPartitionedPrune,
+      Some("""SELECT doc_id % 32 AS bucket, count(1) AS n_rows,
+             | CAST(sum(CAST(('0x' || substr(md5(concat_ws('|', doc_id, text, lang, source, n_chars)), 1, 15))::BIGINT % 1000000007 AS BIGINT)) AS BIGINT) AS checksum
+             |FROM documents WHERE lang IN ('en', 'zh') GROUP BY 1 ORDER BY 1""".stripMargin)),
     "q_text_unigram_nll" -> Q(qTextUnigramNll, Some(UnigramNllSql)),
     "q_text_ppl_buckets" -> Q(
       qTextPplBuckets,

@@ -134,6 +134,57 @@ class SourcesSpec extends SparkSuite {
     assert(back.toSeq == rows.sortBy(_._1))
   }
 
+  test("XML round-trip survives markup entities, newlines, and edge whitespace (the registry dialect, r12)") {
+    import spark.implicits._
+    val dir = tmp("graft_xml_rt_hard")
+    val rows = Seq(
+      (1L, "plain"),
+      (2L, "angle <tag> inside"),
+      (3L, "amp & entity &amp; literal"),
+      (4L, "newline\ninside"),
+      (5L, "  edge whitespace  "),
+      (6L, "quote \" and apos ' mixed"))
+    val df = rows.toDF("id", "s")
+    df.write.mode("overwrite").option("rootTag", "rows").option("rowTag", "row").xml(dir)
+    // the reader DEFAULT trims value whitespace — the registry dialect
+    // disables it, and this row set is the proof it matters (row 5)
+    val back = spark.read
+      .schema(df.schema)
+      .option("rowTag", "row")
+      .option("ignoreSurroundingSpaces", "false")
+      .xml(dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._1)
+    assert(back.toSeq == rows.sortBy(_._1))
+  }
+
+  test("partitionBy write prunes at the directory level on a filtered read (r12)") {
+    val docs = Tables.documents(spark, sf001)
+    val dir = tmp("graft_part_prune")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(dir)
+    val back = spark.read.schema(docs.schema).parquet(dir)
+    val pruned = back.where(col("lang").isin("en", "zh"))
+    // correctness: the pruned read returns exactly the filtered original
+    assert(pruned.count() == docs.where(col("lang").isin("en", "zh")).count())
+    // scale property: the IN predicate lands in partitionFilters and the
+    // pruned LISTING enumerates only matching lang= directories — the
+    // other three languages are never opened (inputFiles would be wrong
+    // here: it reports the relation's full file set, pre-pruning)
+    val scan = pruned.queryExecution.executedPlan
+      .collectFirst { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+      .get
+    assert(scan.partitionFilters.exists(_.toString.contains("lang")), scan.partitionFilters)
+    val files = scan.relation.location
+      .listFiles(scan.partitionFilters, scan.dataFilters)
+      .flatMap(_.files)
+      .map(_.getPath.toString)
+    assert(files.nonEmpty)
+    assert(
+      files.forall(f => f.contains("lang=en") || f.contains("lang=zh")),
+      files.filterNot(f => f.contains("lang=en") || f.contains("lang=zh")).take(3).mkString(", "))
+  }
+
   test("parquet schema evolution: mergeSchema unions column vintages") {
     // the lakehouse reality: yesterday's files lack the column added
     // today; a merged read must surface the union schema with NULLs for
