@@ -1074,6 +1074,57 @@ object MiningOps {
       .orderBy("event_type", "bucket")
   }
 
+  /** M4 downsampling (Jugel et al., VLDB 2014) of the per-type value
+    * series: per (type, day) bucket emit the FIRST, LAST, MIN, and MAX
+    * values — the four points that make a line rendering of the bucket
+    * pixel-exact. The sibling of [[qTimeLttb]] with the opposite
+    * distribution story: LTTB is a sequential recurrence (per-group
+    * flatMapGroups), M4 is a PURE AGGREGATION — the paper's point is
+    * that pixel-exact downsampling needs no window and no sort, just
+    * min/max over four orderings, so it runs as ONE map-side-combined
+    * agg pass at any scale.
+    *
+    * Determinism: first/last are `min_by`/`max_by` on an INJECTIVE
+    * (ts, event_id) key (event_id unique ⇒ no tie can make the answer
+    * partition-dependent); min/max need no tiebreak at all because only
+    * the VALUE is emitted — tied minima share it. The oracle
+    * materializes the same first/last picks as row_number()=1 windows
+    * over the identical (ts, event_id) ordering.
+    *
+    * Scale shape: one map-side-combined HashAggregate pass over events
+    * (see the key-encoding note in the body — a struct ordering key
+    * would demote the whole agg to SortAggregate), state = 4 doubles +
+    * 2 decimals + a count per (type, day) cell; output ≤ |types|·|days|
+    * rows. At 100 TB this is the query a monitoring store runs to
+    * render years of raw points — no shuffle of the raw series, no
+    * per-group sort.
+    */
+  def qTimeM4(spark: SparkSession, sfDir: String): DataFrame = {
+    // Injective DECIMAL(38,0) encoding of the (ts, event_id) total order:
+    // micros (≤16 digits for any realistic epoch) × 10²¹ + event_id
+    // (unique, < 10²¹ with margin) — value ≤ ~1.7e36 < 10³⁸, so the
+    // product neither overflows nor loses scale-0 precision. A STRUCT
+    // ordering key would be semantically identical but structs are not
+    // hash-aggregable buffer types (the whole agg would fall back to
+    // SortAggregate — a per-partition sort of the raw series); a decimal
+    // IS mutable, keeping the plan on HashAggregate.
+    val tsKey = (unix_micros(col("ts")).cast("decimal(16,0)") *
+      lit(java.math.BigDecimal.ONE.scaleByPowerOfTen(21)).cast("decimal(22,0)") +
+      col("event_id").cast("decimal(38,0)")).cast("decimal(38,0)")
+    Tables
+      .events(spark, sfDir)
+      .where(col("value").isNotNull)
+      .select(col("event_type"), col("ts"), col("value"), tsKey.as("tk"))
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(
+        count(lit(1)).as("n_points"),
+        min_by(col("value"), col("tk")).as("v_first"),
+        max_by(col("value"), col("tk")).as("v_last"),
+        min(col("value")).as("v_min"),
+        max(col("value")).as("v_max"))
+      .orderBy("event_type", "day")
+  }
+
   // ------------------------------------------- autocorrelation (ACF)
 
   /** Autocorrelation function (lags 1–7) of the per-type daily event
@@ -1998,6 +2049,21 @@ object MiningOps {
     // the ⌊(x+1)/2⌋ dyadic halving is identical on both sides (floorDiv
     // vs floor((x+1)/2.0) — exact below 2^53), so the sequential state
     // replays bit-for-bit through the recursive CTE
+    "q_time_m4" -> Q(
+      qTimeM4,
+      Some(s"""WITH e AS (
+              | SELECT event_type, CAST(ts AS DATE) AS day, ts, event_id, value
+              | FROM ${LlmOps.EV} WHERE value IS NOT NULL),
+              |r AS (
+              | SELECT *,
+              |  row_number() OVER (PARTITION BY event_type, day ORDER BY ts, event_id) AS rf,
+              |  row_number() OVER (PARTITION BY event_type, day ORDER BY ts DESC, event_id DESC) AS rl
+              | FROM e)
+              |SELECT event_type, day, count(1) AS n_points,
+              | max(CASE WHEN rf = 1 THEN value END) AS v_first,
+              | max(CASE WHEN rl = 1 THEN value END) AS v_last,
+              | min(value) AS v_min, max(value) AS v_max
+              |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
     "q_time_lttb" -> Q(
       qTimeLttb,
       Some {

@@ -581,6 +581,70 @@ object QualityOps {
     * on the ≤ 30-row contingency frame (checkpointed — it feeds three
     * downstream aggs and the final join).
     */
+  /** Pairwise Welch's t-test over event-type value distributions — the
+    * unequal-variance two-sample test an experimentation platform runs
+    * beside the chi-square ([[qStatsChi2]]) and KS (`q_dq_ks`) checks:
+    * for every pair of event types, the t statistic and Welch–
+    * Satterthwaite degrees of freedom for the difference in mean value.
+    *
+    * Exactness: the ONLY corpus-scale pass is one per-type partial agg
+    * of (n, Σv, Σv²) with Σv as DECIMAL(18,6) and Σv² as DECIMAL(38,6)
+    * (the square of a ~1e2-bounded value summed over 1e9 rows stays
+    * within 38-digit precision; 18 digits would saturate near ×100) —
+    * both merge-order-independent by decimal exactness. Means, Welch
+    * variances, t, and dof are then IEEE doubles computed on the
+    * ≤|types|² pair frame from those exact sums, mirrored op-for-op by
+    * the oracle (division and sqrt are correctly-rounded, so the two
+    * engines agree bit-for-bit — the q_agg_corr discipline; no libm
+    * transcendentals anywhere).
+    *
+    * Scale shape: one map-side-combined agg over events; the pair
+    * construction is a self-join of the ≤|types|-row model frame
+    * (broadcast by size). Degenerate pairs (n ≤ 1 or both variances 0)
+    * emit NULL t/dof rather than NaN — the cramers_v convention.
+    */
+  def qStatsWelchTtest(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = Tables
+      .events(spark, sfDir)
+      .where(col("value").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).as("s"),
+        sum((col("value") * col("value")).cast("decimal(38,6)")).as("ss"))
+      .localCheckpoint() // ≤|types| rows; the pair self-join must not re-scan events
+    def side(p: String) = g.select(
+      col("event_type").as(s"${p}et"),
+      col("n").as(s"${p}n"),
+      col("s").cast("double").as(s"${p}s"),
+      col("ss").cast("double").as(s"${p}ss"))
+    val a = side("a_")
+    val b = side("b_")
+    def mean(p: String) = col(s"${p}s") / col(s"${p}n")
+    // unbiased sample variance from the exact power sums
+    def svar(p: String) =
+      (col(s"${p}ss") - col(s"${p}s") * col(s"${p}s") / col(s"${p}n")) / (col(s"${p}n") - 1)
+    val se2 = svar("a_") / col("a_n") + svar("b_") / col("b_n")
+    val ok = col("a_n") > 1 && col("b_n") > 1 && se2 > 0.0
+    a.crossJoin(b)
+      .where(col("a_et") < col("b_et"))
+      .select(
+        col("a_et").as("type_a"),
+        col("b_et").as("type_b"),
+        col("a_n").as("n_a"),
+        col("b_n").as("n_b"),
+        mean("a_").as("mean_a"),
+        mean("b_").as("mean_b"),
+        when(ok, (mean("a_") - mean("b_")) / sqrt(se2)).as("t_stat"),
+        when(
+          ok,
+          se2 * se2 /
+            ((svar("a_") / col("a_n")) * (svar("a_") / col("a_n")) / (col("a_n") - 1) +
+              (svar("b_") / col("b_n")) * (svar("b_") / col("b_n")) / (col("b_n") - 1)))
+          .as("welch_dof"))
+      .orderBy("type_a", "type_b")
+  }
+
   def qStatsChi2(spark: SparkSession, sfDir: String): DataFrame = {
     val cells = Tables
       .events(spark, sfDir)
@@ -918,6 +982,34 @@ object QualityOps {
              |SELECT n_customers, mi_nats, h_segment, h_nation,
              | mi_nats / sqrt(h_segment * h_nation) AS nmi
              |FROM base""".stripMargin)),
+    "q_stats_welch_ttest" -> Q(
+      qStatsWelchTtest,
+      Some("""WITH g AS (
+             | SELECT event_type AS et, count(1) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s,
+             |  CAST(sum(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS ss
+             | FROM events WHERE value IS NOT NULL GROUP BY 1)
+             |SELECT a.et AS type_a, b.et AS type_b, a.n AS n_a, b.n AS n_b,
+             | a.s / a.n AS mean_a, b.s / b.n AS mean_b,
+             | CASE WHEN a.n > 1 AND b.n > 1
+             |       AND (a.ss - a.s * a.s / a.n) / (a.n - 1) / a.n
+             |         + (b.ss - b.s * b.s / b.n) / (b.n - 1) / b.n > 0.0
+             |  THEN (a.s / a.n - b.s / b.n)
+             |     / sqrt((a.ss - a.s * a.s / a.n) / (a.n - 1) / a.n
+             |          + (b.ss - b.s * b.s / b.n) / (b.n - 1) / b.n) END AS t_stat,
+             | CASE WHEN a.n > 1 AND b.n > 1
+             |       AND (a.ss - a.s * a.s / a.n) / (a.n - 1) / a.n
+             |         + (b.ss - b.s * b.s / b.n) / (b.n - 1) / b.n > 0.0
+             |  THEN ((a.ss - a.s * a.s / a.n) / (a.n - 1) / a.n
+             |      + (b.ss - b.s * b.s / b.n) / (b.n - 1) / b.n)
+             |     * ((a.ss - a.s * a.s / a.n) / (a.n - 1) / a.n
+             |      + (b.ss - b.s * b.s / b.n) / (b.n - 1) / b.n)
+             |     / ((a.ss - a.s * a.s / a.n) / (a.n - 1) / a.n
+             |         * ((a.ss - a.s * a.s / a.n) / (a.n - 1) / a.n) / (a.n - 1)
+             |       + (b.ss - b.s * b.s / b.n) / (b.n - 1) / b.n
+             |         * ((b.ss - b.s * b.s / b.n) / (b.n - 1) / b.n) / (b.n - 1)) END AS welch_dof
+             |FROM g a JOIN g b ON a.et < b.et
+             |ORDER BY type_a, type_b""".stripMargin)),
     "q_stats_chi2" -> Q(
       qStatsChi2,
       Some("""WITH cells AS (

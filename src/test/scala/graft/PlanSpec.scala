@@ -511,6 +511,27 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Sort [adc") && !p.contains("Sort [q_id"), p)
   }
 
+  test("M4 downsampling is one HashAggregate pass — no SortAggregate, no Window (r12)") {
+    // the paper's point: pixel-exact downsampling as a pure agg. A struct
+    // ordering key for first/last would demote the whole agg to
+    // SortAggregate (per-partition sort of the raw series); the decimal
+    // key keeps it hash-aggregable, and min/max need no ordering at all
+    val p = plan(graft.queries.MiningOps.qTimeM4(spark, sf001))
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("SortAggregate"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("Welch t-test: one per-type partial agg; the pair frame broadcasts (r12)") {
+    val p = plan(graft.queries.QualityOps.qStatsWelchTtest(spark, sf001))
+    // corpus pass = ONE events scan (the checkpointed model frame feeds
+    // both sides of the pair self-join); no sort-merge machinery on the
+    // ≤|types|-row frames
+    assert("FileScan parquet".r.findAllIn(p).size == 0, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("freshness audit: conditional aggs partial-aggregate; hwm broadcasts (r10)") {
     val p = plan(graft.queries.QualityOps.qDqFreshness(spark, sf001))
     assert(p.contains("partial_"), p) // map-side combine on both aggs
