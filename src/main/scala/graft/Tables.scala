@@ -86,6 +86,24 @@ object Tables {
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
 
+  /** Injective DECIMAL(38,0) encoding of a (ts, id) total order for
+    * `min_by`/`max_by` extrema: micros (≤16 digits for any realistic
+    * epoch) × 10²¹ + id (unique, < 10²¹ with margin) — value ≤ ~1.7e36
+    * < 10³⁸, so the product neither overflows nor loses scale-0
+    * precision. A STRUCT ordering key would be semantically identical,
+    * but structs are not hash-aggregable buffer types: the whole
+    * aggregation falls back to SortAggregate (a per-partition sort of
+    * the raw input), and in STREAMING mode a struct buffer forces the
+    * same demotion inside the state store. A decimal IS a mutable
+    * buffer type, keeping batch plans on HashAggregate and streaming
+    * state flat. Shared by `q_time_m4` and `s_stream_m4` so the batch
+    * and streaming first/last semantics cannot drift.
+    */
+  def tsIdKey(ts: org.apache.spark.sql.Column, id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (unix_micros(ts).cast("decimal(16,0)") *
+      lit(java.math.BigDecimal.ONE.scaleByPowerOfTen(21)).cast("decimal(22,0)") +
+      id.cast("decimal(38,0)")).cast("decimal(38,0)")
+
   /** Exact decimal-core double aggregation: cast each addend to
     * DECIMAL(18,6) so partial-aggregate order (Spark shuffles) and engine
     * (Spark vs DuckDB) cannot perturb the sum, then surface a double.

@@ -1100,17 +1100,9 @@ object MiningOps {
     * per-group sort.
     */
   def qTimeM4(spark: SparkSession, sfDir: String): DataFrame = {
-    // Injective DECIMAL(38,0) encoding of the (ts, event_id) total order:
-    // micros (≤16 digits for any realistic epoch) × 10²¹ + event_id
-    // (unique, < 10²¹ with margin) — value ≤ ~1.7e36 < 10³⁸, so the
-    // product neither overflows nor loses scale-0 precision. A STRUCT
-    // ordering key would be semantically identical but structs are not
-    // hash-aggregable buffer types (the whole agg would fall back to
-    // SortAggregate — a per-partition sort of the raw series); a decimal
-    // IS mutable, keeping the plan on HashAggregate.
-    val tsKey = (unix_micros(col("ts")).cast("decimal(16,0)") *
-      lit(java.math.BigDecimal.ONE.scaleByPowerOfTen(21)).cast("decimal(22,0)") +
-      col("event_id").cast("decimal(38,0)")).cast("decimal(38,0)")
+    // Injective (ts, event_id) decimal ordering key — see Tables.tsIdKey
+    // for why a struct key would demote the agg to SortAggregate.
+    val tsKey = Tables.tsIdKey(col("ts"), col("event_id"))
     Tables
       .events(spark, sfDir)
       .where(col("value").isNotNull)

@@ -43,6 +43,11 @@ object StreamingQueries {
       .sliding(Tables.events(spark, sfDir), withWatermark = false)
       .orderBy("ws", "event_type")
 
+  def m4(spark: SparkSession, sfDir: String): DataFrame =
+    Streams
+      .m4(Tables.events(spark, sfDir), withWatermark = false)
+      .orderBy("ws", "event_type")
+
   def session(spark: SparkSession, sfDir: String): DataFrame =
     Streams
       .session(Tables.events(spark, sfDir), withWatermark = false)
@@ -209,6 +214,22 @@ object StreamingQueries {
               | event_type, count(1) AS n,
               | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v
               |FROM $EV GROUP BY 1, 2, 3 ORDER BY ws, event_type""".stripMargin)),
+    "s_stream_m4" -> Q(
+      m4,
+      Some(s"""WITH e AS (
+              | SELECT event_id, ts, event_type, value,
+              |  time_bucket(INTERVAL '5 minutes', ts) AS ws
+              | FROM $EV WHERE value IS NOT NULL),
+              |r AS (
+              | SELECT *,
+              |  row_number() OVER (PARTITION BY event_type, ws ORDER BY ts, event_id) AS rf,
+              |  row_number() OVER (PARTITION BY event_type, ws ORDER BY ts DESC, event_id DESC) AS rl
+              | FROM e)
+              |SELECT ws, ws + INTERVAL '5 minutes' AS we, event_type, count(1) AS n_points,
+              | max(CASE WHEN rf = 1 THEN value END) AS v_first,
+              | max(CASE WHEN rl = 1 THEN value END) AS v_last,
+              | min(value) AS v_min, max(value) AS v_max
+              |FROM r GROUP BY 1, 2, 3 ORDER BY ws, event_type""".stripMargin)),
     "s_stream_cdc_latest" -> Q(
       cdcLatest,
       Some(s"""WITH r AS (

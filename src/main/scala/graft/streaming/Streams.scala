@@ -28,6 +28,41 @@ object Streams {
         col("sum_v"))
   }
 
+  /** Streaming M4 downsampling (the `q_time_m4` sibling over 5-minute
+    * tumbling windows): per (window, type) the FIRST/LAST/MIN/MAX values
+    * — the four points that render the window pixel-exact on a live
+    * dashboard. All four extrema are DECLARATIVE aggregates (min_by/
+    * max_by on the injective [[graft.Tables.tsIdKey]] decimal key;
+    * min/max tie-free because only the value is emitted), so the state
+    * store holds a FLAT fixed-width row per open window — 4 doubles +
+    * 2 decimals + a count — merged incrementally across triggers; no
+    * per-window buffering of raw points, which is what makes this shape
+    * viable when one hot window sees millions of events. Streaming:
+    * append mode after watermark expiry; batch: plain groupBy.
+    */
+  def m4(events: DataFrame, withWatermark: Boolean): DataFrame = {
+    val src = if (withWatermark) events.withWatermark("ts", "10 minutes") else events
+    src
+      .where(col("value").isNotNull)
+      .withColumn("tk", graft.Tables.tsIdKey(col("ts"), col("event_id")))
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_points"),
+        min_by(col("value"), col("tk")).as("v_first"),
+        max_by(col("value"), col("tk")).as("v_last"),
+        min(col("value")).as("v_min"),
+        max(col("value")).as("v_max"))
+      .select(
+        col("window.start").as("ws"),
+        col("window.end").as("we"),
+        col("event_type"),
+        col("n_points"),
+        col("v_first"),
+        col("v_last"),
+        col("v_min"),
+        col("v_max"))
+  }
+
   /** 10-minute windows sliding by 5 — each event lands in 2 windows. */
   def sliding(events: DataFrame, withWatermark: Boolean): DataFrame = {
     val src = if (withWatermark) events.withWatermark("ts", "10 minutes") else events

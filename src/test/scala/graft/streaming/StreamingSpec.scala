@@ -378,6 +378,38 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming M4 equals batch, fed in chunks — extrema state merges across triggers (r12)") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val df = mem
+      .toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Streams
+      .m4(df, withWatermark = false)
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("m4_complete")
+      .start()
+    try {
+      // two chunks: the second trigger must MERGE min_by/max_by state
+      // into windows the first already opened — equality proves the
+      // declarative extrema buffers are merge-correct, not just one-pass
+      val evs = eventTuples.toIndexedSeq
+      val (a, b) = evs.splitAt(evs.length / 2)
+      mem.addData(a)
+      q.processAllAvailable()
+      mem.addData(b)
+      q.processAllAvailable()
+      val streamed = spark.table("m4_complete")
+      val batch = Streams.m4(
+        Tables.events(spark, sf001).select("event_id", "ts", "user_id", "event_type", "value"),
+        withWatermark = false)
+      assert(streamed.exceptAll(batch).count() == 0)
+      assert(batch.exceptAll(streamed).count() == 0)
+    } finally q.stop()
+  }
+
   test("streaming windowed quantile sketch equals batch, fed in chunks (r10)") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
