@@ -645,6 +645,59 @@ object QualityOps {
       .orderBy("type_a", "type_b")
   }
 
+  /** One-way ANOVA over event-type value distributions — the k-sample
+    * generalization of [[qStatsWelchTtest]]: between/within sums of
+    * squares, the F statistic, and eta² (effect size) for "does mean
+    * value differ across event types at all", run before the pairwise
+    * drill-down.
+    *
+    * Exactness: the SAME one-pass per-type (n, Σv, Σv²) decimal power
+    * sums as the t-test (18,6 / 38,6); SSB = Σs_i²/n_i − S²/N and
+    * SSW = ΣΣv² − Σs_i²/n_i are IEEE doubles computed on the ≤|types|
+    * model frame from those exact sums, with the cross-type reductions
+    * decimal-quantized (S at `dsum`'s (18,6); the square-scale Σss_i and
+    * Σs_i²/n_i at (38,6) — they reach ~1e12 within the certified probe
+    * range, where (18,6) saturates) so they are merge-order-independent
+    * too. Oracle mirrors op-for-op. Degenerate layouts (k ≤ 1 or N ≤ k)
+    * emit NULL F.
+    *
+    * Scale shape: one map-side-combined agg over events + a ≤|types|-row
+    * fold — nothing else touches the corpus.
+    */
+  def qStatsAnova(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = Tables
+      .events(spark, sfDir)
+      .where(col("value").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).as("s"),
+        sum((col("value") * col("value")).cast("decimal(38,6)")).as("ss"))
+      .select(
+        col("n"),
+        col("s").cast("double").as("s"),
+        col("ss").cast("double").as("ss"))
+    val ssb = col("sq_over_n") - col("s_tot") * col("s_tot") / col("n_tot")
+    val ssw = col("ss_tot") - col("sq_over_n")
+    val ok = col("k") > 1 && col("n_tot") > col("k") && ssw > 0.0
+    // square-scale reductions quantize at DECIMAL(38,6), not dsum's
+    // (18,6) — Σv² and s²/n reach ~1e12 within the certified probe range
+    def wsum(c: org.apache.spark.sql.Column) = sum(c.cast("decimal(38,6)")).cast("double")
+    g.agg(
+        sum(col("n")).as("n_tot"),
+        count(lit(1)).as("k"),
+        Tables.dsum(col("s")).as("s_tot"),
+        wsum(col("ss")).as("ss_tot"),
+        wsum(col("s") * col("s") / col("n")).as("sq_over_n"))
+      .select(
+        col("n_tot"),
+        col("k").as("n_groups"),
+        ssb.as("ss_between"),
+        ssw.as("ss_within"),
+        when(ok, (ssb / (col("k") - 1)) / (ssw / (col("n_tot") - col("k")))).as("f_stat"),
+        when(ok, ssb / (ssb + ssw)).as("eta_sq"))
+  }
+
   def qStatsChi2(spark: SparkSession, sfDir: String): DataFrame = {
     val cells = Tables
       .events(spark, sfDir)
@@ -982,6 +1035,29 @@ object QualityOps {
              |SELECT n_customers, mi_nats, h_segment, h_nation,
              | mi_nats / sqrt(h_segment * h_nation) AS nmi
              |FROM base""".stripMargin)),
+    "q_stats_anova" -> Q(
+      qStatsAnova,
+      Some("""WITH g AS (
+             | SELECT event_type AS et, count(1) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s,
+             |  CAST(sum(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS ss
+             | FROM events WHERE value IS NOT NULL GROUP BY 1),
+             |t AS (
+             | SELECT CAST(sum(n) AS BIGINT) AS n_tot, count(1) AS k,
+             |  CAST(sum(CAST(s AS DECIMAL(18,6))) AS DOUBLE) AS s_tot,
+             |  CAST(sum(CAST(ss AS DECIMAL(38,6))) AS DOUBLE) AS ss_tot,
+             |  CAST(sum(CAST(s * s / n AS DECIMAL(38,6))) AS DOUBLE) AS sq_over_n
+             | FROM g)
+             |SELECT n_tot, k AS n_groups,
+             | sq_over_n - s_tot * s_tot / n_tot AS ss_between,
+             | ss_tot - sq_over_n AS ss_within,
+             | CASE WHEN k > 1 AND n_tot > k AND ss_tot - sq_over_n > 0.0
+             |  THEN ((sq_over_n - s_tot * s_tot / n_tot) / (k - 1))
+             |     / ((ss_tot - sq_over_n) / (n_tot - k)) END AS f_stat,
+             | CASE WHEN k > 1 AND n_tot > k AND ss_tot - sq_over_n > 0.0
+             |  THEN (sq_over_n - s_tot * s_tot / n_tot)
+             |     / ((sq_over_n - s_tot * s_tot / n_tot) + (ss_tot - sq_over_n)) END AS eta_sq
+             |FROM t""".stripMargin)),
     "q_stats_welch_ttest" -> Q(
       qStatsWelchTtest,
       Some("""WITH g AS (
