@@ -51,6 +51,16 @@ object DedupClusters {
     *               set (Spark's own failure would otherwise surface
     *               rounds later, mid-job).
     */
+  /** Test seam: called once per round with (round index, the round's
+    * `msgs` edges ⋈ labels frame) BEFORE the label aggregation runs, so a
+    * spec can assert on the loop's OWN per-round plan (e.g. the r12
+    * exchange-free pin) instead of reconstructing the frames and hoping
+    * the reconstruction tracks the loop — the drift ClusterSpec's first
+    * pin had (round-12 ADVICE). No-op by default; zero production cost.
+    */
+  type RoundProbe = (Int, DataFrame) => Unit
+  val noProbe: RoundProbe = (_, _) => ()
+
   def clusters(
       pairs: DataFrame,
       aCol: String,
@@ -58,7 +68,8 @@ object DedupClusters {
       maxIters: Int = 20,
       strict: Boolean = true,
       reliableCheckpoint: Boolean = false,
-      pathDoubling: Boolean = false): DataFrame = {
+      pathDoubling: Boolean = false,
+      roundProbe: RoundProbe = noProbe): DataFrame = {
     if (reliableCheckpoint && pairs.sparkSession.sparkContext.getCheckpointDir.isEmpty)
       throw new IllegalStateException(
         "DedupClusters(reliableCheckpoint = true) needs " +
@@ -103,6 +114,7 @@ object DedupClusters {
       val msgs = sym
         .join(labels.withColumnRenamed("id", "a"), "a")
         .select(col("b").as("id"), col("label"), lit(false).as("own"))
+      roundProbe(i, msgs)
       // pointer jumping (optional): label(v) := min(.., label(label(v))).
       // label(v) is always some node's id, so the self-join always hits;
       // the fixpoint is unchanged (labels only decrease, and every

@@ -119,37 +119,39 @@ class ClusterSpec extends SparkSuite {
   }
 
   test("round join plans exchange-free: edge list pre-partitioned on the join key (r12)") {
-    // mirrors the loop's exact frame construction (DedupClusters.scala
-    // sym/labels/msgs): sym checkpointed repartition(a), labels
-    // checkpointed keyed by id, the per-round edges ⋈ labels join must
-    // then need NO exchange on either side — Dataset.localCheckpoint
-    // preserves outputPartitioning through LogicalRDD and the id → a
-    // rename alias-propagates it. If this pin breaks, every propagation
-    // round silently re-shuffles the 2|E| edge list.
+    // observes the loop's OWN per-round msgs plan via the roundProbe test
+    // seam (round-12 ADVICE: the first pin reconstructed the sym/labels
+    // frames and could drift from the real loop): in pathDoubling mode
+    // the per-round edges ⋈ labels join must plan with NO exchange on
+    // either side — sym is checkpointed repartition(a), labels come off
+    // their checkpoint hash-partitioned by id (the id → a rename
+    // alias-propagates), and Dataset.localCheckpoint preserves
+    // outputPartitioning through LogicalRDD. If this breaks, every
+    // propagation round silently re-shuffles the 2|E| edge list.
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.functions._
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      val edges = (0L until 2000L).map(i => (i, (i + 7) % 2000)).toDF("a", "b")
-      val sym = edges
-        .select(explode(array(
-          struct(col("a"), col("b")),
-          struct(col("b").as("a"), col("a").as("b")))).as("e"))
-        .select(col("e.a").as("a"), col("e.b").as("b"))
-        .distinct()
-        .repartition(col("a"))
-        .localCheckpoint()
-      val labels = sym
-        .select(col("a").as("id"))
-        .distinct()
-        .withColumn("label", col("id"))
-        .localCheckpoint()
-      val msgs = sym.join(labels.withColumnRenamed("id", "a"), "a")
-      val exchanges =
-        msgs.queryExecution.executedPlan.collect { case e: ShuffleExchangeLike => e }
-      assert(exchanges.isEmpty, msgs.queryExecution.executedPlan.toString)
-      assert(msgs.count() == sym.count()) // and the join itself is sane
+      // one 512-cycle (diameter 256): long-path enough that pathDoubling
+      // is the configuration under test, small enough for fast rounds
+      val edges = (0L until 512L).map(i => (i, (i + 1) % 512)).toDF("a", "b")
+      var rounds = 0
+      val labels = DedupClusters.clusters(
+        edges,
+        "a",
+        "b",
+        maxIters = 40,
+        pathDoubling = true,
+        roundProbe = { (_, msgs) =>
+          rounds += 1
+          val exchanges =
+            msgs.queryExecution.executedPlan.collect { case e: ShuffleExchangeLike => e }
+          assert(exchanges.isEmpty, msgs.queryExecution.executedPlan.toString)
+        })
+      assert(rounds >= 2, s"probe must see every round, saw $rounds")
+      // and the loop still computes the right components (one cycle)
+      assert(labels.select(countDistinct(col("label"))).head().getLong(0) == 1L)
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
