@@ -100,6 +100,38 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("property: tsIdKey orders exactly like (ts, id) on random timestamp collisions (r12)") {
+    // the M4 first/last contract rests on this key being an ORDER
+    // ISOMORPHISM of (ts, id); generate rows with heavy deliberate ts
+    // collisions so the id tiebreak is exercised, then compare the
+    // min_by/max_by picks against an explicit (ts, id) struct ordering
+    (21L to 25L).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val rows = (0 until 400).map { i =>
+        // ~8 distinct timestamps -> dozens of collisions per ts
+        val tsMicros = 1700000000000000L + rnd.nextInt(8) * 60000000L
+        (i.toLong, new java.sql.Timestamp(tsMicros / 1000), rnd.nextDouble())
+      }
+      val df = rows.toDF("event_id", "ts", "value").withColumn("g", lit(1))
+      val viaKey = df
+        .withColumn("tk", Tables.tsIdKey($"ts", $"event_id"))
+        .groupBy($"g")
+        .agg(
+          min_by($"value", $"tk").as("v_first"),
+          max_by($"value", $"tk").as("v_last"))
+        .select("v_first", "v_last")
+        .head()
+      val byStruct = df
+        .groupBy($"g")
+        .agg(
+          min(struct($"ts", $"event_id", $"value")).getField("value").as("v_first"),
+          max(struct($"ts", $"event_id", $"value")).getField("value").as("v_last"))
+        .select("v_first", "v_last")
+        .head()
+      assert(viaKey == byStruct, s"seed $seed")
+    }
+  }
+
   test("property: exact dedup is idempotent") {
     val corpus = Gen.listOfN(
       120,
