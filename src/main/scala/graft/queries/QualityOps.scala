@@ -809,6 +809,56 @@ object QualityOps {
       .orderBy("event_type")
   }
 
+  /** Heartbeat-gap audit — the time-CONTINUITY gate beside
+    * [[qDqFreshness]]'s staleness gate: per event type, slice its live
+    * span into 5-minute epoch-aligned buckets and report how many
+    * buckets saw zero events, the LONGEST consecutive outage run (in
+    * minutes), and the active-bucket completeness ratio. Freshness
+    * catches a producer that stopped; this catches one that flapped —
+    * intermittent outages inside the span that leave last_ts healthy.
+    *
+    * Scale shape: the ONLY corpus pass is one (type, bucket) partial
+    * count agg. Span, the expected-bucket fan-out (`sequence` +
+    * `explode` on the ≤|types| span frame), the anti-join for empties,
+    * and the gaps-and-islands window for run lengths all run on the
+    * MODEL frame (≤ |types| × span-buckets rows — slots grow with wall
+    * time, not corpus size, so a 100 TB day has the same 288 buckets a
+    * 1 GB day has). Buckets are exact integer floor-divisions of
+    * micros; completeness is the single IEEE division per type.
+    */
+  def qDqHeartbeat(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = Tables
+      .events(spark, sfDir)
+      .select(col("event_type"), expr("unix_micros(ts) div 300000000").as("bucket"))
+      .groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("n"))
+    val span = b
+      .groupBy("event_type")
+      .agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"), count(lit(1)).as("n_active"))
+      .localCheckpoint() // ≤|types| rows; fan-out + report reread this, not events
+    val expected = span.select(col("event_type"), explode(sequence(col("b0"), col("b1"))).as("bucket"))
+    val empty = expected.join(b, Seq("event_type", "bucket"), "left_anti")
+    val runKey = col("bucket") - row_number().over(
+      Window.partitionBy(col("event_type")).orderBy(col("bucket")))
+    val maxRun = empty
+      .select(col("event_type"), col("bucket"), runKey.as("rk"))
+      .groupBy("event_type", "rk")
+      .agg(count(lit(1)).as("run"))
+      .groupBy("event_type")
+      .agg(max(col("run")).as("max_run"))
+    span
+      .join(maxRun, Seq("event_type"), "left")
+      .select(
+        col("event_type"),
+        (col("b1") - col("b0") + 1).as("n_slots"),
+        col("n_active"),
+        (col("b1") - col("b0") + 1 - col("n_active")).as("n_empty"),
+        (coalesce(col("max_run"), lit(0L)) * 5).as("max_gap_min"),
+        (col("n_active").cast("double") / (col("b1") - col("b0") + 1)).as("completeness"))
+      .orderBy("event_type")
+  }
+
   /** Referential-integrity audit across the star schema's FK edges plus
     * the events→customer identity edge: per relationship, total child
     * rows, rows whose FK resolves to no parent, and how many DISTINCT
@@ -1106,6 +1156,35 @@ object QualityOps {
              |      / CAST(n * least(r - 1, c - 1) AS DOUBLE)) END AS cramers_v
              |FROM cells JOIN rm USING (et) JOIN cm USING (vb), t
              |GROUP BY n, n_cells, r, c""".stripMargin)),
+    "q_dq_heartbeat" -> Q(
+      qDqHeartbeat,
+      Some(s"""WITH b AS (
+              | SELECT event_type, epoch_us(ts) // 300000000 AS bucket, count(1) AS n
+              | FROM ${LlmOps.EV} GROUP BY 1, 2),
+              |span AS (
+              | SELECT event_type, min(bucket) AS b0, max(bucket) AS b1,
+              |        count(1) AS n_active
+              | FROM b GROUP BY 1),
+              |expd AS (
+              | SELECT event_type, unnest(generate_series(b0, b1)) AS bucket FROM span),
+              |emp AS (
+              | SELECT e.event_type, e.bucket
+              | FROM expd e LEFT JOIN b ON e.event_type = b.event_type AND e.bucket = b.bucket
+              | WHERE b.event_type IS NULL),
+              |runs AS (
+              | SELECT event_type,
+              |  bucket - row_number() OVER (PARTITION BY event_type ORDER BY bucket) AS rk
+              | FROM emp),
+              |mr AS (
+              | SELECT event_type, CAST(max(run) AS BIGINT) AS max_run
+              | FROM (SELECT event_type, rk, count(1) AS run FROM runs GROUP BY 1, 2)
+              | GROUP BY 1)
+              |SELECT s.event_type, b1 - b0 + 1 AS n_slots, n_active,
+              | b1 - b0 + 1 - n_active AS n_empty,
+              | coalesce(mr.max_run, 0) * 5 AS max_gap_min,
+              | CAST(n_active AS DOUBLE) / (b1 - b0 + 1) AS completeness
+              |FROM span s LEFT JOIN mr ON s.event_type = mr.event_type
+              |ORDER BY s.event_type""".stripMargin)),
     "q_dq_freshness" -> Q(
       qDqFreshness,
       Some(s"""WITH h AS (SELECT max(ts) AS hwm FROM ${LlmOps.EV})
