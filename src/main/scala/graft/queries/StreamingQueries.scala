@@ -48,6 +48,9 @@ object StreamingQueries {
       .m4(Tables.events(spark, sfDir), withWatermark = false)
       .orderBy("ws", "event_type")
 
+  def gapAlerts(spark: SparkSession, sfDir: String): DataFrame =
+    Streams.gapAlerts(Tables.events(spark, sfDir), streaming = false)
+
   def session(spark: SparkSession, sfDir: String): DataFrame =
     Streams
       .session(Tables.events(spark, sfDir), withWatermark = false)
@@ -230,6 +233,19 @@ object StreamingQueries {
               | max(CASE WHEN rl = 1 THEN value END) AS v_last,
               | min(value) AS v_min, max(value) AS v_max
               |FROM r GROUP BY 1, 2, 3 ORDER BY ws, event_type""".stripMargin)),
+    "s_stream_gap_alerts" -> Q(
+      gapAlerts,
+      Some(s"""WITH w AS (
+              | SELECT DISTINCT event_type, time_bucket(INTERVAL '5 minutes', ts) AS ws
+              | FROM $EV),
+              |l AS (
+              | SELECT event_type, ws,
+              |  lag(ws) OVER (PARTITION BY event_type ORDER BY ws) + INTERVAL '5 minutes' AS prev_end
+              | FROM w)
+              |SELECT event_type, prev_end AS gap_start, ws AS gap_end,
+              | CAST((epoch_us(ws) - epoch_us(prev_end)) // 300000000 AS BIGINT) AS n_missed
+              |FROM l WHERE prev_end IS NOT NULL AND ws > prev_end
+              |ORDER BY event_type, gap_start""".stripMargin)),
     "s_stream_cdc_latest" -> Q(
       cdcLatest,
       Some(s"""WITH r AS (

@@ -170,6 +170,92 @@ object Streams {
       .flatMapGroupsWithState[SessionState, SessionRow](OutputMode.Append, timeout)(fn)
   }
 
+  /** Outage (gap) alerts — the streaming sibling of `q_dq_heartbeat`:
+    * per event type, emit one alert row for every maximal run of empty
+    * 5-minute slots strictly inside the type's live span
+    * (gap_start/gap_end timestamps + missed-slot count). Heartbeat
+    * reports the aggregate continuity posture; this emits the actionable
+    * per-outage stream an on-call pages on.
+    *
+    * Batch form (the oracle twin): distinct (type, 5-min window) slots —
+    * one corpus partial agg — then a single `lag` window over the MODEL
+    * frame (slots grow with wall time, not corpus size) yields each gap
+    * between consecutive present slots. Streaming form: the SAME
+    * 5-minute tumbling agg (append mode, watermark-finalized) feeds a
+    * per-type `flatMapGroupsWithState` whose whole state is ONE long —
+    * the last finalized window end; a finalized window starting past it
+    * emits the gap row. Windows finalize in event-time order per key
+    * (the watermark is monotone), so detection-on-next-arrival is exact:
+    * StreamingSpec pins chunk-fed streamed alerts ≡ the batch twin
+    * row-for-row. An OPEN trailing outage is deliberately not emitted by
+    * either form (the batch span ends at the last event; the streaming
+    * watermark cannot finalize windows nobody has seen past) — the
+    * freshness gate (`q_dq_freshness`) owns the "producer is silent
+    * right now" signal. Parallelism is bounded by event-type
+    * cardinality, which is inherent to a per-type alert stream (the
+    * anomaly-scan note); state is 8 bytes per type.
+    */
+  def gapAlerts(events: DataFrame, streaming: Boolean): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val slotUs = 300000000L // 5 min in micros
+    if (!streaming) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+        .orderBy(col("ws"))
+      events
+        .groupBy(col("event_type"), window(col("ts"), "5 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("event_type"), col("window.start").as("ws"), col("window.end").as("we"))
+        .withColumn("prev_end", lag(col("we"), 1).over(w))
+        .where(col("prev_end").isNotNull && col("ws") > col("prev_end"))
+        .select(
+          col("event_type"),
+          col("prev_end").as("gap_start"),
+          col("ws").as("gap_end"),
+          // the diff is an exact multiple of slotUs, so the double
+          // quotient is integral and the cast is lossless
+          ((unix_micros(col("ws")) - unix_micros(col("prev_end"))) / slotUs)
+            .cast("long")
+            .as("n_missed"))
+        .orderBy("event_type", "gap_start")
+    } else {
+      def us(t: java.sql.Timestamp): Long = {
+        val i = t.toInstant
+        i.getEpochSecond * 1000000L + i.getNano / 1000L
+      }
+      def ts(m: Long): java.sql.Timestamp =
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(m / 1000000L, (m % 1000000L) * 1000L))
+      def fn(
+          et: String,
+          it: Iterator[(String, java.sql.Timestamp, java.sql.Timestamp)],
+          state: GroupState[GapState]): Iterator[GapRow] = {
+        val wins = it.toArray.sortBy(w => us(w._2))
+        val out = scala.collection.mutable.ArrayBuffer.empty[GapRow]
+        var lastEnd = state.getOption.map(_.lastEndUs).getOrElse(-1L)
+        wins.foreach { case (_, wsT, weT) =>
+          val ws = us(wsT)
+          if (lastEnd >= 0 && ws > lastEnd)
+            out += GapRow(et, ts(lastEnd), wsT, (ws - lastEnd) / slotUs)
+          lastEnd = math.max(lastEnd, us(weT))
+        }
+        if (lastEnd >= 0) state.update(GapState(lastEnd))
+        out.iterator
+      }
+      events
+        .withWatermark("ts", "10 minutes")
+        .groupBy(col("event_type"), window(col("ts"), "5 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("event_type"), col("window.start").as("ws"), col("window.end").as("we"))
+        .as[(String, java.sql.Timestamp, java.sql.Timestamp)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState[GapState, GapRow](
+          OutputMode.Append,
+          GroupStateTimeout.NoTimeout)(fn)
+        .toDF()
+    }
+  }
+
   /** Stream-static enrichment: each event picks up its user's dimension
     * attributes (market segment, account balance) via a broadcast hash
     * join against the static customer table — the canonical "enrich the
@@ -844,6 +930,13 @@ case class SessionState(
 /** Keyed state of [[Streams.ewmaStateful]]: the user's last ≤4 event
   * values as 1e-6 fixed-point longs, newest first.
   */
+case class GapState(lastEndUs: Long)
+case class GapRow(
+    event_type: String,
+    gap_start: java.sql.Timestamp,
+    gap_end: java.sql.Timestamp,
+    n_missed: Long)
+
 case class EwmaState(ring: List[Long])
 
 /** Per-event output of [[Streams.ewmaStateful]]. */

@@ -353,6 +353,59 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming gap alerts equal the batch twin, fed in chunks (r12)") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val df = mem
+      .toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Streams
+      .gapAlerts(df, streaming = true)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("gaps_stream")
+      .start()
+    try {
+      // one far-future sentinel per type flushes the watermark past every
+      // fixture window, so all real windows finalize; the sentinel's own
+      // giant gap appears in BOTH forms (the batch twin runs on the same
+      // sentinel-extended input), keeping the comparison exactly 1:1
+      // chronological chunks: a disordered split would have chunk b's
+      // early events land behind chunk a's watermark and drop as late —
+      // a test artifact, not the semantics under test
+      val evs = eventTuples.toIndexedSeq.sortBy(_._2.getTime)
+      val maxTs = evs.map(_._2.getTime).max
+      val sentinels = evs.map(_._4).distinct.zipWithIndex.map { case (et, i) =>
+        (900000L + i, new java.sql.Timestamp(maxTs + 86400000L), 0L, et, 0.0)
+      }
+      val (a, b) = evs.splitAt(evs.length / 2)
+      mem.addData(a)
+      q.processAllAvailable()
+      mem.addData(b)
+      q.processAllAvailable()
+      mem.addData(sentinels)
+      q.processAllAvailable()
+      // compare pre-sentinel gaps only: the gap INTO each sentinel exists
+      // in the batch twin but the sentinel's own window can never
+      // finalize in streaming (nothing flows past it) — the declared
+      // trailing-open-outage exclusion, here induced by the flush rows
+      val cutoff = new java.sql.Timestamp(maxTs)
+      val streamed = spark.table("gaps_stream").where(col("gap_end") <= lit(cutoff))
+      val batch = Streams
+        .gapAlerts(
+          Tables
+            .events(spark, sf001)
+            .select("event_id", "ts", "user_id", "event_type", "value")
+            .unionByName(sentinels.toDF("event_id", "ts", "user_id", "event_type", "value")),
+          streaming = false)
+        .where(col("gap_end") <= lit(cutoff))
+      assert(streamed.count() > 0, "fixture must contain at least one gap")
+      assert(streamed.exceptAll(batch).count() == 0)
+      assert(batch.exceptAll(streamed).count() == 0)
+    } finally q.stop()
+  }
+
   test("streaming tumbling (complete mode) equals batch") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
