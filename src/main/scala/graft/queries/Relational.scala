@@ -134,7 +134,12 @@ object Relational {
     * explodes to all order×event pairs). DuckDB oracle uses native
     * ASOF LEFT JOIN (inclusive >=, matching the window's frame).
     */
-  def qJoinAsof(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Shared events ∪ orders timeline of the as-of family: one frame,
+    * sorted (t ASC, kind DESC, event_id ASC) under every as-of window —
+    * orders sort BEFORE events at equal t, making the backward direction
+    * inclusive.
+    */
+  private def asofUnion(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables
       .events(spark, sfDir)
       .select(
@@ -151,15 +156,66 @@ object Relational {
         lit(1).as("kind"),
         lit(null).cast("long").as("event_id"),
         col("o_orderdate").as("order_t"))
+    ev.unionByName(or)
+  }
+
+  private def asofSort = Seq(col("t").asc, col("kind").desc, col("event_id").asc)
+
+  def qJoinAsof(spark: SparkSession, sfDir: String): DataFrame = {
     // orders sort before events at equal t (kind desc) → inclusive as-of.
     val w = Window
       .partitionBy("uid")
-      .orderBy(col("t").asc, col("kind").desc, col("event_id").asc)
+      .orderBy(asofSort: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ev.unionByName(or)
+    asofUnion(spark, sfDir)
       .withColumn("last_order_date", last(col("order_t"), ignoreNulls = true).over(w))
       .where(col("kind") === 0)
       .select(col("event_id"), col("uid").as("user_id"), col("t").as("ts"), col("last_order_date"))
+      .orderBy("event_id")
+  }
+
+  /** NEAREST-in-time as-of join (r12): each event matches the order date
+    * minimizing |ts − o_orderdate| — the sensor-fusion / feature-join
+    * flavor where "the closest reading" beats "the last reading"
+    * (backward = [[qJoinAsof]], forward-only is its mirror; this is
+    * both). Equidistant pairs resolve BACKWARD (the `<=`), and at equal
+    * t the backward side is inclusive while the forward frame is
+    * exclusive — distance 0 is already taken, so the asymmetry cannot
+    * change the answer.
+    *
+    * Scale shape: the SAME single union shuffle as the backward form;
+    * both directions come from ONE WindowExec pass (identical
+    * partitioning AND sort, so Catalyst plans one exchange + one sort
+    * with two frames over it — plan-pinned in PlanSpec). Distances are
+    * exact integer micros; no float time math. Oracle: two native
+    * DuckDB ASOF joins (>= backward, < forward) + the same integer
+    * CASE.
+    */
+  def qJoinAsofNearest(spark: SparkSession, sfDir: String): DataFrame = {
+    val wb = Window
+      .partitionBy("uid")
+      .orderBy(asofSort: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window
+      .partitionBy("uid")
+      .orderBy(asofSort: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    asofUnion(spark, sfDir)
+      .withColumn("last_o", last(col("order_t"), ignoreNulls = true).over(wb))
+      .withColumn("next_o", first(col("order_t"), ignoreNulls = true).over(wf))
+      .where(col("kind") === 0)
+      .select(
+        col("event_id"),
+        col("uid").as("user_id"),
+        col("t").as("ts"),
+        when(col("next_o").isNull, col("last_o"))
+          .when(col("last_o").isNull, col("next_o"))
+          .when(
+            unix_micros(col("t")) - unix_micros(col("last_o")) <=
+              unix_micros(col("next_o")) - unix_micros(col("t")),
+            col("last_o"))
+          .otherwise(col("next_o"))
+          .as("nearest_order_date"))
       .orderBy("event_id")
   }
 
@@ -1215,6 +1271,24 @@ object Relational {
               |FROM $EV e ASOF LEFT JOIN orders o
               |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
               |ORDER BY e.event_id""".stripMargin)),
+    "q_join_asof_nearest" -> Q(
+      qJoinAsofNearest,
+      Some(s"""WITH bwd AS (
+              | SELECT e.event_id, e.user_id, e.ts, o.o_orderdate AS last_o
+              | FROM $EV e ASOF LEFT JOIN orders o
+              |   ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate),
+              |fwd AS (
+              | SELECT e.event_id, o.o_orderdate AS next_o
+              | FROM $EV e ASOF LEFT JOIN orders o
+              |   ON e.user_id = o.o_custkey AND e.ts < o.o_orderdate)
+              |SELECT b.event_id, b.user_id, b.ts,
+              | CASE WHEN next_o IS NULL THEN last_o
+              |      WHEN last_o IS NULL THEN next_o
+              |      WHEN epoch_us(b.ts) - epoch_us(CAST(last_o AS TIMESTAMP))
+              |         <= epoch_us(CAST(next_o AS TIMESTAMP)) - epoch_us(b.ts) THEN last_o
+              |      ELSE next_o END AS nearest_order_date
+              |FROM bwd b JOIN fwd f ON b.event_id = f.event_id
+              |ORDER BY b.event_id""".stripMargin)),
     "q_join_asof_tolerance" -> Q(
       qJoinAsofTolerance,
       Some(s"""SELECT e.event_id, e.user_id, e.ts,

@@ -511,6 +511,17 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Sort [adc") && !p.contains("Sort [q_id"), p)
   }
 
+  test("nearest as-of: both direction frames share ONE window pass — one exchange, one sort (r12)") {
+    val p = plan(graft.queries.Relational.qJoinAsofNearest(spark, sf001))
+    // identical partitioning AND sort for the backward/forward frames ⇒
+    // Catalyst must plan a single uid exchange and a single sort; a
+    // second of either means the two windows stopped sharing their pass
+    // (the final orderBy contributes the one range exchange + its sort)
+    assert("\\bWindow \\[".r.findAllIn(p).size == 1, p)
+    assert("\\bExchange ".r.findAllIn(p).size <= 2, p) // uid hash + final range
+    assert("\\bSort \\[".r.findAllIn(p).size <= 2, p) // window sort + final orderBy
+  }
+
   test("M4 downsampling is one HashAggregate pass — no SortAggregate, no Window (r12)") {
     // the paper's point: pixel-exact downsampling as a pure agg. A struct
     // ordering key for first/last would demote the whole agg to
