@@ -547,6 +547,98 @@ object CorpusOps {
       .orderBy("user_id", "gt")
   }
 
+  /** Linear-interpolation gap fill on the per-type 5-minute series — the
+    * OTHER standard resample semantics beside [[qEventsResample]]'s LOCF:
+    * missing grid slots get the straight line between the surrounding
+    * observed means, the shape a monitoring/feature pipeline wants for
+    * rate-like metrics where carry-forward fabricates plateaus.
+    *
+    * Exactness: each observed slot's mean is `dsum(value)/count` (decimal
+    * quantized sum ÷ exact long — one IEEE division, engine-identical);
+    * the interpolation `pv + (nv−pv)·((b−pb)/(nb−pb))` is a fixed IEEE
+    * sequence on those means and exact long bucket indices, mirrored
+    * op-for-op by the oracle. Grid ENDS are observed by construction
+    * (span = [min, max] per type), so every missing slot has both
+    * neighbors; the one-sided fallback branches are kept for semantic
+    * clarity but are unreachable on any span.
+    *
+    * Scale shape: one (type, bucket) partial-agg shuffle over events is
+    * the only corpus-scale pass; the grid is slots × |types| (wall time,
+    * not corpus) and fans out CHUNKED — days first, then ≤288 in-day
+    * slots — so a decade span explodes ~3.7k day rows into bounded
+    * arrays instead of materializing one multi-million-element
+    * `sequence()` array per type (the q_dq_heartbeat ADVICE caveat,
+    * closed here by construction). The four neighbor lookups are two
+    * WindowExec frames per type over the grid.
+    */
+  def qEventsInterpolate(spark: SparkSession, sfDir: String): DataFrame = {
+    val slotUs = 300000000L
+    val perDay = 288L
+    val obs = Tables
+      .events(spark, sfDir)
+      .where(col("value").isNotNull)
+      .groupBy(col("event_type"), expr(s"unix_micros(ts) div $slotUs").as("bucket"))
+      .agg(Tables.dsum(col("value")).as("s"), count(lit(1)).as("n"))
+      .select(
+        col("event_type").as("o_et"),
+        col("bucket").as("o_bucket"),
+        (col("s") / col("n")).as("v_obs"))
+    val span = obs
+      .groupBy(col("o_et"))
+      .agg(min(col("o_bucket")).as("b0"), max(col("o_bucket")).as("b1"))
+      .localCheckpoint() // ≤|types| rows; grid fan-out rereads this, not events
+    val grid = span
+      .select(
+        col("o_et").as("event_type"),
+        col("b0"),
+        col("b1"),
+        explode(sequence(expr("b0 div 288"), expr("b1 div 288"))).as("day"))
+      .select(
+        col("event_type"),
+        explode(
+          sequence(
+            greatest(col("day") * perDay, col("b0")),
+            least(col("day") * perDay + (perDay - 1), col("b1")))).as("bucket"))
+    val joined = grid
+      .join(
+        obs,
+        col("event_type") === col("o_et") && col("bucket") === col("o_bucket"),
+        "left")
+    // BOTH neighbor lookups run as GROWING frames (unboundedPreceding → −1),
+    // the "next" one over a REVERSED sort: Spark evaluates a growing frame
+    // incrementally (O(n) per partition), while the naive
+    // (1, unboundedFollowing) shrinking frame re-aggregates the remaining
+    // rows for EVERY row — O(n²) per partition, measured 25 s vs 2 s on the
+    // sf0.01 grid. Cost of the trick: the grid is sorted twice (once per
+    // direction); it is wall-time-sized, not corpus-sized.
+    val wPrev = Window
+      .partitionBy("event_type")
+      .orderBy(col("bucket").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wNextRev = Window
+      .partitionBy("event_type")
+      .orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pv = last(col("v_obs"), ignoreNulls = true).over(wPrev)
+    val pb = last(when(col("v_obs").isNotNull, col("bucket")), ignoreNulls = true).over(wPrev)
+    val nv = last(col("v_obs"), ignoreNulls = true).over(wNextRev)
+    val nb = last(when(col("v_obs").isNotNull, col("bucket")), ignoreNulls = true).over(wNextRev)
+    joined
+      .select(
+        col("event_type"),
+        timestamp_micros(col("bucket") * slotUs).as("gt"),
+        col("v_obs").isNotNull.cast("int").as("observed"),
+        when(col("v_obs").isNotNull, col("v_obs"))
+          .when(
+            pv.isNotNull && nv.isNotNull,
+            pv + (nv - pv) * ((col("bucket") - pb).cast("double") /
+              (nb - pb).cast("double")))
+          .when(pv.isNotNull, pv)
+          .otherwise(nv)
+          .as("value_interp"))
+      .orderBy("event_type", "gt")
+  }
+
   // ------------------------------------------------------------- fuzzy dedup
 
   /** Edit-distance near-dup pairs via blocking: candidates share a
@@ -1160,6 +1252,37 @@ object CorpusOps {
       .groupBy(col("event_type").as("from_type"), col("to_type"))
       .agg(count(lit(1)).as("n"))
       .orderBy("from_type", "to_type")
+  }
+
+  /** Frequent contiguous event sequences (length-3 paths) with distinct-
+    * user support — the level-1 sequential-pattern-mining readout (the
+    * GSP/PrefixSpan "which journeys recur across users" question) one
+    * order up from [[qEventsTransitions]]'s first-order Markov counts:
+    * occurrences counts every time ANY user walks the path, support
+    * counts HOW MANY users ever walk it (the dedup that separates one
+    * bot looping from a real behavioral pattern). Patterns below
+    * support 2 are pruned — the monotone a-priori threshold.
+    *
+    * Scale shape: one user_id-keyed shuffle for the two `lead`s (a
+    * single WindowExec computes both — same window spec), then a
+    * partial-aggregating shuffle to the ≤|types|³ pattern frame whose
+    * `count(DISTINCT user_id)` expands to the standard two-level
+    * grouped distinct — all keyed, no driver state. Exact integers
+    * throughout; ordering ties broken by event_id so both engines walk
+    * identical per-user streams.
+    */
+  def qSeqMining(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    Tables
+      .events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .where(col("e2").isNotNull && col("e3").isNotNull)
+      .groupBy(col("event_type").as("e1"), col("e2"), col("e3"))
+      .agg(count(lit(1)).as("n_occ"), countDistinct(col("user_id")).as("n_users"))
+      .where(col("n_users") >= 2)
+      .orderBy(col("n_users").desc, col("n_occ").desc, col("e1"), col("e2"), col("e3"))
   }
 
   // ------------------------------------------------------------- DAU / WAU
@@ -2365,6 +2488,34 @@ object CorpusOps {
               |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf
               |FROM grid g LEFT JOIN b ON g.user_id = b.user_id AND g.gt = b.gt
               |ORDER BY g.user_id, g.gt""".stripMargin)),
+    "q_events_interpolate" -> Q(
+      qEventsInterpolate,
+      Some(s"""WITH obs AS (
+              | SELECT event_type, epoch_us(ts) // 300000000 AS bucket,
+              |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(1) AS v_obs
+              | FROM ${LlmOps.EV} WHERE value IS NOT NULL GROUP BY 1, 2),
+              |span AS (SELECT event_type, min(bucket) AS b0, max(bucket) AS b1 FROM obs GROUP BY 1),
+              |grid AS (
+              | SELECT event_type, unnest(generate_series(b0, b1)) AS bucket FROM span),
+              |j AS (
+              | SELECT g.event_type, g.bucket, o.v_obs,
+              |  last_value(o.v_obs IGNORE NULLS) OVER wp AS pv,
+              |  last_value(CASE WHEN o.v_obs IS NOT NULL THEN g.bucket END IGNORE NULLS) OVER wp AS pb,
+              |  first_value(o.v_obs IGNORE NULLS) OVER wn AS nv,
+              |  first_value(CASE WHEN o.v_obs IS NOT NULL THEN g.bucket END IGNORE NULLS) OVER wn AS nb
+              | FROM grid g LEFT JOIN obs o ON g.event_type = o.event_type AND g.bucket = o.bucket
+              | WINDOW wp AS (PARTITION BY g.event_type ORDER BY g.bucket
+              |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              |        wn AS (PARTITION BY g.event_type ORDER BY g.bucket
+              |               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+              |SELECT event_type, make_timestamp(bucket * 300000000) AS gt,
+              | CAST(v_obs IS NOT NULL AS INT) AS observed,
+              | CASE WHEN v_obs IS NOT NULL THEN v_obs
+              |      WHEN pv IS NOT NULL AND nv IS NOT NULL
+              |       THEN pv + (nv - pv) * (CAST(bucket - pb AS DOUBLE) / CAST(nb - pb AS DOUBLE))
+              |      WHEN pv IS NOT NULL THEN pv
+              |      ELSE nv END AS value_interp
+              |FROM j ORDER BY event_type, gt""".stripMargin)),
     "q_dedup_fuzzy" -> Q(
       qDedupFuzzy,
       Some("""WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
@@ -2656,6 +2807,18 @@ object CorpusOps {
               |SELECT from_type, to_type, count(1) AS n FROM t
               |WHERE to_type IS NOT NULL
               |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin)),
+    "q_seq_mining" -> Q(
+      qSeqMining,
+      Some(s"""WITH t AS (
+              | SELECT user_id, event_type AS e1,
+              |  lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+              |  lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+              | FROM $EV)
+              |SELECT e1, e2, e3, count(1) AS n_occ,
+              | CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+              |FROM t WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+              |GROUP BY 1, 2, 3 HAVING count(DISTINCT user_id) >= 2
+              |ORDER BY n_users DESC, n_occ DESC, e1, e2, e3""".stripMargin)),
     "q_agg_bitmap_distinct" -> Q(
       qAggBitmapDistinct,
       Some(s"""SELECT event_type,

@@ -2454,6 +2454,36 @@ object LlmOps {
     * stateless per-row key at the scan + TakeOrdered k-merge; zero
     * shuffles.
     */
+  /** Per-group uniform k-reservoir sample (k = 4 per event type), made
+    * deterministic the `q_sample_hash` way: each row's reservoir
+    * priority is md5 of its unique event_id, so "keep the k smallest
+    * priorities per group" IS a uniform without-replacement k-sample —
+    * the distributed equivalent of Vitter's Algorithm R with the PRNG
+    * replaced by a reproducible hash (same winners across engines, runs,
+    * and partitionings; `df.sample()` stays banned from this family).
+    *
+    * Scale shape: this is EXACTLY the bounded per-group top-k shape —
+    * WindowTopKRule rewrites the row_number ≤ k window (md5 order key +
+    * event_id tiebreak) to the two-phase GroupTopK heap, so ≤ k·|groups|
+    * rows cross the exchange and the full sort never happens. The hash
+    * is computed once at the scan (stateless, codegen'd md5).
+    */
+  def qSampleReservoir(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = 4
+    val w = Window.partitionBy("event_type").orderBy(col("rkey").asc, col("event_id").asc)
+    Tables
+      .events(spark, sfDir)
+      .select(
+        col("event_type"),
+        col("event_id"),
+        col("user_id"),
+        md5(col("event_id").cast("string").cast("binary")).as("rkey"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("event_type"), col("rn"), col("event_id"), col("user_id"), col("rkey"))
+      .orderBy("event_type", "rn")
+  }
+
   def qSampleWeighted(spark: SparkSession, sfDir: String): DataFrame = {
     val h = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 10), 16, 10)
       .cast("long") + lit(1L)
@@ -3459,6 +3489,16 @@ object LlmOps {
       qSampleHash,
       Some("""SELECT doc_id, lang, n_chars FROM documents
              |WHERE substr(md5(text), 1, 2) < '1a' ORDER BY doc_id""".stripMargin)),
+    "q_sample_reservoir" -> Q(
+      qSampleReservoir,
+      Some(s"""WITH s AS (
+              | SELECT event_type, event_id, user_id,
+              |  md5(CAST(event_id AS VARCHAR)) AS rkey,
+              |  row_number() OVER (PARTITION BY event_type
+              |    ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+              | FROM $EV)
+              |SELECT event_type, CAST(rn AS INT) AS rn, event_id, user_id, rkey
+              |FROM s WHERE rn <= 4 ORDER BY event_type, rn""".stripMargin)),
     "q_sample_weighted" -> Q(
       qSampleWeighted,
       Some("""SELECT doc_id, n_chars AS weight,

@@ -70,6 +70,65 @@ object QualityOps {
       .orderBy("doc_id")
   }
 
+  /** Per-language readability profile (Flesch–Kincaid grade shape) —
+    * the curation signal BESIDE the Gopher rule battery: word/sentence
+    * length and a syllable proxy say "how hard is this text to read",
+    * which mix designers use to tier corpora (children's text vs
+    * academic prose) where Gopher only says "is it junk".
+    *
+    * The syllable proxy is the classic vowel-group count (maximal
+    * `[aeiou]+` runs per word — the standard cheap estimator); sentences
+    * are `[.!?]+` runs floored at 1 so mark-free docs (this fixture's
+    * word soup — the degenerate-but-correct case) read as one sentence.
+    * Both counts use the marker-substitution idiom (global
+    * regexp_replace to a U+0001 marker, then a length difference) —
+    * exact integers, no regex-count builtin needed, and the marker
+    * cannot occur in text.
+    *
+    * Exactness: per-doc ratios and the FK chain
+    * `0.39·(w/s) + 11.8·(syl/w) − 15.59` are fixed IEEE sequences on
+    * exact integers (literals parse to identical doubles in both
+    * engines); per-language means go through `dsum`'s DECIMAL(18,6)
+    * quantization so partial-agg order cannot perturb them; min/max are
+    * exact. Scale shape: one stateless regex+split pass at the scan,
+    * one partial-aggregating shuffle to the |langs| frame. The regexes
+    * are anchored character classes — linear scans, no backtracking.
+    */
+  def qTextReadability(spark: SparkSession, sfDir: String): DataFrame = {
+    val mark = "\u0001"
+    val vm = regexp_replace(lower(col("text")), "[aeiou]+", mark)
+    val sm = regexp_replace(col("text"), "[.!?]+", mark)
+    val perDoc = Tables
+      .documents(spark, sfDir)
+      .select(
+        col("lang"),
+        size(filter(split(col("text"), " "), x => x =!= lit(""))).cast("double").as("w"),
+        (length(vm) - length(translate(vm, mark, ""))).cast("double").as("syl"),
+        greatest(lit(1), length(sm) - length(translate(sm, mark, ""))).cast("double").as("s"))
+      .where(col("w") > 0)
+    val wps = col("w") / col("s")
+    val spw = col("syl") / col("w")
+    val fk = lit(0.39) * wps + lit(11.8) * spw - lit(15.59)
+    perDoc
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        Tables.dsum(wps).as("sw"),
+        Tables.dsum(spw).as("ss"),
+        Tables.dsum(fk).as("sf"),
+        min(fk).as("min_fk"),
+        max(fk).as("max_fk"))
+      .select(
+        col("lang"),
+        col("n_docs"),
+        (col("sw") / col("n_docs")).as("avg_wps"),
+        (col("ss") / col("n_docs")).as("avg_spw"),
+        (col("sf") / col("n_docs")).as("avg_fk"),
+        col("min_fk"),
+        col("max_fk"))
+      .orderBy("lang")
+  }
+
   /** Per-source curation scorecard: the dashboard a dataset owner reads
     * before deciding which sources to keep, reweight, or drop — doc
     * counts, Gopher-rule pass rates, repetition-flag rates, and mean
@@ -698,6 +757,91 @@ object QualityOps {
         when(ok, ssb / (ssb + ssw)).as("eta_sq"))
   }
 
+  /** Pairwise Mann–Whitney U (Wilcoxon rank-sum) test over event-type
+    * value distributions — the NONPARAMETRIC sibling of
+    * [[qStatsWelchTtest]]: no normality assumption, rank-based, the test
+    * an experimentation platform reaches for when value distributions
+    * are skewed (revenue, latency). For every type pair: U, the
+    * tie-corrected normal-approximation z, and the group sizes.
+    *
+    * Exact-integer core: U counts cross-group order pairs —
+    * `U = Σ_v cntA(v)·(ltB(v) + ½·eqB(v))`. Doubling clears the half:
+    * `2U = Σ_v cntA(v)·(2·ltB(v) + eqB(v))` is an EXACT integer, and
+    * the tie term `Σ_t (t³ − t)` over combined tie groups is exact too,
+    * so the only IEEE arithmetic is the final mean/variance/z chain on
+    * the 10-row pair frame, mirrored op-for-op by the oracle (divisions
+    * and sqrt are correctly-rounded — the Welch/ANOVA discipline).
+    * Per-row products and both sums run in DECIMAL (19,0 factors;
+    * 38,0 sums): counts ≤ 1e18 and `Σ t³ ≤ n³` stay in 38 digits at any
+    * realistic scale, where a LONG product would silently wrap at
+    * ~1e9 × 1e9 rows.
+    *
+    * Scale shape: the ONLY corpus-scale pass is the (value, type) count
+    * aggregation (map-side combined). Everything downstream runs on the
+    * distinct-VALUE frame: the D×|types| dense matrix (zero-filled via a
+    * broadcast of the ≤|types| type list), per-type strictly-less
+    * running counts (window keyed by type over D rows — for a metric
+    * whose distinct-value count approaches the corpus, pre-quantize the
+    * value as `q_dq_ks` does, or lift the running count to the
+    * `q_orders_pareto` two-phase prefix-sum shape), and a self-join on
+    * value producing D·|types|² rows folded map-side to the pair frame.
+    */
+  def qStatsMannWhitney(spark: SparkSession, sfDir: String): DataFrame = {
+    val vt = Tables
+      .events(spark, sfDir)
+      .where(col("value").isNotNull)
+      .groupBy(col("value").as("v"), col("event_type").as("et"))
+      .agg(count(lit(1)).as("cnt"))
+    val types = vt.select("et").distinct()
+    val wLt = Window
+      .partitionBy("et")
+      .orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // dense D×|types| matrix: every (value, type) cell, zero-filled, with
+    // the strictly-less running count per type
+    val m = vt
+      .select("v")
+      .distinct()
+      .crossJoin(broadcast(types))
+      .join(vt, Seq("v", "et"), "left")
+      .select(col("v"), col("et"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+      .withColumn("lt", coalesce(sum("cnt").over(wLt), lit(0L)))
+      .localCheckpoint() // feeds both sides of the pair self-join
+    def side(p: String) = m.select(
+      col("v"),
+      col("et").as(s"${p}et"),
+      col("cnt").as(s"${p}cnt"),
+      col("lt").as(s"${p}lt"))
+    val t = (col("a_cnt") + col("b_cnt")).cast("decimal(12,0)")
+    val pairs = side("a_")
+      .join(side("b_"), Seq("v"))
+      .where(col("a_et") < col("b_et"))
+      .groupBy(col("a_et").as("type_a"), col("b_et").as("type_b"))
+      .agg(
+        sum(col("a_cnt")).as("n_a"),
+        sum(col("b_cnt")).as("n_b"),
+        sum(col("a_cnt").cast("decimal(19,0)") *
+          (lit(2L) * col("b_lt") + col("b_cnt")).cast("decimal(19,0)")).as("u2"),
+        sum(t * t * t - t).as("ties3"))
+    // IEEE tail on the ≤|types|² pair frame, from exact integers only
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val n = (col("n_a") + col("n_b")).cast("double")
+    val u = col("u2").cast("double") / 2.0
+    val mu = na * nb / 2.0
+    val varU = na * nb / 12.0 *
+      ((n + 1.0) - col("ties3").cast("double") / (n * (n - 1.0)))
+    pairs
+      .select(
+        col("type_a"),
+        col("type_b"),
+        col("n_a"),
+        col("n_b"),
+        u.as("u_stat"),
+        when(varU > 0.0, (u - mu) / sqrt(varU)).as("z"))
+      .orderBy("type_a", "type_b")
+  }
+
   def qStatsChi2(spark: SparkSession, sfDir: String): DataFrame = {
     val cells = Tables
       .events(spark, sfDir)
@@ -926,6 +1070,31 @@ object QualityOps {
               | (n_tok >= 50 AND n_tok <= 100000 AND mw >= 3.0 AND mw <= 10.0
               |  AND n_stop >= 2 AND ttr >= 0.2) AS gopher_pass
               |FROM p ORDER BY doc_id""".stripMargin)),
+    "q_text_readability" -> Q(
+      qTextReadability,
+      Some("""WITH r AS (
+             | SELECT lang,
+             |  regexp_replace(lower(text), '[aeiou]+', chr(1), 'g') AS vm,
+             |  regexp_replace(text, '[.!?]+', chr(1), 'g') AS sm,
+             |  text
+             | FROM documents),
+             |d AS (
+             | SELECT lang,
+             |  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS DOUBLE) AS w,
+             |  CAST(length(vm) - length(replace(vm, chr(1), '')) AS DOUBLE) AS syl,
+             |  CAST(greatest(1, length(sm) - length(replace(sm, chr(1), ''))) AS DOUBLE) AS s
+             | FROM r),
+             |m AS (
+             | SELECT lang, w / s AS wps, syl / w AS spw,
+             |  CAST(0.39 AS DOUBLE) * (w / s) + CAST(11.8 AS DOUBLE) * (syl / w)
+             |   - CAST(15.59 AS DOUBLE) AS fk
+             | FROM d WHERE w > 0)
+             |SELECT lang, CAST(count(1) AS BIGINT) AS n_docs,
+             | CAST(sum(CAST(wps AS DECIMAL(18,6))) AS DOUBLE) / count(1) AS avg_wps,
+             | CAST(sum(CAST(spw AS DECIMAL(18,6))) AS DOUBLE) / count(1) AS avg_spw,
+             | CAST(sum(CAST(fk AS DECIMAL(18,6))) AS DOUBLE) / count(1) AS avg_fk,
+             | min(fk) AS min_fk, max(fk) AS max_fk
+             |FROM m GROUP BY 1 ORDER BY lang""".stripMargin)),
     "q_mix_epochs" -> Q(
       qMixEpochs,
       Some("""WITH c AS (SELECT lang, count(1) AS n_docs FROM documents GROUP BY lang),
@@ -1136,6 +1305,39 @@ object QualityOps {
              |         * ((b.ss - b.s * b.s / b.n) / (b.n - 1) / b.n) / (b.n - 1)) END AS welch_dof
              |FROM g a JOIN g b ON a.et < b.et
              |ORDER BY type_a, type_b""".stripMargin)),
+    "q_stats_mannwhitney" -> Q(
+      qStatsMannWhitney,
+      Some(s"""WITH vt AS (
+              | SELECT value AS v, event_type AS et, count(1) AS cnt
+              | FROM ${LlmOps.EV} WHERE value IS NOT NULL GROUP BY 1, 2),
+              |m AS (
+              | SELECT d.v, ty.et, COALESCE(vt.cnt, 0) AS cnt,
+              |  COALESCE(sum(COALESCE(vt.cnt, 0)) OVER (PARTITION BY ty.et ORDER BY d.v
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lt
+              | FROM (SELECT DISTINCT v FROM vt) d
+              | CROSS JOIN (SELECT DISTINCT et FROM vt) ty
+              | LEFT JOIN vt ON vt.v = d.v AND vt.et = ty.et),
+              |p AS (
+              | SELECT a.et AS type_a, b.et AS type_b,
+              |  CAST(sum(a.cnt) AS BIGINT) AS n_a, CAST(sum(b.cnt) AS BIGINT) AS n_b,
+              |  sum(CAST(a.cnt AS DECIMAL(19,0)) * CAST(2 * b.lt + b.cnt AS DECIMAL(19,0))) AS u2,
+              |  sum(CAST(a.cnt + b.cnt AS DECIMAL(12,0)) * CAST(a.cnt + b.cnt AS DECIMAL(12,0))
+              |        * CAST(a.cnt + b.cnt AS DECIMAL(12,0))
+              |      - CAST(a.cnt + b.cnt AS DECIMAL(12,0))) AS ties3
+              | FROM m a JOIN m b ON a.v = b.v AND a.et < b.et
+              | GROUP BY 1, 2)
+              |SELECT type_a, type_b, n_a, n_b,
+              | CAST(u2 AS DOUBLE) / 2.0 AS u_stat,
+              | CASE WHEN CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 *
+              |    ((CAST(n_a + n_b AS DOUBLE) + 1.0)
+              |     - CAST(ties3 AS DOUBLE)
+              |       / (CAST(n_a + n_b AS DOUBLE) * (CAST(n_a + n_b AS DOUBLE) - 1.0))) > 0.0
+              |  THEN (CAST(u2 AS DOUBLE) / 2.0 - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)
+              |     / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 *
+              |        ((CAST(n_a + n_b AS DOUBLE) + 1.0)
+              |         - CAST(ties3 AS DOUBLE)
+              |           / (CAST(n_a + n_b AS DOUBLE) * (CAST(n_a + n_b AS DOUBLE) - 1.0)))) END AS z
+              |FROM p ORDER BY type_a, type_b""".stripMargin)),
     "q_stats_chi2" -> Q(
       qStatsChi2,
       Some("""WITH cells AS (

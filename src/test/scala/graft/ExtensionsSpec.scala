@@ -365,7 +365,11 @@ class ExtensionsSpec extends AnyFunSuite {
     for (
       fn <- Seq(
         graft.queries.Relational.qTopkGroupTies _,
-        graft.queries.Relational.qTopkGroupDense _)
+        graft.queries.Relational.qTopkGroupDense _,
+        // r12 third session: the hash-priority reservoir sample is the
+        // row_number ≤ k shape (md5 order + event_id tiebreak) — it must
+        // ride the native heap too
+        graft.queries.LlmOps.qSampleReservoir _)
     ) {
       val p = fn(ext, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
       assert(p.contains("GroupTopK"), p)

@@ -283,6 +283,71 @@ class CorpusOpsSpec extends SparkSuite {
     assert(observed.toLong == expected)
   }
 
+  test("q_events_interpolate: grid contiguous, ends observed, gaps on the straight line") {
+    val rows = CorpusOps.qEventsInterpolate(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val slotMs = 300 * 1000L
+    var sawGap = false
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val ts = rs.map(_.getTimestamp(1).getTime)
+      assert(ts.zip(ts.tail).forall { case (a, b) => b - a == slotMs })
+      // span ends are observed by construction → every slot has a value
+      assert(rs.head.getInt(2) == 1 && rs.last.getInt(2) == 1)
+      assert(rs.forall(!_.isNullAt(3)))
+      // every missing slot lies on the line between its observed neighbors
+      val obsIdx = rs.indices.filter(rs(_).getInt(2) == 1)
+      rs.indices.filterNot(rs(_).getInt(2) == 1).foreach { i =>
+        sawGap = true
+        val p = obsIdx.filter(_ < i).max
+        val n = obsIdx.filter(_ > i).min
+        val (pv, nv) = (rs(p).getDouble(3), rs(n).getDouble(3))
+        val want = pv + (nv - pv) * ((i - p).toDouble / (n - p).toDouble)
+        assert(rs(i).getDouble(3) == want)
+      }
+    }
+    assert(sawGap) // anti-vacuity: the sf0.001 grid DOES have holes
+    // observed-slot values are the per-(type, slot) means
+    val means = graft.Tables
+      .events(spark, sf001)
+      .where(col("value").isNotNull)
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 300000000").as("b"))
+      .agg((graft.Tables.dsum(col("value")) / count(lit(1))).as("m"))
+      .as[(String, Long, Double)]
+      .collect()
+      .map { case (et, b, m) => (et, b) -> m }
+      .toMap
+    rows.filter(_.getInt(2) == 1).foreach { r =>
+      val b = r.getTimestamp(1).getTime / slotMs
+      assert(r.getDouble(3) == means((r.getString(0), b)))
+    }
+  }
+
+  test("q_seq_mining: trigram support recomputes from local per-user walks") {
+    val rows = CorpusOps.qSeqMining(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val streams = graft.Tables
+      .events(spark, sf001)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .collect()
+      .groupBy(_._1)
+      .map { case (u, g) => u -> g.sortBy(e => (e._2, e._3)).map(_._4).toSeq }
+    val walks = streams.toSeq.flatMap { case (u, s) => s.sliding(3).filter(_.size == 3).map(u -> _) }
+    val byPat = walks.groupBy(_._2)
+    val want = byPat.collect {
+      case (pat, g) if g.map(_._1).distinct.size >= 2 =>
+        (pat(0), pat(1), pat(2)) -> ((g.size.toLong, g.map(_._1).distinct.size.toLong))
+    }
+    assert(rows.length == want.size)
+    rows.foreach { r =>
+      val k = (r.getString(0), r.getString(1), r.getString(2))
+      assert(want(k) == ((r.getLong(3), r.getLong(4))))
+    }
+    // support ordering is what the query promises (desc users, desc occ)
+    val keys = rows.map(r => (r.getLong(4), r.getLong(3))).toSeq
+    assert(keys == keys.sortBy { case (u, o) => (-u, -o) })
+  }
+
   // ----------------------------------------------------------- fuzzy dedup
 
   test("fuzzyCore finds prefix-blocked near-dups, skips far pairs") {

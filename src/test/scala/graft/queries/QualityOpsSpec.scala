@@ -34,6 +34,69 @@ class QualityOpsSpec extends SparkSuite {
     assert(rows.exists(_.getLong(3) == 0L))
   }
 
+  test("q_text_readability: FK chain recomputes from raw strings via java regex") {
+    val rows = QualityOps.qTextReadability(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val docs = graft.Tables
+      .documents(spark, sf001)
+      .select(col("lang"), col("text"))
+      .as[(String, String)]
+      .collect()
+    val byLang = docs.groupBy(_._1)
+    assert(rows.map(_.getString(0)).toSeq == byLang.keySet.toSeq.sorted)
+    rows.foreach { r =>
+      val m = byLang(r.getString(0)).map { case (_, t) =>
+        val w = t.split(" ", -1).count(_.nonEmpty).toDouble
+        val syl = "[aeiou]+".r.findAllIn(t.toLowerCase).size.toDouble
+        val s = math.max(1, "[.!?]+".r.findAllIn(t).size).toDouble
+        (w, syl, s)
+      }.filter(_._1 > 0)
+      assert(r.getLong(1) == m.length.toLong)
+      val fks = m.map { case (w, syl, s) => 0.39 * (w / s) + 11.8 * (syl / w) - 15.59 }
+      val avgFk = m.map { case (w, syl, s) =>
+        BigDecimal.decimal(0.39 * (w / s) + 11.8 * (syl / w) - 15.59)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }.sum.toDouble / m.length
+      assert(math.abs(r.getDouble(4) - avgFk) < 1e-9)
+      assert(r.getDouble(5) == fks.min && r.getDouble(6) == fks.max)
+    }
+  }
+
+  test("q_stats_mannwhitney: U and z recompute from brute-force pair counting") {
+    val rows = QualityOps.qStatsMannWhitney(spark, sf001).collect()
+    val ev = graft.Tables
+      .events(spark, sf001)
+      .where(col("value").isNotNull)
+      .select(col("event_type"), col("value"))
+      .as[(String, Double)]
+      .collect()
+    val byType = ev.groupBy(_._1).map { case (k, g) => k -> g.map(_._2) }
+    val types = byType.keySet.toSeq.sorted
+    assert(rows.length == types.combinations(2).size)
+    rows.foreach { r =>
+      val (a, b) = (byType(r.getString(0)), byType(r.getString(1)))
+      assert(r.getLong(2) == a.length.toLong && r.getLong(3) == b.length.toLong)
+      // exact 2U by quadratic pair counting (the definition, not the
+      // engine's distinct-value factorization)
+      var u2 = 0L
+      for (x <- a; y <- b) { if (y < x) u2 += 2 else if (y == x) u2 += 1 }
+      assert(r.getDouble(4) == u2.toDouble / 2.0)
+      val ties3 =
+        (a ++ b).groupBy(identity).map { case (_, g) => val t = g.length.toLong; t * t * t - t }.sum
+      val na = a.length.toDouble
+      val nb = b.length.toDouble
+      val n = na + nb
+      val varU = na * nb / 12.0 * ((n + 1.0) - ties3.toDouble / (n * (n - 1.0)))
+      if (varU > 0.0) {
+        val z = (u2.toDouble / 2.0 - na * nb / 2.0) / math.sqrt(varU)
+        assert(math.abs(r.getDouble(5) - z) < 1e-9)
+      } else assert(r.isNullAt(5))
+    }
+    // anti-vacuity: the fixture's 2-decimal values DO collide (48 dup
+    // rows at sf0.001), so the tie-correction path is genuinely exercised
+    assert(byType.values.flatten.toSeq.groupBy(identity).exists(_._2.length > 1))
+  }
+
   test("q_stats_chi2: statistic recomputes exactly from a local contingency table") {
     val r = QualityOps.qStatsChi2(spark, sf001).collect()
     assert(r.length == 1)
