@@ -1815,6 +1815,62 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** Collocation mining: top-50 adjacent token pairs by pointwise mutual
+    * information (PMI) with a min-support floor — the classic "which
+    * word pairs belong together" extractor (Church & Hanks shape) a
+    * phrase-aware tokenizer or index builder runs over a corpus; the
+    * support floor (c_ab ≥ 5) is the standard guard against PMI's
+    * rare-pair bias.
+    *
+    * Exactness: PMI decomposes into a SUM OF LOGS OF EXACT INTEGERS —
+    * `ln c_ab − ln N_bg − ln c_a − ln c_b + 2·ln N_uni` — so every `ln`
+    * takes an integer argument and is micro-quantized
+    * (`round(ln·1e6)` — the q_text_zipf pattern, covered by the ln ulp
+    * guard); the score is one exact long sum surfaced as a double. No
+    * float ratios anywhere.
+    *
+    * Scale shape: bigram and unigram counting are the two corpus-scale
+    * partial-agg shuffles (the bigram explode rides the shared
+    * TokenWindows kernel); scoring joins the COUNT frames (bigram-vocab
+    * sized, token-keyed hash joins — never the token stream) with the
+    * two 1-row totals broadcast; the top-50 is a TakeOrdered k-merge,
+    * no global sort.
+    */
+  def qTextCollocations(spark: SparkSession, sfDir: String): DataFrame = {
+    def lnMicro(c: Column) = round(log(c.cast("double")) * 1e6).cast("long")
+    val docs = Tables.documents(spark, sfDir)
+    val cbg = docs
+      .select(explode(graft.functions.TokenWindows.of(col("text"), 2)).as("bg"))
+      .select(
+        substring_index(col("bg"), " ", 1).as("w1"),
+        substring_index(col("bg"), " ", -1).as("w2"))
+      .groupBy("w1", "w2")
+      .agg(count(lit(1)).as("c_ab"))
+    val uni = LlmOps
+      .docTokens(docs)
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val totB = cbg.agg(sum(col("c_ab")).as("nb"))
+    val totU = uni.agg(sum(col("c")).as("nu"))
+    cbg
+      .where(col("c_ab") >= 5)
+      .join(uni.select(col("tok").as("w1"), col("c").as("c_a")), "w1")
+      .join(uni.select(col("tok").as("w2"), col("c").as("c_b")), "w2")
+      .crossJoin(broadcast(totB))
+      .crossJoin(broadcast(totU))
+      .select(
+        col("w1"),
+        col("w2"),
+        col("c_ab"),
+        col("c_a"),
+        col("c_b"),
+        ((lnMicro(col("c_ab")) - lnMicro(col("nb")) - lnMicro(col("c_a")) -
+          lnMicro(col("c_b")) + lit(2L) * lnMicro(col("nu"))).cast("double") / 1e6)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(50)
+  }
+
   // -------------------------------------------------------- approximate top-k
 
   /** Heavy hitters via the Space-Saving sketch: top-20 corpus tokens from
@@ -2961,6 +3017,28 @@ object CorpusOps {
               | -(CAST(sum(s.lp) AS DOUBLE) / 1e6) / count(1) AS nll
               |FROM scored s JOIN sp ON s.doc_id = sp.doc_id
               |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin)),
+    "q_text_collocations" -> Q(
+      qTextCollocations,
+      Some(s"""WITH bi AS (
+              | SELECT toks[i] AS w1, toks[i + 1] AS w2
+              | FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+              |       FROM $DOCS_T WHERE len(toks) >= 2)),
+              |cbg AS (SELECT w1, w2, count(1) AS c_ab FROM bi GROUP BY 1, 2),
+              |uni AS (SELECT tok, count(1) AS c
+              |        FROM (SELECT unnest(toks) AS tok FROM $DOCS_T) GROUP BY 1),
+              |nbt AS (SELECT CAST(sum(c_ab) AS BIGINT) AS nb FROM cbg),
+              |nut AS (SELECT CAST(sum(c) AS BIGINT) AS nu FROM uni)
+              |SELECT b.w1, b.w2, b.c_ab, ua.c AS c_a, ub.c AS c_b,
+              | CAST(CAST(round(ln(CAST(b.c_ab AS DOUBLE)) * 1e6, 0) AS BIGINT)
+              |   - CAST(round(ln(CAST(nbt.nb AS DOUBLE)) * 1e6, 0) AS BIGINT)
+              |   - CAST(round(ln(CAST(ua.c AS DOUBLE)) * 1e6, 0) AS BIGINT)
+              |   - CAST(round(ln(CAST(ub.c AS DOUBLE)) * 1e6, 0) AS BIGINT)
+              |   + 2 * CAST(round(ln(CAST(nut.nu AS DOUBLE)) * 1e6, 0) AS BIGINT) AS DOUBLE)
+              |  / 1e6 AS pmi
+              |FROM cbg b JOIN uni ua ON b.w1 = ua.tok JOIN uni ub ON b.w2 = ub.tok
+              |CROSS JOIN nbt CROSS JOIN nut
+              |WHERE b.c_ab >= 5
+              |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin)),
     "q_topk_approx" -> Q(
       qTopkApprox,
       Some(s"""WITH toks AS (

@@ -786,7 +786,14 @@ object QualityOps {
     * `q_orders_pareto` two-phase prefix-sum shape), and a self-join on
     * value producing D·|types|² rows folded map-side to the pair frame.
     */
-  def qStatsMannWhitney(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Shared rank machinery of the two rank tests
+    * ([[qStatsMannWhitney]], [[qStatsKruskal]]): the dense
+    * D×|types| (value, type) matrix with exact per-cell counts and
+    * per-type strictly-less running counts. Checkpointed — both callers
+    * reread it (pair self-join / two grouped folds) and must not rescan
+    * events.
+    */
+  private def rankMatrix(spark: SparkSession, sfDir: String): DataFrame = {
     val vt = Tables
       .events(spark, sfDir)
       .where(col("value").isNotNull)
@@ -799,14 +806,17 @@ object QualityOps {
       .rowsBetween(Window.unboundedPreceding, -1)
     // dense D×|types| matrix: every (value, type) cell, zero-filled, with
     // the strictly-less running count per type
-    val m = vt
-      .select("v")
+    vt.select("v")
       .distinct()
       .crossJoin(broadcast(types))
       .join(vt, Seq("v", "et"), "left")
       .select(col("v"), col("et"), coalesce(col("cnt"), lit(0L)).as("cnt"))
       .withColumn("lt", coalesce(sum("cnt").over(wLt), lit(0L)))
-      .localCheckpoint() // feeds both sides of the pair self-join
+      .localCheckpoint()
+  }
+
+  def qStatsMannWhitney(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = rankMatrix(spark, sfDir)
     def side(p: String) = m.select(
       col("v"),
       col("et").as(s"${p}et"),
@@ -840,6 +850,72 @@ object QualityOps {
         u.as("u_stat"),
         when(varU > 0.0, (u - mu) / sqrt(varU)).as("z"))
       .orderBy("type_a", "type_b")
+  }
+
+  /** Kruskal–Wallis H test across ALL event-type value distributions —
+    * the k-sample rank test: the nonparametric sibling of
+    * [[qStatsAnova]] exactly as [[qStatsMannWhitney]] is of the Welch
+    * t-test, run as the omnibus gate before the pairwise rank
+    * drill-down. Tie-corrected.
+    *
+    * Exact-integer core on the SAME [[rankMatrix]]: a value's average
+    * rank is `cumAll + (t+1)/2` where `cumAll = Σ_types lt` (the global
+    * strictly-less count — summing the PER-TYPE growing counts avoids
+    * any single-partition global window), so the doubled rank sum
+    * `2R_i = Σ_v cnt_i·(2·cumAll + t + 1)` and the tie term `Σ(t³−t)`
+    * are exact DECIMAL sums. H then uses the MEAN-RANK-DEVIATION form
+    * `H = 12/(N(N+1)) · Σ n_i·(R̄_i − (N+1)/2)²` — algebraically equal
+    * to the Σ R_i²/n_i − 3(N+1) textbook form, chosen because its
+    * cross-type terms are SMALL (≈ n_i × squared effect, not ≈ N³):
+    * the (38,6) quantization of the cross-type sum is only
+    * engine-portable while the 1e-6 step exceeds the term's double ulp
+    * (Spark rounds the shortest decimal repr, DuckDB the exact binary
+    * expansion — they agree only when the value is ≫ ulp away from the
+    * grid boundary, i.e. |term| ≲ 1e9; the Σ R_i²/n_i form sits at
+    * ~5e10 on this fixture and DID diverge in the 12th digit). Same
+    * magnitude contract class as the fsum grains — documented, and the
+    * deviation form keeps the margin ~1e5 at fixture scale.
+    *
+    * Scale shape: everything below the one (value, type) corpus agg
+    * runs on the distinct-value frame — a D-row grouped fold for the
+    * global tie/cum terms and a ≤|types|-row fold for H.
+    */
+  def qStatsKruskal(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = rankMatrix(spark, sfDir)
+    val g = m
+      .groupBy(col("v"))
+      .agg(sum(col("cnt")).as("t"), sum(col("lt")).as("cum_all"))
+    val td = col("t").cast("decimal(12,0)")
+    val joined = m.join(g, "v")
+    val perType = joined
+      .groupBy(col("et"))
+      .agg(
+        sum(col("cnt")).as("n_i"),
+        sum(col("cnt").cast("decimal(19,0)") *
+          (lit(2L) * col("cum_all") + col("t") + lit(1L)).cast("decimal(19,0)")).as("r2"))
+    val ties = g.agg(
+      sum(td * td * td - td).as("ties3"),
+      sum(col("t")).as("n_tot"))
+    val n = col("n_tot").cast("double")
+    // mean-rank deviation per type: IEEE on exact integers only
+    val dev = col("r2").cast("double") / (lit(2.0) * col("n_i").cast("double")) -
+      (n + lit(1.0)) / lit(2.0)
+    val fold = perType
+      .crossJoin(broadcast(ties))
+      .select(col("n_i"), col("ties3"), col("n_tot"), dev.as("dev"))
+      .groupBy("ties3", "n_tot")
+      .agg(
+        count(lit(1)).as("k"),
+        sum((col("n_i").cast("double") * (col("dev") * col("dev"))).cast("decimal(38,6)"))
+          .cast("double")
+          .as("st"))
+    val h0 = lit(12.0) / (n * (n + lit(1.0))) * col("st")
+    val corr = lit(1.0) - col("ties3").cast("double") / (n * n * n - n)
+    fold.select(
+      col("n_tot"),
+      col("k").as("n_groups"),
+      when(col("k") > 1 && corr > 0.0, h0 / corr).as("h_stat"),
+      corr.as("tie_factor"))
   }
 
   def qStatsChi2(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1338,6 +1414,51 @@ object QualityOps {
               |         - CAST(ties3 AS DOUBLE)
               |           / (CAST(n_a + n_b AS DOUBLE) * (CAST(n_a + n_b AS DOUBLE) - 1.0)))) END AS z
               |FROM p ORDER BY type_a, type_b""".stripMargin)),
+    "q_stats_kruskal" -> Q(
+      qStatsKruskal,
+      Some(s"""WITH vt AS (
+              | SELECT value AS v, event_type AS et, count(1) AS cnt
+              | FROM ${LlmOps.EV} WHERE value IS NOT NULL GROUP BY 1, 2),
+              |m AS (
+              | SELECT d.v, ty.et, COALESCE(vt.cnt, 0) AS cnt,
+              |  COALESCE(sum(COALESCE(vt.cnt, 0)) OVER (PARTITION BY ty.et ORDER BY d.v
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lt
+              | FROM (SELECT DISTINCT v FROM vt) d
+              | CROSS JOIN (SELECT DISTINCT et FROM vt) ty
+              | LEFT JOIN vt ON vt.v = d.v AND vt.et = ty.et),
+              |g AS (
+              | SELECT v, CAST(sum(cnt) AS BIGINT) AS t, CAST(sum(lt) AS BIGINT) AS cum_all
+              | FROM m GROUP BY 1),
+              |pt AS (
+              | SELECT m.et, CAST(sum(m.cnt) AS BIGINT) AS n_i,
+              |  sum(CAST(m.cnt AS DECIMAL(19,0)) * CAST(2 * g.cum_all + g.t + 1 AS DECIMAL(19,0))) AS r2
+              | FROM m JOIN g USING (v) GROUP BY 1),
+              |tt AS (
+              | SELECT sum(CAST(t AS DECIMAL(12,0)) * CAST(t AS DECIMAL(12,0)) * CAST(t AS DECIMAL(12,0))
+              |        - CAST(t AS DECIMAL(12,0))) AS ties3,
+              |  CAST(sum(t) AS BIGINT) AS n_tot
+              | FROM g),
+              |px AS (
+              | SELECT n_i, ties3, n_tot,
+              |  CAST(r2 AS DOUBLE) / (2.0 * CAST(n_i AS DOUBLE))
+              |   - (CAST(n_tot AS DOUBLE) + 1.0) / 2.0 AS dev
+              | FROM pt CROSS JOIN tt),
+              |f AS (
+              | SELECT ties3, n_tot, count(1) AS k,
+              |  CAST(sum(CAST(CAST(n_i AS DOUBLE) * (dev * dev) AS DECIMAL(38,6))) AS DOUBLE) AS st
+              | FROM px GROUP BY 1, 2)
+              |SELECT n_tot, k AS n_groups,
+              | CASE WHEN k > 1 AND 1.0 - CAST(ties3 AS DOUBLE)
+              |       / (CAST(n_tot AS DOUBLE) * CAST(n_tot AS DOUBLE) * CAST(n_tot AS DOUBLE)
+              |          - CAST(n_tot AS DOUBLE)) > 0.0
+              |  THEN 12.0 / (CAST(n_tot AS DOUBLE) * (CAST(n_tot AS DOUBLE) + 1.0)) * st
+              |     / (1.0 - CAST(ties3 AS DOUBLE)
+              |        / (CAST(n_tot AS DOUBLE) * CAST(n_tot AS DOUBLE) * CAST(n_tot AS DOUBLE)
+              |           - CAST(n_tot AS DOUBLE))) END AS h_stat,
+              | 1.0 - CAST(ties3 AS DOUBLE)
+              |  / (CAST(n_tot AS DOUBLE) * CAST(n_tot AS DOUBLE) * CAST(n_tot AS DOUBLE)
+              |     - CAST(n_tot AS DOUBLE)) AS tie_factor
+              |FROM f""".stripMargin)),
     "q_stats_chi2" -> Q(
       qStatsChi2,
       Some("""WITH cells AS (

@@ -348,6 +348,40 @@ class CorpusOpsSpec extends SparkSuite {
     assert(keys == keys.sortBy { case (u, o) => (-u, -o) })
   }
 
+  test("q_text_collocations: PMI recomputes from local bigram/unigram counts") {
+    val rows = CorpusOps.qTextCollocations(spark, sf001).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    val toks = graft.Tables
+      .documents(spark, sf001)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .collect()
+      .map { case (id, t) => id -> t.split(" ", -1).filter(_.nonEmpty).toSeq }
+    val uni = toks.flatMap(_._2).groupBy(identity).map { case (k, g) => k -> g.length.toLong }
+    val bis = toks.flatMap(_._2.sliding(2).filter(_.size == 2).map(p => (p(0), p(1))))
+    val cbg = bis.groupBy(identity).map { case (k, g) => k -> g.length.toLong }
+    val nu = uni.values.sum
+    val nb = cbg.values.sum
+    // HALF_UP like Spark's round(), not rint's half-even
+    def lnMicro(x: Long) =
+      BigDecimal.decimal(math.log(x.toDouble) * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val pmi = cbg.collect {
+      case ((a, b), cab) if cab >= 5 =>
+        (a, b) -> ((lnMicro(cab) - lnMicro(nb) - lnMicro(uni(a)) - lnMicro(uni(b)) +
+          2 * lnMicro(nu)).toDouble / 1e6, cab)
+    }
+    val want = pmi.toSeq
+      .map { case ((a, b), (p, c)) => (p, a, b, c) }
+      .sortBy { case (p, a, b, _) => (-p, a, b) }
+      .take(50)
+    assert(rows.length == want.length)
+    rows.zip(want).foreach { case (r, (p, a, b, c)) =>
+      assert((r.getString(0), r.getString(1), r.getLong(2)) == ((a, b, c)))
+      assert(r.getLong(3) == uni(a) && r.getLong(4) == uni(b))
+      assert(r.getDouble(5) == p)
+    }
+  }
+
   // ----------------------------------------------------------- fuzzy dedup
 
   test("fuzzyCore finds prefix-blocked near-dups, skips far pairs") {

@@ -97,6 +97,35 @@ class QualityOpsSpec extends SparkSuite {
     assert(byType.values.flatten.toSeq.groupBy(identity).exists(_._2.length > 1))
   }
 
+  test("q_stats_kruskal: H recomputes from locally computed average ranks") {
+    val r = QualityOps.qStatsKruskal(spark, sf001).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val ev = graft.Tables
+      .events(spark, sf001)
+      .where(col("value").isNotNull)
+      .select(col("event_type"), col("value"))
+      .as[(String, Double)]
+      .collect()
+    val n = ev.length
+    assert(row.getLong(0) == n.toLong)
+    // classic average ranks over the pooled sample
+    val sorted = ev.map(_._2).sorted
+    val rankOf = sorted.zipWithIndex
+      .groupBy(_._1)
+      .map { case (v, g) => v -> g.map(_._2 + 1).sum.toDouble / g.length }
+    val byType = ev.groupBy(_._1)
+    assert(row.getLong(1) == byType.size.toLong)
+    val hUnc = 12.0 / (n.toDouble * (n + 1)) * byType.values.map { g =>
+      val rbar = g.map(e => rankOf(e._2)).sum / g.length
+      g.length * math.pow(rbar - (n + 1) / 2.0, 2)
+    }.sum
+    val ties3 = sorted.groupBy(identity).map { case (_, g) => val t = g.length.toLong; t * t * t - t }.sum
+    val corr = 1.0 - ties3.toDouble / (n.toDouble * n * n - n)
+    assert(math.abs(row.getDouble(3) - corr) < 1e-12)
+    assert(math.abs(row.getDouble(2) - hUnc / corr) < 1e-6)
+  }
+
   test("q_stats_chi2: statistic recomputes exactly from a local contingency table") {
     val r = QualityOps.qStatsChi2(spark, sf001).collect()
     assert(r.length == 1)
