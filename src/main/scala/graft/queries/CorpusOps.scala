@@ -1254,6 +1254,45 @@ object CorpusOps {
       .orderBy("from_type", "to_type")
   }
 
+  /** Longest same-type streak per (user, type) — the gaps-and-islands
+    * readout ("how many consecutive errors did this user hit") that
+    * powers engagement-streak and failure-burst analyses. The island
+    * key is the classic double-row_number difference: within a user's
+    * time-ordered stream, `rn_all − rn_type` is constant exactly along
+    * a run of one type, so one grouped count per island and one max per
+    * (user, type) finish it. Summarized per type: longest streak, the
+    * user holding it (smallest id on ties), and how many users ever
+    * reach a streak ≥ 3.
+    *
+    * Scale shape: ONE user-keyed shuffle computes both row_numbers in a
+    * single WindowExec (same partition/order spec), then two
+    * partial-aggregating shuffles over island rows (≤ events) and the
+    * ≤|types| summary. Exact integers; event_id tiebreak pins the walk.
+    */
+  def qEventsStreaks(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val wt = Window
+      .partitionBy("user_id", "event_type")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val islands = Tables
+      .events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("grp", row_number().over(w) - row_number().over(wt))
+      .groupBy(col("user_id"), col("event_type"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+    val perUser = islands
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max(col("len")).as("best"))
+    perUser
+      .withColumn("mb", max(col("best")).over(Window.partitionBy("event_type")))
+      .groupBy(col("event_type"))
+      .agg(
+        max(col("best")).as("max_streak"),
+        min(when(col("best") === col("mb"), col("user_id"))).as("holder"),
+        sum(when(col("best") >= 3, 1L).otherwise(0L)).as("n_users_streak3"))
+      .orderBy("event_type")
+  }
+
   /** Frequent contiguous event sequences (length-3 paths) with distinct-
     * user support — the level-1 sequential-pattern-mining readout (the
     * GSP/PrefixSpan "which journeys recur across users" question) one
@@ -2279,6 +2318,56 @@ object CorpusOps {
     * the derived arithmetic starts from identical doubles in both engines
     * (`q_agg_percentile` proves the raw interpolation already matches).
     */
+  /** Feature-hashing vectorizer audit (the "hashing trick",
+    * Weinberger et al. 2009): hash every corpus token into a fixed
+    * 64-dim space (16 md5 bits mod 64 — engine-portable, the
+    * q_sample_weighted hash idiom; 64 keeps the collision readout
+    * non-vacuous against the fixture's ~31-word vocabulary — a
+    * production space is 2^18+, same audit) and report per-dimension
+    * load — total
+    * token mass, distinct tokens (collision count), and the heaviest
+    * token with its share. This is the audit a feature-hashed model
+    * pipeline runs to pick the dimension count: collision-heavy dims
+    * (n_distinct ≫ 1 with low top share) say the space is too small.
+    *
+    * Scale shape: the hash is stateless at the token explode; ONE
+    * (dim, tok) partial-agg shuffle, then a ≤dims-row grouped fold plus
+    * the heavy-token pick as the rn = 1 ARGMAX window (cnt DESC, tok
+    * DESC tiebreak) — the shape WindowTopKRule rewrites to the native
+    * GroupTopK heap under the extension tier (a `max_by(tok,
+    * struct(cnt, tok))` would be one pass but demotes the whole agg to
+    * SortAggregate — the struct-buffer cliff `Tables.tsIdKey` documents).
+    * Exact integers; the share is one IEEE division per dim.
+    */
+  def qFeatureHashing(spark: SparkSession, sfDir: String): DataFrame = {
+    val dims = 64
+    val tokCnt = LlmOps
+      .docTokens(Tables.documents(spark, sfDir))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn(
+        "dim",
+        conv(substring(md5(col("tok").cast("binary")), 1, 4), 16, 10).cast("long") % dims)
+      .localCheckpoint() // vocab-sized; feeds the fold AND the argmax
+    val wTop = Window.partitionBy("dim").orderBy(col("cnt").desc, col("tok").desc)
+    val top = tokCnt
+      .withColumn("rn", row_number().over(wTop))
+      .where(col("rn") === 1)
+      .select(col("dim").as("t_dim"), col("tok").as("top_tok"), col("cnt").as("top_cnt"))
+    tokCnt
+      .groupBy(col("dim"))
+      .agg(sum(col("cnt")).as("n_toks"), count(lit(1)).as("n_distinct"))
+      .join(top, col("dim") === col("t_dim"))
+      .select(
+        col("dim"),
+        col("n_toks"),
+        col("n_distinct"),
+        col("top_tok"),
+        col("top_cnt"),
+        (col("top_cnt").cast("double") / col("n_toks").cast("double")).as("top_share"))
+      .orderBy("dim")
+  }
+
   def qFeatureScale(spark: SparkSession, sfDir: String): DataFrame = {
     val cust = Tables.customer(spark, sfDir)
     val qs = cust
@@ -2863,6 +2952,25 @@ object CorpusOps {
               |SELECT from_type, to_type, count(1) AS n FROM t
               |WHERE to_type IS NOT NULL
               |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin)),
+    "q_events_streaks" -> Q(
+      qEventsStreaks,
+      Some(s"""WITH t AS (
+              | SELECT user_id, event_type,
+              |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              |   - row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS grp
+              | FROM $EV),
+              |isl AS (
+              | SELECT user_id, event_type, grp, count(1) AS len
+              | FROM t GROUP BY 1, 2, 3),
+              |pu AS (
+              | SELECT user_id, event_type, CAST(max(len) AS BIGINT) AS best
+              | FROM isl GROUP BY 1, 2),
+              |mb AS (
+              | SELECT *, max(best) OVER (PARTITION BY event_type) AS mb FROM pu)
+              |SELECT event_type, CAST(max(best) AS BIGINT) AS max_streak,
+              | min(CASE WHEN best = mb THEN user_id END) AS holder,
+              | CAST(sum(CASE WHEN best >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_users_streak3
+              |FROM mb GROUP BY 1 ORDER BY event_type""".stripMargin)),
     "q_seq_mining" -> Q(
       qSeqMining,
       Some(s"""WITH t AS (
@@ -3135,6 +3243,23 @@ object CorpusOps {
               |      THEN round((CAST(n AS DOUBLE) - mean) / sqrt(var), 6)
               |      ELSE 0.0 END) > 2.0 AS is_anomaly
               |FROM sc ORDER BY event_type, day""".stripMargin)),
+    "q_feature_hashing" -> Q(
+      qFeatureHashing,
+      Some(s"""WITH tc AS (
+              | SELECT tok, count(1) AS cnt,
+              |  CAST(('0x' || substr(md5(tok), 1, 4))::BIGINT % 64 AS BIGINT) AS dim
+              | FROM (SELECT unnest(toks) AS tok FROM $DOCS_T) GROUP BY 1),
+              |top AS (
+              | SELECT dim, tok AS top_tok, cnt AS top_cnt,
+              |  row_number() OVER (PARTITION BY dim ORDER BY cnt DESC, tok DESC) AS rn
+              | FROM tc),
+              |agg AS (
+              | SELECT dim, CAST(sum(cnt) AS BIGINT) AS n_toks, count(1) AS n_distinct
+              | FROM tc GROUP BY 1)
+              |SELECT a.dim, a.n_toks, a.n_distinct, t.top_tok, t.top_cnt,
+              | CAST(t.top_cnt AS DOUBLE) / CAST(a.n_toks AS DOUBLE) AS top_share
+              |FROM agg a JOIN top t ON a.dim = t.dim AND t.rn = 1
+              |ORDER BY a.dim""".stripMargin)),
     "q_feature_scale" -> Q(
       qFeatureScale,
       Some("""WITH qs AS (

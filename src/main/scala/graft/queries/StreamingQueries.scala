@@ -109,6 +109,17 @@ object StreamingQueries {
       .hllRegisters(Tables.events(spark, sfDir))
       .orderBy("event_type", "j")
 
+  /** Batch twin of the streaming reservoir sample (see
+    * [[graft.streaming.Streams.reservoirState]]): the same MinK
+    * aggregation over all events at once — equal by the lattice-join
+    * argument to any chunked streaming run, and pinned by the
+    * q_sample_reservoir window-formulation oracle.
+    */
+  def reservoir(spark: SparkSession, sfDir: String): DataFrame =
+    Streams
+      .reservoirSample(Streams.reservoirState(Tables.events(spark, sfDir)))
+      .orderBy("event_type", "rn")
+
   /** Batch twin of the streaming Space-Saving heavy hitters (see
     * [[graft.streaming.Streams.topkTokens]]): one shared sketch
     * construction, exact while capacity (256) ≥ vocabulary (31) — so the
@@ -258,6 +269,20 @@ object StreamingQueries {
     "s_stream_hll" -> Q(
       hllRegisters,
       Some(StreamingQueries.HllRegsSql + "\nORDER BY event_type, j")),
+    // bounded monotone sample state — the sketch state class applied to
+    // sampling; oracle = the q_sample_reservoir window formulation, so
+    // the hash match proves the mergeable min-k state ≡ the batch
+    // row_number ≤ k definition on the same data
+    "s_stream_reservoir" -> Q(
+      reservoir,
+      Some(s"""WITH s AS (
+              | SELECT event_type, event_id, user_id,
+              |  md5(CAST(event_id AS VARCHAR)) AS rkey,
+              |  row_number() OVER (PARTITION BY event_type
+              |    ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+              | FROM $EV)
+              |SELECT event_type, CAST(rn AS INT) AS rn, event_id, user_id, rkey
+              |FROM s WHERE rn <= 4 ORDER BY event_type, rn""".stripMargin)),
     // per-event stateful feature enrichment — the ring-buffer state
     // class; oracle = the q_events_ewma lag-window formulation, so the
     // hash match proves the stateful recurrence ≡ the window definition

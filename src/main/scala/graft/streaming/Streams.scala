@@ -426,6 +426,44 @@ object Streams {
       .agg(max(col("rho")).as("m_rho"))
   }
 
+  /** Streaming per-group uniform k-reservoir STATE — the incremental
+    * twin of `q_sample_reservoir`: ≤k (md5-priority, event_id, user_id)
+    * entries per event_type, maintained by the [[graft.functions.MinK]]
+    * bounded monotone aggregation. Like the HLL register table, this
+    * needs NO watermark: "k smallest priorities" is a commutative,
+    * associative, idempotent lattice join, so any trigger chunking or
+    * merge tree yields the identical O(k)-per-group state, and the
+    * sample stays a uniform without-replacement k-sample of EVERYTHING
+    * seen so far (the property windowed sampling loses). Readout is the
+    * stateless [[reservoirSample]] projection downstream.
+    */
+  def reservoirState(events: DataFrame, k: Int = 4): DataFrame = {
+    val mk = udaf(new graft.functions.MinK(k))
+    events
+      .select(
+        col("event_type"),
+        md5(col("event_id").cast("string").cast("binary")).as("rkey"),
+        col("event_id"),
+        col("user_id"))
+      .groupBy(col("event_type"))
+      .agg(mk(col("rkey"), col("event_id"), col("user_id")).as("sample"))
+  }
+
+  /** Stateless readout of [[reservoirState]]: one row per sampled event
+    * with its rank — entry order in the state array IS ascending
+    * (rkey, event_id), so position+1 equals the batch twin's
+    * row_number.
+    */
+  def reservoirSample(state: DataFrame): DataFrame =
+    state
+      .select(col("event_type"), posexplode(col("sample")))
+      .select(
+        col("event_type"),
+        (col("pos") + 1).as("rn"),
+        col("col.event_id").as("event_id"),
+        col("col.user_id").as("user_id"),
+        col("col.rkey").as("rkey"))
+
   /** Per-event decayed rolling feature maintained as keyed state — the
     * `q_events_ewma` truncated EWMA (weights 16:8:4:2:1 over the last 5
     * events, α = 1/2) computed incrementally: the state is a ≤4-value

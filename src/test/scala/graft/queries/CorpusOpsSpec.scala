@@ -348,6 +348,70 @@ class CorpusOpsSpec extends SparkSuite {
     assert(keys == keys.sortBy { case (u, o) => (-u, -o) })
   }
 
+  test("q_events_streaks: island lengths recompute from local per-user walks") {
+    val rows = CorpusOps.qEventsStreaks(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val streams = graft.Tables
+      .events(spark, sf001)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .collect()
+      .groupBy(_._1)
+      .map { case (u, g) => u -> g.sortBy(e => (e._2, e._3)).map(_._4).toSeq }
+    // local run-length encoding per user
+    def runs(s: Seq[String]): Map[String, Int] = {
+      val out = scala.collection.mutable.Map.empty[String, Int]
+      var i = 0
+      while (i < s.length) {
+        var j = i
+        while (j < s.length && s(j) == s(i)) j += 1
+        out(s(i)) = math.max(out.getOrElse(s(i), 0), j - i)
+        i = j
+      }
+      out.toMap
+    }
+    val best = streams.toSeq.flatMap { case (u, s) => runs(s).map { case (t, l) => (t, u, l) } }
+    rows.foreach { r =>
+      val g = best.filter(_._1 == r.getString(0))
+      val mx = g.map(_._3).max
+      assert(r.getLong(1) == mx.toLong)
+      assert(r.getLong(2) == g.filter(_._3 == mx).map(_._2).min)
+      assert(r.getLong(3) == g.count(_._3 >= 3).toLong)
+    }
+    // anti-vacuity: at least one real streak (> 1) exists in the fixture
+    assert(rows.map(_.getLong(1)).max > 1L)
+  }
+
+  test("q_feature_hashing: dim loads recompute from a local hash of the vocab") {
+    val rows = CorpusOps.qFeatureHashing(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val toks = graft.Tables
+      .documents(spark, sf001)
+      .select(col("text"))
+      .as[String]
+      .collect()
+      .flatMap(_.split(" ", -1).filter(_.nonEmpty))
+    val cnt = toks.groupBy(identity).map { case (t, g) => t -> g.length.toLong }
+    def dim(t: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(4), 16) % 64
+    }
+    val byDim = cnt.toSeq.map { case (t, c) => (dim(t), t, c) }.groupBy(_._1)
+    assert(rows.length == byDim.size)
+    rows.foreach { r =>
+      val g = byDim(r.getLong(0))
+      assert(r.getLong(1) == g.map(_._3).sum)
+      assert(r.getLong(2) == g.length.toLong)
+      val (top, tc) = g.map { case (_, t, c) => (t, c) }.maxBy { case (t, c) => (c, t) }
+      assert(r.getString(3) == top && r.getLong(4) == tc)
+      assert(r.getDouble(5) == tc.toDouble / g.map(_._3).sum.toDouble)
+    }
+    // anti-vacuity: the tiny vocab must still produce ≥ 1 colliding dim
+    // for the collision readout to be exercised
+    assert(rows.exists(_.getLong(2) > 1L))
+  }
+
   test("q_text_collocations: PMI recomputes from local bigram/unigram counts") {
     val rows = CorpusOps.qTextCollocations(spark, sf001).collect()
     assert(rows.nonEmpty && rows.length <= 50)

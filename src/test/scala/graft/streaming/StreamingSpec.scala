@@ -68,6 +68,55 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming reservoir: chunk-fed min-k state equals the batch sample exactly") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val df = mem
+      .toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Streams
+      .reservoirState(df)
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("reservoir_complete")
+      .start()
+    try {
+      // DELIBERATELY unsorted, uneven chunks: the min-k lattice join is
+      // order-insensitive, so arrival order must not matter (unlike the
+      // watermark-gated tests above)
+      val all = eventTuples.toIndexedSeq.sortBy(_._1)
+      val (c1, rest) = all.splitAt(all.length / 4)
+      val (c2, c3) = rest.splitAt(rest.length / 2)
+      mem.addData(c1)
+      q.processAllAvailable()
+      val after1 = readSample("reservoir_complete")
+      mem.addData(c2)
+      mem.addData(c3)
+      q.processAllAvailable()
+      val fin = readSample("reservoir_complete")
+      // state is bounded at k entries per type, forever
+      assert(fin.groupBy(_._1).forall(_._2.length <= 4))
+      // monotone improvement: a type's worst kept priority never rises
+      after1.groupBy(_._1).foreach { case (et, g) =>
+        if (g.length == 4)
+          assert(fin.filter(_._1 == et).map(_._5).max <= g.map(_._5).max)
+      }
+      // final streaming state ≡ the oracle-checked batch twin, row for row
+      val batch = graft.queries.StreamingQueries.reservoir(spark, sf001).collect().map(rowKey)
+      assert(fin.sortBy(r => (r._1, r._2)).toSeq == batch.toSeq)
+    } finally q.stop()
+  }
+
+  private def readSample(table: String) =
+    graft.streaming.Streams
+      .reservoirSample(spark.table(table))
+      .collect()
+      .map(rowKey)
+
+  private def rowKey(r: org.apache.spark.sql.Row) =
+    (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getString(4))
+
   test("stateful streaming EWMA equals the batch lag-window, fed in chunks") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
