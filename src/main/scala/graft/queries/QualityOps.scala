@@ -1038,8 +1038,10 @@ object QualityOps {
     * intermittent outages inside the span that leave last_ts healthy.
     *
     * Scale shape: the ONLY corpus pass is one (type, bucket) partial
-    * count agg. Span, the expected-bucket fan-out (`sequence` +
-    * `explode` on the ≤|types| span frame), the anti-join for empties,
+    * count agg. Span, the expected-bucket fan-out (CHUNKED: days first,
+    * then ≤288 in-day slots — a decade span explodes ~3.7k bounded
+    * arrays per type instead of one multi-million-element `sequence`
+    * row), the anti-join for empties,
     * and the gaps-and-islands window for run lengths all run on the
     * MODEL frame (≤ |types| × span-buckets rows — slots grow with wall
     * time, not corpus size, so a 100 TB day has the same 288 buckets a
@@ -1057,7 +1059,21 @@ object QualityOps {
       .groupBy("event_type")
       .agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"), count(lit(1)).as("n_active"))
       .localCheckpoint() // ≤|types| rows; fan-out + report reread this, not events
-    val expected = span.select(col("event_type"), explode(sequence(col("b0"), col("b1"))).as("bucket"))
+    // chunked fan-out (days → ≤288 in-day slots), the qEventsInterpolate
+    // shape: closes the r12 ADVICE caveat that a decade-span stream would
+    // materialize one multi-million-element sequence() array per type row
+    val expected = span
+      .select(
+        col("event_type"),
+        col("b0"),
+        col("b1"),
+        explode(sequence(expr("b0 div 288"), expr("b1 div 288"))).as("day"))
+      .select(
+        col("event_type"),
+        explode(
+          sequence(
+            greatest(col("day") * 288L, col("b0")),
+            least(col("day") * 288L + 287L, col("b1")))).as("bucket"))
     val empty = expected.join(b, Seq("event_type", "bucket"), "left_anti")
     val runKey = col("bucket") - row_number().over(
       Window.partitionBy(col("event_type")).orderBy(col("bucket")))
