@@ -507,6 +507,192 @@ object SearchOps {
       .agg(count(lit(1)).as("n_nodes"), max(col("id")).as("max_node"))
       .orderBy(col("n_nodes").desc, col("component"))
 
+  /** Maximum spanning forest of the co-purchase graph via distributed
+    * Borůvka — the "affinity backbone" a catalog/recommendation team
+    * extracts: the strongest-support acyclic skeleton connecting each
+    * product family. Rounds through the classic halving loop: every
+    * component picks its best incident edge under the TOTAL order
+    * (support DESC, u ASC, v ASC), picked edges join the forest,
+    * components contract, repeat until no cross-component edge remains
+    * (≤ log₂|V| rounds; loud throw past the 14-round contract like the
+    * `q_graph_cc` non-convergence throw).
+    *
+    * Correctness/oracle argument: the tiebreak makes edge weights
+    * STRICTLY ordered, so the MSF is UNIQUE (cut property) — the oracle
+    * need not mirror the engine's schedule, only the same total order.
+    * It still replays the same Borůvka rounds (generated SQL, the
+    * q_graph_cc unrolled-rounds pattern) with per-round contraction as
+    * a recursive min-reachable closure, and zeroes its output if
+    * 14 rounds did not converge (the `chk` gate). All-integer — no
+    * float anywhere.
+    *
+    * Scale shape: per round ONE labels⋈edges equi-join pair (cross-
+    * component filter), the per-component argmin as a rank-1 window
+    * (three sort keys — past the GroupTopK 2-key match, so it stays on
+    * WindowExec; rows = surviving cross edges, halving per round), and
+    * contraction on the ≤|components| pick-pair graph via
+    * [[graft.operators.DedupClusters]] with pointer doubling. Forest
+    * and labels are checkpointed per round — lineage stays flat.
+    */
+  /** localCheckpoint + STATS RESET for self-composing loop frames.
+    * `Dataset.localCheckpoint` preserves the source plan's statistics,
+    * and Spark's size-only join estimate is the PRODUCT of the child
+    * sizes — so a pointer-doubling loop (f ⋈ f each step) SQUARES the
+    * sizeInBytes BigInt per iteration: by jump 7 the driver burns tens
+    * of seconds in BigInteger.multiply inside
+    * SizeInBytesOnlyStatsPlanVisitor (jstack-verified; jobs themselves
+    * ran in ms). Round-tripping the checkpointed RDD through
+    * createDataFrame rebuilds a LogicalRDD with DEFAULT stats, resetting
+    * the exponent each jump. Linear per-round loops (DedupClusters)
+    * only grow the estimate's exponent linearly and don't need this.
+    */
+  private def ckptFlat(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint()
+    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+  }
+
+  def qGraphMst(spark: SparkSession, sfDir: String): DataFrame = {
+    val items = Tables
+      .lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val edges = items
+      .as("a")
+      .join(items.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+      .agg(count(lit(1)).as("support"))
+      .where(col("support") >= 2)
+      .localCheckpoint()
+    boruvka(edges)
+  }
+
+  /** The Borůvka loop behind [[qGraphMst]], with the contraction
+    * strategy split at `driverPairThreshold`: below it the per-round
+    * pick-pair pseudoforest (ONE row per merging component, halving
+    * every round) is union-found on the DRIVER — bounded model state in
+    * the k-means-centroid sense, ~16 B/pair, and it replaces ~⌈log₂ n⌉
+    * checkpointed distributed jumps (each a real driver-side action)
+    * with one collect; above it the distributed pointer-doubling path
+    * runs. MstSpec forces BOTH paths over the same graph and pins
+    * identical forests (threshold 0 vs unbounded).
+    */
+  private[graft] def boruvka(edges: DataFrame, driverPairThreshold: Long = 1000000L): DataFrame = {
+    val spark = edges.sparkSession
+    val maxRounds = 14
+    var lab = edges
+      .select(col("u").as("id"))
+      .unionByName(edges.select(col("v").as("id")))
+      .distinct()
+      .withColumn("c", col("id"))
+      .localCheckpoint()
+    var mst = edges.limit(0).localCheckpoint()
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      val cu = lab.select(col("id").as("uid"), col("c").as("cu"))
+      val cv = lab.select(col("id").as("vid"), col("c").as("cv"))
+      val e2 = edges
+        .join(cu, col("u") === col("uid"))
+        .join(cv, col("v") === col("vid"))
+        .where(col("cu") =!= col("cv"))
+        .select("u", "v", "support", "cu", "cv")
+      val sym = e2
+        .select(col("cu").as("cc"), col("cv").as("oc"), col("u"), col("v"), col("support"))
+        .unionByName(
+          e2.select(col("cv").as("cc"), col("cu").as("oc"), col("u"), col("v"), col("support")))
+      val w = Window
+        .partitionBy("cc")
+        .orderBy(col("support").desc, col("u").asc, col("v").asc)
+      val chosen = sym
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .drop("rn")
+        .localCheckpoint()
+      val nChosen = chosen.count()
+      if (nChosen == 0) done = true
+      else {
+        mst = mst
+          .unionByName(chosen.select("u", "v", "support").distinct())
+          .localCheckpoint()
+        // Contraction of the pick-pair graph. Under a strict total order
+        // its only cycles are MUTUAL picks (a longer cycle would be
+        // weight-decreasing all the way around), so it is a pseudoforest.
+        val f: DataFrame =
+          if (nChosen <= driverPairThreshold) {
+            // driver fast path: union-find over ≤threshold pairs, labels
+            // normalized to the MIN member of each merged group (the
+            // same labels any correct contraction yields up to
+            // renaming; min-normalization makes them deterministic)
+            val pairs = chosen
+              .select(col("cc"), col("oc"))
+              .collect()
+              .map(r => (r.getLong(0), r.getLong(1)))
+            val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+            def find(a: Long): Long = {
+              var r = a
+              while (parent.getOrElse(r, r) != r) r = parent(r)
+              var x = a
+              while (parent.getOrElse(x, x) != x) { val nx = parent(x); parent(x) = r; x = nx }
+              r
+            }
+            pairs.foreach { case (a, b) =>
+              val (ra, rb) = (find(a), find(b))
+              if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+            }
+            val members = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+            val byRoot = members.groupBy(find)
+            val labOf = byRoot.toSeq.flatMap { case (_, ms) =>
+              val m = ms.min
+              ms.toSeq.map(_ -> m)
+            }
+            import spark.implicits._
+            labOf.toDF("x", "fx")
+          } else {
+            // distributed path: break 2-cycles by hooking both ends to
+            // the smaller id, then pointer-double ⌈log₂ n⌉ times. Each
+            // jump goes through ckptFlat — see its scaladoc for why a
+            // plain localCheckpoint makes THIS loop quadratic-then-hung
+            // in driver-side BigInteger stats arithmetic.
+            var g = chosen.select(col("cc").as("x"), col("oc").as("fx"))
+            val ff = g.select(col("x").as("x2"), col("fx").as("ffx"))
+            g = g
+              .join(ff, col("fx") === col("x2"))
+              .select(
+                col("x"),
+                when(col("ffx") === col("x"), least(col("x"), col("fx")))
+                  .otherwise(col("fx"))
+                  .as("fx"))
+              .transform(ckptFlat)
+            val jumps = (63 - java.lang.Long.numberOfLeadingZeros(nChosen + 2)).toInt + 1
+            for (_ <- 1 to jumps) {
+              val h = g.select(col("x").as("x2"), col("fx").as("fx2"))
+              g = ckptFlat(g.join(h, col("fx") === col("x2")).select(col("x"), col("fx2").as("fx")))
+            }
+            g
+          }
+        lab = lab
+          .join(f.withColumnRenamed("x", "oldc"), col("c") === col("oldc"), "left")
+          .select(col("id"), coalesce(col("fx"), col("c")).as("c"))
+          .localCheckpoint()
+        round += 1
+      }
+    }
+    if (!done) {
+      val cu = lab.select(col("id").as("uid"), col("c").as("cu"))
+      val cv = lab.select(col("id").as("vid"), col("c").as("cv"))
+      val left = edges
+        .join(cu, col("u") === col("uid"))
+        .join(cv, col("v") === col("vid"))
+        .where(col("cu") =!= col("cv"))
+        .count()
+      if (left > 0)
+        throw new IllegalStateException(
+          s"qGraphMst: $left cross-component edges after $maxRounds Borůvka rounds " +
+            "— raise the round contract for this graph")
+    }
+    mst.orderBy("u", "v")
+  }
+
   // ------------------------------------------------- bounded-hop BFS
 
   /** Multi-hop reach profile: single-source BFS over the co-purchase
@@ -1204,6 +1390,55 @@ object SearchOps {
     // loop. The chk CTE is a CONVERGENCE POISON: if the last two rounds
     // differ the oracle returns 0 rows, failing the compare loudly
     // (mirrors the engine's strict throw — never a silent agreement).
+    "q_graph_mst" -> Q(
+      qGraphMst,
+      Some {
+        // generated Borůvka rounds (the q_graph_cc unrolled pattern):
+        // per round the cross-component edge view, the per-component
+        // rank-1 pick under the SAME total order as the engine, the
+        // pick-pair contraction as a recursive min-reachable closure,
+        // and the label update. MSF uniqueness under the strict total
+        // order (support DESC, u, v) is what lets two different
+        // schedules hash-match. chk zeroes the output if 14 rounds did
+        // not converge — loud, like the cc oracle.
+        val R = 14
+        val rounds = (1 to R)
+          .map { r =>
+            s"""er$r AS MATERIALIZED (
+               | SELECT e.u, e.v, e.support, la.lab AS cu, lb.lab AS cv
+               | FROM e JOIN l${r - 1} la ON la.id = e.u JOIN l${r - 1} lb ON lb.id = e.v
+               | WHERE la.lab <> lb.lab),
+               |sym$r AS (SELECT cu AS c, cv AS oc, u, v, support FROM er$r
+               |          UNION ALL SELECT cv, cu, u, v, support FROM er$r),
+               |pick$r AS MATERIALIZED (
+               | SELECT c, oc, u, v, support FROM (
+               |  SELECT *, row_number() OVER (PARTITION BY c ORDER BY support DESC, u, v) AS rn
+               |  FROM sym$r) WHERE rn = 1),
+               |pe$r AS (SELECT c AS a, oc AS b FROM pick$r UNION SELECT oc, c FROM pick$r),
+               |reach$r(id, rr) AS (
+               | SELECT a, a FROM pe$r
+               | UNION
+               | SELECT p.a, reach$r.rr FROM pe$r p JOIN reach$r ON reach$r.id = p.b),
+               |cl$r AS MATERIALIZED (SELECT id, min(rr) AS newlab FROM reach$r GROUP BY id),
+               |l$r AS MATERIALIZED (
+               | SELECT l.id, coalesce(cl$r.newlab, l.lab) AS lab
+               | FROM l${r - 1} l LEFT JOIN cl$r ON cl$r.id = l.lab)""".stripMargin
+          }
+          .mkString(",\n")
+        val unions = (1 to R).map(r => s"SELECT u, v, support FROM pick$r").mkString(" UNION ALL ")
+        s"""WITH RECURSIVE it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+           |e AS MATERIALIZED (SELECT a.p AS u, b.p AS v, count(1) AS support
+           |     FROM it a JOIN it b ON a.o = b.o AND a.p < b.p
+           |     GROUP BY 1, 2 HAVING count(1) >= 2),
+           |l0 AS MATERIALIZED (SELECT id, id AS lab FROM
+           |     (SELECT u AS id FROM e UNION SELECT v FROM e)),
+           |$rounds,
+           |chk AS (SELECT count(1) AS nbad FROM e JOIN l$R la ON la.id = e.u
+           |        JOIN l$R lb ON lb.id = e.v AND la.lab <> lb.lab),
+           |mst AS (SELECT DISTINCT u, v, support FROM ($unions))
+           |SELECT u, v, CAST(support AS BIGINT) AS support FROM mst, chk WHERE chk.nbad = 0
+           |ORDER BY u, v""".stripMargin
+      }),
     "q_graph_cc" -> Q(
       qGraphCc,
       Some {

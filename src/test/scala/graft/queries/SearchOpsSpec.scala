@@ -691,4 +691,59 @@ class SearchOpsSpec extends SparkSuite {
     val ds = rows.map(_.getLong(0))
     assert(ds.sameElements(ds.sorted))
   }
+
+  // ----------------------------------------------------------------- MST
+
+  test("q_graph_mst: forest equals a local Kruskal under the same total order") {
+    val rows = SearchOps.qGraphMst(spark, sf001).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // local weighted edge derivation (same as the engine/oracle)
+    val items = graft.Tables
+      .lineitem(spark, sf001)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .as[(Long, Long)]
+      .collect()
+      .distinct
+    val byOrder = items.groupBy(_._1).values
+    val support = scala.collection.mutable.HashMap.empty[(Long, Long), Long]
+    byOrder.foreach { g =>
+      val ps = g.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length)
+        support((ps(i), ps(j))) = support.getOrElse((ps(i), ps(j)), 0L) + 1L
+    }
+    val edges = support.toSeq.collect { case ((u, v), s) if s >= 2 => (u, v, s) }
+    // Kruskal with union-find under (support DESC, u, v)
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(a: Long): Long = { var r = a; while (parent.getOrElse(r, r) != r) r = parent(r); r }
+    val mst = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    edges.sortBy { case (u, v, s) => (-s, u, v) }.foreach { case (u, v, s) =>
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) { parent(ru) = rv; mst += ((u, v, s)) }
+    }
+    assert(rows.sortBy(e => (e._1, e._2)).toSeq == mst.sortBy(e => (e._1, e._2)).toSeq)
+    // forest size law: |MST| = |V| - #components
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val comps = nodes.map(find).distinct.length
+    assert(rows.length == nodes.length - comps)
+  }
+
+  test("boruvka: driver union-find path and distributed pointer-doubling path agree") {
+    val items = graft.Tables
+      .lineitem(spark, sf001)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val edges = items
+      .as("a")
+      .join(items.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+      .agg(count(lit(1)).as("support"))
+      .where(col("support") >= 2)
+      .localCheckpoint()
+    val fast = SearchOps.boruvka(edges).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val dist = SearchOps
+      .boruvka(edges, driverPairThreshold = 0L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(fast.sortBy(e => (e._1, e._2)).toSeq == dist.sortBy(e => (e._1, e._2)).toSeq)
+  }
 }
