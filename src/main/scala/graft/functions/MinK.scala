@@ -33,9 +33,25 @@ class MinK(k: Int) extends Aggregator[MinKEntry, MinKBuf, Array[MinKEntry]] {
 
   override def zero: MinKBuf = MinKBuf(Array.empty, Array.empty, Array.empty)
 
+  /** Sort by (rkey, id), DEDUP identical (rkey, id) pairs, keep k. The
+    * dedup makes the lattice join idempotent ELEMENT-wise too: re-fed
+    * duplicates (KMV hashes of re-seen users, replayed batches) cannot
+    * occupy multiple slots. For the reservoir caller event_ids are
+    * unique, so the dedup is a no-op there.
+    */
   private def squeeze(rk: Array[String], id: Array[Long], ui: Array[Long]): MinKBuf = {
-    val idx = rk.indices.sortBy(i => (rk(i), id(i))).take(k)
-    MinKBuf(idx.map(rk).toArray, idx.map(id).toArray, idx.map(ui).toArray)
+    val ord = rk.indices.sortBy(i => (rk(i), id(i)))
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var prevR: String = null
+    var prevI = 0L
+    ord.foreach { i =>
+      if (out.size < k && (out.isEmpty || rk(i) != prevR || id(i) != prevI)) {
+        out += i
+        prevR = rk(i)
+        prevI = id(i)
+      }
+    }
+    MinKBuf(out.map(rk).toArray, out.map(id).toArray, out.map(ui).toArray)
   }
 
   override def reduce(b: MinKBuf, in: MinKEntry): MinKBuf = {

@@ -1293,6 +1293,61 @@ object CorpusOps {
       .orderBy("event_type")
   }
 
+  /** Stationary distribution of the first-order event-type Markov chain
+    * — the long-run "where does user attention settle" readout on top of
+    * [[qEventsTransitions]]' counts: 20 fixed power-iteration steps of
+    * π ← πP from the uniform start, with dangling types (no outgoing
+    * transition) given the standard self-loop.
+    *
+    * ALL-INTEGER fixed point: π lives in micro-units (10¹² grain) and
+    * each step's term is the half-up integer division
+    * `(2·πᵢ·n_ij + n_i) div (2·n_i)` on EXACT transition counts — no
+    * float enters the recurrence at all, so the oracle (20 generated
+    * CTE iterations of the identical integer formula — the q_embed_pca
+    * unrolled-schedule pattern) matches bit-for-bit by construction.
+    * Per-step rounding loss ≤ |types|/2 micro; the readout reports raw
+    * micro mass plus the double projection.
+    *
+    * Scale shape: the ONLY corpus-scale work is the transition count
+    * (one user-keyed window shuffle + a ≤|types|² agg); the chain
+    * itself is a ≤36-cell MODEL frame iterated as bounded driver state
+    * (the k-means-centroid precedent) — BigInt arithmetic, overflow-free
+    * at any count scale.
+    */
+  def qEventsMarkov(spark: SparkSession, sfDir: String): DataFrame = {
+    val iters = 20
+    val grain = BigInt("1000000000000")
+    val counts = qEventsTransitions(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), BigInt(r.getLong(2))))
+    val types = Tables
+      .events(spark, sfDir)
+      .select(col("event_type"))
+      .distinct()
+      .collect()
+      .map(_.getString(0))
+      .sorted
+    val outSum = counts.groupBy(_._1).map { case (t, g) => t -> g.map(_._3).sum }
+    // dangling types self-loop with weight 1
+    val cells = counts ++ types.filterNot(outSum.contains).map(t => (t, t, BigInt(1)))
+    val rowSum = cells.groupBy(_._1).map { case (t, g) => t -> g.map(_._3).sum }
+    var pi: Map[String, BigInt] = types.map(_ -> grain / types.length).toMap
+    for (_ <- 1 to iters) {
+      val next = scala.collection.mutable.Map.empty[String, BigInt].withDefaultValue(BigInt(0))
+      cells.foreach { case (from, to, n) =>
+        val ni = rowSum(from)
+        next(to) += (pi(from) * n * 2 + ni) / (ni * 2)
+      }
+      pi = types.map(t => t -> next(t)).toMap
+    }
+    import spark.implicits._
+    types
+      .map(t => (t, pi(t).toLong, pi(t).toLong.toDouble / 1e12))
+      .toSeq
+      .toDF("event_type", "stationary_micro", "stationary")
+      .orderBy("event_type")
+  }
+
   /** Frequent contiguous event sequences (length-3 paths) with distinct-
     * user support — the level-1 sequential-pattern-mining readout (the
     * GSP/PrefixSpan "which journeys recur across users" question) one
@@ -2241,6 +2296,64 @@ object CorpusOps {
     * At 100 TB the sketch answers point lookups without materializing
     * the (huge) exact token table.
     */
+  /** KMV (k-minimum-values) distinct sketch per event type + the global
+    * union — the ORACLE-CHECKABLE member of the approximate-distinct
+    * family: unlike HLL's register estimate (`q_agg_hll_merge`, rows-only
+    * by design), the KMV estimate `(k−1)·2⁶⁰ / h₍ₖ₎` is a DETERMINISTIC
+    * function of the md5 hash stream, so DuckDB reproduces it
+    * bit-for-bit. The sketch is mergeable (union of k-smallest sets →
+    * k-smallest of union — the `MinK`/`s_stream_reservoir` lattice), and
+    * each scope also reports the exact distinct count and relative
+    * error, making the entry its own accuracy audit.
+    *
+    * Exactness: hashes are exact 60-bit integers (the hllRegisters
+    * hex15 idiom); the estimate is one constant-folded exact product
+    * (31·2⁶⁰ is mantissa-exact) and one IEEE division; under-filled
+    * sketches (k_used < k) return the exact held count. Scale shape:
+    * ONE (type, hash) distinct partial-agg shuffle; the per-type
+    * k-smallest is the rank ≤ k window (unique hashes make rank ≡
+    * row_number) and the union scope is a TakeOrdered k-merge; exact
+    * counts ride the same shuffle family.
+    */
+  def qAggKmvDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = 32
+    val ev = Tables.events(spark, sfDir)
+    val h = conv(substring(md5(col("user_id").cast("string").cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+    val uh = ev.select(col("event_type"), h.as("h")).distinct()
+    val kept = uh
+      .withColumn("rn", rank().over(Window.partitionBy("event_type").orderBy(col("h").asc)))
+      .where(col("rn") <= k)
+    val perType = kept
+      .groupBy(col("event_type").as("scope"))
+      .agg(count(lit(1)).as("k_used"), max(col("h")).as("kth_hash"))
+    val exactT = ev
+      .groupBy(col("event_type").as("scope"))
+      .agg(countDistinct(col("user_id")).as("exact_distinct"))
+    val unionKept = ev.select(h.as("h")).distinct().orderBy(col("h").asc).limit(k)
+    val unionRow = unionKept
+      .agg(count(lit(1)).as("k_used"), max(col("h")).as("kth_hash"))
+      .withColumn("scope", lit("ALL"))
+    val exactAll = ev
+      .agg(countDistinct(col("user_id")).as("exact_distinct"))
+      .withColumn("scope", lit("ALL"))
+    val est = when(col("k_used") < k, col("k_used").cast("double"))
+      .otherwise(lit(31.0) * lit(1152921504606846976.0) / col("kth_hash").cast("double"))
+    val base = perType.join(exactT, "scope")
+    base
+      .unionByName(unionRow.join(exactAll, "scope").select(base.columns.map(col).toSeq: _*))
+      .withColumn("est_distinct", est)
+      .select(
+        col("scope"),
+        col("k_used"),
+        col("kth_hash"),
+        col("est_distinct"),
+        col("exact_distinct"),
+        ((col("est_distinct") - col("exact_distinct").cast("double")) /
+          col("exact_distinct").cast("double")).as("rel_err"))
+      .orderBy("scope")
+  }
+
   def qAggCountMin(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.CountMin
     val cm = udaf(CountMin)
@@ -2971,6 +3084,40 @@ object CorpusOps {
               | min(CASE WHEN best = mb THEN user_id END) AS holder,
               | CAST(sum(CASE WHEN best >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_users_streak3
               |FROM mb GROUP BY 1 ORDER BY event_type""".stripMargin)),
+    "q_events_markov" -> Q(
+      qEventsMarkov,
+      Some {
+        // 20 generated fixed-point iterations (the q_embed_pca unrolled
+        // schedule); HUGEINT keeps pq·n·2 exact at any count scale
+        val steps = (1 to 20)
+          .map { i =>
+            s"""p$i AS (SELECT c.to_type AS event_type,
+               | CAST(sum((CAST(p.pq AS HUGEINT) * c.n * 2 + r.ni) // (r.ni * 2)) AS BIGINT) AS pq
+               | FROM p${i - 1} p JOIN cells c ON c.from_type = p.event_type
+               | JOIN rs r ON r.from_type = c.from_type
+               | GROUP BY 1)""".stripMargin
+          }
+          .mkString(",\n")
+        s"""WITH t AS (
+           | SELECT user_id, event_type AS from_type,
+           |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+           | FROM $EV),
+           |cnt AS (SELECT from_type, to_type, count(1) AS n FROM t
+           |        WHERE to_type IS NOT NULL GROUP BY 1, 2),
+           |ty AS (SELECT DISTINCT event_type FROM $EV),
+           |dang AS (SELECT event_type AS from_type, event_type AS to_type, CAST(1 AS BIGINT) AS n
+           |         FROM ty WHERE event_type NOT IN (SELECT from_type FROM cnt)),
+           |cells AS (SELECT from_type, to_type, CAST(n AS BIGINT) AS n FROM cnt
+           |          UNION ALL SELECT * FROM dang),
+           |rs AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS ni FROM cells GROUP BY 1),
+           |kk AS (SELECT count(1) AS k FROM ty),
+           |p0 AS (SELECT event_type, CAST(1000000000000 // kk.k AS BIGINT) AS pq FROM ty, kk),
+           |$steps
+           |SELECT ty.event_type, COALESCE(p20.pq, 0) AS stationary_micro,
+           | CAST(COALESCE(p20.pq, 0) AS DOUBLE) / 1e12 AS stationary
+           |FROM ty LEFT JOIN p20 ON p20.event_type = ty.event_type
+           |ORDER BY ty.event_type""".stripMargin
+      }),
     "q_seq_mining" -> Q(
       qSeqMining,
       Some(s"""WITH t AS (
@@ -3203,6 +3350,38 @@ object CorpusOps {
              |  CASE WHEN CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) % 2 = 0
              |       THEN 256 ELSE 64 END
              |GROUP BY 1 ORDER BY source""".stripMargin)),
+    "q_agg_kmv_distinct" -> Q(
+      qAggKmvDistinct,
+      Some(s"""WITH uh AS (
+              | SELECT DISTINCT event_type,
+              |  CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT) AS h
+              | FROM $EV),
+              |kept AS (
+              | SELECT event_type, h, rank() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM uh),
+              |pt AS (SELECT event_type AS scope, count(1) AS k_used, CAST(max(h) AS BIGINT) AS kth_hash
+              |       FROM kept WHERE rn <= 32 GROUP BY 1),
+              |ex AS (SELECT event_type AS scope, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+              |       FROM $EV GROUP BY 1),
+              |ua AS (SELECT h FROM (SELECT DISTINCT
+              |        CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT) AS h
+              |       FROM $EV) ORDER BY h LIMIT 32),
+              |un AS (SELECT 'ALL' AS scope, count(1) AS k_used, CAST(max(h) AS BIGINT) AS kth_hash FROM ua),
+              |exa AS (SELECT 'ALL' AS scope, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct FROM $EV),
+              |allr AS (SELECT p.scope, CAST(p.k_used AS BIGINT) AS k_used, p.kth_hash, e.exact_distinct
+              |         FROM pt p JOIN ex e USING (scope)
+              |         UNION ALL
+              |         SELECT u.scope, CAST(u.k_used AS BIGINT), u.kth_hash, x.exact_distinct
+              |         FROM un u JOIN exa x USING (scope)),
+              |withe AS (
+              | SELECT scope, k_used, kth_hash,
+              |  CASE WHEN k_used < 32 THEN CAST(k_used AS DOUBLE)
+              |       ELSE CAST(31 AS DOUBLE) * 1152921504606846976.0 / CAST(kth_hash AS DOUBLE)
+              |  END AS est_distinct,
+              |  exact_distinct
+              | FROM allr)
+              |SELECT scope, k_used, kth_hash, est_distinct, exact_distinct,
+              | (est_distinct - CAST(exact_distinct AS DOUBLE)) / CAST(exact_distinct AS DOUBLE) AS rel_err
+              |FROM withe ORDER BY scope""".stripMargin)),
     "q_agg_count_min" -> Q(
       qAggCountMin,
       Some(s"""SELECT tok, count(1) AS n

@@ -120,6 +120,16 @@ object StreamingQueries {
       .reservoirSample(Streams.reservoirState(Tables.events(spark, sfDir)))
       .orderBy("event_type", "rn")
 
+  /** Batch twin of the streaming KMV sketch (see
+    * [[graft.streaming.Streams.kmvState]]): same MinK lattice over all
+    * events at once; oracle = the per-type half of the
+    * q_agg_kmv_distinct formulation (rank ≤ k smallest hashes).
+    */
+  def kmv(spark: SparkSession, sfDir: String): DataFrame =
+    Streams
+      .kmvEstimate(Streams.kmvState(Tables.events(spark, sfDir)))
+      .orderBy("scope")
+
   /** Batch twin of the streaming Space-Saving heavy hitters (see
     * [[graft.streaming.Streams.topkTokens]]): one shared sketch
     * construction, exact while capacity (256) ≥ vocabulary (31) — so the
@@ -269,6 +279,26 @@ object StreamingQueries {
     "s_stream_hll" -> Q(
       hllRegisters,
       Some(StreamingQueries.HllRegsSql + "\nORDER BY event_type, j")),
+    // mergeable KMV distinct state — the oracle-checkable sketch beside
+    // the HLL registers; oracle = the q_agg_kmv_distinct per-type
+    // formulation, so the hash match proves the MinK lattice state ≡
+    // the rank ≤ k smallest-hash definition
+    "s_stream_kmv" -> Q(
+      kmv,
+      Some(s"""WITH uh AS (
+              | SELECT DISTINCT event_type,
+              |  CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT) AS h
+              | FROM $EV),
+              |kept AS (
+              | SELECT event_type, h, rank() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM uh),
+              |pt AS (SELECT event_type AS scope, CAST(count(1) AS BIGINT) AS k_used,
+              |        CAST(max(h) AS BIGINT) AS kth_hash
+              |       FROM kept WHERE rn <= 32 GROUP BY 1)
+              |SELECT scope, k_used, kth_hash,
+              | CASE WHEN k_used < 32 THEN CAST(k_used AS DOUBLE)
+              |      ELSE CAST(31 AS DOUBLE) * 1152921504606846976.0 / CAST(kth_hash AS DOUBLE)
+              | END AS est_distinct
+              |FROM pt ORDER BY scope""".stripMargin)),
     // bounded monotone sample state — the sketch state class applied to
     // sampling; oracle = the q_sample_reservoir window formulation, so
     // the hash match proves the mergeable min-k state ≡ the batch

@@ -464,6 +464,49 @@ object Streams {
         col("col.user_id").as("user_id"),
         col("col.rkey").as("rkey"))
 
+  /** Streaming KMV distinct sketch per event type — the ORACLE-CHECKABLE
+    * approximate-distinct state beside [[hllRegisters]]: the k smallest
+    * md5 user hashes per type, maintained by the same [[graft.functions.
+    * MinK]] lattice as [[reservoirState]] (the squeeze dedup makes
+    * re-seen users idempotent, so the state IS the set-of-k-smallest —
+    * order/chunking/replay-proof). The hash rides as its 15-hex md5
+    * prefix: lowercase hex sorts identically to its numeric value, so
+    * MinK's string priority needs no conversion. Estimate readout is the
+    * stateless [[kmvEstimate]] projection — `(k−1)·2⁶⁰ / h₍ₖ₎`, a
+    * deterministic function of the state (the q_agg_kmv_distinct
+    * contract).
+    */
+  def kmvState(events: DataFrame, k: Int = 32): DataFrame = {
+    val mk = udaf(new graft.functions.MinK(k))
+    events
+      .select(
+        col("event_type"),
+        substring(md5(col("user_id").cast("string").cast("binary")), 1, 15).as("hhex"),
+        col("user_id"))
+      .groupBy(col("event_type"))
+      .agg(mk(col("hhex"), col("user_id"), col("user_id")).as("sk"))
+  }
+
+  /** Stateless estimate projection over [[kmvState]]: held count, kth
+    * hash, and the KMV estimate (exact held count when under-filled).
+    */
+  def kmvEstimate(state: DataFrame, k: Int = 32): DataFrame = {
+    val kth = conv(element_at(col("sk"), -1).getField("rkey"), 16, 10).cast("long")
+    state
+      .select(
+        col("event_type").as("scope"),
+        size(col("sk")).cast("long").as("k_used"),
+        kth.as("kth_hash"))
+      .select(
+        col("scope"),
+        col("k_used"),
+        col("kth_hash"),
+        when(col("k_used") < k, col("k_used").cast("double"))
+          .otherwise(
+            lit((k - 1).toDouble) * lit(1152921504606846976.0) / col("kth_hash").cast("double"))
+          .as("est_distinct"))
+  }
+
   /** Per-event decayed rolling feature maintained as keyed state — the
     * `q_events_ewma` truncated EWMA (weights 16:8:4:2:1 over the last 5
     * events, α = 1/2) computed incrementally: the state is a ≤4-value

@@ -348,6 +348,86 @@ class CorpusOpsSpec extends SparkSuite {
     assert(keys == keys.sortBy { case (u, o) => (-u, -o) })
   }
 
+  test("q_events_markov: fixed point is stationary and mass is conserved") {
+    val rows = CorpusOps.qEventsMarkov(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val mass = rows.map(_.getLong(1)).sum
+    // per-iteration half-up rounding loses/gains ≤ |types|/2 micro over
+    // 20 iterations from the 1e12 grain
+    assert(math.abs(mass - 1000000000000L) <= 20L * rows.length)
+    // fixed point: one more EXACT integer step barely moves the vector
+    val ev = graft.Tables
+      .events(spark, sf001)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .collect()
+    val trans = ev
+      .groupBy(_._1)
+      .values
+      .flatMap { g =>
+        val s = g.sortBy(e => (e._2, e._3)).map(_._4)
+        s.zip(s.tail)
+      }
+      .toSeq
+    val cnt = trans.groupBy(identity).map { case (k, g) => k -> BigInt(g.size) }
+    val types = rows.map(_.getString(0))
+    val outSum = cnt.groupBy(_._1._1).map { case (t, g) => t -> g.values.sum }
+    val cells = cnt.toSeq ++ types.filterNot(outSum.contains).map(t => ((t, t), BigInt(1)))
+    val rowSum = cells.groupBy(_._1._1).map { case (t, g) => t -> g.map(_._2).sum }
+    val pi = rows.map(r => r.getString(0) -> BigInt(r.getLong(1))).toMap
+    val next = scala.collection.mutable.Map.empty[String, BigInt].withDefaultValue(BigInt(0))
+    cells.foreach { case ((from, to), n) =>
+      next(to) += (pi(from) * n * 2 + rowSum(from)) / (rowSum(from) * 2)
+    }
+    types.foreach { t =>
+      assert((next(t) - pi(t)).abs <= BigInt(2000000L), s"$t moved ${(next(t) - pi(t)).abs}")
+    }
+  }
+
+  test("q_agg_kmv_distinct: estimate recomputes from local k-minimum hashes; union law holds") {
+    val rows = CorpusOps.qAggKmvDistinct(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    def md5hex15(s: String): Long = {
+      val d = java.security.MessageDigest
+        .getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x")
+        .mkString
+      java.lang.Long.parseLong(d.substring(0, 15), 16)
+    }
+    val ev = graft.Tables
+      .events(spark, sf001)
+      .select(col("event_type"), col("user_id"))
+      .as[(String, Long)]
+      .collect()
+    val byType = ev.groupBy(_._1).map { case (t, g) => t -> g.map(_._2).distinct }
+    val k = 32
+    rows.foreach { r =>
+      val users =
+        if (r.getString(0) == "ALL") ev.map(_._2).distinct else byType(r.getString(0))
+      val hs = users.map(u => md5hex15(u.toString)).sorted.take(k)
+      assert(r.getLong(1) == hs.length.toLong)
+      assert(r.getLong(2) == hs.max)
+      val est =
+        if (hs.length < k) hs.length.toDouble else 31.0 * 1152921504606846976.0 / hs.max.toDouble
+      assert(r.getDouble(3) == est)
+      assert(r.getLong(4) == users.length.toLong)
+      // with k ≥ 32 the estimator should land within ~35% on this fixture
+      assert(math.abs(r.getDouble(5)) < 0.35, s"rel_err ${r.getDouble(5)}")
+      // mergeability law (the lattice argument): k-min of the union ==
+      // k-min of the union of per-type k-mins
+      if (r.getString(0) == "ALL") {
+        val merged = byType.values
+          .flatMap(_.map(u => md5hex15(u.toString)).sorted.take(k))
+          .toSeq
+          .distinct
+          .sorted
+          .take(k)
+        assert(merged == hs.toSeq)
+      }
+    }
+  }
+
   test("q_events_streaks: island lengths recompute from local per-user walks") {
     val rows = CorpusOps.qEventsStreaks(spark, sf001).collect()
     assert(rows.nonEmpty)

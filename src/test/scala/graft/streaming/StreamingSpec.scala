@@ -117,6 +117,51 @@ class StreamingSpec extends SparkSuite {
   private def rowKey(r: org.apache.spark.sql.Row) =
     (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getString(4))
 
+  test("streaming KMV sketch: chunked, duplicate-heavy feed equals the batch estimate") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val df = mem
+      .toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Streams
+      .kmvState(df)
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("kmv_complete")
+      .start()
+    try {
+      val all = eventTuples.toIndexedSeq
+      val (c1, c2) = all.splitAt(all.length / 3)
+      mem.addData(c1)
+      q.processAllAvailable()
+      val after1 = graft.streaming.Streams
+        .kmvEstimate(spark.table("kmv_complete"))
+        .collect()
+        .map(r => r.getString(0) -> r.getLong(2))
+        .toMap
+      // REPLAY chunk 1 (duplicate users must not occupy extra slots —
+      // the squeeze dedup), then the rest
+      mem.addData(c1)
+      mem.addData(c2)
+      q.processAllAvailable()
+      val fin = graft.streaming.Streams
+        .kmvEstimate(spark.table("kmv_complete"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      // kth hash only ever decreases (min-k lattice is monotone)
+      fin.foreach { case (scope, _, kth, _) =>
+        after1.get(scope).foreach(k1 => assert(kth <= k1, scope))
+      }
+      // final state ≡ the oracle-checked batch twin row-for-row
+      val batch = graft.queries.StreamingQueries
+        .kmv(spark, sf001)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      assert(fin.sortBy(_._1).toSeq == batch.toSeq)
+    } finally q.stop()
+  }
+
   test("stateful streaming EWMA equals the batch lag-window, fed in chunks") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
