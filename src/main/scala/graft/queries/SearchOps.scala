@@ -693,6 +693,54 @@ object SearchOps {
     mst.orderBy("u", "v")
   }
 
+  /** Deterministic random walks over the co-purchase graph — the
+    * DeepWalk/node2vec CORPUS-GENERATION primitive (walks become
+    * "sentences" for embedding training): one walk of length 4 from
+    * every node, where step i from node c moves to the
+    * `md5(c:i) mod degree(c)`-th neighbor in id order. The PRNG is the
+    * house reproducible hash, so walks are identical across engines,
+    * runs, and partitionings (the `df.sample()` ban, applied to graph
+    * sampling).
+    *
+    * Scale shape: the adjacency is ranked ONCE (row_number over
+    * neighbors in id order — one edge-keyed window) with degrees from
+    * the same frame; each of the 4 steps is one equi-join of the
+    * frontier against the (node, rank) adjacency — the BFS-round shape
+    * with a hash-picked rank instead of min-distance. All integer/hash
+    * arithmetic; the oracle unrolls the identical 4 steps.
+    */
+  def qGraphRandomWalk(spark: SparkSession, sfDir: String): DataFrame = {
+    val steps = 4
+    val e = coPurchaseEdges(spark, sfDir)
+    val adj = e
+      .select(col("u").as("a"), col("v").as("b"))
+      .unionByName(e.select(col("v").as("a"), col("u").as("b")))
+    val ranked = adj
+      .withColumn("rk", row_number().over(Window.partitionBy("a").orderBy(col("b").asc)) - 1)
+      .localCheckpoint() // referenced once per step; don't re-rank 4×
+    val deg = adj.groupBy(col("a").as("dn")).agg(count(lit(1)).as("deg")).localCheckpoint()
+    def hashPick(cur: Column, i: Int): Column =
+      pmod(
+        conv(substring(md5(concat(cur.cast("string"), lit(":"), lit(i.toString)).cast("binary")), 1, 15), 16, 10)
+          .cast("long"),
+        col("deg"))
+    var walk = adj
+      .select(col("a").as("start"))
+      .distinct()
+      .select(col("start"), lit(0).as("step"), col("start").as("node"))
+    var frontier = walk
+    for (i <- 1 to steps) {
+      val nxt = frontier
+        .join(deg, col("node") === col("dn"))
+        .withColumn("pick", hashPick(col("node"), i))
+        .join(ranked, col("node") === col("a") && col("pick") === col("rk"))
+        .select(col("start"), lit(i).as("step"), col("b").as("node"))
+      walk = walk.unionByName(nxt)
+      frontier = nxt
+    }
+    walk.orderBy("start", "step")
+  }
+
   // ------------------------------------------------- bounded-hop BFS
 
   /** Multi-hop reach profile: single-source BFS over the co-purchase
@@ -1390,6 +1438,39 @@ object SearchOps {
     // loop. The chk CTE is a CONVERGENCE POISON: if the last two rounds
     // differ the oracle returns 0 rows, failing the compare loudly
     // (mirrors the engine's strict throw — never a silent agreement).
+    "q_graph_random_walk" -> Q(
+      qGraphRandomWalk,
+      Some {
+        // 4 generated steps; each step joins the prior frontier to the
+        // ranked adjacency at the md5-picked neighbor rank — identical
+        // hash arithmetic to the engine
+        val steps = (1 to 4)
+          .map { i =>
+            s"""f$i AS MATERIALIZED (
+               | SELECT f.start, r.b AS node
+               | FROM f${i - 1} f JOIN dg ON f.node = dg.dn
+               | JOIN rk r ON r.a = f.node
+               |  AND r.rk = CAST(('0x' || substr(md5(CAST(f.node AS VARCHAR) || ':$i'), 1, 15))::UBIGINT
+               |               % dg.deg AS BIGINT))""".stripMargin
+          }
+          .mkString(",\n")
+        val unions = (1 to 4)
+          .map(i => s"SELECT start, $i AS step, node FROM f$i")
+          .mkString(" UNION ALL ")
+        s"""WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+           |e AS (SELECT a.p AS u, b.p AS v FROM it a JOIN it b ON a.o = b.o AND a.p < b.p
+           |      GROUP BY 1, 2 HAVING count(1) >= 2),
+           |adj AS MATERIALIZED (SELECT u AS a, v AS b FROM e UNION ALL SELECT v AS a, u AS b FROM e),
+           |rk AS MATERIALIZED (SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY b) - 1 AS rk
+           |                    FROM adj),
+           |dg AS MATERIALIZED (SELECT a AS dn, CAST(count(1) AS BIGINT) AS deg FROM adj GROUP BY 1),
+           |f0 AS MATERIALIZED (SELECT DISTINCT a AS start, a AS node FROM adj),
+           |$steps
+           |SELECT start, step, node FROM (
+           | SELECT start, 0 AS step, node FROM f0
+           | UNION ALL $unions)
+           |ORDER BY start, step""".stripMargin
+      }),
     "q_graph_mst" -> Q(
       qGraphMst,
       Some {

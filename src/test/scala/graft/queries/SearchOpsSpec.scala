@@ -746,4 +746,39 @@ class SearchOpsSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(fast.sortBy(e => (e._1, e._2)).toSeq == dist.sortBy(e => (e._1, e._2)).toSeq)
   }
+
+  test("q_graph_random_walk: every walk replays the md5-pick locally") {
+    val rows = SearchOps
+      .qGraphRandomWalk(spark, sf001)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val edges = SearchOps
+      .coPurchaseEdges(spark, sf001)
+      .as[(Long, Long)]
+      .collect()
+    val adj = (edges ++ edges.map(_.swap))
+      .groupBy(_._1)
+      .map { case (a, g) => a -> g.map(_._2).sorted }
+    def md5hex15(x: String): Long = {
+      val d = java.security.MessageDigest
+        .getInstance("MD5")
+        .digest(x.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x")
+        .mkString
+      java.lang.Long.parseLong(d.substring(0, 15), 16)
+    }
+    val walks = rows.groupBy(_._1)
+    assert(walks.keySet == adj.keySet)
+    walks.foreach { case (start, g) =>
+      val path = g.sortBy(_._2).map(_._3)
+      assert(path.length == 5 && path.head == start)
+      for (i <- 1 to 4) {
+        val cur = path(i - 1)
+        val ns = adj(cur)
+        val pick = (md5hex15(s"$cur:$i") % ns.length).toInt
+        assert(path(i) == ns(pick), s"walk $start step $i")
+      }
+    }
+  }
 }
