@@ -2355,21 +2355,12 @@ object CorpusOps {
   }
 
   def qAggCountMin(spark: SparkSession, sfDir: String): DataFrame = {
-    import graft.functions.CountMin
-    val cm = udaf(CountMin)
-    val toks = LlmOps.docTokens(Tables.documents(spark, sfDir))
-    val sketch = toks.agg(cm(col("tok")).as("sk"))
-    def est(i: Int): Column =
-      element_at(
-        col("sk"),
-        (pmod(xxhash64(col("tok"), lit(i.toLong)), lit(CountMin.W.toLong))
-          + lit(i.toLong * CountMin.W) + lit(1L)).cast("int"))
-    toks
-      .select("tok")
-      .distinct()
-      .crossJoin(broadcast(sketch))
-      .select(col("tok"), least(est(0), est(1), est(2)).as("n"))
-      .orderBy("tok")
+    // r12: sketch construction + probe delegated to the Streams pair so
+    // the batch entry and s_stream_count_min share one definition
+    val docs = Tables.documents(spark, sfDir)
+    graft.streaming.Streams.countMinProbe(
+      graft.streaming.Streams.countMinState(docs),
+      LlmOps.docTokens(docs))
   }
 
   // ------------------------------------------------------- anomaly detection

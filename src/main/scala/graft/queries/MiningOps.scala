@@ -1099,6 +1099,66 @@ object MiningOps {
     * render years of raw points — no shuffle of the raw series, no
     * per-group sort.
     */
+  /** Classical seasonal decomposition of the per-type daily volume
+    * series (the moving-average STL-lite): trend = centered 7-day
+    * moving average on the ZERO-FILLED daily grid, seasonal = per
+    * day-of-week mean of the detrended series, residual = the rest —
+    * the "is Tuesday always like this or is today broken" separation
+    * run before the `q_events_anomaly` z-gate, one level up from
+    * `q_events_seasonality`'s dow profile (which scores counts, not a
+    * decomposition).
+    *
+    * Exactness: daily counts are exact longs on a dense date grid
+    * (missing days = 0 — decomposition over a sparse grid would shift
+    * every window); trend = exact long window SUM ÷ exact count (one
+    * IEEE division — avg() is NOT used: its double-accumulating buffer
+    * would be frame-order IEEE instead of an exact integer sum);
+    * seasonal means go through `dsum`; residual is the mirrored IEEE
+    * chain. Day-of-week convention: Spark `dayofweek − 1` ≡ DuckDB
+    * `dayofweek` (Sunday = 0), the q_events_seasonality pin.
+    *
+    * Scale shape: one (type, date) partial-agg shuffle is the corpus
+    * pass; the grid is days × types (wall time), the MA window and
+    * dow means run on that model frame.
+    */
+  def qTimeDecompose(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables
+      .events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"))
+    val span = daily
+      .groupBy(col("event_type").as("s_et"))
+      .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .localCheckpoint() // ≤|types| rows
+    val grid = span.select(
+      col("s_et").as("event_type"),
+      explode(sequence(col("d0"), col("d1"))).as("d"))
+    val full = grid
+      .join(daily, Seq("event_type", "d"), "left")
+      .select(col("event_type"), col("d"), coalesce(col("n"), lit(0L)).as("n"))
+    val wMa = Window.partitionBy("event_type").orderBy(col("d")).rowsBetween(-3, 3)
+    val trended = full
+      .withColumn(
+        "trend",
+        sum(col("n")).over(wMa).cast("double") / count(lit(1)).over(wMa).cast("double"))
+      .withColumn("dt", col("n").cast("double") - col("trend"))
+    val seas = trended
+      .groupBy(col("event_type").as("g_et"), (dayofweek(col("d")) - 1).as("dow"))
+      .agg((Tables.dsum(col("dt")) / count(lit(1))).as("seasonal"))
+    trended
+      .join(
+        seas,
+        col("event_type") === col("g_et") && (dayofweek(col("d")) - 1) === col("dow"))
+      .select(
+        col("event_type"),
+        col("d"),
+        col("n"),
+        col("trend"),
+        col("seasonal"),
+        (col("n").cast("double") - col("trend") - col("seasonal")).as("residual"))
+      .orderBy("event_type", "d")
+  }
+
   def qTimeM4(spark: SparkSession, sfDir: String): DataFrame = {
     // Injective (ts, event_id) decimal ordering key — see Tables.tsIdKey
     // for why a struct key would demote the agg to SortAggregate.
@@ -2370,6 +2430,35 @@ object MiningOps {
               |  any_value(p2.n) AS n
               | FROM frac f JOIN p2 ON f.src = p2.node GROUP BY f.dst)
               |SELECT node, round(p, 9) AS rank FROM p3 ORDER BY node""".stripMargin)),
+    "q_time_decompose" -> Q(
+      qTimeDecompose,
+      Some(s"""WITH daily AS (
+              | SELECT event_type, CAST(ts AS DATE) AS d, count(1) AS n FROM $EVT GROUP BY 1, 2),
+              |span AS (SELECT event_type, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY 1),
+              |grid AS (
+              | SELECT event_type,
+              |  CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+              |                              INTERVAL 1 DAY)) AS DATE) AS d
+              | FROM span),
+              |full0 AS (
+              | SELECT g.event_type, g.d, CAST(coalesce(daily.n, 0) AS BIGINT) AS n
+              | FROM grid g LEFT JOIN daily ON g.event_type = daily.event_type AND g.d = daily.d),
+              |tr AS (
+              | SELECT event_type, d, n,
+              |  CAST(sum(n) OVER w AS DOUBLE) / CAST(count(1) OVER w AS DOUBLE) AS trend
+              | FROM full0
+              | WINDOW w AS (PARTITION BY event_type ORDER BY d
+              |              ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+              |seas AS (
+              | SELECT event_type, CAST(dayofweek(d) AS INT) AS dow,
+              |  CAST(sum(CAST(CAST(n AS DOUBLE) - trend AS DECIMAL(18,6))) AS DOUBLE)
+              |   / count(1) AS seasonal
+              | FROM tr GROUP BY 1, 2)
+              |SELECT t.event_type, t.d, t.n, t.trend, s.seasonal,
+              | CAST(t.n AS DOUBLE) - t.trend - s.seasonal AS residual
+              |FROM tr t JOIN seas s ON t.event_type = s.event_type
+              | AND CAST(dayofweek(t.d) AS INT) = s.dow
+              |ORDER BY t.event_type, t.d""".stripMargin)),
     "q_events_seasonality" -> Q(
       qEventsSeasonality,
       Some(s"""WITH cd AS (

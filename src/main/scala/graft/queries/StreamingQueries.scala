@@ -120,6 +120,17 @@ object StreamingQueries {
       .reservoirSample(Streams.reservoirState(Tables.events(spark, sfDir)))
       .orderBy("event_type", "rn")
 
+  /** Batch twin of the streaming Count-Min sketch (see
+    * [[graft.streaming.Streams.countMinState]]): identical construction
+    * + probe to `q_agg_count_min` by delegation — the entries differ
+    * only in which side (batch registry vs StreamingSpec chunk feed)
+    * exercises the state.
+    */
+  def countMin(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    Streams.countMinProbe(Streams.countMinState(docs), LlmOps.docTokens(docs))
+  }
+
   /** Batch twin of the streaming KMV sketch (see
     * [[graft.streaming.Streams.kmvState]]): same MinK lattice over all
     * events at once; oracle = the per-type half of the
@@ -279,6 +290,14 @@ object StreamingQueries {
     "s_stream_hll" -> Q(
       hllRegisters,
       Some(StreamingQueries.HllRegsSql + "\nORDER BY event_type, j")),
+    // mergeable Count-Min state: the streaming sibling of
+    // q_agg_count_min via the SHARED Streams.countMinState/Probe pair;
+    // same exact-regime oracle (capacity ≥ vocabulary)
+    "s_stream_count_min" -> Q(
+      countMin,
+      Some(s"""SELECT tok, count(1) AS n
+              |FROM (SELECT unnest(toks) AS tok FROM ${LlmOps.DOCS_T})
+              |GROUP BY tok ORDER BY tok""".stripMargin)),
     // mergeable KMV distinct state — the oracle-checkable sketch beside
     // the HLL registers; oracle = the q_agg_kmv_distinct per-type
     // formulation, so the hash match proves the MinK lattice state ≡

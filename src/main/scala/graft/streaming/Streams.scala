@@ -464,6 +464,40 @@ object Streams {
         col("col.user_id").as("user_id"),
         col("col.rkey").as("rkey"))
 
+  /** Streaming Count-Min sketch over the token stream — ONE mergeable
+    * 3×4096 counter grid as the whole aggregation state (complete mode,
+    * no watermark: counters are monotone adds, the hllRegisters
+    * argument). Shared verbatim with the batch `q_agg_count_min` (which
+    * delegates here), so the streaming state and the batch sketch
+    * cannot drift.
+    */
+  def countMinState(docs: DataFrame): DataFrame = {
+    val cm = udaf(graft.functions.CountMin)
+    docs
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .where(col("tok") =!= "")
+      .agg(cm(col("tok")).as("sk"))
+  }
+
+  /** Stateless point-lookup readout over [[countMinState]]: probe each
+    * token with plain column arithmetic (xxhash64 rows bit-identical to
+    * the aggregator's — no UDF on the probe path).
+    */
+  def countMinProbe(state: DataFrame, toks: DataFrame): DataFrame = {
+    import graft.functions.CountMin
+    def est(i: Int): org.apache.spark.sql.Column =
+      element_at(
+        col("sk"),
+        (pmod(xxhash64(col("tok"), lit(i.toLong)), lit(CountMin.W.toLong))
+          + lit(i.toLong * CountMin.W) + lit(1L)).cast("int"))
+    toks
+      .select("tok")
+      .distinct()
+      .crossJoin(broadcast(state))
+      .select(col("tok"), least(est(0), est(1), est(2)).as("n"))
+      .orderBy("tok")
+  }
+
   /** Streaming KMV distinct sketch per event type — the ORACLE-CHECKABLE
     * approximate-distinct state beside [[hllRegisters]]: the k smallest
     * md5 user hashes per type, maintained by the same [[graft.functions.

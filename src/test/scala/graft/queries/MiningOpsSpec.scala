@@ -11,6 +11,36 @@ import org.apache.spark.sql.functions._
 class MiningOpsSpec extends SparkSuite {
   import spark.implicits._
 
+  test("q_time_decompose: trend/seasonal/residual recompute from local daily counts") {
+    val rows = MiningOps.qTimeDecompose(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val byType = rows.groupBy(_.getString(0))
+    byType.foreach { case (_, rs) =>
+      val days = rs.map(_.getDate(1).toLocalDate)
+      // dense contiguous grid
+      assert(days.zip(days.tail).forall { case (a, b) => b == a.plusDays(1) })
+      val n = rs.map(_.getLong(2))
+      rs.indices.foreach { i =>
+        // centered 7-day MA with truncated edges: exact sum / count
+        val lo = math.max(0, i - 3)
+        val hi = math.min(rs.length - 1, i + 3)
+        val want = n.slice(lo, hi + 1).sum.toDouble / (hi - lo + 1).toDouble
+        assert(rs(i).getDouble(3) == want)
+        // decomposition closes: n = trend + seasonal + residual
+        assert(
+          math.abs(
+            n(i).toDouble -
+              (rs(i).getDouble(3) + rs(i).getDouble(4) + rs(i).getDouble(5))) < 1e-9)
+      }
+      // seasonal is constant per day-of-week within a type
+      val byDow = rs.groupBy(_.getDate(1).toLocalDate.getDayOfWeek)
+      byDow.values.foreach(g => assert(g.map(_.getDouble(4)).distinct.length == 1))
+    }
+    // total event accounting: grid zero-fill must not invent events
+    val total = rows.map(_.getLong(2)).sum
+    assert(total == graft.Tables.events(spark, sf001).count())
+  }
+
   // ------------------------------------------------------- market basket
 
   test("q_market_basket: ordered pairs, support threshold, exact lift") {

@@ -117,6 +117,51 @@ class StreamingSpec extends SparkSuite {
   private def rowKey(r: org.apache.spark.sql.Row) =
     (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getString(4))
 
+  test("streaming count-min: chunked feed converges to the exact batch counts") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val df = mem.toDF().toDF("text")
+    val q = Streams
+      .countMinState(df)
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("cm_complete")
+      .start()
+    try {
+      val texts = Tables
+        .documents(spark, sf001)
+        .select("text")
+        .as[String]
+        .collect()
+        .toIndexedSeq
+      val (c1, c2) = texts.splitAt(texts.length / 2)
+      mem.addData(c1)
+      q.processAllAvailable()
+      val docs = Tables.documents(spark, sf001)
+      val toks = docs
+        .select(explode(split($"text", " ")).as("tok"))
+        .where($"tok" =!= "")
+      val mid = Streams
+        .countMinProbe(spark.table("cm_complete"), toks)
+        .as[(String, Long)]
+        .collect()
+        .toMap
+      mem.addData(c2)
+      q.processAllAvailable()
+      val fin = Streams
+        .countMinProbe(spark.table("cm_complete"), toks)
+        .as[(String, Long)]
+        .collect()
+        .toMap
+      // counters only grow
+      mid.foreach { case (t, n) => assert(fin(t) >= n, t) }
+      // capacity ≥ vocabulary ⇒ the final sketch answers exactly
+      val exact = toks.groupBy("tok").count().as[(String, Long)].collect().toMap
+      assert(fin == exact)
+    } finally q.stop()
+  }
+
   test("streaming KMV sketch: chunked, duplicate-heavy feed equals the batch estimate") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
