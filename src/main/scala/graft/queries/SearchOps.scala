@@ -1005,6 +1005,62 @@ object SearchOps {
     profile.reduce(_ unionByName _).orderBy("round")
   }
 
+  /** Newman modularity of the 4-round label-propagation partition —
+    * the partition-quality score that turns `q_graph_label_prop`'s
+    * community detection into a judged result:
+    * `Q = Σ_c (e_c/m − (d_c/2m)²)`. The communities come from the SAME
+    * [[lpaRound]] core as the registry's label-prop entry (one
+    * definition, zero drift); Q ∈ (−0.5, 1], higher = stronger
+    * community structure than the degree-preserving random graph.
+    *
+    * Exactness: e_c (intra-community edges), d_c (community degree
+    * mass), and m are exact longs; each community's term is a short
+    * mirrored IEEE chain and the cross-community sum is `dsum`-quantized
+    * (terms ≤ 1 — well inside the portable band). Scale shape: after
+    * the label rounds, ONE edges⋈labels⋈labels join for e_c and one
+    * degree agg + label join for d_c, both partial-aggregating; the
+    * fold is |communities| rows.
+    */
+  def qGraphModularity(spark: SparkSession, sfDir: String): DataFrame = {
+    val rounds = 4
+    val e = coPurchaseEdges(spark, sfDir)
+    val adj = e
+      .select(col("u").as("a"), col("v").as("b"))
+      .unionByName(e.select(col("v").as("a"), col("u").as("b")))
+      .localCheckpoint()
+    var labels = adj
+      .select(col("a").as("id"))
+      .distinct()
+      .select(col("id"), col("id").as("lab"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) labels = lpaRound(labels, adj).localCheckpoint()
+    val lu = labels.select(col("id").as("lu_id"), col("lab").as("lu"))
+    val lv = labels.select(col("id").as("lv_id"), col("lab").as("lv"))
+    val mrow = e.agg(count(lit(1)).as("m"))
+    val ec = e
+      .join(lu, col("u") === col("lu_id"))
+      .join(lv, col("v") === col("lv_id"))
+      .where(col("lu") === col("lv"))
+      .groupBy(col("lu").as("lab"))
+      .agg(count(lit(1)).as("e_c"))
+    val dc = adj
+      .groupBy(col("a").as("id2"))
+      .agg(count(lit(1)).as("d"))
+      .join(labels, col("id2") === col("id"))
+      .groupBy(col("lab"))
+      .agg(sum(col("d")).as("d_c"))
+    val md = col("m").cast("double")
+    val half = col("d_c").cast("double") / (lit(2.0) * md)
+    val t = col("e_c").cast("double") / md - half * half
+    dc.join(ec, Seq("lab"), "left")
+      .select(col("lab"), coalesce(col("e_c"), lit(0L)).as("e_c"), col("d_c"))
+      .crossJoin(broadcast(mrow))
+      .agg(
+        first(col("m")).as("m_edges"),
+        count(lit(1)).as("n_comm"),
+        Tables.dsum(t).as("modularity"))
+  }
+
   // ---------------------------------------------- degree distribution
 
   /** Degree distribution of the co-purchase graph: degree → node count,
@@ -1438,6 +1494,48 @@ object SearchOps {
     // loop. The chk CTE is a CONVERGENCE POISON: if the last two rounds
     // differ the oracle returns 0 rows, failing the compare loudly
     // (mirrors the engine's strict throw — never a silent agreement).
+    "q_graph_modularity" -> Q(
+      qGraphModularity,
+      Some {
+        // the label-prop oracle's generated rounds, then the modularity
+        // tail over the round-4 labels
+        val rounds = (1 to 4)
+          .map { r =>
+            s"""l$r AS MATERIALIZED (
+               | SELECT id, lab FROM (
+               |  SELECT id, lab,
+               |   row_number() OVER (PARTITION BY id ORDER BY cnt DESC, lab ASC) AS rn
+               |  FROM (SELECT id, lab, count(1) AS cnt FROM (
+               |    SELECT id, lab FROM l${r - 1}
+               |    UNION ALL
+               |    SELECT adj.b AS id, p.lab FROM l${r - 1} p JOIN adj ON adj.a = p.id)
+               |   GROUP BY id, lab))
+               | WHERE rn = 1)""".stripMargin
+          }
+          .mkString(",\n")
+        s"""WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+           |e AS MATERIALIZED (SELECT a.p AS u, b.p AS v FROM it a JOIN it b
+           |     ON a.o = b.o AND a.p < b.p
+           |     GROUP BY 1, 2 HAVING count(1) >= 2),
+           |adj AS MATERIALIZED (SELECT u AS a, v AS b FROM e UNION ALL SELECT v AS a, u AS b FROM e),
+           |l0 AS MATERIALIZED (SELECT DISTINCT a AS id, a AS lab FROM adj),
+           |$rounds,
+           |dg AS (SELECT a AS id, count(1) AS d FROM adj GROUP BY 1),
+           |mm AS (SELECT count(1) AS m FROM e),
+           |dc AS (SELECT l.lab, CAST(sum(dg.d) AS BIGINT) AS d_c
+           |       FROM l4 l JOIN dg USING (id) GROUP BY 1),
+           |ec AS (SELECT lu.lab, count(1) AS e_c
+           |       FROM e JOIN l4 lu ON e.u = lu.id JOIN l4 lv ON e.v = lv.id AND lu.lab = lv.lab
+           |       GROUP BY 1),
+           |terms AS (SELECT dc.lab, CAST(coalesce(ec.e_c, 0) AS BIGINT) AS e_c, dc.d_c
+           |          FROM dc LEFT JOIN ec USING (lab))
+           |SELECT CAST(mm.m AS BIGINT) AS m_edges, count(1) AS n_comm,
+           | CAST(sum(CAST(CAST(e_c AS DOUBLE) / CAST(mm.m AS DOUBLE)
+           |   - (CAST(d_c AS DOUBLE) / (2.0 * CAST(mm.m AS DOUBLE)))
+           |     * (CAST(d_c AS DOUBLE) / (2.0 * CAST(mm.m AS DOUBLE)))
+           |  AS DECIMAL(18,6))) AS DOUBLE) AS modularity
+           |FROM terms, mm GROUP BY mm.m""".stripMargin
+      }),
     "q_graph_random_walk" -> Q(
       qGraphRandomWalk,
       Some {

@@ -781,4 +781,40 @@ class SearchOpsSpec extends SparkSuite {
       }
     }
   }
+
+  test("q_graph_modularity: Q recomputes from local labels and closes its bounds") {
+    val r = SearchOps.qGraphModularity(spark, sf001).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val edges = SearchOps
+      .coPurchaseEdges(spark, sf001)
+      .as[(Long, Long)]
+      .collect()
+    val m = edges.length.toLong
+    assert(row.getLong(0) == m)
+    // local 4-round LPA with the same argmax tiebreak (count desc, lab asc)
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1).map { case (a, g) => a -> g.map(_._2) }
+    var lab: Map[Long, Long] = adj.keySet.map(n => n -> n).toMap
+    for (_ <- 1 to 4) {
+      lab = adj.keys.map { n =>
+        val votes = (lab(n) +: adj(n).map(lab)).groupBy(identity).map { case (l, g) => (l, g.length) }
+        n -> votes.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }.toMap
+    }
+    val comms = lab.values.toSeq.distinct
+    assert(row.getLong(1) == comms.length.toLong)
+    val dc = lab.toSeq.groupBy(_._2).map { case (c, g) => c -> g.map(x => adj(x._1).length.toLong).sum }
+    val ec = comms.map(c => c -> edges.count(e => lab(e._1) == c && lab(e._2) == c).toLong).toMap
+    val q = comms.map { c =>
+      val t = ec(c).toDouble / m - (dc(c).toDouble / (2.0 * m)) * (dc(c).toDouble / (2.0 * m))
+      BigDecimal.decimal(t).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }.sum.toDouble
+    assert(math.abs(row.getDouble(2) - q) < 1e-9)
+    assert(row.getDouble(2) > -0.5 && row.getDouble(2) <= 1.0)
+    // the dense sf0.001 graph COLLAPSES to one LPA community in 4
+    // rounds, where Q = m/m − (2m/2m)² = 0 exactly — the identity is
+    // itself a law worth pinning (sf0.01's multi-community Q > 0 is
+    // covered by the oracle hash)
+    if (row.getLong(1) == 1L) assert(row.getDouble(2) == 0.0)
+  }
 }
