@@ -2354,6 +2354,88 @@ object CorpusOps {
       .orderBy("scope")
   }
 
+  /** Pairwise KMV set-intersection estimates between event-type user
+    * sets — the ORACLE-CHECKED closing of the gap `q_agg_hll_intersect`
+    * leaves (HLL intersection via inclusion–exclusion is rows-only by
+    * design; KMV intersection is a deterministic function of the
+    * hashes): for every type pair, θ = kth smallest of the UNION of the
+    * two k-min sketches, c = common sketch hashes ≤ θ, and
+    * `|A∩B| ≈ (c/k)·n̂_union`. Under-filled unions degrade to EXACT
+    * (the sketches then hold every hash). Each pair also reports the
+    * exact intersection and relative error — its own accuracy audit.
+    *
+    * Scale shape: the corpus pass is the same ONE (type, hash) distinct
+    * agg as `q_agg_kmv_distinct`; everything pairwise runs on the
+    * ≤|types|·k kept-hash frame (pair fan-out via two broadcast joins
+    * of the ≤|pairs| type-pair list, per-pair rank window, hash-equality
+    * self-join for common hashes). The exact audit column is one
+    * (user, type) distinct self-join — the honest exact cost the sketch
+    * path avoids at 100 TB.
+    */
+  def qAggKmvIntersect(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = 32
+    val ev = Tables.events(spark, sfDir)
+    val h = conv(substring(md5(col("user_id").cast("string").cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+    val uh = ev.select(col("event_type"), h.as("h")).distinct()
+    val kept = uh
+      .withColumn("rn", rank().over(Window.partitionBy("event_type").orderBy(col("h").asc)))
+      .where(col("rn") <= k)
+      .select(col("event_type").as("et"), col("h"))
+      .localCheckpoint() // ≤|types|·k rows; feeds pair union, common, θ
+    val tp = kept
+      .select(col("et").as("ta"))
+      .distinct()
+      .crossJoin(kept.select(col("et").as("tb")).distinct())
+      .where(col("ta") < col("tb"))
+    val u1 = tp.join(kept.select(col("et").as("ta"), col("h")), "ta")
+    val u2 = tp.join(kept.select(col("et").as("tb"), col("h")), "tb")
+    val uu = u1.select("ta", "tb", "h").unionByName(u2.select("ta", "tb", "h")).distinct()
+    val theta = uu
+      .withColumn(
+        "rn",
+        rank().over(Window.partitionBy("ta", "tb").orderBy(col("h").asc)))
+      .where(col("rn") <= k)
+      .groupBy("ta", "tb")
+      .agg(count(lit(1)).as("ku"), max(col("h")).as("theta"))
+    val common = kept
+      .select(col("et").as("ca"), col("h"))
+      .join(kept.select(col("et").as("cb"), col("h")), "h")
+      .where(col("ca") < col("cb"))
+      .select(col("ca").as("ta"), col("cb").as("tb"), col("h"))
+    val cCnt = theta
+      .join(common, Seq("ta", "tb"), "left")
+      .where(col("h").isNull || col("h") <= col("theta"))
+      .groupBy("ta", "tb", "ku", "theta")
+      .agg(count(col("h")).as("c"))
+    val exact = ev
+      .select(col("user_id"), col("event_type"))
+      .distinct()
+      .localCheckpoint()
+    val exPair = exact
+      .select(col("user_id"), col("event_type").as("xa"))
+      .join(exact.select(col("user_id"), col("event_type").as("xb")), "user_id")
+      .where(col("xa") < col("xb"))
+      .groupBy(col("xa").as("ta"), col("xb").as("tb"))
+      .agg(count(lit(1)).as("exact_intersect"))
+    val nU = lit((k - 1).toDouble) * lit(1152921504606846976.0) / col("theta").cast("double")
+    val est = when(col("ku") < k, col("c").cast("double"))
+      .otherwise(col("c").cast("double") / lit(k.toDouble) * nU)
+    cCnt
+      .join(exPair, Seq("ta", "tb"), "left")
+      .select(
+        col("ta").as("type_a"),
+        col("tb").as("type_b"),
+        col("ku").as("k_used_union"),
+        col("c").as("c_common"),
+        est.as("est_intersect"),
+        coalesce(col("exact_intersect"), lit(0L)).as("exact_intersect"))
+      .withColumn(
+        "abs_err",
+        col("est_intersect") - col("exact_intersect").cast("double"))
+      .orderBy("type_a", "type_b")
+  }
+
   def qAggCountMin(spark: SparkSession, sfDir: String): DataFrame = {
     // r12: sketch construction + probe delegated to the Streams pair so
     // the batch entry and s_stream_count_min share one definition
@@ -3373,6 +3455,49 @@ object CorpusOps {
               |SELECT scope, k_used, kth_hash, est_distinct, exact_distinct,
               | (est_distinct - CAST(exact_distinct AS DOUBLE)) / CAST(exact_distinct AS DOUBLE) AS rel_err
               |FROM withe ORDER BY scope""".stripMargin)),
+    "q_agg_kmv_intersect" -> Q(
+      qAggKmvIntersect,
+      Some(s"""WITH uh AS (
+              | SELECT DISTINCT event_type,
+              |  CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT) AS h
+              | FROM $EV),
+              |kept AS (
+              | SELECT event_type AS et, h FROM (
+              |  SELECT event_type, h, rank() OVER (PARTITION BY event_type ORDER BY h) AS rn
+              |  FROM uh) WHERE rn <= 32),
+              |tp AS (SELECT a.et AS ta, b.et AS tb
+              |       FROM (SELECT DISTINCT et FROM kept) a, (SELECT DISTINCT et FROM kept) b
+              |       WHERE a.et < b.et),
+              |uu AS (SELECT DISTINCT ta, tb, h FROM (
+              |  SELECT tp.ta, tp.tb, kept.h FROM tp JOIN kept ON kept.et = tp.ta
+              |  UNION ALL
+              |  SELECT tp.ta, tp.tb, kept.h FROM tp JOIN kept ON kept.et = tp.tb)),
+              |th AS (SELECT ta, tb, CAST(count(1) AS BIGINT) AS ku, CAST(max(h) AS BIGINT) AS theta
+              |       FROM (SELECT ta, tb, h, rank() OVER (PARTITION BY ta, tb ORDER BY h) AS rn
+              |             FROM uu)
+              |       WHERE rn <= 32 GROUP BY 1, 2),
+              |cm AS (SELECT a.et AS ta, b.et AS tb, a.h
+              |       FROM kept a JOIN kept b ON a.h = b.h AND a.et < b.et),
+              |cc AS (SELECT th.ta, th.tb, th.ku, th.theta, CAST(count(cm.h) AS BIGINT) AS c
+              |       FROM th LEFT JOIN cm ON cm.ta = th.ta AND cm.tb = th.tb AND cm.h <= th.theta
+              |       GROUP BY 1, 2, 3, 4),
+              |ex0 AS (SELECT DISTINCT user_id, event_type FROM $EV),
+              |exp0 AS (SELECT a.event_type AS ta, b.event_type AS tb,
+              |         CAST(count(1) AS BIGINT) AS exact_intersect
+              |        FROM ex0 a JOIN ex0 b ON a.user_id = b.user_id
+              |         AND a.event_type < b.event_type
+              |        GROUP BY 1, 2),
+              |fin AS (
+              | SELECT cc.ta AS type_a, cc.tb AS type_b, cc.ku AS k_used_union, cc.c AS c_common,
+              |  CASE WHEN cc.ku < 32 THEN CAST(cc.c AS DOUBLE)
+              |       ELSE CAST(cc.c AS DOUBLE) / 32.0
+              |        * (CAST(31 AS DOUBLE) * 1152921504606846976.0 / CAST(cc.theta AS DOUBLE))
+              |  END AS est_intersect,
+              |  CAST(coalesce(exp0.exact_intersect, 0) AS BIGINT) AS exact_intersect
+              | FROM cc LEFT JOIN exp0 ON exp0.ta = cc.ta AND exp0.tb = cc.tb)
+              |SELECT type_a, type_b, k_used_union, c_common, est_intersect, exact_intersect,
+              | est_intersect - CAST(exact_intersect AS DOUBLE) AS abs_err
+              |FROM fin ORDER BY type_a, type_b""".stripMargin)),
     "q_agg_count_min" -> Q(
       qAggCountMin,
       Some(s"""SELECT tok, count(1) AS n

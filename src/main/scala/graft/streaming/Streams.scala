@@ -470,6 +470,15 @@ object Streams {
     * argument). Shared verbatim with the batch `q_agg_count_min` (which
     * delegates here), so the streaming state and the batch sketch
     * cannot drift.
+    *
+    * Certification boundary (both count-min entries): the exact-count
+    * oracle holds only while capacity ≥ vocabulary. DUP-mode inflation
+    * preserves the vocabulary (×10 cert hash-PASSES); ORGANIC inflation
+    * mints new tokens past the collision-free regime, where the sketch
+    * CORRECTLY overestimates and the exact oracle no longer applies —
+    * the declared sketch-capacity boundary (measured at ×63 organic:
+    * 75% of probes collide). The approximate regime is spec-pinned at
+    * capacity 2 in CountMin's own suite.
     */
   def countMinState(docs: DataFrame): DataFrame = {
     val cm = udaf(graft.functions.CountMin)

@@ -428,6 +428,42 @@ class CorpusOpsSpec extends SparkSuite {
     }
   }
 
+  test("q_agg_kmv_intersect: pair estimates recompute from local sketch algebra") {
+    val rows = CorpusOps.qAggKmvIntersect(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    def md5hex15(s: String): Long = {
+      val d = java.security.MessageDigest
+        .getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x")
+        .mkString
+      java.lang.Long.parseLong(d.substring(0, 15), 16)
+    }
+    val ev = graft.Tables
+      .events(spark, sf001)
+      .select(col("event_type"), col("user_id"))
+      .as[(String, Long)]
+      .collect()
+    val byType = ev.groupBy(_._1).map { case (t, g) => t -> g.map(_._2).distinct }
+    val k = 32
+    val sk = byType.map { case (t, us) => t -> us.map(u => md5hex15(u.toString)).sorted.take(k) }
+    rows.foreach { r =>
+      val (ta, tb) = (r.getString(0), r.getString(1))
+      val union = (sk(ta) ++ sk(tb)).distinct.sorted.take(k)
+      assert(r.getLong(2) == union.length.toLong)
+      val theta = union.max
+      val c = sk(ta).toSet.intersect(sk(tb).toSet).count(_ <= theta).toLong
+      assert(r.getLong(3) == c)
+      val est =
+        if (union.length < k) c.toDouble
+        else c.toDouble / 32.0 * (31.0 * 1152921504606846976.0 / theta.toDouble)
+      assert(r.getDouble(4) == est)
+      val exact = byType(ta).toSet.intersect(byType(tb).toSet).size.toLong
+      assert(r.getLong(5) == exact)
+      assert(r.getDouble(6) == est - exact.toDouble)
+    }
+  }
+
   test("q_events_streaks: island lengths recompute from local per-user walks") {
     val rows = CorpusOps.qEventsStreaks(spark, sf001).collect()
     assert(rows.nonEmpty)
