@@ -104,6 +104,57 @@ object Tables {
       lit(java.math.BigDecimal.ONE.scaleByPowerOfTen(21)).cast("decimal(22,0)") +
       id.cast("decimal(38,0)")).cast("decimal(38,0)")
 
+  /** 60-bit md5 hash of a key column, as its 15-hex prefix — lowercase
+    * hex sorts identically to the numeric value, so sketch states can
+    * carry the string directly. ONE definition shared by the HLL
+    * registers and the whole KMV family (batch distinct/intersect +
+    * streaming state): the cross-engine certs depend on every call site
+    * producing bit-identical hash streams, so the expression must not
+    * be hand-copied (r12 third-session review).
+    */
+  def hash60Hex(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    substring(md5(c.cast("string").cast("binary")), 1, 15)
+
+  /** [[hash60Hex]] as a 60-bit long. */
+  def hash60(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(hash60Hex(c), 16, 10).cast("long")
+
+  /** 2⁶⁰ — the KMV hash range, exactly representable as a double. */
+  val KmvRange: Double = 1152921504606846976.0
+
+  /** Dense slot grid over [b0, b1] per key row, fanned out CHUNKED
+    * (days first, then ≤perDay in-day slots) — the shared fan-out of
+    * `q_dq_heartbeat` and `q_events_interpolate`, extracted so the
+    * chunk arithmetic cannot drift between them (r12 third-session
+    * review). Day indices use a pmod-based FLOOR division: plain `div`
+    * truncates toward zero, which for negative (pre-1970) buckets
+    * produced descending, out-of-span `sequence()` runs — phantom slots
+    * the original unchunked `sequence(b0, b1)` never emitted.
+    * `b0 − pmod(b0, p)` is an exact multiple of p, so its `div` IS the
+    * floor for any sign.
+    */
+  def chunkedSlotGrid(
+      span: org.apache.spark.sql.DataFrame,
+      keyCol: String,
+      b0: String,
+      b1: String,
+      perDay: Long = 288L): org.apache.spark.sql.DataFrame =
+    span
+      .select(
+        col(keyCol),
+        col(b0),
+        col(b1),
+        explode(
+          sequence(
+            expr(s"($b0 - pmod($b0, ${perDay}L)) div ${perDay}L"),
+            expr(s"($b1 - pmod($b1, ${perDay}L)) div ${perDay}L"))).as("day"))
+      .select(
+        col(keyCol),
+        explode(
+          sequence(
+            greatest(col("day") * perDay, col(b0)),
+            least(col("day") * perDay + (perDay - 1), col(b1)))).as("bucket"))
+
   /** Exact decimal-core double aggregation: cast each addend to
     * DECIMAL(18,6) so partial-aggregate order (Spark shuffles) and engine
     * (Spark vs DuckDB) cannot perturb the sum, then surface a double.

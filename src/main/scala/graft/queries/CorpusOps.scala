@@ -587,18 +587,12 @@ object CorpusOps {
       .groupBy(col("o_et"))
       .agg(min(col("o_bucket")).as("b0"), max(col("o_bucket")).as("b1"))
       .localCheckpoint() // ≤|types| rows; grid fan-out rereads this, not events
-    val grid = span
-      .select(
-        col("o_et").as("event_type"),
-        col("b0"),
-        col("b1"),
-        explode(sequence(expr("b0 div 288"), expr("b1 div 288"))).as("day"))
-      .select(
-        col("event_type"),
-        explode(
-          sequence(
-            greatest(col("day") * perDay, col("b0")),
-            least(col("day") * perDay + (perDay - 1), col("b1")))).as("bucket"))
+    val grid = Tables.chunkedSlotGrid(
+      span.withColumnRenamed("o_et", "event_type"),
+      "event_type",
+      "b0",
+      "b1",
+      perDay)
     val joined = grid
       .join(
         obs,
@@ -2318,8 +2312,7 @@ object CorpusOps {
   def qAggKmvDistinct(spark: SparkSession, sfDir: String): DataFrame = {
     val k = 32
     val ev = Tables.events(spark, sfDir)
-    val h = conv(substring(md5(col("user_id").cast("string").cast("binary")), 1, 15), 16, 10)
-      .cast("long")
+    val h = graft.Tables.hash60(col("user_id"))
     val uh = ev.select(col("event_type"), h.as("h")).distinct()
     val kept = uh
       .withColumn("rn", rank().over(Window.partitionBy("event_type").orderBy(col("h").asc)))
@@ -2338,7 +2331,7 @@ object CorpusOps {
       .agg(countDistinct(col("user_id")).as("exact_distinct"))
       .withColumn("scope", lit("ALL"))
     val est = when(col("k_used") < k, col("k_used").cast("double"))
-      .otherwise(lit(31.0) * lit(1152921504606846976.0) / col("kth_hash").cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(Tables.KmvRange) / col("kth_hash").cast("double"))
     val base = perType.join(exactT, "scope")
     base
       .unionByName(unionRow.join(exactAll, "scope").select(base.columns.map(col).toSeq: _*))
@@ -2375,8 +2368,7 @@ object CorpusOps {
   def qAggKmvIntersect(spark: SparkSession, sfDir: String): DataFrame = {
     val k = 32
     val ev = Tables.events(spark, sfDir)
-    val h = conv(substring(md5(col("user_id").cast("string").cast("binary")), 1, 15), 16, 10)
-      .cast("long")
+    val h = graft.Tables.hash60(col("user_id"))
     val uh = ev.select(col("event_type"), h.as("h")).distinct()
     val kept = uh
       .withColumn("rn", rank().over(Window.partitionBy("event_type").orderBy(col("h").asc)))
@@ -2402,10 +2394,17 @@ object CorpusOps {
       .select(col("et").as("ca"), col("h"))
       .join(kept.select(col("et").as("cb"), col("h")), "h")
       .where(col("ca") < col("cb"))
-      .select(col("ca").as("ta"), col("cb").as("tb"), col("h"))
+      .select(col("ca").as("cta"), col("cb").as("ctb"), col("h"))
+    // h ≤ θ belongs in the JOIN condition, not a post-join WHERE: a pair
+    // whose common hashes all rank above θ must still emit its c = 0 row
+    // (a WHERE would drop the pair entirely while the oracle keeps it —
+    // caught in the r12 third-session review; the spec now pins full
+    // pair coverage)
     val cCnt = theta
-      .join(common, Seq("ta", "tb"), "left")
-      .where(col("h").isNull || col("h") <= col("theta"))
+      .join(
+        common,
+        col("ta") === col("cta") && col("tb") === col("ctb") && col("h") <= col("theta"),
+        "left")
       .groupBy("ta", "tb", "ku", "theta")
       .agg(count(col("h")).as("c"))
     val exact = ev
@@ -2418,7 +2417,7 @@ object CorpusOps {
       .where(col("xa") < col("xb"))
       .groupBy(col("xa").as("ta"), col("xb").as("tb"))
       .agg(count(lit(1)).as("exact_intersect"))
-    val nU = lit((k - 1).toDouble) * lit(1152921504606846976.0) / col("theta").cast("double")
+    val nU = lit((k - 1).toDouble) * lit(Tables.KmvRange) / col("theta").cast("double")
     val est = when(col("ku") < k, col("c").cast("double"))
       .otherwise(col("c").cast("double") / lit(k.toDouble) * nU)
     cCnt

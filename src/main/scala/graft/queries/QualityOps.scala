@@ -1059,21 +1059,12 @@ object QualityOps {
       .groupBy("event_type")
       .agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"), count(lit(1)).as("n_active"))
       .localCheckpoint() // ≤|types| rows; fan-out + report reread this, not events
-    // chunked fan-out (days → ≤288 in-day slots), the qEventsInterpolate
-    // shape: closes the r12 ADVICE caveat that a decade-span stream would
-    // materialize one multi-million-element sequence() array per type row
-    val expected = span
-      .select(
-        col("event_type"),
-        col("b0"),
-        col("b1"),
-        explode(sequence(expr("b0 div 288"), expr("b1 div 288"))).as("day"))
-      .select(
-        col("event_type"),
-        explode(
-          sequence(
-            greatest(col("day") * 288L, col("b0")),
-            least(col("day") * 288L + 287L, col("b1")))).as("bucket"))
+    // chunked fan-out (days → ≤288 in-day slots) via the SHARED
+    // Tables.chunkedSlotGrid (one copy of the chunk arithmetic for this
+    // and qEventsInterpolate): closes the r12 ADVICE caveat that a
+    // decade-span stream would materialize one multi-million-element
+    // sequence() array per type row
+    val expected = Tables.chunkedSlotGrid(span.select("event_type", "b0", "b1"), "event_type", "b0", "b1")
     val empty = expected.join(b, Seq("event_type", "bucket"), "left_anti")
     val runKey = col("bucket") - row_number().over(
       Window.partitionBy(col("event_type")).orderBy(col("bucket")))

@@ -445,10 +445,14 @@ object SearchOps {
     coPurchaseEdgesPlan(spark, sfDir, false)
   }
 
-  private def coPurchaseEdgesPlan(
-      spark: SparkSession,
-      sfDir: String,
-      materialize: Boolean): DataFrame = {
+  /** The weighted co-purchase edge derivation — the ONE definition of
+    * the graph (distinct order-items self-join, support ≥ 2) that
+    * [[coPurchaseEdgesPlan]] projects to (u, v) and [[qGraphMst]]
+    * consumes with the support column intact (r12 third-session review:
+    * a hand-copied derivation in the MST entry could drift from the
+    * threshold every other graph entry's oracle pins).
+    */
+  private[graft] def coPurchaseEdgesWeighted(spark: SparkSession, sfDir: String): DataFrame = {
     val items = Tables
       .lineitem(spark, sfDir)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
@@ -459,6 +463,13 @@ object SearchOps {
       .groupBy(col("a.p").as("u"), col("b.p").as("v"))
       .agg(count(lit(1)).as("support"))
       .where(col("support") >= 2)
+  }
+
+  private def coPurchaseEdgesPlan(
+      spark: SparkSession,
+      sfDir: String,
+      materialize: Boolean): DataFrame = {
+    coPurchaseEdgesWeighted(spark, sfDir)
       .select("u", "v")
       // materialize ONCE: the wedge queries reference the edge list from
       // 6-8 plan positions (okey, the three wedge arms × 2 sides), and
@@ -551,20 +562,8 @@ object SearchOps {
     ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
   }
 
-  def qGraphMst(spark: SparkSession, sfDir: String): DataFrame = {
-    val items = Tables
-      .lineitem(spark, sfDir)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-    val edges = items
-      .as("a")
-      .join(items.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
-      .agg(count(lit(1)).as("support"))
-      .where(col("support") >= 2)
-      .localCheckpoint()
-    boruvka(edges)
-  }
+  def qGraphMst(spark: SparkSession, sfDir: String): DataFrame =
+    boruvka(coPurchaseEdgesWeighted(spark, sfDir).localCheckpoint())
 
   /** The Borůvka loop behind [[qGraphMst]], with the contraction
     * strategy split at `driverPairThreshold`: below it the per-round

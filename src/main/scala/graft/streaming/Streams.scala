@@ -412,8 +412,7 @@ object Streams {
     * twin oracle replays the streaming state bit-for-bit.
     */
   def hllRegisters(events: DataFrame): DataFrame = {
-    val h = conv(substring(md5(col("user_id").cast("string").cast("binary")), 1, 15), 16, 10)
-      .cast("long")
+    val h = graft.Tables.hash60(col("user_id"))
     events
       .select(col("event_type"), h.as("hv"))
       .select(
@@ -522,31 +521,39 @@ object Streams {
   def kmvState(events: DataFrame, k: Int = 32): DataFrame = {
     val mk = udaf(new graft.functions.MinK(k))
     events
-      .select(
-        col("event_type"),
-        substring(md5(col("user_id").cast("string").cast("binary")), 1, 15).as("hhex"),
-        col("user_id"))
+      .select(col("event_type"), graft.Tables.hash60Hex(col("user_id")).as("hhex"))
       .groupBy(col("event_type"))
-      .agg(mk(col("hhex"), col("user_id"), col("user_id")).as("sk"))
+      // id/uid slots pinned to 0 so MinK's (rkey, id) dedup degrades to
+      // DEDUP BY HASH ALONE — two users colliding on the 15-hex prefix
+      // must occupy ONE slot, matching the oracle's rank-over-DISTINCT-
+      // hash definition (r12 third-session review)
+      .agg(mk(col("hhex"), lit(0L), lit(0L)).as("sk"))
+      // the sketch CARRIES its k: a reader must not guess (a k=16 state
+      // read with an assumed k=32 would silently take the under-fill
+      // branch on a full sketch)
+      .withColumn("k", lit(k))
   }
 
   /** Stateless estimate projection over [[kmvState]]: held count, kth
     * hash, and the KMV estimate (exact held count when under-filled).
+    * k comes FROM the state frame.
     */
-  def kmvEstimate(state: DataFrame, k: Int = 32): DataFrame = {
+  def kmvEstimate(state: DataFrame): DataFrame = {
     val kth = conv(element_at(col("sk"), -1).getField("rkey"), 16, 10).cast("long")
     state
       .select(
         col("event_type").as("scope"),
         size(col("sk")).cast("long").as("k_used"),
-        kth.as("kth_hash"))
+        kth.as("kth_hash"),
+        col("k"))
       .select(
         col("scope"),
         col("k_used"),
         col("kth_hash"),
-        when(col("k_used") < k, col("k_used").cast("double"))
+        when(col("k_used") < col("k"), col("k_used").cast("double"))
           .otherwise(
-            lit((k - 1).toDouble) * lit(1152921504606846976.0) / col("kth_hash").cast("double"))
+            (col("k") - 1).cast("double") * lit(graft.Tables.KmvRange) /
+              col("kth_hash").cast("double"))
           .as("est_distinct"))
   }
 

@@ -431,6 +431,10 @@ class CorpusOpsSpec extends SparkSuite {
   test("q_agg_kmv_intersect: pair estimates recompute from local sketch algebra") {
     val rows = CorpusOps.qAggKmvIntersect(spark, sf001).collect()
     assert(rows.nonEmpty)
+    // EVERY type pair must appear — including a pair whose common hashes
+    // all rank above θ (c = 0), which a post-join filter would drop
+    val nTypes = graft.Tables.events(spark, sf001).select("event_type").distinct().count().toInt
+    assert(rows.length == nTypes * (nTypes - 1) / 2)
     def md5hex15(s: String): Long = {
       val d = java.security.MessageDigest
         .getInstance("MD5")

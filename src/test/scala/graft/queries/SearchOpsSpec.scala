@@ -728,17 +728,7 @@ class SearchOpsSpec extends SparkSuite {
   }
 
   test("boruvka: driver union-find path and distributed pointer-doubling path agree") {
-    val items = graft.Tables
-      .lineitem(spark, sf001)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-    val edges = items
-      .as("a")
-      .join(items.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
-      .agg(count(lit(1)).as("support"))
-      .where(col("support") >= 2)
-      .localCheckpoint()
+    val edges = SearchOps.coPurchaseEdgesWeighted(spark, sf001).localCheckpoint()
     val fast = SearchOps.boruvka(edges).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val dist = SearchOps
       .boruvka(edges, driverPairThreshold = 0L)
