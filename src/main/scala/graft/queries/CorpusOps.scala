@@ -1248,6 +1248,78 @@ object CorpusOps {
       .orderBy("from_type", "to_type")
   }
 
+  /** Daily growth accounting (the product-analytics lifecycle ledger):
+    * every active (user, day) is classified NEW (first ever day),
+    * RETAINED (last activity ≤ 7 days ago) or RESURRECTED (gap > 7
+    * days), and a CHURN event is booked on `lapse_day + 8` for every
+    * gap > 7 (one per lapse, incl. the final lapse when it is already
+    * observable inside the data window). The four daily series are the
+    * standard "where did growth come from" decomposition one level
+    * above `q_events_retention`'s cohort curves — and they close:
+    * activity on day d = new + retained + resurrected, and cumulative
+    * churn never exceeds cumulative distinct users.
+    *
+    * Exactness: pure integer date arithmetic on the distinct
+    * (user, day) frame — lag windows per user, one grouped count per
+    * status, a dense day grid (single global span row, `sequence` +
+    * `explode`) zero-filling quiet days. Scale shape: the distinct
+    * (user, day) reduction is the only corpus-scale pass; the lag
+    * window shuffles by user; the day grid is wall-time-sized.
+    */
+  def qEventsLifecycle(spark: SparkSession, sfDir: String): DataFrame = {
+    val act = Tables
+      .events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy(col("d"))
+    val st = act
+      .withColumn("prev", lag(col("d"), 1).over(w))
+      .withColumn(
+        "status",
+        when(col("prev").isNull, "new")
+          .when(datediff(col("d"), col("prev")) <= 7, "retained")
+          .otherwise("resurrected"))
+      .localCheckpoint() // feeds the status counts AND the churn ledger
+    val statusCnt = st
+      .groupBy(col("d"), col("status"))
+      .agg(count(lit(1)).as("n"))
+    // churn events: day = lapse + 8 for every observed gap > 7, plus the
+    // final lapse when lapse + 8 is still inside the observed window
+    val span = act.agg(min(col("d")).as("d0"), max(col("d")).as("d1")).localCheckpoint()
+    val midChurn = st
+      .where(col("prev").isNotNull && datediff(col("d"), col("prev")) > 7)
+      .select(date_add(col("prev"), 8).as("d"))
+    val lastAct = st.groupBy(col("user_id")).agg(max(col("d")).as("last_d"))
+    val tailChurn = lastAct
+      .crossJoin(broadcast(span))
+      .where(date_add(col("last_d"), 8) <= col("d1"))
+      .select(date_add(col("last_d"), 8).as("d"))
+    val churnCnt = midChurn
+      .unionByName(tailChurn)
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("n_churned"))
+    val grid = span
+      .select(explode(sequence(col("d0"), col("d1"))).as("d"))
+    def pick(s: String) =
+      coalesce(sum(when(col("status") === s, col("n"))), lit(0L))
+    val wide = statusCnt
+      .groupBy(col("d").as("sd"))
+      .agg(
+        pick("new").as("n_new"),
+        pick("retained").as("n_retained"),
+        pick("resurrected").as("n_resurrected"))
+    grid
+      .join(wide, col("d") === col("sd"), "left")
+      .join(churnCnt.withColumnRenamed("d", "cd"), col("d") === col("cd"), "left")
+      .select(
+        col("d"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+      .orderBy("d")
+  }
+
   /** Longest same-type streak per (user, type) — the gaps-and-islands
     * readout ("how many consecutive errors did this user hit") that
     * powers engagement-streak and failure-burst analyses. The island
@@ -3137,6 +3209,41 @@ object CorpusOps {
               |SELECT from_type, to_type, count(1) AS n FROM t
               |WHERE to_type IS NOT NULL
               |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin)),
+    "q_events_lifecycle" -> Q(
+      qEventsLifecycle,
+      Some(s"""WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM $EV),
+              |st AS (
+              | SELECT user_id, d, lag(d) OVER (PARTITION BY user_id ORDER BY d) AS prev
+              | FROM act),
+              |cls AS (
+              | SELECT d, CASE WHEN prev IS NULL THEN 'new'
+              |                WHEN d - prev <= 7 THEN 'retained'
+              |                ELSE 'resurrected' END AS status
+              | FROM st),
+              |sc AS (SELECT d, status, count(1) AS n FROM cls GROUP BY 1, 2),
+              |span AS (SELECT min(d) AS d0, max(d) AS d1 FROM act),
+              |mc AS (SELECT prev + 8 AS d FROM st WHERE prev IS NOT NULL AND d - prev > 7),
+              |la AS (SELECT user_id, max(d) AS last_d FROM st GROUP BY 1),
+              |tc AS (SELECT last_d + 8 AS d FROM la, span WHERE last_d + 8 <= d1),
+              |cc AS (SELECT d, CAST(count(1) AS BIGINT) AS n_churned
+              |       FROM (SELECT d FROM mc UNION ALL SELECT d FROM tc) GROUP BY 1),
+              |grid AS (
+              | SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+              |                                    INTERVAL 1 DAY)) AS DATE) AS d
+              | FROM span),
+              |wide AS (
+              | SELECT d,
+              |  CAST(coalesce(sum(CASE WHEN status = 'new' THEN n END), 0) AS BIGINT) AS n_new,
+              |  CAST(coalesce(sum(CASE WHEN status = 'retained' THEN n END), 0) AS BIGINT) AS n_retained,
+              |  CAST(coalesce(sum(CASE WHEN status = 'resurrected' THEN n END), 0) AS BIGINT) AS n_resurrected
+              | FROM sc GROUP BY 1)
+              |SELECT g.d,
+              | CAST(coalesce(w.n_new, 0) AS BIGINT) AS n_new,
+              | CAST(coalesce(w.n_retained, 0) AS BIGINT) AS n_retained,
+              | CAST(coalesce(w.n_resurrected, 0) AS BIGINT) AS n_resurrected,
+              | CAST(coalesce(cc.n_churned, 0) AS BIGINT) AS n_churned
+              |FROM grid g LEFT JOIN wide w ON w.d = g.d LEFT JOIN cc ON cc.d = g.d
+              |ORDER BY g.d""".stripMargin)),
     "q_events_streaks" -> Q(
       qEventsStreaks,
       Some(s"""WITH t AS (

@@ -468,6 +468,51 @@ class CorpusOpsSpec extends SparkSuite {
     }
   }
 
+  test("q_events_lifecycle: growth ledger closes against local per-user day walks") {
+    val rows = CorpusOps.qEventsLifecycle(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val act = graft.Tables
+      .events(spark, sf001)
+      .select(col("user_id"), to_date(col("ts")))
+      .distinct()
+      .as[(Long, java.sql.Date)]
+      .collect()
+      .map { case (u, d) => (u, d.toLocalDate) }
+    val byUser = act.groupBy(_._1).map { case (u, g) => u -> g.map(_._2).sorted }
+    val activeByDay = act.groupBy(_._2).map { case (d, g) => d -> g.length.toLong }
+    val maxDay = act.map(_._2).max
+    // local status walk per user
+    val statuses = byUser.values.flatMap { days =>
+      days.zip(None +: days.init.map(Some(_))).map {
+        case (d, None) => d -> "new"
+        case (d, Some(p)) =>
+          d -> (if (java.time.temporal.ChronoUnit.DAYS.between(p, d) <= 7) "retained"
+                else "resurrected")
+      }
+    }.toSeq
+    val churns = byUser.values.flatMap { days =>
+      val lapses = days.zip(days.tail).collect {
+        case (p, d) if java.time.temporal.ChronoUnit.DAYS.between(p, d) > 7 => p.plusDays(8)
+      }
+      val tail = Option(days.last.plusDays(8)).filter(!_.isAfter(maxDay))
+      lapses ++ tail
+    }.toSeq
+    rows.foreach { r =>
+      val d = r.getDate(0).toLocalDate
+      val g = statuses.filter(_._1 == d).map(_._2)
+      assert(r.getLong(1) == g.count(_ == "new").toLong)
+      assert(r.getLong(2) == g.count(_ == "retained").toLong)
+      assert(r.getLong(3) == g.count(_ == "resurrected").toLong)
+      assert(r.getLong(4) == churns.count(_ == d).toLong)
+      // closure: the day's activity = new + retained + resurrected
+      assert(r.getLong(1) + r.getLong(2) + r.getLong(3) == activeByDay.getOrElse(d, 0L))
+    }
+    // ledger laws: every user is NEW exactly once; churn ≤ users; a churn
+    // booked while resurrections exist means the gap logic is live
+    assert(rows.map(_.getLong(1)).sum == byUser.size.toLong)
+    assert(rows.map(_.getLong(4)).sum <= byUser.size.toLong + rows.map(_.getLong(3)).sum)
+  }
+
   test("q_events_streaks: island lengths recompute from local per-user walks") {
     val rows = CorpusOps.qEventsStreaks(spark, sf001).collect()
     assert(rows.nonEmpty)
