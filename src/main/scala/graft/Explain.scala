@@ -37,6 +37,16 @@ object Explain {
     // dominant cost for eager-checkpoint / driver-coordinated queries,
     // so an unconditional extra build roughly doubled tool wall time
     if (args.contains("--plan")) build().explain("formatted")
+    // --final: EXECUTED plan (AQE isFinalPlan=true) — the only view that
+    // shows real WholeStageCodegen spans; the pre-execution formatted
+    // plan of an adaptive query carries no codegen markers at all
+    if (args.contains("--final")) {
+      // execute THIS plan instance (a .write would plan a fresh command
+      // and leave this AdaptiveSparkPlan unexecuted/isFinalPlan=false)
+      val plan = build().queryExecution.executedPlan
+      plan.execute().count()
+      println(plan.toString)
+    }
     val t0 = System.nanoTime()
     if (args.contains("--count")) println(s"ROWS=${build().count()}")
     else build().write.format("noop").mode("overwrite").save()

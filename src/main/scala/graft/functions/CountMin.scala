@@ -29,9 +29,22 @@ import org.apache.spark.unsafe.types.UTF8String
   * probe path.
   */
 class CountMinSketch(val D: Int, val W: Int)
-    extends Aggregator[String, Array[Long], Array[Long]] {
+    extends Aggregator[String, Array[Byte], Array[Long]] {
 
   private val Seed = 42L // Spark's xxhash64 default seed
+
+  /** r13 (verdict ask #3): the aggregation buffer is a RAW BINARY grid
+    * (D·W little-endian longs in one Array[Byte]) instead of an
+    * encoder-typed Array[Long]. With Encoders.BINARY, every state-store
+    * round-trip and shuffle serialization is a memcpy of one byte array
+    * — the per-element Catalyst ArrayData conversion the typed encoder
+    * paid on each serialize (12288 element writes for the default grid)
+    * is gone. In-JVM updates stay primitive long adds through a
+    * LongBuffer view; little-endian is pinned so a persisted streaming
+    * state restores identically on any architecture.
+    */
+  private def longs(b: Array[Byte]): java.nio.LongBuffer =
+    java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN).asLongBuffer()
 
   /** Row-i bucket of `tok`, bit-identical to `pmod(xxhash64(tok, i), W)`
     * with `i` as a BIGINT column: the builtin folds seed → string bytes →
@@ -46,26 +59,37 @@ class CountMinSketch(val D: Int, val W: Int)
     if (m < 0) m + W else m // pmod semantics
   }
 
-  override def zero: Array[Long] = new Array[Long](D * W)
+  override def zero: Array[Byte] = new Array[Byte](D * W * 8)
 
-  override def reduce(b: Array[Long], tok: String): Array[Long] = {
+  override def reduce(b: Array[Byte], tok: String): Array[Byte] = {
     if (tok != null) {
+      val v = longs(b)
       var i = 0
       while (i < D) {
-        b(i * W + bucket(tok, i)) += 1L
+        val idx = i * W + bucket(tok, i)
+        v.put(idx, v.get(idx) + 1L)
         i += 1
       }
     }
     b
   }
 
-  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val va = longs(a)
+    val vb = longs(b)
     var i = 0
-    while (i < a.length) { a(i) += b(i); i += 1 }
+    val n = D * W
+    while (i < n) { va.put(i, va.get(i) + vb.get(i)); i += 1 }
     a
   }
 
-  override def finish(b: Array[Long]): Array[Long] = b
+  override def finish(b: Array[Byte]): Array[Long] = {
+    val v = longs(b)
+    val out = new Array[Long](D * W)
+    var i = 0
+    while (i < out.length) { out(i) = v.get(i); i += 1 }
+    out
+  }
 
   /** Driver-side probe twin of the SQL `least(element_at(...))` form —
     * used by specs to pin the estimate contract without a SparkSession.
@@ -81,8 +105,8 @@ class CountMinSketch(val D: Int, val W: Int)
     best
   }
 
-  override def bufferEncoder: Encoder[Array[Long]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  override def bufferEncoder: Encoder[Array[Byte]] =
+    org.apache.spark.sql.Encoders.BINARY
   override def outputEncoder: Encoder[Array[Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
 }

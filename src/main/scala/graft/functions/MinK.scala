@@ -1,83 +1,215 @@
 package graft.functions
 
+import java.nio.charset.StandardCharsets
+
 import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 
 /** Bounded "k smallest hash priorities" aggregation — the mergeable core
   * of the streaming per-group reservoir sample (`s_stream_reservoir`,
-  * the incremental twin of `q_sample_reservoir`): each row carries a
-  * reproducible md5 priority, and the k-smallest-priority set is a
-  * uniform without-replacement k-sample of everything seen so far.
+  * the incremental twin of `q_sample_reservoir`) and the streaming KMV
+  * distinct sketch (`s_stream_kmv`): each row carries a reproducible md5
+  * priority, and the k-smallest-priority set is a uniform
+  * without-replacement k-sample of everything seen so far.
   *
   * Why this is streaming-safe with NO watermark: the state is a
   * bounded MONOTONE lattice join (taking the k smallest under the total
   * (rkey, event_id) order) — commutative, associative, idempotent — so
   * any partial-aggregation/merge tree, trigger chunking, or restart
   * replay produces the identical ≤k-row state, the same argument as the
-  * HLL register table's `max(rho)` (Streams.hllRegisters). State is
-  * O(k) per group forever; the sample "improves" monotonically as
-  * smaller priorities arrive.
+  * HLL register table's `max(rho)` (Streams.hllRegisters).
   *
-  * Buffer is parallel primitive arrays (the SpaceSaving layout) — an
-  * array-of-struct buffer would still encode, but parallel arrays keep
-  * the row flat. Sizes here are k+1 at worst between squeezes; the
-  * insert is append + sort + truncate, fine for sample-sized k (≤ tens);
-  * a production impl for large k swaps in a bounded heap without
-  * changing the contract.
+  * Buffer (r13, verdict ask #3): ONE raw little-endian byte array —
+  * `[int n][int lastOff]` then n entries `[short len][rkey utf8]
+  * [long id][long uid]` kept sorted ascending by (rkey bytes, id).
+  * With `Encoders.BINARY` every state-store round-trip / shuffle
+  * serialization is a memcpy (the old product-of-arrays buffer paid a
+  * per-element Catalyst conversion each serialize), and the hot path of
+  * a FULL sketch is a zero-allocation O(1) reject against the cached
+  * worst-entry offset — the per-row append+sort rebuild is gone; an
+  * actual insert (rare at steady state: the newcomer must beat the
+  * current worst) is one arraycopy splice. Byte-lexicographic rkey
+  * order equals String order for the ASCII hex keys every caller uses.
+  * Entries dedup on identical (rkey, id) so the lattice join is
+  * idempotent ELEMENT-wise too: re-fed duplicates (KMV hashes of
+  * re-seen users, replayed batches) cannot occupy multiple slots.
   */
-case class MinKBuf(rkeys: Array[String], ids: Array[Long], uids: Array[Long])
-
 case class MinKEntry(rkey: String, event_id: Long, user_id: Long)
 
-class MinK(k: Int) extends Aggregator[MinKEntry, MinKBuf, Array[MinKEntry]] {
+class MinK(k: Int) extends Aggregator[MinKEntry, Array[Byte], Array[MinKEntry]] {
 
-  override def zero: MinKBuf = MinKBuf(Array.empty, Array.empty, Array.empty)
+  private val Header = 8 // [int n][int lastOff]
 
-  /** Sort by (rkey, id), DEDUP identical (rkey, id) pairs, keep k. The
-    * dedup makes the lattice join idempotent ELEMENT-wise too: re-fed
-    * duplicates (KMV hashes of re-seen users, replayed batches) cannot
-    * occupy multiple slots. For the reservoir caller event_ids are
-    * unique, so the dedup is a no-op there.
+  // --- little-endian primitive IO on the raw buffer ---
+  private def getInt(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+  private def putInt(b: Array[Byte], o: Int, v: Int): Unit = {
+    b(o) = v.toByte
+    b(o + 1) = (v >>> 8).toByte
+    b(o + 2) = (v >>> 16).toByte
+    b(o + 3) = (v >>> 24).toByte
+  }
+  private def getShort(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def putShort(b: Array[Byte], o: Int, v: Int): Unit = {
+    b(o) = v.toByte
+    b(o + 1) = (v >>> 8).toByte
+  }
+  private def getLong(b: Array[Byte], o: Int): Long = {
+    var v = 0L
+    var i = 7
+    while (i >= 0) { v = (v << 8) | (b(o + i) & 0xffL); i -= 1 }
+    v
+  }
+  private def putLong(b: Array[Byte], o: Int, v: Long): Unit = {
+    var i = 0
+    while (i < 8) { b(o + i) = (v >>> (8 * i)).toByte; i += 1 }
+  }
+
+  private def entrySize(len: Int): Int = 2 + len + 16
+
+  /** (rkey, id) compare of the entry at `o` against the probe: unsigned
+    * byte-lexicographic on the key (≡ String order for ASCII hex), then
+    * id. Returns entry − probe sign.
     */
-  private def squeeze(rk: Array[String], id: Array[Long], ui: Array[Long]): MinKBuf = {
-    val ord = rk.indices.sortBy(i => (rk(i), id(i)))
-    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
-    var prevR: String = null
-    var prevI = 0L
-    ord.foreach { i =>
-      if (out.size < k && (out.isEmpty || rk(i) != prevR || id(i) != prevI)) {
-        out += i
-        prevR = rk(i)
-        prevI = id(i)
+  private def cmpEntry(b: Array[Byte], o: Int, rkb: Array[Byte], id: Long): Int = {
+    val len = getShort(b, o)
+    val n = math.min(len, rkb.length)
+    var i = 0
+    while (i < n) {
+      val d = (b(o + 2 + i) & 0xff) - (rkb(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    if (len != rkb.length) len - rkb.length
+    else java.lang.Long.compare(getLong(b, o + 2 + len), id)
+  }
+
+  override def zero: Array[Byte] = new Array[Byte](Header)
+
+  override def reduce(b: Array[Byte], in: MinKEntry): Array[Byte] = {
+    if (in == null || in.rkey == null || k == 0) return b
+    val n = getInt(b, 0)
+    val rkb = in.rkey.getBytes(StandardCharsets.UTF_8)
+    if (n == k) {
+      // O(1) zero-allocation fast reject: a full buffer whose worst
+      // (cached-offset) entry is ≤ the newcomer stays untouched
+      if (cmpEntry(b, getInt(b, 4), rkb, in.event_id) <= 0) return b
+    }
+    insert(b, n, rkb, in.event_id, in.user_id)
+  }
+
+  /** Splice the newcomer in at its sorted position (dup → unchanged),
+    * dropping the current worst when the buffer is full.
+    */
+  private def insert(b: Array[Byte], n: Int, rkb: Array[Byte], id: Long, uid: Long): Array[Byte] = {
+    var o = Header
+    var idx = 0
+    var ins = -1
+    while (idx < n && ins < 0) {
+      val c = cmpEntry(b, o, rkb, id)
+      if (c == 0) return b // idempotent: identical (rkey, id) pair
+      if (c > 0) ins = o
+      else { o += entrySize(getShort(b, o)); idx += 1 }
+    }
+    if (ins < 0) ins = o // append (only reachable when n < k)
+    val es = entrySize(rkb.length)
+    val dropLast = n == k // full: the worst entry falls off the end
+    val lastOff = getInt(b, 4)
+    val outLen = b.length + es - (if (dropLast) entrySize(getShort(b, lastOff)) else 0)
+    val out = new Array[Byte](outLen)
+    System.arraycopy(b, Header, out, Header, ins - Header)
+    putShort(out, ins, rkb.length)
+    System.arraycopy(rkb, 0, out, ins + 2, rkb.length)
+    putLong(out, ins + 2 + rkb.length, id)
+    putLong(out, ins + 10 + rkb.length, uid)
+    val sufEnd = if (dropLast) lastOff else b.length
+    System.arraycopy(b, ins, out, ins + es, sufEnd - ins)
+    val n2 = if (dropLast) n else n + 1
+    putInt(out, 0, n2)
+    var lo = Header // re-derive the worst-entry offset (insert path only)
+    var i = 1
+    while (i < n2) { lo += entrySize(getShort(out, lo)); i += 1 }
+    putInt(out, 4, if (n2 == 0) 0 else lo)
+    out
+  }
+
+  private def decode(b: Array[Byte]): Array[(Array[Byte], Long, Long)] = {
+    val n = getInt(b, 0)
+    val out = new Array[(Array[Byte], Long, Long)](n)
+    var o = Header
+    var i = 0
+    while (i < n) {
+      val len = getShort(b, o)
+      out(i) = (
+        java.util.Arrays.copyOfRange(b, o + 2, o + 2 + len),
+        getLong(b, o + 2 + len),
+        getLong(b, o + 10 + len))
+      o += entrySize(len)
+      i += 1
+    }
+    out
+  }
+
+  private def cmpBytes(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  private val entryOrd: Ordering[(Array[Byte], Long, Long)] =
+    new Ordering[(Array[Byte], Long, Long)] {
+      def compare(x: (Array[Byte], Long, Long), y: (Array[Byte], Long, Long)): Int = {
+        val c = cmpBytes(x._1, y._1)
+        if (c != 0) c else java.lang.Long.compare(x._2, y._2)
       }
     }
-    MinKBuf(out.map(rk).toArray, out.map(id).toArray, out.map(ui).toArray)
-  }
 
-  override def reduce(b: MinKBuf, in: MinKEntry): MinKBuf = {
-    if (in == null || in.rkey == null) return b
-    // fast reject: a full buffer whose worst entry beats the newcomer
-    if (b.rkeys.length == k) {
-      val w = b.rkeys.length - 1
-      val worse = (in.rkey > b.rkeys(w)) ||
-        (in.rkey == b.rkeys(w) && in.event_id >= b.ids(w))
-      if (worse) return b
+  private def encode(es: Seq[(Array[Byte], Long, Long)]): Array[Byte] = {
+    var size = Header
+    es.foreach(e => size += entrySize(e._1.length))
+    val out = new Array[Byte](size)
+    putInt(out, 0, es.length)
+    var o = Header
+    var last = 0
+    es.foreach { e =>
+      last = o
+      putShort(out, o, e._1.length)
+      System.arraycopy(e._1, 0, out, o + 2, e._1.length)
+      putLong(out, o + 2 + e._1.length, e._2)
+      putLong(out, o + 10 + e._1.length, e._3)
+      o += entrySize(e._1.length)
     }
-    squeeze(b.rkeys :+ in.rkey, b.ids :+ in.event_id, b.uids :+ in.user_id)
+    putInt(out, 4, if (es.isEmpty) 0 else last)
+    out
   }
 
-  override def merge(a: MinKBuf, b: MinKBuf): MinKBuf =
-    squeeze(a.rkeys ++ b.rkeys, a.ids ++ b.ids, a.uids ++ b.uids)
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    // both sides are sorted/deduped/≤k by construction; sort + adjacent-
+    // dedup + truncate re-establishes the invariant for the union
+    val all = (decode(a) ++ decode(b)).sorted(entryOrd)
+    val kept = scala.collection.mutable.ArrayBuffer.empty[(Array[Byte], Long, Long)]
+    all.foreach { e =>
+      if (kept.size < k &&
+        (kept.isEmpty || entryOrd.compare(kept.last, e) != 0)) kept += e
+    }
+    encode(kept.toSeq)
+  }
 
   /** Entries ascending by (rkey, event_id) — position+1 IS the rank the
     * batch twin's row_number assigns.
     */
-  override def finish(b: MinKBuf): Array[MinKEntry] = {
-    val s = squeeze(b.rkeys, b.ids, b.uids)
-    Array.tabulate(s.rkeys.length)(i => MinKEntry(s.rkeys(i), s.ids(i), s.uids(i)))
-  }
+  override def finish(b: Array[Byte]): Array[MinKEntry] =
+    decode(b).map(e =>
+      MinKEntry(new String(e._1, StandardCharsets.UTF_8), e._2, e._3))
 
-  override def bufferEncoder: Encoder[MinKBuf] = Encoders.product[MinKBuf]
+  override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   override def outputEncoder: Encoder[Array[MinKEntry]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[MinKEntry]]()
 }

@@ -20,11 +20,14 @@ import org.apache.spark.sql.functions._
   * The convergence signal is FUSED into the label-update aggregation:
   * each vertex's old label rides along as a marked row, so the same
   * `min` pass that produces the new label also produces a per-vertex
-  * `chg` flag (new < old). One eager checkpoint job per round
-  * materializes both; the convergence test is then one cheap `take(1)`
-  * action over the already-cached blocks — still a Spark action per
-  * round, but no extra join or shuffle, vs round 2 which paid a
-  * checkpoint job PLUS a shuffle-join count job per iteration (37% of
+  * `chg` flag (new < old). r13 (verdict ask #2): the round's state is
+  * LAZILY checkpoint-marked and the changed-vertex `count()` is the
+  * round's ONE materializing action — the count scans every partition,
+  * so it both finalizes the checkpoint (full materialization, no
+  * partial-persist hazard a `take(1)` on a lazy mark would have) and
+  * returns the convergence signal in the same job. One driver action
+  * per round, down from two (eager checkpoint job + `take(1)` probe),
+  * down from round 2's three (checkpoint + shuffle-join count, 37% of
   * the whole bench). The loop also pays one final no-change round to
   * observe the fixpoint — inherent to synchronous label propagation.
   */
@@ -76,6 +79,11 @@ object DedupClusters {
           "spark.sparkContext.setCheckpointDir(...) before the loop starts")
     def ckpt(df: DataFrame): DataFrame =
       if (reliableCheckpoint) df.checkpoint() else df.localCheckpoint()
+    // lazy mark: the caller's next FULL-SCAN action (the fused
+    // convergence count) materializes the checkpoint in the same job
+    def ckptLazy(df: DataFrame): DataFrame =
+      if (reliableCheckpoint) df.checkpoint(eager = false)
+      else df.localCheckpoint(eager = false)
     val edges = pairs
       .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
       .where(col("a").isNotNull && col("b").isNotNull)
@@ -135,14 +143,16 @@ object DedupClusters {
               .select(col("x.id").as("id"), col("y.label").as("label"), lit(false).as("own")))
       // one aggregation computes the new label AND whether it changed:
       // the vertex's own old label is the unique own=true row per id
-      val next = ckpt( // eager: the round's single distributed job
+      val next = ckptLazy( // lazy mark: materialized by the count below
         jumped
           .foldLeft(labels.withColumn("own", lit(true)).unionByName(msgs))(_ unionByName _)
           .groupBy("id")
           .agg(
             min(col("label")).as("label"),
             (min(col("label")) < max(when(col("own"), col("label")))).as("chg")))
-      converged = next.where(col("chg")).isEmpty // take(1) over cached blocks
+      // the round's SINGLE action: the count's full scan materializes
+      // every checkpoint partition AND yields the convergence signal
+      converged = next.where(col("chg")).count() == 0L
       // superseded rounds' checkpoint blocks are reclaimed by the
       // ContextCleaner once the old `labels` reference is dropped (GC-
       // driven, not immediate); convergence is diameter-bounded (near-dup

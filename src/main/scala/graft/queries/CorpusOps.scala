@@ -1257,7 +1257,14 @@ object CorpusOps {
     * standard "where did growth come from" decomposition one level
     * above `q_events_retention`'s cohort curves — and they close:
     * activity on day d = new + retained + resurrected, and cumulative
-    * churn never exceeds cumulative distinct users.
+    * churn never exceeds cumulative distinct users. Boundary
+    * convention (deliberate, mirrored by oracle and spec): a gap of
+    * EXACTLY 8 days books the churn on the same day the user
+    * resurrects — that day's ledger counts the user in BOTH
+    * n_churned and n_resurrected (the churn row closes the old
+    * tenure, the resurrection opens a new one; the closure identity
+    * above is unaffected because churn is not part of the activity
+    * decomposition).
     *
     * Exactness: pure integer date arithmetic on the distinct
     * (user, day) frame — lag windows per user, one grouped count per
@@ -1383,16 +1390,24 @@ object CorpusOps {
   def qEventsMarkov(spark: SparkSession, sfDir: String): DataFrame = {
     val iters = 20
     val grain = BigInt("1000000000000")
-    val counts = qEventsTransitions(spark, sfDir)
-      .collect()
-      .map(r => (r.getString(0), r.getString(1), BigInt(r.getLong(2))))
-    val types = Tables
+    // ONE collect for the whole model (r13 ask #2, was two): the
+    // distinct-type list left-joined to the transition counts — a type
+    // with no outgoing transition survives as a (type, null, null) row,
+    // so both the vocabulary and the dangling set come from one action
+    val model = Tables
       .events(spark, sfDir)
-      .select(col("event_type"))
+      .select(col("event_type").as("t"))
       .distinct()
+      .join(
+        qEventsTransitions(spark, sfDir),
+        col("t") === col("from_type"),
+        "left")
+      .select(col("t"), col("to_type"), col("n"))
       .collect()
-      .map(_.getString(0))
-      .sorted
+    val counts = model
+      .filter(!_.isNullAt(1))
+      .map(r => (r.getString(0), r.getString(1), BigInt(r.getLong(2))))
+    val types = model.map(_.getString(0)).distinct.sorted
     val outSum = counts.groupBy(_._1).map { case (t, g) => t -> g.map(_._3).sum }
     // dangling types self-loop with weight 1
     val cells = counts ++ types.filterNot(outSum.contains).map(t => (t, t, BigInt(1)))
@@ -2344,24 +2359,8 @@ object CorpusOps {
         bit_count(col("o_orderkey")).as("b_cnt"))
       .orderBy("o_orderkey")
 
-  // ----------------------------------------------------- count-min sketch
+  // ------------------------------------------- approximate-distinct sketches
 
-  /** Point-frequency estimation via the [[graft.functions.CountMin]]
-    * sketch: build one 3×4096 counter grid over the whole token stream
-    * (one partial sketch per partition, element-wise-add merge — 96 KiB
-    * crosses the shuffle per partition, never tokens), then probe every
-    * distinct token against the broadcast sketch with PLAIN COLUMN
-    * arithmetic: `least(element_at(sk, pmod(xxhash64(tok, i), 4096) +
-    * i*4096 + 1) ...)` — the aggregator's row hashes are bit-identical to
-    * Spark's `xxhash64` builtin, so no UDF sits on the probe path.
-    *
-    * Oracle: the corpus vocabulary (~31 words) is ≪ 4096, so every grid
-    * row is collision-free and the estimate is EXACT = the plain
-    * `GROUP BY tok` counts (the same exact-regime trick `q_topk_approx`
-    * uses); the collision/overestimate regime is spec-pinned at W = 2.
-    * At 100 TB the sketch answers point lookups without materializing
-    * the (huge) exact token table.
-    */
   /** KMV (k-minimum-values) distinct sketch per event type + the global
     * union — the ORACLE-CHECKABLE member of the approximate-distinct
     * family: unlike HLL's register estimate (`q_agg_hll_merge`, rows-only
@@ -2507,6 +2506,24 @@ object CorpusOps {
       .orderBy("type_a", "type_b")
   }
 
+  // ----------------------------------------------------- count-min sketch
+
+  /** Point-frequency estimation via the [[graft.functions.CountMin]]
+    * sketch: build one 3×4096 counter grid over the whole token stream
+    * (one partial sketch per partition, element-wise-add merge — 96 KiB
+    * crosses the shuffle per partition, never tokens), then probe every
+    * distinct token against the broadcast sketch with PLAIN COLUMN
+    * arithmetic: `least(element_at(sk, pmod(xxhash64(tok, i), 4096) +
+    * i*4096 + 1) ...)` — the aggregator's row hashes are bit-identical to
+    * Spark's `xxhash64` builtin, so no UDF sits on the probe path.
+    *
+    * Oracle: the corpus vocabulary (~31 words) is ≪ 4096, so every grid
+    * row is collision-free and the estimate is EXACT = the plain
+    * `GROUP BY tok` counts (the same exact-regime trick `q_topk_approx`
+    * uses); the collision/overestimate regime is spec-pinned at W = 2.
+    * At 100 TB the sketch answers point lookups without materializing
+    * the (huge) exact token table.
+    */
   def qAggCountMin(spark: SparkSession, sfDir: String): DataFrame = {
     // r12: sketch construction + probe delegated to the Streams pair so
     // the batch entry and s_stream_count_min share one definition
@@ -2559,22 +2576,8 @@ object CorpusOps {
       .orderBy("event_type", "day")
   }
 
-  // ------------------------------------------------------- feature scaling
+  // ---------------------------------------------------- feature engineering
 
-  /** Robust per-group feature scaling (feature-engineering shape):
-    * winsorize `c_acctbal` to its segment's [p05, p95], then min-max
-    * normalize to [0, 1]. Quantile clamping instead of mean/std keeps one
-    * whale from flattening everyone else's feature — the standard robust
-    * scaler for heavy-tailed features.
-    *
-    * Scale shape: the thresholds are one exact-percentile agg (5 rows —
-    * at 100 TB you'd swap `percentile` for the mergeable
-    * `q_agg_quantile_sketch` path and keep everything else identical)
-    * broadcast back to the row scan; per-row work is pure projection, no
-    * second shuffle. Thresholds are rounded to 1e-6 before the clamp so
-    * the derived arithmetic starts from identical doubles in both engines
-    * (`q_agg_percentile` proves the raw interpolation already matches).
-    */
   /** Feature-hashing vectorizer audit (the "hashing trick",
     * Weinberger et al. 2009): hash every corpus token into a fixed
     * 64-dim space (16 md5 bits mod 64 — engine-portable, the
@@ -2625,6 +2628,20 @@ object CorpusOps {
       .orderBy("dim")
   }
 
+  /** Robust per-group feature scaling (feature-engineering shape):
+    * winsorize `c_acctbal` to its segment's [p05, p95], then min-max
+    * normalize to [0, 1]. Quantile clamping instead of mean/std keeps one
+    * whale from flattening everyone else's feature — the standard robust
+    * scaler for heavy-tailed features.
+    *
+    * Scale shape: the thresholds are one exact-percentile agg (5 rows —
+    * at 100 TB you'd swap `percentile` for the mergeable
+    * `q_agg_quantile_sketch` path and keep everything else identical)
+    * broadcast back to the row scan; per-row work is pure projection, no
+    * second shuffle. Thresholds are rounded to 1e-6 before the clamp so
+    * the derived arithmetic starts from identical doubles in both engines
+    * (`q_agg_percentile` proves the raw interpolation already matches).
+    */
   def qFeatureScale(spark: SparkSession, sfDir: String): DataFrame = {
     val cust = Tables.customer(spark, sfDir)
     val qs = cust

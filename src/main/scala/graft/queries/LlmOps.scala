@@ -2436,24 +2436,6 @@ object LlmOps {
     */
   private val EsLnCapMicro = 27725887L
 
-  /** Weighted sampling without replacement, top-20 by n_chars weight —
-    * the Efraimidis–Spirakis A-ES scheme made deterministic: each row
-    * draws u ∈ (0,1] from a 40-bit md5 of its doc_id (reproducible
-    * across engines/runs/partitionings — the same reason `df.sample()`
-    * is banned from this family) and wins by largest u^(1/w), i.e.
-    * SMALLEST −ln(u)/w. A-ES is the standard one-pass distributed
-    * weighted sample: P(row in top-k) matches sequential weighted
-    * draws without replacement, and the key is computable per-row with
-    * no global state.
-    *
-    * Cross-engine float discipline: with h ∈ [1, 2^40] integer,
-    * −ln(u) = ln(2^40) − ln(h); `ln` takes only INTEGER arguments
-    * (micro-quantized, the q_text_zipf pattern), the cap is the pinned
-    * [[EsLnCapMicro]] literal, and the key is ONE IEEE division of two
-    * exact integers — bit-identical across engines. Scale shape:
-    * stateless per-row key at the scan + TakeOrdered k-merge; zero
-    * shuffles.
-    */
   /** Per-group uniform k-reservoir sample (k = 4 per event type), made
     * deterministic the `q_sample_hash` way: each row's reservoir
     * priority is md5 of its unique event_id, so "keep the k smallest
@@ -2484,6 +2466,24 @@ object LlmOps {
       .orderBy("event_type", "rn")
   }
 
+  /** Weighted sampling without replacement, top-20 by n_chars weight —
+    * the Efraimidis–Spirakis A-ES scheme made deterministic: each row
+    * draws u ∈ (0,1] from a 40-bit md5 of its doc_id (reproducible
+    * across engines/runs/partitionings — the same reason `df.sample()`
+    * is banned from this family) and wins by largest u^(1/w), i.e.
+    * SMALLEST −ln(u)/w. A-ES is the standard one-pass distributed
+    * weighted sample: P(row in top-k) matches sequential weighted
+    * draws without replacement, and the key is computable per-row with
+    * no global state.
+    *
+    * Cross-engine float discipline: with h ∈ [1, 2^40] integer,
+    * −ln(u) = ln(2^40) − ln(h); `ln` takes only INTEGER arguments
+    * (micro-quantized, the q_text_zipf pattern), the cap is the pinned
+    * [[EsLnCapMicro]] literal, and the key is ONE IEEE division of two
+    * exact integers — bit-identical across engines. Scale shape:
+    * stateless per-row key at the scan + TakeOrdered k-merge; zero
+    * shuffles.
+    */
   def qSampleWeighted(spark: SparkSession, sfDir: String): DataFrame = {
     val h = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 10), 16, 10)
       .cast("long") + lit(1L)

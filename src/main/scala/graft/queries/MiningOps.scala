@@ -1074,31 +1074,6 @@ object MiningOps {
       .orderBy("event_type", "bucket")
   }
 
-  /** M4 downsampling (Jugel et al., VLDB 2014) of the per-type value
-    * series: per (type, day) bucket emit the FIRST, LAST, MIN, and MAX
-    * values — the four points that make a line rendering of the bucket
-    * pixel-exact. The sibling of [[qTimeLttb]] with the opposite
-    * distribution story: LTTB is a sequential recurrence (per-group
-    * flatMapGroups), M4 is a PURE AGGREGATION — the paper's point is
-    * that pixel-exact downsampling needs no window and no sort, just
-    * min/max over four orderings, so it runs as ONE map-side-combined
-    * agg pass at any scale.
-    *
-    * Determinism: first/last are `min_by`/`max_by` on an INJECTIVE
-    * (ts, event_id) key (event_id unique ⇒ no tie can make the answer
-    * partition-dependent); min/max need no tiebreak at all because only
-    * the VALUE is emitted — tied minima share it. The oracle
-    * materializes the same first/last picks as row_number()=1 windows
-    * over the identical (ts, event_id) ordering.
-    *
-    * Scale shape: one map-side-combined HashAggregate pass over events
-    * (see the key-encoding note in the body — a struct ordering key
-    * would demote the whole agg to SortAggregate), state = 4 doubles +
-    * 2 decimals + a count per (type, day) cell; output ≤ |types|·|days|
-    * rows. At 100 TB this is the query a monitoring store runs to
-    * render years of raw points — no shuffle of the raw series, no
-    * per-group sort.
-    */
   /** Classical seasonal decomposition of the per-type daily volume
     * series (the moving-average STL-lite): trend = centered 7-day
     * moving average on the ZERO-FILLED daily grid, seasonal = per
@@ -1159,6 +1134,31 @@ object MiningOps {
       .orderBy("event_type", "d")
   }
 
+  /** M4 downsampling (Jugel et al., VLDB 2014) of the per-type value
+    * series: per (type, day) bucket emit the FIRST, LAST, MIN, and MAX
+    * values — the four points that make a line rendering of the bucket
+    * pixel-exact. The sibling of [[qTimeLttb]] with the opposite
+    * distribution story: LTTB is a sequential recurrence (per-group
+    * flatMapGroups), M4 is a PURE AGGREGATION — the paper's point is
+    * that pixel-exact downsampling needs no window and no sort, just
+    * min/max over four orderings, so it runs as ONE map-side-combined
+    * agg pass at any scale.
+    *
+    * Determinism: first/last are `min_by`/`max_by` on an INJECTIVE
+    * (ts, event_id) key (event_id unique ⇒ no tie can make the answer
+    * partition-dependent); min/max need no tiebreak at all because only
+    * the VALUE is emitted — tied minima share it. The oracle
+    * materializes the same first/last picks as row_number()=1 windows
+    * over the identical (ts, event_id) ordering.
+    *
+    * Scale shape: one map-side-combined HashAggregate pass over events
+    * (see the key-encoding note in the body — a struct ordering key
+    * would demote the whole agg to SortAggregate), state = 4 doubles +
+    * 2 decimals + a count per (type, day) cell; output ≤ |types|·|days|
+    * rows. At 100 TB this is the query a monitoring store runs to
+    * render years of raw points — no shuffle of the raw series, no
+    * per-group sort.
+    */
   def qTimeM4(spark: SparkSession, sfDir: String): DataFrame = {
     // Injective (ts, event_id) decimal ordering key — see Tables.tsIdKey
     // for why a struct key would demote the agg to SortAggregate.
@@ -1805,6 +1805,20 @@ object MiningOps {
     * so the slice order IS the total rank order. The oracle keeps the
     * naive single-window SQL — rank/cumsum are partition-invariant, so
     * the hash match proves the offset algebra.
+    *
+    * Slice-evenness caveat (r13 ask #8, honest cost): range bounds come
+    * from `repartitionByRange`'s reservoir SAMPLE of the key
+    * distribution, so a pathological spend distribution (e.g. a massive
+    * tie plateau of equal-cents customers) can land uneven slices — the
+    * worst slice then bounds step 2's sort. CORRECTNESS is unaffected
+    * (the custkey tiebreak keeps every key globally unique, and rank/
+    * cumsum algebra is slice-shape-independent); the cost is one
+    * slower task. The uniqueness of the full key is also why no
+    * salt-within-slice refinement is needed: unlike a hash-skew join,
+    * a unique-key range sort has no single hot KEY, only a mis-sampled
+    * boundary, and `spark.sql.execution.rangeExchange.sampleSizePerPartition`
+    * is the production knob when a known-pathological distribution
+    * needs tighter bounds.
     */
   def qOrdersPareto(spark: SparkSession, sfDir: String): DataFrame = {
     val spend = Tables

@@ -646,16 +646,30 @@ object QualityOps {
     * for every pair of event types, the t statistic and Welch–
     * Satterthwaite degrees of freedom for the difference in mean value.
     *
-    * Exactness: the ONLY corpus-scale pass is one per-type partial agg
-    * of (n, Σv, Σv²) with Σv as DECIMAL(18,6) and Σv² as DECIMAL(38,6)
-    * (the square of a ~1e2-bounded value summed over 1e9 rows stays
-    * within 38-digit precision; 18 digits would saturate near ×100) —
-    * both merge-order-independent by decimal exactness. Means, Welch
-    * variances, t, and dof are then IEEE doubles computed on the
-    * ≤|types|² pair frame from those exact sums, mirrored op-for-op by
-    * the oracle (division and sqrt are correctly-rounded, so the two
-    * engines agree bit-for-bit — the q_agg_corr discipline; no libm
-    * transcendentals anywhere).
+    * Exact-INTEGER core (r13 reformulation — retires the r12-flagged
+    * DECIMAL(38,6) quantization band): `value` lives on the 1e-2 cent
+    * grid by fixture construction (and the organic probe synthesis
+    * never rewrites it), so `w = round(100·value)` is an EXACT integer
+    * on both engines (products of cent values × 100 land within ~1e-9
+    * of an integer — never near a rounding midpoint) and the ONLY
+    * corpus-scale pass is one per-type partial agg of
+    * (n, Σw, Σw²) in DECIMAL(38,0) — exact integer sums with NO
+    * double→decimal quantization anywhere, portable at ANY scale (the
+    * old shape cast ~1e12-magnitude DOUBLE square sums to (38,6),
+    * where the 1e-6 grid sits below the double ulp and Spark's
+    * shortest-repr rounding can disagree with DuckDB's exact-binary
+    * rounding — the measured kruskal divergence mechanism). The
+    * centered second moment `M2 = n·Σw² − (Σw)²` (= n·Σ(w−w̄)²) is
+    * computed IN EXACT DECIMAL — the catastrophic cancellation of the
+    * textbook form happens in integer arithmetic where it is exact,
+    * not in floating point. Means, Welch variances, t, and dof are
+    * then IEEE doubles on the ≤|types|² pair frame from those exact
+    * integers, mirrored op-for-op by the oracle (division and sqrt
+    * are correctly-rounded, so the two engines agree bit-for-bit —
+    * the q_agg_corr discipline; no libm transcendentals anywhere).
+    * Magnitude contract: n·Σw² ≤ N²·max(w)² must stay under 1e38
+    * (decimal(38,0) / HUGEINT) — holds to ~1e13 rows of ~1e5-cent
+    * values; Spark NULLs (and the oracle errors) loudly past it.
     *
     * Scale shape: one map-side-combined agg over events; the pair
     * construction is a self-join of the ≤|types|-row model frame
@@ -663,26 +677,19 @@ object QualityOps {
     * emit NULL t/dof rather than NaN — the cramers_v convention.
     */
   def qStatsWelchTtest(spark: SparkSession, sfDir: String): DataFrame = {
-    val g = Tables
-      .events(spark, sfDir)
-      .where(col("value").isNotNull)
-      .groupBy(col("event_type"))
-      .agg(
-        count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,6)")).as("s"),
-        sum((col("value") * col("value")).cast("decimal(38,6)")).as("ss"))
-      .localCheckpoint() // ≤|types| rows; the pair self-join must not re-scan events
+    val g = centSums(spark, sfDir)
     def side(p: String) = g.select(
-      col("event_type").as(s"${p}et"),
+      col("et").as(s"${p}et"),
       col("n").as(s"${p}n"),
-      col("s").cast("double").as(s"${p}s"),
-      col("ss").cast("double").as(s"${p}ss"))
+      (col("sw").cast("double") / col("n") / 100.0).as(s"${p}mean"),
+      (col("n").cast("decimal(19,0)") * col("sww") - col("sw") * col("sw"))
+        .cast("double")
+        .as(s"${p}m2"))
     val a = side("a_")
     val b = side("b_")
-    def mean(p: String) = col(s"${p}s") / col(s"${p}n")
-    // unbiased sample variance from the exact power sums
+    // unbiased sample variance in value units: M2/(1e4·n·(n−1))
     def svar(p: String) =
-      (col(s"${p}ss") - col(s"${p}s") * col(s"${p}s") / col(s"${p}n")) / (col(s"${p}n") - 1)
+      col(s"${p}m2") / 10000.0 / col(s"${p}n") / (col(s"${p}n") - 1)
     val se2 = svar("a_") / col("a_n") + svar("b_") / col("b_n")
     val ok = col("a_n") > 1 && col("b_n") > 1 && se2 > 0.0
     a.crossJoin(b)
@@ -692,9 +699,9 @@ object QualityOps {
         col("b_et").as("type_b"),
         col("a_n").as("n_a"),
         col("b_n").as("n_b"),
-        mean("a_").as("mean_a"),
-        mean("b_").as("mean_b"),
-        when(ok, (mean("a_") - mean("b_")) / sqrt(se2)).as("t_stat"),
+        col("a_mean").as("mean_a"),
+        col("b_mean").as("mean_b"),
+        when(ok, (col("a_mean") - col("b_mean")) / sqrt(se2)).as("t_stat"),
         when(
           ok,
           se2 * se2 /
@@ -704,57 +711,77 @@ object QualityOps {
       .orderBy("type_a", "type_b")
   }
 
+  /** Shared exact-integer cent-grid power sums of the two parametric
+    * tests ([[qStatsWelchTtest]], [[qStatsAnova]]): per-type
+    * (n, Σw, Σw²) with `w = round(100·value)` as DECIMAL(19,0) —
+    * see the Welch scaladoc for the portability argument.
+    * Checkpointed: both callers re-read the ≤|types|-row frame
+    * (pair self-join / grand-total + deviation folds) and must not
+    * rescan events.
+    */
+  private def centSums(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = round(col("value") * lit(100.0)).cast("decimal(19,0)")
+    Tables
+      .events(spark, sfDir)
+      .where(col("value").isNotNull)
+      .groupBy(col("event_type").as("et"))
+      .agg(count(lit(1)).as("n"), sum(w).as("sw"), sum(w * w).as("sww"))
+      .localCheckpoint()
+  }
+
   /** One-way ANOVA over event-type value distributions — the k-sample
     * generalization of [[qStatsWelchTtest]]: between/within sums of
     * squares, the F statistic, and eta² (effect size) for "does mean
     * value differ across event types at all", run before the pairwise
     * drill-down.
     *
-    * Exactness: the SAME one-pass per-type (n, Σv, Σv²) decimal power
-    * sums as the t-test (18,6 / 38,6); SSB = Σs_i²/n_i − S²/N and
-    * SSW = ΣΣv² − Σs_i²/n_i are IEEE doubles computed on the ≤|types|
-    * model frame from those exact sums, with the cross-type reductions
-    * decimal-quantized (S at `dsum`'s (18,6); the square-scale Σss_i and
-    * Σs_i²/n_i at (38,6) — they reach ~1e12 within the certified probe
-    * range, where (18,6) saturates) so they are merge-order-independent
-    * too. Oracle mirrors op-for-op. Degenerate layouts (k ≤ 1 or N ≤ k)
-    * emit NULL F.
+    * Exact-INTEGER core + deviation form (r13 reformulation — retires
+    * the r12-flagged DECIMAL(38,6) quantization band; see
+    * [[qStatsWelchTtest]] for the cent-grid portability argument): the
+    * SAME one-pass per-type (n, Σw, Σw²) integer cent sums via
+    * [[centSums]]. The total sum of squares comes from the exact
+    * decimal numerator `N·ΣΣw² − (ΣΣw)²` (cancellation happens in
+    * integer arithmetic), and SSB uses the MEAN-DEVIATION form
+    * `Σ n_i·(m̄_i − m̄)²` — the q_stats_kruskal discipline: its
+    * cross-type terms are ≈ n_i × squared effect in VALUE units
+    * (~1e7 at probe scale, ≲ 4e9 before the (38,6) quantization of
+    * the k-row fold leaves its portable band — documented contract),
+    * not ≈ N·Var ~ 1e12 like the retired Σs_i²/n_i form.
+    * SSW = SST − SSB is one IEEE subtraction of quantities both
+    * engines compute bit-identically from exact integers. Degenerate
+    * layouts (k ≤ 1 or N ≤ k) emit NULL F.
     *
-    * Scale shape: one map-side-combined agg over events + a ≤|types|-row
-    * fold — nothing else touches the corpus.
+    * Scale shape: one map-side-combined agg over events + two
+    * ≤|types|-row folds — nothing else touches the corpus.
     */
   def qStatsAnova(spark: SparkSession, sfDir: String): DataFrame = {
-    val g = Tables
-      .events(spark, sfDir)
-      .where(col("value").isNotNull)
-      .groupBy(col("event_type"))
+    val g = centSums(spark, sfDir)
+    val tot = g.agg(
+      sum(col("n")).as("n_tot"),
+      count(lit(1)).as("k"),
+      sum(col("sw")).as("swt"),
+      sum(col("sww")).as("swwt"))
+    // per-type mean deviation from the grand mean, in value units
+    val dev = col("sw").cast("double") / col("n") / 100.0 -
+      col("swt").cast("double") / col("n_tot") / 100.0
+    val folded = g
+      .crossJoin(broadcast(tot))
+      .groupBy("n_tot", "k", "swt", "swwt")
       .agg(
-        count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,6)")).as("s"),
-        sum((col("value") * col("value")).cast("decimal(38,6)")).as("ss"))
-      .select(
-        col("n"),
-        col("s").cast("double").as("s"),
-        col("ss").cast("double").as("ss"))
-    val ssb = col("sq_over_n") - col("s_tot") * col("s_tot") / col("n_tot")
-    val ssw = col("ss_tot") - col("sq_over_n")
+        sum((col("n").cast("double") * (dev * dev)).cast("decimal(38,6)"))
+          .cast("double")
+          .as("ssb"))
+    val sst = (col("n_tot").cast("decimal(19,0)") * col("swwt") - col("swt") * col("swt"))
+      .cast("double") / col("n_tot") / 10000.0
+    val ssw = sst - col("ssb")
     val ok = col("k") > 1 && col("n_tot") > col("k") && ssw > 0.0
-    // square-scale reductions quantize at DECIMAL(38,6), not dsum's
-    // (18,6) — Σv² and s²/n reach ~1e12 within the certified probe range
-    def wsum(c: org.apache.spark.sql.Column) = sum(c.cast("decimal(38,6)")).cast("double")
-    g.agg(
-        sum(col("n")).as("n_tot"),
-        count(lit(1)).as("k"),
-        Tables.dsum(col("s")).as("s_tot"),
-        wsum(col("ss")).as("ss_tot"),
-        wsum(col("s") * col("s") / col("n")).as("sq_over_n"))
-      .select(
-        col("n_tot"),
-        col("k").as("n_groups"),
-        ssb.as("ss_between"),
-        ssw.as("ss_within"),
-        when(ok, (ssb / (col("k") - 1)) / (ssw / (col("n_tot") - col("k")))).as("f_stat"),
-        when(ok, ssb / (ssb + ssw)).as("eta_sq"))
+    folded.select(
+      col("n_tot"),
+      col("k").as("n_groups"),
+      col("ssb").as("ss_between"),
+      ssw.as("ss_within"),
+      when(ok, (col("ssb") / (col("k") - 1)) / (ssw / (col("n_tot") - col("k")))).as("f_stat"),
+      when(ok, col("ssb") / (col("ssb") + ssw)).as("eta_sq"))
   }
 
   /** Pairwise Mann–Whitney U (Wilcoxon rank-sum) test over event-type
@@ -1341,52 +1368,67 @@ object QualityOps {
       qStatsAnova,
       Some("""WITH g AS (
              | SELECT event_type AS et, count(1) AS n,
-             |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s,
-             |  CAST(sum(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS ss
+             |  sum(CAST(round(value * 100.0) AS DECIMAL(19,0))) AS sw,
+             |  sum(CAST(round(value * 100.0) AS DECIMAL(19,0))
+             |      * CAST(round(value * 100.0) AS DECIMAL(19,0))) AS sww
              | FROM events WHERE value IS NOT NULL GROUP BY 1),
              |t AS (
              | SELECT CAST(sum(n) AS BIGINT) AS n_tot, count(1) AS k,
-             |  CAST(sum(CAST(s AS DECIMAL(18,6))) AS DOUBLE) AS s_tot,
-             |  CAST(sum(CAST(ss AS DECIMAL(38,6))) AS DOUBLE) AS ss_tot,
-             |  CAST(sum(CAST(s * s / n AS DECIMAL(38,6))) AS DOUBLE) AS sq_over_n
-             | FROM g)
+             |  sum(sw) AS swt, sum(sww) AS swwt FROM g),
+             |f AS (
+             | SELECT n_tot, k, swt, swwt,
+             |  CAST(sum(CAST(CAST(n AS DOUBLE) *
+             |    ((CAST(sw AS DOUBLE) / n / 100.0 - CAST(swt AS DOUBLE) / n_tot / 100.0)
+             |     * (CAST(sw AS DOUBLE) / n / 100.0 - CAST(swt AS DOUBLE) / n_tot / 100.0))
+             |    AS DECIMAL(38,6))) AS DOUBLE) AS ssb
+             | FROM g CROSS JOIN t GROUP BY 1, 2, 3, 4),
+             |r AS (
+             | SELECT n_tot, k, ssb,
+             |  CAST(CAST(n_tot AS HUGEINT) * CAST(swwt AS HUGEINT)
+             |       - CAST(swt AS HUGEINT) * CAST(swt AS HUGEINT) AS DOUBLE)
+             |    / n_tot / 10000.0 AS sst
+             | FROM f)
              |SELECT n_tot, k AS n_groups,
-             | sq_over_n - s_tot * s_tot / n_tot AS ss_between,
-             | ss_tot - sq_over_n AS ss_within,
-             | CASE WHEN k > 1 AND n_tot > k AND ss_tot - sq_over_n > 0.0
-             |  THEN ((sq_over_n - s_tot * s_tot / n_tot) / (k - 1))
-             |     / ((ss_tot - sq_over_n) / (n_tot - k)) END AS f_stat,
-             | CASE WHEN k > 1 AND n_tot > k AND ss_tot - sq_over_n > 0.0
-             |  THEN (sq_over_n - s_tot * s_tot / n_tot)
-             |     / ((sq_over_n - s_tot * s_tot / n_tot) + (ss_tot - sq_over_n)) END AS eta_sq
-             |FROM t""".stripMargin)),
+             | ssb AS ss_between,
+             | sst - ssb AS ss_within,
+             | CASE WHEN k > 1 AND n_tot > k AND sst - ssb > 0.0
+             |  THEN (ssb / (k - 1)) / ((sst - ssb) / (n_tot - k)) END AS f_stat,
+             | CASE WHEN k > 1 AND n_tot > k AND sst - ssb > 0.0
+             |  THEN ssb / (ssb + (sst - ssb)) END AS eta_sq
+             |FROM r""".stripMargin)),
     "q_stats_welch_ttest" -> Q(
       qStatsWelchTtest,
       Some("""WITH g AS (
              | SELECT event_type AS et, count(1) AS n,
-             |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s,
-             |  CAST(sum(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS ss
-             | FROM events WHERE value IS NOT NULL GROUP BY 1)
+             |  sum(CAST(round(value * 100.0) AS DECIMAL(19,0))) AS sw,
+             |  sum(CAST(round(value * 100.0) AS DECIMAL(19,0))
+             |      * CAST(round(value * 100.0) AS DECIMAL(19,0))) AS sww
+             | FROM events WHERE value IS NOT NULL GROUP BY 1),
+             |s AS (
+             | SELECT et, n, CAST(sw AS DOUBLE) / n / 100.0 AS m,
+             |  CAST(CAST(n AS HUGEINT) * CAST(sww AS HUGEINT)
+             |       - CAST(sw AS HUGEINT) * CAST(sw AS HUGEINT) AS DOUBLE) AS m2
+             | FROM g)
              |SELECT a.et AS type_a, b.et AS type_b, a.n AS n_a, b.n AS n_b,
-             | a.s / a.n AS mean_a, b.s / b.n AS mean_b,
+             | a.m AS mean_a, b.m AS mean_b,
              | CASE WHEN a.n > 1 AND b.n > 1
-             |       AND (a.ss - a.s * a.s / a.n) / (a.n - 1) / a.n
-             |         + (b.ss - b.s * b.s / b.n) / (b.n - 1) / b.n > 0.0
-             |  THEN (a.s / a.n - b.s / b.n)
-             |     / sqrt((a.ss - a.s * a.s / a.n) / (a.n - 1) / a.n
-             |          + (b.ss - b.s * b.s / b.n) / (b.n - 1) / b.n) END AS t_stat,
+             |       AND a.m2 / 10000.0 / a.n / (a.n - 1) / a.n
+             |         + b.m2 / 10000.0 / b.n / (b.n - 1) / b.n > 0.0
+             |  THEN (a.m - b.m)
+             |     / sqrt(a.m2 / 10000.0 / a.n / (a.n - 1) / a.n
+             |          + b.m2 / 10000.0 / b.n / (b.n - 1) / b.n) END AS t_stat,
              | CASE WHEN a.n > 1 AND b.n > 1
-             |       AND (a.ss - a.s * a.s / a.n) / (a.n - 1) / a.n
-             |         + (b.ss - b.s * b.s / b.n) / (b.n - 1) / b.n > 0.0
-             |  THEN ((a.ss - a.s * a.s / a.n) / (a.n - 1) / a.n
-             |      + (b.ss - b.s * b.s / b.n) / (b.n - 1) / b.n)
-             |     * ((a.ss - a.s * a.s / a.n) / (a.n - 1) / a.n
-             |      + (b.ss - b.s * b.s / b.n) / (b.n - 1) / b.n)
-             |     / ((a.ss - a.s * a.s / a.n) / (a.n - 1) / a.n
-             |         * ((a.ss - a.s * a.s / a.n) / (a.n - 1) / a.n) / (a.n - 1)
-             |       + (b.ss - b.s * b.s / b.n) / (b.n - 1) / b.n
-             |         * ((b.ss - b.s * b.s / b.n) / (b.n - 1) / b.n) / (b.n - 1)) END AS welch_dof
-             |FROM g a JOIN g b ON a.et < b.et
+             |       AND a.m2 / 10000.0 / a.n / (a.n - 1) / a.n
+             |         + b.m2 / 10000.0 / b.n / (b.n - 1) / b.n > 0.0
+             |  THEN (a.m2 / 10000.0 / a.n / (a.n - 1) / a.n
+             |      + b.m2 / 10000.0 / b.n / (b.n - 1) / b.n)
+             |     * (a.m2 / 10000.0 / a.n / (a.n - 1) / a.n
+             |      + b.m2 / 10000.0 / b.n / (b.n - 1) / b.n)
+             |     / (a.m2 / 10000.0 / a.n / (a.n - 1) / a.n
+             |         * (a.m2 / 10000.0 / a.n / (a.n - 1) / a.n) / (a.n - 1)
+             |       + b.m2 / 10000.0 / b.n / (b.n - 1) / b.n
+             |         * (b.m2 / 10000.0 / b.n / (b.n - 1) / b.n) / (b.n - 1)) END AS welch_dof
+             |FROM s a JOIN s b ON a.et < b.et
              |ORDER BY type_a, type_b""".stripMargin)),
     "q_stats_mannwhitney" -> Q(
       qStatsMannWhitney,

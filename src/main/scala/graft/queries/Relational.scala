@@ -1011,6 +1011,18 @@ object Relational {
     * a pipeline over dirty data relies on. Aggregated per event type so
     * the null/total accounting is the visible result; the oracle
     * reproduces each NULL rule with explicit CASE guards.
+    *
+    * Codegen status (r13 ask #5, the BENCH3_r12 2.1–3.8 s spread
+    * investigation): the EXECUTED plan (`Explain q_fn_try --final`,
+    * AQE isFinalPlan=true) shows the whole scan→project→partial-agg
+    * chain inside ONE WholeStageCodegen span (`*(1)` through the
+    * try_to_number projection — ToNumberBase implements doGenCode, and
+    * TRY-mode arithmetic codegens like its ANSI twin). The r12
+    * "interpreted try_* arithmetic" hypothesis came from the
+    * PRE-execution formatted plan of an adaptive query, which carries
+    * no codegen markers for ANY entry. The triple-run spread is
+    * therefore the documented shared-JIT-rotation class (build.sbt,
+    * SURVEY §6), not a codegen fallback — nothing to pin.
     */
   def qFnTry(spark: SparkSession, sfDir: String): DataFrame = {
     val div = try_divide(col("value"), (col("user_id") % 5).cast("double"))

@@ -562,6 +562,16 @@ object SearchOps {
     ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
   }
 
+  /** [[ckptFlat]] with a LAZY checkpoint mark: the caller's next
+    * full-scan action (a fused convergence count) materializes the
+    * blocks in the same job — same stats-flattening wrapper, one fewer
+    * driver action per probed round (r13 ask #7).
+    */
+  private def ckptFlatLazy(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint(eager = false)
+    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+  }
+
   def qGraphMst(spark: SparkSession, sfDir: String): DataFrame =
     boruvka(coPurchaseEdgesWeighted(spark, sfDir).localCheckpoint())
 
@@ -574,6 +584,14 @@ object SearchOps {
     * with one collect; above it the distributed pointer-doubling path
     * runs. MstSpec forces BOTH paths over the same graph and pins
     * identical forests (threshold 0 vs unbounded).
+    *
+    * Driver-action budget (r13 ask #2): the per-round pick-pair frame
+    * is lazily checkpoint-marked and its `count()` is the round's one
+    * materializing job (was: eager checkpoint + count); the MST
+    * accumulator is a lazy union chain of already-cached rounds, paid
+    * once by the final action; the distributed fallback probes its
+    * fixpoint every 3rd jump with the probe count fused into the
+    * jump's own checkpoint job (ask #7).
     */
   private[graft] def boruvka(edges: DataFrame, driverPairThreshold: Long = 1000000L): DataFrame = {
     val spark = edges.sparkSession
@@ -602,26 +620,35 @@ object SearchOps {
       val w = Window
         .partitionBy("cc")
         .orderBy(col("support").desc, col("u").asc, col("v").asc)
+      // lazy mark + count: the count's full scan materializes the
+      // checkpoint AND returns the round size in ONE job (r13 ask #2 —
+      // previously an eager checkpoint job plus a count job)
       val chosen = sym
         .withColumn("rn", row_number().over(w))
         .where(col("rn") === 1)
         .drop("rn")
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val nChosen = chosen.count()
       if (nChosen == 0) done = true
       else {
+        // lazy union chain: mst is only READ once, by the final orderBy
+        // action — the ≤maxRounds-deep union of already-cached `chosen`
+        // blocks needs no per-round materialization job of its own
         mst = mst
           .unionByName(chosen.select("u", "v", "support").distinct())
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         // Contraction of the pick-pair graph. Under a strict total order
         // its only cycles are MUTUAL picks (a longer cycle would be
         // weight-decreasing all the way around), so it is a pseudoforest.
         val f: DataFrame =
           if (nChosen <= driverPairThreshold) {
             // driver fast path: union-find over ≤threshold pairs, labels
-            // normalized to the MIN member of each merged group (the
-            // same labels any correct contraction yields up to
-            // renaming; min-normalization makes them deterministic)
+            // normalized to the MIN member of each merged group. NOTE:
+            // the two paths produce EQUIVALENT PARTITIONS but different
+            // label representatives (the distributed path converges to
+            // the min of each mutual-pick 2-cycle root, which need not
+            // be the group min) — only the forest, not the label
+            // values, is pinned equal by MstSpec
             val pairs = chosen
               .select(col("cc"), col("oc"))
               .collect()
@@ -663,9 +690,28 @@ object SearchOps {
                   .as("fx"))
               .transform(ckptFlat)
             val jumps = (63 - java.lang.Long.numberOfLeadingZeros(nChosen + 2)).toInt + 1
-            for (_ <- 1 to jumps) {
+            var j = 0
+            var fixed = false
+            while (!fixed && j < jumps) {
               val h = g.select(col("x").as("x2"), col("fx").as("fx2"))
-              g = ckptFlat(g.join(h, col("fx") === col("x2")).select(col("x"), col("fx2").as("fx")))
+              val nxt = g.join(h, col("fx") === col("x2"))
+              j += 1
+              if (j % 3 == 0 || j == jumps) {
+                // batched fixpoint probe (r13 ask #7): every 3rd jump
+                // carries a per-row chg flag whose count is FUSED into
+                // the checkpoint-materializing job — shallow
+                // pseudoforests exit after the first probe instead of
+                // paying all ⌈log₂ n⌉ eager checkpoints; non-probe
+                // jumps stay flag-free (no extra bytes cached)
+                val flat = ckptFlatLazy(nxt.select(
+                  col("x"),
+                  col("fx2").as("fx"),
+                  (col("fx2") =!= col("fx")).as("chg")))
+                fixed = flat.where(col("chg")).count() == 0L
+                g = flat.select("x", "fx")
+              } else {
+                g = ckptFlat(nxt.select(col("x"), col("fx2").as("fx")))
+              }
             }
             g
           }
@@ -694,51 +740,76 @@ object SearchOps {
 
   /** Deterministic random walks over the co-purchase graph — the
     * DeepWalk/node2vec CORPUS-GENERATION primitive (walks become
-    * "sentences" for embedding training): one walk of length 4 from
-    * every node, where step i from node c moves to the
-    * `md5(c:i) mod degree(c)`-th neighbor in id order. The PRNG is the
-    * house reproducible hash, so walks are identical across engines,
-    * runs, and partitionings (the `df.sample()` ban, applied to graph
-    * sampling).
+    * "sentences" for embedding training). The registry entry
+    * [[qGraphRandomWalk]] pins the (walksPerNode = 1, walkLength = 4)
+    * dialect; this is the parameterized API (r13 ask #4) a corpus
+    * builder calls with production settings (DeepWalk's classic is
+    * 10–80 walks × length 40 — same plan shape, more rows).
+    *
+    * Step rule: step i of walk w from node c moves to the
+    * `md5(salt) mod degree(c)`-th neighbor in id order, where salt is
+    * `c:i` for walk 0 — BYTE-STABLE with the pre-parameterization
+    * registry dialect, so the entry's oracle hash is unchanged — and
+    * `c:i:w` for the additional walks (each walk an independent hash
+    * stream). The PRNG is the house reproducible hash, so walks are
+    * identical across engines, runs, and partitionings (the
+    * `df.sample()` ban, applied to graph sampling).
     *
     * Scale shape: the adjacency is ranked ONCE (row_number over
     * neighbors in id order — one edge-keyed window) with degrees from
-    * the same frame; each of the 4 steps is one equi-join of the
+    * the same frame; each step is one equi-join of the walksPerNode×
     * frontier against the (node, rank) adjacency — the BFS-round shape
     * with a hash-picked rank instead of min-distance. All integer/hash
-    * arithmetic; the oracle unrolls the identical 4 steps.
+    * arithmetic; the oracle unrolls the identical steps. Output:
+    * (start, walk, step, node).
     */
-  def qGraphRandomWalk(spark: SparkSession, sfDir: String): DataFrame = {
-    val steps = 4
+  private[graft] def randomWalks(
+      spark: SparkSession,
+      sfDir: String,
+      walksPerNode: Int = 1,
+      walkLength: Int = 4): DataFrame = {
+    require(walksPerNode >= 1, "walksPerNode must be >= 1")
     val e = coPurchaseEdges(spark, sfDir)
     val adj = e
       .select(col("u").as("a"), col("v").as("b"))
       .unionByName(e.select(col("v").as("a"), col("u").as("b")))
     val ranked = adj
       .withColumn("rk", row_number().over(Window.partitionBy("a").orderBy(col("b").asc)) - 1)
-      .localCheckpoint() // referenced once per step; don't re-rank 4×
+      .localCheckpoint() // referenced once per step; don't re-rank L×
     val deg = adj.groupBy(col("a").as("dn")).agg(count(lit(1)).as("deg")).localCheckpoint()
+    // walk 0 keeps the pinned `c:i` salt; walks ≥ 1 extend it with the
+    // walk index (`c:i:w`) for an independent deterministic stream
+    def salt(cur: Column, i: Int): Column =
+      when(
+        col("walk") === 0,
+        concat(cur.cast("string"), lit(s":$i")))
+        .otherwise(concat(cur.cast("string"), lit(s":$i:"), col("walk").cast("string")))
     def hashPick(cur: Column, i: Int): Column =
       pmod(
-        conv(substring(md5(concat(cur.cast("string"), lit(":"), lit(i.toString)).cast("binary")), 1, 15), 16, 10)
-          .cast("long"),
+        conv(substring(md5(salt(cur, i).cast("binary")), 1, 15), 16, 10).cast("long"),
         col("deg"))
     var walk = adj
       .select(col("a").as("start"))
       .distinct()
-      .select(col("start"), lit(0).as("step"), col("start").as("node"))
+      .withColumn("walk", explode(array((0 until walksPerNode).map(lit): _*)))
+      .select(col("start"), col("walk"), lit(0).as("step"), col("start").as("node"))
     var frontier = walk
-    for (i <- 1 to steps) {
+    for (i <- 1 to walkLength) {
       val nxt = frontier
         .join(deg, col("node") === col("dn"))
         .withColumn("pick", hashPick(col("node"), i))
         .join(ranked, col("node") === col("a") && col("pick") === col("rk"))
-        .select(col("start"), lit(i).as("step"), col("b").as("node"))
+        .select(col("start"), col("walk"), lit(i).as("step"), col("b").as("node"))
       walk = walk.unionByName(nxt)
       frontier = nxt
     }
-    walk.orderBy("start", "step")
+    walk.orderBy("start", "walk", "step")
   }
+
+  /** The pinned (1, 4) registry dialect of [[randomWalks]]. */
+  def qGraphRandomWalk(spark: SparkSession, sfDir: String): DataFrame =
+    randomWalks(spark, sfDir, walksPerNode = 1, walkLength = 4)
+      .select("start", "step", "node")
 
   // ------------------------------------------------- bounded-hop BFS
 
@@ -1567,6 +1638,43 @@ object SearchOps {
            | SELECT start, 0 AS step, node FROM f0
            | UNION ALL $unions)
            |ORDER BY start, step""".stripMargin
+      }),
+    "q_graph_random_walk_multi" -> Q(
+      (s, d) => randomWalks(s, d, walksPerNode = 2, walkLength = 4),
+      Some {
+        // the multi-walk dialect of the generator above: the frontier
+        // carries the walk index, and the salt mirrors randomWalks'
+        // rule — `node:i` for walk 0 (the pinned dialect), `node:i:w`
+        // for the independent extra streams
+        val steps = (1 to 4)
+          .map { i =>
+            s"""f$i AS MATERIALIZED (
+               | SELECT f.start, f.walk, r.b AS node
+               | FROM f${i - 1} f JOIN dg ON f.node = dg.dn
+               | JOIN rk r ON r.a = f.node
+               |  AND r.rk = CAST(('0x' || substr(md5(CAST(f.node AS VARCHAR) || ':$i' ||
+               |      CASE WHEN f.walk = 0 THEN '' ELSE ':' || CAST(f.walk AS VARCHAR) END),
+               |      1, 15))::UBIGINT % dg.deg AS BIGINT))""".stripMargin
+          }
+          .mkString(",\n")
+        val unions = (1 to 4)
+          .map(i => s"SELECT start, walk, $i AS step, node FROM f$i")
+          .mkString(" UNION ALL ")
+        s"""WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+           |e AS (SELECT a.p AS u, b.p AS v FROM it a JOIN it b ON a.o = b.o AND a.p < b.p
+           |      GROUP BY 1, 2 HAVING count(1) >= 2),
+           |adj AS MATERIALIZED (SELECT u AS a, v AS b FROM e UNION ALL SELECT v AS a, u AS b FROM e),
+           |rk AS MATERIALIZED (SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY b) - 1 AS rk
+           |                    FROM adj),
+           |dg AS MATERIALIZED (SELECT a AS dn, CAST(count(1) AS BIGINT) AS deg FROM adj GROUP BY 1),
+           |f0 AS MATERIALIZED (
+           | SELECT start, walk, node FROM (SELECT DISTINCT a AS start, a AS node FROM adj)
+           | CROSS JOIN (SELECT 0 AS walk UNION ALL SELECT 1 AS walk)),
+           |$steps
+           |SELECT start, walk, step, node FROM (
+           | SELECT start, walk, 0 AS step, node FROM f0
+           | UNION ALL $unions)
+           |ORDER BY start, walk, step""".stripMargin
       }),
     "q_graph_mst" -> Q(
       qGraphMst,

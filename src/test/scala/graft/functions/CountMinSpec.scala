@@ -47,7 +47,7 @@ class CountMinSpec extends SparkSuite {
   test("collision-free regime: estimates are exact") {
     val counts = Map("a" -> 5, "bb" -> 3, "ccc" -> 11, "dddd" -> 1)
     val stream = counts.toSeq.flatMap { case (t, n) => Seq.fill(n)(t) }
-    val sk = stream.foldLeft(CountMin.zero)(CountMin.reduce)
+    val sk = CountMin.finish(stream.foldLeft(CountMin.zero)(CountMin.reduce))
     counts.foreach { case (t, n) =>
       assert(CountMin.estimate(sk, t) == n.toLong, t)
     }
@@ -59,9 +59,9 @@ class CountMinSpec extends SparkSuite {
     val stream = counts.toSeq.flatMap { case (t, n) => Seq.fill(n)(t) }
     // merge two halves built separately to cover the merge path too
     val (s1, s2) = stream.splitAt(stream.length / 2)
-    val sk = cm.merge(
+    val sk = cm.finish(cm.merge(
       s1.foldLeft(cm.zero)(cm.reduce),
-      s2.foldLeft(cm.zero)(cm.reduce))
+      s2.foldLeft(cm.zero)(cm.reduce)))
     val n = stream.length.toLong
     counts.foreach { case (t, c) =>
       val est = cm.estimate(sk, t)

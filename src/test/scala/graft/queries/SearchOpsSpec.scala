@@ -692,6 +692,29 @@ class SearchOpsSpec extends SparkSuite {
     assert(ds.sameElements(ds.sorted))
   }
 
+  test("random walks: multi-walk API extends the pinned (1,4) dialect (r13)") {
+    val single = SearchOps
+      .qGraphRandomWalk(spark, sf001)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .toSet
+    val multi = SearchOps
+      .randomWalks(spark, sf001, walksPerNode = 2, walkLength = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    // walk 0 is byte-stable with the registry dialect (the `c:i` salt)
+    assert(multi.filter(_._2 == 0).map(t => (t._1, t._3, t._4)).toSet == single)
+    // every walk is complete: walks cannot die (each adjacency node has
+    // degree ≥ 1), so 2 walks emit exactly 2× the single-walk rows
+    assert(multi.length == 2 * single.size)
+    // walk 1 is an independent hash stream (`c:i:w` salt): it diverges
+    // from walk 0 on at least one step of at least one start node
+    val w0 = multi.filter(_._2 == 0).map(t => (t._1, t._3) -> t._4).toMap
+    assert(
+      multi.filter(_._2 == 1).exists(t => w0((t._1, t._3)) != t._4),
+      "second walk never diverged — salt not independent")
+  }
+
   // ----------------------------------------------------------------- MST
 
   test("q_graph_mst: forest equals a local Kruskal under the same total order") {

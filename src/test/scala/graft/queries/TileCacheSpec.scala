@@ -20,6 +20,35 @@ object FlakyStore {
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 }
 
+/** r13 ask #6 chaos store: a mid-write partition OUTAGE. While armed
+  * (static kill switch, per JVM), the victim partition's "connection"
+  * dies after `killAfter` successful PUTs — every later put in that
+  * task throws, simulating a lost executor/preempted node partway
+  * through a partition. Instance state (`writes`, `dead`) is per-task
+  * (the closure is deserialized per task), so only the victim partition
+  * is affected; disarmed, it is a plain LocalFsStore.
+  */
+class PartitionOutageStore(root: String, victim: Int, killAfter: Int)
+    extends graft.sinks.ObjectStore {
+  private val inner = new graft.sinks.LocalFsStore(root)
+  private var writes = 0
+  private var dead = false
+  override def put(key: String, bytes: Array[Byte], contentType: String, acl: String): Unit = {
+    if (PartitionOutageStore.armed.get() &&
+      org.apache.spark.TaskContext.getPartitionId() == victim &&
+      (dead || writes >= killAfter)) {
+      dead = true
+      throw new java.io.IOException(s"connection lost mid-partition (after $writes PUTs)")
+    }
+    inner.put(key, bytes, contentType, acl)
+    writes += 1
+  }
+}
+
+object PartitionOutageStore {
+  val armed = new java.util.concurrent.atomic.AtomicBoolean(false)
+}
+
 /** E2E tile fixture tests (SURVEY.md §5.5): grid → binaryFile scan →
   * object sink into a local "bucket", asserting keys and byte identity.
   */
@@ -137,6 +166,53 @@ class TileCacheSpec extends SparkSuite {
     val elapsedMs = (System.nanoTime() - t0) / 1e6
     assert(okB == 2 && failedB == 1)
     assert(elapsedMs >= 60.0, s"backoff sleeps missing: $elapsedMs ms")
+  }
+
+  test("sink partition-level outage: re-run converges idempotently (r13)") {
+    import graft.sinks.ObjectSink
+    val bucket = java.nio.file.Files.createTempDirectory("graft_chaos_bucket").toFile
+    val rows = (1 to 40).map(i => (f"t/$i%02d", s"payload-$i".getBytes("UTF-8")))
+    val df = spark
+      .createDataFrame(rows)
+      .toDF("object_key", "content")
+      .repartition(4, col("object_key"))
+      .localCheckpoint() // pin the partitioning: both runs see identical tasks
+    // victim = the fullest partition (deterministic, never empty)
+    val victim = df
+      .groupBy(spark_partition_id().as("pid"))
+      .count()
+      .orderBy(col("count").desc, col("pid"))
+      .first()
+      .getInt(0)
+    def store() = new PartitionOutageStore(bucket.getAbsolutePath, victim, killAfter = 2)
+    // run 1: the victim partition dies after 2 PUTs — the per-record
+    // policy counts the lost remainder (accumulators), the JOB survives
+    PartitionOutageStore.armed.set(true)
+    val (ok1, failed1, _) =
+      try ObjectSink.write(df, store(), "object_key", "content", "application/octet-stream")
+      finally PartitionOutageStore.armed.set(false)
+    assert(failed1 > 0, "outage must lose part of the victim partition")
+    assert(ok1 + failed1 == 40, "every record accounted: uploaded or counted lost")
+    val written = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files
+        .walk(bucket.toPath)
+        .iterator()
+        .asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p))
+        .filterNot(_.toString.contains("_meta"))
+        .size
+    }
+    assert(written.toLong == ok1, "bucket holds exactly the acked prefix")
+    // run 2 (at-least-once re-run semantics): same job, healthy store —
+    // idempotent PUTs overwrite the acked prefix and fill the holes
+    val (ok2, failed2, _) =
+      ObjectSink.write(df, store(), "object_key", "content", "application/octet-stream")
+    assert(ok2 == 40 && failed2 == 0)
+    rows.foreach { case (k, b) =>
+      val got = java.nio.file.Files.readAllBytes(new java.io.File(bucket, k).toPath)
+      assert(java.util.Arrays.equals(got, b), s"re-run must converge byte-exact: $k")
+    }
   }
 
   test("delta sync uploads only new and changed tiles (incremental ETL)") {
