@@ -170,4 +170,49 @@ class ClusterSpec extends SparkSuite {
     assert(second.getLong(0) == 10L && second.getLong(1) == 2L)
     assert(second.getString(2) == "10,11")
   }
+
+  test("one driver action per propagation round (r13 fused convergence pin)") {
+    // regression pin for the r13 lazy-checkpoint + fused-count round: a
+    // reintroduced eager-checkpoint-plus-probe round would double the
+    // per-round Dataset actions and trip the budget below
+    val byName = new java.util.concurrent.ConcurrentHashMap[String, Integer]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(
+          funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = { byName.merge(funcName, 1, _ + _); () }
+      override def onFailure(
+          funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    // path graph 1-…-8: diameter 7 → enough rounds that a 2×-per-round
+    // regression clearly separates from the constant setup cost
+    val pairs = (1L to 7L).map(i => (i, i + 1)).toDF("a", "b")
+    var rounds = 0
+    spark.listenerManager.register(listener)
+    val labels =
+      try DedupClusters
+        .clusters(pairs, "a", "b", roundProbe = (i, _) => rounds = i + 1)
+        .collect()
+      finally spark.listenerManager.unregister(listener)
+    assert(labels.forall(_.getLong(1) == 1L)) // one component, min label
+    assert(rounds >= 5, s"fixture too shallow: $rounds rounds")
+    // listener delivery is async: poll until the tallies stabilize
+    var last = -1
+    var stable = 0
+    while (stable < 5) {
+      Thread.sleep(100)
+      val now = byName.values().stream().mapToInt(_.intValue()).sum()
+      if (now == last) stable += 1 else { stable = 0; last = now }
+    }
+    // the round's ONE materializing job is the fused `count`; the lazy
+    // checkpoint marks also emit (job-less) listener events under their
+    // own funcName and are deliberately not budgeted here
+    assert(
+      byName.getOrDefault("count", 0) == rounds,
+      s"$byName over $rounds rounds — expected exactly one count job per round")
+    // the retired per-round probe shapes must not reappear
+    assert(!byName.containsKey("isEmpty") && !byName.containsKey("take"), byName.toString)
+  }
 }
