@@ -930,8 +930,11 @@ object SearchOps {
           min(col("d")).as("d"),
           (min(col("d")) <
             coalesce(max(when(col("own"), col("d"))), lit(Int.MaxValue))).as("chg"))
-        .localCheckpoint()
-      converged = next.where(col("chg")).isEmpty
+        .localCheckpoint(eager = false)
+      // the round's ONE action (r13, the DedupClusters fusion): the
+      // full-scan count materializes the lazy checkpoint AND returns
+      // the convergence signal in the same job
+      converged = next.where(col("chg")).count() == 0L
       dist = next.select("id", "d")
       i += 1
     }
