@@ -5,7 +5,11 @@ import org.apache.spark.sql.SparkSession
 /** Dev utility: run one registry query (or `entry`) with timing and an
   * optional formatted plan dump.
   *
-  *   sbt "runMain graft.Explain <name|entry> [sfDir] [--plan] [--count]"
+  *   sbt "runMain graft.Explain <name|entry> [sfDir] [--plan] [--final] [--count]"
+  *
+  * `--plan` prints the pre-execution formatted plan (NO codegen
+  * markers under AQE); `--final` executes and prints the
+  * isFinalPlan=true tree with real WholeStageCodegen spans.
   */
 object Explain {
   def main(args: Array[String]): Unit = {

@@ -39,10 +39,31 @@ class CountMinSketch(val D: Int, val W: Int)
     * round-trip and shuffle serialization is a memcpy of one byte array
     * — the per-element Catalyst ArrayData conversion the typed encoder
     * paid on each serialize (12288 element writes for the default grid)
-    * is gone. In-JVM updates stay primitive long adds through a
-    * LongBuffer view; little-endian is pinned so a persisted streaming
+    * is gone. The per-ROW hot path (reduce) uses allocation-free
+    * shift-arithmetic long accessors (a per-row ByteBuffer view would
+    * gamble on escape analysis; a cached view would race across task
+    * threads); merge/finish, called once per partition, use a bulk
+    * LongBuffer view. Little-endian is pinned so a persisted streaming
     * state restores identically on any architecture.
+    *
+    * COMPATIBILITY: the buffer-encoder change (array&lt;bigint&gt; →
+    * BINARY) changes the streaming state-store schema — a pre-r13
+    * streaming checkpoint fails the state schema check on restart and
+    * must be discarded (a fresh start rebuilds the identical sketch:
+    * merge is order/replay-proof element-wise addition).
     */
+  private def getL(b: Array[Byte], idx: Int): Long = {
+    val o = idx * 8
+    var v = 0L
+    var i = 7
+    while (i >= 0) { v = (v << 8) | (b(o + i) & 0xffL); i -= 1 }
+    v
+  }
+  private def putL(b: Array[Byte], idx: Int, v: Long): Unit = {
+    val o = idx * 8
+    var i = 0
+    while (i < 8) { b(o + i) = (v >>> (8 * i)).toByte; i += 1 }
+  }
   private def longs(b: Array[Byte]): java.nio.LongBuffer =
     java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN).asLongBuffer()
 
@@ -63,11 +84,10 @@ class CountMinSketch(val D: Int, val W: Int)
 
   override def reduce(b: Array[Byte], tok: String): Array[Byte] = {
     if (tok != null) {
-      val v = longs(b)
       var i = 0
       while (i < D) {
         val idx = i * W + bucket(tok, i)
-        v.put(idx, v.get(idx) + 1L)
+        putL(b, idx, getL(b, idx) + 1L)
         i += 1
       }
     }

@@ -33,6 +33,12 @@ import org.apache.spark.sql.expressions.Aggregator
   * Entries dedup on identical (rkey, id) so the lattice join is
   * idempotent ELEMENT-wise too: re-fed duplicates (KMV hashes of
   * re-seen users, replayed batches) cannot occupy multiple slots.
+  *
+  * COMPATIBILITY: the buffer-encoder change (struct-of-arrays →
+  * BINARY) changes the streaming state-store schema — a streaming
+  * checkpoint written by a pre-r13 build fails the state schema check
+  * on restart and must be discarded (fresh start reproduces identical
+  * state: the lattice is replay-proof).
   */
 case class MinKEntry(rkey: String, event_id: Long, user_id: Long)
 
@@ -75,14 +81,8 @@ class MinK(k: Int) extends Aggregator[MinKEntry, Array[Byte], Array[MinKEntry]] 
     */
   private def cmpEntry(b: Array[Byte], o: Int, rkb: Array[Byte], id: Long): Int = {
     val len = getShort(b, o)
-    val n = math.min(len, rkb.length)
-    var i = 0
-    while (i < n) {
-      val d = (b(o + 2 + i) & 0xff) - (rkb(i) & 0xff)
-      if (d != 0) return d
-      i += 1
-    }
-    if (len != rkb.length) len - rkb.length
+    val c = java.util.Arrays.compareUnsigned(b, o + 2, o + 2 + len, rkb, 0, rkb.length)
+    if (c != 0) c
     else java.lang.Long.compare(getLong(b, o + 2 + len), id)
   }
 
@@ -92,6 +92,9 @@ class MinK(k: Int) extends Aggregator[MinKEntry, Array[Byte], Array[MinKEntry]] 
     if (in == null || in.rkey == null || k == 0) return b
     val n = getInt(b, 0)
     val rkb = in.rkey.getBytes(StandardCharsets.UTF_8)
+    // the entry header stores the key length in a short — an oversized
+    // key must fail LOUDLY, not silently misalign every later offset
+    require(rkb.length <= 0xffff, s"MinK rkey exceeds 65535 bytes: ${rkb.length}")
     if (n == k) {
       // O(1) zero-allocation fast reject: a full buffer whose worst
       // (cached-offset) entry is ≤ the newcomer stays untouched
@@ -152,21 +155,10 @@ class MinK(k: Int) extends Aggregator[MinKEntry, Array[Byte], Array[MinKEntry]] 
     out
   }
 
-  private def cmpBytes(a: Array[Byte], b: Array[Byte]): Int = {
-    val n = math.min(a.length, b.length)
-    var i = 0
-    while (i < n) {
-      val d = (a(i) & 0xff) - (b(i) & 0xff)
-      if (d != 0) return d
-      i += 1
-    }
-    a.length - b.length
-  }
-
   private val entryOrd: Ordering[(Array[Byte], Long, Long)] =
     new Ordering[(Array[Byte], Long, Long)] {
       def compare(x: (Array[Byte], Long, Long), y: (Array[Byte], Long, Long)): Int = {
-        val c = cmpBytes(x._1, y._1)
+        val c = java.util.Arrays.compareUnsigned(x._1, y._1)
         if (c != 0) c else java.lang.Long.compare(x._2, y._2)
       }
     }

@@ -28,8 +28,11 @@ import org.apache.spark.sql.functions._
   * returns the convergence signal in the same job. One driver action
   * per round, down from two (eager checkpoint job + `take(1)` probe),
   * down from round 2's three (checkpoint + shuffle-join count, 37% of
-  * the whole bench). The loop also pays one final no-change round to
-  * observe the fixpoint — inherent to synchronous label propagation.
+  * the whole bench). The fusion applies to the LOCAL checkpoint path
+  * only — the reliable path keeps its eager checkpoint (see
+  * `roundCkpt` for why lazy reliable checkpoints recompute). The loop
+  * also pays one final no-change round to observe the fixpoint —
+  * inherent to synchronous label propagation.
   */
 object DedupClusters {
 
@@ -79,10 +82,18 @@ object DedupClusters {
           "spark.sparkContext.setCheckpointDir(...) before the loop starts")
     def ckpt(df: DataFrame): DataFrame =
       if (reliableCheckpoint) df.checkpoint() else df.localCheckpoint()
-    // lazy mark: the caller's next FULL-SCAN action (the fused
-    // convergence count) materializes the checkpoint in the same job
-    def ckptLazy(df: DataFrame): DataFrame =
-      if (reliableCheckpoint) df.checkpoint(eager = false)
+    // LOCAL path: lazy mark — the caller's next FULL-SCAN action (the
+    // fused convergence count) materializes the block-store checkpoint
+    // in the same job. RELIABLE path: keep the EAGER checkpoint — a
+    // lazy RDD.checkpoint is NOT finalized by the count's job; Spark
+    // writes the checkpoint files in a SEPARATE job that recomputes the
+    // un-persisted aggregation from scratch, so "lazy + count" would
+    // silently run every round twice there (r13 review finding). The
+    // reliable round is therefore two actions (checkpoint job + a cheap
+    // count over the checkpoint files); only the local path gets the
+    // one-action fusion.
+    def roundCkpt(df: DataFrame): DataFrame =
+      if (reliableCheckpoint) df.checkpoint()
       else df.localCheckpoint(eager = false)
     val edges = pairs
       .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
@@ -143,15 +154,17 @@ object DedupClusters {
               .select(col("x.id").as("id"), col("y.label").as("label"), lit(false).as("own")))
       // one aggregation computes the new label AND whether it changed:
       // the vertex's own old label is the unique own=true row per id
-      val next = ckptLazy( // lazy mark: materialized by the count below
+      val next = roundCkpt( // local: lazy mark materialized by the count
         jumped
           .foldLeft(labels.withColumn("own", lit(true)).unionByName(msgs))(_ unionByName _)
           .groupBy("id")
           .agg(
             min(col("label")).as("label"),
             (min(col("label")) < max(when(col("own"), col("label")))).as("chg")))
-      // the round's SINGLE action: the count's full scan materializes
-      // every checkpoint partition AND yields the convergence signal
+      // local path: the round's SINGLE action — the count's full scan
+      // materializes every checkpoint partition AND yields the
+      // convergence signal; reliable path: a cheap count over the
+      // already-written checkpoint files
       converged = next.where(col("chg")).count() == 0L
       // superseded rounds' checkpoint blocks are reclaimed by the
       // ContextCleaner once the old `labels` reference is dropped (GC-
