@@ -77,6 +77,18 @@ class MinKSpec extends AnyFunSuite {
       mk.finish(es.foldLeft(mk.zero)(mk.reduce)).toSeq)
   }
 
+  test("oversized rkey fails loudly instead of corrupting the buffer") {
+    val mk = new MinK(3)
+    val big = "x" * 65536 // one past the short length field's capacity
+    intercept[IllegalArgumentException] {
+      mk.reduce(mk.zero, MinKEntry(big, 1L, 1L))
+    }
+    // the boundary itself still round-trips
+    val max = "y" * 65535
+    val out = mk.finish(mk.reduce(mk.zero, MinKEntry(max, 1L, 1L)))
+    assert(out.length == 1 && out(0).rkey == max)
+  }
+
   test("null and empty inputs are inert") {
     val mk = new MinK(3)
     assert(mk.finish(mk.zero).isEmpty)
