@@ -554,6 +554,18 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("ANOVA: checkpointed cent-sum model frame feeds both folds — no rescan (r13)") {
+    val p = plan(graft.queries.QualityOps.qStatsAnova(spark, sf001))
+    // the r13 exact-integer reformulation folds the grand totals AND the
+    // per-type deviation terms from the SAME checkpointed ≤|types|-row
+    // frame: the returned plan must read the materialized RDD, never
+    // parquet, and the 1-row totals frame must broadcast
+    assert("FileScan parquet".r.findAllIn(p).size == 0, p)
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(p.contains("Broadcast"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("freshness audit: conditional aggs partial-aggregate; hwm broadcasts (r10)") {
     val p = plan(graft.queries.QualityOps.qDqFreshness(spark, sf001))
     assert(p.contains("partial_"), p) // map-side combine on both aggs
