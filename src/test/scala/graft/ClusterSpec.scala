@@ -79,6 +79,19 @@ class ClusterSpec extends SparkSuite {
     assert(doubled.forall(_.getLong(1) == 1L))
   }
 
+  test("derived budget: a diameter past the 20-round base converges instead of aborting") {
+    // 30-node path, diameter 29 > base 20, plain propagation: the
+    // default (derived) budget extends once to |V| + 1 and converges
+    // where the old fixed 20-round default threw (r14 ask #1)
+    val path = (1L to 29L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val labels = DedupClusters.clusters(path, "d1", "d2").collect()
+    assert(labels.length == 30 && labels.forall(_.getLong(1) == 1L))
+    // an EXPLICIT maxIters stays a final contract and still throws
+    intercept[IllegalStateException] {
+      DedupClusters.clusters(path, "d1", "d2", maxIters = 20).collect()
+    }
+  }
+
   test("strict mode throws when a component's diameter exceeds maxIters") {
     // a path graph 1-2-3-...-8 needs ~log2(diameter) doubling rounds to
     // fully propagate label 1 to vertex 8; maxIters = 1 cannot converge
@@ -198,14 +211,19 @@ class ClusterSpec extends SparkSuite {
       finally spark.listenerManager.unregister(listener)
     assert(labels.forall(_.getLong(1) == 1L)) // one component, min label
     assert(rounds >= 5, s"fixture too shallow: $rounds rounds")
-    // listener delivery is async: poll until the tallies stabilize
+    // listener delivery is async: poll until the tallies stabilize,
+    // BOUNDED so a delivery anomaly fails the test instead of hanging
+    // the suite (r13 ADVICE #2)
     var last = -1
     var stable = 0
-    while (stable < 5) {
+    var polls = 0
+    while (stable < 5 && polls < 150) {
       Thread.sleep(100)
+      polls += 1
       val now = byName.values().stream().mapToInt(_.intValue()).sum()
       if (now == last) stable += 1 else { stable = 0; last = now }
     }
+    assert(stable >= 5, s"listener tallies never stabilized within ${polls * 100} ms: $byName")
     // the round's ONE materializing job is the fused `count`; the lazy
     // checkpoint marks also emit (job-less) listener events under their
     // own funcName and are deliberately not budgeted here

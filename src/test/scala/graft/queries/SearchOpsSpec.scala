@@ -760,6 +760,45 @@ class SearchOpsSpec extends SparkSuite {
     assert(fast.sortBy(e => (e._1, e._2)).toSeq == dist.sortBy(e => (e._1, e._2)).toSeq)
   }
 
+  test("boruvka: a graph needing more than the 14-round base converges via the derived budget") {
+    // complete binary "tournament bracket" over 2^15 leaves: level-l
+    // edges connect sibling blocks of size 2^l with support 15 - l, so
+    // every component's best cross edge is its level-r sibling edge in
+    // round r — merging is EXACTLY pairwise and the forest needs 15
+    // Borůvka rounds, one past the compile-time base
+    val n = 1 << 15
+    val bracket = (0 to 14).flatMap { l =>
+      val block = 1L << (l + 1)
+      (0 until (n >> (l + 1))).map(i => (i * block, i * block + (1L << l), (15 - l).toLong))
+    }
+    val edges = bracket.toDF("u", "v", "support").repartition(8).localCheckpoint()
+    // the old constant budget aborts exactly where r13's verdict predicted
+    val e = intercept[IllegalStateException] {
+      SearchOps.boruvka(edges, roundBudget = 14).collect()
+    }
+    assert(e.getMessage.contains("cross-component edges after 14"))
+    // the derived budget (⌈log₂ 2^15⌉ + 2 = 17) converges to the full tree
+    val mst = SearchOps.boruvka(edges).collect()
+    assert(mst.length == n - 1, s"expected the full spanning tree, got ${mst.length} edges")
+  }
+
+  test("bfsFull: eccentricity past the 32-round base converges via the derived budget") {
+    // 40-node path seeded at node 0 (min u): eccentricity 39 > base 32
+    val path = (0L until 39L).map(i => (i, i + 1, 1L)).toDF("u", "v", "w").select("u", "v")
+    val prof = SearchOps
+      .bfsFull(path)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    assert(prof.length == 41) // hops 0..39 plus the hops = -1 remainder row
+    assert(prof.filter(_._1 >= 0).forall(_._2 == 1L))
+    assert(prof.map(_._1).max == 39)
+    // an explicit budget below the eccentricity still throws loudly
+    val e = intercept[IllegalStateException] {
+      SearchOps.bfsFull(path, roundBudget = 10).collect()
+    }
+    assert(e.getMessage.contains("did not reach a fixed point in 10"))
+  }
+
   test("q_graph_random_walk: every walk replays the md5-pick locally") {
     val rows = SearchOps
       .qGraphRandomWalk(spark, sf001)
