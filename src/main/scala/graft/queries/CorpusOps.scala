@@ -961,28 +961,70 @@ object CorpusOps {
 
   // ----------------------------------------------------------- HLL sketch merge
 
+  /** Shared estimate fold of the replayable-register HLL entries:
+    * groups a (…, m_rho) register frame by `keys` and appends the
+    * Flajolet estimate — identical arithmetic to [[qAggHllReplayable]]
+    * (integer 2^(53−M_j) sums, 1e-6-quantized ln in the linear-counting
+    * branch), so every consumer inherits the proven oracle parity.
+    */
+  private def hllEstimate(regs: DataFrame, keys: Seq[String], alias: String): DataFrame = {
+    val m = 256
+    val agg = regs
+      .groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).as("c"),
+        sum(expr("shiftleft(1L, cast(53 - m_rho as int))")).as("s_present"))
+    val two53 = 9007199254740992.0 // 2^53
+    val alphaM2 = lit(0.7213 / (1.0 + 1.079 / m) * (m.toDouble * m) * two53)
+    val s = (col("s_present") + (lit(m.toLong) - col("c")) * lit(two53.toLong)).cast("double")
+    val v = lit(m.toLong) - col("c")
+    val raw = alphaM2 / s
+    val est = when(
+      raw <= lit(2.5 * m) && v > 0,
+      lit(m.toDouble) * round(log(lit(m.toDouble) / v.cast("double")), 6))
+      .otherwise(raw)
+    agg.select(keys.map(col) :+ round(est, 6).as(alias): _*)
+  }
+
   /** Re-aggregatable distinct counting — the cube/rollup pattern behind
     * every "daily uniques, mergeable to any date range" metric store:
-    * build one Datasketches HLL sketch per (event_type, day) cell
-    * (partial agg; sketch size is KB-bounded regardless of row count),
-    * then `hll_union_agg` the daily sketches per event_type and
-    * estimate. At 100 TB the daily cells would be PRECOMPUTED once and
-    * every downstream range query merges sketches instead of rescanning
-    * raw events — the two-level aggregation here exercises exactly that
-    * merge path. Estimates are deterministic for a fixed lgK but not
-    * SQL-portable → rows-only check; CorpusOpsSpec pins merge ≡ direct
-    * and accuracy vs the exact count.
+    * build one 256-register HLL cell per (event_type, day) (partial
+    * agg; cell size is register-bounded regardless of row count), then
+    * max-merge the daily registers per event_type and estimate. At
+    * 100 TB the daily cells would be PRECOMPUTED once and every
+    * downstream range query merges registers instead of rescanning raw
+    * events — the two-level aggregation here exercises exactly that
+    * merge path, and merge is LOSSLESS by construction (register max is
+    * associative). r14 ask #3: built on the replayable house-hash
+    * register construction ([[qAggHllReplayable]]'s algebra, day-keyed)
+    * instead of the non-SQL-portable Datasketches builtin, so the
+    * DuckDB oracle replays the daily cells, the merge, and the estimate
+    * bit-for-bit — this entry is now full-oracle, not rows-only.
+    * CorpusOpsSpec still pins merge ≡ direct and accuracy vs exact.
     */
   def qAggHllMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = 256
+    val h = Tables.hash60(col("user_id"))
     val daily = Tables
       .events(spark, sfDir)
-      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
-      .agg(hll_sketch_agg(col("user_id")).as("sk"))
-    daily
+      .select(col("event_type"), to_date(col("ts")).as("d"), h.as("hv"))
+      .select(
+        col("event_type"),
+        col("d"),
+        (col("hv") % m).as("j"),
+        when(expr("hv div 256") === 0L, 53)
+          .otherwise(lit(53) - length(bin(expr("hv div 256"))))
+          .as("rho"))
+      .groupBy("event_type", "d", "j")
+      .agg(max(col("rho")).as("m_rho"))
+    val merged = daily.groupBy("event_type", "j").agg(max(col("m_rho")).as("m_rho"))
+    val days = daily
+      .select("event_type", "d")
+      .distinct()
       .groupBy("event_type")
-      .agg(
-        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"),
-        count(lit(1)).as("n_days"))
+      .agg(count(lit(1)).as("n_days"))
+    hllEstimate(merged, Seq("event_type"), "est_users")
+      .join(days, "event_type")
       .orderBy("event_type")
   }
 
@@ -1046,25 +1088,32 @@ object CorpusOps {
     * per-segment sketches — the metric-store pattern for "how many users
     * did BOTH X and Y" when the raw id sets are too large to intersect
     * exactly (per-segment KB sketches vs per-segment TB id lists at
-    * 100 TB). HLL union is lossless over the underlying registers, so
-    * the estimate's error stays within the union sketch's bound; the
-    * estimate-vs-exact gap is spec-pinned (≤5%), and the identity
-    * `|A∩B| + |A∪B| = |A| + |B|` holds exactly by construction.
+    * 100 TB). Register union (max per slot) is lossless, so the
+    * estimate's error stays within the union sketch's bound; the
+    * estimate-vs-exact gap is spec-pinned, and the identity
+    * `|A∩B| + |A∪B| = |A| + |B|` holds exactly by construction. r14
+    * ask #3: per-segment sketches are the SHARED
+    * [[graft.streaming.Streams.hllRegisters]] state (house md5-hex60
+    * hash), so the DuckDB oracle replays segment registers, the union,
+    * and all four estimates bit-for-bit — full-oracle, not rows-only.
     */
   def qAggHllIntersect(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.events(spark, sfDir)
-    val bySeg = ev
-      .where(col("event_type").isin("click", "purchase"))
-      .groupBy(col("event_type"))
-      .agg(hll_sketch_agg(col("user_id")).as("sk"))
-    // one row with both segment sketches + their union, then the closed form
-    bySeg
+    val regs = graft.streaming.Streams
+      .hllRegisters(
+        Tables
+          .events(spark, sfDir)
+          .where(col("event_type").isin("click", "purchase")))
+      .localCheckpoint() // read three times: two segment folds + union
+    val seg = hllEstimate(regs, Seq("event_type"), "est")
+    val union = hllEstimate(
+      regs.groupBy("j").agg(max(col("m_rho")).as("m_rho")).withColumn("g", lit(1)),
+      Seq("g"),
+      "est_union").drop("g")
+    seg
       .agg(
-        max(when(col("event_type") === "click", hll_sketch_estimate(col("sk"))))
-          .as("est_click"),
-        max(when(col("event_type") === "purchase", hll_sketch_estimate(col("sk"))))
-          .as("est_purchase"),
-        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_union"))
+        max(when(col("event_type") === "click", col("est"))).as("est_click"),
+        max(when(col("event_type") === "purchase", col("est"))).as("est_purchase"))
+      .crossJoin(union)
       .select(
         col("est_click"),
         col("est_purchase"),
@@ -3019,10 +3068,37 @@ object CorpusOps {
              | round(m4 / (m2 * m2) - 3.0, 9) AS kurt_qty
            |FROM f ORDER BY l_returnflag""".stripMargin
       }),
+    // r14 ask #3: the daily-cell → max-merge → estimate pipeline replayed
+    // bit-for-bit on the house md5-hex60 registers (the
+    // q_agg_hll_replayable construction, day-keyed)
     "q_agg_hll_merge" -> Q(
       qAggHllMerge,
-      None,
-      noOracleReason = Some("HyperLogLog register state is merge-order-dependent; DuckDB has no twin of Spark's HLL++ sketch")),
+      Some("""WITH h AS (
+             | SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+             |  CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT) AS hv
+             | FROM events),
+             |daily AS (
+             | SELECT event_type, d, hv % 256 AS j,
+             |  CAST(max(CASE WHEN hv // 256 = 0 THEN 53
+             |                ELSE 53 - length(bin(hv // 256)) END) AS INTEGER) AS m_rho
+             | FROM h GROUP BY 1, 2, 3),
+             |merged AS (SELECT event_type, j, max(m_rho) AS m_rho FROM daily GROUP BY 1, 2),
+             |agg AS (SELECT event_type, count(1) AS c,
+             |         CAST(sum(1::BIGINT << (53 - m_rho)) AS BIGINT) AS s_present FROM merged GROUP BY 1),
+             |days AS (SELECT event_type, count(DISTINCT d) AS n_days FROM daily GROUP BY 1),
+             |calc AS (
+             | SELECT event_type,
+             |  0.7213 / (1.0 + 1.079 / 256) * (256.0 * 256) * 9007199254740992.0 /
+             |   CAST(s_present + (256 - c) * 9007199254740992 AS DOUBLE) AS raw,
+             |  256 - c AS v
+             | FROM agg),
+             |est AS (
+             | SELECT event_type,
+             |  round(CASE WHEN raw <= 640.0 AND v > 0
+             |        THEN 256.0 * round(ln(256.0 / CAST(v AS DOUBLE)), 6) ELSE raw END, 6) AS est_users
+             | FROM calc)
+             |SELECT event_type, est_users, n_days
+             |FROM est JOIN days USING (event_type) ORDER BY event_type""".stripMargin)),
     "q_agg_hll_replayable" -> Q(
       qAggHllReplayable,
       Some(s"""WITH regs AS (
@@ -3044,10 +3120,44 @@ object CorpusOps {
              |SELECT event_type, n_exact, n_regs, hll_est,
              | round((hll_est - n_exact) / n_exact * 100, 4) AS err_pct
              |FROM est ORDER BY event_type""".stripMargin)),
+    // r14 ask #3: segment registers, lossless union, and all four
+    // estimates replayed on the shared house-hash construction
     "q_agg_hll_intersect" -> Q(
       qAggHllIntersect,
-      None,
-      noOracleReason = Some("inclusion-exclusion over HLL++ sketches; approximate by construction, no exact SQL twin")),
+      Some("""WITH h AS (
+             | SELECT event_type,
+             |  CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT) AS hv
+             | FROM events WHERE event_type IN ('click', 'purchase')),
+             |regs AS (
+             | SELECT event_type, hv % 256 AS j,
+             |  CAST(max(CASE WHEN hv // 256 = 0 THEN 53
+             |                ELSE 53 - length(bin(hv // 256)) END) AS INTEGER) AS m_rho
+             | FROM h GROUP BY 1, 2),
+             |uregs AS (SELECT j, max(m_rho) AS m_rho FROM regs GROUP BY 1),
+             |folds AS (
+             | SELECT event_type AS g, count(1) AS c,
+             |  CAST(sum(1::BIGINT << (53 - m_rho)) AS BIGINT) AS s_present FROM regs GROUP BY 1
+             | UNION ALL
+             | SELECT '__union__' AS g, count(1) AS c,
+             |  CAST(sum(1::BIGINT << (53 - m_rho)) AS BIGINT) AS s_present FROM uregs),
+             |calc AS (
+             | SELECT g,
+             |  0.7213 / (1.0 + 1.079 / 256) * (256.0 * 256) * 9007199254740992.0 /
+             |   CAST(s_present + (256 - c) * 9007199254740992 AS DOUBLE) AS raw,
+             |  256 - c AS v
+             | FROM folds),
+             |est AS (
+             | SELECT g,
+             |  round(CASE WHEN raw <= 640.0 AND v > 0
+             |        THEN 256.0 * round(ln(256.0 / CAST(v AS DOUBLE)), 6) ELSE raw END, 6) AS e
+             | FROM calc),
+             |wide AS (
+             | SELECT max(CASE WHEN g = 'click' THEN e END) AS est_click,
+             |        max(CASE WHEN g = 'purchase' THEN e END) AS est_purchase,
+             |        max(CASE WHEN g = '__union__' THEN e END) AS est_union
+             | FROM est)
+             |SELECT est_click, est_purchase, est_union,
+             | est_click + est_purchase - est_union AS est_both FROM wide""".stripMargin)),
     "q_agg_quantile_sketch" -> Q(
       qAggQuantileSketch,
       // The log-histogram IS SQL-expressible — unlike the HLL entries,

@@ -807,11 +807,11 @@ object QualityOps {
     * aggregation (map-side combined). Everything downstream runs on the
     * distinct-VALUE frame: the D×|types| dense matrix (zero-filled via a
     * broadcast of the ≤|types| type list), per-type strictly-less
-    * running counts (window keyed by type over D rows — for a metric
-    * whose distinct-value count approaches the corpus, pre-quantize the
-    * value as `q_dq_ks` does, or lift the running count to the
-    * `q_orders_pareto` two-phase prefix-sum shape), and a self-join on
-    * value producing D·|types|² rows folded map-side to the pair frame.
+    * running counts as a two-phase distributed prefix sum (bounded
+    * range-partitioned slices — see [[rankMatrix]]; a continuous-valued
+    * metric with D ≈ corpus no longer concentrates a type's D rows in
+    * one window task), and a self-join on value producing D·|types|²
+    * rows folded map-side to the pair frame.
     */
   /** Shared rank machinery of the two rank tests
     * ([[qStatsMannWhitney]], [[qStatsKruskal]]): the dense
@@ -819,26 +819,57 @@ object QualityOps {
     * per-type strictly-less running counts. Checkpointed — both callers
     * reread it (pair self-join / two grouped folds) and must not rescan
     * events.
+    *
+    * The running count is a TWO-PHASE distributed prefix sum (r14 ask
+    * #2 — the `q_orders_pareto` shape, replacing one WindowExec whose
+    * per-type partition held all D rows): range-partition the dense
+    * matrix on the full (et, v) order key — every slice is a contiguous
+    * run of one type's values, bounded by D·|types|/N, and (et, v) is
+    * UNIQUE per row so a slice boundary can never split equal keys —
+    * then local inclusive cumsums per slice, per-slice partials (≤
+    * N·|types| rows) prefix-offset on the tiny frame, offsets broadcast
+    * back, and strictly-less = inclusive − own cnt. A continuous-valued
+    * metric (D ≈ corpus) now sorts in bounded slices instead of one
+    * task per type. The oracle keeps the naive per-type running-count
+    * SQL — prefix sums are partition-invariant, so the hash match
+    * proves the offset algebra.
     */
-  private def rankMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def rankMatrix(spark: SparkSession, sfDir: String): DataFrame = {
     val vt = Tables
       .events(spark, sfDir)
       .where(col("value").isNotNull)
       .groupBy(col("value").as("v"), col("event_type").as("et"))
       .agg(count(lit(1)).as("cnt"))
     val types = vt.select("et").distinct()
-    val wLt = Window
-      .partitionBy("et")
-      .orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    // dense D×|types| matrix: every (value, type) cell, zero-filled, with
-    // the strictly-less running count per type
-    vt.select("v")
+    // dense D×|types| matrix: every (value, type) cell, zero-filled
+    val dense = vt
+      .select("v")
       .distinct()
       .crossJoin(broadcast(types))
       .join(vt, Seq("v", "et"), "left")
       .select(col("v"), col("et"), coalesce(col("cnt"), lit(0L)).as("cnt"))
-      .withColumn("lt", coalesce(sum("cnt").over(wLt), lit(0L)))
+    // phase 1: contiguous (et, v)-ordered slices, local inclusive cumsum
+    val sliced = dense
+      .repartitionByRange(col("et"), col("v"))
+      .withColumn("pid", spark_partition_id())
+    val wLocal = Window
+      .partitionBy("et", "pid")
+      .orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = sliced.withColumn("lcum", sum("cnt").over(wLocal))
+    // phase 2: per-slice partials → exclusive offsets on the tiny frame
+    val wOff = Window.partitionBy("et").orderBy("pid")
+    val offsets = local
+      .groupBy("et", "pid")
+      .agg(sum(col("cnt")).as("c_part"))
+      .select(col("et"), col("pid"), (sum("c_part").over(wOff) - col("c_part")).as("cum_off"))
+    local
+      .join(broadcast(offsets), Seq("et", "pid"))
+      .select(
+        col("v"),
+        col("et"),
+        col("cnt"),
+        (col("lcum") + col("cum_off") - col("cnt")).as("lt"))
       .localCheckpoint()
   }
 

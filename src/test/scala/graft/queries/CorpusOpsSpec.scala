@@ -736,22 +736,29 @@ class CorpusOpsSpec extends SparkSuite {
     val ev = graft.Tables.events(spark, sf001)
     val merged = CorpusOps
       .qAggHllMerge(spark, sf001)
-      .select("event_type", "est_users")
       .collect()
-      .map(r => (r.getString(0), r.getLong(1)))
+      .map(r => (r.getString(0), (r.getDouble(1), r.getLong(2))))
       .toMap
-    // the same data sketched in ONE pass (no daily split, no union):
-    // merge must be lossless for HLL (the union of registers), so the
-    // two estimates are identical, not merely close
-    val direct = ev
+    // the same data sketched in ONE pass (no daily split, no merge):
+    // q_agg_hll_replayable's hll_est IS the direct house sketch, so
+    // register max-merge being lossless means the two estimates are
+    // IDENTICAL doubles, not merely close (r14: cross-entry pin)
+    val direct = CorpusOps
+      .qAggHllReplayable(spark, sf001)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(3)))
+      .toMap
+    assert(merged.view.mapValues(_._1).toMap == direct)
+    // n_days really counts the daily cells that were merged
+    val days = ev
       .groupBy(col("event_type"))
-      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
+      .agg(countDistinct(to_date(col("ts"))).as("nd"))
       .collect()
       .map(r => (r.getString(0), r.getLong(1)))
       .toMap
-    assert(merged == direct)
-    // and the estimate is an estimate OF the right thing: within 5% of
-    // the exact distinct count at this cardinality
+    assert(merged.view.mapValues(_._2).toMap == days)
+    // and the estimate is an estimate OF the right thing: the
+    // replayable raw-HLL ±3σ band at m = 256 (~±20%)
     val exact = ev
       .groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("n"))
@@ -759,8 +766,8 @@ class CorpusOpsSpec extends SparkSuite {
       .map(r => (r.getString(0), r.getLong(1)))
       .toMap
     exact.foreach { case (t, n) =>
-      assert(math.abs(merged(t) - n) <= math.max(1L, (0.05 * n).toLong),
-        s"$t: est ${merged(t)} vs exact $n")
+      assert(math.abs(merged(t)._1 - n) <= math.max(1.0, 0.20 * n),
+        s"$t: est ${merged(t)._1} vs exact $n")
     }
   }
 
@@ -880,14 +887,19 @@ class CorpusOpsSpec extends SparkSuite {
 
   test("q_agg_hll_intersect: inclusion-exclusion estimate tracks exact overlap") {
     val r = CorpusOps.qAggHllIntersect(spark, sf001).head()
+    // the inclusion-exclusion identity holds EXACTLY by construction
+    // (est_both is defined as the closed form of the other three)
+    assert(r.getDouble(3) == r.getDouble(0) + r.getDouble(1) - r.getDouble(2))
     val ev = graft.Tables.events(spark, sf001)
     def users(t: String) =
       ev.where(col("event_type") === t).select("user_id").distinct()
     val exactBoth = users("click").intersect(users("purchase")).count().toDouble
     assert(exactBoth > 0)
+    // est_both is a DIFFERENCE of three m=256 raw-HLL estimates (σ ≈
+    // 6.5% each), so its own σ scales by |A|/|A∩B| — generous band
     assert(
-      math.abs(r.getLong(3) - exactBoth) / exactBoth < 0.05,
-      s"est_both ${r.getLong(3)} vs exact $exactBoth")
+      math.abs(r.getDouble(3) - exactBoth) / exactBoth < 0.5,
+      s"est_both ${r.getDouble(3)} vs exact $exactBoth")
   }
 
   // ------------------------------------------------------------ PIT join

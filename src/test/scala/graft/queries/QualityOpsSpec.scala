@@ -97,6 +97,31 @@ class QualityOpsSpec extends SparkSuite {
     assert(byType.values.flatten.toSeq.groupBy(identity).exists(_._2.length > 1))
   }
 
+  test("rankMatrix: two-phase prefix sum equals the per-type running count (high-D)") {
+    // r14 ask #2: the strictly-less running count is assembled from
+    // range-partitioned slice cumsums + broadcast offsets; prefix sums
+    // are partition-invariant, so it must equal the naive per-type
+    // exclusive prefix sum EXACTLY, cell for cell
+    val m = QualityOps
+      .rankMatrix(spark, sf001)
+      .collect()
+      .map(r => (r.getDouble(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val types = m.map(_._2).distinct.sorted
+    val vs = m.map(_._1).distinct
+    // anti-vacuity: the continuous value column IS high-D — many more
+    // distinct values than shuffle partitions, so the range exchange
+    // genuinely splits each type's run across slices
+    assert(vs.length > 64, s"fixture too narrow: D = ${vs.length}")
+    assert(m.length == vs.length * types.length) // dense, zero-filled
+    types.foreach { t =>
+      var run = 0L
+      m.filter(_._2 == t).sortBy(_._1).foreach { case (_, _, cnt, lt) =>
+        assert(lt == run, s"type $t: lt $lt vs expected $run")
+        run += cnt
+      }
+    }
+  }
+
   test("q_stats_kruskal: H recomputes from locally computed average ranks") {
     val r = QualityOps.qStatsKruskal(spark, sf001).collect()
     assert(r.length == 1)
