@@ -121,6 +121,30 @@ object Bench {
     spark.range(0, 1000000, 1, 8).selectExpr("sum(id * 2) as s").write.format("noop").mode("overwrite").save()
     spark.read.parquet(s"$sfDir/region.parquet").groupBy("r_name").count()
       .write.format("noop").mode("overwrite").save()
+    // Shared-JIT warmup battery (r14 ask #5): run the HISTORICAL deopt
+    // victims once, untimed, before the clock starts. The documented
+    // rotation class (~1 run in 3 shows one query cluster 10-100x slow;
+    // SURVEY §6) hits whichever query first exercises a shared runtime
+    // path — janino/codegen compile, try_* eval, window/agg iterators,
+    // the iterative loops' checkpoint path — while it is still
+    // interpreted or freshly deoptimized. Compiling those paths up
+    // front is what a fleet-run would get from its first tenant query;
+    // min-of-2 still guards the mid-run cliffs. Disabled for child
+    // rescue JVMs (their 240 s cap must go to the rescues) and
+    // single-query bisection runs (cold numbers are the point there).
+    if (!sys.env.contains("SPARK_GRAFT_NO_WARMUP") &&
+      !sys.env.contains("SPARK_GRAFT_NO_RESPAWN") && only.isEmpty) {
+      val t0 = System.nanoTime()
+      Seq("q_fn_try", "q_agg_stats", "q_graph_cc", "q_layout_hilbert", "q_dedup_exact")
+        .foreach { n =>
+          Registry.all.collectFirst { case (`n`, q) => q }.foreach { q =>
+            try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            catch { case scala.util.control.NonFatal(_) => () }
+          }
+        }
+      System.err.println(
+        f"[bench] warmup battery done in ${(System.nanoTime() - t0) / 1e9}%.1f s (untimed)")
+    }
     var ok = Vector.empty[(String, Double)]
     var failed = Vector.empty[String]
     Registry.all.foreach { case (name, q) =>

@@ -50,22 +50,42 @@ class CountMinSketch(val D: Int, val W: Int)
     * BINARY) changes the streaming state-store schema — a pre-r13
     * streaming checkpoint fails the state schema check on restart and
     * must be discarded (a fresh start rebuilds the identical sketch:
-    * merge is order/replay-proof element-wise addition).
+    * merge is order/replay-proof element-wise addition). r14 (verdict
+    * ask #7): the grid is preceded by one long-aligned `GCM<ver>` header
+    * word, so any future layout change — or an untagged pre-r14 buffer
+    * restored from a checkpoint — fails the versioned gate below
+    * instead of being misparsed as counters. See MIGRATION.md.
     */
+  private val Header = 8 // [G C M ver ----] one aligned long
+  private val Version = 2 // v2 = the r14 tagged layout (v1 was untagged)
+
+  private def checkTag(b: Array[Byte]): Unit =
+    if (b.length != D * W * 8 + Header || b(0) != 'G' || b(1) != 'C' || b(2) != 'M' ||
+      b(3) != Version)
+      throw new IllegalStateException(
+        s"CountMin buffer is not layout v$Version for a $D x $W grid " +
+          s"(tag ${b.take(4).mkString(",")}, len ${b.length}): state written by a different " +
+          "build generation or grid shape — discard the streaming checkpoint and restart " +
+          "fresh; merge is replay-proof element-wise addition, so a fresh start rebuilds " +
+          "the identical sketch (see MIGRATION.md)")
+
   private def getL(b: Array[Byte], idx: Int): Long = {
-    val o = idx * 8
+    val o = idx * 8 + Header
     var v = 0L
     var i = 7
     while (i >= 0) { v = (v << 8) | (b(o + i) & 0xffL); i -= 1 }
     v
   }
   private def putL(b: Array[Byte], idx: Int, v: Long): Unit = {
-    val o = idx * 8
+    val o = idx * 8 + Header
     var i = 0
     while (i < 8) { b(o + i) = (v >>> (8 * i)).toByte; i += 1 }
   }
   private def longs(b: Array[Byte]): java.nio.LongBuffer =
-    java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN).asLongBuffer()
+    java.nio.ByteBuffer
+      .wrap(b, Header, b.length - Header)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .asLongBuffer()
 
   /** Row-i bucket of `tok`, bit-identical to `pmod(xxhash64(tok, i), W)`
     * with `i` as a BIGINT column: the builtin folds seed → string bytes →
@@ -80,10 +100,15 @@ class CountMinSketch(val D: Int, val W: Int)
     if (m < 0) m + W else m // pmod semantics
   }
 
-  override def zero: Array[Byte] = new Array[Byte](D * W * 8)
+  override def zero: Array[Byte] = {
+    val b = new Array[Byte](D * W * 8 + Header)
+    b(0) = 'G'; b(1) = 'C'; b(2) = 'M'; b(3) = Version.toByte
+    b
+  }
 
   override def reduce(b: Array[Byte], tok: String): Array[Byte] = {
     if (tok != null) {
+      checkTag(b)
       var i = 0
       while (i < D) {
         val idx = i * W + bucket(tok, i)
@@ -95,6 +120,8 @@ class CountMinSketch(val D: Int, val W: Int)
   }
 
   override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    checkTag(a)
+    checkTag(b)
     val va = longs(a)
     val vb = longs(b)
     var i = 0
@@ -104,6 +131,7 @@ class CountMinSketch(val D: Int, val W: Int)
   }
 
   override def finish(b: Array[Byte]): Array[Long] = {
+    checkTag(b)
     val v = longs(b)
     val out = new Array[Long](D * W)
     var i = 0

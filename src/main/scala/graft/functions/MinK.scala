@@ -38,13 +38,29 @@ import org.apache.spark.sql.expressions.Aggregator
   * BINARY) changes the streaming state-store schema — a streaming
   * checkpoint written by a pre-r13 build fails the state schema check
   * on restart and must be discarded (fresh start reproduces identical
-  * state: the lattice is replay-proof).
+  * state: the lattice is replay-proof). r14 (verdict ask #7): the
+  * buffer now leads with a `GMK<ver>` tag, so any FUTURE layout change
+  * (or a pre-r14 untagged buffer restored from a checkpoint) fails
+  * with a versioned error instead of a silent codec misparse — see
+  * MIGRATION.md for the operator-facing story.
   */
 case class MinKEntry(rkey: String, event_id: Long, user_id: Long)
 
 class MinK(k: Int) extends Aggregator[MinKEntry, Array[Byte], Array[MinKEntry]] {
 
-  private val Header = 8 // [int n][int lastOff]
+  private val Header = 12 // [G M K ver][int n][int lastOff]
+  private val Version = 2 // v2 = the r14 tagged layout (v1 was untagged)
+
+  /** Loud versioned gate on every buffer entering reduce/merge/finish:
+    * a buffer from a different layout generation must not be parsed.
+    */
+  private def checkTag(b: Array[Byte]): Unit =
+    if (b.length < Header || b(0) != 'G' || b(1) != 'M' || b(2) != 'K' || b(3) != Version)
+      throw new IllegalStateException(
+        s"MinK buffer is not layout v$Version (tag ${b.take(4).mkString(",")}, len ${b.length}): " +
+          "state written by a different build generation — discard the streaming checkpoint " +
+          "and restart fresh; the k-smallest lattice is replay-proof, so a fresh start " +
+          "reproduces identical state (see MIGRATION.md)")
 
   // --- little-endian primitive IO on the raw buffer ---
   private def getInt(b: Array[Byte], o: Int): Int =
@@ -86,11 +102,16 @@ class MinK(k: Int) extends Aggregator[MinKEntry, Array[Byte], Array[MinKEntry]] 
     else java.lang.Long.compare(getLong(b, o + 2 + len), id)
   }
 
-  override def zero: Array[Byte] = new Array[Byte](Header)
+  override def zero: Array[Byte] = {
+    val b = new Array[Byte](Header)
+    b(0) = 'G'; b(1) = 'M'; b(2) = 'K'; b(3) = Version.toByte
+    b
+  }
 
   override def reduce(b: Array[Byte], in: MinKEntry): Array[Byte] = {
     if (in == null || in.rkey == null || k == 0) return b
-    val n = getInt(b, 0)
+    checkTag(b)
+    val n = getInt(b, 4)
     val rkb = in.rkey.getBytes(StandardCharsets.UTF_8)
     // the entry header stores the key length in a short — an oversized
     // key must fail LOUDLY, not silently misalign every later offset
@@ -98,7 +119,7 @@ class MinK(k: Int) extends Aggregator[MinKEntry, Array[Byte], Array[MinKEntry]] 
     if (n == k) {
       // O(1) zero-allocation fast reject: a full buffer whose worst
       // (cached-offset) entry is ≤ the newcomer stays untouched
-      if (cmpEntry(b, getInt(b, 4), rkb, in.event_id) <= 0) return b
+      if (cmpEntry(b, getInt(b, 8), rkb, in.event_id) <= 0) return b
     }
     insert(b, n, rkb, in.event_id, in.user_id)
   }
@@ -119,9 +140,10 @@ class MinK(k: Int) extends Aggregator[MinKEntry, Array[Byte], Array[MinKEntry]] 
     if (ins < 0) ins = o // append (only reachable when n < k)
     val es = entrySize(rkb.length)
     val dropLast = n == k // full: the worst entry falls off the end
-    val lastOff = getInt(b, 4)
+    val lastOff = getInt(b, 8)
     val outLen = b.length + es - (if (dropLast) entrySize(getShort(b, lastOff)) else 0)
     val out = new Array[Byte](outLen)
+    System.arraycopy(b, 0, out, 0, 4) // version tag
     System.arraycopy(b, Header, out, Header, ins - Header)
     putShort(out, ins, rkb.length)
     System.arraycopy(rkb, 0, out, ins + 2, rkb.length)
@@ -130,16 +152,16 @@ class MinK(k: Int) extends Aggregator[MinKEntry, Array[Byte], Array[MinKEntry]] 
     val sufEnd = if (dropLast) lastOff else b.length
     System.arraycopy(b, ins, out, ins + es, sufEnd - ins)
     val n2 = if (dropLast) n else n + 1
-    putInt(out, 0, n2)
+    putInt(out, 4, n2)
     var lo = Header // re-derive the worst-entry offset (insert path only)
     var i = 1
     while (i < n2) { lo += entrySize(getShort(out, lo)); i += 1 }
-    putInt(out, 4, if (n2 == 0) 0 else lo)
+    putInt(out, 8, if (n2 == 0) 0 else lo)
     out
   }
 
   private def decode(b: Array[Byte]): Array[(Array[Byte], Long, Long)] = {
-    val n = getInt(b, 0)
+    val n = getInt(b, 4)
     val out = new Array[(Array[Byte], Long, Long)](n)
     var o = Header
     var i = 0
@@ -167,7 +189,8 @@ class MinK(k: Int) extends Aggregator[MinKEntry, Array[Byte], Array[MinKEntry]] 
     var size = Header
     es.foreach(e => size += entrySize(e._1.length))
     val out = new Array[Byte](size)
-    putInt(out, 0, es.length)
+    out(0) = 'G'; out(1) = 'M'; out(2) = 'K'; out(3) = Version.toByte
+    putInt(out, 4, es.length)
     var o = Header
     var last = 0
     es.foreach { e =>
@@ -178,11 +201,13 @@ class MinK(k: Int) extends Aggregator[MinKEntry, Array[Byte], Array[MinKEntry]] 
       putLong(out, o + 10 + e._1.length, e._3)
       o += entrySize(e._1.length)
     }
-    putInt(out, 4, if (es.isEmpty) 0 else last)
+    putInt(out, 8, if (es.isEmpty) 0 else last)
     out
   }
 
   override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    checkTag(a)
+    checkTag(b)
     // both sides are sorted/deduped/≤k by construction; sort + adjacent-
     // dedup + truncate re-establishes the invariant for the union
     val all = (decode(a) ++ decode(b)).sorted(entryOrd)
@@ -197,9 +222,11 @@ class MinK(k: Int) extends Aggregator[MinKEntry, Array[Byte], Array[MinKEntry]] 
   /** Entries ascending by (rkey, event_id) — position+1 IS the rank the
     * batch twin's row_number assigns.
     */
-  override def finish(b: Array[Byte]): Array[MinKEntry] =
+  override def finish(b: Array[Byte]): Array[MinKEntry] = {
+    checkTag(b)
     decode(b).map(e =>
       MinKEntry(new String(e._1, StandardCharsets.UTF_8), e._2, e._3))
+  }
 
   override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   override def outputEncoder: Encoder[Array[MinKEntry]] =

@@ -669,7 +669,9 @@ object QualityOps {
     * the q_agg_corr discipline; no libm transcendentals anywhere).
     * Magnitude contract: n·Σw² ≤ N²·max(w)² must stay under 1e38
     * (decimal(38,0) / HUGEINT) — holds to ~1e13 rows of ~1e5-cent
-    * values; Spark NULLs (and the oracle errors) loudly past it.
+    * values; past it BOTH engines now fail loudly (the oracle's
+    * HUGEINT raises, the Spark side raises via [[m2Checked]] — r13
+    * ADVICE #4 closed the silent-NULL divergence).
     *
     * Scale shape: one map-side-combined agg over events; the pair
     * construction is a self-join of the ≤|types|-row model frame
@@ -682,7 +684,7 @@ object QualityOps {
       col("et").as(s"${p}et"),
       col("n").as(s"${p}n"),
       (col("sw").cast("double") / col("n") / 100.0).as(s"${p}mean"),
-      (col("n").cast("decimal(19,0)") * col("sww") - col("sw") * col("sw"))
+      m2Checked(col("n"), col("sw"), col("sww"))
         .cast("double")
         .as(s"${p}m2"))
     val a = side("a_")
@@ -729,6 +731,26 @@ object QualityOps {
       .localCheckpoint()
   }
 
+  /** Guarded exact-decimal M2 numerator `n·Σw² − (Σw)²` (r13 ADVICE #4):
+    * past the documented ~1e38 magnitude contract, Spark's non-ANSI
+    * decimal multiply returns NULL where the DuckDB oracle's HUGEINT
+    * arithmetic RAISES — divergent failure modes. This guard makes the
+    * Spark side fail equally loudly at the contract boundary (inputs
+    * non-null but the product NULL ⇒ overflow) instead of degrading to
+    * silent NULL t/F statistics. Runs on ≤|types|-row model frames —
+    * zero corpus-scale cost.
+    */
+  private[graft] def m2Checked(n: Column, sw: Column, sww: Column): Column = {
+    val m2 = n.cast("decimal(19,0)") * sww - sw * sw
+    when(
+      m2.isNull && n.isNotNull && sw.isNotNull && sww.isNotNull,
+      raise_error(lit(
+        "centSums magnitude contract exceeded: n*sum(w^2) overflows decimal(38,0) (~1e38) " +
+          "- the cent-grid stats are exact only inside the documented band; shard the " +
+          "aggregation or rescale the grid")))
+      .otherwise(m2)
+  }
+
   /** One-way ANOVA over event-type value distributions — the k-sample
     * generalization of [[qStatsWelchTtest]]: between/within sums of
     * squares, the F statistic, and eta² (effect size) for "does mean
@@ -771,7 +793,7 @@ object QualityOps {
         sum((col("n").cast("double") * (dev * dev)).cast("decimal(38,6)"))
           .cast("double")
           .as("ssb"))
-    val sst = (col("n_tot").cast("decimal(19,0)") * col("swwt") - col("swt") * col("swt"))
+    val sst = m2Checked(col("n_tot"), col("swt"), col("swwt"))
       .cast("double") / col("n_tot") / 10000.0
     val ssw = sst - col("ssb")
     val ok = col("k") > 1 && col("n_tot") > col("k") && ssw > 0.0

@@ -15,6 +15,25 @@ class PlanSpec extends SparkSuite {
   private def plan(df: DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  /** EXECUTED plan text (AQE isFinalPlan=true): runs this plan instance,
+    * then reads it — the Explain --final mechanic. r14 ask #8: pins whose
+    * plan shape IS the operator's contract use this view, so a
+    * pre-execution AQE snapshot (which can differ from what actually ran,
+    * and never shows codegen spans) cannot mis-certify them. The cheap
+    * structural pins keep the pre-execution `plan` — they assert node
+    * choices AQE does not revisit.
+    */
+  private def finalPlan(df: DataFrame): String = {
+    val p = df.queryExecution.executedPlan
+    p.execute().count()
+    // an executed AdaptiveSparkPlan prints "== Final Plan ==" AND the
+    // "== Initial Plan ==" echo — keep only the plan that actually ran,
+    // or node-count pins would double-count
+    val s = p.toString
+    val cut = s.indexOf("== Initial Plan ==")
+    if (cut >= 0) s.substring(0, cut) else s
+  }
+
   test("interpolate: both neighbor lookups are growing frames — no shrinking re-aggregation (r12)") {
     // the (1, unboundedFollowing) shrinking frame re-aggregates the
     // remaining rows for EVERY row (O(n²) per partition — measured 25 s
@@ -516,14 +535,14 @@ class PlanSpec extends SparkSuite {
     // (ASC form) — no Window, and no Sort touching the adc distance
     // column (the only Sort left is pqAssign's group-local SortAggregate
     // for min_by over struct, which never sees the distance frame)
-    val p = plan(graft.queries.LlmOps.pqAdcCandidates(spark, sf001))
+    val p = finalPlan(graft.queries.LlmOps.pqAdcCandidates(spark, sf001))
     assert(p.contains("GroupTopK"), p)
     assert(!p.contains("Window"), p)
     assert(!p.contains("Sort [adc") && !p.contains("Sort [q_id"), p)
   }
 
   test("nearest as-of: both direction frames share ONE window pass — one exchange, one sort (r12)") {
-    val p = plan(graft.queries.Relational.qJoinAsofNearest(spark, sf001))
+    val p = finalPlan(graft.queries.Relational.qJoinAsofNearest(spark, sf001))
     // identical partitioning AND sort for the backward/forward frames ⇒
     // Catalyst must plan a single uid exchange and a single sort; a
     // second of either means the two windows stopped sharing their pass

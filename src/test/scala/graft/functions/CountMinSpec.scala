@@ -11,6 +11,25 @@ import org.apache.spark.sql.functions._
 class CountMinSpec extends SparkSuite {
   import spark.implicits._
 
+  test("version gate: an untagged (pre-r14) grid fails with the versioned message") {
+    // a v1-era buffer: the bare D*W*8 grid, no header word
+    val v1 = new Array[Byte](CountMin.D * CountMin.W * 8)
+    Seq[Array[Byte] => Any](
+      b => CountMin.reduce(b, "tok"),
+      b => CountMin.merge(b, CountMin.zero),
+      b => CountMin.merge(CountMin.zero, b),
+      b => CountMin.finish(b)).foreach { f =>
+      val e = intercept[IllegalStateException](f(v1))
+      assert(e.getMessage.contains("layout v2"), e.getMessage)
+      assert(e.getMessage.contains("discard the streaming checkpoint"), e.getMessage)
+    }
+    // a mismatched GRID SHAPE is also a layout error, not a misparse
+    val other = new CountMinSketch(2, 8)
+    assert(
+      intercept[IllegalStateException](CountMin.merge(CountMin.zero, other.zero)).getMessage
+        .contains("layout v2"))
+  }
+
   test("bucket() is bit-identical to pmod(xxhash64(tok, i), W)") {
     val toks = Seq("alpha", "beta", "yotta zeta", "", "日本語", "x")
     val fromSql = toks

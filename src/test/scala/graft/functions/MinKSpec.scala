@@ -19,6 +19,25 @@ class MinKSpec extends AnyFunSuite {
       }
       .take(k)
 
+  test("version gate: an untagged (pre-r14) buffer fails with the versioned message") {
+    val mk = new MinK(3)
+    // a v1-era buffer: 8-byte untagged header [int n][int lastOff]
+    val v1 = new Array[Byte](8)
+    Seq[Array[Byte] => Any](
+      b => mk.reduce(b, MinKEntry("aa", 1L, 1L)),
+      b => mk.merge(b, mk.zero),
+      b => mk.merge(mk.zero, b),
+      b => mk.finish(b)).foreach { f =>
+      val e = intercept[IllegalStateException](f(v1))
+      assert(e.getMessage.contains("layout v2"), e.getMessage)
+      assert(e.getMessage.contains("discard the streaming checkpoint"), e.getMessage)
+    }
+    // and a FUTURE layout (v3 tag) is rejected the same way, not misparsed
+    val v3 = mk.zero
+    v3(3) = 3
+    assert(intercept[IllegalStateException](mk.finish(v3)).getMessage.contains("layout v2"))
+  }
+
   private def run(k: Int, es: Seq[MinKEntry]): Seq[(String, Long, Long)] = {
     val mk = new MinK(k)
     mk.finish(es.foldLeft(mk.zero)(mk.reduce)).toSeq

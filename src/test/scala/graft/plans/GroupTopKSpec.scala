@@ -19,7 +19,16 @@ class GroupTopKSpec extends SparkSuite {
       "c_custkey",
       5,
       "rn")
-    val p = df.queryExecution.executedPlan.toString
+    // r14 ask #8: pin the EXECUTED (AQE isFinalPlan=true) tree — the
+    // pre-execution snapshot of an adaptive query is a proposal, not
+    // the contract (the r12 q_fn_try misdiagnosis came from exactly
+    // that view). Execute THIS plan instance, then read it.
+    val exec = df.queryExecution.executedPlan
+    exec.execute().count()
+    // keep only the "== Final Plan ==" section of the executed adaptive
+    // tree (the Initial Plan echo would double-match the ordering pins)
+    val s = exec.toString
+    val p = { val cut = s.indexOf("== Initial Plan =="); if (cut >= 0) s.substring(0, cut) else s }
     assert(p.contains("GroupTopK"), p)
     assert(p.contains("Exchange hashpartitioning(c_mktsegment"), p)
     assert(!p.contains("Sort "), p)

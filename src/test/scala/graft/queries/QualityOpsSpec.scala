@@ -97,6 +97,49 @@ class QualityOpsSpec extends SparkSuite {
     assert(byType.values.flatten.toSeq.groupBy(identity).exists(_._2.length > 1))
   }
 
+  test("m2Checked: decimal overflow past the ~1e38 contract raises loudly, in-band passes") {
+    // in-band: exact small values flow through unchanged
+    val ok = Seq(1)
+      .toDF("x")
+      .select(
+        QualityOps
+          .m2Checked(
+            lit(3L),
+            lit(new java.math.BigDecimal(60)).cast("decimal(38,0)"),
+            lit(new java.math.BigDecimal(1400)).cast("decimal(38,0)"))
+          .as("m2"))
+      .head()
+    assert(ok.getDecimal(0).longValueExact() == 3L * 1400 - 60L * 60) // n·Σw² − (Σw)²
+    // past the band: n·Σw² ≈ 1e40 overflows decimal(38,0) — the Spark
+    // side must RAISE like the oracle's HUGEINT, not emit NULL stats.
+    // Under ANSI (the Spark 4 default) the multiply itself raises
+    // NUMERIC_VALUE_OUT_OF_RANGE; under ansi=false (where the r13
+    // ADVICE's silent-NULL divergence lived) the m2Checked guard fires.
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    def overflow(): Seq[String] = {
+      val big = new java.math.BigDecimal("9" * 38)
+      val e = intercept[Exception] {
+        Seq(1)
+          .toDF("x")
+          .select(QualityOps
+            .m2Checked(lit(100L), lit(java.math.BigDecimal.ZERO), lit(big).cast("decimal(38,0)")))
+          .collect()
+      }
+      messages(e)
+    }
+    val ansiMsgs = overflow()
+    assert(ansiMsgs.exists(_.contains("NUMERIC_VALUE_OUT_OF_RANGE")), ansiMsgs.mkString(" | "))
+    val prevAnsi = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val nullMsgs = overflow()
+      assert(
+        nullMsgs.exists(_.contains("magnitude contract exceeded")),
+        nullMsgs.mkString(" | "))
+    } finally spark.conf.set("spark.sql.ansi.enabled", prevAnsi)
+  }
+
   test("rankMatrix: two-phase prefix sum equals the per-type running count (high-D)") {
     // r14 ask #2: the strictly-less running count is assembled from
     // range-partitioned slice cumsums + broadcast offsets; prefix sums

@@ -23,7 +23,49 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def banded(con, out_dir, name, twin):
+    """Scale-cert twin (r14 ask #4): certify a quadratic-oracle entry via a
+    BOUNDED twin oracle whose output is a deterministic exact-valued SUBSET
+    of the entry's output (q_dedup_embed's LSH banding + exact in-bucket
+    rerank). Every twin row must appear in the engine output with exact
+    values, and the engine must not undercount. This does NOT replace the
+    full oracle at base scale — the driver's sf0.01 gate still runs the
+    quadratic twin; this makes the x10+ recert attemptable with zero
+    declared exclusions."""
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    pq = glob.glob(os.path.join(out_dir, name, "*.parquet"))
+    if not pq:
+        print(f"FAIL {name}: no spark output")
+        return False
+    got = norm(con.execute(f"SELECT * FROM read_parquet({pq!r})").df())
+    want = norm(con.execute(oracle[twin]).df())
+    if list(got.columns) != list(want.columns):
+        print(f"FAIL {name}: banded columns {list(got.columns)} vs {list(want.columns)}")
+        return False
+    if len(got) < len(want):
+        print(f"FAIL {name}: engine rows {len(got)} < banded twin rows {len(want)}")
+        return False
+    merged = want.merge(got, how="left", indicator=True)
+    missing = merged[merged["_merge"] != "both"]
+    if len(missing):
+        print(f"FAIL {name}: {len(missing)} banded-twin rows absent from engine output")
+        print(missing.head(3))
+        return False
+    print(f"PASS {name} (banded twin {twin}: {len(want)} of {len(got)} rows value-certified)")
+    return True
+
+
 def main():
+    if len(sys.argv) >= 6 and sys.argv[3] == "--banded":
+        sf_dir, out_dir, name, twin = sys.argv[1], sys.argv[2], sys.argv[4], sys.argv[5]
+        con = duckdb.connect()
+        import spill as spill_mod
+        spill_mod.setup_spill(con)
+        for t in TABLES:
+            p = f"{sf_dir}/{t}.parquet"
+            src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet({src})")
+        sys.exit(0 if banded(con, out_dir, name, twin) else 1)
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()

@@ -1,11 +1,14 @@
 #!/bin/bash
 # Per-query timeout wrapper around check.py, for engine-inflated scale
 # runs where a single mis-scaled oracle must not hang the whole pass.
-# Usage: tools/check_batch.sh <sfDir> <verifyOutDir> [timeoutSec] [excludeCsv]
+# Usage: tools/check_batch.sh <sfDir> <verifyOutDir> [timeoutSec] [excludeCsv] [bandedCsv]
 # excludeCsv: comma-separated names DELIBERATELY left out of this
 # certification (e.g. quadratic oracle twins at scale) — reported as
 # "excluded (declared)" and exempt from the skip gate below; anything
 # else missing its Spark output still fails the run.
+# bandedCsv (r14 ask #4): comma-separated name:twin pairs certified via a
+# bounded subset twin (check.py --banded) instead of the entry's own
+# quadratic oracle — attempted and counted, not excluded.
 set -uo pipefail
 cd "$(dirname "$0")/.."
 # Round-8 postmortem: DuckDB spill left behind by killed/timed-out oracle
@@ -17,11 +20,23 @@ cd "$(dirname "$0")/.."
 # shared glob here would delete a concurrent run's live spill mid-oracle.
 export GRAFT_SPILL_DIR="$PWD/.tmp/duckdb_spill.$$"
 trap 'rm -rf "$GRAFT_SPILL_DIR"' EXIT
-SF="$1"; OUT="$2"; TMO="${3:-240}"; EXCL=",${4:-},"
+SF="$1"; OUT="$2"; TMO="${3:-240}"; EXCL=",${4:-},"; BANDED=",${5:-},"
 NAMES=$(python3 -c "import json;print(' '.join(sorted(json.load(open('$OUT/oracle_sql.json')))))")
 pass=0; fail=0; tmo=0; skipped=0; excluded=0
 for n in $NAMES; do
   case "$EXCL" in *",$n,"*) excluded=$((excluded+1)); echo "EXCLUDED $n (declared)"; continue;; esac
+  case "$BANDED" in *",$n:"*)
+    twin=$(echo "$BANDED" | sed "s/.*,$n:\([^,]*\),.*/\1/")
+    if [ ! -d "$OUT/$n" ]; then skipped=$((skipped+1)); echo "SKIP $n (no spark output)"; continue; fi
+    if out=$(timeout -k 10 "$TMO" python3 tools/check.py "$SF" "$OUT" --banded "$n" "$twin" 2>&1); then
+      pass=$((pass+1)); echo "$out" | grep "^PASS"
+    else
+      rc=$?
+      if [ "$rc" = 124 ]; then tmo=$((tmo+1)); echo "TIMEOUT $n (banded, > ${TMO}s)";
+      else fail=$((fail+1)); echo "$out" | tail -4; fi
+    fi
+    continue;;
+  esac
   # an oracle entry with no Spark output directory is a SKIP, not a free
   # pass: count it and fail the certification below (a run where Verify
   # produced nothing must not read as green)
