@@ -1,0 +1,53 @@
+package graft.sinks
+
+/** S3-REST-style [[ObjectStore]] over plain HTTP: `PUT <endpoint>/<key>`
+  * with the `Content-Type` header and the canned ACL as `x-amz-acl` —
+  * the wire shape of the reference's per-object upload
+  * (/root/reference/reference/EtlToS3.cs:87-94 sets exactly key, body,
+  * content type, and canned ACL per PUT). Any non-2xx status THROWS, so
+  * [[ObjectSink]]'s per-record retry/swallow-and-count policy engages on
+  * real protocol errors (429/503) exactly as it does on client
+  * exceptions.
+  *
+  * Scope: S3-COMPATIBLE endpoints where request signing is ambient or
+  * absent (an in-cluster gateway/sidecar, a MinIO dev deployment with
+  * anonymous write, or the test stub) — talking to real AWS requires
+  * SigV4, which lives in the hadoop-aws connector ([[HadoopFsStore]] is
+  * the swap-in there). What THIS store certifies, credential-free, is
+  * the full PUT contract over the actual protocol: key→URL mapping,
+  * body bytes, content type, ACL header, idempotent re-PUT, and error
+  * statuses driving the retry path.
+  *
+  * One connection per PUT (HttpURLConnection pools keep-alive sockets
+  * per JVM underneath); the store object is serialized to executors and
+  * holds no live resources.
+  */
+final class HttpObjectStore(endpoint: String, timeoutMs: Int = 30000) extends ObjectStore {
+
+  override def put(key: String, bytes: Array[Byte], contentType: String, acl: String): Unit = {
+    val url = new java.net.URI(s"${endpoint.stripSuffix("/")}/$key").toURL
+    val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+    try {
+      conn.setConnectTimeout(timeoutMs)
+      conn.setReadTimeout(timeoutMs)
+      conn.setRequestMethod("PUT")
+      conn.setDoOutput(true)
+      conn.setFixedLengthStreamingMode(bytes.length)
+      conn.setRequestProperty("Content-Type", contentType)
+      conn.setRequestProperty("x-amz-acl", acl)
+      val out = conn.getOutputStream
+      try out.write(bytes)
+      finally out.close()
+      val code = conn.getResponseCode
+      // drain so the connection is reusable, then judge the status
+      val stream = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      if (stream != null) {
+        val buf = new Array[Byte](4096)
+        while (stream.read(buf) >= 0) ()
+        stream.close()
+      }
+      if (code < 200 || code >= 300)
+        throw new java.io.IOException(s"PUT $key -> HTTP $code")
+    } finally conn.disconnect()
+  }
+}
