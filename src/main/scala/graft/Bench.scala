@@ -135,7 +135,17 @@ object Bench {
     if (!sys.env.contains("SPARK_GRAFT_NO_WARMUP") &&
       !sys.env.contains("SPARK_GRAFT_NO_RESPAWN") && only.isEmpty) {
       val t0 = System.nanoTime()
-      Seq("q_fn_try", "q_agg_stats", "q_graph_cc", "q_layout_hilbert", "q_dedup_exact")
+      // victims list: every entry observed parked 2x+ by the rotation
+      // across r12-r14 triples (q_fn_variant's variant-builder paths
+      // measured 12-15 s COLD in a fresh JVM vs 0.9 s warm)
+      Seq(
+        "q_fn_try",
+        "q_fn_variant",
+        "q_agg_stats",
+        "q_agg_median_radix",
+        "q_graph_cc",
+        "q_layout_hilbert",
+        "q_dedup_exact")
         .foreach { n =>
           Registry.all.collectFirst { case (`n`, q) => q }.foreach { q =>
             try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -93,5 +93,9 @@ def setup_spill(con) -> str:
             signal.signal(sig, lambda s, f: sys.exit(128 + s))
     os.makedirs(spill, exist_ok=True)
     con.execute(f"SET temp_directory='{spill}'")
-    con.execute("SET max_temp_directory_size='20GB'")
+    # default 20GB; GRAFT_SPILL_CAP overrides for known-heavy replays
+    # (r13: q_graph_bfs_full's unrolled-round oracle on x63 organic data
+    # needed ~50GB — re-run with GRAFT_SPILL_CAP=50GB on a drive that has it)
+    cap = os.environ.get("GRAFT_SPILL_CAP", "20GB")
+    con.execute(f"SET max_temp_directory_size='{cap}'")
     return spill
