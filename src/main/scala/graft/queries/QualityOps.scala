@@ -880,8 +880,10 @@ object QualityOps {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = sliced.withColumn("lcum", sum("cnt").over(wLocal))
     // phase 2: per-slice partials → exclusive offsets on the tiny frame
+    // (from the PRE-window frame — the offsets branch needs only sums,
+    // so it must not depend on phase 1's window pass)
     val wOff = Window.partitionBy("et").orderBy("pid")
-    val offsets = local
+    val offsets = sliced
       .groupBy("et", "pid")
       .agg(sum(col("cnt")).as("c_part"))
       .select(col("et"), col("pid"), (sum("c_part").over(wOff) - col("c_part")).as("cum_off"))

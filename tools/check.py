@@ -45,6 +45,12 @@ def banded(con, out_dir, name, twin):
     if len(got) < len(want):
         print(f"FAIL {name}: engine rows {len(got)} < banded twin rows {len(want)}")
         return False
+    if len(want) == 0 and len(got) > 0:
+        # anti-vacuity (the r5 empty-hash lesson): a twin that certifies
+        # zero of the engine's rows proves nothing — fail loudly rather
+        # than reading green
+        print(f"FAIL {name}: banded twin returned 0 rows against {len(got)} engine rows — nothing certified")
+        return False
     merged = want.merge(got, how="left", indicator=True)
     missing = merged[merged["_merge"] != "both"]
     if len(missing):
