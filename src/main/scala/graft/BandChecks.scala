@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-visible error-band certification for the three oracle-less
+  * registry entries (round-14 verdict ask #4). Each entry's `no_oracle`
+  * correctness row is backed here by a machine-checkable bound computed
+  * FROM THE SAME RUN — an exact twin evaluated beside the estimate, with
+  * the estimator's documented error band as the gate:
+  *
+  *  - `q_agg_approx`: `approx_count_distinct` is HLL++ with default
+  *    relativeSD = 0.05; every group's estimate must sit within 3·rsd
+  *    (15%) of the exact distinct count.
+  *  - `q_agg_percentile_approx`: `approx_percentile(_, p, acc)` has a
+  *    documented RANK error ≤ 1/acc, so each estimate must lie between
+  *    the exact quantiles at p ∓ 1/acc (acc = 1000 in the entry).
+  *  - `q_text_compressibility`: the DEFLATE byte stream is a pure
+  *    function of (bytes, level 6, nowrap) — no DuckDB twin exists, but
+  *    an INDEPENDENT JVM replay (fresh Deflater per row, different
+  *    buffering than the kernel's thread-local hot path) must match the
+  *    kernel EXACTLY; band = 0 mismatched rows.
+  *
+  * [[Verify]] runs these after the dump and writes `band_checks.json`
+  * next to `oracle_sql.json`; a violated band joins failures.json and
+  * fails the run loudly, so a drifting estimator can never hide behind
+  * its rows-only status.
+  */
+object BandChecks {
+
+  final case class BandResult(
+      entry: String,
+      twin: String,
+      check: String,
+      worst: Double,
+      bound: Double,
+      pass: Boolean)
+
+  def run(spark: SparkSession, sfDir: String): Seq[BandResult] =
+    Seq(approxDistinct(spark, sfDir), approxPercentile(spark, sfDir), deflate(spark, sfDir))
+
+  /** Worst per-group relative error of the HLL++ estimates vs exact. */
+  private def approxDistinct(spark: SparkSession, sfDir: String): BandResult = {
+    val est = graft.queries.Relational.qAggApprox(spark, sfDir)
+    val exact = Tables
+      .lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("x_parts"),
+        countDistinct(col("l_orderkey")).as("x_orders"))
+    val worst = est
+      .join(exact, "l_returnflag")
+      .select(greatest(
+        abs(col("approx_parts") - col("x_parts")) / col("x_parts"),
+        abs(col("approx_orders") - col("x_orders")) / col("x_orders")).as("rel"))
+      .agg(max("rel"))
+      .head()
+      .getDouble(0)
+    BandResult("q_agg_approx", "exact countDistinct (same run)",
+      "max relative error over groups x columns", worst, 0.15, worst <= 0.15)
+  }
+
+  /** Each approx quantile must lie within the exact quantiles at the
+    * documented rank band p ∓ 1/accuracy (accuracy = 1000 in the entry).
+    * `worst` is the count of out-of-band cells (0 = pass).
+    */
+  private def approxPercentile(spark: SparkSession, sfDir: String): BandResult = {
+    val eps = 1.0 / 1000
+    val est = graft.queries.Relational.qAggPercentileApprox(spark, sfDir)
+    val q = col("l_quantity").cast("double")
+    val exact = Tables
+      .lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile(q, lit(0.5 - eps)).as("lo50"),
+        percentile(q, lit(0.5 + eps)).as("hi50"),
+        percentile(q, lit(0.99 - eps)).as("lo99"),
+        percentile(q, lit(math.min(1.0, 0.99 + eps))).as("hi99"))
+    val bad = est
+      .join(exact, "l_returnflag")
+      .select(
+        (when(col("ap50") < col("lo50") || col("ap50") > col("hi50"), 1).otherwise(0) +
+          when(col("ap99") < col("lo99") || col("ap99") > col("hi99"), 1).otherwise(0)).as("bad"))
+      .agg(sum("bad"))
+      .head()
+      .getLong(0)
+    BandResult("q_agg_percentile_approx", "exact percentile at p -/+ 1/acc (same run)",
+      "cells outside the documented rank band", bad.toDouble, 0.0, bad == 0L)
+  }
+
+  /** Independent JVM DEFLATE replay vs the kernel — exact, band = 0. */
+  private def deflate(spark: SparkSession, sfDir: String): BandResult = {
+    import spark.implicits._
+    val kernel = graft.queries.LlmOps
+      .qTextCompressibility(spark, sfDir)
+      .select(col("doc_id"), col("z_bytes"))
+    val replay = Tables
+      .documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        // fresh Deflater per row, own buffer loop — deliberately NOT the
+        // kernel's thread-local reuse path
+        val d = new java.util.zip.Deflater(6, true)
+        try {
+          d.setInput(text.getBytes("UTF-8"))
+          d.finish()
+          val buf = new Array[Byte](1024)
+          var total = 0
+          while (!d.finished()) total += d.deflate(buf)
+          (id, total)
+        } finally d.end()
+      }
+      .toDF("doc_id", "z_replay")
+    val mism = kernel
+      .join(replay, "doc_id")
+      .where(col("z_bytes") =!= col("z_replay"))
+      .count()
+    BandResult("q_text_compressibility", "independent JVM Deflater replay (same run)",
+      "rows where kernel deflate_len differs from the replay", mism.toDouble, 0.0, mism == 0L)
+  }
+}

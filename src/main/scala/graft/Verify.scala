@@ -67,6 +67,33 @@ object Verify {
       Paths.get(s"$outDir/no_oracle_reasons.json"),
       SparkEntry.noOracleReasons.toSeq.sorted
         .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    // error-band certification for the oracle-less entries (r14 ask #4):
+    // estimate vs exact twin computed from THIS run; a violated band is a
+    // loud failure, not a footnote. Skipped when `only` excludes all three
+    // (targeted re-verification of unrelated entries stays cheap).
+    val bandNames = Set("q_agg_approx", "q_agg_percentile_approx", "q_text_compressibility")
+    if (only.isEmpty || only.exists(bandNames)) {
+      val bands =
+        try BandChecks.run(spark, sfDir)
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[verify] band checks FAILED to run: ${e.getMessage}")
+            failures :+= "band_checks"
+            Nil
+        }
+      bands.foreach { b =>
+        System.err.println(
+          f"[verify] band ${b.entry}: ${b.check} = ${b.worst}%.6f (bound ${b.bound}%.6f) " +
+            (if (b.pass) "PASS" else "FAIL"))
+        if (!b.pass) failures :+= s"band:${b.entry}"
+      }
+      val bandJson = bands
+        .map(b =>
+          s"${q(b.entry)}: {${q("twin")}: ${q(b.twin)}, ${q("check")}: ${q(b.check)}, " +
+            s"${q("worst")}: ${b.worst}, ${q("bound")}: ${b.bound}, ${q("band_pass")}: ${b.pass}}")
+        .mkString("{", ",", "}")
+      Files.writeString(Paths.get(s"$outDir/band_checks.json"), bandJson)
+    }
     Files.writeString(
       Paths.get(s"$outDir/failures.json"),
       failures.map(q).mkString("[", ",", "]"))

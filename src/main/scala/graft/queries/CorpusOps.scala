@@ -1003,20 +1003,11 @@ object CorpusOps {
     * CorpusOpsSpec still pins merge ≡ direct and accuracy vs exact.
     */
   def qAggHllMerge(spark: SparkSession, sfDir: String): DataFrame = {
-    val m = 256
-    val h = Tables.hash60(col("user_id"))
-    val daily = Tables
-      .events(spark, sfDir)
-      .select(col("event_type"), to_date(col("ts")).as("d"), h.as("hv"))
-      .select(
-        col("event_type"),
-        col("d"),
-        (col("hv") % m).as("j"),
-        when(expr("hv div 256") === 0L, 53)
-          .otherwise(lit(53) - length(bin(expr("hv div 256"))))
-          .as("rho"))
-      .groupBy("event_type", "d", "j")
-      .agg(max(col("rho")).as("m_rho"))
+    // day-keyed cells from the ONE shared register construction
+    // (r14 ADVICE: a hash/width change in Streams.hllRegisters must move
+    // this entry too, not only the merged==direct spec pin)
+    val daily = graft.streaming.Streams
+      .hllRegisters(Tables.events(spark, sfDir), to_date(col("ts")).as("d"))
     val merged = daily.groupBy("event_type", "j").agg(max(col("m_rho")).as("m_rho"))
     val days = daily
       .select("event_type", "d")

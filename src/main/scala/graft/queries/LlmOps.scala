@@ -1036,15 +1036,56 @@ object LlmOps {
     * approximate). A pair sharing several segments is deduplicated with a
     * distinct on the id pair before the (cheap, codegen'd) popcount filter.
     */
-  def qDedupSimhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val s = simhashSigs(spark, sfDir)
-    val segs = s.select(
+  def qDedupSimhashPairs(spark: SparkSession, sfDir: String): DataFrame =
+    hammingPairs64(simhashSigs(spark, sfDir), "simhash", cap = None)
+
+  /** [[qDedupSimhashPairs]] with the standard production pigeonhole guard
+    * (the `q_dedup_near_capped` discipline, round-14 verdict ask #1):
+    * (seg, seg_val) buckets holding more than [[CapBucket]] signatures are
+    * dropped BEFORE the pair join. Rationale at 100 TB: the pigeonhole
+    * join's OUTPUT is quadratic in clique size — k near-identical docs
+    * share all four segments and emit C(k,2) pairs, so one boilerplate
+    * cluster of 10⁵ pages is 5×10⁹ rows from four buckets (the ×10
+    * dup-mode recert measured 64.4M pair rows on the sibling phash
+    * entry). An over-popular segment value carries no information — its
+    * members are mutual near-dups that exact digest dedup and
+    * `q_dedup_clusters` already own — so the cap bounds every bucket at
+    * C(cap,2) = 120 pairs and makes the pair volume LINEAR in corpus size
+    * at fixed duplication rate. The filter is one ids-only aggregation
+    * co-partitioned with the pair join's own (seg, seg_val) shuffle key.
+    */
+  def qDedupSimhashPairsCapped(spark: SparkSession, sfDir: String): DataFrame =
+    hammingPairs64(simhashSigs(spark, sfDir), "simhash", cap = Some(CapBucket))
+
+  /** 4×16-bit pigeonhole hamming-pair core shared by the SimHash and
+    * perceptual-hash families: explode the 64-bit signature into
+    * (seg ∈ 0..3, seg_val) rows, equi-join on the segment key (exact at
+    * hamming ≤ 3 — any pair within radius 3 differs in at most 3 of 4
+    * segments, so at least one matches), popcount-filter, distinct on the
+    * id pair. `cap = Some(c)` drops (seg, seg_val) buckets with more than
+    * `c` members before the join — see [[qDedupSimhashPairsCapped]].
+    * `sigs` must carry (doc_id, `sigCol`: Long). Package-private so specs
+    * can drive it over synthetic clique corpora where the cap fires.
+    */
+  private[queries] def hammingPairs64(
+      sigs: DataFrame,
+      sigCol: String,
+      cap: Option[Int]): DataFrame = {
+    val segs0 = sigs.select(
       col("doc_id"),
-      col("simhash"),
+      col(sigCol),
       posexplode(
         array((0 until 4).map(i =>
-          shiftrightunsigned(col("simhash"), i * 16).bitwiseAND(lit(0xffffL))): _*))
+          shiftrightunsigned(col(sigCol), i * 16).bitwiseAND(lit(0xffffL))): _*))
         .as(Seq("seg", "seg_val")))
+    val segs = cap.fold(segs0) { c =>
+      val ok = segs0
+        .groupBy("seg", "seg_val")
+        .agg(count(lit(1)).as("bn"))
+        .where(col("bn") <= c)
+        .select("seg", "seg_val")
+      segs0.join(ok, Seq("seg", "seg_val"))
+    }
     segs
       .as("a")
       .join(
@@ -1054,7 +1095,7 @@ object LlmOps {
       .select(
         col("a.doc_id").as("d1"),
         col("b.doc_id").as("d2"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+        bit_count(col(s"a.$sigCol").bitwiseXOR(col(s"b.$sigCol"))).as("hamming"))
       .where(col("hamming") <= 3)
       .distinct()
       .orderBy("d1", "d2")
@@ -2741,9 +2782,29 @@ object LlmOps {
     * the hash-match. Bytes are born and hashed in-partition, never
     * shuffled; only (doc_id, 8-byte hash) leaves the scan.
     */
-  def qMultimodalPhash(spark: SparkSession, sfDir: String): DataFrame = {
+  def qMultimodalPhash(spark: SparkSession, sfDir: String): DataFrame =
+    hammingPairs64(phashSigs(spark, sfDir), "phash", cap = None)
+
+  /** [[qMultimodalPhash]] with the [[CapBucket]] pigeonhole guard — the
+    * production twin (round-14 verdict ask #1). The tile domain is the
+    * textbook trigger: near-identical ocean tiles share all four hash
+    * segments, so the uncapped pair OUTPUT is quadratic in clique size
+    * (the ×10 dup-mode recert measured 64.4M pair rows / a 6.5-minute
+    * oracle replay on the uncapped entry). Over-popular (seg, seg_val)
+    * buckets are dropped BEFORE the join — their members are mutual
+    * near-dups that exact digest dedup already owns — bounding each
+    * bucket at C(cap,2) = 120 pairs; see [[qDedupSimhashPairsCapped]].
+    */
+  def qMultimodalPhashCapped(spark: SparkSession, sfDir: String): DataFrame =
+    hammingPairs64(phashSigs(spark, sfDir), "phash", cap = Some(CapBucket))
+
+  /** (doc_id, phash) — the BMP-synthesize + parse + aHash stage shared by
+    * the capped and uncapped phash entries. Bytes are born and hashed
+    * in-partition; only the 8-byte hash leaves the scan.
+    */
+  private def phashSigs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val hashes = Tables
+    Tables
       .documents(spark, sfDir)
       .select(col("doc_id"))
       .as[Long]
@@ -2754,26 +2815,6 @@ object LlmOps {
         }
       }
       .toDF("doc_id", "phash")
-    val segs = hashes.select(
-      col("doc_id"),
-      col("phash"),
-      posexplode(
-        array((0 until 4).map(i =>
-          shiftrightunsigned(col("phash"), i * 16).bitwiseAND(lit(0xffffL))): _*))
-        .as(Seq("seg", "seg_val")))
-    segs
-      .as("a")
-      .join(
-        segs.as("b"),
-        col("a.seg") === col("b.seg") && col("a.seg_val") === col("b.seg_val") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(
-        col("a.doc_id").as("d1"),
-        col("b.doc_id").as("d2"),
-        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).as("hamming"))
-      .where(col("hamming") <= 3)
-      .distinct()
-      .orderBy("d1", "d2")
   }
 
   /** Multimodal 1:N frame sampling: each binary payload ("video") yields
@@ -3107,6 +3148,36 @@ object LlmOps {
               | CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
               |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
               |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+              |ORDER BY d1, d2""".stripMargin)),
+    // The capped oracle replays the ENGINE's pigeonhole bucket structure
+    // (the uncapped oracle can stay all-pairs because pigeonholing is
+    // output-invariant there; once buckets are dropped the bucket walk IS
+    // the semantics): unpivot the 4 segments, drop buckets over CapBucket,
+    // join only inside surviving buckets. `(x >> n) & 65535` equals the
+    // engine's shiftrightunsigned-then-mask for every n ≤ 48 regardless of
+    // the engine/DuckDB arithmetic-vs-logical shift choice, because the
+    // mask keeps only the 16 low bits the fill can't reach.
+    "q_dedup_simhash_pairs_capped" -> Q(
+      qDedupSimhashPairsCapped,
+      Some(s"""$SIMHASH_SIG,
+              |segs AS (
+              | SELECT doc_id, simhash, CAST(s.seg AS INT) AS seg,
+              |  ((simhash >> (s.seg * 16)) & 65535) AS seg_val
+              | FROM sig, (SELECT unnest([0, 1, 2, 3]) AS seg) s),
+              |okb AS (
+              | SELECT seg, seg_val FROM segs
+              | GROUP BY seg, seg_val HAVING count(1) <= $CapBucket),
+              |cseg AS (SELECT segs.* FROM segs JOIN okb USING (seg, seg_val)),
+              |cand AS (
+              | SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+              | FROM cseg a JOIN cseg b
+              |  ON a.seg = b.seg AND a.seg_val = b.seg_val AND a.doc_id < b.doc_id)
+              |SELECT c.d1, c.d2,
+              | CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming
+              |FROM cand c
+              |JOIN sig sa ON c.d1 = sa.doc_id
+              |JOIN sig sb ON c.d2 = sb.doc_id
+              |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
               |ORDER BY d1, d2""".stripMargin)),
     "q_dedup_embed" -> Q(
       qDedupEmbed,
@@ -3634,6 +3705,46 @@ object LlmOps {
              |cand AS (
              | SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
              | FROM segs a JOIN segs b
+             |  ON a.seg = b.seg AND a.seg_val = b.seg_val AND a.doc_id < b.doc_id),
+             |p AS (
+             | SELECT c.d1, c.d2, bit_count(xor(a.seg_val, b.seg_val)) AS hd
+             | FROM cand c
+             | JOIN segs a ON a.doc_id = c.d1
+             | JOIN segs b ON b.doc_id = c.d2 AND b.seg = a.seg)
+             |SELECT d1, d2, CAST(sum(hd) AS INT) AS hamming
+             |FROM p GROUP BY d1, d2 HAVING sum(hd) <= 3
+             |ORDER BY d1, d2""".stripMargin)),
+    // Capped production twin (r14 ask #1): same arithmetic hash replay,
+    // but over-popular (seg, seg_val) buckets are dropped before the
+    // candidate join — exactly the engine's CapBucket filter.
+    "q_multimodal_phash_capped" -> Q(
+      qMultimodalPhashCapped,
+      Some(s"""WITH g AS (
+             | SELECT doc_id, CAST(i.idx AS INT) AS idx
+             | FROM documents, LATERAL (SELECT unnest(generate_series(0, 63)) AS idx) i),
+             |v AS (
+             | SELECT doc_id, idx,
+             |  CASE WHEN doc_id % 3 = 0 AND idx = doc_id % 64
+             |   THEN 240 - (CASE WHEN (((doc_id % 97) * 2654435761 + idx * 40503) // 128) % 2 = 0
+             |               THEN 20 ELSE 220 END)
+             |   ELSE (CASE WHEN (((doc_id % 97) * 2654435761 + idx * 40503) // 128) % 2 = 0
+             |         THEN 20 ELSE 220 END) END AS lum
+             | FROM g),
+             |m AS (SELECT doc_id, CAST(sum(lum) AS BIGINT) // 64 AS mean FROM v GROUP BY doc_id),
+             |bits AS (
+             | SELECT v.doc_id, idx, CASE WHEN lum > mean THEN 1 ELSE 0 END AS b
+             | FROM v JOIN m USING (doc_id)),
+             |segs AS (
+             | SELECT doc_id, idx // 16 AS seg,
+             |  CAST(sum(b * (1 << (idx % 16))) AS BIGINT) AS seg_val
+             | FROM bits GROUP BY doc_id, idx // 16),
+             |okb AS (
+             | SELECT seg, seg_val FROM segs
+             | GROUP BY seg, seg_val HAVING count(1) <= $CapBucket),
+             |cseg AS (SELECT segs.* FROM segs JOIN okb USING (seg, seg_val)),
+             |cand AS (
+             | SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+             | FROM cseg a JOIN cseg b
              |  ON a.seg = b.seg AND a.seg_val = b.seg_val AND a.doc_id < b.doc_id),
              |p AS (
              | SELECT c.d1, c.d2, bit_count(xor(a.seg_val, b.seg_val)) AS hd

@@ -870,10 +870,17 @@ object QualityOps {
       .crossJoin(broadcast(types))
       .join(vt, Seq("v", "et"), "left")
       .select(col("v"), col("et"), coalesce(col("cnt"), lit(0L)).as("cnt"))
-    // phase 1: contiguous (et, v)-ordered slices, local inclusive cumsum
+    // phase 1: contiguous (et, v)-ordered slices, local inclusive cumsum.
+    // localCheckpoint PINS the slice assignment by data (r14 ADVICE): both
+    // branches below re-derive spark_partition_id() from this subplan, and
+    // without the pin their agreement rests on exchange reuse — a
+    // canonicalization miss (or spark.sql.exchange.reuse=false) would let
+    // the range sampler pick different boundaries per instantiation and
+    // silently corrupt lt.
     val sliced = dense
       .repartitionByRange(col("et"), col("v"))
       .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
     val wLocal = Window
       .partitionBy("et", "pid")
       .orderBy("v")

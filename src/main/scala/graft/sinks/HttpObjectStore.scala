@@ -24,8 +24,24 @@ package graft.sinks
   */
 final class HttpObjectStore(endpoint: String, timeoutMs: Int = 30000) extends ObjectStore {
 
+  // Parsed once; the endpoint itself must already be a valid URL.
+  private val base = java.net.URI.create(endpoint.stripSuffix("/"))
+
+  /** Object key → request URL. The key is RAW (an object name, not a
+    * pre-encoded path), so it goes through the multi-arg URI constructor,
+    * which percent-encodes reserved characters per path segment: a key
+    * containing '#' or '?' would otherwise be silently truncated at the
+    * fragment/query boundary (bytes PUT under the WRONG key with a 2xx),
+    * and a space would throw URISyntaxException into the sink's
+    * per-record swallow policy. '/' stays a segment separator (S3 key
+    * convention); a literal '%' in the key is encoded as %25, so the
+    * server decodes back to the exact key string.
+    */
+  private[sinks] def urlFor(key: String): java.net.URL =
+    new java.net.URI(base.getScheme, base.getAuthority, s"${base.getPath}/$key", null, null).toURL
+
   override def put(key: String, bytes: Array[Byte], contentType: String, acl: String): Unit = {
-    val url = new java.net.URI(s"${endpoint.stripSuffix("/")}/$key").toURL
+    val url = urlFor(key)
     val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
     try {
       conn.setConnectTimeout(timeoutMs)

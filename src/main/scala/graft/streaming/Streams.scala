@@ -410,18 +410,27 @@ object Streams {
     * projection a reader applies downstream (see the batch entry).
     * Same md5-hex60 / bin-length rho as the batch sketch, so the batch
     * twin oracle replays the streaming state bit-for-bit.
+    *
+    * `extraKeys` (r14 ADVICE) widens the register key for keyed variants
+    * — `q_agg_hll_merge`'s day-keyed daily cells pass
+    * `to_date(col("ts")).as("d")` — so there is ONE register
+    * construction for batch, streaming, and every keyed derivative: a
+    * hash/width change here moves all of them (and their oracles)
+    * together. Each extra key must be an aliased Column; it is appended
+    * to the (event_type, j) grouping key.
     */
-  def hllRegisters(events: DataFrame): DataFrame = {
+  def hllRegisters(events: DataFrame, extraKeys: org.apache.spark.sql.Column*): DataFrame = {
     val h = graft.Tables.hash60(col("user_id"))
-    events
-      .select(col("event_type"), h.as("hv"))
+    val keyed = events.select((col("event_type") +: extraKeys) :+ h.as("hv"): _*)
+    val keyNames = keyed.columns.dropRight(1)
+    keyed
       .select(
-        col("event_type"),
-        (col("hv") % 256).as("j"),
-        when(expr("hv div 256") === 0L, 53)
-          .otherwise(lit(53) - length(bin(expr("hv div 256"))))
-          .as("rho"))
-      .groupBy("event_type", "j")
+        keyNames.map(col) ++ Seq(
+          (col("hv") % 256).as("j"),
+          when(expr("hv div 256") === 0L, 53)
+            .otherwise(lit(53) - length(bin(expr("hv div 256"))))
+            .as("rho")): _*)
+      .groupBy((keyNames :+ "j").map(col): _*)
       .agg(max(col("rho")).as("m_rho"))
   }
 

@@ -142,6 +142,36 @@ class ObjectSinkCloudSpec extends SparkSuite {
     } finally stub.stop()
   }
 
+  test("reserved-character keys round-trip under the EXACT key (no '#'/'?' truncation)") {
+    // r14 ADVICE: the single-arg URI interpolation silently truncated a
+    // key at '#' (fragment) or '?' (query) — bytes landed under the WRONG
+    // key with a 2xx — and threw URISyntaxException on a space (swallowed
+    // into the failed count). The multi-arg constructor percent-encodes
+    // per segment; the server decodes back to the exact key.
+    val stub = new S3Stub
+    try {
+      val store = new HttpObjectStore(stub.endpoint)
+      val keys = Seq(
+        "it/5/hash#frag/part",
+        "it/5/query?x=1",
+        "it/5/with space/leaf",
+        "it/5/pct%literal")
+      val df = keys.map(k => (k, s"body-of-$k".getBytes("UTF-8"))).toDF("object_key", "content")
+      val (ok, failed, _) = ObjectSink.write(df, store, "object_key", "content", "image/jpg")
+      assert(ok == keys.size && failed == 0, s"ok=$ok failed=$failed")
+      assert(stub.objects.size() == keys.size)
+      keys.foreach { k =>
+        val o = stub.objects.get(k)
+        assert(o != null, s"key '$k' not stored verbatim; stored keys: " +
+          stub.objects.keySet().toArray.mkString(", "))
+        assert(new String(o.bytes, "UTF-8") == s"body-of-$k")
+      }
+      // and no truncated ghost keys exist
+      assert(!stub.objects.containsKey("it/5/hash"))
+      assert(!stub.objects.containsKey("it/5/query"))
+    } finally stub.stop()
+  }
+
   test("cloud PUT round-trip: byte identity + meta sidecar on a real bucket") {
     // probe via a Boolean so a cancellation prints the message, not the
     // whole environment map (which may carry tokens)

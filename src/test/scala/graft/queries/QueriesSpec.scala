@@ -12,7 +12,7 @@ class QueriesSpec extends SparkSuite {
     // legitimately empty at this sf (no hamming<=3 simhash pairs exist);
     // q_join_anti and the embed pair queries were de-vacuated in round 6
     // and MUST now return rows here
-    val emptyOk = Set("q_dedup_simhash_pairs")
+    val emptyOk = Set("q_dedup_simhash_pairs", "q_dedup_simhash_pairs_capped")
     Registry.all.foreach { case (name, q) =>
       val n = q.fn(spark, sf001).count()
       withClue(name) { assert(n > 0 || emptyOk(name), s"$name returned $n rows") }
@@ -67,6 +67,60 @@ class QueriesSpec extends SparkSuite {
     // ...but keeps the organic near-dup pair (its buckets are size 2)
     assert(capped.contains((100L, 101L)))
     assert(uncapped.contains((100L, 101L)))
+  }
+
+  test("hamming cap: capped == uncapped on a pristine signature corpus") {
+    import spark.implicits._
+    // all-distinct signatures diverse across ALL four 16-bit segments
+    // (golden-ratio multiply), paired off at hamming 1 — every segment
+    // bucket holds at most one pair, so the cap must be a no-op
+    val sigs = (0L until 10L)
+      .flatMap { i =>
+        val base = 0x9e3779b97f4a7c15L * (i + 1)
+        Seq((2 * i, base), (2 * i + 1, base ^ 1L))
+      }
+      .toDF("doc_id", "sig")
+    val uncapped = LlmOps.hammingPairs64(sigs, "sig", cap = None).collect().toSeq
+    val capped =
+      LlmOps.hammingPairs64(sigs, "sig", cap = Some(LlmOps.CapBucket)).collect().toSeq
+    assert(uncapped.nonEmpty)
+    assert(capped == uncapped)
+  }
+
+  test("hamming cap: over-cap clique contributes nothing, small cliques survive") {
+    import spark.implicits._
+    // 20 identical signatures (> CapBucket=16: every one of their four
+    // segment buckets holds all 20) + one hamming-1 organic pair + noise
+    val clique = (1L to 20L).map(i => (i, 0x1234_5678_9abc_def0L))
+    val organic = Seq((100L, 0x0f0f_0f0f_0f0f_0f0fL), (101L, 0x0f0f_0f0f_0f0f_0f0eL))
+    val noise = Seq((200L, -0x6f89_1122_3344_5566L))
+    val sigs = (clique ++ organic ++ noise).toDF("doc_id", "sig")
+    val uncapped = LlmOps
+      .hammingPairs64(sigs, "sig", cap = None)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val capped = LlmOps
+      .hammingPairs64(sigs, "sig", cap = Some(LlmOps.CapBucket))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    // uncapped pays the full C(20,2) = 190 clique pairs
+    assert(uncapped.count { case (a, b) => a <= 20 && b <= 20 } == 190)
+    // the cap removes every clique pair (exact digest dedup owns those)...
+    assert(capped.forall { case (a, b) => a > 20 && b > 20 })
+    // ...but keeps the organic near-dup pair (its buckets are size <= 3)
+    assert(capped.contains((100L, 101L)))
+    assert(uncapped.contains((100L, 101L)))
+  }
+
+  test("hamming cap fires on the organic phash corpus (capped strictly below uncapped)") {
+    // the %97 image synthesis makes real cliques at sf0.001: the capped
+    // twin must be non-vacuous AND strictly smaller than the uncapped run
+    val uncapped = LlmOps.qMultimodalPhash(spark, sf001).count()
+    val capped = LlmOps.qMultimodalPhashCapped(spark, sf001).count()
+    assert(capped > 0, "capped phash output is empty — vacuous entry")
+    assert(capped < uncapped, s"cap never fired: capped=$capped uncapped=$uncapped")
   }
 
   test("cross-source leakage: cross pair counted once, within-source kept, cap honored") {

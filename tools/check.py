@@ -51,6 +51,16 @@ def banded(con, out_dir, name, twin):
         # than reading green
         print(f"FAIL {name}: banded twin returned 0 rows against {len(got)} engine rows — nothing certified")
         return False
+    if len(want) == 0 and len(got) == 0:
+        # BOTH sides empty (r14 ADVICE): an upstream mis-scale that empties
+        # twin and engine together would read green while certifying
+        # nothing — require the explicit opt-in before passing
+        if os.environ.get("GRAFT_BANDED_ALLOW_EMPTY") == "1":
+            print(f"PASS {name} (banded twin {twin}: BOTH EMPTY — allowed by GRAFT_BANDED_ALLOW_EMPTY)")
+            return True
+        print(f"FAIL {name}: banded twin AND engine both returned 0 rows — vacuous cert "
+              f"(set GRAFT_BANDED_ALLOW_EMPTY=1 if this scale is legitimately empty)")
+        return False
     merged = want.merge(got, how="left", indicator=True)
     missing = merged[merged["_merge"] != "both"]
     if len(missing):
@@ -132,6 +142,20 @@ def main():
                     i = neq.idxmax()
                     print(f"   col {c}: got={g[c][i]!r} want={w[c][i]!r} (row {i}, {int(neq.sum())} diffs)")
             n_fail += 1
+    # band certifications for the oracle-less entries (Verify's sidecar,
+    # r14 ask #4): surface them in the same gate so a violated band reads
+    # as a FAIL here too, not only in Verify's exit code
+    band_path = os.path.join(out_dir, "band_checks.json")
+    if os.path.exists(band_path):
+        for name, b in sorted(json.load(open(band_path)).items()):
+            if only and name not in only:
+                continue
+            if b.get("band_pass"):
+                print(f"PASS {name} (band: {b['check']} = {b['worst']} <= {b['bound']})")
+                n_pass += 1
+            else:
+                print(f"FAIL {name}: band violated: {b['check']} = {b['worst']} > {b['bound']}")
+                n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail")
     sys.exit(1 if n_fail else 0)
 
