@@ -137,7 +137,10 @@ object Bench {
       val t0 = System.nanoTime()
       // victims list: every entry observed parked 2x+ by the rotation
       // across r12-r14 triples (q_fn_variant's variant-builder paths
-      // measured 12-15 s COLD in a fresh JVM vs 0.9 s warm)
+      // measured 12-15 s COLD in a fresh JVM vs 0.9 s warm); r15 adds
+      // the two residual >1.5x-spread entries from the r14 triple
+      // (q_dedup_near_incremental 1.66/1.14/0.91 s, q_embed_quantize_
+      // binary 1.01/0.56/0.56 s — BENCH3_r14.json)
       Seq(
         "q_fn_try",
         "q_fn_variant",
@@ -145,7 +148,9 @@ object Bench {
         "q_agg_median_radix",
         "q_graph_cc",
         "q_layout_hilbert",
-        "q_dedup_exact")
+        "q_dedup_exact",
+        "q_dedup_near_incremental",
+        "q_embed_quantize_binary")
         .foreach { n =>
           Registry.all.collectFirst { case (`n`, q) => q }.foreach { q =>
             try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()

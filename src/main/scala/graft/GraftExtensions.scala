@@ -16,18 +16,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *
   * This is the standard extension-library surface (injected functions
   * resolve like builtins, inside whole-stage codegen) — nothing here is a
-  * UDF.
+  * UDF. The function list lives in [[GraftExtensions.sqlFunctions]] as
+  * DATA (r14 ask #7): SqlParitySpec enumerates it and pins a SQL ≡
+  * Column-API parity test per name, so a kernel injected here without a
+  * parity pin fails the spec's completeness check.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-
-  private def info(name: String, usage: String) =
-    // 4-arg ctor carries the usage through to DESCRIBE FUNCTION
-    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
-
-  private def one(args: Seq[Expression], name: String): Expression = {
-    require(args.length == 1, s"$name expects exactly 1 argument")
-    args.head
-  }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     // Query rewrite: naive HOF token counting → the TextProfile kernel
@@ -44,39 +38,65 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Custom physical operator: bounded-heap per-group top-k (no
     // partition-wide sort; same self-registration fallback).
     ext.injectPlannerStrategy(_ => graft.plans.GroupTopKStrategy)
-    ext.injectFunction(
+    GraftExtensions.sqlFunctions.foreach(ext.injectFunction)
+  }
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String) =
+    // 4-arg ctor carries the usage through to DESCRIBE FUNCTION
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  private def one(args: Seq[Expression], name: String): Expression = {
+    require(args.length == 1, s"$name expects exactly 1 argument")
+    args.head
+  }
+
+  // ExpectsInputTypes is private[sql], so SQL-surface kernels coerce
+  // their arguments by construction: a bare integer literal (parsed as
+  // INT) or a plain decimal literal (parsed as DECIMAL) would otherwise
+  // hit the eval path's primitive casts and throw ClassCastException.
+  private def asLong(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.expressions.Cast(
+      e,
+      org.apache.spark.sql.types.LongType)
+  private def asDouble(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.expressions.Cast(
+      e,
+      org.apache.spark.sql.types.DoubleType)
+
+  /** Every SQL-injected kernel, as data — the contract-of-record the
+    * parity spec enumerates. Names must stay unique.
+    */
+  val sqlFunctions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq(
       (
         FunctionIdentifier("text_profile"),
         info("text_profile", "text_profile(text) - per-document text metrics struct"),
-        (args: Seq[Expression]) => functions.TextProfile(one(args, "text_profile"))))
-    ext.injectFunction(
+        (args: Seq[Expression]) => functions.TextProfile(one(args, "text_profile"))),
       (
         FunctionIdentifier("text_fingerprint"),
         info("text_fingerprint", "text_fingerprint(text) - winnowing-lite fingerprint"),
-        (args: Seq[Expression]) => functions.TextFingerprint(one(args, "text_fingerprint"))))
-    ext.injectFunction(
+        (args: Seq[Expression]) => functions.TextFingerprint(one(args, "text_fingerprint"))),
       (
         FunctionIdentifier("simhash64"),
         info("simhash64", "simhash64(text) - 64-bit SimHash signature"),
-        (args: Seq[Expression]) => functions.SimHash64(one(args, "simhash64"))))
-    ext.injectFunction(
+        (args: Seq[Expression]) => functions.SimHash64(one(args, "simhash64"))),
       (
         FunctionIdentifier("minhash16"),
         info("minhash16", "minhash16(text) - 16-hash MinHash signature over 3-token shingles"),
-        (args: Seq[Expression]) => functions.MinHash16(one(args, "minhash16"))))
-    ext.injectFunction(
+        (args: Seq[Expression]) => functions.MinHash16(one(args, "minhash16"))),
       (
         FunctionIdentifier("shingles3"),
         info("shingles3", "shingles3(text) - distinct 3-token shingles"),
-        (args: Seq[Expression]) => functions.Shingles3(one(args, "shingles3"))))
-    ext.injectFunction(
+        (args: Seq[Expression]) => functions.Shingles3(one(args, "shingles3"))),
       (
         FunctionIdentifier("shingles3_hashed"),
         info(
           "shingles3_hashed",
           "shingles3_hashed(text) - distinct 3-token shingle md5-hash64s"),
-        (args: Seq[Expression]) => functions.Shingles3Hashed(one(args, "shingles3_hashed"))))
-    ext.injectFunction(
+        (args: Seq[Expression]) => functions.Shingles3Hashed(one(args, "shingles3_hashed"))),
       (
         FunctionIdentifier("token_windows"),
         info(
@@ -91,13 +111,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               throw new IllegalArgumentException(
                 s"token_windows: k must be an integer literal, got $other")
           }
-        }))
-    ext.injectFunction(
+        }),
       (
         FunctionIdentifier("plane_sig16"),
         info("plane_sig16", "plane_sig16(embedding) - 16-bit hyperplane LSH signature"),
-        (args: Seq[Expression]) => functions.PlaneSig16(one(args, "plane_sig16"))))
-    ext.injectFunction(
+        (args: Seq[Expression]) => functions.PlaneSig16(one(args, "plane_sig16"))),
       (
         FunctionIdentifier("plane_sig64"),
         info(
@@ -112,8 +130,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               throw new IllegalArgumentException(
                 s"plane_sig64: set must be an integer literal, got $other")
           }
-        }))
-    ext.injectFunction(
+        }),
       (
         FunctionIdentifier("edit_within"),
         info(
@@ -122,38 +139,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (args: Seq[Expression]) => {
           require(args.length == 2, "edit_within expects exactly 2 arguments")
           functions.EditWithin(args.head, args(1))
-        }))
-    ext.injectFunction(
+        }),
       (
         FunctionIdentifier("scaled_dot"),
         info("scaled_dot", "scaled_dot(a, b) - exact scaled dot product of float arrays as BIGINT"),
         (args: Seq[Expression]) => {
           require(args.length == 2, "scaled_dot expects exactly 2 arguments")
           functions.ScaledDot(args.head, args(1))
-        }))
-    ext.injectFunction(
+        }),
       (
         FunctionIdentifier("nfc_normalize"),
         info("nfc_normalize", "nfc_normalize(text) - Unicode NFC canonical composition"),
-        (args: Seq[Expression]) => functions.NfcNormalize(one(args, "nfc_normalize"))))
-    ext.injectFunction(
+        (args: Seq[Expression]) => functions.NfcNormalize(one(args, "nfc_normalize"))),
       (
         FunctionIdentifier("deflate_len"),
         info("deflate_len", "deflate_len(text) - raw-DEFLATE length of the UTF-8 bytes"),
-        (args: Seq[Expression]) => functions.DeflateLen(one(args, "deflate_len"))))
-    // ExpectsInputTypes is private[sql], so SQL-surface kernels coerce
-    // their arguments by construction: a bare integer literal (parsed as
-    // INT) or a plain decimal literal (parsed as DECIMAL) would otherwise
-    // hit the eval path's primitive casts and throw ClassCastException.
-    def asLong(e: Expression): Expression =
-      org.apache.spark.sql.catalyst.expressions.Cast(
-        e,
-        org.apache.spark.sql.types.LongType)
-    def asDouble(e: Expression): Expression =
-      org.apache.spark.sql.catalyst.expressions.Cast(
-        e,
-        org.apache.spark.sql.types.DoubleType)
-    ext.injectFunction(
+        (args: Seq[Expression]) => functions.DeflateLen(one(args, "deflate_len"))),
       (
         FunctionIdentifier("hilbert_key"),
         info(
@@ -162,8 +163,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (args: Seq[Expression]) => {
           require(args.length == 2, "hilbert_key expects exactly 2 arguments")
           functions.HilbertKey(asLong(args.head), asLong(args(1)))
-        }))
-    ext.injectFunction(
+        }),
       (
         FunctionIdentifier("scaled_long"),
         info(
@@ -191,5 +191,4 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
                 s"scaled_long: grain must be a numeric literal, got $other")
           }
         }))
-  }
 }

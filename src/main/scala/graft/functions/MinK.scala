@@ -46,10 +46,22 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 case class MinKEntry(rkey: String, event_id: Long, user_id: Long)
 
-class MinK(k: Int) extends Aggregator[MinKEntry, Array[Byte], Array[MinKEntry]] {
+object MinK {
+  /** Current buffer layout generation (the `GMK<ver>` tag byte). */
+  val CurrentVersion = 2 // v2 = the r14 tagged layout (v1 was untagged)
+}
+
+/** `layoutVersion` exists for MIGRATION DRILLS only (r14 verdict ask
+  * #2 follow-up): StreamingSpec restarts a REAL checkpoint under a
+  * bumped version to prove the loud cross-build gate fires through an
+  * actual state-store restore, not just a hand-fed stale buffer.
+  * Production callers never pass it.
+  */
+class MinK(k: Int, layoutVersion: Int = MinK.CurrentVersion)
+    extends Aggregator[MinKEntry, Array[Byte], Array[MinKEntry]] {
 
   private val Header = 12 // [G M K ver][int n][int lastOff]
-  private val Version = 2 // v2 = the r14 tagged layout (v1 was untagged)
+  private val Version = layoutVersion
 
   /** Loud versioned gate on every buffer entering reduce/merge/finish:
     * a buffer from a different layout generation must not be parsed.

@@ -1,0 +1,75 @@
+package graft.sinks
+
+/** GCS-JSON-API-style [[ObjectStore]] over plain HTTP — the wire shape of
+  * the reference's compiled product (/root/reference/src/Program.cs:109-118
+  * uploads each tile via the JSON API media path with a canned public ACL
+  * and `image/jpg` content type):
+  *
+  * {{{
+  * POST <endpoint>/upload/storage/v1/b/<bucket>/o
+  *      ?uploadType=media&name=<key>&predefinedAcl=publicRead
+  * Content-Type: <contentType>
+  * <body bytes>
+  * }}}
+  *
+  * Differences from the S3-REST shape ([[HttpObjectStore]]) this
+  * exercises deliberately: the object key travels as a URL-ENCODED QUERY
+  * PARAMETER (not a path), the verb is POST (media upload), and the
+  * canned ACL is the `predefinedAcl` query param (camel-cased — the
+  * sink-level "public-read" maps to GCS's "publicRead"), not a header.
+  * Any non-2xx status THROWS, so [[ObjectSink]]'s per-record
+  * retry/swallow policy engages on real protocol errors (GCS throttling
+  * answers 429) exactly as on client exceptions.
+  *
+  * Scope mirrors [[HttpObjectStore]]: endpoints where auth is ambient or
+  * absent (an in-cluster proxy, a fake-gcs-server dev deployment, or the
+  * test stub) — real GCS wants an OAuth bearer token, which lives in the
+  * gcs-connector ([[HadoopFsStore]] is the swap-in there). What THIS
+  * store certifies credential-free is the full JSON-API media-upload
+  * contract: key→query mapping (encoding included), body bytes, content
+  * type, canned ACL, idempotent re-POST, and error statuses driving the
+  * retry path.
+  */
+final class GcsObjectStore(endpoint: String, bucket: String, timeoutMs: Int = 30000)
+    extends ObjectStore {
+
+  /** Sink-level canned ACL → the GCS `predefinedAcl` enum value. */
+  private def gcsAcl(acl: String): String = acl match {
+    case "public-read" => "publicRead"
+    case other => other
+  }
+
+  private[sinks] def urlFor(key: String, acl: String): java.net.URL = {
+    val enc = java.net.URLEncoder.encode(key, "UTF-8")
+    java.net.URI
+      .create(
+        s"${endpoint.stripSuffix("/")}/upload/storage/v1/b/$bucket/o" +
+          s"?uploadType=media&name=$enc&predefinedAcl=${gcsAcl(acl)}")
+      .toURL
+  }
+
+  override def put(key: String, bytes: Array[Byte], contentType: String, acl: String): Unit = {
+    val conn = urlFor(key, acl).openConnection().asInstanceOf[java.net.HttpURLConnection]
+    try {
+      conn.setConnectTimeout(timeoutMs)
+      conn.setReadTimeout(timeoutMs)
+      conn.setRequestMethod("POST")
+      conn.setDoOutput(true)
+      conn.setFixedLengthStreamingMode(bytes.length)
+      conn.setRequestProperty("Content-Type", contentType)
+      val out = conn.getOutputStream
+      try out.write(bytes)
+      finally out.close()
+      val code = conn.getResponseCode
+      // drain so the connection is reusable, then judge the status
+      val stream = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      if (stream != null) {
+        val buf = new Array[Byte](4096)
+        while (stream.read(buf) >= 0) ()
+        stream.close()
+      }
+      if (code < 200 || code >= 300)
+        throw new java.io.IOException(s"media upload $key -> HTTP $code")
+    } finally conn.disconnect()
+  }
+}

@@ -79,4 +79,73 @@ class SqlParitySpec extends SparkSuite {
       assert(sql.nonEmpty && sql.sameElements(api))
     } finally spark.catalog.dropTempView("tile_cache")
   }
+
+  test("every injected SQL kernel has a parity pin: SQL text == Column API, full list (r15)") {
+    // r14 ask #7: GraftExtensions.sqlFunctions is the contract-of-record
+    // — this test enumerates it with a completeness gate, so a kernel
+    // injected without a parity pin here FAILS the suite rather than
+    // silently shipping SQL-unreachable or SQL-divergent.
+    import org.apache.spark.sql.{Column, DataFrame}
+    val ext = ExtSession.spark
+    val docs = ext.read.parquet(s"$sf001/documents.parquet")
+    val emb = ext.read.parquet(s"$sf001/embeddings.parquet")
+    docs.createOrReplaceTempView("docs_par")
+    emb.createOrReplaceTempView("emb_par")
+    def overDocs(sqlExpr: String, api: Column): (DataFrame, DataFrame) = (
+      ext.sql(s"SELECT doc_id, $sqlExpr AS v FROM docs_par ORDER BY doc_id"),
+      docs.select(col("doc_id"), api.as("v")).orderBy("doc_id"))
+    def overEmb(sqlExpr: String, api: Column): (DataFrame, DataFrame) = (
+      ext.sql(s"SELECT vec_id, $sqlExpr AS v FROM emb_par ORDER BY vec_id"),
+      emb.select(col("vec_id"), api.as("v")).orderBy("vec_id"))
+    val pinned: Map[String, (DataFrame, DataFrame)] = Map(
+      "text_profile" -> overDocs("text_profile(text)", graft.functions.TextProfile.profile(col("text"))),
+      "text_fingerprint" ->
+        overDocs("text_fingerprint(text)", graft.functions.TextFingerprint.of(col("text"))),
+      "simhash64" -> overDocs("simhash64(text)", graft.functions.SimHash64.of(col("text"))),
+      "minhash16" -> overDocs("minhash16(text)", graft.functions.MinHash16.of(col("text"))),
+      "shingles3" -> overDocs("shingles3(text)", graft.functions.Shingles3.of(col("text"))),
+      "shingles3_hashed" ->
+        overDocs("shingles3_hashed(text)", graft.functions.Shingles3Hashed.of(col("text"))),
+      "token_windows" ->
+        overDocs("token_windows(text, 3)", graft.functions.TokenWindows.of(col("text"), 3)),
+      "plane_sig16" -> overEmb("plane_sig16(embedding)", graft.functions.PlaneSig16.of(col("embedding"))),
+      "plane_sig64" ->
+        overEmb("plane_sig64(embedding, 1)", graft.functions.PlaneSig64.of(col("embedding"), 1)),
+      "edit_within" -> overDocs(
+        "edit_within(substr(text, 1, 24), substr(text, 3, 24))",
+        graft.functions.EditWithin.of(substring(col("text"), 1, 24), substring(col("text"), 3, 24))),
+      // the SQL surface exposes the RAW scaled BIGINT (the kernel); the
+      // descaled .dot helper is BIGINT/1e12, so pin against the raw form
+      "scaled_dot" -> overEmb(
+        "scaled_dot(embedding, embedding)", {
+          import org.apache.spark.sql.graftbridge.Bridge
+          Bridge.column(graft.functions.ScaledDot(
+            Bridge.expression(col("embedding")),
+            Bridge.expression(col("embedding"))))
+        }),
+      "nfc_normalize" -> overDocs("nfc_normalize(text)", graft.functions.NfcNormalize.of(col("text"))),
+      "deflate_len" -> overDocs("deflate_len(text)", graft.functions.DeflateLen.of(col("text"))),
+      "hilbert_key" -> overDocs(
+        "hilbert_key(doc_id % 256, doc_id % 199)",
+        graft.functions.HilbertKey.of((col("doc_id") % 256).cast("long"), (col("doc_id") % 199).cast("long"))),
+      "scaled_long" -> overDocs(
+        "scaled_long(n_chars / 7.0, 1e2)",
+        graft.functions.ScaledLong.of(col("n_chars") / lit(7.0), 100.0)))
+    // completeness: the pin map must cover EXACTLY the injected list
+    val registered = GraftExtensions.sqlFunctions.map(_._1.funcName).toSet
+    assert(
+      registered == pinned.keySet,
+      s"unpinned injected kernels: ${(registered -- pinned.keySet).toSeq.sorted.mkString(", ")}; " +
+        s"stale pins: ${(pinned.keySet -- registered).toSeq.sorted.mkString(", ")}")
+    pinned.toSeq.sortBy(_._1).foreach { case (name, (sqlDf, apiDf)) =>
+      val sv = sqlDf.collect().toSeq
+      val av = apiDf.collect().toSeq
+      withClue(name) {
+        assert(sv.nonEmpty, s"$name parity query returned no rows — vacuous pin")
+        assert(sv == av, s"$name: SQL and Column API results differ")
+      }
+    }
+    ext.catalog.dropTempView("docs_par")
+    ext.catalog.dropTempView("emb_par")
+  }
 }

@@ -61,6 +61,70 @@ final class S3Stub {
   def stop(): Unit = server.stop(0)
 }
 
+/** In-process GCS-JSON-API stub (r14 ask #5 — the protocol shape the
+  * reference's compiled product actually speaks): POST media upload at
+  * `/upload/storage/v1/b/<bucket>/o` with the key in the url-encoded
+  * `name` query param and the canned ACL in `predefinedAcl`; 429
+  * failure injection (GCS throttling's status).
+  */
+final class GcsStub(bucket: String) {
+  final case class Obj(bytes: Array[Byte], contentType: String, acl: String)
+  val objects = new java.util.concurrent.ConcurrentHashMap[String, Obj]
+  val posts = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** The next N uploads answer 429 (throttle simulation). */
+  val failNext = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private val server =
+    com.sun.net.httpserver.HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+  server.createContext(
+    s"/upload/storage/v1/b/$bucket/o",
+    new com.sun.net.httpserver.HttpHandler {
+      private def queryParams(ex: com.sun.net.httpserver.HttpExchange): Map[String, String] =
+        Option(ex.getRequestURI.getRawQuery)
+          .map(_.split("&").toSeq)
+          .getOrElse(Seq.empty)
+          .flatMap { kv =>
+            kv.split("=", 2) match {
+              case Array(k, v) => Some(k -> java.net.URLDecoder.decode(v, "UTF-8"))
+              case _ => None
+            }
+          }
+          .toMap
+      override def handle(ex: com.sun.net.httpserver.HttpExchange): Unit =
+        try {
+          ex.getRequestMethod match {
+            case "POST" =>
+              val params = queryParams(ex)
+              val body = ex.getRequestBody.readAllBytes()
+              posts.incrementAndGet()
+              if (failNext.getAndUpdate(n => math.max(0, n - 1)) > 0) {
+                ex.sendResponseHeaders(429, -1)
+              } else if (params.get("uploadType").contains("media") && params.contains("name")) {
+                objects.put(
+                  params("name"),
+                  Obj(
+                    body,
+                    Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse(""),
+                    params.getOrElse("predefinedAcl", "")))
+                val resp = s"""{"name": "${params("name")}", "bucket": "$bucket"}"""
+                  .getBytes("UTF-8")
+                ex.getResponseHeaders.set("Content-Type", "application/json")
+                ex.sendResponseHeaders(200, resp.length.toLong)
+                ex.getResponseBody.write(resp)
+              } else {
+                ex.sendResponseHeaders(400, -1)
+              }
+            case _ => ex.sendResponseHeaders(405, -1)
+          }
+        } finally ex.close()
+    })
+  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+  server.start()
+
+  def endpoint: String = s"http://127.0.0.1:${server.getAddress.getPort}"
+  def stop(): Unit = server.stop(0)
+}
+
 /** Integration test for a REAL cloud bucket — the config-only swap-in
   * documented in README "Pointing the object sink at a real bucket".
   * ENV-GATED, not ignored (round-7 verdict ask #8): without
@@ -169,6 +233,68 @@ class ObjectSinkCloudSpec extends SparkSuite {
       // and no truncated ghost keys exist
       assert(!stub.objects.containsKey("it/5/hash"))
       assert(!stub.objects.containsKey("it/5/query"))
+    } finally stub.stop()
+  }
+
+  test("GCS-protocol media upload: byte identity, content-type, predefinedAcl, idempotent re-run") {
+    val stub = new GcsStub("tiles")
+    try {
+      val df = payloads.toDF("object_key", "content")
+      val store = new graft.sinks.GcsObjectStore(stub.endpoint, "tiles")
+      val (ok, failed, _) = ObjectSink.write(df, store, "object_key", "content", "image/jpg")
+      assert(ok == 2 && failed == 0)
+      payloads.foreach { case (k, bytes) =>
+        val o = stub.objects.get(k)
+        assert(o != null, s"object $k missing; stored: ${stub.objects.keySet().toArray.mkString(", ")}")
+        assert(o.bytes.toSeq == bytes.toSeq, s"object $k bytes differ")
+        // the sink's canned "public-read" arrives as GCS's publicRead enum
+        assert(o.contentType == "image/jpg" && o.acl == "publicRead", o.toString)
+      }
+      // re-run convergence: media re-POST by the same name is idempotent
+      val snapshot = payloads.map { case (k, _) => k -> stub.objects.get(k).bytes.toSeq }.toMap
+      val (ok2, failed2, _) = ObjectSink.write(df, store, "object_key", "content", "image/jpg")
+      assert(ok2 == 2 && failed2 == 0)
+      assert(stub.objects.size() == 2)
+      payloads.foreach { case (k, _) =>
+        assert(stub.objects.get(k).bytes.toSeq == snapshot(k), s"re-run changed $k")
+      }
+    } finally stub.stop()
+  }
+
+  test("GCS-protocol 429s drive the retry and swallow-and-count paths") {
+    val stub = new GcsStub("tiles")
+    try {
+      val store = new graft.sinks.GcsObjectStore(stub.endpoint, "tiles")
+      stub.failNext.set(2)
+      val (ok, failed, _) = ObjectSink.write(
+        payloads.toDF("object_key", "content"),
+        store, "object_key", "content", "image/jpg",
+        retries = 3, retryBackoffMs = 1L)
+      assert(ok == 2 && failed == 0, s"ok=$ok failed=$failed after ${stub.posts.get} posts")
+      assert(stub.posts.get >= 4) // 2 successes + the 2 injected 429s were real requests
+      stub.failNext.set(1000)
+      val (ok2, failed2, _) = ObjectSink.write(
+        Seq(("it/9/9/9", "x".getBytes("UTF-8"))).toDF("object_key", "content"),
+        store, "object_key", "content", "image/jpg")
+      assert(ok2 == 0 && failed2 == 1)
+      assert(!stub.objects.containsKey("it/9/9/9"))
+    } finally stub.stop()
+  }
+
+  test("GCS-protocol reserved-character keys round-trip via the encoded name param") {
+    val stub = new GcsStub("tiles")
+    try {
+      val store = new graft.sinks.GcsObjectStore(stub.endpoint, "tiles")
+      val keys = Seq("it/6/hash#frag", "it/6/q?x=1&y=2", "it/6/with space", "it/6/pct%lit")
+      val df = keys.map(k => (k, s"gcs-$k".getBytes("UTF-8"))).toDF("object_key", "content")
+      val (ok, failed, _) = ObjectSink.write(df, store, "object_key", "content", "image/jpg")
+      assert(ok == keys.size && failed == 0, s"ok=$ok failed=$failed")
+      keys.foreach { k =>
+        val o = stub.objects.get(k)
+        assert(o != null, s"key '$k' not stored verbatim; stored: " +
+          stub.objects.keySet().toArray.mkString(", "))
+        assert(new String(o.bytes, "UTF-8") == s"gcs-$k")
+      }
     } finally stub.stop()
   }
 

@@ -1402,4 +1402,164 @@ class StreamingSpec extends SparkSuite {
       assert(got.length == 1 && got.head.getLong(2) == 2L, got.mkString(", "))
     } finally q.stop()
   }
+
+  // ------------------------------------------------------------------
+  // Checkpointed stop/start for the SKETCH-STATE streams (r14 ask #2):
+  // only funnel/sessionize/anomaly had end-to-end restart tests, so the
+  // r14 versioned buffers (GMK/GCM) had never crossed a REAL state-store
+  // restore. Pattern: file-source stream + checkpoint, stop mid-stream,
+  // more data lands while DOWN, restart as a NEW query; the final state
+  // must equal the uninterrupted batch run over everything — the lattice
+  // (max / min-k / counter-add) replay argument, now proven through the
+  // restore path, not just chunk feeding.
+  // ------------------------------------------------------------------
+
+  /** Drives `transform` over a checkpointed json file stream in complete
+    * mode with a stop/start in the middle; returns the post-restart
+    * memory table (reader must compare against the batch twin).
+    */
+  private def restartComplete(
+      tag: String,
+      rows: Seq[(Long, Long, String)], // (event_id, user_id, event_type)
+      splitAt: Int)(transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory(s"graft_restart_$tag")
+    val srcDir = root.resolve("src").toString
+    val ckpt = root.resolve("ckpt").toString
+    val schema = "event_id BIGINT, user_id BIGINT, event_type STRING"
+    def writeFile(part: Seq[(Long, Long, String)]): Unit =
+      part.toDF("event_id", "user_id", "event_type")
+        .coalesce(1).write.mode("append").json(srcDir)
+    def startQuery() = transform(spark.readStream.schema(schema).json(srcDir))
+      .writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .format("memory")
+      .queryName(s"restart_$tag")
+      .start()
+    writeFile(rows.take(splitAt))
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop()
+    writeFile(rows.drop(splitAt)) // lands while the query is DOWN
+    val q2 = startQuery()
+    try q2.processAllAvailable()
+    finally q2.stop()
+    spark.table(s"restart_$tag")
+  }
+
+  private def restartRows: Seq[(Long, Long, String)] =
+    eventTuples.toIndexedSeq.map(t => (t._1, t._3, t._4))
+
+  test("checkpointed HLL register restart: restored registers equal the uninterrupted batch (r15)") {
+    val rows = restartRows
+    val got = restartComplete("hll", rows, rows.length / 2)(Streams.hllRegisters(_))
+    val want = Streams.hllRegisters(rows.toDF("event_id", "user_id", "event_type"))
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
+  test("checkpointed KMV restart: the GMK MinK buffer survives a real state-store restore (r15)") {
+    val rows = restartRows
+    val got = Streams.kmvEstimate(
+      restartComplete("kmv", rows, rows.length / 2)(Streams.kmvState(_)))
+    val want = Streams.kmvEstimate(
+      Streams.kmvState(rows.toDF("event_id", "user_id", "event_type")))
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
+  test("checkpointed reservoir restart: the min-k sample survives a real state-store restore (r15)") {
+    val rows = restartRows
+    val got = Streams.reservoirSample(
+      restartComplete("reservoir", rows, rows.length / 2)(Streams.reservoirState(_)))
+    val want = Streams.reservoirSample(
+      Streams.reservoirState(rows.toDF("event_id", "user_id", "event_type")))
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
+  test("checkpointed Count-Min restart: the GCM counter grid survives a real state-store restore (r15)") {
+    val texts = Tables
+      .documents(spark, sf001)
+      .select("doc_id", "text")
+      .as[(Long, String)]
+      .collect()
+      .sortBy(_._1)
+      .toIndexedSeq
+    val root = java.nio.file.Files.createTempDirectory("graft_restart_cm")
+    val srcDir = root.resolve("src").toString
+    val ckpt = root.resolve("ckpt").toString
+    def writeFile(part: Seq[(Long, String)]): Unit =
+      part.toDF("doc_id", "text").coalesce(1).write.mode("append").json(srcDir)
+    def startQuery() =
+      Streams.countMinState(spark.readStream.schema("doc_id BIGINT, text STRING").json(srcDir))
+        .writeStream
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .format("memory")
+        .queryName("restart_cm")
+        .start()
+    writeFile(texts.take(texts.length / 2))
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop()
+    writeFile(texts.drop(texts.length / 2))
+    val q2 = startQuery()
+    try q2.processAllAvailable()
+    finally q2.stop()
+    val docs = texts.toDF("doc_id", "text")
+    // same tokenization as countMinState's input side
+    val probeToks = docs.select(explode(split(col("text"), " ")).as("tok")).where(col("tok") =!= "")
+    val got = Streams.countMinProbe(spark.table("restart_cm"), probeToks)
+    val want = Streams.countMinProbe(Streams.countMinState(docs), probeToks)
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
+  test("cross-version MinK state restored from a REAL checkpoint fails with the versioned error (r15)") {
+    // the r13 encoder break scenario, driven end-to-end: a checkpoint
+    // written by the CURRENT layout generation is restored by a build
+    // whose MinK expects the NEXT generation — the restored v2 buffers
+    // must hit the loud GMK discard-the-checkpoint error inside the
+    // restarted query, not a silent codec misparse
+    val rows = restartRows
+    val root = java.nio.file.Files.createTempDirectory("graft_restart_xver")
+    val srcDir = root.resolve("src").toString
+    val ckpt = root.resolve("ckpt").toString
+    val schema = "event_id BIGINT, user_id BIGINT, event_type STRING"
+    def writeFile(part: Seq[(Long, Long, String)]): Unit =
+      part.toDF("event_id", "user_id", "event_type")
+        .coalesce(1).write.mode("append").json(srcDir)
+    def kmvStateAtVersion(df: org.apache.spark.sql.DataFrame, ver: Int) = {
+      val mk = udaf(new graft.functions.MinK(32, layoutVersion = ver))
+      df.select(col("event_type"), graft.Tables.hash60Hex(col("user_id")).as("hhex"))
+        .groupBy(col("event_type"))
+        .agg(mk(col("hhex"), lit(0L), lit(0L)).as("sk"))
+    }
+    def startQuery(ver: Int) =
+      kmvStateAtVersion(spark.readStream.schema(schema).json(srcDir), ver)
+        .writeStream
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .format("memory")
+        .queryName("restart_xver")
+        .start()
+    writeFile(rows.take(rows.length / 2))
+    val q1 = startQuery(graft.functions.MinK.CurrentVersion)
+    q1.processAllAvailable()
+    q1.stop()
+    writeFile(rows.drop(rows.length / 2))
+    val q2 = startQuery(graft.functions.MinK.CurrentVersion + 1)
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q2.processAllAvailable()
+      finally q2.stop()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(20).toSeq
+    val msgs = chain(err).map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    assert(
+      msgs.contains("discard the streaming checkpoint"),
+      s"expected the versioned GMK discard error in the failure chain, got: $msgs")
+  }
 }
