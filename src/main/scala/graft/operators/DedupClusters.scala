@@ -87,7 +87,8 @@ object DedupClusters {
       strict: Boolean = true,
       reliableCheckpoint: Boolean = false,
       pathDoubling: Boolean = false,
-      roundProbe: RoundProbe = noProbe): DataFrame = {
+      roundProbe: RoundProbe = noProbe,
+      baseRounds: Int = 0): DataFrame = {
     if (reliableCheckpoint && pairs.sparkSession.sparkContext.getCheckpointDir.isEmpty)
       throw new IllegalStateException(
         "DedupClusters(reliableCheckpoint = true) needs " +
@@ -141,7 +142,16 @@ object DedupClusters {
         .withColumn("label", col("id")))
     var converged = false
     var i = 0
-    var budget = if (maxIters > 0) maxIters else 20
+    // `baseRounds` / SPARK_GRAFT_CC_BASE_ROUNDS exist for PROBES only
+    // (r14 ask #8): lowering the base on real data forces the lazy
+    // extension to fire organically so its one-extra-action cost can be
+    // measured end-to-end (the param for in-JVM specs, the env for the
+    // ×63 scale probe's separate JVM). Production leaves both unset
+    // (base 20).
+    var budget =
+      if (maxIters > 0) maxIters
+      else if (baseRounds > 0) baseRounds
+      else sys.env.get("SPARK_GRAFT_CC_BASE_ROUNDS").map(_.toInt).getOrElse(20)
     var budgetFinal = maxIters > 0
     while (!converged && i < budget) {
       val msgs = sym

@@ -233,4 +233,50 @@ class ClusterSpec extends SparkSuite {
     // the retired per-round probe shapes must not reappear
     assert(!byName.containsKey("isEmpty") && !byName.containsKey("take"), byName.toString)
   }
+
+  test("forced budget extension: fires once, pays exactly one extra action, same labels (r15)") {
+    // r14 ask #8's in-JVM half: lower the BASE budget so the lazy
+    // extension must fire on a graph that needs more rounds — the result
+    // must equal the default-budget run and the total driver actions must
+    // be exactly rounds + 1 (the one |V| count the extension pays)
+    val byName = new java.util.concurrent.ConcurrentHashMap[String, Integer]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(
+          funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = { byName.merge(funcName, 1, _ + _); () }
+      override def onFailure(
+          funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    val pairs = (1L to 7L).map(i => (i, i + 1)).toDF("a", "b")
+    val want = DedupClusters.clusters(pairs, "a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    var rounds = 0
+    spark.listenerManager.register(listener)
+    val got =
+      try DedupClusters
+        .clusters(pairs, "a", "b", baseRounds = 2, roundProbe = (i, _) => rounds = i + 1)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .sorted
+        .toSeq
+      finally spark.listenerManager.unregister(listener)
+    assert(got == want, "forced-extension labels differ from the default-budget run")
+    assert(rounds > 2, s"extension never needed: converged in $rounds rounds at base 2")
+    var last = -1
+    var stable = 0
+    var polls = 0
+    while (stable < 5 && polls < 150) {
+      Thread.sleep(100)
+      polls += 1
+      val now = byName.values().stream().mapToInt(_.intValue()).sum()
+      if (now == last) stable += 1 else { stable = 0; last = now }
+    }
+    assert(stable >= 5, s"listener tallies never stabilized within ${polls * 100} ms: $byName")
+    // rounds fused counts + EXACTLY ONE extension count (the |V| bound)
+    assert(
+      byName.getOrDefault("count", 0) == rounds + 1,
+      s"$byName over $rounds rounds — expected rounds + 1 count jobs (one extension)")
+  }
 }

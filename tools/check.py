@@ -23,6 +23,36 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+# Exact value-replay for the rows the banded twin does NOT cover (r14 ask
+# #3): the engine rows outside the LSH buckets are joined back to the base
+# tables by id and their values recomputed EXACTLY — same fixed-point dot
+# discipline as the entry's full oracle (textually the q_dedup_embed
+# oracle with `pr` sourced from the residual id pairs; any drift fails
+# the equality loudly). Together with the twin this certifies 100% of
+# engine rows by VALUE; completeness stays certified on the banded
+# subset (the twin's no-undercount check).
+RESIDUAL_REPLAY = {
+    "q_dedup_embed": """
+WITH pr AS (
+ SELECT r.v1, r.v2, a.embedding AS e1, b.embedding AS e2
+ FROM residual_pairs r
+ JOIN embeddings a ON a.vec_id = r.v1
+ JOIN embeddings b ON b.vec_id = r.v2),
+un AS (
+ SELECT v1, v2, unnest(e1) AS x, unnest(e2) AS y FROM pr),
+s AS (
+ SELECT v1, v2,
+  CAST(CAST(sum(CAST(round(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1e12, 0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12 AS dot,
+  CAST(CAST(sum(CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12, 0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12 AS n1,
+  CAST(CAST(sum(CAST(round(CAST(y AS DOUBLE) * CAST(y AS DOUBLE) * 1e12, 0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12 AS n2
+ FROM un GROUP BY v1, v2)
+SELECT v1, v2, dot / (sqrt(n1) * sqrt(n2)) AS cos,
+ CAST(dot / (sqrt(n1) * sqrt(n2)) >= 0.8 AS INT) AS is_near_dup FROM s
+WHERE dot / (sqrt(n1) * sqrt(n2)) >= 0.4
+ORDER BY v1, v2""",
+}
+
+
 def banded(con, out_dir, name, twin):
     """Scale-cert twin (r14 ask #4): certify a quadratic-oracle entry via a
     BOUNDED twin oracle whose output is a deterministic exact-valued SUBSET
@@ -67,6 +97,33 @@ def banded(con, out_dir, name, twin):
         print(f"FAIL {name}: {len(missing)} banded-twin rows absent from engine output")
         print(missing.head(3))
         return False
+    # residual value-replay (r14 ask #3): engine rows OUTSIDE the twin are
+    # recomputed exactly by id — twin + replay = 100% of rows value-certified
+    resid = got.merge(want, how="left", indicator=True)
+    resid = resid[resid["_merge"] == "left_only"].drop(columns="_merge")
+    replay_sql = RESIDUAL_REPLAY.get(name)
+    if len(resid) and replay_sql is not None:
+        con.register("residual_pairs", resid[["v1", "v2"]])
+        try:
+            rep = norm(con.execute(replay_sql).df())
+        finally:
+            con.unregister("residual_pairs")
+        r = norm(resid)
+        if len(rep) != len(r):
+            print(f"FAIL {name}: residual replay produced {len(rep)} rows for {len(r)} engine rows "
+                  f"(an engine row's recomputed value fell outside the entry's own filter)")
+            return False
+        try:
+            pd.testing.assert_frame_equal(r, rep, check_exact=True)
+        except AssertionError as e:
+            print(f"FAIL {name}: residual value-replay mismatch: {str(e).splitlines()[:4]}")
+            return False
+        print(f"PASS {name} (banded twin {twin}: {len(want)} rows + residual replay {len(r)} rows "
+              f"= {len(got)} of {len(got)} value-certified; completeness certified on the banded subset)")
+        return True
+    if len(resid) == 0:
+        print(f"PASS {name} (banded twin {twin}: {len(want)} of {len(got)} rows value-certified — full cover)")
+        return True
     print(f"PASS {name} (banded twin {twin}: {len(want)} of {len(got)} rows value-certified)")
     return True
 
