@@ -24,15 +24,20 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 
 
 # Exact value-replay for the rows the banded twin does NOT cover (r14 ask
-# #3): the engine rows outside the LSH buckets are joined back to the base
-# tables by id and their values recomputed EXACTLY — same fixed-point dot
-# discipline as the entry's full oracle (textually the q_dedup_embed
-# oracle with `pr` sourced from the residual id pairs; any drift fails
-# the equality loudly). Together with the twin this certifies 100% of
-# engine rows by VALUE; completeness stays certified on the banded
-# subset (the twin's no-undercount check).
+# #3): the engine rows outside the twin's buckets are joined back to the
+# base tables by id and their values recomputed EXACTLY — same exactness
+# discipline as each entry's full oracle (textually derived from it; any
+# drift fails the equality loudly). Together with the twin this certifies
+# engine rows by VALUE; completeness stays certified on the banded subset
+# (the twin's no-undercount check). Residuals above SAMPLE_CAP rows are
+# value-replayed on a DETERMINISTIC arithmetic sample (reported as such)
+# so the ×10 dup-mode pair explosions stay inside the batch cap.
+RESIDUAL_SAMPLE_CAP = 2_000_000
+
 RESIDUAL_REPLAY = {
-    "q_dedup_embed": """
+    "q_dedup_embed": {
+        "ids": ["v1", "v2"],
+        "sql": """
 WITH pr AS (
  SELECT r.v1, r.v2, a.embedding AS e1, b.embedding AS e2
  FROM residual_pairs r
@@ -50,6 +55,41 @@ SELECT v1, v2, dot / (sqrt(n1) * sqrt(n2)) AS cos,
  CAST(dot / (sqrt(n1) * sqrt(n2)) >= 0.8 AS INT) AS is_near_dup FROM s
 WHERE dot / (sqrt(n1) * sqrt(n2)) >= 0.4
 ORDER BY v1, v2""",
+    },
+    # arithmetic hash recompute (the q_multimodal_phash oracle's CTE) but
+    # keyed by the residual pairs — no candidate join, so it stays linear
+    # in the residual size even at dup-mode x10
+    "q_multimodal_phash": {
+        "ids": ["d1", "d2"],
+        "sql": """
+WITH g AS (
+ SELECT doc_id, CAST(i.idx AS INT) AS idx
+ FROM documents, LATERAL (SELECT unnest(generate_series(0, 63)) AS idx) i),
+v AS (
+ SELECT doc_id, idx,
+  CASE WHEN doc_id % 3 = 0 AND idx = doc_id % 64
+   THEN 240 - (CASE WHEN (((doc_id % 97) * 2654435761 + idx * 40503) // 128) % 2 = 0
+               THEN 20 ELSE 220 END)
+   ELSE (CASE WHEN (((doc_id % 97) * 2654435761 + idx * 40503) // 128) % 2 = 0
+         THEN 20 ELSE 220 END) END AS lum
+ FROM g),
+m AS (SELECT doc_id, CAST(sum(lum) AS BIGINT) // 64 AS mean FROM v GROUP BY doc_id),
+bits AS (
+ SELECT v.doc_id, idx, CASE WHEN lum > mean THEN 1 ELSE 0 END AS b
+ FROM v JOIN m USING (doc_id)),
+segs AS (
+ SELECT doc_id, idx // 16 AS seg,
+  CAST(sum(b * (1 << (idx % 16))) AS BIGINT) AS seg_val
+ FROM bits GROUP BY doc_id, idx // 16),
+p AS (
+ SELECT r.d1, r.d2, bit_count(xor(a.seg_val, b.seg_val)) AS hd
+ FROM residual_pairs r
+ JOIN segs a ON a.doc_id = r.d1
+ JOIN segs b ON b.doc_id = r.d2 AND b.seg = a.seg)
+SELECT d1, d2, CAST(sum(hd) AS INT) AS hamming
+FROM p GROUP BY d1, d2 HAVING sum(hd) <= 3
+ORDER BY d1, d2""",
+    },
 }
 
 
@@ -99,13 +139,24 @@ def banded(con, out_dir, name, twin):
         return False
     # residual value-replay (r14 ask #3): engine rows OUTSIDE the twin are
     # recomputed exactly by id — twin + replay = 100% of rows value-certified
+    # (or a deterministic sample of the residual above RESIDUAL_SAMPLE_CAP)
     resid = got.merge(want, how="left", indicator=True)
     resid = resid[resid["_merge"] == "left_only"].drop(columns="_merge")
-    replay_sql = RESIDUAL_REPLAY.get(name)
-    if len(resid) and replay_sql is not None:
-        con.register("residual_pairs", resid[["v1", "v2"]])
+    replay = RESIDUAL_REPLAY.get(name)
+    if len(resid) and replay is not None:
+        ids = replay["ids"]
+        n_resid = len(resid)
+        sampled = ""
+        if n_resid > RESIDUAL_SAMPLE_CAP:
+            # deterministic arithmetic sample on the id pair (no RNG):
+            # stable across runs and machines
+            stride = (n_resid + RESIDUAL_SAMPLE_CAP - 1) // RESIDUAL_SAMPLE_CAP
+            keep = (resid[ids[0]] * 2654435761 + resid[ids[1]]) % stride == 0
+            resid = resid[keep]
+            sampled = f" (deterministic 1/{stride} sample of {n_resid})"
+        con.register("residual_pairs", resid[ids])
         try:
-            rep = norm(con.execute(replay_sql).df())
+            rep = norm(con.execute(replay["sql"]).df())
         finally:
             con.unregister("residual_pairs")
         r = norm(resid)
@@ -118,8 +169,8 @@ def banded(con, out_dir, name, twin):
         except AssertionError as e:
             print(f"FAIL {name}: residual value-replay mismatch: {str(e).splitlines()[:4]}")
             return False
-        print(f"PASS {name} (banded twin {twin}: {len(want)} rows + residual replay {len(r)} rows "
-              f"= {len(got)} of {len(got)} value-certified; completeness certified on the banded subset)")
+        print(f"PASS {name} (banded twin {twin}: {len(want)} rows + residual replay {len(r)} rows{sampled} "
+              f"of {len(got)} total; completeness certified on the banded subset)")
         return True
     if len(resid) == 0:
         print(f"PASS {name} (banded twin {twin}: {len(want)} of {len(got)} rows value-certified — full cover)")
