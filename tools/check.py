@@ -81,16 +81,98 @@ segs AS (
  SELECT doc_id, idx // 16 AS seg,
   CAST(sum(b * (1 << (idx % 16))) AS BIGINT) AS seg_val
  FROM bits GROUP BY doc_id, idx // 16),
+-- pivot to one row per doc so BOTH pair joins key on the UNIQUE doc_id:
+-- joining the tall segs table twice lets the optimizer pair a x b on the
+-- 4-value seg key first (a 10^10-row intermediate at x10 — measured 18 GiB
+-- of spill); keyed on doc_id no join order can blow up
+segp AS (
+ SELECT doc_id,
+  max(CASE WHEN seg = 0 THEN seg_val END) AS s0,
+  max(CASE WHEN seg = 1 THEN seg_val END) AS s1,
+  max(CASE WHEN seg = 2 THEN seg_val END) AS s2,
+  max(CASE WHEN seg = 3 THEN seg_val END) AS s3
+ FROM segs GROUP BY doc_id),
 p AS (
- SELECT r.d1, r.d2, bit_count(xor(a.seg_val, b.seg_val)) AS hd
+ SELECT r.d1, r.d2,
+  bit_count(xor(a.s0, b.s0)) + bit_count(xor(a.s1, b.s1)) +
+  bit_count(xor(a.s2, b.s2)) + bit_count(xor(a.s3, b.s3)) AS hsum
  FROM residual_pairs r
- JOIN segs a ON a.doc_id = r.d1
- JOIN segs b ON b.doc_id = r.d2 AND b.seg = a.seg)
-SELECT d1, d2, CAST(sum(hd) AS INT) AS hamming
-FROM p GROUP BY d1, d2 HAVING sum(hd) <= 3
+ JOIN segp a ON a.doc_id = r.d1
+ JOIN segp b ON b.doc_id = r.d2)
+SELECT d1, d2, CAST(hsum AS INT) AS hamming
+FROM p WHERE hsum <= 3
 ORDER BY d1, d2""",
     },
 }
+
+
+def banded_sql(con, pq, name, twin, oracle):
+    """The banded cert's LARGE path: identical semantics to banded(), but
+    set-algebra (presence, residual, sample, replay compare) runs as
+    DuckDB EXCEPT/joins over the parquet directly — no pandas
+    materialization of the multi-million-row engine frame. Row equality
+    via EXCEPT is exact (same contract as check_exact)."""
+    cols = [d[0] for d in con.execute(
+        f"SELECT * FROM read_parquet({pq!r}) LIMIT 0").description]
+    collist = ", ".join(sorted(cols))
+    con.execute(f"CREATE OR REPLACE TEMP VIEW got_v AS SELECT {collist} FROM read_parquet({pq!r})")
+    con.execute(f"CREATE OR REPLACE TEMP TABLE want_t AS SELECT {collist} FROM ({oracle[twin]})")
+    n_got = con.execute("SELECT count(*) FROM got_v").fetchone()[0]
+    n_want = con.execute("SELECT count(*) FROM want_t").fetchone()[0]
+    wcols = sorted(d[0] for d in con.execute("SELECT * FROM want_t LIMIT 0").description)
+    if sorted(cols) != wcols:
+        print(f"FAIL {name}: banded columns {sorted(cols)} vs {wcols}")
+        return False
+    if n_got < n_want:
+        print(f"FAIL {name}: engine rows {n_got} < banded twin rows {n_want}")
+        return False
+    if n_want == 0:
+        print(f"FAIL {name}: banded twin returned 0 rows against {n_got} engine rows — nothing certified")
+        return False
+    missing = con.execute(
+        f"SELECT count(*) FROM (SELECT {collist} FROM want_t EXCEPT SELECT {collist} FROM got_v)"
+    ).fetchone()[0]
+    if missing:
+        print(f"FAIL {name}: {missing} banded-twin rows absent from engine output")
+        return False
+    replay = RESIDUAL_REPLAY.get(name)
+    if replay is None:
+        print(f"PASS {name} (banded twin {twin}: {n_want} of {n_got} rows value-certified)")
+        return True
+    ids = replay["ids"]
+    con.execute(
+        f"CREATE OR REPLACE TEMP TABLE resid_t AS "
+        f"SELECT {collist} FROM got_v EXCEPT SELECT {collist} FROM want_t")
+    n_resid = con.execute("SELECT count(*) FROM resid_t").fetchone()[0]
+    if n_resid == 0:
+        print(f"PASS {name} (banded twin {twin}: {n_want} of {n_got} rows value-certified — full cover)")
+        return True
+    sampled = ""
+    src = "resid_t"
+    if n_resid > RESIDUAL_SAMPLE_CAP:
+        stride = (n_resid + RESIDUAL_SAMPLE_CAP - 1) // RESIDUAL_SAMPLE_CAP
+        con.execute(
+            f"CREATE OR REPLACE TEMP TABLE resid_s AS SELECT * FROM resid_t "
+            f"WHERE (CAST({ids[0]} AS HUGEINT) * 2654435761 + {ids[1]}) % {stride} = 0")
+        src = "resid_s"
+        sampled = f" (deterministic 1/{stride} sample of {n_resid})"
+    con.execute(f"CREATE OR REPLACE TEMP TABLE residual_pairs AS SELECT {', '.join(ids)} FROM {src}")
+    n_samp = con.execute(f"SELECT count(*) FROM {src}").fetchone()[0]
+    con.execute(f"CREATE OR REPLACE TEMP TABLE replay_t AS SELECT {collist} FROM ({replay['sql']})")
+    n_rep = con.execute("SELECT count(*) FROM replay_t").fetchone()[0]
+    if n_rep != n_samp:
+        print(f"FAIL {name}: residual replay produced {n_rep} rows for {n_samp} engine rows "
+              f"(an engine row's recomputed value fell outside the entry's own filter)")
+        return False
+    mism = con.execute(
+        f"SELECT count(*) FROM (SELECT {collist} FROM {src} EXCEPT SELECT {collist} FROM replay_t)"
+    ).fetchone()[0]
+    if mism:
+        print(f"FAIL {name}: residual value-replay mismatch on {mism} rows")
+        return False
+    print(f"PASS {name} (banded twin {twin}: {n_want} rows + residual replay {n_samp} rows{sampled} "
+          f"of {n_got} total; completeness certified on the banded subset)")
+    return True
 
 
 def banded(con, out_dir, name, twin):
@@ -107,6 +189,13 @@ def banded(con, out_dir, name, twin):
     if not pq:
         print(f"FAIL {name}: no spark output")
         return False
+    # Large engine outputs (the x10 dup-mode pair explosions: 64M rows)
+    # stay entirely inside DuckDB — the pandas path below pays multiple
+    # stable mergesorts of the full frame and blows the batch cap.
+    n_got_raw = con.execute(
+        f"SELECT count(*) FROM read_parquet({pq!r})").fetchone()[0]
+    if n_got_raw > 5_000_000:
+        return banded_sql(con, pq, name, twin, oracle)
     got = norm(con.execute(f"SELECT * FROM read_parquet({pq!r})").df())
     want = norm(con.execute(oracle[twin]).df())
     if list(got.columns) != list(want.columns):
