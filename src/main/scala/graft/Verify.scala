@@ -93,6 +93,11 @@ object Verify {
             s"${q("worst")}: ${b.worst}, ${q("bound")}: ${b.bound}, ${q("band_pass")}: ${b.pass}}")
         .mkString("{", ",", "}")
       Files.writeString(Paths.get(s"$outDir/band_checks.json"), bandJson)
+    } else {
+      // the sidecar describes THIS run: a targeted run that skipped the
+      // band checks must not leave a previous run's results for check.py
+      // to report as fresh (r15 self-review — stale-sidecar gate)
+      Files.deleteIfExists(Paths.get(s"$outDir/band_checks.json"))
     }
     Files.writeString(
       Paths.get(s"$outDir/failures.json"),

@@ -33,11 +33,17 @@ package graft.sinks
 final class GcsObjectStore(endpoint: String, bucket: String, timeoutMs: Int = 30000)
     extends ObjectStore {
 
-  /** Sink-level canned ACL → the GCS `predefinedAcl` enum value. */
-  private def gcsAcl(acl: String): String = acl match {
-    case "public-read" => "publicRead"
-    case other => other
-  }
+  /** Sink-level (S3-style kebab-case) canned ACL → the GCS
+    * `predefinedAcl` camelCase enum. Generic kebab→camel for the whole
+    * canned family (r15 self-review: mapping only "public-read" let any
+    * other valid canned ACL reach a GCS endpoint verbatim, turning a
+    * config-level spelling issue into per-record 400-swallow failures).
+    */
+  private[sinks] def gcsAcl(acl: String): String =
+    acl.split('-').toList match {
+      case head :: tail => head + tail.map(_.capitalize).mkString
+      case Nil => acl
+    }
 
   private[sinks] def urlFor(key: String, acl: String): java.net.URL = {
     val enc = java.net.URLEncoder.encode(key, "UTF-8")
@@ -48,28 +54,12 @@ final class GcsObjectStore(endpoint: String, bucket: String, timeoutMs: Int = 30
       .toURL
   }
 
-  override def put(key: String, bytes: Array[Byte], contentType: String, acl: String): Unit = {
-    val conn = urlFor(key, acl).openConnection().asInstanceOf[java.net.HttpURLConnection]
-    try {
-      conn.setConnectTimeout(timeoutMs)
-      conn.setReadTimeout(timeoutMs)
-      conn.setRequestMethod("POST")
-      conn.setDoOutput(true)
-      conn.setFixedLengthStreamingMode(bytes.length)
-      conn.setRequestProperty("Content-Type", contentType)
-      val out = conn.getOutputStream
-      try out.write(bytes)
-      finally out.close()
-      val code = conn.getResponseCode
-      // drain so the connection is reusable, then judge the status
-      val stream = if (code >= 400) conn.getErrorStream else conn.getInputStream
-      if (stream != null) {
-        val buf = new Array[Byte](4096)
-        while (stream.read(buf) >= 0) ()
-        stream.close()
-      }
-      if (code < 200 || code >= 300)
-        throw new java.io.IOException(s"media upload $key -> HTTP $code")
-    } finally conn.disconnect()
-  }
+  override def put(key: String, bytes: Array[Byte], contentType: String, acl: String): Unit =
+    HttpSend.send(
+      urlFor(key, acl),
+      "POST",
+      Seq("Content-Type" -> contentType),
+      bytes,
+      timeoutMs,
+      what = s"media upload $key")
 }

@@ -40,30 +40,12 @@ final class HttpObjectStore(endpoint: String, timeoutMs: Int = 30000) extends Ob
   private[sinks] def urlFor(key: String): java.net.URL =
     new java.net.URI(base.getScheme, base.getAuthority, s"${base.getPath}/$key", null, null).toURL
 
-  override def put(key: String, bytes: Array[Byte], contentType: String, acl: String): Unit = {
-    val url = urlFor(key)
-    val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
-    try {
-      conn.setConnectTimeout(timeoutMs)
-      conn.setReadTimeout(timeoutMs)
-      conn.setRequestMethod("PUT")
-      conn.setDoOutput(true)
-      conn.setFixedLengthStreamingMode(bytes.length)
-      conn.setRequestProperty("Content-Type", contentType)
-      conn.setRequestProperty("x-amz-acl", acl)
-      val out = conn.getOutputStream
-      try out.write(bytes)
-      finally out.close()
-      val code = conn.getResponseCode
-      // drain so the connection is reusable, then judge the status
-      val stream = if (code >= 400) conn.getErrorStream else conn.getInputStream
-      if (stream != null) {
-        val buf = new Array[Byte](4096)
-        while (stream.read(buf) >= 0) ()
-        stream.close()
-      }
-      if (code < 200 || code >= 300)
-        throw new java.io.IOException(s"PUT $key -> HTTP $code")
-    } finally conn.disconnect()
-  }
+  override def put(key: String, bytes: Array[Byte], contentType: String, acl: String): Unit =
+    HttpSend.send(
+      urlFor(key),
+      "PUT",
+      Seq("Content-Type" -> contentType, "x-amz-acl" -> acl),
+      bytes,
+      timeoutMs,
+      what = s"PUT $key")
 }

@@ -251,7 +251,6 @@ class ClusterSpec extends SparkSuite {
           exception: Exception): Unit = ()
     }
     val pairs = (1L to 7L).map(i => (i, i + 1)).toDF("a", "b")
-    val want = DedupClusters.clusters(pairs, "a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     var rounds = 0
     spark.listenerManager.register(listener)
     val got =
@@ -262,6 +261,15 @@ class ClusterSpec extends SparkSuite {
         .sorted
         .toSeq
       finally spark.listenerManager.unregister(listener)
+    // the default-budget reference run happens AFTER unregistering: the
+    // listener bus is async, so a run issued just before register() could
+    // leak its own count events into the tally (r15 self-review)
+    val want = DedupClusters
+      .clusters(pairs, "a", "b")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sorted
+      .toSeq
     assert(got == want, "forced-extension labels differ from the default-budget run")
     assert(rounds > 2, s"extension never needed: converged in $rounds rounds at base 2")
     var last = -1
