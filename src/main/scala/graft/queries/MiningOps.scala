@@ -1828,9 +1828,18 @@ object MiningOps {
         col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"), col("c_custkey"))
       .agg(sum(cents(col("o_totalprice"))).as("cents"))
+    // localCheckpoint PINS the slice assignment by data (r15 VERDICT —
+    // same hazard class as rankMatrix, QualityOps): both the `local`
+    // rank/cumsum branch and the `offsets` partials branch re-derive
+    // spark_partition_id() from this subplan, and without the pin their
+    // agreement rests on exchange reuse — a canonicalization miss (or
+    // spark.sql.exchange.reuse.enabled=false) would let the range
+    // sampler pick different boundaries per instantiation and silently
+    // corrupt ranks.
     val sliced = spend
       .repartitionByRange(col("c_mktsegment"), col("cents").desc, col("c_custkey"))
       .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
     val wLocal = Window
       .partitionBy("c_mktsegment", "pid")
       .orderBy(col("cents").desc, col("c_custkey"))

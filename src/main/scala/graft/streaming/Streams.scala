@@ -651,15 +651,25 @@ object Streams {
     */
   def windowDistinct(events: DataFrame, withWatermark: Boolean): DataFrame = {
     val src = if (withWatermark) events.withWatermark("ts", "10 minutes") else events
-    // project ts AWAY once the window is derived: the window struct
-    // inherits the event-time watermark, and a stream may carry at most
-    // ONE event-time column into a stateful operator
-    val keyed = src.select(col("user_id"), window(col("ts"), "5 minutes").as("win"))
+    // Dedup on a PLAIN 5-minute slot column (≡ the window start), NOT on
+    // the window struct, keeping ts as the stream's single event-time
+    // column. r16 fix: with the window struct as the dedup key's
+    // event-time carrier, dropDuplicatesWithinWatermark's state was
+    // measured evicted at the very first watermark advance (well before
+    // ts + delay), so a duplicate arriving in a later trigger was
+    // re-counted — dedup held only within one micro-batch. With ts as
+    // the event-time column the state lives until the watermark passes
+    // ts + delay, the documented within-watermark contract
+    // (RestartSpec pins the cross-trigger AND cross-restart dedup).
+    val slotUs = 300000000L // 5 min in micros
+    val keyed = src.withColumn(
+      "slot",
+      timestamp_micros(floor(unix_micros(col("ts")) / slotUs) * slotUs))
     val dedup =
-      if (withWatermark) keyed.dropDuplicatesWithinWatermark("user_id", "win")
-      else keyed.dropDuplicates("user_id", "win")
+      if (withWatermark) keyed.dropDuplicatesWithinWatermark("user_id", "slot")
+      else keyed.dropDuplicates("user_id", "slot")
     dedup
-      .groupBy(col("win"))
+      .groupBy(window(col("ts"), "5 minutes").as("win"))
       .agg(count(lit(1)).as("n_users"))
       .select(col("win.start").as("ws"), col("win.end").as("we"), col("n_users"))
   }
