@@ -45,8 +45,14 @@ final class GcsObjectStore(endpoint: String, bucket: String, timeoutMs: Int = 30
       case Nil => acl
     }
 
-  private[sinks] def urlFor(key: String, acl: String): java.net.URL = {
-    val enc = java.net.URLEncoder.encode(key, "UTF-8")
+  private[graft] def urlFor(key: String, acl: String): java.net.URL = {
+    // RFC-3986 percent-encoding for the query VALUE (r15 ADVICE):
+    // URLEncoder emits form encoding, where a space becomes '+'; a
+    // server parsing the query per RFC 3986 (no form semantics) would
+    // store such a key with a literal '+'. '%20' decodes to a space
+    // under BOTH conventions, so the key round-trips either way; a
+    // literal '+' in the key is already '%2B' after encode.
+    val enc = java.net.URLEncoder.encode(key, "UTF-8").replace("+", "%20")
     java.net.URI
       .create(
         s"${endpoint.stripSuffix("/")}/upload/storage/v1/b/$bucket/o" +

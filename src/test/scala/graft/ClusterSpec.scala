@@ -184,6 +184,37 @@ class ClusterSpec extends SparkSuite {
     assert(second.getString(2) == "10,11")
   }
 
+  /** Drain the async listener bus BEFORE registering a counting listener
+    * (r15 ADVICE): events from earlier tests' actions are posted to a
+    * FIFO bus, so a straggler still queued at register() time would be
+    * dispatched to the new listener and inflate an exact-count assert.
+    * A sentinel action with a recognizable literal is run under a
+    * throwaway listener; once the sentinel's own event arrives, every
+    * event queued before it has been dispatched.
+    */
+  private def drainListenerBus(): Unit = {
+    val sentinelLo = 918273645L
+    val seen = new java.util.concurrent.CountDownLatch(1)
+    val marker = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(
+          funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        if (qe.analyzed.toString.contains(sentinelLo.toString)) seen.countDown()
+      override def onFailure(
+          funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(marker)
+    try {
+      spark.range(sentinelLo, sentinelLo + 1).toDF().count(): Unit
+      assert(
+        seen.await(30, java.util.concurrent.TimeUnit.SECONDS),
+        "listener bus failed to deliver the drain sentinel within 30 s")
+    } finally spark.listenerManager.unregister(marker)
+  }
+
   test("one driver action per propagation round (r13 fused convergence pin)") {
     // regression pin for the r13 lazy-checkpoint + fused-count round: a
     // reintroduced eager-checkpoint-plus-probe round would double the
@@ -203,6 +234,7 @@ class ClusterSpec extends SparkSuite {
     // regression clearly separates from the constant setup cost
     val pairs = (1L to 7L).map(i => (i, i + 1)).toDF("a", "b")
     var rounds = 0
+    drainListenerBus()
     spark.listenerManager.register(listener)
     val labels =
       try DedupClusters
@@ -252,6 +284,7 @@ class ClusterSpec extends SparkSuite {
     }
     val pairs = (1L to 7L).map(i => (i, i + 1)).toDF("a", "b")
     var rounds = 0
+    drainListenerBus()
     spark.listenerManager.register(listener)
     val got =
       try DedupClusters

@@ -85,7 +85,13 @@ final class GcsStub(bucket: String) {
           .getOrElse(Seq.empty)
           .flatMap { kv =>
             kv.split("=", 2) match {
-              case Array(k, v) => Some(k -> java.net.URLDecoder.decode(v, "UTF-8"))
+              // STRICT RFC-3986 decode (r15 ADVICE): percent-escapes
+              // only, a literal '+' stays '+'. This is the parsing
+              // convention the store's query encoding must survive —
+              // URLDecoder's form semantics would mask a space-as-'+'
+              // encoding bug by decoding it back to a space.
+              case Array(k, v) =>
+                Some(k -> java.net.URLDecoder.decode(v.replace("+", "%2B"), "UTF-8"))
               case _ => None
             }
           }
@@ -285,7 +291,15 @@ class ObjectSinkCloudSpec extends SparkSuite {
     val stub = new GcsStub("tiles")
     try {
       val store = new graft.sinks.GcsObjectStore(stub.endpoint, "tiles")
-      val keys = Seq("it/6/hash#frag", "it/6/q?x=1&y=2", "it/6/with space", "it/6/pct%lit")
+      // the store must emit RFC-3986 '%20' for a space (never form
+      // encoding's '+' — the stub parses the query STRICTLY, so a '+'
+      // would be stored verbatim and fail the round-trip below) and
+      // '%2B' for a literal '+'
+      val raw = store.urlFor("it/6/with space", "public-read").toString
+      assert(raw.contains("name=it%2F6%2Fwith%20space"), raw)
+      assert(!raw.contains("+"), s"form-encoded space leaked into the query: $raw")
+      val keys =
+        Seq("it/6/hash#frag", "it/6/q?x=1&y=2", "it/6/with space", "it/6/pct%lit", "it/6/a+b")
       val df = keys.map(k => (k, s"gcs-$k".getBytes("UTF-8"))).toDF("object_key", "content")
       val (ok, failed, _) = ObjectSink.write(df, store, "object_key", "content", "image/jpg")
       assert(ok == keys.size && failed == 0, s"ok=$ok failed=$failed")

@@ -35,6 +35,12 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 # so the ×10 dup-mode pair explosions stay inside the batch cap.
 RESIDUAL_SAMPLE_CAP = 2_000_000
 
+# The oracle-less entries certified by Verify's in-run error bands
+# (BandChecks.scala). Their PASS/FAIL comes from the band_checks.json
+# sidecar; when an in-scope entry is missing from it, main() FAILS that
+# entry loudly instead of letting it drop out of the tally (r15 ADVICE).
+BAND_ENTRIES = ["q_agg_approx", "q_agg_percentile_approx", "q_text_compressibility"]
+
 RESIDUAL_REPLAY = {
     "q_dedup_embed": {
         "ids": ["v1", "v2"],
@@ -145,14 +151,18 @@ def banded_sql(con, pq, name, twin, oracle):
     cols = [d[0] for d in con.execute(
         f"SELECT * FROM read_parquet({pq!r}) LIMIT 0").description]
     collist = ", ".join(sorted(cols))
+    # compare column SETS before projecting (r15 ADVICE): projecting the
+    # engine's column list out of the oracle first would throw a Binder
+    # error (traceback, not a diagnostic) when the oracle lacks one
+    wcols = sorted(d[0] for d in con.execute(
+        f"SELECT * FROM ({oracle[twin]}) LIMIT 0").description)
+    if sorted(cols) != wcols:
+        print(f"FAIL {name}: banded columns {sorted(cols)} vs {wcols}")
+        return False
     con.execute(f"CREATE OR REPLACE TEMP VIEW got_v AS SELECT {collist} FROM read_parquet({pq!r})")
     con.execute(f"CREATE OR REPLACE TEMP TABLE want_t AS SELECT {collist} FROM ({oracle[twin]})")
     n_got = con.execute("SELECT count(*) FROM got_v").fetchone()[0]
     n_want = con.execute("SELECT count(*) FROM want_t").fetchone()[0]
-    wcols = sorted(d[0] for d in con.execute("SELECT * FROM want_t LIMIT 0").description)
-    if sorted(cols) != wcols:
-        print(f"FAIL {name}: banded columns {sorted(cols)} vs {wcols}")
-        return False
     if n_got < n_want:
         print(f"FAIL {name}: engine rows {n_got} < banded twin rows {n_want}")
         return False
@@ -398,16 +408,27 @@ def main():
     # r14 ask #4): surface them in the same gate so a violated band reads
     # as a FAIL here too, not only in Verify's exit code
     band_path = os.path.join(out_dir, "band_checks.json")
-    if os.path.exists(band_path):
-        for name, b in sorted(json.load(open(band_path)).items()):
-            if only and name not in only:
-                continue
-            if b.get("band_pass"):
-                print(f"PASS {name} (band: {b['check']} = {b['worst']} <= {b['bound']})")
-                n_pass += 1
-            else:
-                print(f"FAIL {name}: band violated: {b['check']} = {b['worst']} > {b['bound']}")
-                n_fail += 1
+    bands = json.load(open(band_path)) if os.path.exists(band_path) else {}
+    # every band entry IN SCOPE must be accounted for (r15 ADVICE): a
+    # missing sidecar (targeted Verify deleted it, or Verify crashed
+    # before writing it) must read as FAIL for the in-scope band
+    # entries, not as a silently smaller tally
+    in_scope = [n for n in BAND_ENTRIES if not only or n in only]
+    for name in in_scope:
+        if name not in bands:
+            print(f"FAIL {name}: band entry in scope but absent from "
+                  f"{'missing sidecar' if not bands else 'sidecar'} {band_path} "
+                  f"— rerun Verify over the band entries")
+            n_fail += 1
+    for name, b in sorted(bands.items()):
+        if only and name not in only:
+            continue
+        if b.get("band_pass"):
+            print(f"PASS {name} (band: {b['check']} = {b['worst']} <= {b['bound']})")
+            n_pass += 1
+        else:
+            print(f"FAIL {name}: band violated: {b['check']} = {b['worst']} > {b['bound']}")
+            n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail")
     sys.exit(1 if n_fail else 0)
 
