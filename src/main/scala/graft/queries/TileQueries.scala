@@ -259,6 +259,25 @@ object TileQueries {
             |SELECT 'resync', CAST(0 AS BIGINT), n, CAST(0 AS BIGINT) FROM n
             |ORDER BY phase""".stripMargin),
       bench = false),
+    "tile_delta_sync_digest" -> Q(
+      TileCacheQueries.deltaSyncDigest,
+      // After the same-length corruption of exactly ONE bucket object,
+      // the (key, length) quick-check resync must skip ALL N tiles (the
+      // documented blind spot) and the digest-mode resync must re-upload
+      // EXACTLY one — a digest that misses the corruption, or one that
+      // spuriously re-uploads clean tiles, breaks the hash match. N is
+      // the same arithmetic present-set as `tile_delta_sync`.
+      Some(
+        TileCacheQueries.fixtureCte +
+          """, n AS (SELECT count(1) AS n FROM present)
+            |SELECT 'initial' AS phase, n AS uploaded,
+            | CAST(0 AS BIGINT) AS skipped, CAST(0 AS BIGINT) AS failed FROM n
+            |UNION ALL
+            |SELECT 'resync_length', CAST(0 AS BIGINT), n, CAST(0 AS BIGINT) FROM n
+            |UNION ALL
+            |SELECT 'resync_digest', CAST(1 AS BIGINT), n - 1, CAST(0 AS BIGINT) FROM n
+            |ORDER BY phase""".stripMargin),
+      bench = false),
     "tile_pyramid_rollup" -> Q(
       tilePyramidRollup,
       Some(

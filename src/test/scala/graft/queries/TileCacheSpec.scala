@@ -254,6 +254,26 @@ class TileCacheSpec extends SparkSuite {
     assert(s3 == u1 - 2) // unchanged tiles minus the deleted and modified ones
   }
 
+  test("delta sync digest mode catches a same-length byte change the quick check misses (r16)") {
+    val root = TileCacheQueries.ensureFixture()
+    val bucket = java.nio.file.Files.createTempDirectory("graft_delta_digest_spec").toFile
+    val (u1, s1, f1) = TileCacheQueries.deltaUpload(spark, root, bucket, digest = true)
+    assert(u1 > 0 && s1 == 0 && f1 == 0)
+    // same-length corruption of ONE bucket object (XOR 0xFF keeps the
+    // byte length, so the (key, length) quick check cannot see it)
+    val key = TileCacheQueries.corruptFirstObject(bucket)
+    assert(key.nonEmpty && !key.startsWith("_meta/"))
+    // length-mode resync: the pinned blind spot — skips EVERYTHING
+    val (u2, s2, f2) = TileCacheQueries.deltaUpload(spark, root, bucket)
+    assert(u2 == 0 && s2 == u1 && f2 == 0, s"quick check saw the corruption: $u2 uploaded")
+    // digest-mode resync: exactly the corrupted object re-uploads
+    val (u3, s3, f3) = TileCacheQueries.deltaUpload(spark, root, bucket, digest = true)
+    assert(u3 == 1 && s3 == u1 - 1 && f3 == 0, s"digest resync uploaded $u3, skipped $s3")
+    // the re-upload REPAIRED the object: a second digest resync is clean
+    val (u4, s4, f4) = TileCacheQueries.deltaUpload(spark, root, bucket, digest = true)
+    assert(u4 == 0 && s4 == u1 && f4 == 0)
+  }
+
   test("HadoopFsStore writes the same PUT contract through the hadoop-fs API (cloud swap-in)") {
     import graft.sinks.{HadoopFsStore, ObjectSink}
     val root = java.nio.file.Files.createTempDirectory("graft_hfs_bucket").toFile
