@@ -128,6 +128,22 @@ ORDER BY d1, d2""",
 }
 
 
+def record_cert(out_dir, name, **fields):
+    """Machine-readable banded-certification coverage sidecar (r15 VERDICT
+    ask #5): per entry — twin rows, residual rows replayed vs total,
+    sample divisor, stratification, PASS/FAIL — so the driver (and the
+    ×10/×63 recert tooling) reads certification SCOPE from data instead
+    of parsing prose. Accumulates across per-entry --banded invocations.
+    Path: $GRAFT_BANDED_CERT_OUT or <out_dir>/banded_cert.json.
+    """
+    path = os.environ.get("GRAFT_BANDED_CERT_OUT") or os.path.join(
+        out_dir, "banded_cert.json")
+    data = json.load(open(path)) if os.path.exists(path) else {}
+    data[name] = fields
+    with open(path, "w") as f:
+        json.dump(data, f, indent=1, sort_keys=True)
+
+
 def resolve_replay(name, oracle):
     """RESIDUAL_REPLAY entry -> {ids, sql}, expanding {oracle[<entry>]}
     placeholders from the run's own oracle_sql.json (one signature
@@ -142,7 +158,23 @@ def resolve_replay(name, oracle):
     return {"ids": r["ids"], "sql": sql}
 
 
-def banded_sql(con, pq, name, twin, oracle):
+def stratified_sample_sql(con, src, collist, ids, stride, dest="resid_s"):
+    """Deterministic STRATIFIED residual sample (r15 VERDICT ask #5): the
+    old uniform pair-hash sample could leave small strata with ZERO
+    replayed rows while the value bugs the capped twins exist for
+    concentrate in specific cliques. Stratum = the first id (each clique
+    of size k appears as id0 groups of sizes k-1..1, so coverage is
+    clique-proportional); every stratum replays ceil(n_g/stride) rows —
+    at least one — via a per-group row_number, deterministic by the
+    (id0, id1) ordering.
+    """
+    con.execute(
+        f"CREATE OR REPLACE TEMP TABLE {dest} AS SELECT {collist} FROM ("
+        f"SELECT *, row_number() OVER (PARTITION BY {ids[0]} ORDER BY {ids[1]}) AS rn "
+        f"FROM {src}) WHERE (rn - 1) % {stride} = 0")
+
+
+def banded_sql(con, pq, name, twin, oracle, out_dir):
     """The banded cert's LARGE path: identical semantics to banded(), but
     set-algebra (presence, residual, sample, replay compare) runs as
     DuckDB EXCEPT/joins over the parquet directly — no pandas
@@ -158,6 +190,7 @@ def banded_sql(con, pq, name, twin, oracle):
         f"SELECT * FROM ({oracle[twin]}) LIMIT 0").description)
     if sorted(cols) != wcols:
         print(f"FAIL {name}: banded columns {sorted(cols)} vs {wcols}")
+        record_cert(out_dir, name, twin=twin, mode="columns_mismatch", passed=False)
         return False
     con.execute(f"CREATE OR REPLACE TEMP VIEW got_v AS SELECT {collist} FROM read_parquet({pq!r})")
     con.execute(f"CREATE OR REPLACE TEMP TABLE want_t AS SELECT {collist} FROM ({oracle[twin]})")
@@ -165,30 +198,38 @@ def banded_sql(con, pq, name, twin, oracle):
     n_want = con.execute("SELECT count(*) FROM want_t").fetchone()[0]
     if n_got < n_want:
         print(f"FAIL {name}: engine rows {n_got} < banded twin rows {n_want}")
+        record_cert(out_dir, name, twin=twin, engine_rows=n_got, twin_rows=n_want,
+                    mode="undercount", passed=False)
         return False
     if n_want == 0:
         print(f"FAIL {name}: banded twin returned 0 rows against {n_got} engine rows — nothing certified")
+        record_cert(out_dir, name, twin=twin, engine_rows=n_got, twin_rows=0,
+                    mode="vacuous_twin", passed=False)
         return False
     missing = con.execute(
         f"SELECT count(*) FROM (SELECT {collist} FROM want_t EXCEPT SELECT {collist} FROM got_v)"
     ).fetchone()[0]
     if missing:
         print(f"FAIL {name}: {missing} banded-twin rows absent from engine output")
+        record_cert(out_dir, name, twin=twin, engine_rows=n_got, twin_rows=n_want,
+                    mode="twin_rows_missing", passed=False)
         return False
     replay = resolve_replay(name, oracle)
     if replay is None:
         print(f"PASS {name} (banded twin {twin}: {n_want} of {n_got} rows value-certified)")
+        record_cert(out_dir, name, twin=twin, engine_rows=n_got, twin_rows=n_want,
+                    residual_total=n_got - n_want, residual_replayed=0,
+                    sample_divisor=None, stratified=False, mode="twin_subset",
+                    passed=True)
         return True
     if n_got > 500_000_000:
         # the EXCEPT below materializes the full engine frame as a temp
         # table — past half a billion rows that is a disk-wall, not a
-        # cert. Certify presence only and say so LOUDLY; the sampled
+        # cert. Certify presence only and say so LOUDLY; the stratified
         # value-replay still runs, directly against a sample of got.
         stride = (n_got + RESIDUAL_SAMPLE_CAP - 1) // RESIDUAL_SAMPLE_CAP
         ids0 = replay["ids"]
-        con.execute(
-            f"CREATE OR REPLACE TEMP TABLE resid_s AS SELECT {collist} FROM got_v "
-            f"WHERE (CAST({ids0[0]} AS HUGEINT) * 2654435761 + {ids0[1]}) % {stride} = 0")
+        stratified_sample_sql(con, "got_v", collist, ids0, stride)
         con.execute(f"CREATE OR REPLACE TEMP TABLE residual_pairs AS SELECT {', '.join(ids0)} FROM resid_s")
         n_samp = con.execute("SELECT count(*) FROM resid_s").fetchone()[0]
         con.execute(f"CREATE OR REPLACE TEMP TABLE replay_t AS SELECT {collist} FROM ({replay['sql']})")
@@ -196,13 +237,18 @@ def banded_sql(con, pq, name, twin, oracle):
         mism = con.execute(
             f"SELECT count(*) FROM (SELECT {collist} FROM resid_s EXCEPT SELECT {collist} FROM replay_t)"
         ).fetchone()[0]
-        if n_rep != n_samp or mism:
+        ok = n_rep == n_samp and not mism
+        record_cert(out_dir, name, twin=twin, engine_rows=n_got, twin_rows=n_want,
+                    residual_total=n_got, residual_replayed=n_samp,
+                    sample_divisor=stride, stratified=True,
+                    mode="presence_plus_stratified_sample", passed=ok)
+        if not ok:
             print(f"FAIL {name}: sampled value-replay mismatch ({n_rep} replay rows for "
                   f"{n_samp} sampled engine rows, {mism} value diffs)")
             return False
         print(f"PASS {name} (banded twin {twin}: {n_want} rows presence-certified + "
-              f"value-replay of a deterministic 1/{stride} engine sample ({n_samp} rows) "
-              f"of {n_got} total — residual EXCEPT skipped past 500M rows)")
+              f"value-replay of a deterministic stratified 1/{stride}-per-stratum engine "
+              f"sample ({n_samp} rows) of {n_got} total — residual EXCEPT skipped past 500M rows)")
         return True
     ids = replay["ids"]
     con.execute(
@@ -211,27 +257,38 @@ def banded_sql(con, pq, name, twin, oracle):
     n_resid = con.execute("SELECT count(*) FROM resid_t").fetchone()[0]
     if n_resid == 0:
         print(f"PASS {name} (banded twin {twin}: {n_want} of {n_got} rows value-certified — full cover)")
+        record_cert(out_dir, name, twin=twin, engine_rows=n_got, twin_rows=n_want,
+                    residual_total=0, residual_replayed=0, sample_divisor=None,
+                    stratified=False, mode="full_cover", passed=True)
         return True
     sampled = ""
     src = "resid_t"
+    stride = None
     if n_resid > RESIDUAL_SAMPLE_CAP:
         stride = (n_resid + RESIDUAL_SAMPLE_CAP - 1) // RESIDUAL_SAMPLE_CAP
-        con.execute(
-            f"CREATE OR REPLACE TEMP TABLE resid_s AS SELECT * FROM resid_t "
-            f"WHERE (CAST({ids[0]} AS HUGEINT) * 2654435761 + {ids[1]}) % {stride} = 0")
+        stratified_sample_sql(con, "resid_t", collist, ids, stride)
         src = "resid_s"
-        sampled = f" (deterministic 1/{stride} sample of {n_resid})"
+        sampled = f" (deterministic stratified 1/{stride}-per-stratum sample of {n_resid})"
     con.execute(f"CREATE OR REPLACE TEMP TABLE residual_pairs AS SELECT {', '.join(ids)} FROM {src}")
     n_samp = con.execute(f"SELECT count(*) FROM {src}").fetchone()[0]
     con.execute(f"CREATE OR REPLACE TEMP TABLE replay_t AS SELECT {collist} FROM ({replay['sql']})")
     n_rep = con.execute("SELECT count(*) FROM replay_t").fetchone()[0]
+    ok = n_rep == n_samp
+    mism = 0
+    if ok:
+        mism = con.execute(
+            f"SELECT count(*) FROM (SELECT {collist} FROM {src} EXCEPT SELECT {collist} FROM replay_t)"
+        ).fetchone()[0]
+        ok = not mism
+    record_cert(out_dir, name, twin=twin, engine_rows=n_got, twin_rows=n_want,
+                residual_total=n_resid, residual_replayed=n_samp,
+                sample_divisor=stride, stratified=stride is not None,
+                mode="residual_replay" if stride is None else "stratified_sampled_residual_replay",
+                passed=ok)
     if n_rep != n_samp:
         print(f"FAIL {name}: residual replay produced {n_rep} rows for {n_samp} engine rows "
               f"(an engine row's recomputed value fell outside the entry's own filter)")
         return False
-    mism = con.execute(
-        f"SELECT count(*) FROM (SELECT {collist} FROM {src} EXCEPT SELECT {collist} FROM replay_t)"
-    ).fetchone()[0]
     if mism:
         print(f"FAIL {name}: residual value-replay mismatch on {mism} rows")
         return False
@@ -260,7 +317,7 @@ def banded(con, out_dir, name, twin):
     n_got_raw = con.execute(
         f"SELECT count(*) FROM read_parquet({pq!r})").fetchone()[0]
     if n_got_raw > 5_000_000:
-        return banded_sql(con, pq, name, twin, oracle)
+        return banded_sql(con, pq, name, twin, oracle, out_dir)
     got = norm(con.execute(f"SELECT * FROM read_parquet({pq!r})").df())
     want = norm(con.execute(oracle[twin]).df())
     if list(got.columns) != list(want.columns):
@@ -301,35 +358,54 @@ def banded(con, out_dir, name, twin):
         ids = replay["ids"]
         n_resid = len(resid)
         sampled = ""
+        stride = None
         if n_resid > RESIDUAL_SAMPLE_CAP:
-            # deterministic arithmetic sample on the id pair (no RNG):
-            # stable across runs and machines
+            # deterministic STRATIFIED sample (r15 ask #5, same contract
+            # as stratified_sample_sql): every id0 stratum replays
+            # ceil(n_g/stride) rows — no RNG, stable across machines
             stride = (n_resid + RESIDUAL_SAMPLE_CAP - 1) // RESIDUAL_SAMPLE_CAP
-            keep = (resid[ids[0]] * 2654435761 + resid[ids[1]]) % stride == 0
+            resid = resid.sort_values(by=ids, kind="mergesort")
+            keep = resid.groupby(ids[0]).cumcount() % stride == 0
             resid = resid[keep]
-            sampled = f" (deterministic 1/{stride} sample of {n_resid})"
+            sampled = f" (deterministic stratified 1/{stride}-per-stratum sample of {n_resid})"
         con.register("residual_pairs", resid[ids])
         try:
             rep = norm(con.execute(replay["sql"]).df())
         finally:
             con.unregister("residual_pairs")
         r = norm(resid)
+        def cert(ok):
+            record_cert(out_dir, name, twin=twin, engine_rows=len(got),
+                        twin_rows=len(want), residual_total=n_resid,
+                        residual_replayed=len(r), sample_divisor=stride,
+                        stratified=stride is not None,
+                        mode="residual_replay" if stride is None
+                        else "stratified_sampled_residual_replay", passed=ok)
         if len(rep) != len(r):
+            cert(False)
             print(f"FAIL {name}: residual replay produced {len(rep)} rows for {len(r)} engine rows "
                   f"(an engine row's recomputed value fell outside the entry's own filter)")
             return False
         try:
             pd.testing.assert_frame_equal(r, rep, check_exact=True)
         except AssertionError as e:
+            cert(False)
             print(f"FAIL {name}: residual value-replay mismatch: {str(e).splitlines()[:4]}")
             return False
+        cert(True)
         print(f"PASS {name} (banded twin {twin}: {len(want)} rows + residual replay {len(r)} rows{sampled} "
               f"of {len(got)} total; completeness certified on the banded subset)")
         return True
     if len(resid) == 0:
         print(f"PASS {name} (banded twin {twin}: {len(want)} of {len(got)} rows value-certified — full cover)")
+        record_cert(out_dir, name, twin=twin, engine_rows=len(got), twin_rows=len(want),
+                    residual_total=0, residual_replayed=0, sample_divisor=None,
+                    stratified=False, mode="full_cover", passed=True)
         return True
     print(f"PASS {name} (banded twin {twin}: {len(want)} of {len(got)} rows value-certified)")
+    record_cert(out_dir, name, twin=twin, engine_rows=len(got), twin_rows=len(want),
+                residual_total=len(resid), residual_replayed=0, sample_divisor=None,
+                stratified=False, mode="twin_subset", passed=True)
     return True
 
 
