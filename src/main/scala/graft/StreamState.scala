@@ -57,7 +57,7 @@ object StreamState {
       mk: Seq[DataFrame] => DataFrame,
       sources: Int = 1)
 
-  private def probes: Seq[Probe] = Seq(
+  private[graft] def probes: Seq[Probe] = Seq(
     // windowed aggregates — watermark-evicted, window count ~ time range
     Probe("s_stream_tumbling", "events", "window", "append", s => Streams.tumbling(s.head, withWatermark = true)),
     Probe("s_stream_sliding", "events", "window", "append", s => Streams.sliding(s.head, withWatermark = true)),
@@ -93,7 +93,7 @@ object StreamState {
     * wants a directory, and pre-converting keeps the stream schema free
     * of the nanos-as-long layout adaptivity (state sizes are unaffected).
     */
-  private def prepFeed(spark: SparkSession, sfDir: String, table: String, scratch: String): String = {
+  private[graft] def prepFeed(spark: SparkSession, sfDir: String, table: String, scratch: String): String = {
     val dir = new java.io.File(scratch, s"${table}_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}")
     if (!new java.io.File(dir, "_SUCCESS").exists()) {
       Tables.table(spark, sfDir, table).write.mode("overwrite").parquet(dir.toString)
@@ -103,7 +103,7 @@ object StreamState {
 
   final case class Peak(rows: Long, bytes: Long, batches: Int)
 
-  private def run(spark: SparkSession, feedDir: String, p: Probe): Peak = {
+  private[graft] def run(spark: SparkSession, feedDir: String, p: Probe): Peak = {
     val sch = spark.read.parquet(feedDir).schema
     def src() = spark.readStream.schema(sch).parquet(feedDir)
     val df = p.mk((1 to p.sources).map(_ => src()))
