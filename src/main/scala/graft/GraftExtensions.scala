@@ -76,6 +76,12 @@ object GraftExtensions {
         info("text_profile", "text_profile(text) - per-document text metrics struct"),
         (args: Seq[Expression]) => functions.TextProfile(one(args, "text_profile"))),
       (
+        FunctionIdentifier("readability_counts"),
+        info(
+          "readability_counts",
+          "readability_counts(text) - word / vowel-run / sentence-run counts struct"),
+        (args: Seq[Expression]) => functions.ReadabilityCounts(one(args, "readability_counts"))),
+      (
         FunctionIdentifier("text_fingerprint"),
         info("text_fingerprint", "text_fingerprint(text) - winnowing-lite fingerprint"),
         (args: Seq[Expression]) => functions.TextFingerprint(one(args, "text_fingerprint"))),

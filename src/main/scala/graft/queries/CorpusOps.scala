@@ -507,43 +507,52 @@ object CorpusOps {
     * of event count, the right asymptotic for a dense event stream.
     */
   def qEventsResample(spark: SparkSession, sfDir: String): DataFrame = {
+    // r16 restructure (guide §2.4 / §8 "decide with small rows"): the old
+    // shape materialized the hour grid from a SECOND events aggregation and
+    // left-joined observations back onto it — two corpus scans, a
+    // (user, hour) SMJ, and a fourth exchange for the LOCF window. But the
+    // grid is fully determined by the observation runs themselves: each
+    // observed bucket emits itself plus the gap slots up to the next
+    // observed bucket (lead), with the user's max bucket closing the last
+    // run — identical slot set, since the old grid spanned [min, max] event
+    // hours and every run boundary is an observed bucket. The LOCF value is
+    // resolved BEFORE the fan-out on the bucket rows (last ignoreNulls over
+    // the growing frame — null-valued buckets still carry the previous
+    // non-null value, the join shape's exact semantics), so the explode is
+    // a pure map-side generator. One events pass, two exchanges total
+    // (bucket agg, per-user window), no join. Oracle unchanged — proves
+    // slot-set and LOCF equivalence.
     val hourUs = 3600000000L
-    val ev = Tables.events(spark, sfDir)
-    val bucketed = ev.select(
-      col("user_id"),
-      timestamp_micros(expr(s"unix_micros(ts) div $hourUs") * hourUs).as("gt"),
-      col("value"),
-      col("ts"),
-      col("event_id"))
-    // renamed keys: grid and observations both descend from `ev`, so
-    // same-name columns would hit Spark's self-join ambiguity heuristic
-    val lastPerBucket = bucketed
-      .groupBy(col("user_id"), col("gt"))
+    val obs = Tables
+      .events(spark, sfDir)
+      .select(
+        col("user_id"),
+        expr(s"unix_micros(ts) div $hourUs").as("h"),
+        col("value"),
+        col("ts"),
+        col("event_id"))
+      .groupBy(col("user_id"), col("h"))
       .agg(max_by(col("value"), struct(col("ts"), col("event_id"))).as("v_last"))
-      .select(col("user_id").as("b_user"), col("gt").as("b_gt"), col("v_last"))
-    val grid = ev
-      .groupBy(col("user_id"))
-      .agg(
-        min(expr(s"unix_micros(ts) div $hourUs")).as("h0"),
-        max(expr(s"unix_micros(ts) div $hourUs")).as("h1"))
+    val byH = Window.partitionBy("user_id").orderBy(col("h").asc)
+    val grow = byH.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    obs
       .select(
         col("user_id"),
-        explode(sequence(col("h0"), col("h1"))).as("h"))
-      .select(col("user_id"), timestamp_micros(col("h") * hourUs).as("gt"))
-    val w = Window
-      .partitionBy("user_id")
-      .orderBy(col("gt").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grid
-      .join(
-        lastPerBucket,
-        col("user_id") === col("b_user") && col("gt") === col("b_gt"),
-        "left")
+        col("h"),
+        col("v_last").isNotNull.as("obs_here"),
+        last(col("v_last"), ignoreNulls = true).over(grow).as("v_fill"),
+        lead(col("h"), 1).over(byH).as("h_next"))
       .select(
         col("user_id"),
-        col("gt"),
-        col("v_last").isNotNull.cast("int").as("observed"),
-        last(col("v_last"), ignoreNulls = true).over(w).as("value_locf"))
+        col("h"),
+        col("obs_here"),
+        col("v_fill"),
+        explode(sequence(col("h"), coalesce(col("h_next") - 1, col("h")))).as("hh"))
+      .select(
+        col("user_id"),
+        timestamp_micros(col("hh") * hourUs).as("gt"),
+        (col("obs_here") && col("hh") === col("h")).cast("int").as("observed"),
+        col("v_fill").as("value_locf"))
       .orderBy("user_id", "gt")
   }
 
@@ -583,6 +592,11 @@ object CorpusOps {
         col("event_type").as("o_et"),
         col("bucket").as("o_bucket"),
         (col("s") / col("n")).as("v_obs"))
+      // materialize the ONE corpus-scale pass (r16, guide §2.4): obs is
+      // referenced by the span agg AND the grid join — uncheckpointed,
+      // each reference re-ran the events (type, bucket) aggregation.
+      // |types| × slots rows (wall-time-sized, not corpus-sized).
+      .localCheckpoint()
     val span = obs
       .groupBy(col("o_et"))
       .agg(min(col("o_bucket")).as("b0"), max(col("o_bucket")).as("b1"))

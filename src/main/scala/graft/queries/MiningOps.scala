@@ -71,11 +71,20 @@ object MiningOps {
     * IEEE sequence in both engines.
     */
   def qMarketBasket(spark: SparkSession, sfDir: String): DataFrame = {
+    // materialize the distinct (order, part) frame ONCE (r16, guide §2.4):
+    // it is referenced from FOUR plan positions (both self-join arms, the
+    // per-part counts, the order count), and each uncheckpointed reference
+    // re-derived the full lineitem scan + distinct shuffle — 28 Exchanges
+    // in the r16 before-plan for a query that needs 4. |items| rows of two
+    // LONGs, executor-local blocks; same fault-tolerance caveat as the
+    // graph edge cache.
     val items = Tables
       .lineitem(spark, sfDir)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .distinct()
-    val partCnt = items.groupBy(col("p")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    // |parts|-row count table: read by both lift factor joins
+    val partCnt = items.groupBy(col("p")).agg(count(lit(1)).as("cnt")).localCheckpoint()
     val nOrders = items.select(countDistinct(col("o")).as("n_orders"))
     items
       .as("a")
@@ -766,18 +775,33 @@ object MiningOps {
     * ≤|supplier|-row rollup; TakeOrdered 20.
     */
   def qTpchQ21(spark: SparkSession, sfDir: String): DataFrame = {
-    val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY")
+    // r16 (guide §2.3/§2.4): the original single groupBy with TWO distinct
+    // aggregates planned an Expand(×3) over the joined fact — 3× the rows
+    // through the partial agg and TWO fact-side exchanges. Rewritten as a
+    // two-level aggregation under ONE explicit orderkey hash exchange:
+    // HashPartitioning(l_orderkey) satisfies the (l_orderkey, l_suppkey)
+    // clustering (subset rule), so both groupBys run exchange-free on the
+    // repartitioned fact. Equivalence: per order, distinct suppliers ≡
+    // (okey, skey) groups; a supplier is late iff max(l_shipdate) over its
+    // lines exceeds the cutoff (o_orderdate is constant per order); the
+    // culprit is the min late supplier — identical to the countDistinct
+    // form on null-free l_suppkey (TPC-H keys are non-null; the oracle
+    // hash pins it).
+    val lateGrp = col("max_ship") > col("o_orderdate") + expr("INTERVAL 60 DAY")
     Tables
       .lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .repartition(col("l_orderkey"))
       .join(
         Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_orderdate")),
         col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("l_shipdate")).as("max_ship"), max(col("o_orderdate")).as("o_orderdate"))
       .groupBy(col("l_orderkey"))
       .agg(
-        countDistinct(col("l_suppkey")).as("ns"),
-        countDistinct(when(late, col("l_suppkey"))).as("nlate"),
-        min(when(late, col("l_suppkey"))).as("culprit"))
+        count(lit(1)).as("ns"),
+        sum(when(lateGrp, 1L).otherwise(0L)).as("nlate"),
+        min(when(lateGrp, col("l_suppkey"))).as("culprit"))
       .where(col("ns") >= 2 && col("nlate") === 1)
       .groupBy(col("culprit"))
       .agg(count(lit(1)).as("numwait"))
@@ -1642,6 +1666,11 @@ object MiningOps {
       .where(col("to_type").isNotNull)
       .groupBy(col("event_type").as("src"), col("to_type").as("dst"))
       .agg(count(lit(1)).as("w"))
+      // materialize the ONE corpus-scale pass (r16, guide §2.4): the
+      // per-user lead window + transition count is referenced from the
+      // out-weight agg, the frac join, and the node list — each
+      // uncheckpointed reference re-ran the events window. ≤ |types|² rows.
+      .localCheckpoint()
     val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("ow"))
     val frac = edges
       .join(outw, "src")

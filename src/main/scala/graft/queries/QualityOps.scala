@@ -95,16 +95,22 @@ object QualityOps {
     * are anchored character classes — linear scans, no backtracking.
     */
   def qTextReadability(spark: SparkSession, sfDir: String): DataFrame = {
-    val mark = "\u0001"
-    val vm = regexp_replace(lower(col("text")), "[aeiou]+", mark)
-    val sm = regexp_replace(col("text"), "[.!?]+", mark)
+    // r16: the marker-substitution idiom (two regexp_replace copies + two
+    // translate copies + four length scans per document) moved into the
+    // one-pass [[graft.functions.ReadabilityCounts]] codegen kernel --
+    // identical counts (word = space-split non-empty; vowel/sentence runs
+    // = maximal-run counts, vowels over the same Locale.ROOT lowering
+    // Spark's `lower` performs), and the oracle still replays the
+    // regexp_replace formulation, so the hash match proves equivalence.
+    val r = graft.functions.ReadabilityCounts.of(col("text"))
     val perDoc = Tables
       .documents(spark, sfDir)
+      .select(col("lang"), r.as("r"))
       .select(
         col("lang"),
-        size(filter(split(col("text"), " "), x => x =!= lit(""))).cast("double").as("w"),
-        (length(vm) - length(translate(vm, mark, ""))).cast("double").as("syl"),
-        greatest(lit(1), length(sm) - length(translate(sm, mark, ""))).cast("double").as("s"))
+        col("r.n_words").cast("double").as("w"),
+        col("r.n_vowel_runs").cast("double").as("syl"),
+        greatest(lit(1), col("r.n_sent_runs")).cast("double").as("s"))
       .where(col("w") > 0)
     val wps = col("w") / col("s")
     val spw = col("syl") / col("w")
@@ -439,15 +445,22 @@ object QualityOps {
       .withColumn(
         "bucket",
         conv(substring(md5(col("tok").cast("binary")), 1, 15), 16, 10).cast("long") % B)
-    val raw = toks.groupBy("bucket").agg(count(lit(1)).as("c_r"))
-    val tgt =
-      toks.where(col("lang") === "en").groupBy("bucket").agg(count(lit(1)).as("c_t"))
-    val tots = toks.agg(
-      count(lit(1)).as("n_r"),
-      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_t"))
-    val llr = raw
-      .join(tgt, Seq("bucket"), "left")
-      .na.fill(0L, Seq("c_t"))
+    // ONE model pass (r16, guide §2.4): raw counts, target counts and both
+    // totals fold out of a single ≤B-row bucket aggregation (c_t as a
+    // conditional count ≡ the old left-join + zero-fill; the totals are
+    // sums OF the bucket counts, not a third corpus pass). The old shape
+    // re-derived the tokenize+md5 explode from THREE model subtrees plus
+    // the scoring join — four corpus passes where the documented two-phase
+    // contract needs exactly two. Checkpointed: ≤64 rows feeding the
+    // totals agg and the LLR projection.
+    val model = toks
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("c_r"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_t"))
+      .localCheckpoint()
+    val tots = model.agg(sum(col("c_r")).as("n_r"), sum(col("c_t")).as("n_t"))
+    val llr = model
       .crossJoin(broadcast(tots))
       .select(
         col("bucket"),
@@ -862,6 +875,12 @@ object QualityOps {
       .where(col("value").isNotNull)
       .groupBy(col("value").as("v"), col("event_type").as("et"))
       .agg(count(lit(1)).as("cnt"))
+      // materialize the ONE corpus-scale pass (r16, guide §2.4): vt is
+      // referenced from three plan positions (the type list, the distinct
+      // value spine, the zero-fill join) and each uncheckpointed reference
+      // re-ran the events scan + (value, type) count shuffle. ≤ D×|types|
+      // rows of (double, string, long) — executor-local blocks.
+      .localCheckpoint()
     val types = vt.select("et").distinct()
     // dense D×|types| matrix: every (value, type) cell, zero-filled
     val dense = vt

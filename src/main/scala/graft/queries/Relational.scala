@@ -1056,8 +1056,22 @@ object Relational {
       .partitionBy("c_mktsegment")
       .orderBy(col("c_acctbal").desc, col("c_name"))
     val full = order.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    Tables
+    // r16 two-phase top-k (guide §2.3): nth_value(3) and the rn = 1 pick
+    // only ever read the first three rows of each segment's frame, so a
+    // row_number ≤ 3 pre-filter — the exact WindowTopKRule shape, which
+    // rewrites to the bounded GroupTopK heap — shrinks the WindowExec
+    // input from |customers| to 3·|segments| rows without touching what
+    // the nth_value frame sees (the kept prefix is the frame prefix,
+    // same order, same ties; segments with < 3 rows keep their NULL
+    // third_* readout). The full-partition sort this avoided was over
+    // only |segments| tasks — a parallelism collapse at scale.
+    val top3 = Tables
       .customer(spark, sfDir)
+      .select(col("c_mktsegment"), col("c_name"), col("c_acctbal"))
+      .withColumn("rn0", row_number().over(order))
+      .where(col("rn0") <= 3)
+      .drop("rn0")
+    top3
       .select(
         col("c_mktsegment"),
         nth_value(col("c_name"), 3).over(full).as("third_name"),

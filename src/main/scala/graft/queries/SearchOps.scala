@@ -69,18 +69,34 @@ object SearchOps {
     * the hybrid-retrieval fusion so the lexical leg cannot drift.
     */
   private def bm25Scores(spark: SparkSession, sfDir: String): DataFrame = {
+    // r16 single-pass restructure (guide §2.3/§2.4): the old shape exploded
+    // the token stream TWICE (per-doc length, per-doc×term tf) and joined
+    // the two aggregates back on doc_id. The standing query has |terms| = 3,
+    // so one doc-keyed aggregation carries the length AND the per-term
+    // conditional counts in the same pass; the (doc, term, tf) long form
+    // falls out of a 3-entry map explode on the aggregated frame, the dl
+    // join disappears (dl is already on the row), and the final per-doc
+    // fold reuses the doc_id partitioning — ONE corpus-scale exchange
+    // total. Checkpointed: perDoc feeds both the corpus stats and the
+    // scoring branch.
     val tok = Tables
       .documents(spark, sfDir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .where(col("tok") =!= "")
-    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val st = dl.agg(
+    val tfCols = Bm25Terms.map(t => sum(when(col("tok") === t, 1L).otherwise(0L)).as(s"tf_$t"))
+    val perDoc = tok
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("dl"), tfCols: _*)
+      .localCheckpoint()
+    val st = perDoc.agg(
       count(lit(1)).as("n"),
       (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
-    val tf = tok
-      .where(col("tok").isin(Bm25Terms: _*))
-      .groupBy("doc_id", "tok")
-      .agg(count(lit(1)).as("tf"))
+    val tf = perDoc
+      .select(
+        col("doc_id"),
+        col("dl"),
+        explode(map(Bm25Terms.flatMap(t => Seq(lit(t), col(s"tf_$t"))): _*)).as(Seq("tok", "tf")))
+      .where(col("tf") > 0L)
     val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     // idf = ln(1 + (N - df + 0.5)/(df + 0.5)), quantized; weight =
     // tf(k1+1) / (tf + k1(1 - b + b·dl/avgdl)) with k1 = 1.2, b = 0.75 —
@@ -91,7 +107,6 @@ object SearchOps {
     val weight = col("tf") * lit(2.2) /
       (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl"))))
     tf.join(broadcast(dfreq), "tok")
-      .join(dl, "doc_id")
       .crossJoin(broadcast(st))
       .select(col("doc_id"), round(idf6 * weight * lit(1e6)).cast("long").as("fp"))
       .groupBy("doc_id")

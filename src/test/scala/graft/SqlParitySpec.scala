@@ -101,6 +101,8 @@ class SqlParitySpec extends SparkSuite {
       "text_profile" -> overDocs("text_profile(text)", graft.functions.TextProfile.profile(col("text"))),
       "text_fingerprint" ->
         overDocs("text_fingerprint(text)", graft.functions.TextFingerprint.of(col("text"))),
+      "readability_counts" ->
+        overDocs("readability_counts(text)", graft.functions.ReadabilityCounts.of(col("text"))),
       "simhash64" -> overDocs("simhash64(text)", graft.functions.SimHash64.of(col("text"))),
       "minhash16" -> overDocs("minhash16(text)", graft.functions.MinHash16.of(col("text"))),
       "shingles3" -> overDocs("shingles3(text)", graft.functions.Shingles3.of(col("text"))),
