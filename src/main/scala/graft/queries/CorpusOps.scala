@@ -1346,7 +1346,10 @@ object CorpusOps {
       .agg(count(lit(1)).as("n"))
     // churn events: day = lapse + 8 for every observed gap > 7, plus the
     // final lapse when lapse + 8 is still inside the observed window
-    val span = act.agg(min(col("d")).as("d0"), max(col("d")).as("d1")).localCheckpoint()
+    // span from the CHECKPOINTED st (same (user_id, d) rows as act) — the
+    // old `act.agg` reference re-derived the events distinct a second
+    // time (r16, guide §2.4)
+    val span = st.agg(min(col("d")).as("d0"), max(col("d")).as("d1")).localCheckpoint()
     val midChurn = st
       .where(col("prev").isNotNull && datediff(col("d"), col("prev")) > 7)
       .select(date_add(col("prev"), 8).as("d"))
@@ -1893,6 +1896,11 @@ object CorpusOps {
       .where(col("split") === "train")
       .groupBy(col("tok"))
       .agg(count(lit(1)).as("cnt"))
+      // materialize the train-side corpus agg ONCE (r16, guide §2.4): the
+      // model table is referenced by the (N, V) totals AND the per-token
+      // log-prob projection — each uncheckpointed reference re-ran the
+      // token explode + split join + count shuffle. |train vocab| rows.
+      .localCheckpoint()
     val nv = counts.agg(sum(col("cnt")).as("n"), count(lit(1)).as("v"))
     // Per-TERM micro quantization with INTEGER-only ln arguments and NO
     // final round — the q_text_bigram_nll discipline (r8), applied here
@@ -1993,6 +2001,11 @@ object CorpusOps {
       .where(col("split") === "train")
       .groupBy(col("tok").as("w1"))
       .agg(count(lit(1)).as("c1"))
+      // materialize the unigram model ONCE (r16, guide §2.4): uni is
+      // referenced by the vocab total (itself read twice — uniL and the
+      // unseen-w1 constant) and the denominator projection — three
+      // re-derivations of the train-side token agg without this.
+      .localCheckpoint()
     val vocab = uni.agg(count(lit(1)).as("v"))
     // Per-TERM micro quantization (r8, closes the r7 ×10 ln-ulp boundary):
     // lp = round6(ln(cbg+1)) − round6(ln(c1+V)), so ln only ever takes

@@ -1790,6 +1790,11 @@ object MiningOps {
       .select(col("source"), explode(split(col("text"), " ")).as("tok"))
       .where(col("tok") =!= "")
       .distinct()
+      // materialize the corpus-scale distinct ONCE (r16, guide §2.4): st
+      // is referenced from three plan positions (per-source sizes, both
+      // intersection arms) and each uncheckpointed reference re-ran the
+      // token explode + distinct shuffle. |sources|×vocab rows.
+      .localCheckpoint()
     val sizes = st.groupBy("source").agg(count(lit(1)).as("vocab"))
     val inter = st
       .as("x")
