@@ -51,13 +51,44 @@ object Explain {
       plan.execute().count()
       println(plan.toString)
     }
+    // --jobs: per-action accounting for the iterative entries (r16
+    // verdict ask #2 — "count jobs per round" before cutting driver
+    // actions). Prints one line per Spark job with wall ms and stage
+    // count, then a summary; runs on the SECOND (warm) execution so
+    // per-job times aren't polluted by first-run JIT.
+    val jobLog = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Int)]()
+    val jobStages = new java.util.concurrent.atomic.AtomicInteger
+    if (args.contains("--jobs")) {
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        private val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          starts.put(js.jobId, System.nanoTime())
+        override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val t = Option(starts.get(je.jobId)).map(s => (System.nanoTime() - s) / 1000000L)
+          jobLog.put(je.jobId, (t.getOrElse(-1L), 0))
+        }
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          jobStages.incrementAndGet(); ()
+        }
+      })
+    }
     val t0 = System.nanoTime()
     if (args.contains("--count")) println(s"ROWS=${build().count()}")
     else build().write.format("noop").mode("overwrite").save()
     println(f"TIME $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    jobLog.clear(); jobStages.set(0)
     val t1 = System.nanoTime()
     build().write.format("noop").mode("overwrite").save()
     println(f"TIME2 $name ${(System.nanoTime() - t1) / 1e9}%.2f s (warm)")
+    if (args.contains("--jobs")) {
+      Thread.sleep(300) // drain the async listener bus
+      import scala.jdk.CollectionConverters._
+      val jobs = jobLog.asScala.toSeq.sortBy(_._1)
+      jobs.foreach { case (id, (ms, _)) => println(s"JOB $id ${ms} ms") }
+      println(s"JOBS $name n=${jobs.size} stages=${jobStages.get} " +
+        s"sum_ms=${jobs.map(_._2._1).sum}")
+    }
     spark.stop()
   }
 }
