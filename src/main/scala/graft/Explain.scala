@@ -81,6 +81,18 @@ object Explain {
     val t1 = System.nanoTime()
     build().write.format("noop").mode("overwrite").save()
     println(f"TIME2 $name ${(System.nanoTime() - t1) / 1e9}%.2f s (warm)")
+    // --reps=N: N more warm builds+runs, report each and the min — the
+    // low-variance A/B protocol for sub-second plan deltas (single cold
+    // runs swing ±25% on UNCHANGED entries in this sandbox)
+    args.collectFirst { case a if a.startsWith("--reps=") => a.drop(7).toInt }.foreach { n =>
+      val times = (1 to n).map { _ =>
+        val t = System.nanoTime()
+        build().write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t) / 1e9
+      }
+      println(
+        f"REPS $name min ${times.min}%.3f s of ${times.map(t => f"$t%.2f").mkString(",")}")
+    }
     if (args.contains("--jobs")) {
       Thread.sleep(300) // drain the async listener bus
       import scala.jdk.CollectionConverters._
