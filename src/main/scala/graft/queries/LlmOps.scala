@@ -545,15 +545,29 @@ object LlmOps {
     * is removed with a broadcast anti-join — no extra full shuffle of the
     * shingle table.
     */
-  def qDedupNgramCapped(spark: SparkSession, sfDir: String): DataFrame = {
-    val ex = shingles(spark, sfDir)
-    val hot = ex
+  /** The df-capped shingle frame shared by `q_dedup_ngram_capped` and
+    * `q_dedup_containment` (and, through them, `q_dedup_clusters` /
+    * `q_dedup_cross_source` / `q_dedup_near_eval`): the shingle explode is
+    * materialized ONCE per entry (r17, guide §2.4) — the frame is
+    * referenced 4× per query (hot-df agg, anti-join left, the sizes agg,
+    * both self-join sides) and Generate subtrees get no exchange reuse,
+    * so each reference re-ran the scan + [[graft.functions.
+    * Shingles3Hashed]] kernel (PLANGOLD r16: 4-6 Generate nodes per
+    * entry). |shingle| rows of (long, long) in executor blocks; the cheap
+    * broadcast anti-join downstream replays from those blocks.
+    */
+  private def cappedShingles(spark: SparkSession, sfDir: String): DataFrame = {
+    val ex0 = shingles(spark, sfDir).localCheckpoint()
+    val hot = ex0
       .groupBy("sh")
       .agg(count(lit(1)).as("df"))
       .where(col("df") > MaxShingleDf)
       .select("sh")
-    jaccardPairs(ex.join(broadcast(hot), Seq("sh"), "left_anti"))
+    ex0.join(broadcast(hot), Seq("sh"), "left_anti")
   }
+
+  def qDedupNgramCapped(spark: SparkSession, sfDir: String): DataFrame =
+    jaccardPairs(cappedShingles(spark, sfDir))
 
   /** Directed containment pairs: containment(a → b) = |S(a) ∩ S(b)| / |S(a)|
     * over the df-capped 3-shingle sets. Jaccard misses the
@@ -569,13 +583,7 @@ object LlmOps {
     * (nearly) contained in d_sup.
     */
   def qDedupContainment(spark: SparkSession, sfDir: String): DataFrame = {
-    val ex0 = shingles(spark, sfDir)
-    val hot = ex0
-      .groupBy("sh")
-      .agg(count(lit(1)).as("df"))
-      .where(col("df") > MaxShingleDf)
-      .select("sh")
-    val ex = ex0.join(broadcast(hot), Seq("sh"), "left_anti")
+    val ex = cappedShingles(spark, sfDir)
     val sizes = ex.groupBy("doc_id").agg(count(lit(1)).cast("int").as("n_sh"))
     val pairs = ex
       .as("a")
@@ -1646,7 +1654,11 @@ object LlmOps {
     val nQ = 5
     val e = Tables.embeddings(spark, sfDir)
     val data = e.where(col("vec_id") >= nQ)
-    // corpus-only codebook; seeds are the first PqK corpus ids (nQ..nQ+15)
+    // corpus-only codebook; seeds are the first PqK corpus ids (nQ..nQ+15).
+    // NOT checkpointed despite 5 references (r17 A/B): materializing the
+    // exploded subvector rows measured +0.5 s warm min-of-4 vs letting
+    // each reference re-run the column-pruned scan + slice projection —
+    // block-store float-array round-trips cost more than the re-derive.
     val sv = pqSubvectorsFrom(data)
     val codebook = pqTrain(spark, e, sv, seedLo = nQ)
     // per-query LUTs: nQ×PqM×PqK driver-side cells, broadcast as one frame
@@ -1751,11 +1763,20 @@ object LlmOps {
       e: DataFrame,
       cents: Seq[(Int, Seq[Float])]): DataFrame = {
     import spark.implicits._
-    def l2sq(v: Column, c: Column): Column =
-      dotDec(v, v) - lit(2.0) * dotDec(v, c) + dotDec(c, c)
-    val cDf = broadcast(cents.toDF("cid", "cvec").withColumn("cvec", col("cvec").cast("array<float>")))
+    // Reduced ordering key (r17, guide step 4): the full squared distance
+    // |v|² − 2v·c + |c|² is only ever an argmin order within a vec_id
+    // group, and |v|² is constant within the group — dropping it cannot
+    // reorder candidates (ScaledDot terms are exact integers, so the
+    // subtraction is exact, not an FP approximation). |c|² is computed
+    // once per centroid on the K-row broadcast side. The N×K hot
+    // projection runs ONE ScaledDot (was three) and stays in LONG.
+    val cDf = broadcast(
+      cents
+        .toDF("cid", "cvec")
+        .withColumn("cvec", col("cvec").cast("array<float>"))
+        .withColumn("cn", dotDec(col("cvec"), col("cvec"))))
     e.crossJoin(cDf)
-      .withColumn("dist", l2sq(col("embedding"), col("cvec")))
+      .withColumn("dist", col("cn") - lit(2L) * dotDec(col("embedding"), col("cvec")))
       .groupBy("vec_id")
       .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("cid"))
   }
@@ -1885,21 +1906,29 @@ object LlmOps {
         col("m"),
         slice(col("embedding"), col("m") * PqSub + 1, lit(PqSub)).as("sv"))
 
-  /** Squared euclidean distance via the exact decimal-cored dot products
-    * (|a|² + |b|² − 2a·b) — deterministic across engines/partitionings.
-    */
-  private def sqDist(a: Column, b: Column): Column =
-    dotDec(a, a) + dotDec(b, b) - lit(2.0) * dotDec(a, b)
-
   /** Nearest-codeword assignment: broadcast the (m, code, cw) codebook,
     * one `min_by` partial agg per (vec_id, m) — the IVF assignment shape
-    * per subspace, (dist, code) struct tiebreak for determinism.
+    * per subspace, (dist, code) struct tiebreak for determinism. The
+    * oracles replay the FULL squared distance |a|² + |b|² − 2a·b; the
+    * engine orders by the |a|²-reduced key (identical argmin — see the
+    * comment in the body).
     */
-  private def pqAssign(sv: DataFrame, cb: DataFrame): DataFrame =
-    sv.join(broadcast(cb), "m")
-      .select(col("vec_id"), col("m"), col("code"), sqDist(col("sv"), col("cw")).as("d"))
+  private def pqAssign(sv: DataFrame, cb: DataFrame): DataFrame = {
+    // Reduced ordering key (r17, guide step 4; the ivfAssign argument):
+    // |sv|² is constant within the (vec_id, m) argmin group, |cw|² is
+    // precomputed on the PqM×PqK-row broadcast side — the 128N-row hot
+    // projection runs ONE ScaledDot (was three), exact-integer order
+    // unchanged.
+    val cbn = cb.withColumn("cwn", dotDec(col("cw"), col("cw")))
+    sv.join(broadcast(cbn), "m")
+      .select(
+        col("vec_id"),
+        col("m"),
+        col("code"),
+        (col("cwn") - lit(2L) * dotDec(col("sv"), col("cw"))).as("d"))
       .groupBy("vec_id", "m")
       .agg(min_by(col("code"), struct(col("d"), col("code"))).as("code"))
+  }
 
   /** PQ codebook training shared by [[qSimAnnPq]] and
     * [[qAnnRecallPq]]: deterministic init (codeword c of subspace m =

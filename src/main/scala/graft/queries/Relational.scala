@@ -83,16 +83,35 @@ object Relational {
   }
 
   /** Non-equi (range) join: customers within ±100 acctbal of a supplier.
-    * Small side broadcast → BroadcastNestedLoopJoin, the right physical
-    * plan for a bounded dim × large fact theta join.
+    * The dim side still broadcasts, but the join is a bin-equality
+    * BroadcastHashJoin with the exact range predicate as the residual
+    * filter (r17, guide §3): the plain theta condition planned as a
+    * BroadcastNestedLoopJoin that evaluated |C|·|S| predicates per run —
+    * measured 2.0 s at sf0.1 vs 0.4 s for the binned shape, and the gap
+    * is quadratic in scale. Binning by the interval width (200) makes
+    * each supplier's ±100 window cover ≤ 2 bins (≤ 2× broadcast rows),
+    * each probe hash to its single bin, and the residual keep the exact
+    * semantics — identical output (same oracle SQL). Differs from
+    * `q_join_range_binned` in distribution strategy: this is the
+    * broadcast-dim form, that one the both-sides-shuffle form.
     */
   def qJoinRange(spark: SparkSession, sfDir: String): DataFrame = {
     val s = Tables.supplier(spark, sfDir)
     val c = Tables.customer(spark, sfDir)
-    c.join(
-      broadcast(s),
-      c("c_acctbal") >= s("s_acctbal") - 100 && c("c_acctbal") <= s("s_acctbal") + 100)
-      .groupBy(col("s_suppkey"))
+    val sBins = s.withColumn(
+      "bin",
+      explode(
+        sequence(
+          floor((s("s_acctbal") - 100) / 200).cast("long"),
+          floor((s("s_acctbal") + 100) / 200).cast("long"))))
+    val cBins = c.withColumn("bin", floor(c("c_acctbal") / 200).cast("long"))
+    cBins
+      .join(
+        broadcast(sBins),
+        cBins("bin") === sBins("bin") &&
+          cBins("c_acctbal") >= sBins("s_acctbal") - 100 &&
+          cBins("c_acctbal") <= sBins("s_acctbal") + 100)
+      .groupBy(sBins("s_suppkey"))
       .agg(count(lit(1)).as("n_matches"))
       .orderBy("s_suppkey")
   }

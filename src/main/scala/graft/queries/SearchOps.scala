@@ -651,6 +651,9 @@ object SearchOps {
     var mst = edges.limit(0).localCheckpoint()
     var round = 0
     var done = false
+    // monotone upper bound on the current round's pick count — see the
+    // fusion comment in the loop body
+    var prevChosen = Long.MaxValue
     while (!done && round < maxRounds) {
       val cu = lab.select(col("id").as("uid"), col("c").as("cu"))
       val cv = lab.select(col("id").as("vid"), col("c").as("cv"))
@@ -668,13 +671,28 @@ object SearchOps {
         .orderBy(col("support").desc, col("u").asc, col("v").asc)
       // lazy mark + count: the count's full scan materializes the
       // checkpoint AND returns the round size in ONE job (r13 ask #2 —
-      // previously an eager checkpoint job plus a count job)
+      // previously an eager checkpoint job plus a count job).
+      // r17 fusion: once a round lands under `driverPairThreshold` the
+      // driver union-find path is taken, so the (cc, oc) collect that
+      // path needs IS the round's materializing full scan — count and
+      // collect merge into one job. Valid because nChosen is
+      // non-increasing (every round-r+1 cross component contains a
+      // round-r cross component; contraction only ever turns cross
+      // edges internal), so a round under the threshold keeps all later
+      // rounds under it — the fused collect never pulls more rows than
+      // the threshold the caller already accepted for the driver path.
       val chosen = sym
         .withColumn("rn", row_number().over(w))
         .where(col("rn") === 1)
         .drop("rn")
         .localCheckpoint(eager = false)
-      val nChosen = chosen.count()
+      val fusedPairs: Option[Array[(Long, Long)]] =
+        if (prevChosen <= driverPairThreshold)
+          Some(chosen.select(col("cc"), col("oc")).collect()
+            .map(r => (r.getLong(0), r.getLong(1))))
+        else None
+      val nChosen = fusedPairs.map(_.length.toLong).getOrElse(chosen.count())
+      prevChosen = nChosen
       if (nChosen == 0) done = true
       else {
         // plain union chain: mst is only READ once, by the final orderBy
@@ -694,11 +712,16 @@ object SearchOps {
             // label representatives (the distributed path converges to
             // the min of each mutual-pick 2-cycle root, which need not
             // be the group min) — only the forest, not the label
-            // values, is pinned equal by MstSpec
-            val pairs = chosen
-              .select(col("cc"), col("oc"))
-              .collect()
-              .map(r => (r.getLong(0), r.getLong(1)))
+            // values, is pinned equal by MstSpec.
+            // `fusedPairs` is present whenever the PREVIOUS round was
+            // already under the threshold (the common case from round 2
+            // on); the first under-threshold round pays the one extra
+            // collect over the already-cached checkpoint blocks.
+            val pairs = fusedPairs.getOrElse(
+              chosen
+                .select(col("cc"), col("oc"))
+                .collect()
+                .map(r => (r.getLong(0), r.getLong(1))))
             val parent = scala.collection.mutable.HashMap.empty[Long, Long]
             def find(a: Long): Long = {
               var r = a
@@ -906,6 +929,10 @@ object SearchOps {
     // the null guard makes an EMPTY edge set yield an empty frontier
     // (and so only the hops = -1 remainder row) instead of a bogus
     // hops = 0 row seeded from min(u) = NULL — mirrored in the oracle.
+    // per-hop eager checkpoint — the one-plan variant was built and
+    // A/B-measured in r17 (see qGraphLabelProp's loop comment): fewer
+    // jobs (28 → 19) but +0.7 s warm min-of-4 from AQE replanning over
+    // the duplicated hop subtrees; reverted
     var dist = e
       .agg(min(col("u")).as("id"))
       .select(col("id"), lit(0).as("d"))
@@ -1137,6 +1164,16 @@ object SearchOps {
       .select(col("u").as("a"), col("v").as("b"))
       .unionByName(e.select(col("v").as("a"), col("u").as("b")))
       .localCheckpoint()
+    // Per-round eager checkpoint CONFIRMED as the right shape (r17
+    // measured attempt, guide §1.2 feedback loop): both a single-plan
+    // rewrite (no checkpoints, AQE stage reuse deduping the duplicated
+    // round subtrees) and a batch-2 hybrid (checkpoint every second
+    // round) were built and A/B-measured at sf0.1 — the checkpoint-free
+    // logical tree grows exponentially (384 Exchange nodes formatted;
+    // AQE capped execution at 24 jobs but replans the whole remaining
+    // tree after every stage), costing +0.6 s (one-plan) / +1.0 s
+    // (batch-2) warm min-of-4 vs this shape. Driver actions are not the
+    // bottleneck here; AQE replanning over duplicated trees is.
     var labels = adj
       .select(col("a").as("id"))
       .distinct()
@@ -1179,6 +1216,9 @@ object SearchOps {
       .select(col("u").as("a"), col("v").as("b"))
       .unionByName(e.select(col("v").as("a"), col("u").as("b")))
       .localCheckpoint()
+    // per-round eager checkpoint — see qGraphLabelProp's loop comment
+    // for the r17 measured A/B that confirmed this shape over the
+    // one-plan and batch-2 variants
     var labels = adj
       .select(col("a").as("id"))
       .distinct()
