@@ -203,15 +203,22 @@ object MiningOps {
       .supplier(spark, sfDir)
       .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    // broadcast-reduce lineitem BEFORE the orderkey shuffle (r17, guide
+    // §3.2 shape): the supplier⋈nation⋈region dim chain keeps only ASIA
+    // suppliers (~1/5 of lineitem rows), so applying it map-side first
+    // cuts the query's largest exchange to that fraction; inner joins
+    // commute, results identical (oracle-pinned).
+    val liAsia = Tables
+      .lineitem(spark, sfDir)
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"),
+        col("s_nationkey"), col("n_name"))
     Tables
       .orders(spark, sfDir)
       .where(
         col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
           col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
-      .join(
-        Tables.lineitem(spark, sfDir),
-        col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(liAsia, col("l_orderkey") === col("o_orderkey"))
       .join(
         Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_nationkey")),
         col("o_custkey") === col("c_custkey") &&

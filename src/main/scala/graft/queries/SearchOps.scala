@@ -871,6 +871,11 @@ object SearchOps {
       .withColumn("walk", explode(array((0 until walksPerNode).map(lit): _*)))
       .select(col("start"), col("walk"), lit(0).as("step"), col("start").as("node"))
     var frontier = walk
+    // Steps stay UNmaterialized by design (r17 A/B): adding a per-step
+    // eager checkpoint (the LPA-loop winning shape) measured +0.3/+0.5 s
+    // warm min-of-4 on walk/multi — these step subtrees are thin (two
+    // broadcast-side joins), so AQE's runtime dedup of the duplicated
+    // references costs less than materializing each frontier.
     for (i <- 1 to walkLength) {
       val nxt = frontier
         .join(deg, col("node") === col("dn"))

@@ -102,9 +102,17 @@ class PlanSpec extends SparkSuite {
   }
 
   test("shingle derivation is scan -> generate, with no window exchange") {
-    val p = plan(graft.queries.LlmOps.qDedupNgramCapped(spark, sf001))
+    // the uncapped twin pins the kernel derivation (the capped entries
+    // materialize the shingle frame once as of r17, so their FINAL plan
+    // reads an RDD scan — the kernel runs in the checkpoint job)
+    val p = plan(graft.queries.LlmOps.qDedupNgram(spark, sf001))
     assert(p.contains("shingles3"), p)
     assert(!p.contains("Window"), p)
+    val pc = plan(graft.queries.LlmOps.qDedupNgramCapped(spark, sf001))
+    assert(!pc.contains("Window"), pc)
+    // the capped entry's final plan must NOT re-derive shingles — the
+    // materialized frame is the whole point of the r17 change
+    assert(!pc.contains("shingles3"), pc)
   }
 
   test("repetition metrics aggregate partially before the shuffle") {
