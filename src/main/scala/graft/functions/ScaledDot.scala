@@ -145,4 +145,12 @@ object ScaledDot {
     Bridge
       .column(ScaledDot(Bridge.expression(a), Bridge.expression(b)))
       .cast("double") / 1e12
+
+  /** Column API: the raw Σ round(x·y·1e12) LONG, un-descaled — for
+    * callers that only ORDER by dot-derived keys and want the
+    * comparison exact in integers instead of noise-carrying doubles
+    * (r17: the PQ/IVF assignment argmin keys).
+    */
+  def dotRaw(a: Column, b: Column): Column =
+    Bridge.column(ScaledDot(Bridge.expression(a), Bridge.expression(b)))
 }

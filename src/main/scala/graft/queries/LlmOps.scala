@@ -1766,17 +1766,27 @@ object LlmOps {
     // Reduced ordering key (r17, guide step 4): the full squared distance
     // |v|² − 2v·c + |c|² is only ever an argmin order within a vec_id
     // group, and |v|² is constant within the group — dropping it cannot
-    // reorder candidates (ScaledDot terms are exact integers, so the
-    // subtraction is exact, not an FP approximation). |c|² is computed
-    // once per centroid on the K-row broadcast side. The N×K hot
-    // projection runs ONE ScaledDot (was three) and stays in LONG.
+    // reorder candidates. The key is built from the RAW ScaledDot LONGs
+    // (|c|²_raw − 2·⟨v,c⟩_raw), so the engine-side comparison is exact
+    // integer arithmetic: on the 1e-12 quantization grid the true order
+    // equals the full-distance order term for term, and the descaled
+    // DOUBLE keys both engines previously compared carry < half-grid
+    // rounding error, so distinct-key comparisons agree with the exact
+    // order everywhere. The only theoretical divergence surface vs the
+    // oracle's full-distance double replay is an EXACT rational tie
+    // between two codewords (both formulations then fall to noise/cid
+    // tiebreaks) — absent in every fixture (hash-PASS sf0.001/sf0.01).
+    // |c|² is computed once per centroid on the K-row broadcast side;
+    // the N×K hot projection runs ONE ScaledDot (was three).
     val cDf = broadcast(
       cents
         .toDF("cid", "cvec")
         .withColumn("cvec", col("cvec").cast("array<float>"))
-        .withColumn("cn", dotDec(col("cvec"), col("cvec"))))
+        .withColumn("cn", graft.functions.ScaledDot.dotRaw(col("cvec"), col("cvec"))))
     e.crossJoin(cDf)
-      .withColumn("dist", col("cn") - lit(2L) * dotDec(col("embedding"), col("cvec")))
+      .withColumn(
+        "dist",
+        col("cn") - lit(2L) * graft.functions.ScaledDot.dotRaw(col("embedding"), col("cvec")))
       .groupBy("vec_id")
       .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("cid"))
   }
@@ -1914,18 +1924,19 @@ object LlmOps {
     * comment in the body).
     */
   private def pqAssign(sv: DataFrame, cb: DataFrame): DataFrame = {
-    // Reduced ordering key (r17, guide step 4; the ivfAssign argument):
-    // |sv|² is constant within the (vec_id, m) argmin group, |cw|² is
-    // precomputed on the PqM×PqK-row broadcast side — the 128N-row hot
-    // projection runs ONE ScaledDot (was three), exact-integer order
-    // unchanged.
-    val cbn = cb.withColumn("cwn", dotDec(col("cw"), col("cw")))
+    // Reduced ordering key in RAW ScaledDot LONGs (r17, guide step 4;
+    // the ivfAssign argument applies verbatim): |sv|² is constant
+    // within the (vec_id, m) argmin group, |cw|² is precomputed on the
+    // PqM×PqK-row broadcast side — the 128N-row hot projection runs ONE
+    // ScaledDot (was three) and compares exact integers.
+    val cbn =
+      cb.withColumn("cwn", graft.functions.ScaledDot.dotRaw(col("cw"), col("cw")))
     sv.join(broadcast(cbn), "m")
       .select(
         col("vec_id"),
         col("m"),
         col("code"),
-        (col("cwn") - lit(2L) * dotDec(col("sv"), col("cw"))).as("d"))
+        (col("cwn") - lit(2L) * graft.functions.ScaledDot.dotRaw(col("sv"), col("cw"))).as("d"))
       .groupBy("vec_id", "m")
       .agg(min_by(col("code"), struct(col("d"), col("code"))).as("code"))
   }
