@@ -1078,14 +1078,26 @@ object LlmOps {
   private[queries] def hammingPairs64(
       sigs: DataFrame,
       sigCol: String,
-      cap: Option[Int]): DataFrame = {
-    val segs0 = sigs.select(
-      col("doc_id"),
-      col(sigCol),
-      posexplode(
-        array((0 until 4).map(i =>
-          shiftrightunsigned(col(sigCol), i * 16).bitwiseAND(lit(0xffffL))): _*))
-        .as(Seq("seg", "seg_val")))
+      cap: Option[Int],
+      materializeSegs: Boolean = true): DataFrame = {
+    // materialized ONCE by default (r17, guide §2.4): the segment frame
+    // feeds both self-join sides (and, capped, the bucket-count filter
+    // too — 4 references), and the sig pipelines upstream are opaque
+    // per-row stages that column analysis cannot share — each reference
+    // re-ran them. Measured min-of-4 warm: simhash_pairs 0.90→0.69,
+    // simhash_pairs_capped 1.16→0.76, phash_capped 0.68→0.60. The ONE
+    // caller where it loses is uncapped phash (BMP synthesis from
+    // (doc_id, n_chars) is cheaper than the materialization and there
+    // are only 2 references) — it opts out, 1.36 vs 1.59 measured.
+    val segs0 = sigs
+      .select(
+        col("doc_id"),
+        col(sigCol),
+        posexplode(
+          array((0 until 4).map(i =>
+            shiftrightunsigned(col(sigCol), i * 16).bitwiseAND(lit(0xffffL))): _*))
+          .as(Seq("seg", "seg_val")))
+      .transform(s => if (materializeSegs) s.localCheckpoint() else s)
     val segs = cap.fold(segs0) { c =>
       val ok = segs0
         .groupBy("seg", "seg_val")
@@ -2823,7 +2835,9 @@ object LlmOps {
     * shuffled; only (doc_id, 8-byte hash) leaves the scan.
     */
   def qMultimodalPhash(spark: SparkSession, sfDir: String): DataFrame =
-    hammingPairs64(phashSigs(spark, sfDir), "phash", cap = None)
+    // materializeSegs = false: see hammingPairs64 — 2 references and a
+    // cheap synth-side pipeline; the checkpoint measured slower here
+    hammingPairs64(phashSigs(spark, sfDir), "phash", cap = None, materializeSegs = false)
 
   /** [[qMultimodalPhash]] with the [[CapBucket]] pigeonhole guard — the
     * production twin (round-14 verdict ask #1). The tile domain is the
